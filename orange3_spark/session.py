@@ -1,0 +1,83 @@
+"""SparkSession construction and fixture loading.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` but every config here is
+chosen to survive a 1000-executor cluster reading ~100 TB:
+
+  * AQE on (runtime coalescing of shuffle partitions, skew-join splitting,
+    runtime broadcast conversion) — at 100 TB the static shuffle-partition
+    number is always wrong, AQE fixes it per-stage.
+  * Arrow enabled for every pandas/driver boundary.
+  * Session timezone pinned to UTC so event-time semantics are independent of
+    the host (and comparable with the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_spark(app_name: str = "orange3-spark", **extra_conf: str) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # AQE: the one switch that matters most at scale — coalesces the
+        # post-shuffle partition count to the data actually produced and
+        # splits skewed join partitions at runtime.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Static default for local runs; AQE coalesces down from here.
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Parquet scans: vectorized reader + pushdown are default-on; keep
+        # split size at 128MB so a 100 TB table yields ~800k well-sized tasks.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in extra_conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TPCH_TABLES
+) -> dict[str, DataFrame]:
+    """Read the driver-generated parquet fixtures as DataFrames.
+
+    Parquet is the engine's native persisted form (reference persists pickled
+    numpy tables, ``Orange/data/io.py:199-220``); the columnar scan gives us
+    column pruning + predicate pushdown for free.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load fixtures and register them as temp views for spark.sql use."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
