@@ -1,0 +1,483 @@
+"""Core relational queries: filters, joins, group-by, pivot, reshape, windows,
+stats — each a `queries()` entry with a DuckDB oracle.
+
+Implementation style: everything goes through the engine's operator modules
+(filters/merge/groupby/reshape/window/stats), never raw SQL on the Spark
+side — the point is to exercise the operator surface end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orange3_spark.operators import groupby as G
+from orange3_spark.operators import reshape as R
+from orange3_spark.operators import window as W
+from orange3_spark.operators.filters import (
+    ContinuousOps, FilterContinuous, FilterRegex, FilterString, FilterStringList,
+    IsDefined, StringOps, Values,
+)
+from orange3_spark.operators.merge import anti_join, merge, semi_join
+from orange3_spark.plans.registry import query
+from orange3_spark.session import load_tables
+from orange3_spark.stats import basic as S
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    d = load_tables(spark, sf_dir, names)
+    return [d[n] for n in names]
+
+
+# ------------------------------------------------------------------ flagship
+
+@query("q1_filter_groupby", """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity)                                        AS sum_qty,
+       sum(l_extendedprice)                                   AS sum_base_price,
+       sum(l_extendedprice * (1 - l_discount))                AS sum_disc_price,
+       sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))  AS sum_charge,
+       avg(l_quantity)                                        AS avg_qty,
+       avg(l_extendedprice)                                   AS avg_price,
+       avg(l_discount)                                        AS avg_disc,
+       count(*)                                               AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped: FilterContinuous + groupby/aggregate — the
+    reference's filter.py + aggregate.py vocabulary (SURVEY §7 step 2)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    li = FilterContinuous("l_shipdate", ContinuousOps.LESS_EQUAL, "1998-09-02")(li)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    out = G.aggregate(
+        li.withColumn("_disc_price", disc_price)
+          .withColumn("_charge", disc_price * (1 + F.col("l_tax"))),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "l_quantity": [("sum", "sum_qty"), ("mean", "avg_qty")],
+            "l_extendedprice": [("sum", "sum_base_price"), ("mean", "avg_price")],
+            "_disc_price": [("sum", "sum_disc_price")],
+            "_charge": [("sum", "sum_charge")],
+            "l_discount": [("mean", "avg_disc")],
+            "l_orderkey": [("count", "count_order")],
+        },
+    )
+    return out.select("l_returnflag", "l_linestatus", "sum_qty",
+                      "sum_base_price", "sum_disc_price", "sum_charge",
+                      "avg_qty", "avg_price", "avg_disc", "count_order")
+
+
+# -------------------------------------------------------------------- filters
+
+@query("q_filter_values_tree", """
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+FROM lineitem
+WHERE ((l_quantity BETWEEN 10 AND 20) OR (l_discount > 0.07))
+  AND (l_returnflag <> 'A' OR l_returnflag IS NULL)
+""")
+def q_filter_values_tree(spark, sf_dir):
+    """Values boolean tree (filter.py:200-244) with Orange's NULL-matching
+    NotEqual (sql/filter.py:53)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    cond = Values(conditions=[
+        Values(conditions=[
+            FilterContinuous("l_quantity", ContinuousOps.BETWEEN, 10, max=20),
+            FilterContinuous("l_discount", ContinuousOps.GREATER, 0.07),
+        ], conjunction=False),
+        FilterString("l_returnflag", StringOps.NOT_EQUAL, "A"),
+    ], conjunction=True)
+    return cond(li).select("l_orderkey", "l_linenumber", "l_quantity",
+                           "l_discount", "l_returnflag")
+
+
+@query("q_filter_string", """
+SELECT p_partkey, p_name, p_brand, p_type
+FROM part
+WHERE (contains(p_name, 'widget') OR p_name LIKE 'small%')
+  AND lower(p_type) IN ('promo', 'economy')
+  AND regexp_matches(p_name, '(bolt|widget)$')
+""")
+def q_filter_string(spark, sf_dir):
+    """FilterString contains/startswith + FilterStringList (case-insensitive)
+    + FilterRegex (filter.py:400-554)."""
+    (part,) = _t(spark, sf_dir, "part")
+    cond = Values(conditions=[
+        Values(conditions=[
+            FilterString("p_name", StringOps.CONTAINS, "widget"),
+            FilterString("p_name", StringOps.STARTS_WITH, "small"),
+        ], conjunction=False),
+        FilterStringList("p_type", ["PROMO", "ECONOMY"], case_sensitive=False),
+        FilterRegex("p_name", "(bolt|widget)$"),
+    ])
+    return cond(part).select("p_partkey", "p_name", "p_brand", "p_type")
+
+
+@query("q_filter_isdefined", """
+SELECT count(*) AS n_defined
+FROM lineitem
+WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+""")
+def q_filter_isdefined(spark, sf_dir):
+    (li,) = _t(spark, sf_dir, "lineitem")
+    out = IsDefined(["l_quantity", "l_discount", "l_tax"])(li)
+    return out.agg(F.count(F.lit(1)).alias("n_defined"))
+
+
+# ---------------------------------------------------------------------- joins
+
+@query("q_join_inner", """
+SELECT o_orderkey, o_totalprice, o_orderstatus, c_custkey, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+""")
+def q_join_inner(spark, sf_dir):
+    """Merge Data 'Find matching pairs' (owmergedata.py inner) — dim side
+    broadcast so the fact table is never shuffled."""
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    j = merge(orders, customer, ["o_custkey"], ["c_custkey"], how="inner",
+              check_unique=False, broadcast_right=True)
+    return j.select("o_orderkey", "o_totalprice", "o_orderstatus",
+                    "c_custkey", "c_name", "c_mktsegment")
+
+
+@query("q_join_left_agg", """
+SELECT c_custkey, c_name, c_mktsegment, n_orders, total_spent
+FROM customer
+LEFT JOIN (
+    SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS total_spent
+    FROM orders GROUP BY o_custkey
+) ON c_custkey = o_custkey
+""")
+def q_join_left_agg(spark, sf_dir):
+    """Merge Data 'Append columns' (left outer) with right-side uniqueness
+    check (owmergedata.py:453-497)."""
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    per_cust = G.aggregate(orders, ["o_custkey"], {
+        "o_orderkey": [("count", "n_orders")],
+        "o_totalprice": [("sum", "total_spent")],
+    })
+    j = merge(customer, per_cust, ["c_custkey"], ["o_custkey"], how="left")
+    return j.select("c_custkey", "c_name", "c_mktsegment", "n_orders",
+                    "total_spent")
+
+
+@query("q5_region_revenue", """
+SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY n_name
+""")
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H-Q5-shaped snowflake join: fact table joined through three
+    broadcast dims — zero shuffles until the final groupBy."""
+    li, orders, customer, nation, region = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region")
+    orders = FilterContinuous("o_orderdate", ContinuousOps.GREATER_EQUAL,
+                              "1996-01-01")(orders)
+    region = FilterString("r_name", StringOps.EQUAL, "ASIA")(region)
+    j = merge(li, orders, ["l_orderkey"], ["o_orderkey"], how="inner",
+              check_unique=False, broadcast_right=False)
+    j = merge(j, customer, ["o_custkey"], ["c_custkey"], how="inner",
+              check_unique=False, broadcast_right=True)
+    j = merge(j, nation, ["c_nationkey"], ["n_nationkey"], how="inner",
+              check_unique=False, broadcast_right=True)
+    j = merge(j, region, ["n_regionkey"], ["r_regionkey"], how="inner",
+              check_unique=False, broadcast_right=True)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+    return G.aggregate(j.withColumn("_rev", rev), ["n_name"],
+                       {"_rev": [("sum", "revenue")]})
+
+
+@query("q_semi_join", """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+""")
+def q_semi_join(spark, sf_dir):
+    """Select-by-Data-Index keep case → left_semi (owselectbydataindex.py)."""
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    p = FilterString("o_orderstatus", StringOps.EQUAL, "P")(orders)
+    keys = p.select(F.col("o_custkey").alias("c_custkey"))
+    return semi_join(customer, keys, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+@query("q_anti_join", """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+""")
+def q_anti_join(spark, sf_dir):
+    """Select-by-Data-Index remove case → left_anti."""
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    p = FilterString("o_orderstatus", StringOps.EQUAL, "P")(orders)
+    keys = p.select(F.col("o_custkey").alias("c_custkey"))
+    return anti_join(customer, keys, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+# ------------------------------------------------------------------- group-by
+
+@query("q_groupby_matrix", """
+SELECT event_type,
+       avg(value)                      AS value_mean,
+       quantile_cont(value, 0.5)       AS value_median,
+       quantile_cont(value, 0.25)      AS value_q1,
+       quantile_cont(value, 0.75)      AS value_q3,
+       min(value)                      AS value_min,
+       max(value)                      AS value_max,
+       stddev_samp(value)              AS value_std,
+       var_samp(value)                 AS value_var,
+       sum(value)                      AS value_sum,
+       max(value) - min(value)         AS value_span,
+       count(value)                    AS value_count_defined,
+       count(*)                        AS value_count,
+       count(value) / count(*)         AS value_proportion_defined
+FROM events
+GROUP BY event_type
+""")
+def q_groupby_matrix(spark, sf_dir):
+    """The Group-By widget agg matrix (owgroupby.py:57-183) minus the
+    order-dependent/random aggs, exact percentiles."""
+    (events,) = _t(spark, sf_dir, "events")
+    return G.aggregate(events, ["event_type"], {
+        "value": ["mean", "median", "q1", "q3", "min", "max", "std", "var",
+                  "sum", "span", "count_defined", "count",
+                  "proportion_defined"],
+    })
+
+
+@query("q_concatenate_agg", """
+SELECT o_orderstatus,
+       string_agg(o_orderpriority, ' ' ORDER BY o_orderpriority) AS o_orderpriority_concatenate
+FROM orders
+GROUP BY o_orderstatus
+""")
+def q_concatenate_agg(spark, sf_dir):
+    """Concatenate aggregation — ' '-joined values (owgroupby.py:57-62),
+    sorted for distributed determinism."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return G.aggregate(orders, ["o_orderstatus"],
+                       {"o_orderpriority": ["concatenate"]})
+
+
+# ---------------------------------------------------------------------- pivot
+
+@query("q_pivot", """
+SELECT l_returnflag,
+       sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F_sum,
+       sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O_sum
+FROM lineitem GROUP BY l_returnflag
+""")
+def q_pivot(spark, sf_dir):
+    """Pivot (owpivot.py) — known column values passed explicitly, skipping
+    the distinct-collection job."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return R.pivot(li, "l_returnflag", "l_linestatus", "l_quantity", "sum",
+                   col_values=["F", "O"])
+
+
+@query("q_pivot_cube_totals", """
+SELECT l_returnflag, l_linestatus, count(*) AS total_count
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def q_pivot_cube_totals(spark, sf_dir):
+    """Pivot h/v/grand totals (owpivot.py:115-127) in ONE pass via cube —
+    grouping sets are the free Spark win SURVEY §2.5 calls out."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return R.pivot_totals(li, "l_returnflag", "l_linestatus", None, "count") \
+            .withColumnRenamed("total_count", "total_count")
+
+
+# --------------------------------------------------------------------- melt
+
+@query("q_melt", """
+SELECT l_orderkey, l_linenumber, item, value FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS item, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+) WHERE value IS NOT NULL
+""")
+def q_melt(spark, sf_dir):
+    """Melt wide→long (owmelt.py:200-296) via the stack generator — row-local,
+    no shuffle."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return R.melt(li, ["l_orderkey", "l_linenumber"],
+                  ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+# -------------------------------------------------------------------- unique
+
+@query("q_unique_first", """
+SELECT o_orderkey, o_custkey, o_totalprice FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+""")
+def q_unique_first(spark, sf_dir):
+    """Unique widget, 'first' tiebreaker over explicit order
+    (owunique.py:30-35) — row_number window, one shuffle."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return R.unique(orders, ["o_custkey"], tiebreaker="first",
+                    order_col="o_orderkey") \
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query("q_topk_per_group", """
+SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+) WHERE rn <= 3
+""")
+def q_topk_per_group(spark, sf_dir):
+    (customer,) = _t(spark, sf_dir, "customer")
+    return W.top_k_per_group(
+        customer.select("c_mktsegment", "c_custkey", "c_acctbal"),
+        ["c_mktsegment"], [F.col("c_acctbal").desc(), F.col("c_custkey")], 3)
+
+
+# ------------------------------------------------------------------- windows
+
+@query("q_window_lag", """
+SELECT event_id, user_id, value,
+       lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_lag1
+FROM events
+""")
+def q_window_lag(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    return W.with_lag(events, "value", ["user_id"], ["ts", "event_id"]) \
+            .select("event_id", "user_id", "value", "value_lag1")
+
+
+@query("q_window_cumsum", """
+SELECT event_id, user_id,
+       sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS value_sum_cum
+FROM events
+""")
+def q_window_cumsum(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    return W.with_cumulative(events, "value", "sum", ["user_id"],
+                             ["ts", "event_id"]) \
+            .select("event_id", "user_id", "value_sum_cum")
+
+
+# --------------------------------------------------------------------- stats
+
+@query("q_distribution", """
+SELECT o_orderpriority, CAST(count(*) AS DOUBLE) AS freq
+FROM orders WHERE o_orderpriority IS NOT NULL
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+def q_distribution(spark, sf_dir):
+    """Discrete distribution (distribution.py:101) — grouped count."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return S.distribution(orders, "o_orderpriority")
+
+
+@query("q_contingency", """
+SELECT l_returnflag, l_linestatus, count(*) AS freq
+FROM lineitem
+WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+GROUP BY l_returnflag, l_linestatus
+""")
+def q_contingency(spark, sf_dir):
+    """Contingency (contingency.py:31-340) — 2-D grouped count."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return S.contingency(li, "l_returnflag", "l_linestatus")
+
+
+@query("q_histogram", """
+WITH b AS (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx FROM lineitem),
+     w AS (SELECT mn, (mx - mn) / 10.0 AS width FROM b)
+SELECT CAST(least(floor((l_quantity - mn) / width), 9) AS INT) AS bucket,
+       count(*) AS freq,
+       mn + least(floor((l_quantity - mn) / width), 9) * width AS lo,
+       mn + (least(floor((l_quantity - mn) / width), 9) + 1) * width AS hi
+FROM lineitem, w
+WHERE l_quantity IS NOT NULL
+GROUP BY 1, 3, 4 ORDER BY 1
+""")
+def q_histogram(spark, sf_dir):
+    """Equal-width histogram — binned counts (owdistributions.py shape)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return S.histogram(li, "l_quantity", bins=10)
+
+
+@query("q_basic_stats", """
+SELECT 'l_quantity' AS variable, CAST(min(l_quantity) AS DOUBLE) AS min,
+       CAST(max(l_quantity) AS DOUBLE) AS max, avg(l_quantity) AS mean,
+       var_samp(l_quantity) AS var,
+       CAST(count(*) - count(l_quantity) AS DOUBLE) AS nans,
+       CAST(count(l_quantity) AS DOUBLE) AS non_nans
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', CAST(min(l_extendedprice) AS DOUBLE),
+       CAST(max(l_extendedprice) AS DOUBLE), avg(l_extendedprice),
+       var_samp(l_extendedprice),
+       CAST(count(*) - count(l_extendedprice) AS DOUBLE),
+       CAST(count(l_extendedprice) AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', CAST(min(l_discount) AS DOUBLE),
+       CAST(max(l_discount) AS DOUBLE), avg(l_discount),
+       var_samp(l_discount),
+       CAST(count(*) - count(l_discount) AS DOUBLE),
+       CAST(count(l_discount) AS DOUBLE)
+FROM lineitem
+""")
+def q_basic_stats(spark, sf_dir):
+    """BasicStats one-pass per-column stats (basic_stats.py:18-52) — all
+    columns in a single agg scan."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return S.basic_stats(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+# ----------------------------------------------------------------- reshaping
+
+@query("q_concat_source", """
+SELECT o_orderkey, o_orderstatus, o_totalprice, src FROM (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 'open' AS src
+  FROM orders WHERE o_orderstatus = 'O'
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 'done'
+  FROM orders WHERE o_orderstatus = 'F'
+)
+""")
+def q_concat_source(spark, sf_dir):
+    """Concatenate widget: union with provenance column
+    (owconcatenate.py:237)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    o = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    a = FilterString("o_orderstatus", StringOps.EQUAL, "O")(o)
+    b = FilterString("o_orderstatus", StringOps.EQUAL, "F")(o)
+    return R.concatenate([a, b], source_column="src",
+                         source_values=["open", "done"])
+
+
+@query("q_create_class", """
+SELECT p_partkey, p_name,
+       CASE WHEN contains(p_name, 'widget') THEN 'widgetish'
+            WHEN contains(p_name, 'bolt') THEN 'boltish'
+            ELSE 'other' END AS class
+FROM part
+""")
+def q_create_class(spark, sf_dir):
+    """Create Class — ordered substring rules, first match wins
+    (owcreateclass.py:24-70)."""
+    (part,) = _t(spark, sf_dir, "part")
+    return R.create_class(part, "p_name",
+                          [("widget", "widgetish"), ("bolt", "boltish")],
+                          default="other") \
+            .select("p_partkey", "p_name", "class")

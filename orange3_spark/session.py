@@ -50,6 +50,10 @@ def get_spark(app_name: str = "orange3-spark", **extra_conf: str) -> SparkSessio
         # Parquet scans: vectorized reader + pushdown are default-on; keep
         # split size at 128MB so a 100 TB table yields ~800k well-sized tasks.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Some producers write TIMESTAMP(NANOS) parquet (e.g. pandas) which
+        # Spark's reader rejects; read them as long and convert at ingest
+        # (see load_tables).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
@@ -71,8 +75,38 @@ def load_tables(
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            out[name] = _read_parquet(spark, path)
     return out
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as TIMESTAMP(NANOS) in the parquet footer — Spark reads
+    them as long (nanosAsLong); we convert back to timestamps at ingest."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+    except ImportError:  # pragma: no cover
+        return []
+    try:
+        schema = pq.read_schema(path)
+    except Exception:  # directory-style parquet: sample one file
+        first = next((os.path.join(path, f) for f in sorted(os.listdir(path))
+                      if f.endswith(".parquet")), None)
+        if first is None:
+            return []
+        schema = pq.read_schema(first)
+    return [f.name for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"]
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    for c in _nanos_timestamp_cols(path):
+        # integer division truncates ns -> µs exactly like DuckDB/Arrow do
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,139 @@
+"""Column statistics: BasicStats, Distributions, Contingency, correlations.
+
+References:
+  * BasicStats — ``Orange/statistics/basic_stats.py:18-52`` (per-column
+    ``(min, max, mean, var, #nan, #non-nan)`` one-pass) and the SQL pushdown
+    form ``Orange/data/sql/table.py:337-368``.
+  * Distributions — ``Orange/statistics/distribution.py:32-403``; SQL
+    ``GROUP BY field`` (``sql/table.py:370-395``).
+  * Contingency — ``Orange/statistics/contingency.py:31-340``; SQL
+    ``GROUP BY row,col`` (``:397-464``).
+  * Correlations — ``Orange/widgets/data/owcorrelations.py:163-171`` +
+    FDR ``Orange/statistics/util.py:757-788``.
+
+Everything here is expressed as ONE aggregate pass per call (all columns'
+stats in a single ``agg`` — one scan however wide the table), exactly the
+aggregate-pushdown shape the reference proves out against PostgreSQL.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def basic_stats(df: DataFrame, columns: Optional[Sequence[str]] = None) -> DataFrame:
+    """One row per column: min, max, mean, var, nans, non_nans.
+
+    Single scan for all columns (the reference's one-pass ``stats`` kernel,
+    ``Orange/statistics/util.py:310-380``, as one Spark agg).
+    """
+    if columns is None:
+        columns = [f.name for f in df.schema.fields
+                   if isinstance(f.dataType, (T.NumericType,))]
+    exprs = []
+    for c in columns:
+        exprs += [
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+            F.avg(c).alias(f"{c}__mean"),
+            F.var_samp(c).alias(f"{c}__var"),
+            (F.count(F.lit(1)) - F.count(c)).cast("double").alias(f"{c}__nans"),
+            F.count(c).cast("double").alias(f"{c}__non_nans"),
+        ]
+    agg = df.agg(*exprs)
+    # unpivot the single agg row into one row per variable — stays JVM-side,
+    # no driver round-trip (stack is a row-local generator)
+    groups = ", ".join(
+        f"'{c}', `{c}__min`, `{c}__max`, `{c}__mean`, `{c}__var`, "
+        f"`{c}__nans`, `{c}__non_nans`" for c in columns)
+    return agg.select(F.expr(
+        f"stack({len(columns)}, {groups}) as "
+        "(variable, min, max, mean, var, nans, non_nans)"))
+
+
+def distribution(df: DataFrame, column: str, *,
+                 weight_col: Optional[str] = None) -> DataFrame:
+    """Value counts — discrete distribution (``distribution.py:101``);
+    for continuous columns returns sorted (value, count) pairs
+    (``distribution.py:251``).  Weighted when ``weight_col`` given."""
+    w = F.sum(weight_col) if weight_col else F.count(F.lit(1))
+    return (df.filter(F.col(column).isNotNull())
+              .groupBy(column).agg(w.cast("double").alias("freq"))
+              .orderBy(column))
+
+
+def histogram(df: DataFrame, column: str, bins: int = 10,
+              lo: Optional[float] = None, hi: Optional[float] = None) -> DataFrame:
+    """Equal-width histogram: single pass for bounds (if not given) + single
+    grouped pass for counts — the `width_bucket` shape."""
+    if lo is None or hi is None:
+        r = df.agg(F.min(column).alias("lo"), F.max(column).alias("hi")).collect()[0]
+        lo = lo if lo is not None else float(r["lo"])
+        hi = hi if hi is not None else float(r["hi"])
+    width = (hi - lo) / bins or 1.0
+    bucket = F.least(F.floor((F.col(column) - F.lit(lo)) / F.lit(width)),
+                     F.lit(bins - 1)).cast("int")
+    return (df.filter(F.col(column).isNotNull())
+              .groupBy(bucket.alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("freq"))
+              .withColumn("lo", F.lit(lo) + F.col("bucket") * F.lit(width))
+              .withColumn("hi", F.lit(lo) + (F.col("bucket") + 1) * F.lit(width))
+              .orderBy("bucket"))
+
+
+def contingency(df: DataFrame, var: str, class_var: str) -> DataFrame:
+    """2-D counts var × class_var (``contingency.py:31-340``) — a grouped
+    count, NULL rows excluded like the reference's missing-value side
+    counts."""
+    return (df.filter(F.col(var).isNotNull() & F.col(class_var).isNotNull())
+              .groupBy(var, class_var)
+              .agg(F.count(F.lit(1)).alias("freq")))
+
+
+def crosstab(df: DataFrame, row: str, col: str) -> DataFrame:
+    return df.stat.crosstab(row, col)
+
+
+def correlations(df: DataFrame, columns: Sequence[str],
+                 method: str = "pearson") -> list[tuple[str, str, float]]:
+    """All-pairs correlation (``owcorrelations.py:163-171``).
+
+    Uses MLlib's ``Correlation`` — ONE pass computes the full matrix (the
+    reference loops per pair).  Spearman ranks internally.
+    """
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.stat import Correlation
+
+    vec = VectorAssembler(inputCols=list(columns), outputCol="_v",
+                          handleInvalid="skip").transform(df.select(*columns))
+    mat = Correlation.corr(vec, "_v", method).collect()[0][0].toArray()
+    out = []
+    for i in range(len(columns)):
+        for j in range(i + 1, len(columns)):
+            out.append((columns[i], columns[j], float(mat[i, j])))
+    return out
+
+
+def fdr(p_values: Sequence[float], dependent: bool = False) -> list[float]:
+    """Benjamini-Hochberg false-discovery-rate correction
+    (``Orange/statistics/util.py:757-788``) — driver-side, input is one p per
+    feature pair (small)."""
+    m = len(p_values)
+    if m == 0:
+        return []
+    if dependent:
+        m = m * sum(1 / i for i in range(1, m + 1))
+    order = sorted(range(len(p_values)), key=lambda i: p_values[i])
+    out = [0.0] * len(p_values)
+    prev = 1.0
+    for rank_from_end, idx in enumerate(reversed(order)):
+        k = len(p_values) - rank_from_end
+        val = min(prev, p_values[idx] * m / k)
+        out[idx] = val
+        prev = val
+    return out

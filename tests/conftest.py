@@ -59,7 +59,8 @@ def normalize(rows, colnames):
             return tuple(canon(x) for x in v)
         return v
 
-    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    # key=repr: None-safe total order, identical on both engines' outputs
+    return sorted((tuple(canon(r[i]) for i in order) for r in rows), key=repr)
 
 
 def assert_matches_oracle(spark_df, ddb_con, sql):

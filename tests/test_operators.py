@@ -1,0 +1,122 @@
+"""Operator-semantics units — the edge cases the reference's widget tests
+pin down (NaN keys, duplicate keys, rename-on-collision, tiebreakers)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from orange3_spark.operators.filters import (
+    ContinuousOps, FilterContinuous, FilterString, StringOps,
+)
+from orange3_spark.operators.merge import MergeError, merge
+from orange3_spark.operators import reshape as R
+from orange3_spark.operators import sample as SA
+
+
+@pytest.fixture(scope="module")
+def left(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0), (4, "d", 40.0)],
+        "k int, v_shared string, v_left double")
+
+
+@pytest.fixture(scope="module")
+def right(spark):
+    return spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (None, "n", "z"), (9, "q", "w")],
+        "k int, v_shared string, v_right string")
+
+
+def test_merge_null_keys_never_match(spark):
+    l = spark.createDataFrame([(1, "l1"), (None, "l2")], "k int, a string")
+    r = spark.createDataFrame([(1, "r1"), (None, "r2")], "k int, b string")
+    inner = merge(l, r, ["k"], how="inner", check_unique=False)
+    assert [tuple(x) for x in inner.collect()] == [(1, "l1", "r1")]
+    # outer keeps both NULL-keyed rows unmatched (owmergedata.py:582-592)
+    outer = merge(l, r, ["k"], how="outer")
+    assert outer.count() == 3
+
+
+def test_merge_rename_on_collision(left, right):
+    out = merge(left, right, ["k"], how="left")
+    # same-named key dropped from right; v_shared collides -> renamed
+    assert out.columns == ["k", "v_shared", "v_left", "v_shared (1)", "v_right"]
+
+
+def test_merge_duplicate_right_keys_error(spark, left):
+    dup = spark.createDataFrame([(1, "p"), (1, "q")], "k int, v string")
+    with pytest.raises(MergeError):
+        merge(left, dup, ["k"], how="left")
+
+
+def test_merge_left_keeps_all_left_rows(left, right):
+    out = merge(left, right, ["k"], how="left")
+    assert out.count() == left.count()
+    unmatched = out.filter(F.col("v_right").isNull()).count()
+    assert unmatched == 2  # k=3 (no match), k=4 (no match)
+
+
+def test_unique_tiebreakers(spark):
+    df = spark.createDataFrame(
+        [("g1", 1, 10.0), ("g1", 2, 20.0), ("g1", 3, 30.0), ("g2", 4, 40.0)],
+        "g string, rid int, v double")
+    first = R.unique(df, ["g"], tiebreaker="first", order_col="rid")
+    assert {(r["g"], r["rid"]) for r in first.collect()} == {("g1", 1), ("g2", 4)}
+    last = R.unique(df, ["g"], tiebreaker="last", order_col="rid")
+    assert {(r["g"], r["rid"]) for r in last.collect()} == {("g1", 3), ("g2", 4)}
+    middle = R.unique(df, ["g"], tiebreaker="middle", order_col="rid")
+    assert {(r["g"], r["rid"]) for r in middle.collect()} == {("g1", 2), ("g2", 4)}
+    discard = R.unique(df, ["g"], tiebreaker="discard")
+    assert {(r["g"], r["rid"]) for r in discard.collect()} == {("g2", 4)}
+    rnd1 = R.unique(df, ["g"], tiebreaker="random", seed=7)
+    rnd2 = R.unique(df, ["g"], tiebreaker="random", seed=7)
+    assert sorted(map(tuple, rnd1.collect())) == sorted(map(tuple, rnd2.collect()))
+
+
+def test_filter_negate_keeps_null_operands(spark):
+    df = spark.createDataFrame([(1.0,), (None,), (5.0,)], "x double")
+    kept = FilterContinuous("x", ContinuousOps.GREATER, 2)(df)
+    assert kept.count() == 1
+    negated = FilterContinuous("x", ContinuousOps.GREATER, 2, negate=True)(df)
+    # negation flips the mask: NULL operand row is KEPT (Orange semantics)
+    assert negated.count() == 2
+
+
+def test_filter_string_case_insensitive(spark):
+    df = spark.createDataFrame([("Apple",), ("apple",), ("banana",)], "s string")
+    ci = FilterString("s", StringOps.EQUAL, "APPLE", case_sensitive=False)(df)
+    assert ci.count() == 2
+
+
+def test_concatenate_intersection(spark):
+    a = spark.createDataFrame([(1, "x", 1.0)], "k int, s string, v double")
+    b = spark.createDataFrame([(2, "y")], "k int, s string")
+    out = R.concatenate([a, b], domain_merge="intersection")
+    assert out.columns == ["k", "s"] and out.count() == 2
+    u = R.concatenate([a, b], domain_merge="union")
+    assert u.columns == ["k", "s", "v"] and u.count() == 2
+
+
+def test_split_column_onehot(spark):
+    df = spark.createDataFrame([("a b",), ("b c",)], "s string")
+    out = R.split_column(df, "s")
+    rows = {tuple(r) for r in out.collect()}
+    assert ("a b", 1, 1, 0) in rows and ("b c", 0, 1, 1) in rows
+
+
+def test_sample_deterministic(spark, sf_dir):
+    from orange3_spark.session import load_tables
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    s1 = SA.sample_fraction(li, 0.1, seed=42).count()
+    s2 = SA.sample_fraction(li, 0.1, seed=42).count()
+    assert s1 == s2 and 0 < s1 < li.count()
+    folds = SA.cv_folds(li, 5, seed=1).groupBy("fold").count().collect()
+    assert len(folds) == 5
+
+
+def test_stratified_sample(spark, sf_dir):
+    from orange3_spark.session import load_tables
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    s = SA.sample_fraction(cust, 0.5, seed=42, stratify_by="c_mktsegment")
+    assert 0 < s.count() < cust.count()
