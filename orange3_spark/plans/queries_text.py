@@ -1,0 +1,180 @@
+"""Text-analysis / dedup / similarity queries — the LLM-data-pipeline
+operator surface, each oracle-backed where SQL-expressible."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from orange3_spark.plans.registry import query
+from orange3_spark.session import load_tables
+from orange3_spark.similarity import knn as K
+from orange3_spark.text import analysis as TA
+from orange3_spark.text import dedup as TD
+
+
+def _t(spark, sf_dir, *names):
+    d = load_tables(spark, sf_dir, names)
+    return [d[n] for n in names]
+
+
+@query("q_text_stats", """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       length(text) AS n_chars_computed,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           / len(string_split(text, ' ')) AS avg_token_len
+FROM documents
+""")
+def q_text_stats(spark, sf_dir):
+    """Token/char counting over the documents table — pure JVM-side string
+    expressions (token_count/char_count/avg_token_len)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TA.token_count("text").alias("n_tokens"),
+        TA.char_count("text").alias("n_chars_computed"),
+        TA.avg_token_len("text").alias("avg_token_len"))
+
+
+@query("q_text_quality", """
+SELECT doc_id,
+       CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS punct_ratio,
+       CAST(len(list_filter(string_split(text, ' '),
+                t -> list_contains(['the','and','of','to','a','in','is','it','you','that'], lower(t)))) AS DOUBLE)
+           / greatest(len(string_split(text, ' ')), 1) AS stopword_ratio
+FROM documents
+""")
+def q_text_quality(spark, sf_dir):
+    """Quality-signal components: punctuation ratio + stopword density
+    (Gopher/C4-style signals as Column expressions)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TA.punct_ratio("text").alias("punct_ratio"),
+        TA.stopword_ratio("text", list(TA.LANG_MARKERS["en"])).alias("stopword_ratio"))
+
+
+@query("q_lang_id", """
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text,' '), t -> list_contains(['der','die','das','und','ist','ich','nicht','ein','zu','mit'], lower(t)))) AS DOUBLE) / greatest(len(string_split(text,' ')), 1) AS r_de,
+         CAST(len(list_filter(string_split(text,' '), t -> list_contains(['the','and','of','to','a','in','is','it','you','that'], lower(t)))) AS DOUBLE) / greatest(len(string_split(text,' ')), 1) AS r_en,
+         CAST(len(list_filter(string_split(text,' '), t -> list_contains(['el','la','los','las','y','es','no','un','una','que'], lower(t)))) AS DOUBLE) / greatest(len(string_split(text,' ')), 1) AS r_es,
+         CAST(len(list_filter(string_split(text,' '), t -> list_contains(['le','la','les','et','est','je','ne','un','une','de'], lower(t)))) AS DOUBLE) / greatest(len(string_split(text,' ')), 1) AS r_fr,
+         CAST(len(list_filter(string_split(text,' '), t -> list_contains(['的','了','是','我','不','在','有','这','他','就'], lower(t)))) AS DOUBLE) / greatest(len(string_split(text,' ')), 1) AS r_zh
+  FROM documents)
+SELECT predicted_lang, count(*) AS n FROM (
+  SELECT CASE
+    WHEN r_de > 0 AND r_de = greatest(r_de, r_en, r_es, r_fr, r_zh) THEN 'de'
+    WHEN r_en > 0 AND r_en = greatest(r_de, r_en, r_es, r_fr, r_zh) THEN 'en'
+    WHEN r_es > 0 AND r_es = greatest(r_de, r_en, r_es, r_fr, r_zh) THEN 'es'
+    WHEN r_fr > 0 AND r_fr = greatest(r_de, r_en, r_es, r_fr, r_zh) THEN 'fr'
+    WHEN r_zh > 0 AND r_zh = greatest(r_de, r_en, r_es, r_fr, r_zh) THEN 'zh'
+    ELSE 'und' END AS predicted_lang
+  FROM scored)
+GROUP BY predicted_lang
+""")
+def q_lang_id(spark, sf_dir):
+    """n-gram/marker language-ID heuristic: argmax of per-language function-
+    word density, alphabetical tie-break, 'und' when nothing fires."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (docs.select(TA.lang_id("text").alias("predicted_lang"))
+                .groupBy("predicted_lang")
+                .agg(F.count(F.lit(1)).alias("n")))
+
+
+@query("q_dedup_exact", """
+SELECT doc_id, n_copies FROM (
+  SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+  FROM (SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 1000000, text FROM documents)
+  GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+""")
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup (hash-groupBy on normalized text): doubled corpus
+    collapses back to one survivor per text, lowest id wins."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    doubled = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return TD.dedup_exact(doubled)
+
+
+@query("q_dedup_jaccard", """
+WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+       FROM toks, unnest(range(1, len(w)-1)) AS u(i)),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT id_a, id_b, inter / (sa.sz + sb.sz - inter) AS jaccard
+FROM p JOIN sz sa ON p.id_a = sa.doc_id JOIN sz sb ON p.id_b = sb.doc_id
+WHERE inter / (sa.sz + sb.sz - inter) >= 0.2
+""")
+def q_dedup_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs via the shingle self-join (candidates
+    only for docs sharing ≥1 shingle — never the O(n²) cross join)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return TD.jaccard_pairs(docs, n=3, threshold=0.2)
+
+
+@query("q_dedup_minhash")  # no SQL oracle: xxhash64 minima aren't portable
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, Jaccard-verified — the 100 TB dedup path
+    (shingle→minhash→band→bucket-join).  Rows-only driver check; recall vs
+    the exact jaccard_pairs oracle is asserted in tests."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return TD.dedup_minhash(docs, num_hashes=64, bands=16, threshold=0.2)
+
+
+@query("q_dedup_simhash")  # no SQL oracle: bit-level hashing isn't portable
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash fingerprint near-dup pairs (prefix-blocked Hamming join)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return TD.simhash_near_dups(docs, max_hamming=20, prefix_bits=8)
+
+
+@query("q_knn_cosine", """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) AS score
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY score DESC, vec_id
+LIMIT 5
+""")
+def q_knn_cosine(spark, sf_dir):
+    """Brute-force cosine top-k (the Neighbors widget shape,
+    owneighbors.py): query vector folded into the plan, one scan."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return K.knn_brute_force(emb.filter(F.col("vec_id") != 0),
+                             [float(x) for x in qv], k=5)
+
+
+@query("q_neardup_cosine", """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[])) AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+""")
+def q_neardup_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, brute-force baseline (LSH-bucketed
+    variant is the scale path, tested for recall in tests)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return K.neardup_cosine(emb, threshold=0.4, brute_force=True)
+
+
+@query("q_fingerprint", """
+SELECT doc_id, md5(array_to_string(string_split(text, ' '), ' ')) AS fp
+FROM documents
+""")
+def q_fingerprint(spark, sf_dir):
+    """Content fingerprint — md5 variant for cross-engine comparability
+    (engine default is xxhash64, same plumbing)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.md5(F.array_join(TA.tokens("text"), " ")).alias("fp"))

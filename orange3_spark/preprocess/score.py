@@ -1,0 +1,131 @@
+"""Feature scoring — entropy/χ²/ANOVA scorers from ONE contingency pass.
+
+Reference: ``Orange/preprocess/score.py`` (433 LoC): ``Chi2 :107``,
+``ANOVA :126``, ``InfoGain :298``, ``GainRatio :309``, ``Gini :328``;
+selection ``Orange/preprocess/fss.py:16-106``.
+
+Every discrete scorer needs only the feature×class contingency — computed
+distributed (grouped count), scored on the driver over the tiny count table.
+ANOVA needs per-group (n, mean, var) — same one-aggregate shape.  This is the
+aggregate-then-driver-recurse pattern of SURVEY §7.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _contingency(df: DataFrame, var: str, class_col: str) -> dict[tuple, int]:
+    rows = (df.filter(F.col(var).isNotNull() & F.col(class_col).isNotNull())
+              .groupBy(var, class_col).count().collect())
+    return {(r[var], r[class_col]): r["count"] for r in rows}
+
+
+def _entropy_from(counts: Sequence[float]) -> float:
+    tot = sum(counts)
+    if tot == 0:
+        return 0.0
+    return -sum((c / tot) * math.log2(c / tot) for c in counts if c)
+
+
+def _marginals(cont: dict[tuple, int]):
+    rows, cols = {}, {}
+    for (a, b), n in cont.items():
+        rows[a] = rows.get(a, 0) + n
+        cols[b] = cols.get(b, 0) + n
+    return rows, cols, sum(cont.values())
+
+
+def info_gain(df: DataFrame, var: str, class_col: str) -> float:
+    """H(class) − H(class|var) (``score.py:298``)."""
+    cont = _contingency(df, var, class_col)
+    rows, cols, n = _marginals(cont)
+    if n == 0:
+        return 0.0
+    h_class = _entropy_from(list(cols.values()))
+    h_cond = sum(
+        (rn / n) * _entropy_from([cont.get((rv, cv), 0) for cv in cols])
+        for rv, rn in rows.items())
+    return h_class - h_cond
+
+
+def gain_ratio(df: DataFrame, var: str, class_col: str) -> float:
+    """InfoGain / H(var) (``score.py:309``)."""
+    cont = _contingency(df, var, class_col)
+    rows, _, n = _marginals(cont)
+    h_var = _entropy_from(list(rows.values()))
+    if h_var == 0:
+        return 0.0
+    return info_gain(df, var, class_col) / h_var
+
+
+def gini(df: DataFrame, var: str, class_col: str) -> float:
+    """Gini impurity decrease (``score.py:328``)."""
+    cont = _contingency(df, var, class_col)
+    rows, cols, n = _marginals(cont)
+    if n == 0:
+        return 0.0
+
+    def g(counts):
+        tot = sum(counts)
+        if tot == 0:
+            return 0.0
+        return 1 - sum((c / tot) ** 2 for c in counts)
+
+    g_class = g(list(cols.values()))
+    g_cond = sum((rn / n) * g([cont.get((rv, cv), 0) for cv in cols])
+                 for rv, rn in rows.items())
+    return g_class - g_cond
+
+
+def chi2(df: DataFrame, var: str, class_col: str) -> tuple[float, int]:
+    """χ² statistic + dof over the contingency (``score.py:107``)."""
+    cont = _contingency(df, var, class_col)
+    rows, cols, n = _marginals(cont)
+    if n == 0:
+        return 0.0, 0
+    stat = 0.0
+    for rv, rn in rows.items():
+        for cv, cn in cols.items():
+            exp = rn * cn / n
+            obs = cont.get((rv, cv), 0)
+            if exp > 0:
+                stat += (obs - exp) ** 2 / exp
+    dof = (len(rows) - 1) * (len(cols) - 1)
+    return stat, dof
+
+
+def anova_f(df: DataFrame, cont_var: str, class_col: str) -> float:
+    """One-way ANOVA F over a continuous feature vs discrete class
+    (``score.py:126``) — per-group (n, mean, var) in one grouped agg."""
+    rows = (df.filter(F.col(cont_var).isNotNull() & F.col(class_col).isNotNull())
+              .groupBy(class_col)
+              .agg(F.count(cont_var).alias("n"), F.avg(cont_var).alias("m"),
+                   F.var_samp(cont_var).alias("v"))
+              .collect())
+    groups = [(r["n"], r["m"], r["v"] or 0.0) for r in rows if r["n"] > 0]
+    k = len(groups)
+    n = sum(g[0] for g in groups)
+    if k < 2 or n <= k:
+        return 0.0
+    grand = sum(g[0] * g[1] for g in groups) / n
+    ss_between = sum(g[0] * (g[1] - grand) ** 2 for g in groups)
+    ss_within = sum((g[0] - 1) * g[2] for g in groups)
+    if ss_within == 0:
+        return float("inf")
+    return (ss_between / (k - 1)) / (ss_within / (n - k))
+
+
+def select_best_features(df: DataFrame, features: Sequence[str],
+                         class_col: str, *, scorer=info_gain,
+                         k: int = 5) -> list[str]:
+    """SelectBestFeatures (``fss.py:16-104``): score every feature, keep
+    top-k (scores are per-feature scalars; the distributed work is the
+    per-feature contingency agg)."""
+    scored = [(f, scorer(df, f, class_col)) for f in features]
+    scored.sort(key=lambda t: (-(t[1] if t[1] == t[1] else -1), t[0]))
+    return [f for f, _ in scored[:k]]

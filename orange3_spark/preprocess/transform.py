@@ -1,0 +1,223 @@
+"""Transformation kernels + Continuize + Impute + Normalize + Remove.
+
+References:
+  * Transformation kernels — ``Orange/preprocess/transformation.py``:
+    ``Identity :84``, ``Indicator :131``, ``Indicator1 :161``,
+    ``Normalizer :176``, ``Lookup :211``, ``MappingTransform :273``.
+  * Continuize — enum ``Orange/preprocess/preprocess.py:37-60``, engine
+    ``continuize.py:11-100`` (9 treatments).
+  * Impute — ``Orange/preprocess/impute.py`` (409 LoC).
+  * Normalize/Scale — ``preprocess.py:261-355,467-545``,
+    ``normalize.py:11-83``.
+  * Remove* — ``preprocess.py:176-258,572``; Purge Domain
+    ``Orange/preprocess/remove.py:13-120``.
+
+Everything is a Column expression or a stats-agg + expression — one scan for
+the stats, then row-local rewrites inside codegen.  Model-based imputation
+lives in ``orange3_spark.ml``.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ------------------------------------------------------- transformation kernels
+
+def identity(col: str) -> Column:
+    return F.col(col)
+
+
+def indicator(col: str, value) -> Column:
+    """One-hot 0/1 (``transformation.py:131``); Indicator1 (−1/1) via
+    ``indicator1``."""
+    return F.when(F.col(col).isNull(), None).otherwise(
+        (F.col(col) == F.lit(value)).cast("double"))
+
+
+def indicator1(col: str, value) -> Column:
+    return F.when(F.col(col).isNull(), None).otherwise(
+        F.when(F.col(col) == F.lit(value), 1.0).otherwise(-1.0))
+
+
+def normalizer(col: str, offset: float, factor: float) -> Column:
+    """Affine ``(x - offset) * factor`` (``transformation.py:176``)."""
+    return (F.col(col) - F.lit(offset)) * F.lit(factor)
+
+
+def lookup(col: str, mapping: Mapping, default=None) -> Column:
+    """Value remap via a literal map expression (``Lookup :211``,
+    ``MappingTransform :273``) — broadcast-free, folded into codegen."""
+    expr: Optional[Column] = None
+    for k, v in mapping.items():
+        cond = F.col(col) == F.lit(k)
+        expr = F.when(cond, F.lit(v)) if expr is None else expr.when(cond, F.lit(v))
+    if expr is None:
+        return F.lit(default)
+    return expr.otherwise(F.lit(default))
+
+
+# ------------------------------------------------------------------ continuize
+
+def continuize(df: DataFrame, col: str, values: Sequence[str],
+               treatment: str = "indicators", *,
+               base: Optional[str] = None,
+               drop_source: bool = True) -> DataFrame:
+    """Discrete → numeric, the 9 treatments of ``preprocess.py:37-60``:
+
+    ``indicators`` one column per value; ``first_as_base`` /
+    ``frequent_as_base`` skip the base value's column; ``remove`` drops the
+    column; ``remove_multinomial`` drops if >2 values; ``as_ordinal`` value
+    index; ``as_normalized_ordinal`` index/(k-1); ``leave`` unchanged.
+    ``values`` is the ordered category list (order is semantic).
+    """
+    vals = list(values)
+    if treatment == "leave":
+        return df
+    if treatment == "remove":
+        return df.drop(col)
+    if treatment == "remove_multinomial":
+        return df.drop(col) if len(vals) > 2 else df
+    if treatment in ("as_ordinal", "as_normalized_ordinal"):
+        idx = lookup(col, {v: float(i) for i, v in enumerate(vals)})
+        if treatment == "as_normalized_ordinal" and len(vals) > 1:
+            idx = idx / F.lit(float(len(vals) - 1))
+        out = df.withColumn(f"{col}_ordinal", idx)
+        return out.drop(col) if drop_source else out
+    if treatment in ("indicators", "first_as_base", "frequent_as_base"):
+        if treatment == "first_as_base":
+            base = base or vals[0]
+        elif treatment == "frequent_as_base" and base is None:
+            base = (df.groupBy(col).count().orderBy(F.desc("count"), col)
+                      .limit(1).collect()[0][col])
+        emit = [v for v in vals if treatment == "indicators" or v != base]
+        out = df
+        for v in emit:
+            out = out.withColumn(f"{col}={v}", indicator(col, v))
+        return out.drop(col) if drop_source else out
+    raise ValueError(f"unknown treatment {treatment!r}")
+
+
+# ---------------------------------------------------------------------- impute
+
+def impute_constant(df: DataFrame, values: Mapping[str, object]) -> DataFrame:
+    """NaN/NULL → constant (``impute.py:14-41``, Default/FixedValueByType
+    ``:131,150``)."""
+    return df.fillna(dict(values))
+
+
+def impute_average(df: DataFrame, columns: Sequence[str],
+                   *, discrete: Sequence[str] = ()) -> DataFrame:
+    """Mean for continuous, mode for discrete (``impute.py:96``) — one stats
+    pass, then coalesce."""
+    exprs = [F.avg(c).alias(c) for c in columns if c not in set(discrete)]
+    exprs += [F.mode(c).alias(c) for c in discrete]
+    if not exprs:
+        return df
+    stats = df.agg(*exprs).collect()[0].asDict()
+    return df.fillna({k: v for k, v in stats.items() if v is not None})
+
+
+def impute_drop(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """DropInstances (``impute.py:86``)."""
+    return df.dropna(subset=list(columns))
+
+
+def impute_as_value(df: DataFrame, col: str, *,
+                    missing_label: str = "N/A") -> DataFrame:
+    """AsValue: missing → its own category + indicator column
+    (``impute.py:285``)."""
+    return (df.withColumn(f"{col}_defined",
+                          F.col(col).isNotNull().cast("double"))
+              .withColumn(col, F.coalesce(F.col(col), F.lit(missing_label))))
+
+
+def impute_random(df: DataFrame, col: str, *, seed: int = 42) -> DataFrame:
+    """Random-from-distribution (``impute.py:325-380``): sample the observed
+    distribution per missing row — approximated by picking from collected
+    distinct quantiles to stay scalable."""
+    qs = df.filter(F.col(col).isNotNull()).approxQuantile(col, [i / 20 for i in range(21)], 0.01)
+    if not qs:
+        return df
+    arr = F.array(*[F.lit(float(v)) for v in qs])
+    pick = arr[(F.rand(seed) * len(qs)).cast("int")]
+    return df.withColumn(col, F.coalesce(F.col(col), pick))
+
+
+# ------------------------------------------------------------------- normalize
+
+def normalize(df: DataFrame, columns: Sequence[str], *,
+              method: str = "standardize",  # standardize|center|scale|span_01|span_11
+              ) -> DataFrame:
+    """Normalize by SD / span (``preprocess.py:261-355``) — one stats pass
+    for all columns, then affine expressions (no MLlib stage: plain exprs
+    stay in codegen and keep column names)."""
+    aggs = []
+    for c in columns:
+        aggs += [F.avg(c).alias(f"{c}__mean"), F.stddev_samp(c).alias(f"{c}__sd"),
+                 F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max")]
+    st = df.agg(*aggs).collect()[0]
+    out = df
+    for c in columns:
+        mean, sd = st[f"{c}__mean"], st[f"{c}__sd"]
+        lo, hi = st[f"{c}__min"], st[f"{c}__max"]
+        if method == "standardize":
+            expr = (F.col(c) - F.lit(mean)) / F.lit(sd if sd else 1.0)
+        elif method == "center":
+            expr = F.col(c) - F.lit(mean)
+        elif method == "scale":
+            expr = F.col(c) / F.lit(sd if sd else 1.0)
+        elif method == "span_01":
+            span = (hi - lo) or 1.0
+            expr = (F.col(c) - F.lit(lo)) / F.lit(span)
+        elif method == "span_11":
+            span = (hi - lo) or 1.0
+            expr = (F.col(c) - F.lit(lo)) / F.lit(span) * 2 - 1
+        else:
+            raise ValueError(method)
+        out = out.withColumn(c, expr)
+    return out
+
+
+# ---------------------------------------------------------------------- remove
+
+def remove_constant_columns(df: DataFrame,
+                            columns: Optional[Sequence[str]] = None) -> DataFrame:
+    """RemoveConstant (``preprocess.py:176``) — one
+    ``approx_count_distinct`` probe for all columns, then a select."""
+    columns = list(columns or df.columns)
+    probes = df.agg(*[F.countDistinct(c).alias(c) for c in columns]).collect()[0]
+    drop = [c for c in columns if probes[c] <= 1]
+    return df.drop(*drop)
+
+
+def remove_nan_rows(df: DataFrame,
+                    columns: Optional[Sequence[str]] = None) -> DataFrame:
+    """RemoveNaNRows (``preprocess.py:200``)."""
+    return df.dropna(how="any", subset=list(columns) if columns else None)
+
+
+def remove_nan_columns(df: DataFrame, threshold: float = 1.0,
+                       columns: Optional[Sequence[str]] = None) -> DataFrame:
+    """RemoveNaNColumns with missing-fraction threshold
+    (``preprocess.py:209``) — one counting pass."""
+    columns = list(columns or df.columns)
+    n = df.count()
+    if n == 0:
+        return df
+    counts = df.agg(*[F.count(c).alias(c) for c in columns]).collect()[0]
+    drop = [c for c in columns if (n - counts[c]) / n >= threshold]
+    return df.drop(*drop)
+
+
+def purge_unused_values(df: DataFrame, col: str,
+                        known_values: Sequence[str]) -> list[str]:
+    """Purge Domain: drop unused discrete values, keep order
+    (``Orange/preprocess/remove.py:13-120``) — a distinct probe returning the
+    still-present subset in original order."""
+    present = {r[0] for r in df.select(col).distinct().collect()}
+    return [v for v in known_values if v in present]

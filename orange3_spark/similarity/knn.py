@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns (array<float>).
+
+Project-brief extension: brute-force cosine top-k as the correctness
+baseline, LSH (random-hyperplane) bucketing as the scale path, plus the
+distance-matrix surface mapping Orange's ``Distance`` classes
+(``Orange/distance/distance.py``: Euclidean ``:198``, Manhattan ``:342``,
+Cosine ``:394``, Jaccard ``:559``) onto array-column expressions.
+
+Dot products use ``F.aggregate``/``F.zip_with`` — JVM-side higher-order
+functions, no Python in the loop.  Brute-force is one broadcast of the query
+vector + a single scan; the Neighbors widget (``owneighbors.py``) is exactly
+``top-k by distance`` over that scan.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def euclidean(a: Column, b: Column) -> Column:
+    return F.sqrt(F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def manhattan(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: F.abs(x - y)),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _as_double(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def knn_brute_force(df: DataFrame, query_vec: Sequence[float],
+                    k: int = 10, *, vec_col: str = "embedding",
+                    id_col: str = "vec_id",
+                    metric: str = "cosine") -> DataFrame:
+    """Top-k rows nearest the query vector — single scan, the query vector
+    folded into the plan as a literal array (broadcast by construction);
+    deterministic tie-break on id."""
+    import math
+
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    v = _as_double(F.col(vec_col))
+    if metric == "cosine":
+        # query norm computed driver-side: constant, not a per-row fold
+        qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+        score = dot(v, q) / (norm(v) * F.lit(qn))
+        order = [F.col("score").desc(), F.col(id_col)]
+    elif metric == "euclidean":
+        score = euclidean(v, q)
+        order = [F.col("score").asc(), F.col(id_col)]
+    else:
+        raise ValueError(metric)
+    return (df.select(F.col(id_col), score.alias("score"))
+              .orderBy(*order).limit(k))
+
+
+def knn_join_brute_force(left: DataFrame, right: DataFrame, k: int = 5, *,
+                         vec_col: str = "embedding", left_id: str = "vec_id",
+                         right_id: str = "vec_id") -> DataFrame:
+    """For every left row, its k nearest right rows (cosine) — cross join +
+    window rank.  O(|L|·|R|): the correctness baseline; use
+    ``lsh_bucket_knn`` beyond ~10⁵×10⁵."""
+    from pyspark.sql.window import Window
+
+    # precompute per-vector norms once — cosine per pair is then a single
+    # dot product, not dot + two norm folds
+    a = left.select(F.col(left_id).alias("id_a"),
+                    _as_double(F.col(vec_col)).alias("va")) \
+            .withColumn("na", norm(F.col("va")))
+    b = right.select(F.col(right_id).alias("id_b"),
+                     _as_double(F.col(vec_col)).alias("vb")) \
+             .withColumn("nb", norm(F.col("vb")))
+    pairs = (a.crossJoin(F.broadcast(b))
+              .withColumn("score", dot(F.col("va"), F.col("vb"))
+                          / (F.col("na") * F.col("nb"))))
+    w = Window.partitionBy("id_a").orderBy(F.col("score").desc(), F.col("id_b"))
+    return (pairs.withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") <= k)
+                 .select("id_a", "id_b", "score"))
+
+
+# ----------------------------------------------------- random-hyperplane LSH
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (hash-based, no RNG state)."""
+    import math
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            # xorshift-ish deterministic value in [-1, 1]
+            h = (seed * 1_000_003 + p * 10_007 + d * 97) & 0xFFFFFFFF
+            h ^= h >> 13
+            h = (h * 0x5BD1E995) & 0xFFFFFFFF
+            h ^= h >> 15
+            row.append((h / 0xFFFFFFFF) * 2 - 1)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature(vec_col: str, planes: Sequence[Sequence[float]]) -> Column:
+    """Sign-bit signature as an int (one bit per hyperplane)."""
+    v = _as_double(F.col(vec_col))
+    out = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(v, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        out = out.bitwiseOR(bit)
+    return out
+
+
+def lsh_bucket_knn(left: DataFrame, right: DataFrame, k: int = 5, *,
+                   vec_col: str = "embedding", left_id: str = "vec_id",
+                   right_id: str = "vec_id", n_planes: int = 12,
+                   dim: Optional[int] = None, seed: int = 42) -> DataFrame:
+    """Approximate kNN join: bucket both sides by hyperplane sign signature,
+    rank within buckets.  Shuffle is on bucket ids (2^n_planes buckets) —
+    the 100-TB-side replacement for the cross join.  Recall < 1: vectors in
+    different buckets are never compared (use multiple tables/rotations to
+    raise recall)."""
+    from pyspark.sql.window import Window
+
+    if dim is None:
+        dim = len(left.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    sig = lsh_signature(vec_col, planes)
+    a = left.select(F.col(left_id).alias("id_a"),
+                    _as_double(F.col(vec_col)).alias("va"), sig.alias("bucket"))
+    b = right.select(F.col(right_id).alias("id_b"),
+                     _as_double(F.col(vec_col)).alias("vb"), sig.alias("bucket"))
+    pairs = (a.join(b, "bucket")
+              .withColumn("score", cosine_similarity(F.col("va"), F.col("vb"))))
+    w = Window.partitionBy("id_a").orderBy(F.col("score").desc(), F.col("id_b"))
+    return (pairs.withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") <= k)
+                 .select("id_a", "id_b", "score"))
+
+
+def neardup_cosine(df: DataFrame, threshold: float = 0.95, *,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   n_planes: int = 8, n_tables: int = 1, seed: int = 42,
+                   brute_force: bool = False) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.  LSH-bucketed by default;
+    ``brute_force=True`` compares all pairs (correctness baseline).
+
+    ``n_tables`` independent hash tables (plane sets) are unioned — the
+    standard recall knob: a pair is compared if it collides in ANY table."""
+    v = _as_double(F.col(vec_col))
+    base = df.select(F.col(id_col).alias("_id"), v.alias("_v")) \
+             .withColumn("_n", norm(F.col("_v")))
+    if brute_force:
+        a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+                        F.col("_n").alias("na"))
+        b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+                        F.col("_n").alias("nb"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        dim = len(df.select(vec_col).first()[0])
+        sigs = F.array(*[
+            lsh_signature("_v", hyperplanes(dim, n_planes, seed + 7919 * t))
+            for t in range(n_tables)])
+        tagged = base.select(
+            "_id", "_v", "_n",
+            F.explode(F.transform(
+                sigs, lambda s, i: F.concat_ws(":", i.cast("string"),
+                                               s.cast("string")))).alias("bucket"))
+        a = tagged.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+                          F.col("_n").alias("na"), "bucket")
+        b = tagged.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+                          F.col("_n").alias("nb"), "bucket")
+        pairs = (a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+                  .select("id_a", "id_b", "va", "vb", "na", "nb").distinct())
+    return (pairs.withColumn("score", dot(F.col("va"), F.col("vb"))
+                             / (F.col("na") * F.col("nb")))
+                 .filter(F.col("score") >= threshold)
+                 .select("id_a", "id_b", "score"))

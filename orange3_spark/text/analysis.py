@@ -1,0 +1,144 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (Orange's text handling stops at string
+filters and Split, SURVEY §2.9) — these are the document-pipeline operators
+the project brief lists as first-class: token counting, quality scoring,
+language-ID heuristics, fingerprinting.
+
+Everything is built from JVM-side ``pyspark.sql.functions`` string/array
+expressions — no Python UDFs in the hot path, so the operators run inside
+whole-stage codegen and scale linearly with executors.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A small function-word list per language for the n-gram/stopword heuristic.
+# (Public knowledge; the usual top function words.)
+LANG_MARKERS: Mapping[str, Sequence[str]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "you", "that"),
+    "de": ("der", "die", "das", "und", "ist", "ich", "nicht", "ein", "zu", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "je", "ne", "un", "une", "de"),
+    "es": ("el", "la", "los", "las", "y", "es", "no", "un", "una", "que"),
+    "zh": ("的", "了", "是", "我", "不", "在", "有", "这", "他", "就"),
+}
+
+TOKEN_PATTERN = r"\s+"
+# BPE-ish word/punct splitter: words, numbers, or single non-space symbols
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def tokens(col: str, pattern: str = TOKEN_PATTERN) -> Column:
+    """Whitespace tokenization as an array column."""
+    return F.filter(F.split(F.trim(F.col(col)), pattern), lambda t: t != "")
+
+
+def _word_regex(words: Sequence[str]) -> str:
+    """Zero-width-delimited alternation: matches any word bounded by
+    whitespace/ends.  Lookaround (not ``\\b``) so non-ASCII words match."""
+    import re as _re
+    alt = "|".join(_re.escape(w) for w in words)
+    return f"(?<=^|\\s)({alt})(?=\\s|$)"
+
+
+def bpe_ish_tokens(col: str) -> Column:
+    """Sub-word-ish tokenization: letters / digit runs / single symbols —
+    a cheap proxy for BPE token counts (regexp_extract_all stays JVM-side)."""
+    return F.expr(f"regexp_extract_all(`{col}`, '{BPE_ISH_PATTERN}', 0)")
+
+
+def token_count(col: str) -> Column:
+    # regexp_count stays inside whole-stage codegen; array-lambda ops
+    # (size/filter/split) are interpreted per row — measurably slower.
+    return F.regexp_count(F.col(col), F.lit(r"\S+"))
+
+
+def char_count(col: str) -> Column:
+    return F.length(F.col(col))
+
+
+def avg_token_len(col: str) -> Column:
+    # sum of token lengths == chars minus whitespace; no array build needed
+    return (F.length(F.regexp_replace(F.col(col), r"\s+", "")).cast("double")
+            / token_count(col))
+
+
+def punct_ratio(col: str) -> Column:
+    """Fraction of characters that are punctuation/symbols."""
+    stripped = F.regexp_replace(F.col(col), r"[^\w\s]", "")
+    return ((F.length(F.col(col)) - F.length(stripped)).cast("double")
+            / F.greatest(F.length(F.col(col)), F.lit(1)))
+
+
+def upper_ratio(col: str) -> Column:
+    lowered = F.regexp_replace(F.col(col), r"[A-Z]", "")
+    return ((F.length(F.col(col)) - F.length(lowered)).cast("double")
+            / F.greatest(F.length(F.col(col)), F.lit(1)))
+
+
+def stopword_ratio(col: str, stopwords: Sequence[str]) -> Column:
+    """Function-word density via one codegen'd regexp_count — equivalent to
+    token-membership counting for whitespace-separated text."""
+    hits = F.regexp_count(F.lower(F.col(col)), F.lit(_word_regex(stopwords)))
+    return hits.cast("double") / F.greatest(token_count(col), F.lit(1))
+
+
+def quality_score(col: str, stopwords: Sequence[str] = LANG_MARKERS["en"]) -> Column:
+    """Composite document-quality heuristic in [0,1]: length sweet-spot,
+    low punctuation noise, reasonable stopword density (the usual
+    Gopher/C4-style signals, expressed as one Column)."""
+    n_tok = token_count(col).cast("double")
+    length_ok = F.when((n_tok >= 50) & (n_tok <= 100_000), 1.0) \
+                 .otherwise(n_tok / F.lit(50.0))
+    length_ok = F.least(length_ok, F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(col) * 5, F.lit(1.0))
+    sw_ratio = stopword_ratio(col, list(stopwords))
+    sw_ok = F.least(sw_ratio * 10, F.lit(1.0))
+    return (length_ok + punct_ok + sw_ok) / 3
+
+
+def lang_scores(col: str, markers: Mapping[str, Sequence[str]] = LANG_MARKERS
+                ) -> dict[str, Column]:
+    """Per-language marker-hit ratios."""
+    return {lang: stopword_ratio(col, list(words))
+            for lang, words in markers.items()}
+
+
+def lang_id(col: str, markers: Mapping[str, Sequence[str]] = LANG_MARKERS,
+            default: str = "und") -> Column:
+    """argmax over language marker ratios; 'und' when nothing matches.
+
+    Deterministic tie-break: language name order (greatest-first scan)."""
+    scores = lang_scores(col, markers)
+    best_score: Optional[Column] = None
+    for lang in sorted(scores):
+        best_score = scores[lang] if best_score is None \
+            else F.greatest(best_score, scores[lang])
+    expr = F.lit(default)
+    for lang in sorted(scores, reverse=True):
+        expr = F.when((scores[lang] > 0) & (scores[lang] == best_score),
+                      F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: str) -> Column:
+    """64-bit document fingerprint: xxhash64 of the token stream — stable
+    content hash invariant to surrounding whitespace."""
+    return F.xxhash64(F.array_join(tokens(col), " "))
+
+
+def text_stats(df: DataFrame, col: str = "text") -> DataFrame:
+    """Attach the standard per-document stats columns in one select."""
+    return df.select(
+        "*",
+        token_count(col).alias("n_tokens"),
+        char_count(col).alias("n_chars_computed"),
+        avg_token_len(col).alias("avg_token_len"),
+        punct_ratio(col).alias("punct_ratio"),
+        quality_score(col).alias("quality"),
+        fingerprint(col).alias("fingerprint"),
+    )

@@ -1,0 +1,239 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Training-data-pipeline extensions (project north star) — none exist in the
+reference.  All are expressed as DataFrame ops that scale by shuffle on
+bounded keys:
+
+  * exact: hash-groupBy on the normalized text (one shuffle on text hash).
+  * n-gram Jaccard: shingle-explode → self-join on shingle → per-pair
+    overlap counts.  The shingle join is the scalable path: candidate pairs
+    are generated only for documents sharing at least one shingle, never the
+    full O(n²) cross join.
+  * MinHash+LSH: k seeded xxhash64 minima per doc → band signatures →
+    bucket-join on (band, band-hash).  Candidate pairs then verified with
+    exact Jaccard.  At 100 TB this is THE dedup path: cost is
+    O(docs × shingles × k) map-side + a shuffle on band buckets.
+  * SimHash: 64-bit weighted-bit-majority fingerprint; near-dups = small
+    Hamming distance (join on rotated prefix buckets).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from orange3_spark.text.analysis import tokens
+
+
+# ---------------------------------------------------------------- exact dedup
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", *, normalize: bool = True) -> DataFrame:
+    """Keep the lowest-id document per identical text (hash-groupBy —
+    single shuffle; with normalization: lowercase + whitespace collapse)."""
+    key = F.col(text_col)
+    if normalize:
+        key = F.regexp_replace(F.lower(F.trim(key)), r"\s+", " ")
+    return (df.withColumn("_k", key)
+              .groupBy("_k")
+              .agg(F.min(id_col).alias(id_col),
+                   F.count(F.lit(1)).alias("n_copies"))
+              .drop("_k"))
+
+
+def exact_groups(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Groups with >1 identical copy — the duplicate report."""
+    return (df.groupBy(text_col)
+              .agg(F.count(F.lit(1)).alias("n_copies"),
+                   F.sort_array(F.collect_list(id_col)).alias("ids"))
+              .filter(F.col("n_copies") > 1))
+
+
+# -------------------------------------------------------------- word shingles
+
+def shingles(col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column — row-local."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]))
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.array_join(toks, " "))))
+
+
+def shingle_table(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Long-form (id, shingle) — the exploded join key table."""
+    return (df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle")))
+
+
+# ---------------------------------------------------------- n-gram Jaccard
+
+def jaccard_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", *, n: int = 3,
+                  threshold: float = 0.5) -> DataFrame:
+    """All document pairs with n-gram Jaccard ≥ threshold.
+
+    Plan: shingle sizes (one pass) + shingle self-join (pairs sharing ≥1
+    shingle only) + per-pair overlap count → |A∩B| / (|A|+|B|−|A∩B|).
+    Hot shingles can skew the join — drop shingles occurring in more than
+    ``max_df`` docs upstream if needed (they contribute pairs that will be
+    verified anyway).
+    """
+    sh = shingle_table(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+              .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                       F.col(f"b.{id_col}").alias("id_b"))
+              .agg(F.count(F.lit(1)).alias("inter")))
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (pairs.join(sz_a, "id_a").join(sz_b, "id_b")
+           .withColumn("jaccard",
+                       F.col("inter") /
+                       (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+           .filter(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "jaccard"))
+    return out
+
+
+# -------------------------------------------------------------- MinHash + LSH
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", *, n: int = 3,
+                       num_hashes: int = 64, seed: int = 42) -> DataFrame:
+    """Per-document MinHash signature as ``num_hashes`` long columns
+    ``h0..h{k-1}``.
+
+    Formulated as explode → groupBy(min) rather than a nested higher-order
+    array expression: k ``min(xxhash64(shingle, seed+k))`` aggregates over
+    long-form (id, shingle) rows stay inside whole-stage codegen with
+    map-side partial aggregation (the HOF formulation falls back to the
+    interpreted evaluator and is ~100× slower), and the aggregation is a
+    Catalyst barrier, so downstream band projections reference plain
+    columns instead of re-inlining the signature expression per band.
+    Cost at scale: one shuffle on ``id_col``, k longs per doc.
+    """
+    sh = shingle_table(df, text_col, id_col, n)
+    aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(seed + k))).alias(f"h{k}")
+            for k in range(num_hashes)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", *, n: int = 3,
+                           num_hashes: int = 64, bands: int = 16,
+                           seed: int = 42) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` rows-per-band chunks,
+    hash each chunk, self-join on (band_index, chunk_hash).
+
+    Two docs land in the same bucket iff one band of their signatures agrees
+    exactly — the classic (s^r) curve.  Returns distinct candidate (id_a,
+    id_b) pairs; verify with ``jaccard_pairs`` semantics downstream.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n=n,
+                             num_hashes=num_hashes, seed=seed)
+    band_structs = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(F.concat_ws(",", *[
+                     F.col(f"h{b * r + j}").cast("string") for j in range(r)]))
+                 .alias("bucket"))
+        for b in range(bands)])
+    band_rows = (sig.select(F.col(id_col), F.explode(band_structs).alias("bb"))
+                    .select(id_col, F.col("bb.band").alias("band"),
+                            F.col("bb.bucket").alias("bucket")))
+    # tiny (docs × bands rows of 3 scalars) — cache so the self-join's two
+    # sides don't each recompute the signatures
+    band_rows = band_rows.cache()
+    a, b_ = band_rows.alias("a"), band_rows.alias("b")
+    return (a.join(b_, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+             .distinct())
+
+
+def dedup_minhash(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", *, n: int = 3,
+                  num_hashes: int = 64, bands: int = 16,
+                  threshold: float = 0.7, seed: int = 42) -> DataFrame:
+    """Near-dup pairs: LSH candidates verified by exact n-gram Jaccard."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, n=n,
+                                   num_hashes=num_hashes, bands=bands,
+                                   seed=seed)
+    sh = shingle_table(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    inter = (cands.join(sa, "id_a").join(sb, ["id_b", "shingle"])
+                  .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter")))
+    out = (inter
+           .join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+           .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+           .withColumn("jaccard", F.col("inter") /
+                       (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+           .filter(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "jaccard"))
+    return out
+
+
+# -------------------------------------------------------------------- SimHash
+
+def simhash_table(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", *, bits: int = 64,
+                  seed: int = 42) -> DataFrame:
+    """64-bit SimHash per document: per-bit majority vote over token hashes.
+
+    Explode tokens → hash once per token row → ``bits`` conditional-sum
+    aggregates (+1/−1 per bit), then OR the winning bit masks together.
+    Plain groupBy aggregates keep the whole thing in codegen with map-side
+    combine (a per-row F.aggregate over the token array ×64 bits falls to
+    the interpreted evaluator); one shuffle on ``id_col``."""
+    tok = (df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
+             .withColumn("_h", F.xxhash64(F.col("_t"), F.lit(seed))))
+    votes = []
+    masks = []
+    for b in range(bits):
+        # bit 63 is the sign bit of a signed long: its mask literal is the
+        # most negative long, not 1<<63 (which overflows)
+        mask = (1 << b) if b < 63 else -(1 << 63)
+        masks.append(mask)
+        votes.append(F.sum(
+            F.when(F.col("_h").bitwiseAND(F.lit(mask)) != 0, 1)
+             .otherwise(-1)).alias(f"v{b}"))
+    agg = tok.groupBy(id_col).agg(*votes)
+    out = F.when(F.col("v0") > 0, F.lit(masks[0])).otherwise(F.lit(0)).cast("long")
+    for b in range(1, bits):
+        out = out.bitwiseOR(
+            F.when(F.col(f"v{b}") > 0, F.lit(masks[b])).otherwise(F.lit(0)).cast("long"))
+    return agg.select(F.col(id_col), out.alias("sh"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", *, max_hamming: int = 8,
+                      prefix_bits: int = 16, seed: int = 42) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the top ``prefix_bits`` bits
+    (near-dups usually share the prefix after one rotation — this uses the
+    single-block simplification), then filter by Hamming distance."""
+    h = simhash_table(df, text_col, id_col, seed=seed)
+    h = h.withColumn("block", F.shiftright("sh", 64 - prefix_bits))
+    a, b = h.alias("a"), h.alias("b")
+    return (a.join(b, (F.col("a.block") == F.col("b.block"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .withColumn("hamming", hamming64(F.col("a.sh"), F.col("b.sh")))
+             .filter(F.col("hamming") <= max_hamming)
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"), "hamming"))

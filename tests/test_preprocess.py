@@ -1,0 +1,137 @@
+"""Preprocess-layer units: transformation kernels, continuize treatments,
+impute, remove, scorers — hand-computed expectations on tiny tables."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from orange3_spark.preprocess import discretize as D
+from orange3_spark.preprocess import score as SC
+from orange3_spark.preprocess import transform as P
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    return spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "x", 2.0), ("a", "y", 3.0),
+         ("b", "y", 4.0), ("b", "y", None), ("b", None, 6.0)],
+        "g string, d string, v double")
+
+
+def test_continuize_indicators(spark, toy):
+    out = P.continuize(toy, "d", ["x", "y"], "indicators")
+    assert "d=x" in out.columns and "d=y" in out.columns and "d" not in out.columns
+    sums = out.agg(F.sum("d=x").alias("x"), F.sum("d=y").alias("y")).collect()[0]
+    assert (sums["x"], sums["y"]) == (2.0, 3.0)
+
+
+def test_continuize_first_as_base(toy):
+    out = P.continuize(toy, "d", ["x", "y"], "first_as_base")
+    assert out.columns[-1] == "d=y" and "d=x" not in out.columns
+
+
+def test_continuize_ordinal(toy):
+    out = P.continuize(toy, "d", ["x", "y"], "as_normalized_ordinal")
+    vals = {r["d_ordinal"] for r in out.collect()}
+    assert vals == {0.0, 1.0, None}
+
+
+def test_impute_average(toy):
+    out = P.impute_average(toy, ["v"])
+    vals = sorted(r["v"] for r in out.collect())
+    assert vals == pytest.approx([1.0, 2.0, 3.0, 3.2, 4.0, 6.0])  # mean=3.2
+
+
+def test_impute_as_value(toy):
+    out = P.impute_as_value(toy, "d")
+    rows = out.select("d", "d_defined").collect()
+    assert {(r["d"], r["d_defined"]) for r in rows} >= {("N/A", 0.0), ("x", 1.0)}
+
+
+def test_remove_constant_columns(spark):
+    df = spark.createDataFrame([(1, 7, "a"), (2, 7, "b")], "x int, c int, s string")
+    out = P.remove_constant_columns(df)
+    assert out.columns == ["x", "s"]
+
+
+def test_remove_nan_columns(spark):
+    df = spark.createDataFrame([(1.0, None), (2.0, None)], "x double, y double")
+    out = P.remove_nan_columns(df, threshold=0.9)
+    assert out.columns == ["x"]
+
+
+def test_purge_unused_values(toy):
+    kept = P.purge_unused_values(toy, "d", ["x", "y", "z"])
+    assert kept == ["x", "y"]
+
+
+def test_lookup_kernel(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("c",)], "s string")
+    out = df.withColumn("m", P.lookup("s", {"a": 1.0, "b": 2.0}, default=0.0))
+    assert {r["m"] for r in out.collect()} == {1.0, 2.0, 0.0}
+
+
+def test_discretize_thresholds(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "x double")
+    ew = D.equal_width_thresholds(df, "x", 4)
+    assert ew == pytest.approx([25.75, 50.5, 75.25])
+    ef = D.equal_freq_thresholds(df, "x", 4)
+    assert ef == pytest.approx([25.75, 50.5, 75.25])
+    fw = D.fixed_width_thresholds(1.0, 100.0, 25.0)
+    assert fw == [25.0, 50.0, 75.0]
+    binned = df.withColumn("b", D.bucketize_expr("x", ew))
+    counts = {r["b"]: r["c"] for r in
+              binned.groupBy("b").agg(F.count("*").alias("c")).collect()}
+    assert counts == {0: 25, 1: 25, 2: 25, 3: 25}
+
+
+def test_entropy_mdl_perfect_split(spark):
+    # class flips exactly at x=50 -> MDL should find one cut near 50
+    rows = [(float(i), "lo" if i <= 50 else "hi") for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "x double, y string")
+    ts = D.entropy_mdl_thresholds(df, "x", "y")
+    assert len(ts) == 1 and ts[0] == pytest.approx(50.5)
+
+
+def test_info_gain_perfect_predictor(spark):
+    rows = [("x", "p")] * 10 + [("y", "q")] * 10
+    df = spark.createDataFrame(rows, "f string, y string")
+    assert SC.info_gain(df, "f", "y") == pytest.approx(1.0)  # H(y)=1 bit
+    assert SC.gain_ratio(df, "f", "y") == pytest.approx(1.0)
+    assert SC.gini(df, "f", "y") == pytest.approx(0.5)
+    stat, dof = SC.chi2(df, "f", "y")
+    assert stat == pytest.approx(20.0) and dof == 1
+
+
+def test_info_gain_independent(spark):
+    rows = [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")] * 5
+    df = spark.createDataFrame(rows, "f string, y string")
+    assert SC.info_gain(df, "f", "y") == pytest.approx(0.0, abs=1e-9)
+
+
+def test_anova(spark):
+    rows = [("a", v) for v in (1.0, 2.0, 3.0)] + [("b", v) for v in (7.0, 8.0, 9.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    # hand computation: grand=5, ssb=3*16*... -> F = 54/ (4/4) = 54
+    assert SC.anova_f(df, "v", "g") == pytest.approx(54.0)
+
+
+def test_select_best_features(spark):
+    rows = [("x", "u", "p")] * 10 + [("y", "u", "q")] * 10
+    df = spark.createDataFrame(rows, "good string, bad string, y string")
+    best = SC.select_best_features(df, ["good", "bad"], "y", k=1)
+    assert best == ["good"]
+
+
+def test_normalize_standardize(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 11)], "x double")
+    out = P.normalize(df, ["x"], method="standardize")
+    stats = out.agg(F.avg("x").alias("m"), F.stddev_samp("x").alias("s")).collect()[0]
+    assert stats["m"] == pytest.approx(0.0, abs=1e-12)
+    assert stats["s"] == pytest.approx(1.0)
+    out01 = P.normalize(df, ["x"], method="span_01")
+    mm = out01.agg(F.min("x").alias("a"), F.max("x").alias("b")).collect()[0]
+    assert (mm["a"], mm["b"]) == (0.0, 1.0)

@@ -1,0 +1,123 @@
+"""Text/dedup/similarity units: recall of the approximate paths vs exact
+baselines, plus kernel sanity on tiny corpora."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from orange3_spark.similarity import knn as K
+from orange3_spark.text import analysis as TA
+from orange3_spark.text import dedup as TD
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame([
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+        (2, "completely different words about spark engines and data shuffles"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+        (4, "der hund ist nicht zu alt und der mann ist mit dem hund"),
+    ], "doc_id long, text string")
+
+
+def test_token_count(docs):
+    rows = {r["doc_id"]: r["n"] for r in
+            docs.select("doc_id", TA.token_count("text").alias("n")).collect()}
+    assert rows[0] == 13 and rows[2] == 9
+
+
+def test_lang_id(docs):
+    rows = {r["doc_id"]: r["l"] for r in
+            docs.select("doc_id", TA.lang_id("text").alias("l")).collect()}
+    assert rows[0] == "en" and rows[4] == "de"
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame([(0, "a b  c"), (1, " a b c ")], "i long, text string")
+    fps = [r["f"] for r in df.select(TA.fingerprint("text").alias("f")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_dedup_exact(docs):
+    out = TD.dedup_exact(docs)
+    assert out.count() == 4  # 0 and 3 collapse
+    survivor = out.filter(F.col("n_copies") == 2).collect()
+    assert len(survivor) == 1 and survivor[0]["doc_id"] == 0
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(0, "a b c d")], "i long, text string")
+    sh = df.select(TD.shingles("text", 3).alias("s")).collect()[0]["s"]
+    assert sorted(sh) == ["a b c", "b c d"]
+
+
+def test_jaccard_pairs_finds_neardup(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in TD.jaccard_pairs(docs, threshold=0.3).collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0
+    assert (0, 1) in pairs and 0.5 < pairs[(0, 1)] < 1.0
+    assert (1, 3) in pairs
+    assert all(a != 2 and b != 2 for a, b in pairs)
+
+
+def test_minhash_recall_vs_exact(docs):
+    exact = {(r["id_a"], r["id_b"])
+             for r in TD.jaccard_pairs(docs, threshold=0.5).collect()}
+    mh = {(r["id_a"], r["id_b"])
+          for r in TD.dedup_minhash(docs, threshold=0.5).collect()}
+    # 64 hashes / 16 bands catch everything at jaccard >= 0.5 on this corpus
+    assert exact == mh
+
+
+def test_simhash_near_dups(docs):
+    out = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in TD.simhash_near_dups(docs, max_hamming=10,
+                                         prefix_bits=4).collect()}
+    assert (0, 3) in out and out[(0, 3)] == 0  # identical text -> same hash
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),   # near 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),   # opposite of 0
+        (4, [0.7, 0.7, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_knn_brute_force(vecs):
+    out = K.knn_brute_force(vecs.filter("vec_id != 0"), [1.0, 0.0, 0.0, 0.0], k=2)
+    got = [r["vec_id"] for r in out.collect()]
+    assert got == [1, 4]
+
+
+def test_knn_join(vecs):
+    out = K.knn_join_brute_force(vecs, vecs, k=2)
+    top = {r["id_a"]: r["id_b"] for r in out.filter("id_a != id_b").collect()
+           if r["score"] > 0.99}
+    assert top.get(0) == 1 or top.get(1) == 0
+
+
+def test_lsh_bucket_same_for_identical(vecs):
+    # identical vectors always share every bucket -> LSH recall 1 on dups
+    out = K.lsh_bucket_knn(vecs, vecs, k=1, n_planes=6)
+    self_hits = {r["id_a"] for r in out.filter("score > 0.9999").collect()}
+    assert self_hits == {0, 1, 2, 3, 4}
+
+
+def test_neardup_cosine_lsh_recall(spark, sf_dir):
+    from orange3_spark.session import load_tables
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    exact = {(r["id_a"], r["id_b"])
+             for r in K.neardup_cosine(emb, 0.45, brute_force=True).collect()}
+    approx = {(r["id_a"], r["id_b"])
+              for r in K.neardup_cosine(emb, 0.45, n_planes=4,
+                                        n_tables=8).collect()}
+    assert approx <= exact
+    if exact:
+        assert len(approx) / len(exact) >= 0.5  # 8-table recall
