@@ -54,6 +54,37 @@ def random_split(df: DataFrame, weights: Sequence[float], *, seed: int = 42):
     return df.randomSplit(list(weights), seed=seed)
 
 
+def sample_hash(df: DataFrame, key: str, fraction: float, *,
+                salt: str = "") -> DataFrame:
+    """Deterministic content-hash Bernoulli sample: keep rows whose
+    ``md5(key)`` falls below the fraction threshold of the hex keyspace.
+
+    Unlike seeded ``rand()`` this is reproducible across engines, partitions
+    and re-runs (the property TABLESAMPLE lacks), making it the right
+    primitive for train/test splits of a 100 TB corpus: membership depends
+    only on the row's key, so late-arriving replicas of a row land in the
+    same split.  Cost: a row-local hash, no shuffle, fully pushed into scan.
+    """
+    # compare in hex-string space: first 8 hex chars ≈ 32-bit uniform
+    threshold = format(int(fraction * 0xFFFFFFFF), "08x")
+    h = F.md5(F.concat(F.col(key).cast("string"), F.lit(salt)))
+    return df.filter(F.substring(h, 1, 8) < F.lit(threshold))
+
+
+def sample_hash_stratified(df: DataFrame, key: str, stratify_by: str,
+                           fractions: Mapping[str, float], *,
+                           salt: str = "") -> DataFrame:
+    """Per-stratum deterministic hash sampling (Data Sampler's stratified
+    mode, reproducible): each class value gets its own keep-fraction."""
+    h = F.substring(F.md5(F.concat(F.col(key).cast("string"), F.lit(salt))), 1, 8)
+    pred = None
+    for value, frac in fractions.items():
+        threshold = format(int(frac * 0xFFFFFFFF), "08x")
+        p = (F.col(stratify_by) == F.lit(value)) & (h < F.lit(threshold))
+        pred = p if pred is None else pred | p
+    return df.filter(pred if pred is not None else F.lit(False))
+
+
 def shuffle(df: DataFrame, *, seed: int = 42) -> DataFrame:
     """``Table.shuffle`` (``table.py:1618-1629``) — global random permutation.
     A full sort; at scale prefer per-partition local shuffles unless global

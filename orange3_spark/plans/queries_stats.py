@@ -1,0 +1,197 @@
+"""Statistics / row-wise aggregate / sampling / reshape queries — batch 2 of
+SURVEY.md §2 coverage, each with a DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from orange3_spark.operators import rowagg, sample as S, window as W
+from orange3_spark.operators.reshape import split_column, transpose
+from orange3_spark.plans.registry import query
+from orange3_spark.session import load_tables
+from orange3_spark.stats.basic import pearson_pairs, spearman_pairs
+
+
+def _t(spark, sf_dir, *names):
+    d = load_tables(spark, sf_dir, names)
+    return [d[n] for n in names]
+
+
+LI_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_LI_LIST = "[l_quantity, l_extendedprice, l_discount, l_tax]"
+
+
+@query("q_rowwise_agg", f"""
+WITH a AS (SELECT l_orderkey, l_linenumber,
+                  list_filter({_LI_LIST}, x -> x IS NOT NULL) AS v
+           FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       list_sum(v) AS row_sum,
+       list_sum(v) / len(v) AS row_mean,
+       list_min(v) AS row_min,
+       list_max(v) AS row_max,
+       list_sum(list_transform(v, x -> x*x)) / len(v)
+         - (list_sum(v)/len(v)) * (list_sum(v)/len(v)) AS row_var,
+       list_aggregate(v, 'median') AS row_median,
+       len(list_filter(v, x -> x <> 0)) AS row_count_nonzero
+FROM a
+""")
+def q_rowwise_agg(spark, sf_dir):
+    """Per-row aggregates over selected columns (Aggregate Columns,
+    owaggregatecolumns.py): codegen'd array expressions, zero shuffle."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return rowagg.aggregate_columns(
+        li.select("l_orderkey", "l_linenumber", *LI_COLS),
+        LI_COLS,
+        ["sum", "mean", "min", "max", "var", "median", "count_nonzero"],
+    ).drop(*LI_COLS)
+
+
+@query("q_corr_pearson", """
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+       corr(l_quantity, l_extendedprice) AS r FROM lineitem
+UNION ALL
+SELECT 'l_quantity', 'l_discount', corr(l_quantity, l_discount) FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', 'l_discount',
+       corr(l_extendedprice, l_discount) FROM lineitem
+""")
+def q_corr_pearson(spark, sf_dir):
+    """All-pairs Pearson r in ONE aggregation pass (owcorrelations.py loops
+    per pair; here k(k-1)/2 corr aggregates share a single scan+reduce)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return pearson_pairs(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+@query("q_corr_spearman", """
+WITH r AS (
+  SELECT (rank() OVER (ORDER BY l_quantity)) - 1
+           + (count(*) OVER (PARTITION BY l_quantity) + 1) / 2.0 AS rq,
+         (rank() OVER (ORDER BY l_extendedprice)) - 1
+           + (count(*) OVER (PARTITION BY l_extendedprice) + 1) / 2.0 AS rp,
+         (rank() OVER (ORDER BY l_discount)) - 1
+           + (count(*) OVER (PARTITION BY l_discount) + 1) / 2.0 AS rd
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_discount IS NOT NULL)
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, corr(rq, rp) AS r FROM r
+UNION ALL SELECT 'l_quantity', 'l_discount', corr(rq, rd) FROM r
+UNION ALL SELECT 'l_extendedprice', 'l_discount', corr(rp, rd) FROM r
+""")
+def q_corr_spearman(spark, sf_dir):
+    """Spearman ρ = Pearson on average-tie ranks (scipy rankdata semantics,
+    matching owcorrelations.py's spearmanr)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return spearman_pairs(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+@query("q_transpose", """
+SELECT 'revenue' AS variable,
+       sum(CASE WHEN r_name='AFRICA' THEN rev END) AS AFRICA,
+       sum(CASE WHEN r_name='AMERICA' THEN rev END) AS AMERICA,
+       sum(CASE WHEN r_name='ASIA' THEN rev END) AS ASIA,
+       sum(CASE WHEN r_name='EUROPE' THEN rev END) AS EUROPE,
+       sum(CASE WHEN r_name='MIDDLE EAST' THEN rev END) AS "MIDDLE EAST"
+FROM (SELECT r.r_name, sum(o.o_totalprice) AS rev
+      FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY r.r_name)
+""")
+def q_transpose(spark, sf_dir):
+    """Transpose (table.py:2231-2373): rows ↔ columns on a small aggregate —
+    driver-local by design, bounded (SURVEY §7 risk register)."""
+    region, nation, customer, orders = _t(
+        spark, sf_dir, "region", "nation", "customer", "orders")
+    rev = (orders.join(customer, orders.o_custkey == customer.c_custkey)
+                 .join(nation, customer.c_nationkey == nation.n_nationkey)
+                 .join(region, nation.n_regionkey == region.r_regionkey)
+                 .groupBy("r_name")
+                 .agg(F.sum("o_totalprice").alias("revenue"))
+                 .orderBy("r_name"))
+    return transpose(rev, name_col="r_name")
+
+
+@query("q_split_onehot", """
+SELECT sum(CASE WHEN list_contains(string_split(p_name,' '), 'small') THEN 1 ELSE 0 END) AS "p_name=small",
+       sum(CASE WHEN list_contains(string_split(p_name,' '), 'red') THEN 1 ELSE 0 END) AS "p_name=red",
+       sum(CASE WHEN list_contains(string_split(p_name,' '), 'blue') THEN 1 ELSE 0 END) AS "p_name=blue",
+       sum(CASE WHEN list_contains(string_split(p_name,' '), 'widget') THEN 1 ELSE 0 END) AS "p_name=widget",
+       count(*) AS n
+FROM part
+""")
+def q_split_onehot(spark, sf_dir):
+    """Split a delimited string column into one-hot indicators
+    (owsplit.py:40-92) — row-local split + array_contains, no shuffle until
+    the final tiny aggregate."""
+    (part,) = _t(spark, sf_dir, "part")
+    wide = split_column(part, "p_name", " ", mode="onehot",
+                        values=["small", "red", "blue", "widget"])
+    return wide.agg(
+        *[F.sum(f"p_name={v}").alias(f"p_name={v}")
+          for v in ["small", "red", "blue", "widget"]],
+        F.count(F.lit(1)).alias("n"))
+
+
+@query("q_sample_hash", """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) < '19999999'
+""")
+def q_sample_hash(spark, sf_dir):
+    """Deterministic content-hash sampling (reproducible across engines and
+    re-runs, unlike seeded rand — the scalable train/test-split primitive)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return S.sample_hash(orders, "o_orderkey", 0.1).select(
+        "o_orderkey", "o_totalprice")
+
+
+@query("q_sample_stratified", """
+SELECT o_orderstatus, count(*) AS n FROM orders
+WHERE (o_orderstatus = 'F' AND substring(md5(CAST(o_orderkey AS VARCHAR)),1,8) < '0ccccccc')
+   OR (o_orderstatus = 'O' AND substring(md5(CAST(o_orderkey AS VARCHAR)),1,8) < '19999999')
+   OR (o_orderstatus = 'P' AND substring(md5(CAST(o_orderkey AS VARCHAR)),1,8) < '7fffffff')
+GROUP BY o_orderstatus
+""")
+def q_sample_stratified(spark, sf_dir):
+    """Stratified deterministic sampling: per-class keep fractions
+    (Data Sampler's stratified mode, owdatasampler.py)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    s = S.sample_hash_stratified(
+        orders, "o_orderkey", "o_orderstatus",
+        {"F": 0.05, "O": 0.1, "P": 0.5})
+    return s.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query("q_cv_folds", """
+SELECT CAST(CAST(concat('0x', substring(md5(CAST(o_orderkey AS VARCHAR)),1,8)) AS BIGINT) % 5 AS INT) AS fold,
+       count(*) AS n,
+       sum(o_totalprice) AS total
+FROM orders GROUP BY 1
+""")
+def q_cv_folds(spark, sf_dir):
+    """Deterministic k-fold assignment by content hash — each row's fold is
+    a pure function of its key (stable under re-partitioning/re-runs)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    fold = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+                  16, 10).cast("long") % 5
+    return (orders.withColumn("fold", fold.cast("int"))
+                  .groupBy("fold")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("o_totalprice").alias("total")))
+
+
+@query("q_rolling_mean", """
+SELECT event_id,
+       avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS value_mean_roll
+FROM events
+""")
+def q_rolling_mean(spark, sf_dir):
+    """Rolling frame aggregate over event time per user — beyond-reference
+    window surface (SURVEY §2.6: windows are an extension, not a port)."""
+    (events,) = _t(spark, sf_dir, "events")
+    return W.with_rolling(events, "value", "mean",
+                          ["user_id"], ["ts", "event_id"],
+                          preceding=3, following=0,
+                          name="value_mean_roll").select(
+        "event_id", "value_mean_roll")

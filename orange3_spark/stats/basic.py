@@ -119,6 +119,62 @@ def correlations(df: DataFrame, columns: Sequence[str],
     return out
 
 
+def pearson_pairs(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """All-pairs Pearson r as a long-form DataFrame ``(col_a, col_b, r)``.
+
+    ONE aggregation pass computes every pair via ``F.corr`` (Catalyst's
+    CovPopulation-based kernel, map-side combinable) — the reference loops
+    per pair in numpy (``owcorrelations.py:163-171``).  k columns → k(k−1)/2
+    agg expressions in a single reduce; no per-pair scans.
+    """
+    aggs = []
+    for i in range(len(columns)):
+        for j in range(i + 1, len(columns)):
+            aggs.append(F.corr(columns[i], columns[j])
+                        .alias(f"{columns[i]}|{columns[j]}"))
+    row = df.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(F.lit(c.split("|")[0]).alias("col_a"),
+                 F.lit(c.split("|")[1]).alias("col_b"),
+                 F.col(f"`{c}`").alias("r"))
+        for c in row.columns])
+    return (row.select(F.explode(pairs).alias("p"))
+               .select("p.col_a", "p.col_b", "p.r"))
+
+
+def average_rank(df: DataFrame, columns: Sequence[str],
+                 suffix: str = "_rank") -> DataFrame:
+    """Append average-tie ranks (scipy ``rankdata`` semantics) per column:
+    ``(rank-1) + (ties+1)/2`` via two window functions.
+
+    NOTE: an unpartitioned ``rank()`` is a single-reducer sort — fine for
+    correctness/oracle work; at 100 TB compute Spearman from bucketed
+    approximate ranks (percentile_approx) instead.
+    """
+    from pyspark.sql import Window
+
+    out = df
+    for c in columns:
+        w = Window.orderBy(F.col(c))
+        wp = Window.partitionBy(F.col(c))
+        rk = F.rank().over(w)
+        ties = F.count(F.lit(1)).over(wp)
+        out = out.withColumn(c + suffix,
+                             (rk - 1).cast("double") + (ties + 1) / 2.0)
+    return out
+
+
+def spearman_pairs(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """All-pairs Spearman ρ = Pearson on average-tie ranks."""
+    ranked = average_rank(df.select(*columns).na.drop(), columns)
+    rcols = [c + "_rank" for c in columns]
+    out = pearson_pairs(ranked, rcols)
+    strip = F.regexp_replace
+    return out.select(strip("col_a", "_rank$", "").alias("col_a"),
+                      strip("col_b", "_rank$", "").alias("col_b"),
+                      F.col("r"))
+
+
 def fdr(p_values: Sequence[float], dependent: bool = False) -> list[float]:
     """Benjamini-Hochberg false-discovery-rate correction
     (``Orange/statistics/util.py:757-788``) — driver-side, input is one p per

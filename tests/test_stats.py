@@ -1,0 +1,75 @@
+"""Row-wise aggregates, correlations, deterministic sampling."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from orange3_spark.operators import rowagg
+from orange3_spark.operators.sample import sample_hash, sample_hash_stratified
+from orange3_spark.stats.basic import fdr, pearson_pairs, spearman_pairs
+
+
+def test_rowagg_semantics(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 4.0, 8.0), (None, None, None, None), (3.0, None, 1.0, None)],
+        "a double, b double, c double, d double")
+    cols = ["a", "b", "c", "d"]
+    out = rowagg.aggregate_columns(df, cols, list(rowagg.ROW_AGGS)).collect()
+    r0, r1, r2 = out
+    assert r0.row_sum == 15.0 and r0.row_median == 3.0 and r0.row_mean == 3.75
+    assert math.isclose(r0.row_var, 7.1875)  # population variance
+    assert r0.row_count_nonzero == 4
+    # all-missing row -> missing result, not 0 (owaggregatecolumns semantics)
+    assert all(r1[f"row_{a}"] is None for a in
+               ("sum", "product", "min", "max", "mean", "var", "median"))
+    assert r1.row_count_nonzero == 0
+    assert r2.row_sum == 4.0 and r2.row_median == 2.0 and r2.row_min == 1.0
+
+
+def test_pearson_spearman_monotone(spark):
+    # y = x^3 is monotone but nonlinear: spearman == 1, pearson < 1
+    df = spark.createDataFrame(
+        [(float(x), float(x) ** 3) for x in range(1, 30)], "x double, y double")
+    p = pearson_pairs(df, ["x", "y"]).collect()[0].r
+    s = spearman_pairs(df, ["x", "y"]).collect()[0].r
+    assert 0.8 < p < 1.0
+    assert abs(s - 1.0) < 1e-12
+
+
+def test_spearman_ties_average_rank(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (1.0, 2.0), (2.0, 3.0), (2.0, 4.0), (3.0, 5.0)],
+        "x double, y double")
+    s = spearman_pairs(df, ["x", "y"]).collect()[0].r
+    # average ranks x=[1.5,1.5,3.5,3.5,5] vs y=[1..5]: r = 9/(3*sqrt(10))
+    assert abs(s - 0.9486832980505138) < 1e-9
+
+
+def test_sample_hash_deterministic_and_unbiased(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    s1 = sample_hash(orders, "o_orderkey", 0.2)
+    s2 = sample_hash(orders, "o_orderkey", 0.2)
+    n, n1 = orders.count(), s1.count()
+    assert n1 == s2.count()  # pure function of key
+    assert 0.1 * n < n1 < 0.3 * n
+    # different salt -> different membership
+    s3 = sample_hash(orders, "o_orderkey", 0.2, salt="x")
+    assert s3.count() != 0 and \
+        s1.join(s3, "o_orderkey", "inner").count() < n1
+
+
+def test_sample_hash_stratified(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = sample_hash_stratified(orders, "o_orderkey", "o_orderstatus",
+                                 {"F": 1.0, "O": 0.0})
+    got = {r[0] for r in out.select("o_orderstatus").distinct().collect()}
+    assert got == {"F"}
+
+
+def test_fdr_monotone():
+    ps = [0.01, 0.04, 0.03, 0.002]
+    out = fdr(ps)
+    assert all(0 <= q <= 1 for q in out)
+    assert out[3] <= out[0] <= out[2] <= out[1]
