@@ -1,0 +1,67 @@
+"""Basket format: sparse ``name=value`` lines → long-form DataFrame.
+
+Reference: ``Orange/data/io.py:221-245`` + Cython ``_io.pyx`` build a sparse
+CSR matrix.  Sparse-on-Spark stays LONG FORM ``(row_id, key, value)``
+(SURVEY §1.2: sparsity either stays long-form or becomes an ml.linalg
+SparseVector at the ML boundary) — the format maps to text-scan + split +
+explode, fully distributed, no driver assembly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_basket(spark: SparkSession, path: str) -> DataFrame:
+    """``(row_id, key, value)`` rows; bare items get value 1.0."""
+    lines = (spark.read.text(path)
+             .withColumn("row_id", F.monotonically_increasing_id()))
+    items = lines.select(
+        "row_id",
+        F.explode(F.split(F.col("value"), r",\s*")).alias("item"))
+    items = items.filter(F.trim("item") != "")
+    kv = F.split(F.col("item"), "=", 2)
+    return items.select(
+        "row_id",
+        F.trim(kv.getItem(0)).alias("key"),
+        F.coalesce(F.try_element_at(kv, F.lit(2)).cast("double"),
+                   F.lit(1.0)).alias("value"))
+
+
+def basket_to_wide(long_df: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Optional pivot to a wide table (zeros filled) — distinct keys must be
+    bounded; pass ``keys`` explicitly at scale to skip the probe."""
+    p = long_df.groupBy("row_id").pivot("key", keys).agg(F.first("value"))
+    return p.na.fill(0.0, [c for c in p.columns if c != "row_id"])
+
+
+def basket_to_sparse_vectors(long_df: DataFrame, dim: int | None = None,
+                             keys: list[str] | None = None) -> DataFrame:
+    """``(row_id, features: SparseVector)`` for the MLlib boundary."""
+    from pyspark.ml.linalg import SparseVector, VectorUDT
+    from pyspark.sql import types as T
+
+    if keys is None:
+        keys = [r[0] for r in
+                long_df.select("key").distinct().orderBy("key").collect()]
+    index = {k: i for i, k in enumerate(keys)}
+    dim = dim or len(keys)
+    b_index = long_df.sparkSession.sparkContext.broadcast(index)
+
+    def assemble(pdf_iter):
+        import pandas as pd
+        for pdf in pdf_iter:
+            rows = []
+            for rid, grp in pdf.groupby("row_id"):
+                pairs = sorted((b_index.value[k], float(v))
+                               for k, v in zip(grp["key"], grp["value"])
+                               if k in b_index.value)
+                rows.append((rid, SparseVector(dim, [p[0] for p in pairs],
+                                               [p[1] for p in pairs])))
+            yield pd.DataFrame(rows, columns=["row_id", "features"])
+
+    schema = T.StructType([T.StructField("row_id", T.LongType()),
+                           T.StructField("features", VectorUDT())])
+    return (long_df.repartition("row_id")
+            .mapInPandas(assemble, schema=schema))

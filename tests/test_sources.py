@@ -1,0 +1,112 @@
+"""Sources: .tab 3-row header, csv sniff+inference, basket, registry."""
+
+from __future__ import annotations
+
+import textwrap
+
+import pytest
+
+from orange3_spark.domain import (
+    Domain, ROLE_CLASS, ROLE_META, TYPE_CONTINUOUS, TYPE_DISCRETE,
+    TYPE_STRING, TYPE_TIME,
+)
+from orange3_spark.sources import read_table
+from orange3_spark.sources.basket import basket_to_wide, read_basket
+from orange3_spark.sources.csv import read_csv
+from orange3_spark.sources.infer import guess_data_type
+from orange3_spark.sources.tab import read_tab, write_tab
+
+IRIS_ISH = textwrap.dedent("""\
+    sepal length\tpetal length\tiris\tnote
+    continuous\tc\tIris-setosa Iris-versicolor Iris-virginica\tstring
+    \t\tclass\tmeta note=free
+    5.1\t1.4\tIris-setosa\thello
+    4.9\t?\tIris-versicolor\t
+    7.0\t4.7\tIris-virginica\tworld
+    """)
+
+
+@pytest.fixture()
+def tab_file(tmp_path):
+    p = tmp_path / "iris_ish.tab"
+    p.write_text(IRIS_ISH)
+    return str(p)
+
+
+def test_tab_three_row_header(spark, tab_file):
+    df = read_tab(spark, tab_file)
+    assert df.columns == ["sepal length", "petal length", "iris", "note"]
+    dom = Domain.from_df(df)
+    assert dom["sepal length"].var_type == TYPE_CONTINUOUS
+    assert dom["iris"].var_type == TYPE_DISCRETE
+    assert dom["iris"].role == ROLE_CLASS
+    assert dom["iris"].values == ("Iris-setosa", "Iris-versicolor", "Iris-virginica")
+    assert dom["note"].role == ROLE_META
+    assert dom["note"].attributes == {"note": "free"}
+    rows = df.orderBy("sepal length").collect()
+    assert rows[0]["sepal length"] == 4.9
+    assert rows[0]["petal length"] is None          # '?' -> missing
+    assert df.count() == 3
+
+
+def test_tab_roundtrip(spark, tab_file, tmp_path):
+    df = read_tab(spark, tab_file)
+    out = str(tmp_path / "rt.tab")
+    write_tab(df, out)
+    df2 = read_tab(spark, out)
+    assert df2.columns == df.columns
+    assert Domain.from_df(df2)["iris"].values == \
+        Domain.from_df(df)["iris"].values
+    assert sorted(map(tuple, df2.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_tab_one_row_header_inference(spark, tmp_path):
+    p = tmp_path / "plain.tsv"
+    p.write_text("x\ty\tlabel\n1.5\t2\ta\n2.5\t3\tb\n3.5\t4\ta\n")
+    df = read_tab(spark, str(p))
+    dom = Domain.from_df(df)
+    assert dom["x"].var_type == TYPE_CONTINUOUS
+    assert dom["label"].var_type == TYPE_DISCRETE
+    assert df.count() == 3
+
+
+def test_guess_data_type_rules():
+    assert guess_data_type(["1.5", "2.5", "x"])[0] == TYPE_DISCRETE  # small set
+    assert guess_data_type([str(i) for i in range(50)])[0] == TYPE_CONTINUOUS
+    assert guess_data_type(["0", "1", "0", "1"]) == (TYPE_DISCRETE, ("0", "1"))
+    assert guess_data_type(["2024-01-01", "2024-02-03"])[0] == TYPE_TIME
+    t, vals = guess_data_type(["red", "green", "blue"])
+    assert t == TYPE_DISCRETE and vals == ("blue", "green", "red")
+    long_text = [f"this is sentence number {i}" for i in range(40)]
+    assert guess_data_type(long_text)[0] == TYPE_STRING
+
+
+def test_csv_sniff_and_types(spark, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("a;b;c\n1.0;x;2024-01-01\n2.0;y;2024-01-02\n3.5;x;2024-01-03\n")
+    df = read_csv(spark, str(p))
+    dom = Domain.from_df(df)
+    assert dom["a"].var_type == TYPE_CONTINUOUS
+    assert dom["b"].var_type == TYPE_DISCRETE
+    assert dom["c"].var_type == TYPE_TIME
+    assert df.count() == 3
+    assert df.selectExpr("sum(a)").collect()[0][0] == 6.5
+
+
+def test_basket(spark, tmp_path):
+    p = tmp_path / "b.basket"
+    p.write_text("bread, butter=2, milk\nbutter, jam=0.5\n")
+    long_df = read_basket(spark, str(p))
+    assert long_df.count() == 5
+    wide = basket_to_wide(long_df)
+    row = {r["row_id"]: r for r in wide.collect()}
+    first = [r for r in row.values() if r["bread"] == 1.0][0]
+    assert first["butter"] == 2.0 and first["milk"] == 1.0 and first["jam"] == 0.0
+
+
+def test_registry_dispatch(spark, sf_dir, tab_file):
+    df = read_table(spark, f"{sf_dir}/region.parquet")
+    assert df.count() == 5
+    assert read_table(spark, tab_file).count() == 3
+    with pytest.raises(ValueError):
+        read_table(spark, "mystery.xyz")
