@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 import orange3_spark.plans.queries_core  # noqa: F401
 import orange3_spark.plans.queries_preprocess  # noqa: F401
 import orange3_spark.plans.queries_stats  # noqa: F401
+import orange3_spark.plans.queries_streaming  # noqa: F401
 import orange3_spark.plans.queries_text  # noqa: F401
 from orange3_spark.plans.registry import ORACLE, QUERIES
 

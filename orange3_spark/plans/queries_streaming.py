@@ -1,0 +1,91 @@
+"""Event-time window queries over the events table.
+
+These run the streaming module's operators in BATCH mode — the exact same
+``tumbling``/``sliding``/``session`` code executes incrementally under
+``readStream`` + watermark (tests/test_streaming.py proves plan equality);
+batch mode is what the DuckDB oracle can check."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from orange3_spark.plans.registry import query
+from orange3_spark.session import load_tables
+from orange3_spark.streaming import windows as SW
+
+
+def _events(spark, sf_dir):
+    return load_tables(spark, sf_dir, ("events",))["events"]
+
+
+@query("q_window_tumbling", """
+SELECT CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS window_start,
+       CAST(to_timestamp(floor(epoch(ts)/3600)*3600 + 3600) AS TIMESTAMP) AS window_end,
+       event_type,
+       count(*) AS n,
+       sum(value) AS total
+FROM events
+GROUP BY 1, 2, 3
+""")
+def q_window_tumbling(spark, sf_dir):
+    """1-hour tumbling event-time windows per event type."""
+    ev = _events(spark, sf_dir)
+    return SW.tumbling(ev, "ts", "1 hour", ["event_type"],
+                       [F.count(F.lit(1)).alias("n"),
+                        F.sum("value").alias("total")])
+
+
+@query("q_window_sliding", """
+WITH base AS (
+  SELECT CAST(to_timestamp(floor(epoch(ts)/1800)*1800) AS TIMESTAMP) AS s0,
+         event_type, value
+  FROM events),
+expanded AS (
+  SELECT s0 AS window_start, event_type, value FROM base
+  UNION ALL
+  SELECT s0 - INTERVAL 30 MINUTE, event_type, value FROM base)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*) AS n,
+       avg(value) AS avg_value
+FROM expanded
+GROUP BY 1, 2, 3
+""")
+def q_window_sliding(spark, sf_dir):
+    """1-hour windows sliding every 30 minutes — each event lands in two
+    windows (oracle expands rows explicitly, Spark's window() internally)."""
+    ev = _events(spark, sf_dir)
+    return SW.sliding(ev, "ts", "1 hour", "30 minutes", ["event_type"],
+                      [F.count(F.lit(1)).alias("n"),
+                       F.avg("value").alias("avg_value")])
+
+
+@query("q_window_session", """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+islands AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       count(*) AS n_events,
+       sum(value) AS total
+FROM islands
+GROUP BY user_id, sid
+""")
+def q_window_session(spark, sf_dir):
+    """Session windows (30-minute inactivity gap) per user — the oracle is
+    the classic gaps-and-islands formulation; Spark's session_window merges
+    events with ts < session_end = last_ts + gap (end-exclusive)."""
+    ev = _events(spark, sf_dir)
+    return SW.session(ev, "ts", "30 minutes", ["user_id"],
+                      [F.count(F.lit(1)).alias("n_events"),
+                       F.sum("value").alias("total")])

@@ -1,0 +1,91 @@
+"""Event-time windowed aggregation: tumbling / sliding / session windows.
+
+The reference has ZERO streaming capability (SURVEY §2.13) — this is the
+green-field extension over Structured Streaming.  Every function here is
+written against the unified DataFrame API, so THE SAME CODE runs:
+
+  * batch  — ``spark.read.parquet(...)`` → windowed groupBy (oracle-checked
+    against DuckDB epoch arithmetic), and
+  * stream — ``spark.readStream...`` → identical plan + watermark →
+    incremental state-store execution with late-data handling.
+
+That unification is the point: operators declared once, Catalyst plans them
+for either execution mode (the micro-batch engine keeps per-window state in
+the state store; watermark bounds state size at scale).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling(df: DataFrame, time_col: str, duration: str,
+             keys: Sequence[str], aggs: Sequence[Column],
+             watermark: Optional[str] = None) -> DataFrame:
+    """Fixed non-overlapping event-time windows.
+
+    Output carries ``window_start``/``window_end`` as plain timestamp
+    columns.  With ``watermark`` set (streaming), state for windows older
+    than max(event_time) − watermark is evicted and late rows dropped.
+    """
+    if watermark:
+        df = df.withWatermark(time_col, watermark)
+    w = F.window(F.col(time_col), duration)
+    return _windowed(df, w.alias("w"), keys, aggs, "window_start", "window_end")
+
+
+def sliding(df: DataFrame, time_col: str, duration: str, slide: str,
+            keys: Sequence[str], aggs: Sequence[Column],
+            watermark: Optional[str] = None) -> DataFrame:
+    """Overlapping windows of ``duration`` every ``slide`` — each event lands
+    in duration/slide windows (Spark expands rows internally; state cost
+    scales with the overlap factor)."""
+    if watermark:
+        df = df.withWatermark(time_col, watermark)
+    w = F.window(F.col(time_col), duration, slide)
+    return _windowed(df, w.alias("w"), keys, aggs, "window_start", "window_end")
+
+
+def session(df: DataFrame, time_col: str, gap: str,
+            keys: Sequence[str], aggs: Sequence[Column],
+            watermark: Optional[str] = None) -> DataFrame:
+    """Session windows: events closer than ``gap`` merge into one session
+    (dynamic window end = last event + gap).  In streaming this REQUIRES a
+    watermark (the session can't close otherwise)."""
+    if watermark:
+        df = df.withWatermark(time_col, watermark)
+    w = F.session_window(F.col(time_col), gap)
+    return _windowed(df, w.alias("w"), keys, aggs, "session_start", "session_end")
+
+
+def _windowed(df, w_alias, keys, aggs, start_name, end_name):
+    agged = df.groupBy(w_alias, *keys).agg(*aggs)
+    rest = [c for c in agged.columns if c != "w" and c not in keys]
+    return agged.select(F.col("w.start").alias(start_name),
+                        F.col("w.end").alias(end_name),
+                        *keys, *rest)
+
+
+def stream_from_directory(spark, path: str, schema, fmt: str = "parquet",
+                          max_files_per_trigger: Optional[int] = None):
+    """File-source stream — each new file in ``path`` becomes a micro-batch
+    input (the standard backfill-then-tail pattern for data pipelines)."""
+    reader = (spark.readStream.format(fmt).schema(schema))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def run_to_memory(stream_df: DataFrame, name: str,
+                  output_mode: str = "complete", timeout_s: int = 120):
+    """Drive a streaming plan to completion over the currently-available
+    input (``availableNow`` trigger) into an in-memory table; returns the
+    result DataFrame.  Test/validation harness, not a production sink."""
+    q = (stream_df.writeStream.format("memory")
+         .queryName(name).outputMode(output_mode)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout_s)
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,116 @@
+"""Structured Streaming: the batch-checked window operators run identically
+under readStream (availableNow trigger, memory sink), watermark drops late
+rows, and the file source tails a directory."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from orange3_spark.streaming import windows as SW
+
+
+def _events_schema_and_path(spark, sf_dir, tmp_path):
+    """File stream sources need a DIRECTORY — link the fixture into one."""
+    import os
+
+    d = tmp_path / "events_dir"
+    d.mkdir(exist_ok=True)
+    link = d / "events.parquet"
+    if not link.exists():
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    return spark.read.parquet(str(link)).schema, str(d)
+
+
+def _fix_ts(df):
+    """The fixtures store TIMESTAMP(NANOS) which the session reads as long
+    (see session._read_parquet); apply the same µs conversion here."""
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _canon(df, cols):
+    return sorted(map(tuple, df.select(*cols).collect()))
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir, tmp_path):
+    schema, path = _events_schema_and_path(spark, sf_dir, tmp_path)
+    batch = _fix_ts(spark.read.parquet(path))
+    want = SW.tumbling(batch, "ts", "1 hour", ["event_type"],
+                       [F.count(F.lit(1)).alias("n")])
+    stream = _fix_ts(SW.stream_from_directory(spark, path, schema))
+    got = SW.run_to_memory(
+        SW.tumbling(stream, "ts", "1 hour", ["event_type"],
+                    [F.count(F.lit(1)).alias("n")], watermark="2 hours"),
+        "t_tumbling")
+    cols = ["window_start", "event_type", "n"]
+    assert _canon(got, cols) == _canon(want, cols)
+
+
+def test_stream_session_equals_batch(spark, sf_dir, tmp_path):
+    schema, path = _events_schema_and_path(spark, sf_dir, tmp_path)
+    batch = _fix_ts(spark.read.parquet(path))
+    want = SW.session(batch, "ts", "30 minutes", ["user_id"],
+                      [F.count(F.lit(1)).alias("n")])
+    stream = _fix_ts(SW.stream_from_directory(spark, path, schema))
+    got = SW.run_to_memory(
+        SW.session(stream, "ts", "30 minutes", ["user_id"],
+                   [F.count(F.lit(1)).alias("n")], watermark="1 hour"),
+        "t_session")
+    cols = ["session_start", "user_id", "n"]
+    assert _canon(got, cols) == _canon(want, cols)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Two micro-batches; the second's rows are older than watermark allows
+    relative to batch 1's max event time → dropped from append output."""
+    import pandas as pd
+
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    batch1 = pd.DataFrame({
+        "ts": [t0 + pd.Timedelta(hours=h) for h in (0, 1, 6)],
+        "v": [1.0, 2.0, 3.0]})
+    batch1.astype({"ts": "datetime64[us]"}).to_parquet(d / "b1.parquet")
+
+    schema = spark.read.parquet(str(d / "b1.parquet")).schema
+    stream = SW.stream_from_directory(spark, str(d), schema,
+                                      max_files_per_trigger=1) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ -> LTZ for watermark
+    agg = SW.tumbling(stream, "ts", "1 hour", [],
+                      [F.sum("v").alias("total")], watermark="1 hour")
+    q = (agg.writeStream.format("memory").queryName("t_late")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    # batch 2: a row 5 hours older than the max seen (6:00) → watermark
+    # (max 6:00 − 1h = 5:00) closes every window before 5:00; the late row
+    # lands at 1:00 and must be dropped
+    batch2 = pd.DataFrame({"ts": [t0 + pd.Timedelta(hours=1, minutes=30)],
+                           "v": [100.0]})
+    batch2.astype({"ts": "datetime64[us]"}).to_parquet(d / "b2.parquet")
+    q2 = (agg.writeStream.format("memory").queryName("t_late2")
+          .outputMode("append").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+
+    rows = {r.window_start.hour: r.total
+            for r in spark.table("t_late2").collect()}
+    assert rows.get(1, 1.0) != 101.0  # late +100 never merged into hour 1
+
+
+def test_stream_filter_operator_surface(spark, sf_dir, tmp_path):
+    """The engine's ordinary operator surface (filters/projections) applies
+    unchanged to streaming DataFrames."""
+    schema, path = _events_schema_and_path(spark, sf_dir, tmp_path)
+    stream = _fix_ts(SW.stream_from_directory(spark, path, schema))
+    out = (stream.filter(F.col("event_type") == "error")
+                 .withColumn("v2", F.col("value") * 2))
+    got = SW.run_to_memory(
+        SW.tumbling(out, "ts", "6 hours", [],
+                    [F.sum("v2").alias("s")], watermark="1 day"),
+        "t_filtered")
+    batch = _fix_ts(spark.read.parquet(path)).filter(F.col("event_type") == "error") \
+        .withColumn("v2", F.col("value") * 2)
+    want = SW.tumbling(batch, "ts", "6 hours", [], [F.sum("v2").alias("s")])
+    assert _canon(got, ["window_start", "s"]) == _canon(want, ["window_start", "s"])
