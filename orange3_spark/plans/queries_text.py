@@ -162,10 +162,11 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.4
 """)
 def q_neardup_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, brute-force baseline (LSH-bucketed
-    variant is the scale path, tested for recall in tests)."""
+    """Embedding-cosine near-dup pairs: broadcast-matmul brute force (one
+    n·d broadcast + per-partition BLAS; LSH is the unbounded-scale path,
+    tested for recall in tests)."""
     (emb,) = _t(spark, sf_dir, "embeddings")
-    return K.neardup_cosine(emb, threshold=0.4, brute_force=True)
+    return K.neardup_cosine_matmul(emb, threshold=0.4)
 
 
 @query("q_fingerprint", """

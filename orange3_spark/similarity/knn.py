@@ -154,6 +154,60 @@ def lsh_bucket_knn(left: DataFrame, right: DataFrame, k: int = 5, *,
                  .select("id_a", "id_b", "score"))
 
 
+def neardup_cosine_matmul(df: DataFrame, threshold: float = 0.95, *,
+                          vec_col: str = "embedding", id_col: str = "vec_id",
+                          max_broadcast_cells: int = 50_000_000) -> DataFrame:
+    """All-pairs cosine ≥ threshold via broadcast + per-partition BLAS.
+
+    The right regime for brute force: one side's normalized matrix is
+    broadcast ONCE (n·d floats), each partition of the other side runs a
+    single numpy matmul (Arrow batch in, vectorized kernel, only pairs over
+    threshold come back).  Data movement O(n·d), compute O(n²·d) in BLAS —
+    versus the expression-tree formulation whose per-pair array folds run on
+    Spark's interpreted evaluator (~100× slower; see text/dedup.py for the
+    same lesson).  Beyond ``max_broadcast_cells`` use LSH (``neardup_cosine``
+    with ``brute_force=False``) — at that size brute force is the wrong
+    algorithm anyway.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    rows = df.select(id_col, vec_col).collect()
+    n = len(rows)
+    if not n:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, score double")
+    dim = len(rows[0][1])
+    if n * dim > max_broadcast_cells:
+        raise ValueError(
+            f"{n}×{dim} exceeds broadcast bound; use the LSH path")
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    b_ids = df.sparkSession.sparkContext.broadcast(ids)
+    b_mat = df.sparkSession.sparkContext.broadcast(mat / norms[:, None])
+
+    def block(pdf_iter):
+        import pandas as pd
+        all_ids, m = b_ids.value, b_mat.value
+        for pdf in pdf_iter:
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            a = np.array(list(pdf[vec_col]), dtype=np.float64)
+            an = np.linalg.norm(a, axis=1)
+            an[an == 0] = 1.0
+            scores = (a / an[:, None]) @ m.T
+            ai, bj = np.nonzero(
+                (scores >= threshold) & (a_ids[:, None] < all_ids[None, :]))
+            yield pd.DataFrame({"id_a": a_ids[ai], "id_b": all_ids[bj],
+                                "score": scores[ai, bj]})
+
+    schema = T.StructType([T.StructField("id_a", T.LongType()),
+                           T.StructField("id_b", T.LongType()),
+                           T.StructField("score", T.DoubleType())])
+    return df.select(id_col, vec_col).mapInPandas(block, schema=schema)
+
+
 def neardup_cosine(df: DataFrame, threshold: float = 0.95, *,
                    vec_col: str = "embedding", id_col: str = "vec_id",
                    n_planes: int = 8, n_tables: int = 1, seed: int = 42,
