@@ -1,0 +1,250 @@
+"""Learner/Model surface: Orange's base contract mapped onto pyspark.ml.
+
+Reference: ``Orange/base.py`` — a ``Learner`` fits a ``Model``; the model
+predicts over a Table.  Here a :class:`Learner` fits over a DataFrame with
+named feature columns and returns a :class:`Model` whose ``predict(df)``
+appends a ``prediction`` column.  Feature assembly (vector column, label
+indexing, array-column unpacking) is handled inside, so callers stay in the
+engine's column vocabulary (SURVEY §2.12: classification/regression mostly
+wrap sklearn in the reference; MLlib is the distributed equivalent).
+
+Closed-form learners (Mean, Majority, simple OLS) are implemented directly
+as aggregations — exactly reproducible, DuckDB-oracle-checkable, and cheaper
+than an iterative fit at any scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def assemble_features(df: DataFrame, features: Sequence[str],
+                      out: str = "features",
+                      array_col: Optional[str] = None) -> DataFrame:
+    """Build the MLlib vector column from named columns or one array col."""
+    if array_col is not None:
+        from pyspark.ml.functions import array_to_vector
+        return df.withColumn(out, array_to_vector(
+            F.transform(F.col(array_col), lambda x: x.cast("double"))))
+    from pyspark.ml.feature import VectorAssembler
+    return VectorAssembler(inputCols=list(features), outputCol=out,
+                           handleInvalid="skip").transform(df)
+
+
+@dataclass
+class Model:
+    """Prediction wrapper (reference Model: ``Orange/base.py``)."""
+    _predict_fn: object
+    name: str = "model"
+
+    def predict(self, df: DataFrame) -> DataFrame:
+        return self._predict_fn(df)
+
+    __call__ = predict
+
+
+# ------------------------------------------------------- closed-form learners
+
+def majority_learner(df: DataFrame, class_col: str) -> Model:
+    """Majority classifier (``Orange/classification/majority.py``): predicts
+    the modal class.  One tiny aggregate; prediction is a literal column."""
+    mode = (df.groupBy(class_col).count()
+              .orderBy(F.col("count").desc(), F.col(class_col))
+              .first()[0])
+
+    def _predict(d: DataFrame) -> DataFrame:
+        return d.withColumn("prediction", F.lit(mode))
+    return Model(_predict, "majority")
+
+
+def mean_learner(df: DataFrame, target_col: str) -> Model:
+    """Mean regressor (``Orange/regression/mean.py``)."""
+    mu = df.agg(F.avg(target_col)).first()[0]
+
+    def _predict(d: DataFrame) -> DataFrame:
+        return d.withColumn("prediction", F.lit(float(mu)))
+    return Model(_predict, "mean")
+
+
+def ols_learner(df: DataFrame, features: Sequence[str],
+                target_col: str) -> Model:
+    """Ordinary least squares via the normal equations, computed with Spark
+    aggregations: X'X and X'y are k×k / k sums (one scan, map-side
+    combinable), the k×k solve happens on the driver.  Exact — matches a
+    SQL oracle's regr_slope/regr_intercept — and scale-free for the small-k
+    regime every tabular regression lives in."""
+    import numpy as np
+
+    k = len(features)
+    cols = [F.lit(1.0)] + [F.col(c).cast("double") for c in features]
+    aggs = []
+    for i in range(k + 1):
+        for j in range(i, k + 1):
+            aggs.append(F.sum(cols[i] * cols[j]).alias(f"xx_{i}_{j}"))
+        aggs.append(F.sum(cols[i] * F.col(target_col).cast("double"))
+                    .alias(f"xy_{i}"))
+    row = df.na.drop(subset=[*features, target_col]).agg(*aggs).first()
+    xtx = np.zeros((k + 1, k + 1))
+    xty = np.zeros(k + 1)
+    for i in range(k + 1):
+        for j in range(i, k + 1):
+            xtx[i, j] = xtx[j, i] = row[f"xx_{i}_{j}"]
+        xty[i] = row[f"xy_{i}"]
+    beta = np.linalg.solve(xtx, xty)
+    intercept, coefs = float(beta[0]), [float(b) for b in beta[1:]]
+
+    def _predict(d: DataFrame) -> DataFrame:
+        expr: Column = F.lit(intercept)
+        for c, b in zip(features, coefs):
+            expr = expr + F.col(c).cast("double") * F.lit(b)
+        return d.withColumn("prediction", expr)
+
+    m = Model(_predict, "ols")
+    m.intercept, m.coefficients = intercept, coefs
+    return m
+
+
+# ----------------------------------------------------------- MLlib estimators
+
+def _mllib_learner(estimator_cls, task: str, df: DataFrame,
+                   features: Sequence[str], target_col: str,
+                   array_col: Optional[str] = None, **params) -> Model:
+    train = assemble_features(df, features, array_col=array_col)
+    est = estimator_cls(featuresCol="features", labelCol=target_col,
+                        predictionCol="prediction", **params)
+    fitted = est.fit(train)
+
+    def _predict(d: DataFrame) -> DataFrame:
+        dd = assemble_features(d, features, array_col=array_col)
+        out = fitted.transform(dd)
+        drop = [c for c in ("features", "rawPrediction", "probability")
+                if c in out.columns]
+        return out.drop(*drop)
+
+    m = Model(_predict, estimator_cls.__name__)
+    m.mllib_model = fitted
+    return m
+
+
+def logistic_regression(df, features=(), class_col="label", *,
+                        array_col=None, max_iter=50, reg_param=0.0) -> Model:
+    from pyspark.ml.classification import LogisticRegression
+    return _mllib_learner(LogisticRegression, "clf", df, features, class_col,
+                          array_col, maxIter=max_iter, regParam=reg_param)
+
+
+def random_forest_classifier(df, features=(), class_col="label", *,
+                             array_col=None, num_trees=50, seed=42) -> Model:
+    from pyspark.ml.classification import RandomForestClassifier
+    return _mllib_learner(RandomForestClassifier, "clf", df, features,
+                          class_col, array_col, numTrees=num_trees, seed=seed)
+
+
+def naive_bayes(df, features=(), class_col="label", *, array_col=None) -> Model:
+    from pyspark.ml.classification import NaiveBayes
+    return _mllib_learner(NaiveBayes, "clf", df, features, class_col, array_col)
+
+
+def decision_tree(df, features=(), class_col="label", *, array_col=None,
+                  max_depth=5, seed=42) -> Model:
+    from pyspark.ml.classification import DecisionTreeClassifier
+    return _mllib_learner(DecisionTreeClassifier, "clf", df, features,
+                          class_col, array_col, maxDepth=max_depth, seed=seed)
+
+
+def linear_svm(df, features=(), class_col="label", *, array_col=None,
+               max_iter=50) -> Model:
+    from pyspark.ml.classification import LinearSVC
+    return _mllib_learner(LinearSVC, "clf", df, features, class_col,
+                          array_col, maxIter=max_iter)
+
+
+def mlp_classifier(df, features=(), class_col="label", *, array_col=None,
+                   layers=None, seed=42, max_iter=100) -> Model:
+    from pyspark.ml.classification import MultilayerPerceptronClassifier
+    return _mllib_learner(MultilayerPerceptronClassifier, "clf", df, features,
+                          class_col, array_col, layers=layers, seed=seed,
+                          maxIter=max_iter)
+
+
+def linear_regression(df, features=(), target_col="y", *, array_col=None,
+                      elastic_net=0.0, reg_param=0.0, max_iter=50) -> Model:
+    """OLS/Ridge/Lasso/ElasticNet by reg params (reference:
+    ``Orange/regression/linear.py``)."""
+    from pyspark.ml.regression import LinearRegression
+    return _mllib_learner(LinearRegression, "reg", df, features, target_col,
+                          array_col, elasticNetParam=elastic_net,
+                          regParam=reg_param, maxIter=max_iter)
+
+
+def random_forest_regressor(df, features=(), target_col="y", *,
+                            array_col=None, num_trees=50, seed=42) -> Model:
+    from pyspark.ml.regression import RandomForestRegressor
+    return _mllib_learner(RandomForestRegressor, "reg", df, features,
+                          target_col, array_col, numTrees=num_trees, seed=seed)
+
+
+def gbt_regressor(df, features=(), target_col="y", *, array_col=None,
+                  max_iter=20, seed=42) -> Model:
+    from pyspark.ml.regression import GBTRegressor
+    return _mllib_learner(GBTRegressor, "reg", df, features, target_col,
+                          array_col, maxIter=max_iter, seed=seed)
+
+
+def knn_classifier(df: DataFrame, features: Sequence[str] = (),
+                   class_col: str = "label", *, array_col: Optional[str] = None,
+                   k: int = 5, max_broadcast_cells: int = 50_000_000) -> Model:
+    """kNN: the training set's feature matrix is broadcast (bounded) and each
+    partition classifies its rows with one BLAS distance computation — the
+    same broadcast+matmul shape as similarity.neardup_cosine_matmul.  MLlib
+    has no kNN; this is the distributed-inference equivalent."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    feat = list(features)
+
+    def _matrix(d: DataFrame):
+        if array_col is not None:
+            rows = d.select(array_col, class_col).collect()
+            return (np.array([r[0] for r in rows], dtype=np.float64),
+                    np.array([r[1] for r in rows]))
+        rows = d.select(*feat, class_col).collect()
+        return (np.array([r[:-1] for r in rows], dtype=np.float64),
+                np.array([r[-1] for r in rows]))
+
+    train_x, train_y = _matrix(df)
+    if train_x.size > max_broadcast_cells:
+        raise ValueError("training matrix exceeds broadcast bound")
+    sc = df.sparkSession.sparkContext
+    b_x, b_y = sc.broadcast(train_x), sc.broadcast(train_y)
+
+    def _predict(d: DataFrame) -> DataFrame:
+        in_fields = d.schema.fields
+        schema = T.StructType(list(in_fields) +
+                              [T.StructField("prediction", T.DoubleType())])
+
+        def run(pdf_iter):
+            import pandas as pd
+            X, y = b_x.value, b_y.value
+            for pdf in pdf_iter:
+                if array_col is not None:
+                    q = np.array(list(pdf[array_col]), dtype=np.float64)
+                else:
+                    q = pdf[feat].to_numpy(dtype=np.float64)
+                d2 = ((q ** 2).sum(1)[:, None] - 2 * q @ X.T
+                      + (X ** 2).sum(1)[None, :])
+                idx = np.argpartition(d2, min(k, X.shape[0] - 1), axis=1)[:, :k]
+                votes = y[idx]
+                pred = [np.bincount(v.astype(np.int64)).argmax()
+                        for v in votes]
+                pdf = pdf.copy()
+                pdf["prediction"] = np.array(pred, dtype=np.float64)
+                yield pdf
+
+        return d.mapInPandas(run, schema=schema)
+
+    return Model(_predict, "knn")

@@ -1,0 +1,134 @@
+"""ML-surface queries: deterministic learners oracle-checked in SQL, and
+iterative MLlib fits as rows-only entries (the driver records the weaker
+check; tests assert quality thresholds)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from orange3_spark.ml import cluster as C
+from orange3_spark.ml import evaluation as E
+from orange3_spark.ml import learners as L
+from orange3_spark.plans.registry import query
+from orange3_spark.session import load_tables
+
+
+def _t(spark, sf_dir, *names):
+    d = load_tables(spark, sf_dir, names)
+    return [d[n] for n in names]
+
+
+_SPLIT = "substring(md5(CAST(o_orderkey AS VARCHAR)),1,8) < '3fffffff'"  # 25% test
+
+
+@query("q_ml_majority_ca", f"""
+WITH train AS (SELECT * FROM orders WHERE NOT ({_SPLIT})),
+     test  AS (SELECT * FROM orders WHERE {_SPLIT}),
+     m AS (SELECT o_orderpriority AS mode FROM train
+           GROUP BY 1 ORDER BY count(*) DESC, o_orderpriority LIMIT 1)
+SELECT avg(CASE WHEN t.o_orderpriority = m.mode THEN 1.0 ELSE 0.0 END) AS ca
+FROM test t, m
+""")
+def q_ml_majority_ca(spark, sf_dir):
+    """Majority classifier + accuracy on a deterministic hash split — the
+    whole evaluate loop (train/fit/predict/score) is oracle-checkable."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    train, test = E.train_test_split(orders, "o_orderkey", 0.25)
+    model = L.majority_learner(train, "o_orderpriority")
+    acc = E.ca(model.predict(test), label="o_orderpriority")
+    return spark.createDataFrame([(acc,)], "ca double")
+
+
+@query("q_ml_ols", f"""
+WITH train AS (SELECT * FROM orders WHERE NOT ({_SPLIT})),
+     test  AS (SELECT * FROM orders WHERE {_SPLIT}),
+     fit AS (SELECT regr_slope(o_totalprice, o_custkey) AS b,
+                    regr_intercept(o_totalprice, o_custkey) AS a FROM train)
+SELECT fit.a AS intercept, fit.b AS slope,
+       sqrt(avg(power(t.o_totalprice - (fit.a + fit.b * t.o_custkey), 2))) AS rmse_test
+FROM test t, fit
+GROUP BY fit.a, fit.b
+""")
+def q_ml_ols(spark, sf_dir):
+    """OLS via normal-equation aggregates (one scan for X'X/X'y, driver
+    solve) — exact, hence oracle-equal to SQL regr_slope/regr_intercept."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    train, test = E.train_test_split(orders, "o_orderkey", 0.25)
+    m = L.ols_learner(train, ["o_custkey"], "o_totalprice")
+    r = E.rmse(m.predict(test), label="o_totalprice")
+    return spark.createDataFrame(
+        [(m.intercept, m.coefficients[0], r)],
+        "intercept double, slope double, rmse_test double")
+
+
+@query("q_ml_knn_ca", """
+WITH split AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,
+         substring(md5(CAST(vec_id AS VARCHAR)),1,8) < '3fffffff' AS is_test
+  FROM embeddings),
+pairs AS (
+  SELECT t.vec_id, t.label AS true_label, tr.label AS train_label,
+         row_number() OVER (PARTITION BY t.vec_id
+                            ORDER BY list_distance(t.v, tr.v), tr.vec_id) AS rn
+  FROM split t JOIN split tr ON tr.is_test = false
+  WHERE t.is_test),
+votes AS (
+  SELECT vec_id, true_label, train_label, count(*) AS c
+  FROM pairs WHERE rn <= 5 GROUP BY 1, 2, 3),
+pred AS (
+  SELECT vec_id, true_label, train_label AS prediction,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY c DESC, train_label) AS rk
+  FROM votes)
+SELECT avg(CASE WHEN true_label = prediction THEN 1.0 ELSE 0.0 END) AS ca
+FROM pred WHERE rk = 1
+""")
+def q_ml_knn_ca(spark, sf_dir):
+    """kNN (k=5, euclidean, broadcast+BLAS inference) on the embeddings
+    table — fully deterministic, so even the learner is oracle-checkable
+    (the oracle is the literal top-k-join formulation)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    train, test = E.train_test_split(emb, "vec_id", 0.25)
+    model = L.knn_classifier(train, array_col="embedding", class_col="label", k=5)
+    pred = model.predict(test).withColumn(
+        "prediction", F.col("prediction").cast("int"))
+    acc = E.ca(pred, label="label")
+    return spark.createDataFrame([(acc,)], "ca double")
+
+
+@query("q_ml_kmeans")  # no SQL oracle: iterative fit (rows-only check)
+def q_ml_kmeans(spark, sf_dir):
+    """KMeans over the embedding column: cluster sizes + majority-label
+    purity per cluster (labels are metadata here, unseen by the fit)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    clustered = C.kmeans(emb, array_col="embedding", k=10, seed=42)
+    per = (clustered.groupBy("cluster", "label").count())
+    top = (per.groupBy("cluster")
+              .agg(F.sum("count").alias("n"), F.max("count").alias("top")))
+    return top.select("cluster", "n",
+                      (F.col("top") / F.col("n")).alias("purity"))
+
+
+@query("q_ml_pca")  # no SQL oracle: SVD signs/numerics (rows-only check)
+def q_ml_pca(spark, sf_dir):
+    """PCA over the embedding column — explained-variance ratios of the top
+    components (distributed covariance, driver-side eigen)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    _, ratios = C.pca(emb, array_col="embedding", n_components=5)
+    return spark.createDataFrame(
+        [(i + 1, r) for i, r in enumerate(ratios)],
+        "component int, explained_variance_ratio double")
+
+
+@query("q_ml_logreg_cv")  # no SQL oracle: iterative L-BFGS (rows-only check)
+def q_ml_logreg_cv(spark, sf_dir):
+    """3-fold cross-validated logistic regression on the embeddings table;
+    folds are deterministic content hashes."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    scores = E.cross_validate(
+        emb, "vec_id", 3,
+        fit=lambda tr: L.logistic_regression(tr, array_col="embedding",
+                                             class_col="label"),
+        score=lambda pred: E.ca(pred, label="label"))
+    return spark.createDataFrame(
+        [(i, s) for i, s in enumerate(scores)], "fold int, ca double")

@@ -1,0 +1,130 @@
+"""Learners, evaluation, clustering: quality thresholds + exact semantics."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from orange3_spark.ml import cluster as C
+from orange3_spark.ml import evaluation as E
+from orange3_spark.ml import learners as L
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    """Seeded gaussian blobs: 10 well-separated clusters in 16-d (the
+    driver's embeddings fixture has label-independent vectors, so quality
+    thresholds need real structure)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0, 5, (10, 16))
+    rows = []
+    for i in range(600):
+        k = i % 10
+        v = centers[k] + rng.normal(0, 1, 16)
+        rows.append((i, [float(x) for x in v], k))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int").cache()
+
+
+def test_ols_exact(spark):
+    # y = 3 + 2a - b exactly
+    rows = [(float(a), float(b), 3.0 + 2 * a - b)
+            for a in range(6) for b in range(4)]
+    df = spark.createDataFrame(rows, "a double, b double, y double")
+    m = L.ols_learner(df, ["a", "b"], "y")
+    assert abs(m.intercept - 3.0) < 1e-9
+    assert abs(m.coefficients[0] - 2.0) < 1e-9
+    assert abs(m.coefficients[1] + 1.0) < 1e-9
+    assert E.rmse(m.predict(df), label="y") < 1e-9
+
+
+def test_majority_and_mean(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0)], "c string, y double")
+    assert L.majority_learner(df, "c").predict(df).first().prediction == "a"
+    assert L.mean_learner(df, "y").predict(df).first().prediction == 2.0
+
+
+def test_logreg_separable(emb):
+    train, test = E.train_test_split(emb, "vec_id", 0.3)
+    model = L.logistic_regression(train, array_col="embedding",
+                                  class_col="label")
+    acc = E.ca(model.predict(test), label="label")
+    assert acc > 0.9   # separable blobs
+
+
+def test_knn_classifier(emb):
+    train, test = E.train_test_split(emb, "vec_id", 0.3)
+    model = L.knn_classifier(train, array_col="embedding",
+                             class_col="label", k=5)
+    pred = model.predict(test).withColumn(
+        "prediction", F.col("prediction").cast("int"))
+    assert E.ca(pred, label="label") > 0.9
+
+
+def test_cross_validate_deterministic(emb):
+    def run():
+        return E.cross_validate(
+            emb, "vec_id", 3,
+            fit=lambda tr: L.majority_learner(tr, "label"),
+            score=lambda p: E.ca(p, label="label"))
+    assert run() == run()
+    assert len(run()) == 3
+
+
+def test_scoring_formulas(spark):
+    # labels/preds chosen so tp=2 fp=1 fn=1 tn=2
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (1, 0), (0, 1), (0, 0), (0, 0)],
+        "label int, prediction int")
+    assert abs(E.ca(df) - 4 / 6) < 1e-12
+    p, r, f1 = E.precision_recall_f1(df, positive=1)
+    assert (p, r) == (2 / 3, 2 / 3) and abs(f1 - 2 / 3) < 1e-12
+    m = E.mcc(df, positive=1)
+    assert abs(m - 1 / 3) < 1e-12
+
+
+def test_auc_known_value(spark):
+    df = spark.createDataFrame(
+        [(1, 0.9), (1, 0.7), (0, 0.8), (0, 0.2)], "label int, score double")
+    # pairs: (0.9 vs 0.8, 0.2) + (0.7 vs 0.8, 0.2) = wins 3 of 4
+    assert abs(E.auc(df) - 0.75) < 1e-12
+
+
+def test_regression_scores(spark):
+    df = spark.createDataFrame(
+        [(2.0, 1.0), (4.0, 5.0)], "label double, prediction double")
+    assert abs(E.mse(df) - 1.0) < 1e-12
+    assert abs(E.rmse(df) - 1.0) < 1e-12
+    assert abs(E.mae(df) - 1.0) < 1e-12
+    assert abs(E.mape(df) - (0.5 + 0.25) / 2) < 1e-12
+
+
+def test_kmeans_recovers_clusters(emb):
+    clustered = C.kmeans(emb, array_col="embedding", k=10, seed=42)
+    purity = (clustered.groupBy("cluster", "label").count()
+              .groupBy("cluster")
+              .agg((F.max("count") / F.sum("count")).alias("p"))
+              .agg(F.avg("p")).first()[0])
+    assert purity > 0.9   # blobs: clusters ≈ labels
+    assert C.silhouette(clustered, array_col="embedding") > 0.1
+
+
+def test_pca_variance_ordered(emb):
+    out, ratios = C.pca(emb, array_col="embedding", n_components=4)
+    assert ratios == sorted(ratios, reverse=True)
+    assert 0 < sum(ratios) <= 1.0 + 1e-9
+    assert {"PC1", "PC2", "PC3", "PC4"} <= set(out.columns)
+    # projection is computed row-wise, count preserved
+    assert out.count() == emb.count()
+
+
+def test_random_forest_and_tree(emb):
+    train, test = E.train_test_split(emb, "vec_id", 0.3)
+    rf = L.random_forest_classifier(train, array_col="embedding",
+                                    class_col="label", num_trees=20)
+    assert E.ca(rf.predict(test), label="label") > 0.8
