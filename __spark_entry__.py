@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 # importing the modules populates the registry
 import orange3_spark.plans.queries_core  # noqa: F401
+import orange3_spark.plans.queries_media  # noqa: F401
 import orange3_spark.plans.queries_ml  # noqa: F401
 import orange3_spark.plans.queries_preprocess  # noqa: F401
 import orange3_spark.plans.queries_stats  # noqa: F401

@@ -1,0 +1,180 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+No equivalent in the reference (tabular only) — this is the project-brief
+extension for training-data pipelines.  Design:
+
+  * a media column is ``binary`` plus a sibling metadata struct
+    (``format``, ``byte_len``, ``content_hash``) kept in ordinary columns so
+    filters/joins/dedup prune WITHOUT touching the blobs;
+  * cheap metadata (magic-byte sniff, length, hash) is pure Column
+    expressions — codegen, pushdown-friendly;
+  * heavy per-item work (decode, resize, frame-sample, feature-extract) runs
+    as Arrow-batched ``mapInPandas`` so blobs stream through Python in
+    columnar batches, never row-at-a-time;
+  * the actual pixel/sample decoding is STUBBED (Pillow/ffmpeg are not in
+    this container): ``decode_image(..., stub=True)`` produces a
+    deterministic fake decode so the Spark-side plumbing — schema,
+    partitioning, batch shape — is real and tested; ``stub=False`` raises
+    ``NotImplementedError`` where the real library call belongs.
+
+Scale notes: blobs ride in parquet binary columns; keep
+``spark.sql.files.maxPartitionBytes`` sized so a partition of blobs fits in
+executor memory, and project metadata columns FIRST so Catalyst prunes the
+binary column out of scans that don't need it.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# (format, magic-bytes hex prefix) — sniffed via startswith on the binary col
+MAGIC = (
+    ("png", bytes([0x89, 0x50, 0x4E, 0x47])),
+    ("jpeg", bytes([0xFF, 0xD8, 0xFF])),
+    ("gif", b"GIF8"),
+    ("wav", b"RIFF"),
+    ("mp3", b"ID3"),
+    ("pdf", b"%PDF"),
+)
+
+
+def sniff_format(col: Column) -> Column:
+    """Container format from magic bytes — a chain of codegen'd prefix
+    compares, no UDF."""
+    expr = None
+    for name, magic in MAGIC:
+        cond = F.substring(col, 1, len(magic)) == F.lit(bytearray(magic))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return expr.otherwise(F.lit("unknown"))
+
+
+def media_metadata(df: DataFrame, binary_col: str = "content",
+                   prefix: str = "media_") -> DataFrame:
+    """Attach format/length/hash metadata columns (blob untouched)."""
+    c = F.col(binary_col)
+    return (df.withColumn(f"{prefix}format", sniff_format(c))
+              .withColumn(f"{prefix}bytes", F.octet_length(c).cast("long"))
+              .withColumn(f"{prefix}hash", F.md5(c)))
+
+
+def dedup_media_exact(df: DataFrame, binary_col: str = "content",
+                      id_col: str = "media_id") -> DataFrame:
+    """Exact blob dedup on content hash — same shape as text dedup_exact."""
+    return (df.withColumn("_h", F.md5(F.col(binary_col)))
+              .groupBy("_h")
+              .agg(F.min(id_col).alias(id_col),
+                   F.count(F.lit(1)).alias("n_copies"))
+              .drop("_h"))
+
+
+# ------------------------------------------------------------ decode plumbing
+
+IMAGE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("pixels", T.ArrayType(T.FloatType())),
+])
+
+
+def decode_image(df: DataFrame, binary_col: str = "content",
+                 id_col: str = "media_id", *, height: int = 8, width: int = 8,
+                 stub: bool = True) -> DataFrame:
+    """Decode blobs to (H, W, C) pixel arrays via Arrow-batched mapInPandas.
+
+    STUB decode: a deterministic fake — pixels are a seeded function of the
+    blob bytes, so tests are exact and the plumbing (batching, schema,
+    memory shape) matches what a real Pillow decode would do.  Wire the real
+    library at the marked line.
+    """
+    if not stub:
+        raise NotImplementedError(
+            "real image decoding needs Pillow/libjpeg — not in this "
+            "container; run with stub=True for the deterministic fake")
+
+    def run(pdf_iter):
+        import numpy as np
+        import pandas as pd
+        for pdf in pdf_iter:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                data = np.frombuffer(bytes(blob), dtype=np.uint8)
+                # --- REAL DECODE GOES HERE (PIL.Image.open(BytesIO(blob)))
+                seed = int(data[:8].sum()) if data.size else 0
+                rng = np.random.default_rng(seed)
+                px = rng.random(height * width * 3, dtype=np.float32)
+                out.append((mid, height, width, 3, px.tolist()))
+            yield pd.DataFrame(
+                out, columns=["media_id", "height", "width", "channels",
+                              "pixels"])
+
+    return df.select(F.col(id_col), F.col(binary_col)) \
+             .mapInPandas(run, schema=IMAGE_SCHEMA)
+
+
+def image_stats(decoded: DataFrame) -> DataFrame:
+    """Per-image channel means over the decoded pixel array — array aggs on
+    the long-form pixels (no Python)."""
+    px = F.col("pixels")
+    n = F.size(px)
+    return decoded.select(
+        "media_id", "height", "width", "channels",
+        (F.aggregate(px, F.lit(0.0), lambda a, x: a + x) / n).alias("mean_px"))
+
+
+def byte_histogram(df: DataFrame, binary_col: str = "content",
+                   id_col: str = "media_id") -> DataFrame:
+    """256-bin byte histogram + entropy per blob (real computation, works on
+    any binary payload) — Arrow-batched numpy bincount."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("entropy", T.DoubleType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("histogram", T.ArrayType(T.LongType())),
+    ])
+
+    def run(pdf_iter):
+        import numpy as np
+        import pandas as pd
+        for pdf in pdf_iter:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                data = np.frombuffer(bytes(blob), dtype=np.uint8)
+                if data.size:
+                    hist = np.bincount(data, minlength=256)
+                    p = hist[hist > 0] / data.size
+                    ent = float(-(p * np.log2(p)).sum())
+                    mean = float(data.mean())
+                else:
+                    hist, ent, mean = np.zeros(256, dtype=np.int64), 0.0, 0.0
+                out.append((mid, ent, mean, hist.tolist()))
+            yield pd.DataFrame(
+                out, columns=["media_id", "entropy", "mean_byte", "histogram"])
+
+    return df.select(F.col(id_col), F.col(binary_col)) \
+             .mapInPandas(run, schema=schema)
+
+
+def sample_frames(df: DataFrame, binary_col: str = "content",
+                  id_col: str = "media_id", *, every_n_bytes: int = 1024,
+                  frame_bytes: int = 64, max_frames: int = 16) -> DataFrame:
+    """Frame sampling plumbing for video blobs: deterministic byte-offset
+    slices standing in for keyframe extraction (real ffmpeg call replaces
+    the slice).  Output is long-form (media_id, frame_no, frame_bytes)."""
+    offsets = F.sequence(
+        F.lit(0),
+        F.least(F.lit(max_frames - 1),
+                F.floor(F.octet_length(binary_col) / every_n_bytes).cast("int")))
+    return (df.select(
+        F.col(id_col),
+        F.posexplode(F.transform(
+            offsets,
+            lambda i: F.substring(F.col(binary_col),
+                                  (i * every_n_bytes + 1).cast("int"),
+                                  frame_bytes)))
+        .alias("frame_no", "frame")))

@@ -1,0 +1,81 @@
+"""Multimodal plumbing: magic sniff, metadata, stub decode, histograms."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from orange3_spark.multimodal import media as M
+
+PNG = bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A]) + b"\x00" * 24
+JPEG = bytes([0xFF, 0xD8, 0xFF, 0xE0]) + b"JFIF" + b"\x00" * 16
+WAV = b"RIFF" + b"\x24\x00\x00\x00" + b"WAVEfmt "
+RAW = b"just some bytes, not a known container"
+
+
+@pytest.fixture()
+def media(spark):
+    return spark.createDataFrame(
+        [(1, PNG), (2, JPEG), (3, WAV), (4, RAW), (5, PNG)],
+        "media_id long, content binary")
+
+
+def test_sniff_and_metadata(media):
+    out = M.media_metadata(media).orderBy("media_id").collect()
+    assert [r.media_format for r in out] == \
+        ["png", "jpeg", "wav", "unknown", "png"]
+    assert out[0].media_bytes == len(PNG)
+    assert out[0].media_hash == out[4].media_hash   # identical blobs
+    assert out[0].media_hash != out[1].media_hash
+
+
+def test_dedup_media(media):
+    out = M.dedup_media_exact(media)
+    assert out.count() == 4   # the two PNGs collapse
+    survivors = {r.media_id for r in out.collect()}
+    assert 1 in survivors and 5 not in survivors
+
+
+def test_stub_decode_shapes_and_determinism(media):
+    d1 = M.decode_image(media, height=4, width=6).orderBy("media_id").collect()
+    d2 = M.decode_image(media, height=4, width=6).orderBy("media_id").collect()
+    assert len(d1) == 5
+    for r in d1:
+        assert (r.height, r.width, r.channels) == (4, 6, 3)
+        assert len(r.pixels) == 4 * 6 * 3
+        assert all(0.0 <= p <= 1.0 for p in r.pixels)
+    # deterministic fake: same blob -> same pixels, across runs and rows
+    assert d1[0].pixels == d2[0].pixels
+    assert d1[0].pixels == d1[4].pixels   # identical PNG blobs
+    assert d1[0].pixels != d1[1].pixels
+
+
+def test_real_decode_is_marked_unimplemented(media):
+    with pytest.raises(NotImplementedError):
+        M.decode_image(media, stub=False)
+
+
+def test_image_stats(media):
+    stats = M.image_stats(M.decode_image(media)).collect()
+    assert all(0.0 < r.mean_px < 1.0 for r in stats)
+
+
+def test_byte_histogram(spark):
+    df = spark.createDataFrame(
+        [(1, bytes([0, 0, 255, 255])), (2, bytes([7] * 100))],
+        "media_id long, content binary")
+    out = {r.media_id: r for r in M.byte_histogram(df).collect()}
+    assert out[1].histogram[0] == 2 and out[1].histogram[255] == 2
+    assert abs(out[1].entropy - 1.0) < 1e-12    # two equally likely symbols
+    assert out[2].entropy == 0.0                # constant byte
+    assert abs(out[1].mean_byte - 127.5) < 1e-9
+
+
+def test_sample_frames(spark):
+    blob = bytes(range(256)) * 20   # 5120 bytes
+    df = spark.createDataFrame([(1, blob)], "media_id long, content binary")
+    frames = M.sample_frames(df, every_n_bytes=1024, frame_bytes=32).collect()
+    assert len(frames) == 6   # offsets 0..5120//1024
+    assert frames[0].frame_no == 0
+    assert bytes(frames[0].frame) == blob[:32]
+    assert bytes(frames[1].frame) == blob[1024:1056]
