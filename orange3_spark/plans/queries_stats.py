@@ -180,6 +180,30 @@ def q_cv_folds(spark, sf_dir):
                        F.sum("o_totalprice").alias("total")))
 
 
+@query("q_feature_constructor", """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+       CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END AS bulk,
+       sqrt(l_extendedprice) + ln(l_quantity + 1) AS scaled
+FROM lineitem
+""")
+def q_feature_constructor(spark, sf_dir):
+    """User-typed Python expressions translated to Column expressions via
+    the AST-whitelist sandbox (owfeatureconstructor.py) — codegen'd, never
+    row-at-a-time Python (the reference evaluates these per row)."""
+    from orange3_spark.functions.feature_constructor import construct_feature
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    out = li.select("l_orderkey", "l_linenumber", "l_extendedprice",
+                    "l_discount", "l_tax", "l_quantity")
+    out = construct_feature(out, "charge",
+                            "l_extendedprice * (1 - l_discount) * (1 + l_tax)")
+    out = construct_feature(out, "bulk", "1 if l_quantity > 30 else 0")
+    out = construct_feature(out, "scaled",
+                            "sqrt(l_extendedprice) + log(l_quantity + 1)")
+    return out.select("l_orderkey", "l_linenumber", "charge", "bulk", "scaled")
+
+
 @query("q_rolling_mean", """
 SELECT event_id,
        avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
