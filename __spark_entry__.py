@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # importing the modules populates the registry
+import orange3_spark.plans.queries_analytics  # noqa: F401
 import orange3_spark.plans.queries_core  # noqa: F401
 import orange3_spark.plans.queries_media  # noqa: F401
 import orange3_spark.plans.queries_ml  # noqa: F401

@@ -1,0 +1,165 @@
+"""Analytics batch 3: distances, box-plot stats, sieve residuals, outliers,
+time binning — SURVEY §2.11 widget-level computations."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from orange3_spark.plans.registry import query
+from orange3_spark.session import load_tables
+from orange3_spark.stats import distance as D
+from orange3_spark.stats import outliers as O
+
+
+def _t(spark, sf_dir, *names):
+    d = load_tables(spark, sf_dir, names)
+    return [d[n] for n in names]
+
+
+def _nation_features(spark, sf_dir):
+    nation, customer, orders = _t(spark, sf_dir, "nation", "customer", "orders")
+    return (orders.join(customer, orders.o_custkey == customer.c_custkey)
+                  .join(nation, customer.c_nationkey == nation.n_nationkey)
+                  .groupBy("n_nationkey")
+                  .agg(F.count(F.lit(1)).cast("double").alias("n_orders"),
+                       F.avg("o_totalprice").alias("avg_price")))
+
+
+_NATION_SQL = """
+SELECT n.n_nationkey,
+       CAST(count(*) AS DOUBLE) AS n_orders,
+       avg(o.o_totalprice) AS avg_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_nationkey"""
+
+
+@query("q_distance_rows", f"""
+WITH f AS ({_NATION_SQL})
+SELECT a.n_nationkey AS id_a, b.n_nationkey AS id_b,
+       sqrt(power(a.n_orders - b.n_orders, 2)
+            + power(a.avg_price - b.avg_price, 2)) AS dist
+FROM f a JOIN f b ON a.n_nationkey < b.n_nationkey
+""")
+def q_distance_rows(spark, sf_dir):
+    """Pairwise row distances (Orange Distance, distance.py:198) — long-form
+    self-join; per-pair arithmetic is fixed-k column expressions."""
+    feats = _nation_features(spark, sf_dir)
+    return D.row_distances(feats, "n_nationkey", ["n_orders", "avg_price"],
+                           metric="euclidean")
+
+
+@query("q_distance_columns", """
+SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b,
+       sqrt(sum(power(l_quantity - l_discount, 2))) AS dist FROM lineitem
+UNION ALL
+SELECT 'l_quantity', 'l_tax', sqrt(sum(power(l_quantity - l_tax, 2))) FROM lineitem
+UNION ALL
+SELECT 'l_discount', 'l_tax', sqrt(sum(power(l_discount - l_tax, 2))) FROM lineitem
+""")
+def q_distance_columns(spark, sf_dir):
+    """Distances BETWEEN columns in one aggregation pass — the reference
+    transposes the matrix first; at scale the transpose never exists."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return D.column_distances(li, ["l_quantity", "l_discount", "l_tax"],
+                              metric="euclidean")
+
+
+@query("q_boxplot", """
+SELECT l_returnflag,
+       min(l_extendedprice) AS lo,
+       quantile_cont(l_extendedprice, 0.25) AS q1,
+       quantile_cont(l_extendedprice, 0.5) AS med,
+       quantile_cont(l_extendedprice, 0.75) AS q3,
+       max(l_extendedprice) AS hi,
+       avg(l_extendedprice) AS mean,
+       stddev_samp(l_extendedprice) AS sd
+FROM lineitem GROUP BY l_returnflag
+""")
+def q_boxplot(spark, sf_dir):
+    """Box-plot statistics per group (owboxplot.py): exact interpolated
+    quartiles + mean±sd in one grouped aggregation."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    p = lambda q: F.percentile("l_extendedprice", F.lit(q))
+    return (li.groupBy("l_returnflag")
+              .agg(F.min("l_extendedprice").alias("lo"),
+                   p(0.25).alias("q1"), p(0.5).alias("med"),
+                   p(0.75).alias("q3"),
+                   F.max("l_extendedprice").alias("hi"),
+                   F.avg("l_extendedprice").alias("mean"),
+                   F.stddev_samp("l_extendedprice").alias("sd")))
+
+
+@query("q_sieve_chi2", """
+WITH c AS (SELECT l_returnflag AS r, l_linestatus AS s, count(*) AS n
+           FROM lineitem GROUP BY 1, 2),
+tot AS (SELECT sum(n) AS total FROM c),
+m AS (SELECT r, s, n,
+             sum(n) OVER (PARTITION BY r) AS row_tot,
+             sum(n) OVER (PARTITION BY s) AS col_tot
+      FROM c)
+SELECT r AS l_returnflag, s AS l_linestatus, n AS observed,
+       row_tot * col_tot / tot.total AS expected,
+       power(n - row_tot * col_tot / tot.total, 2)
+         / (row_tot * col_tot / tot.total) AS chi2_cell
+FROM m, tot
+""")
+def q_sieve_chi2(spark, sf_dir):
+    """Sieve diagram statistics (owsieve.py): observed vs expected counts
+    and per-cell χ² contributions — contingency + window marginals."""
+    from pyspark.sql.window import Window
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    c = (li.groupBy(F.col("l_returnflag"), F.col("l_linestatus"))
+           .agg(F.count(F.lit(1)).alias("observed")))
+    wr = Window.partitionBy("l_returnflag")
+    wc = Window.partitionBy("l_linestatus")
+    wt = Window.partitionBy()
+    exp = (F.sum("observed").over(wr) * F.sum("observed").over(wc)
+           / F.sum("observed").over(wt))
+    return c.select(
+        "l_returnflag", "l_linestatus", "observed",
+        exp.alias("expected"),
+        (F.pow(F.col("observed") - exp, 2) / exp).alias("chi2_cell"))
+
+
+@query("q_outlier_iqr", """
+WITH q AS (SELECT quantile_cont(value, 0.25) AS q1,
+                  quantile_cont(value, 0.75) AS q3 FROM events)
+SELECT event_id, value
+FROM events, q
+WHERE value < q.q1 - 1.5 * (q.q3 - q.q1)
+   OR value > q.q3 + 1.5 * (q.q3 - q.q1)
+""")
+def q_outlier_iqr(spark, sf_dir):
+    """Tukey-fence outliers (owoutliers.py's rule-based cousin): one exact
+    quantile pass + a row-local predicate."""
+    (events,) = _t(spark, sf_dir, "events")
+    flagged = O.iqr_outliers(events, "value")
+    return flagged.filter("is_outlier").select("event_id", "value")
+
+
+@query("q_maha_outliers")  # no SQL oracle: matrix inverse (rows-only check)
+def q_maha_outliers(spark, sf_dir):
+    """Top-20 Mahalanobis-distance outliers over lineitem numerics
+    (elliptic-envelope statistic; covariance in one pass, row-local form)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    scored = O.mahalanobis_score(
+        li, ["l_quantity", "l_extendedprice", "l_discount"])
+    return (scored.orderBy(F.col("maha").desc(), "l_orderkey", "l_linenumber")
+                  .limit(20)
+                  .select("l_orderkey", "l_linenumber", "maha"))
+
+
+@query("q_time_bins", """
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+       count(*) AS n, sum(o_totalprice) AS total
+FROM orders GROUP BY 1
+""")
+def q_time_bins(spark, sf_dir):
+    """Time binning (time_binnings, discretize.py:523-566): calendar-unit
+    bins via date_trunc — pushdown-friendly, no UDF."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("o_totalprice").alias("total")))

@@ -1,0 +1,105 @@
+"""Outlier detection (``Orange/classification/outlier_detection.py``,
+widget ``owoutliers.py``).
+
+The reference wraps sklearn's One-class SVM / elliptic envelope / LOF /
+Isolation Forest — all driver-local.  The distributed equivalents here:
+
+  * IQR / z-score rules — exact, one aggregation pass + row-local predicate
+    (the boxplot whisker rule; oracle-checkable);
+  * Mahalanobis distance to the mean (elliptic-envelope's core statistic) —
+    one covariance pass + row-local quadratic form;
+  * kNN distance score (LOF's core statistic) — broadcast+BLAS like
+    similarity.neardup_cosine_matmul, bounded; LSH-bucket it beyond that.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from orange3_spark.stats.distance import inverse_covariance
+
+
+def iqr_outliers(df: DataFrame, col: str, *, k: float = 1.5,
+                 flag_col: str = "is_outlier") -> DataFrame:
+    """Tukey fences: outside [q1 − k·IQR, q3 + k·IQR] (exact quantiles)."""
+    q1, q3 = df.agg(F.percentile(col, F.lit(0.25)),
+                    F.percentile(col, F.lit(0.75))).first()
+    lo, hi = q1 - k * (q3 - q1), q3 + k * (q3 - q1)
+    return df.withColumn(flag_col,
+                         (F.col(col) < F.lit(lo)) | (F.col(col) > F.lit(hi)))
+
+
+def zscore_outliers(df: DataFrame, cols: Sequence[str], *, z: float = 3.0,
+                    flag_col: str = "is_outlier") -> DataFrame:
+    """|x − µ| > z·σ in ANY of the given columns."""
+    stats = df.agg(*[F.avg(c).alias(f"m_{c}") for c in cols],
+                   *[F.stddev_samp(c).alias(f"s_{c}") for c in cols]).first()
+    pred = F.lit(False)
+    for c in cols:
+        s = stats[f"s_{c}"] or float("inf")
+        pred = pred | (F.abs(F.col(c) - F.lit(stats[f"m_{c}"])) > F.lit(z * s))
+    return df.withColumn(flag_col, pred)
+
+
+def mahalanobis_score(df: DataFrame, cols: Sequence[str], *,
+                      score_col: str = "maha") -> DataFrame:
+    """Mahalanobis distance to the column means — the elliptic-envelope
+    statistic, as a row-local quadratic form with broadcast constants."""
+    means = df.agg(*[F.avg(c).alias(c) for c in cols]).first()
+    inv = inverse_covariance(df, cols)
+    diffs = [F.col(c).cast("double") - F.lit(float(means[c])) for c in cols]
+    q = F.lit(0.0)
+    for i in range(len(cols)):
+        for j in range(len(cols)):
+            if inv[i][j]:
+                q = q + diffs[i] * diffs[j] * F.lit(float(inv[i][j]))
+    return df.withColumn(score_col, F.sqrt(q))
+
+
+def knn_distance_score(df: DataFrame, id_col: str, cols: Sequence[str] = (),
+                       *, array_col: Optional[str] = None, k: int = 5,
+                       score_col: str = "knn_dist",
+                       max_broadcast_cells: int = 50_000_000) -> DataFrame:
+    """Mean distance to the k nearest neighbors (LOF's core signal):
+    broadcast matrix + per-partition BLAS, bounded."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    feat = list(cols)
+    if array_col is not None:
+        rows = df.select(id_col, array_col).collect()
+        mat = np.array([r[1] for r in rows], dtype=np.float64)
+    else:
+        rows = df.select(id_col, *feat).collect()
+        mat = np.array([r[1:] for r in rows], dtype=np.float64)
+    if mat.size > max_broadcast_cells:
+        raise ValueError("matrix exceeds broadcast bound; LSH-bucket first")
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    sc = df.sparkSession.sparkContext
+    b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
+
+    def run(pdf_iter):
+        import pandas as pd
+        X = b_mat.value
+        for pdf in pdf_iter:
+            if array_col is not None:
+                q = np.array(list(pdf[array_col]), dtype=np.float64)
+            else:
+                q = pdf[feat].to_numpy(dtype=np.float64)
+            qid = pdf[id_col].to_numpy(dtype=np.int64)
+            d2 = ((q ** 2).sum(1)[:, None] - 2 * q @ X.T
+                  + (X ** 2).sum(1)[None, :])
+            d2[qid[:, None] == b_ids.value[None, :]] = np.inf  # self
+            d2.sort(axis=1)
+            score = np.sqrt(np.maximum(d2[:, :k], 0)).mean(axis=1)
+            out = pdf[[id_col]].copy()
+            out[score_col] = score
+            yield out
+
+    schema = T.StructType([df.schema[id_col],
+                           T.StructField(score_col, T.DoubleType())])
+    return df.select(id_col, *(feat or [array_col])) \
+             .mapInPandas(run, schema=schema)
