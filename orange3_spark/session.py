@@ -55,6 +55,11 @@ def get_spark(app_name: str = "orange3-spark", **extra_conf: str) -> SparkSessio
         # (see load_tables).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # managed-table warehouse (bucketed tables, sources/bucketing.py) —
+        # kept out of the repo tree
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE",
+                               "/tmp/orange3_spark_warehouse"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in extra_conf.items():
