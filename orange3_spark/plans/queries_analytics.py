@@ -151,6 +151,88 @@ def q_maha_outliers(spark, sf_dir):
                   .select("l_orderkey", "l_linenumber", "maha"))
 
 
+@query("q3_shipping_priority", """
+SELECT l.l_orderkey,
+       sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""")
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → two joins → grouped revenue →
+    top-10.  Both date filters push into the parquet scans; the customer
+    side broadcasts."""
+    customer, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cut = "1995-03-15"
+    return (customer.filter(F.col("c_mktsegment") == "BUILDING")
+            .join(orders, customer.c_custkey == orders.o_custkey)
+            .filter(F.col("o_orderdate") < cut)
+            .join(li, li.l_orderkey == orders.o_orderkey)
+            .filter(F.col("l_shipdate") > cut)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+            .limit(10))
+
+
+@query("q6_forecast_revenue", """
+SELECT sum(l_extendedprice * l_discount) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+""")
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-filter-aggregate — every predicate reaches
+    the parquet reader, the aggregation is one map-side-combined pass."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= "1995-01-01")
+                      & (F.col("l_shipdate") < "1996-01-01")
+                      & F.col("l_discount").between(0.02, 0.04)
+                      & (F.col("l_quantity") < 24))
+              .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount"))
+                   .alias("revenue")))
+
+
+@query("q10_returned_items", """
+SELECT c.c_custkey, c.c_name,
+       sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+       n.n_name
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1995-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: fact-to-dims star join + top-k by grouped revenue."""
+    customer, orders, li, nation = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return (orders.filter((F.col("o_orderdate") >= "1995-01-01")
+                          & (F.col("o_orderdate") < "1995-04-01"))
+            .join(li.filter(F.col("l_returnflag") == "R"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+            .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "c_custkey")
+            .limit(20))
+
+
 @query("q_time_bins", """
 SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
        count(*) AS n, sum(o_totalprice) AS total

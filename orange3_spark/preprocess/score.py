@@ -120,6 +120,46 @@ def anova_f(df: DataFrame, cont_var: str, class_col: str) -> float:
     return (ss_between / (k - 1)) / (ss_within / (n - k))
 
 
+def relieff(df: DataFrame, features: Sequence[str], class_col: str, *,
+            n_samples: int = 200, k: int = 5, seed: int = 42) -> dict[str, float]:
+    """ReliefF feature scores on a BOUNDED sample (``score.py:338``).
+
+    The algorithm is inherently pairwise (nearest hit/miss per sampled
+    instance); the reference caps iterations the same way.  Sample
+    deterministically, pull to the driver (n_samples × k features — tiny),
+    score with vectorized numpy.  Documented bound per SURVEY §7 risk
+    register — at 100 TB the sample is still n_samples rows.
+    """
+    import numpy as np
+
+    cols = list(features)
+    sampled = (df.na.drop(subset=[*cols, class_col])
+                 .orderBy(F.md5(F.concat_ws("|", *[F.col(c).cast("string")
+                                                   for c in cols])))
+                 .limit(n_samples).collect())
+    if len(sampled) < 2:
+        return {c: 0.0 for c in cols}
+    X = np.array([[r[c] for c in cols] for r in sampled], dtype=np.float64)
+    y = np.array([r[class_col] for r in sampled])
+    rng_span = X.max(0) - X.min(0)
+    rng_span[rng_span == 0] = 1.0
+    Xn = (X - X.min(0)) / rng_span
+    n = len(Xn)
+    d = np.abs(Xn[:, None, :] - Xn[None, :, :]).sum(-1)
+    np.fill_diagonal(d, np.inf)
+    w = np.zeros(len(cols))
+    for i in range(n):
+        same = (y == y[i])
+        same[i] = False
+        for mask, sign in ((same, -1.0), (~same & (np.arange(n) != i), 1.0)):
+            idx = np.where(mask)[0]
+            if idx.size == 0:
+                continue
+            nearest = idx[np.argsort(d[i, idx])[:k]]
+            w += sign * np.abs(Xn[nearest] - Xn[i]).mean(0)
+    return {c: float(v / n) for c, v in zip(cols, w)}
+
+
 def select_best_features(df: DataFrame, features: Sequence[str],
                          class_col: str, *, scorer=info_gain,
                          k: int = 5) -> list[str]:

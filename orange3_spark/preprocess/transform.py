@@ -150,6 +150,64 @@ def impute_random(df: DataFrame, col: str, *, seed: int = 42) -> DataFrame:
 
 # ------------------------------------------------------------------- normalize
 
+def impute_model(df: DataFrame, col: str, features: Sequence[str], *,
+                 discrete: bool = False) -> DataFrame:
+    """Model-based imputation (``impute.py:176-225``): fit a learner on the
+    rows where ``col`` is defined (features = the other columns), predict
+    the missing rows, coalesce.  One fit + one distributed predict."""
+    from orange3_spark.ml import learners as L
+
+    defined = df.filter(F.col(col).isNotNull())
+    if discrete:
+        model = L.random_forest_classifier(defined, features, col)
+    else:
+        model = L.ols_learner(defined, features, col)
+    pred = model.predict(df)
+    return (pred.withColumn(col, F.coalesce(F.col(col), F.col("prediction")))
+                .drop("prediction"))
+
+
+def randomize(df: DataFrame, columns: Sequence[str], *,
+              seed: int = 42) -> DataFrame:
+    """Randomize: shuffle selected columns INDEPENDENTLY of the rest,
+    breaking row correlation (``preprocess.py:357-440``).
+
+    Each shuffled column is reassigned by joining the row-numbered frame
+    with its own values re-numbered in a seeded random order — per column
+    one sort, no driver round-trip.
+    """
+    from pyspark.sql.window import Window
+
+    out = df.withColumn(
+        "_rn", F.row_number().over(Window.orderBy(F.monotonically_increasing_id())))
+    for i, c in enumerate(columns):
+        shuffled = (out.select(F.col(c).alias(f"_sh_{c}"))
+                    .withColumn("_rn", F.row_number().over(
+                        Window.orderBy(F.rand(seed + i)))))
+        out = out.drop(c).join(shuffled, "_rn") \
+                 .withColumnRenamed(f"_sh_{c}", c)
+    return out.drop("_rn")
+
+
+def create_instance(df: DataFrame, method: str = "mean", *,
+                    values: Optional[Mapping[str, object]] = None) -> DataFrame:
+    """Create Instance (``owcreateinstance.py``): synthesize one row from
+    column statistics (mean/median/mode) or explicit values."""
+    if values is not None:
+        row = dict(values)
+    else:
+        agg = {"mean": F.avg, "median": lambda c: F.median(c),
+               "mode": F.mode}[method]
+        numeric = [f.name for f in df.schema.fields
+                   if f.dataType.typeName() in
+                   ("double", "float", "integer", "long", "short")]
+        exprs = [agg(c).alias(c) if c in numeric else F.mode(c).alias(c)
+                 for c in df.columns]
+        row = df.agg(*exprs).first().asDict()
+    return df.sparkSession.createDataFrame([tuple(row.get(c) for c in df.columns)],
+                                           df.select(*df.columns).schema)
+
+
 def normalize(df: DataFrame, columns: Sequence[str], *,
               method: str = "standardize",  # standardize|center|scale|span_01|span_11
               ) -> DataFrame:

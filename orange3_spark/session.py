@@ -60,6 +60,9 @@ def get_spark(app_name: str = "orange3-spark", **extra_conf: str) -> SparkSessio
         .config("spark.sql.warehouse.dir",
                 os.environ.get("SPARK_GRAFT_WAREHOUSE",
                                "/tmp/orange3_spark_warehouse"))
+        # full PushedFilters/ReadSchema in explain output (default truncates
+        # at 100 chars; plan-regression tests read these)
+        .config("spark.sql.maxMetadataStringLength", "2000")
         .config("spark.ui.enabled", "false")
     )
     for k, v in extra_conf.items():

@@ -13,6 +13,7 @@ with ``saveAsTable``); the warehouse dir is set in session.py.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,6 +26,17 @@ def write_bucketed(df: DataFrame, table: str, keys: Sequence[str],
     """Persist as a parquet table bucketed (and optionally sorted) on
     ``keys``.  Pick ``num_buckets`` ≈ cluster cores × small factor; both
     sides of a co-located join must use the SAME bucket count."""
+    if mode == "overwrite":
+        # a fresh session's catalog doesn't know about tables written by a
+        # previous process, but their warehouse directories persist — drop
+        # both, or saveAsTable fails with LOCATION_ALREADY_EXISTS
+        import shutil
+
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        loc = os.path.join(wh.removeprefix("file:"), table.lower())
+        shutil.rmtree(loc, ignore_errors=True)
     w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *keys)
     if sort_by:
         w = w.sortBy(*sort_by)

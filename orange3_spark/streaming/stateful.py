@@ -1,0 +1,109 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+Beyond the built-in windowed aggregations (windows.py): per-key state that
+survives across micro-batches — the Structured Streaming escape hatch for
+operators Spark doesn't ship (SURVEY §2.13 names this the extension path).
+
+Two operators:
+  * running_totals — per-key cumulative count/sum maintained in the state
+    store; emits the updated totals every micro-batch a key appears in.
+  * cusum_drift — per-key CUSUM drift detector (classic S_n = max(0,
+    S_{n−1} + x − target − slack)): flags when the one-sided cumulative
+    deviation exceeds a threshold.  The canonical streaming-quality monitor
+    for a training-data pipeline (e.g. watch a quality score drift down).
+
+Both also run in BATCH mode through applyInPandas with the same per-key
+pandas kernel — one implementation, two execution modes, mirroring
+windows.py's design.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+TOTALS_SCHEMA = T.StructType([
+    T.StructField("key", T.LongType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("total", T.DoubleType()),
+])
+_TOTALS_STATE = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("total", T.DoubleType()),
+])
+
+
+def _totals_fn(key, pdf_iter, state):
+    import pandas as pd
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"key": [key[0]], "n": [n], "total": [total]})
+
+
+def running_totals_stream(df: DataFrame, key_col: str = "user_id",
+                          value_col: str = "value",
+                          timeout: str = "NoTimeout") -> DataFrame:
+    """Streaming per-key running totals; state persists across micro-batches
+    (GroupState in the state store, bounded by key cardinality)."""
+    from pyspark.sql import functions as F
+
+    renamed = df.select(F.col(key_col).alias("key"),
+                        F.col(value_col).alias("value"))
+    return (renamed.groupBy("key")
+            .applyInPandasWithState(_totals_fn, TOTALS_SCHEMA, _TOTALS_STATE,
+                                    "update", timeout))
+
+
+def running_totals_batch(df: DataFrame, key_col: str = "user_id",
+                         value_col: str = "value") -> DataFrame:
+    """Same result computed as a batch aggregation (the oracle twin)."""
+    from pyspark.sql import functions as F
+
+    return (df.groupBy(F.col(key_col).alias("key"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(value_col).cast("double").alias("total")))
+
+
+CUSUM_SCHEMA = T.StructType([
+    T.StructField("key", T.LongType()),
+    T.StructField("cusum", T.DoubleType()),
+    T.StructField("drifted", T.BooleanType()),
+])
+_CUSUM_STATE = T.StructType([T.StructField("s", T.DoubleType())])
+
+
+def make_cusum_fn(target: float, slack: float, threshold: float):
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+        (s,) = state.get if state.exists else (0.0,)
+        for pdf in pdf_iter:
+            # order within the batch by event time if present
+            if "ts" in pdf.columns:
+                pdf = pdf.sort_values("ts")
+            for v in pdf["value"]:
+                s = max(0.0, s + float(v) - target - slack)
+        state.update((s,))
+        yield pd.DataFrame({"key": [key[0]], "cusum": [s],
+                            "drifted": [s > threshold]})
+    return fn
+
+
+def cusum_drift_stream(df: DataFrame, key_col: str = "user_id",
+                       value_col: str = "value", *, target: float,
+                       slack: float = 0.0, threshold: float = 5.0) -> DataFrame:
+    """Streaming CUSUM drift detection per key."""
+    from pyspark.sql import functions as F
+
+    cols = [F.col(key_col).alias("key"), F.col(value_col).alias("value")]
+    if "ts" in df.columns:
+        cols.append(F.col("ts"))
+    renamed = df.select(*cols)
+    return (renamed.groupBy("key")
+            .applyInPandasWithState(make_cusum_fn(target, slack, threshold),
+                                    CUSUM_SCHEMA, _CUSUM_STATE,
+                                    "update", "NoTimeout"))

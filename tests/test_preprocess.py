@@ -135,3 +135,58 @@ def test_normalize_standardize(spark):
     out01 = P.normalize(df, ["x"], method="span_01")
     mm = out01.agg(F.min("x").alias("a"), F.max("x").alias("b")).collect()[0]
     assert (mm["a"], mm["b"]) == (0.0, 1.0)
+
+
+def test_impute_model(spark):
+    from orange3_spark.preprocess.transform import impute_model
+
+    rows = [(float(i), 2.0 * i + 1) for i in range(20)]
+    rows += [(100.0, None), (200.0, None)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = impute_model(df, "y", ["x"])
+    got = {r.x: r.y for r in out.collect()}
+    assert abs(got[100.0] - 201.0) < 1e-6   # learned y = 2x + 1
+    assert abs(got[200.0] - 401.0) < 1e-6
+    assert got[3.0] == 7.0                  # defined rows untouched
+
+
+def test_randomize_breaks_correlation(spark):
+    from orange3_spark.preprocess.transform import randomize
+
+    df = spark.createDataFrame(
+        [(float(i), float(i)) for i in range(200)], "a double, b double")
+    out = randomize(df, ["b"], seed=1)
+    assert out.count() == 200
+    # marginal distribution preserved...
+    assert sorted(r.b for r in out.collect()) == [float(i) for i in range(200)]
+    # ...but the perfect correlation with a is destroyed
+    corr = out.stat.corr("a", "b")
+    assert abs(corr) < 0.5
+
+
+def test_create_instance(spark):
+    from orange3_spark.preprocess.transform import create_instance
+
+    df = spark.createDataFrame(
+        [(1.0, "x"), (3.0, "x"), (5.0, "y")], "v double, c string")
+    row = create_instance(df, "mean").first()
+    assert row.v == 3.0 and row.c == "x"
+    manual = create_instance(df, values={"v": 9.0, "c": "z"}).first()
+    assert manual.v == 9.0 and manual.c == "z"
+
+
+def test_relieff_ranks_informative_feature(spark):
+    from orange3_spark.preprocess.score import relieff
+
+    import numpy as np
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(300):
+        cls = i % 2
+        inf = cls * 2.0 + rng.normal(0, 0.2)     # separates classes
+        noise = rng.normal(0, 1.0)               # doesn't
+        rows.append((float(inf), float(noise), cls))
+    df = spark.createDataFrame(rows, "inf double, noise double, cls int")
+    w = relieff(df, ["inf", "noise"], "cls", n_samples=150)
+    assert w["inf"] > w["noise"]
+    assert w["inf"] > 0

@@ -1,0 +1,70 @@
+"""Custom stateful streaming: state persists across micro-batches."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from orange3_spark.streaming import stateful as ST
+from orange3_spark.streaming import windows as SW
+
+
+def _write_batch(d, name, keys, values):
+    pdf = pd.DataFrame({"user_id": keys, "value": values})
+    pdf.to_parquet(d / name)
+
+
+def test_running_totals_across_microbatches(spark, tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    _write_batch(d, "b1.parquet", [1, 1, 2], [10.0, 5.0, 1.0])
+    schema = spark.read.parquet(str(d / "b1.parquet")).schema
+    stream = SW.stream_from_directory(spark, str(d), schema,
+                                      max_files_per_trigger=1)
+    out = ST.running_totals_stream(stream)
+    q = (out.writeStream.format("memory").queryName("s_tot")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    # second micro-batch: key 1 gains more rows — state must accumulate
+    _write_batch(d, "b2.parquet", [1, 3], [100.0, 7.0])
+    q2 = (out.writeStream.format("memory").queryName("s_tot2")
+          .outputMode("update").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+
+    latest = {r.key: r for r in spark.table("s_tot2").collect()}
+    assert latest[1].n == 3 and latest[1].total == 115.0
+    assert latest[3].n == 1 and latest[3].total == 7.0
+
+
+def test_stream_totals_equal_batch(spark, tmp_path):
+    d = tmp_path / "in2"
+    d.mkdir()
+    _write_batch(d, "b1.parquet", [1, 2, 2, 3], [1.0, 2.0, 3.0, 4.0])
+    schema = spark.read.parquet(str(d / "b1.parquet")).schema
+    stream = SW.stream_from_directory(spark, str(d), schema)
+    got = ST.running_totals_stream(stream)
+    q = (got.writeStream.format("memory").queryName("s_eq")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    want = ST.running_totals_batch(spark.read.parquet(str(d)))
+    assert sorted(map(tuple, spark.table("s_eq").collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
+def test_cusum_detects_drift(spark, tmp_path):
+    d = tmp_path / "in3"
+    d.mkdir()
+    # key 1 stays on target (1.0); key 2 drifts high
+    _write_batch(d, "b1.parquet", [1] * 5 + [2] * 5,
+                 [1.0] * 5 + [3.0] * 5)
+    schema = spark.read.parquet(str(d / "b1.parquet")).schema
+    stream = SW.stream_from_directory(spark, str(d), schema)
+    out = ST.cusum_drift_stream(stream, target=1.0, slack=0.1, threshold=5.0)
+    q = (out.writeStream.format("memory").queryName("s_cusum")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.key: r for r in spark.table("s_cusum").collect()}
+    assert not got[1].drifted and got[1].cusum == 0.0
+    assert got[2].drifted and got[2].cusum > 5.0
