@@ -169,6 +169,65 @@ def q_neardup_cosine(spark, sf_dir):
     return K.neardup_cosine_matmul(emb, threshold=0.4)
 
 
+@query("q_top_ngrams", """
+WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+1], ' ') AS shingle
+       FROM toks, unnest(range(1, len(w))) AS u(i)),
+counts AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+SELECT shingle, df FROM counts ORDER BY df DESC, shingle LIMIT 20
+""")
+def q_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-20 bigrams by document frequency (vocabulary /
+    boilerplate probe): shingle explode + one combined count shuffle."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return TA.top_ngrams(docs, n=2, k=20)
+
+
+@query("q_redact", """
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '[0-9]{3}[- .][0-9]{3,4}[- .][0-9]{4}', '<PHONE>', 'g'),
+           '[0-9]+', '<NUM>', 'g')) AS fp
+FROM documents
+""")
+def q_redact(spark, sf_dir):
+    """PII scrubbing pass (emails → phones → numbers) — ordered row-local
+    regexp chain; output fingerprinted for the compare."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.md5(TA.redact("text")).alias("fp"))
+
+
+@query("q_dup_clusters", """
+WITH RECURSIVE
+toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+       FROM toks, unnest(range(1, len(w)-1)) AS u(i)),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b
+          FROM p JOIN sz sa ON p.id_a = sa.doc_id
+                 JOIN sz sb ON p.id_b = sb.doc_id
+          WHERE inter / (sa.sz + sb.sz - inter) >= 0.2),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+walk (id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.id)
+SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id
+""")
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components over the Jaccard pair graph
+    via iterative min-label propagation (one join+groupBy per round,
+    converges in O(component diameter)); the oracle is a recursive CTE."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = TD.jaccard_pairs(docs, n=3, threshold=0.2)
+    return TD.dup_clusters(pairs)
+
+
 @query("q_fingerprint", """
 SELECT doc_id, md5(array_to_string(string_split(text, ' '), ' ')) AS fp
 FROM documents

@@ -131,6 +131,39 @@ def fingerprint(col: str) -> Column:
     return F.xxhash64(F.array_join(tokens(col), " "))
 
 
+def top_ngrams(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", *, n: int = 2,
+               k: int = 20) -> DataFrame:
+    """Corpus-wide top-k n-grams by document frequency — the vocabulary/
+    boilerplate probe of a training-data pipeline.  One shingle explode +
+    one count shuffle (map-side combined); deterministic tie-break."""
+    from orange3_spark.text.dedup import shingle_table
+
+    sh = shingle_table(df, text_col, id_col, n)
+    return (sh.groupBy("shingle")
+              .agg(F.count(F.lit(1)).alias("df"))
+              .orderBy(F.col("df").desc(), "shingle")
+              .limit(k))
+
+
+# Portable (Java regex ∩ RE2) redaction patterns — PII scrubbing pass
+REDACT_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]{3}[- .][0-9]{3,4}[- .][0-9]{4}", "<PHONE>"),
+    (r"[0-9]+", "<NUM>"),
+)
+
+
+def redact(col: str | Column,
+           patterns=REDACT_PATTERNS) -> Column:
+    """Ordered regexp scrubbing (emails → phones → bare numbers): row-local
+    regexp_replace chain, fully codegen/pushdown-compatible."""
+    out = F.col(col) if isinstance(col, str) else col
+    for pat, repl in patterns:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
 def text_stats(df: DataFrame, col: str = "text") -> DataFrame:
     """Attach the standard per-document stats columns in one select."""
     return df.select(

@@ -215,6 +215,51 @@ def dedup_minhash(df: DataFrame, text_col: str = "text",
     return out
 
 
+# ------------------------------------------------------------- dup clusters
+
+def dup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → ``(doc_id, cluster_id)``
+    with cluster_id = min id in the component (the survivor each duplicate
+    group keeps).
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in O(diameter)
+    rounds ≤ O(log n) for typical dup clusters (they're near-cliques, so
+    usually 2-3 rounds).  Each round is one join + one groupBy — the
+    standard way to run small-fixpoint graph algorithms without a graph
+    library.  Input: (id_a, id_b) pairs from any dedup operator.
+    """
+    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+             .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                       F.col("id_a").alias("dst"))))
+    # edges drive EVERY propagation round — cache, or the upstream pair
+    # computation (shingle join / LSH) re-executes per iteration
+    edges = edges.cache()
+    labels = (edges.select(F.col("src").alias("id"))
+              .distinct()
+              .withColumn("cluster_id", F.col("id")))
+    for _ in range(max_iters):
+        neighbor_min = (edges.join(labels, edges.dst == labels.id)
+                        .groupBy("src")
+                        .agg(F.min("cluster_id").alias("nmin")))
+        updated = (labels.join(neighbor_min, labels.id == neighbor_min.src,
+                               "left")
+                   .select(F.col("id"),
+                           F.least(F.col("cluster_id"),
+                                   F.coalesce(F.col("nmin"),
+                                              F.col("cluster_id")))
+                           .alias("cluster_id")))
+        updated = updated.localCheckpoint()   # cut the growing lineage
+        changed = (updated.alias("u")
+                   .join(labels.alias("l"), "id")
+                   .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+                   .limit(1).count())
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 # -------------------------------------------------------------------- SimHash
 
 def simhash_table(df: DataFrame, text_col: str = "text",

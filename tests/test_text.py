@@ -121,3 +121,47 @@ def test_neardup_cosine_lsh_recall(spark, sf_dir):
     assert approx <= exact
     if exact:
         assert len(approx) / len(exact) >= 0.5  # 8-table recall
+
+
+def test_dup_clusters_components(spark):
+    from orange3_spark.text.dedup import dup_clusters
+
+    # components: {1,2,3} via chain 1-2, 2-3; {7,9}; singleton pairs absent
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_dup_clusters_long_chain(spark):
+    from orange3_spark.text.dedup import dup_clusters
+
+    # a 12-node path: worst-case diameter for label propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert set(got.values()) == {0} and len(got) == 13
+
+
+def test_redact(spark):
+    from orange3_spark.text.analysis import redact
+
+    df = spark.createDataFrame(
+        [("mail me at bob.smith@example.com or call 555-123-4567 x42",)],
+        ["text"])
+    out = df.select(redact("text").alias("r")).first().r
+    assert "<EMAIL>" in out and "<PHONE>" in out
+    assert "example.com" not in out and "555" not in out
+    assert out.endswith("x<NUM>")
+
+
+def test_top_ngrams(spark):
+    from orange3_spark.text.analysis import top_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "the quick fox"), (2, "the quick dog"), (3, "a quick dog")],
+        "doc_id long, text string")
+    top = top_ngrams(df, n=2, k=2).collect()
+    # "quick dog" and "the quick" both have df=2; tie-break is alphabetical
+    assert {(r.shingle, r.df) for r in top} == \
+        {("quick dog", 2), ("the quick", 2)}
