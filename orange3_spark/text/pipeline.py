@@ -1,0 +1,86 @@
+"""End-to-end training-data preparation: the composition the engine exists
+for — quality-filter → exact dedup → near-dup cluster prune → deterministic
+split — each stage an operator from this package, the whole thing one lazy
+DataFrame plan until the sink.
+
+Stage costs at 100 TB:
+  quality   — row-local expressions, fused into the scan (no shuffle);
+  exact     — one shuffle on text hash;
+  near-dup  — MinHash+LSH banding (shuffles on bounded band buckets), then
+              component pruning on the tiny pair graph;
+  split     — row-local hash threshold (no shuffle, reproducible).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from orange3_spark.operators.sample import sample_hash
+from orange3_spark.text import analysis as TA
+from orange3_spark.text import dedup as TD
+
+
+@dataclass
+class PipelineReport:
+    input_docs: int = 0
+    after_quality: int = 0
+    after_exact: int = 0
+    after_neardup: int = 0
+    train_docs: int = 0
+    holdout_docs: int = 0
+
+
+def prepare_training_data(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
+    min_tokens: int = 10, max_tokens: int = 100_000,
+    max_punct_ratio: float = 0.2, min_stopword_ratio: float = 0.01,
+    jaccard_threshold: float = 0.8, holdout_fraction: float = 0.01,
+    report: Optional[PipelineReport] = None,
+) -> tuple[DataFrame, DataFrame]:
+    """→ (train, holdout) document sets.  Pass ``report`` to collect stage
+    counts (forces evaluation per stage; leave None for one fused plan)."""
+    def _n(df):
+        return df.count() if report is not None else 0
+
+    if report is not None:
+        report.input_docs = _n(docs)
+
+    # 1. quality gate — Gopher/C4-style signals as row-local expressions
+    toks = TA.token_count(text_col)
+    quality = docs.filter(
+        (toks >= min_tokens) & (toks <= max_tokens)
+        & (TA.punct_ratio(text_col) <= max_punct_ratio)
+        & (TA.stopword_ratio(text_col, list(TA.LANG_MARKERS["en"]))
+           >= min_stopword_ratio))
+    if report is not None:
+        report.after_quality = _n(quality)
+
+    # 2. exact dedup — keep lowest id per normalized text
+    survivors = TD.dedup_exact(quality, text_col, id_col).select(id_col)
+    exact = quality.join(survivors, id_col, "left_semi")
+    if report is not None:
+        report.after_exact = _n(exact)
+
+    # 3. near-dup pruning — LSH candidates, Jaccard-verified, keep one doc
+    #    (the min id) per duplicate component
+    pairs = TD.dedup_minhash(exact, text_col, id_col,
+                             threshold=jaccard_threshold)
+    clusters = TD.dup_clusters(pairs)
+    losers = (clusters.filter(F.col("doc_id") != F.col("cluster_id"))
+                      .select(F.col("doc_id").alias(id_col)))
+    deduped = exact.join(losers, id_col, "left_anti")
+    if report is not None:
+        report.after_neardup = _n(deduped)
+
+    # 4. reproducible holdout carve-out — membership is a pure function of
+    #    the doc id (stable under re-runs and repartitioning)
+    holdout = sample_hash(deduped, id_col, holdout_fraction, salt="holdout")
+    train = deduped.join(holdout.select(id_col), id_col, "left_anti")
+    if report is not None:
+        report.train_docs = _n(train)
+        report.holdout_docs = _n(holdout)
+    return train, holdout

@@ -165,3 +165,28 @@ def test_top_ngrams(spark):
     # "quick dog" and "the quick" both have df=2; tie-break is alphabetical
     assert {(r.shingle, r.df) for r in top} == \
         {("quick dog", 2), ("the quick", 2)}
+
+
+def test_prepare_training_data_pipeline(spark, sf_dir):
+    from orange3_spark.text.pipeline import PipelineReport, prepare_training_data
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # plant exact + near duplicates
+    dup = docs.limit(5).selectExpr("doc_id + 100000 AS doc_id", "text",
+                                   "lang", "source", "n_chars")
+    corpus = docs.unionByName(dup)
+    rep = PipelineReport()
+    train, holdout = prepare_training_data(
+        corpus, jaccard_threshold=0.8, holdout_fraction=0.1, report=rep)
+    assert rep.input_docs == docs.count() + 5
+    assert rep.after_quality <= rep.input_docs
+    assert rep.after_exact == rep.after_quality - 5   # planted dups collapse
+    assert rep.after_neardup <= rep.after_exact
+    assert rep.train_docs + rep.holdout_docs == rep.after_neardup
+    assert rep.holdout_docs > 0
+    # disjoint and reproducible
+    assert train.join(holdout, "doc_id", "inner").count() == 0
+    _, h2 = prepare_training_data(
+        corpus, jaccard_threshold=0.8, holdout_fraction=0.1)
+    assert sorted(r.doc_id for r in holdout.select("doc_id").collect()) == \
+        sorted(r.doc_id for r in h2.select("doc_id").collect())
