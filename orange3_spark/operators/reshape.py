@@ -174,6 +174,30 @@ def pivot_totals(
     return df.cube(row_var, col_var).agg(expr)
 
 
+def hstack(left: DataFrame, right: DataFrame, *,
+           row_id: Optional[str] = None) -> DataFrame:
+    """Horizontal concatenation (``Table.concatenate(axis=1)``,
+    ``table.py:1417-1439``): same row count, unique names.
+
+    With ``row_id`` given, an equi-join on it (order-independent — the only
+    sane distributed semantics).  Without, both sides are numbered by a
+    window over a global order-preserving id and joined on position — valid
+    only when both frames derive from the SAME ordered source; prefer an
+    explicit key.
+    """
+    from pyspark.sql.window import Window
+
+    dup = set(left.columns) & set(right.columns) - ({row_id} if row_id else set())
+    if dup:
+        raise ValueError(f"duplicate columns: {sorted(dup)}")
+    if row_id is not None:
+        return left.join(right, row_id)
+    w = Window.orderBy(F.monotonically_increasing_id())
+    ln = left.withColumn("_pos", F.row_number().over(w))
+    rn = right.withColumn("_pos", F.row_number().over(w))
+    return ln.join(rn, "_pos").drop("_pos")
+
+
 # ------------------------------------------------------------------ transpose
 
 def transpose(df: DataFrame, name_col: Optional[str] = None,

@@ -180,6 +180,40 @@ def q_cv_folds(spark, sf_dir):
                        F.sum("o_totalprice").alias("total")))
 
 
+@query("q_weighted_distribution", """
+SELECT o_orderpriority, sum(o_totalprice) AS weight, count(*) AS freq
+FROM orders GROUP BY o_orderpriority
+""")
+def q_weighted_distribution(spark, sf_dir):
+    """Weighted value counts (the W column is first-class in the reference;
+    here any numeric column can weight a distribution)."""
+    from orange3_spark.stats.basic import weighted_distribution
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    return weighted_distribution(orders, "o_orderpriority", "o_totalprice")
+
+
+@query("q_hstack", """
+SELECT o.o_orderkey, o.o_totalprice, a.li_count, a.li_qty
+FROM orders o JOIN (
+  SELECT l_orderkey AS o_orderkey, count(*) AS li_count,
+         sum(l_quantity) AS li_qty
+  FROM lineitem GROUP BY 1) a USING (o_orderkey)
+""")
+def q_hstack(spark, sf_dir):
+    """Horizontal concatenation on an explicit row key
+    (Table.concatenate(axis=1), table.py:1417-1439)."""
+    from orange3_spark.operators.reshape import hstack
+
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    agg = (li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+             .agg(F.count(F.lit(1)).alias("li_count"),
+                  F.sum("l_quantity").alias("li_qty")))
+    out = hstack(orders.select("o_orderkey", "o_totalprice"), agg,
+                 row_id="o_orderkey")
+    return out.select("o_orderkey", "o_totalprice", "li_count", "li_qty")
+
+
 @query("q_feature_constructor", """
 SELECT l_orderkey, l_linenumber,
        l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,

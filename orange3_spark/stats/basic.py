@@ -95,6 +95,15 @@ def contingency(df: DataFrame, var: str, class_var: str) -> DataFrame:
               .agg(F.count(F.lit(1)).alias("freq")))
 
 
+def weighted_distribution(df: DataFrame, column: str,
+                          weight_col: str) -> DataFrame:
+    """Weighted value counts (``Orange/statistics/distribution.py`` weighted
+    variants — the ``W`` column is first-class in the reference)."""
+    return (df.groupBy(column)
+              .agg(F.sum(weight_col).alias("weight"),
+                   F.count(F.lit(1)).alias("freq")))
+
+
 def crosstab(df: DataFrame, row: str, col: str) -> DataFrame:
     return df.stat.crosstab(row, col)
 
