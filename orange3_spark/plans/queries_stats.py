@@ -180,6 +180,28 @@ def q_cv_folds(spark, sf_dir):
                        F.sum("o_totalprice").alias("total")))
 
 
+_SQL_PASSTHROUGH = """
+SELECT c_mktsegment,
+       count(*) AS n,
+       avg(o_totalprice) AS avg_price,
+       max(o_totalprice) AS max_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@query("q_sql_passthrough", _SQL_PASSTHROUGH)
+def q_sql_passthrough(spark, sf_dir):
+    """Raw-SQL entry point: the IDENTICAL ANSI string runs through
+    spark.sql over registered views and through the DuckDB oracle — the
+    engine's SQL surface needs no translation layer (the reference has no
+    SQL parser at all, SURVEY intro)."""
+    from orange3_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_PASSTHROUGH)
+
+
 @query("q_weighted_distribution", """
 SELECT o_orderpriority, sum(o_totalprice) AS weight, count(*) AS freq
 FROM orders GROUP BY o_orderpriority

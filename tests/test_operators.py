@@ -120,3 +120,24 @@ def test_stratified_sample(spark, sf_dir):
     cust = load_tables(spark, sf_dir, ("customer",))["customer"]
     s = SA.sample_fraction(cust, 0.5, seed=42, stratify_by="c_mktsegment")
     assert 0 < s.count() < cust.count()
+
+
+def test_hstack_positional_and_keyed(spark):
+    from orange3_spark.operators.reshape import hstack
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "id long, a string")
+    b = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double")
+    keyed = hstack(a, b, row_id="id").orderBy("id").collect()
+    assert [(r.a, r.v) for r in keyed] == [("x", 10.0), ("y", 20.0)]
+    pos = hstack(a.drop("id"), b.drop("id")).collect()
+    assert len(pos) == 2 and {r.a for r in pos} == {"x", "y"}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        hstack(a, a.withColumnRenamed("id", "id2"))  # duplicate 'a' column
+
+
+def test_jdbc_reader_surface():
+    """No DB here — assert the option plumbing builds a reader without
+    touching the network (load() not called)."""
+    from orange3_spark.sources import jdbc
+    assert callable(jdbc.read_jdbc)
