@@ -62,6 +62,94 @@ def silhouette(clustered: DataFrame, features: Sequence[str] = (), *,
         metricName="silhouette").evaluate(assembled))
 
 
+def dbscan(df: DataFrame, id_col: str, features: Sequence[str], *,
+           eps: float, min_pts: int = 5,
+           grid_blocking: bool = True) -> DataFrame:
+    """Distributed DBSCAN (``Orange/clustering/dbscan.py`` wraps sklearn —
+    single-process; MLlib has none).
+
+    Construction from this engine's primitives:
+      1. ε-neighbor pairs — grid-blocked: bucket points into cells of side
+         ε, join each point only against its 3^k neighboring cells (never
+         the full cross join), filter to true distance ≤ ε;
+      2. core points — neighbor-count ≥ min_pts − 1 (plus self);
+      3. clusters — connected components over CORE-CORE edges (the same
+         min-label propagation as text.dedup.dup_clusters);
+      4. border points — non-core points adopt the cluster of any core
+         ε-neighbor (min label for determinism); everything else is noise
+         (cluster −1).
+
+    Cost: one shuffle on grid cells + the small fixpoint on core edges —
+    the textbook MR-DBSCAN shape.  ``grid_blocking=False`` falls back to
+    the all-pairs join (tiny data / correctness checks).
+    """
+    from orange3_spark.text.dedup import dup_clusters
+
+    k = len(features)
+    pts = df.select(F.col(id_col).alias("id"),
+                    *[F.col(c).cast("double").alias(c) for c in features])
+
+    if k > 6:
+        # 3^k neighbor cells explodes; beyond ~6 dims grid cells are empty
+        # anyway (curse of dimensionality) — use all-pairs or LSH-block first
+        grid_blocking = False
+    if grid_blocking:
+        cells = [F.floor(F.col(c) / eps).cast("long").alias(f"g_{c}")
+                 for c in features]
+        a = pts.select("id", *features, *cells)
+        # neighbor-cell expansion on one side only: explode each point into
+        # its 3^k surrounding cells, join the other side on exact cell
+        offsets = [()]
+        for _ in range(k):
+            offsets = [o + (d,) for o in offsets for d in (-1, 0, 1)]
+        expand = F.explode(F.array(*[
+            F.struct(*[(F.col(f"g_{c}") + d).alias(f"g_{c}")
+                       for c, d in zip(features, off)])
+            for off in offsets])).alias("cell")
+        probe = (a.select("id", *features, expand)
+                   .select("id", *features,
+                           *[F.col(f"cell.g_{c}").alias(f"g_{c}")
+                             for c in features]))
+        joined = probe.alias("x").join(
+            a.alias("y"),
+            [F.col(f"x.g_{c}") == F.col(f"y.g_{c}") for c in features]
+            + [F.col("x.id") < F.col("y.id")])
+    else:
+        joined = pts.alias("x").join(pts.alias("y"),
+                                     F.col("x.id") < F.col("y.id"))
+    d2 = sum(((F.col(f"x.{c}") - F.col(f"y.{c}")) ** 2 for c in features),
+             F.lit(0.0))
+    pairs = (joined.filter(d2 <= eps * eps)
+             .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+             .distinct().cache())
+
+    deg = (pairs.select(F.col("id_a").alias("id"))
+           .unionByName(pairs.select(F.col("id_b").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("n_nbrs")))
+    core = deg.filter(F.col("n_nbrs") >= min_pts - 1).select("id").cache()
+
+    core_edges = (pairs
+                  .join(core.withColumnRenamed("id", "id_a"), "id_a", "left_semi")
+                  .join(core.withColumnRenamed("id", "id_b"), "id_b", "left_semi"))
+    comps = dup_clusters(core_edges.select("id_a", "id_b"))  # (doc_id, cluster_id)
+    core_lbl = (core.join(comps, core.id == comps.doc_id, "left")
+                .select("id",
+                        F.coalesce("cluster_id", "id").alias("cluster_id")))
+    # border: non-core with a core neighbor adopts min core cluster
+    nbrs = (pairs.select(F.col("id_a").alias("id"), F.col("id_b").alias("nbr"))
+            .unionByName(pairs.select(F.col("id_b").alias("id"),
+                                      F.col("id_a").alias("nbr"))))
+    border = (nbrs.join(core_lbl.select(F.col("id").alias("nbr"),
+                                        F.col("cluster_id")), "nbr")
+              .join(core_lbl.select("id"), "id", "left_anti")
+              .groupBy("id").agg(F.min("cluster_id").alias("cluster_id")))
+    labels = core_lbl.unionByName(border)
+    return (pts.select("id")
+            .join(labels, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("cluster_id", F.lit(-1)).alias("cluster")))
+
+
 def pca(df: DataFrame, features: Sequence[str] = (), *,
         n_components: int = 2, array_col: Optional[str] = None,
         prefix: str = "PC") -> tuple[DataFrame, list[float]]:

@@ -109,6 +109,24 @@ def q_ml_kmeans(spark, sf_dir):
                       (F.col("top") / F.col("n")).alias("purity"))
 
 
+@query("q_ml_dbscan")  # no SQL oracle: iterative fixpoint (rows-only check)
+def q_ml_dbscan(spark, sf_dir):
+    """Distributed DBSCAN over nation-level features (2-d → grid-blocked
+    ε-join; components via min-label propagation).  Deterministic: no
+    randomness anywhere in the algorithm."""
+    from pyspark.sql import functions as F2
+
+    nation, customer, orders = _t(spark, sf_dir, "nation", "customer", "orders")
+    feats = (orders.join(customer, orders.o_custkey == customer.c_custkey)
+             .join(nation, customer.c_nationkey == nation.n_nationkey)
+             .groupBy("n_nationkey")
+             .agg((F2.count(F2.lit(1)) / 100.0).alias("x"),
+                  (F2.avg("o_totalprice") / 10000.0).alias("y")))
+    out = C.dbscan(feats, "n_nationkey", ["x", "y"], eps=0.3, min_pts=3)
+    return (out.groupBy("cluster").agg(F2.count(F2.lit(1)).alias("n"))
+               .orderBy("cluster"))
+
+
 @query("q_ml_pca")  # no SQL oracle: SVD signs/numerics (rows-only check)
 def q_ml_pca(spark, sf_dir):
     """PCA over the embedding column — explained-variance ratios of the top

@@ -128,3 +128,44 @@ def test_random_forest_and_tree(emb):
     rf = L.random_forest_classifier(train, array_col="embedding",
                                     class_col="label", num_trees=20)
     assert E.ca(rf.predict(test), label="label") > 0.8
+
+
+def test_dbscan_blobs_and_noise(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    rows = []
+    # two dense blobs + far-away isolated noise points
+    for i in range(60):
+        rows.append((i, float(rng.normal(0, 0.3)), float(rng.normal(0, 0.3))))
+    for i in range(60, 120):
+        rows.append((i, float(10 + rng.normal(0, 0.3)),
+                     float(10 + rng.normal(0, 0.3))))
+    rows += [(200, 50.0, 50.0), (201, -60.0, 40.0)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+
+    out = {r.id: r.cluster
+           for r in C.dbscan(df, "id", ["x", "y"], eps=1.5, min_pts=4).collect()}
+    blob1 = {out[i] for i in range(60)}
+    blob2 = {out[i] for i in range(60, 120)}
+    assert len(blob1) == 1 and len(blob2) == 1 and blob1 != blob2
+    assert out[200] == -1 and out[201] == -1   # noise
+
+    # grid blocking and all-pairs agree exactly
+    brute = {r.id: r.cluster
+             for r in C.dbscan(df, "id", ["x", "y"], eps=1.5, min_pts=4,
+                               grid_blocking=False).collect()}
+    assert out == brute
+
+
+def test_dbscan_border_points(spark):
+    # a 5-point dense core + one border point within eps of a core point
+    rows = [(i, float(i) * 0.1, 0.0) for i in range(5)]    # tight line
+    rows.append((10, 0.9, 0.0))                            # border of core 4
+    rows.append((99, 100.0, 0.0))                          # noise
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = {r.id: r.cluster
+           for r in C.dbscan(df, "id", ["x", "y"], eps=0.5, min_pts=3).collect()}
+    assert len({out[i] for i in range(5)}) == 1
+    assert out[10] == out[0]    # border joins the cluster
+    assert out[99] == -1
