@@ -38,9 +38,13 @@ def basket_to_wide(long_df: DataFrame, keys: list[str] | None = None) -> DataFra
 
 def basket_to_sparse_vectors(long_df: DataFrame, dim: int | None = None,
                              keys: list[str] | None = None) -> DataFrame:
-    """``(row_id, features: SparseVector)`` for the MLlib boundary."""
+    """``(row_id, features: SparseVector)`` for the MLlib boundary.
+
+    The heavy part (grouping the long rows) is a JVM collect_list; only the
+    final SparseVector construction is a per-row pickle UDF — Arrow can't
+    carry VectorUDT, and this runs once per ML hand-off, not per operator.
+    """
     from pyspark.ml.linalg import SparseVector, VectorUDT
-    from pyspark.sql import types as T
 
     if keys is None:
         keys = [r[0] for r in
@@ -49,19 +53,13 @@ def basket_to_sparse_vectors(long_df: DataFrame, dim: int | None = None,
     dim = dim or len(keys)
     b_index = long_df.sparkSession.sparkContext.broadcast(index)
 
-    def assemble(pdf_iter):
-        import pandas as pd
-        for pdf in pdf_iter:
-            rows = []
-            for rid, grp in pdf.groupby("row_id"):
-                pairs = sorted((b_index.value[k], float(v))
-                               for k, v in zip(grp["key"], grp["value"])
-                               if k in b_index.value)
-                rows.append((rid, SparseVector(dim, [p[0] for p in pairs],
-                                               [p[1] for p in pairs])))
-            yield pd.DataFrame(rows, columns=["row_id", "features"])
+    @F.udf(returnType=VectorUDT())
+    def assemble(pairs):
+        idx = b_index.value
+        kv = sorted((idx[p["key"]], float(p["value"]))
+                    for p in pairs if p["key"] in idx)
+        return SparseVector(dim, [i for i, _ in kv], [v for _, v in kv])
 
-    schema = T.StructType([T.StructField("row_id", T.LongType()),
-                           T.StructField("features", VectorUDT())])
-    return (long_df.repartition("row_id")
-            .mapInPandas(assemble, schema=schema))
+    agg = (long_df.groupBy("row_id")
+           .agg(F.collect_list(F.struct("key", "value")).alias("_pairs")))
+    return agg.select("row_id", assemble("_pairs").alias("features"))

@@ -110,3 +110,19 @@ def test_registry_dispatch(spark, sf_dir, tab_file):
     assert read_table(spark, tab_file).count() == 3
     with pytest.raises(ValueError):
         read_table(spark, "mystery.xyz")
+
+
+def test_basket_sparse_vectors(spark, tmp_path):
+    from orange3_spark.sources.basket import basket_to_sparse_vectors, read_basket
+
+    p = tmp_path / "s.basket"
+    p.write_text("bread, butter=2\nmilk=3\n")
+    long_df = read_basket(spark, str(p))
+    out = {r.row_id: r.features
+           for r in basket_to_sparse_vectors(long_df).collect()}
+    assert len(out) == 2
+    v = [f for f in out.values() if f.numNonzeros() == 2][0]
+    # keys sorted alphabetically: bread=0, butter=1, milk=2
+    assert v[0] == 1.0 and v[1] == 2.0
+    w = [f for f in out.values() if f.numNonzeros() == 1][0]
+    assert w[2] == 3.0 and w.size == 3
