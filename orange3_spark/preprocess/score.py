@@ -120,6 +120,37 @@ def anova_f(df: DataFrame, cont_var: str, class_col: str) -> float:
     return (ss_between / (k - 1)) / (ss_within / (n - k))
 
 
+def symmetric_uncertainty(df: DataFrame, a: str, b: str) -> float:
+    """SU(a,b) = 2·IG(a|b) / (H(a)+H(b)) over discrete columns."""
+    cont = _contingency(df, a, b)
+    ra, rb, n = _marginals(cont)
+    ha = _entropy_from(list(ra.values()))
+    hb = _entropy_from(list(rb.values()))
+    # H(a|b)
+    hab = 0.0
+    for bv, nb in rb.items():
+        col = [c for (av, bv2), c in cont.items() if bv2 == bv]
+        hab += nb / n * _entropy_from(col)
+    ig = ha - hab
+    return 2.0 * ig / (ha + hb) if ha + hb else 0.0
+
+
+def fcbf(df: DataFrame, features: Sequence[str], class_col: str, *,
+         threshold: float = 0.0) -> list[tuple[str, float]]:
+    """Fast Correlation-Based Filter (``score.py:259``): keep features whose
+    class-SU beats the threshold, then drop every feature dominated by an
+    already-kept one (SU(fi,fj) ≥ SU(fi,class)).  The SU computations are
+    k + k² tiny contingency aggregations over discrete columns."""
+    relevant = sorted(((f, symmetric_uncertainty(df, f, class_col))
+                       for f in features), key=lambda t: -t[1])
+    relevant = [(f, su) for f, su in relevant if su > threshold]
+    kept: list[tuple[str, float]] = []
+    for f, su in relevant:
+        if all(symmetric_uncertainty(df, f, g) < su for g, _ in kept):
+            kept.append((f, su))
+    return kept
+
+
 def relieff(df: DataFrame, features: Sequence[str], class_col: str, *,
             n_samples: int = 200, k: int = 5, seed: int = 42) -> dict[str, float]:
     """ReliefF feature scores on a BOUNDED sample (``score.py:338``).

@@ -238,7 +238,7 @@ def dup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
     labels = (edges.select(F.col("src").alias("id"))
               .distinct()
               .withColumn("cluster_id", F.col("id")))
-    for _ in range(max_iters):
+    for it in range(max_iters):
         neighbor_min = (edges.join(labels, edges.dst == labels.id)
                         .groupBy("src")
                         .agg(F.min("cluster_id").alias("nmin")))
@@ -250,13 +250,17 @@ def dup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
                                               F.col("cluster_id")))
                            .alias("cluster_id")))
         updated = updated.localCheckpoint()   # cut the growing lineage
-        changed = (updated.alias("u")
-                   .join(labels.alias("l"), "id")
-                   .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
-                   .limit(1).count())
+        # round 0 always changes something (every edge endpoint sees a
+        # neighbor) — skip its convergence probe, it's a wasted job
+        if it > 0:
+            changed = (updated.alias("u")
+                       .join(labels.alias("l"), "id")
+                       .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+                       .limit(1).count())
+            if changed == 0:
+                labels = updated
+                break
         labels = updated
-        if changed == 0:
-            break
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
