@@ -245,3 +245,141 @@ def q_time_bins(spark, sf_dir):
     return (orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
                   .agg(F.count(F.lit(1)).alias("n"),
                        F.sum("o_totalprice").alias("total")))
+
+
+def _nation_features4(spark, sf_dir):
+    nation, customer, orders = _t(spark, sf_dir, "nation", "customer", "orders")
+    return (orders.join(customer, orders.o_custkey == customer.c_custkey)
+                  .join(nation, customer.c_nationkey == nation.n_nationkey)
+                  .groupBy("n_nationkey")
+                  .agg(F.count(F.lit(1)).cast("double").alias("n_orders"),
+                       F.avg("o_totalprice").alias("avg_price"),
+                       F.sum("o_totalprice").alias("sum_price"),
+                       F.max("o_totalprice").alias("max_price")))
+
+
+_NATION4_SQL = """
+SELECT n.n_nationkey,
+       CAST(count(*) AS DOUBLE) AS n_orders,
+       avg(o.o_totalprice) AS avg_price,
+       sum(o.o_totalprice) AS sum_price,
+       max(o.o_totalprice) AS max_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_nationkey"""
+
+_N4_COLS = ["n_orders", "avg_price", "sum_price", "max_price"]
+
+_N4_LONG = f"""
+f AS ({_NATION4_SQL}),
+l AS (SELECT n_nationkey AS id, 'f1' AS k, n_orders AS v FROM f
+      UNION ALL SELECT n_nationkey, 'f2', avg_price FROM f
+      UNION ALL SELECT n_nationkey, 'f3', sum_price FROM f
+      UNION ALL SELECT n_nationkey, 'f4', max_price FROM f)"""
+
+
+_SUPP_SQL = """
+SELECT p_partkey,
+       CAST(p_partkey AS DOUBLE) AS f_key,
+       p_retailprice AS f_bal,
+       CAST(p_size AS DOUBLE) AS f_nat,
+       CAST(length(p_type) AS DOUBLE) AS f_len
+FROM part WHERE p_partkey <= 15"""
+
+_SUPP_COLS = ["f_key", "f_bal", "f_nat", "f_len"]
+
+_SUPP_LONG = f"""
+f AS ({_SUPP_SQL}),
+l AS (SELECT p_partkey AS id, 'f1' AS k, f_key AS v FROM f
+      UNION ALL SELECT p_partkey, 'f2', f_bal FROM f
+      UNION ALL SELECT p_partkey, 'f3', f_nat FROM f
+      UNION ALL SELECT p_partkey, 'f4', f_len FROM f)"""
+
+
+def _supp_features(spark, sf_dir):
+    (part,) = _t(spark, sf_dir, "part")
+    return (part.filter(F.col("p_partkey") <= 15)
+            .select("p_partkey",
+                    F.col("p_partkey").cast("double").alias("f_key"),
+                    F.col("p_retailprice").alias("f_bal"),
+                    F.col("p_size").cast("double").alias("f_nat"),
+                    F.length("p_type").cast("double").alias("f_len")))
+
+
+@query("q_distance_pearson_rows", f"""
+WITH {_SUPP_LONG}
+SELECT a.id AS id_a, b.id AS id_b, 0.5 - corr(a.v, b.v) / 2 AS dist
+FROM l a JOIN l b ON a.k = b.k AND a.id < b.id
+GROUP BY a.id, b.id
+""")
+def q_distance_pearson_rows(spark, sf_dir):
+    """PearsonR row distance (0.5 − ρ/2, reference distance.py:592-603,752):
+    closed-form ρ over the fixed-k feature vector — pure codegen expressions
+    on the pair frame, no per-row Python."""
+    feats = _supp_features(spark, sf_dir)
+    return D.row_distances(feats, "p_partkey", _SUPP_COLS, metric="pearson") \
+            .select(F.col("id_a").cast("long").alias("id_a"),
+                    F.col("id_b").cast("long").alias("id_b"), "dist")
+
+
+@query("q_distance_spearman_rows", f"""
+WITH {_SUPP_LONG},
+r AS (SELECT id, k,
+             rank() OVER (PARTITION BY id ORDER BY v)
+             + (COUNT(*) OVER (PARTITION BY id, v) - 1) / 2.0 AS rv
+      FROM l)
+SELECT a.id AS id_a, b.id AS id_b, round(0.5 - corr(a.rv, b.rv) / 2, 9) AS dist
+FROM r a JOIN r b ON a.k = b.k AND a.id < b.id
+GROUP BY a.id, b.id
+""")
+def q_distance_spearman_rows(spark, sf_dir):
+    """SpearmanR row distance: average-tie ranks of each row's k values are
+    O(k²) row-local comparison expressions (distance.py:609-620), then the
+    same closed-form ρ — still zero shuffles beyond the pair join."""
+    feats = _supp_features(spark, sf_dir)
+    return D.row_distances(feats, "p_partkey", _SUPP_COLS, metric="spearman") \
+            .select(F.col("id_a").cast("long").alias("id_a"),
+                    F.col("id_b").cast("long").alias("id_b"),
+                    F.round("dist", 9).alias("dist"))
+
+
+@query("q_distance_bhattacharyya", f"""
+WITH f AS ({_NATION4_SQL})
+SELECT a.n_nationkey AS id_a, b.n_nationkey AS id_b,
+       greatest(0.0, -ln(
+         (sqrt(a.n_orders * b.n_orders) + sqrt(a.avg_price * b.avg_price)
+          + sqrt(a.sum_price * b.sum_price) + sqrt(a.max_price * b.max_price))
+         / sqrt((a.n_orders + a.avg_price + a.sum_price + a.max_price)
+                * (b.n_orders + b.avg_price + b.sum_price + b.max_price))))
+       AS dist
+FROM f a JOIN f b ON a.n_nationkey < b.n_nationkey
+""")
+def q_distance_bhattacharyya(spark, sf_dir):
+    """Bhattacharyya distance between rows-as-distributions
+    (−ln Σ√(p·q), reference distance.py:776-806): row-normalization folds
+    into a single √(Σa·Σb) denominator, so one pass, no pre-normalize scan."""
+    feats = _nation_features4(spark, sf_dir)
+    return D.row_distances(feats, "n_nationkey", _N4_COLS,
+                           metric="bhattacharyya")
+
+
+@query("q_distance_spearman_cols", """
+WITH r AS (SELECT
+    rank() OVER (ORDER BY l_quantity) + (COUNT(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rq,
+    rank() OVER (ORDER BY l_discount) + (COUNT(*) OVER (PARTITION BY l_discount) - 1) / 2.0 AS rd,
+    rank() OVER (ORDER BY l_tax) + (COUNT(*) OVER (PARTITION BY l_tax) - 1) / 2.0 AS rt
+  FROM lineitem)
+SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b, 0.5 - corr(rq, rd) / 2 AS dist FROM r
+UNION ALL
+SELECT 'l_quantity', 'l_tax', 0.5 - corr(rq, rt) / 2 FROM r
+UNION ALL
+SELECT 'l_discount', 'l_tax', 0.5 - corr(rd, rt) / 2 FROM r
+""")
+def q_distance_spearman_cols(spark, sf_dir):
+    """Spearman distance BETWEEN columns. A global rank() would serialize the
+    table through one partition; instead each column's value→avg-rank map is
+    a per-distinct-value aggregate (small) cumulated and broadcast back —
+    ranking 100 TB without ever globally sorting it."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return D.spearman_column_distances(
+        li, ["l_quantity", "l_discount", "l_tax"])

@@ -37,6 +37,43 @@ def _standardize(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return out
 
 
+def _row_pearson(a_cols: Sequence[Column], b_cols: Sequence[Column]) -> Column:
+    """Pearson rho between two fixed-k vectors as a closed-form expression
+    (reference `_corrcoef2`, distance.py:703-721) — stays in codegen."""
+    k = len(a_cols)
+    sa = sum(a_cols[1:], a_cols[0])
+    sb = sum(b_cols[1:], b_cols[0])
+    sab = sum((a * b for a, b in zip(a_cols[1:], b_cols[1:])),
+              a_cols[0] * b_cols[0])
+    saa = sum((a * a for a in a_cols[1:]), a_cols[0] * a_cols[0])
+    sbb = sum((b * b for b in b_cols[1:]), b_cols[0] * b_cols[0])
+    num = F.lit(float(k)) * sab - sa * sb
+    den = F.sqrt(F.lit(float(k)) * saa - sa * sa) \
+        * F.sqrt(F.lit(float(k)) * sbb - sb * sb)
+    return F.try_divide(num, den)
+
+
+def _row_avg_ranks(cols: Sequence[Column]) -> list[Column]:
+    """Average-tie ranks of a fixed-k row vector (scipy ``rankdata`` default,
+    used by the reference's SpearmanR, distance.py:609-620): for element i,
+    rank = (#less) + (#equal, incl. self + 1)/2 — O(k^2) comparisons, all
+    row-local expressions."""
+    ranks = []
+    for i, ci in enumerate(cols):
+        others = [cj for j, cj in enumerate(cols) if j != i]
+        less = sum(((cj < ci).cast("double") for cj in others), F.lit(0.0))
+        equal = sum(((cj == ci).cast("double") for cj in others), F.lit(1.0))
+        ranks.append(less + (equal + F.lit(1.0)) / F.lit(2.0))
+    return ranks
+
+
+def _corr_to_dist(rho: Column, absolute: bool) -> Column:
+    # reference CorrelationDistanceModel.compute_distances (distance.py:592-603)
+    if absolute:
+        return F.lit(1.0) - F.abs(rho)
+    return F.lit(0.5) - rho / F.lit(2.0)
+
+
 def _pair_frame(df: DataFrame, id_col: str, cols: Sequence[str]):
     a = df.select(F.col(id_col).alias("id_a"),
                   *[F.col(c).cast("double").alias(f"a_{c}") for c in cols])
@@ -73,6 +110,23 @@ def row_distances(df: DataFrame, id_col: str, cols: Sequence[str], *,
     elif metric == "hamming":
         expr = sum((F.col(f"a_{c}") != F.col(f"b_{c}")).cast("double")
                    for c in cols)
+    elif metric in ("pearson", "pearson_absolute"):
+        rho = _row_pearson([F.col(f"a_{c}") for c in cols],
+                           [F.col(f"b_{c}") for c in cols])
+        expr = _corr_to_dist(rho, metric.endswith("absolute"))
+    elif metric in ("spearman", "spearman_absolute"):
+        rho = _row_pearson(_row_avg_ranks([F.col(f"a_{c}") for c in cols]),
+                           _row_avg_ranks([F.col(f"b_{c}") for c in cols]))
+        expr = _corr_to_dist(rho, metric.endswith("absolute"))
+    elif metric == "bhattacharyya":
+        # rows as probability distributions: -ln Σ√(p·q), clipped at 0
+        # (reference _bhattacharyya, distance.py:776-784);
+        # Σ√(aᵢ/Σa · bᵢ/Σb) = Σ√(aᵢbᵢ) / √(Σa·Σb) — single row-local form
+        sa = sum((F.col(f"a_{c}") for c in cols), F.lit(0.0))
+        sb = sum((F.col(f"b_{c}") for c in cols), F.lit(0.0))
+        s = sum((F.sqrt(F.col(f"a_{c}") * F.col(f"b_{c}")) for c in cols),
+                F.lit(0.0))
+        expr = F.greatest(F.lit(0.0), -F.log(F.try_divide(s, F.sqrt(sa * sb))))
     elif metric == "mahalanobis":
         if inv_cov is None:
             inv_cov = inverse_covariance(df, cols)
@@ -121,10 +175,52 @@ def column_distances(df: DataFrame, cols: Sequence[str], *,
         elif metric == "cosine":
             e = F.lit(1.0) - F.try_divide(
                 F.sum(ca * cb), F.sqrt(F.sum(ca * ca)) * F.sqrt(F.sum(cb * cb)))
+        elif metric in ("pearson", "pearson_absolute"):
+            e = _corr_to_dist(F.corr(ca, cb), metric.endswith("absolute"))
+        elif metric == "bhattacharyya":
+            e = F.greatest(F.lit(0.0), -F.log(F.try_divide(
+                F.sum(F.sqrt(ca * cb)), F.sqrt(F.sum(ca) * F.sum(cb)))))
         else:
             raise ValueError(metric)
         aggs.append(e.alias(f"{a}|{b}"))
     row = df.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(F.lit(c.split("|")[0]).alias("col_a"),
+                 F.lit(c.split("|")[1]).alias("col_b"),
+                 F.col(f"`{c}`").alias("dist")) for c in row.columns])
+    return (row.select(F.explode(pairs).alias("p"))
+               .select("p.col_a", "p.col_b", "p.dist"))
+
+
+def spearman_column_distances(df: DataFrame, cols: Sequence[str], *,
+                              absolute: bool = False) -> DataFrame:
+    """SpearmanR distance between columns: replace each column with its
+    average-tie rank (one window pass per column — `rank() + (ties-1)/2`,
+    reference SpearmanModel distance.py:609-620), then Pearson on ranks.
+    At scale the ranking is the classic distributed sort; the corr is one
+    aggregation over all pairs."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    ranked = df
+    for c in cols:
+        # avg rank of value v = (#rows < v) + (#rows == v + 1)/2.  A global
+        # rank() window would serialize to one partition; instead aggregate
+        # per distinct value (small), cumulate over THAT frame, broadcast
+        # the value→rank map back — no global sort of the data ever happens.
+        counts = (df.groupBy(F.col(c).cast("double").alias("__v"))
+                    .agg(F.count(F.lit(1)).cast("double").alias("__n")))
+        w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+        rk = counts.select(
+            "__v",
+            (F.coalesce(F.sum("__n").over(w), F.lit(0.0))
+             + (F.col("__n") + F.lit(1.0)) / F.lit(2.0)).alias(f"rk_{c}"))
+        ranked = ranked.join(broadcast(rk),
+                             ranked[c].cast("double") == rk["__v"]) \
+                       .drop("__v", "__n")
+    aggs = [_corr_to_dist(F.corr(f"rk_{a}", f"rk_{b}"), absolute)
+            .alias(f"{a}|{b}") for a, b in combinations(cols, 2)]
+    row = ranked.agg(*aggs)
     pairs = F.array(*[
         F.struct(F.lit(c.split("|")[0]).alias("col_a"),
                  F.lit(c.split("|")[1]).alias("col_b"),

@@ -101,3 +101,83 @@ def test_knn_distance_score(spark):
     out = O.knn_distance_score(df, "id", ["x", "y"], k=3)
     top = out.orderBy(F.col("knn_dist").desc()).first()
     assert top.id == 60
+
+
+def _rankavg(v):
+    import numpy as np
+    v = np.asarray(v, dtype=float)
+    order = np.argsort(v, kind="mergesort")
+    ranks = np.empty(len(v))
+    i = 0
+    sv = v[order]
+    while i < len(v):
+        j = i
+        while j < len(v) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    return ranks
+
+
+def _spearman(a, b):
+    import numpy as np
+    return np.corrcoef(_rankavg(a), _rankavg(b))[0, 1]
+
+
+def test_pearson_spearman_rows(spark):
+    import numpy as np
+    rows = [(0, 1.0, 2.0, 3.0, 4.0),
+            (1, 2.0, 1.0, 5.0, 3.0),
+            (2, 4.0, 4.0, 1.0, 2.0)]
+    df = spark.createDataFrame(rows, "id long, a double, b double, c double, d double")
+    cols = ["a", "b", "c", "d"]
+    p = _d(D.row_distances(df, "id", cols, metric="pearson"))
+    s = _d(D.row_distances(df, "id", cols, metric="spearman"))
+    pa = _d(D.row_distances(df, "id", cols, metric="pearson_absolute"))
+    m = np.array([r[1:] for r in rows])
+    for i, j in [(0, 1), (0, 2), (1, 2)]:
+        rho = np.corrcoef(m[i], m[j])[0, 1]
+        assert abs(p[(i, j)] - (0.5 - rho / 2)) < 1e-9
+        assert abs(pa[(i, j)] - (1 - abs(rho))) < 1e-9
+        srho = _spearman(m[i], m[j])
+        assert abs(s[(i, j)] - (0.5 - srho / 2)) < 1e-9
+
+
+def test_spearman_rows_ties(spark):
+    rows = [(0, 1.0, 1.0, 2.0, 3.0), (1, 5.0, 4.0, 4.0, 4.0)]
+    df = spark.createDataFrame(rows, "id long, a double, b double, c double, d double")
+    s = _d(D.row_distances(df, "id", ["a", "b", "c", "d"], metric="spearman"))
+    srho = _spearman(rows[0][1:], rows[1][1:])
+    assert abs(s[(0, 1)] - (0.5 - srho / 2)) < 1e-9
+
+
+def test_bhattacharyya_rows(spark):
+    import numpy as np
+    rows = [(0, 1.0, 1.0, 2.0), (1, 2.0, 2.0, 4.0), (2, 4.0, 0.0, 0.0)]
+    df = spark.createDataFrame(rows, "id long, a double, b double, c double")
+    b = _d(D.row_distances(df, "id", ["a", "b", "c"], metric="bhattacharyya"))
+    # proportional rows are identical distributions -> distance 0 (clipped)
+    assert abs(b[(0, 1)]) < 1e-12
+    pa = np.array([1, 1, 2]) / 4.0
+    pc = np.array([4, 0, 0]) / 4.0
+    expect = -np.log(np.sum(np.sqrt(pa * pc)))
+    assert abs(b[(0, 2)] - expect) < 1e-9
+
+
+def test_column_pearson_spearman(spark):
+    import numpy as np
+    rng = np.random.default_rng(7)
+    x = rng.normal(0, 1, 300)
+    y = 2 * x + rng.normal(0, 0.5, 300)
+    z = rng.permutation(np.repeat(np.arange(30), 10)).astype(float)  # heavy ties
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+        "x double, y double, z double")
+    p = {(r.col_a, r.col_b): r.dist
+         for r in D.column_distances(df, ["x", "y", "z"], metric="pearson").collect()}
+    assert abs(p[("x", "y")] - (0.5 - np.corrcoef(x, y)[0, 1] / 2)) < 1e-9
+    s = {(r.col_a, r.col_b): r.dist
+         for r in D.spearman_column_distances(df, ["x", "y", "z"]).collect()}
+    for a, b, va, vb in [("x", "y", x, y), ("x", "z", x, z), ("y", "z", y, z)]:
+        srho = _spearman(va, vb)
+        assert abs(s[(a, b)] - (0.5 - srho / 2)) < 1e-9
