@@ -383,3 +383,33 @@ def q_distance_spearman_cols(spark, sf_dir):
     (li,) = _t(spark, sf_dir, "lineitem")
     return D.spearman_column_distances(
         li, ["l_quantity", "l_discount", "l_tax"])
+
+
+@query("q_outlier_lof", """
+WITH f AS (SELECT p_partkey AS id, CAST(p_size AS DOUBLE) AS x,
+                  p_retailprice AS y FROM part WHERE p_partkey <= 500),
+d AS (SELECT a.id AS pid, b.id AS oid,
+             sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS dist
+      FROM f a JOIN f b ON a.id <> b.id),
+knn AS (SELECT * FROM (
+          SELECT pid, oid, dist,
+                 row_number() OVER (PARTITION BY pid ORDER BY dist, oid) AS rn
+          FROM d) WHERE rn <= 5),
+kdist AS (SELECT pid, max(dist) AS kd FROM knn GROUP BY pid),
+reach AS (SELECT knn.pid, knn.oid, greatest(ko.kd, knn.dist) AS rd
+          FROM knn JOIN kdist ko ON knn.oid = ko.pid),
+lrd AS (SELECT pid, 1.0 / avg(rd) AS lrd FROM reach GROUP BY pid)
+SELECT knn.pid AS p_partkey, round(avg(lo.lrd) / any_value(lp.lrd), 9) AS lof
+FROM knn JOIN lrd lo ON knn.oid = lo.pid JOIN lrd lp ON knn.pid = lp.pid
+GROUP BY knn.pid
+""")
+def q_outlier_lof(spark, sf_dir):
+    """Local Outlier Factor over part (size, price), k=5 — the reference's
+    sklearn-wrapped LOF re-derived as joins + windows + grouped aggregates,
+    exact and oracle-checked end to end."""
+    (part,) = _t(spark, sf_dir, "part")
+    pts = part.filter(F.col("p_partkey") <= 500).select(
+        "p_partkey", F.col("p_size").cast("double").alias("x"),
+        F.col("p_retailprice").alias("y"))
+    out = O.lof(pts, "p_partkey", ["x", "y"], k=5)
+    return out.select("p_partkey", F.round("lof", 9).alias("lof"))

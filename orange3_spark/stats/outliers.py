@@ -59,6 +59,46 @@ def mahalanobis_score(df: DataFrame, cols: Sequence[str], *,
     return df.withColumn(score_col, F.sqrt(q))
 
 
+def lof(df: DataFrame, id_col: str, cols: Sequence[str], *, k: int = 5,
+        score_col: str = "lof") -> DataFrame:
+    """Local Outlier Factor (Breunig et al. 2000; the reference wraps
+    sklearn's LocalOutlierFactor, outlier_detection.py) as relational ops:
+
+      1. kNN pair frame — self-join + per-point ``row_number`` window,
+         deterministic tiebreak on (dist, neighbor id);
+      2. k-distance — ``max`` over each point's kNN set;
+      3. reachability — ``greatest(k-distance(o), d(p,o))`` via one join;
+      4. lrd — grouped ``1/avg``;  5. LOF — ``avg(lrd(o))/lrd(p)``.
+
+    Exact (hence DuckDB-oracle-checkable).  The O(n²) pair join is the
+    correctness regime — at scale feed an LSH-bucketed candidate frame
+    instead of the full cross pairs (similarity.lsh_bucket_knn pattern)."""
+    from pyspark.sql import Window
+
+    a = df.select(F.col(id_col).alias("pid"),
+                  *[F.col(c).cast("double").alias(f"a_{c}") for c in cols])
+    b = df.select(F.col(id_col).alias("oid"),
+                  *[F.col(c).cast("double").alias(f"b_{c}") for c in cols])
+    dist = sum(((F.col(f"a_{c}") - F.col(f"b_{c}"))
+                * (F.col(f"a_{c}") - F.col(f"b_{c}")) for c in cols[1:]),
+               (F.col(f"a_{cols[0]}") - F.col(f"b_{cols[0]}"))
+               * (F.col(f"a_{cols[0]}") - F.col(f"b_{cols[0]}")))
+    pairs = (a.join(b, F.col("pid") != F.col("oid"))
+              .select("pid", "oid", F.sqrt(dist).alias("dist")))
+    w = Window.partitionBy("pid").orderBy("dist", "oid")
+    knn = (pairs.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= k).drop("rn"))
+    kdist = knn.groupBy("pid").agg(F.max("dist").alias("kd"))
+    reach = (knn.join(kdist.withColumnRenamed("pid", "oid"), "oid")
+                .select("pid", "oid", F.greatest("kd", "dist").alias("rd")))
+    lrd = reach.groupBy("pid").agg((F.lit(1.0) / F.avg("rd")).alias("lrd"))
+    lrd_o = lrd.select(F.col("pid").alias("oid"), F.col("lrd").alias("lrd_o"))
+    return (knn.join(lrd_o, "oid").join(lrd, "pid")
+               .groupBy("pid")
+               .agg((F.avg("lrd_o") / F.first("lrd")).alias(score_col))
+               .select(F.col("pid").alias(id_col), score_col))
+
+
 def knn_distance_score(df: DataFrame, id_col: str, cols: Sequence[str] = (),
                        *, array_col: Optional[str] = None, k: int = 5,
                        score_col: str = "knn_dist",

@@ -181,3 +181,13 @@ def test_column_pearson_spearman(spark):
     for a, b, va, vb in [("x", "y", x, y), ("x", "z", x, z), ("y", "z", y, z)]:
         srho = _spearman(va, vb)
         assert abs(s[(a, b)] - (0.5 - srho / 2)) < 1e-9
+
+
+def test_lof_flags_isolated_point(spark):
+    # tight cluster + one far point: LOF(far) >> 1, cluster points ~ 1
+    rows = [(i, float(i % 3) * 0.1, float(i // 3) * 0.1) for i in range(9)]
+    rows.append((99, 10.0, 10.0))
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    scores = {r.id: r.lof for r in O.lof(df, "id", ["x", "y"], k=3).collect()}
+    assert scores[99] > 5.0
+    assert all(v < 2.0 for i, v in scores.items() if i != 99)
