@@ -1,0 +1,136 @@
+"""Hierarchical (agglomerative) clustering.
+
+Reference: ``Orange/clustering/hierarchical.py`` — ``dist_matrix_linkage``
+wraps scipy linkage over a ``DistMatrix``; widget ``owhierarchicalclustering``.
+
+Spark shape (SURVEY §7 risk register: "inherently driver-local; bound input
+size explicitly"): the *distance computation* is distributed
+(``stats.distance.row_distances`` — pair-frame aggregation), and only the
+long-form ``(id_a, id_b, dist)`` result — O(n²) scalars, NOT the raw data —
+comes to the driver, where Lance-Williams agglomeration runs on a dense
+matrix.  ``MAX_POINTS`` guards the O(n²) memory; beyond it, cluster a
+KMeans/coreset summary instead (the standard large-n recipe).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_POINTS = 20_000
+
+#: Lance-Williams coefficients (alpha_i, alpha_j, beta, gamma) as functions
+#: of cluster sizes (ni, nj, nk).  Public formulation, e.g. Murtagh &
+#: Contreras 2012 survey of agglomerative algorithms.
+_LW = {
+    "single":   lambda ni, nj, nk: (0.5, 0.5, 0.0, -0.5),
+    "complete": lambda ni, nj, nk: (0.5, 0.5, 0.0, 0.5),
+    "average":  lambda ni, nj, nk: (ni / (ni + nj), nj / (ni + nj), 0.0, 0.0),
+    "ward":     lambda ni, nj, nk: (
+        (ni + nk) / (ni + nj + nk), (nj + nk) / (ni + nj + nk),
+        -nk / (ni + nj + nk), 0.0),
+}
+
+
+def linkage_from_pairs(pairs: DataFrame, *, method: str = "average",
+                       id_a: str = "id_a", id_b: str = "id_b",
+                       dist: str = "dist"):
+    """Collect a long-form distance frame and agglomerate on the driver.
+
+    Returns ``(ids, Z)``: the sorted point ids and a scipy-style linkage
+    matrix ``Z`` (rows ``[left, right, height, size]``; cluster ``n+i`` is
+    the cluster made at step ``i``).
+    """
+    import numpy as np
+
+    rows = pairs.select(id_a, id_b, dist).collect()
+    ids = sorted({r[0] for r in rows} | {r[1] for r in rows})
+    n = len(ids)
+    if n > MAX_POINTS:
+        raise ValueError(f"{n} points exceeds MAX_POINTS={MAX_POINTS}; "
+                         "cluster a KMeans summary instead")
+    pos = {v: i for i, v in enumerate(ids)}
+    D = np.full((n, n), np.inf)
+    np.fill_diagonal(D, np.inf)
+    for r in rows:
+        i, j = pos[r[0]], pos[r[1]]
+        D[i, j] = D[j, i] = r[2]
+    if method == "ward":
+        # Ward's Lance-Williams recurrence is stated on SQUARED distances;
+        # heights are reported back on the original scale.
+        D = D ** 2
+
+    coef = _LW[method]
+    size = np.ones(n)
+    # cluster index currently occupying each matrix row; -1 = merged away
+    label = np.arange(n)
+    active = np.ones(n, dtype=bool)
+    Z = np.zeros((n - 1, 4))
+    for step in range(n - 1):
+        # nearest active pair
+        sub = np.where(active)[0]
+        M = D[np.ix_(sub, sub)]
+        flat = np.argmin(M)
+        ii, jj = divmod(flat, M.shape[1])
+        i, j = sub[ii], sub[jj]
+        if i > j:
+            i, j = j, i
+        h = D[i, j]
+        Z[step] = [label[i], label[j],
+                   np.sqrt(h) if method == "ward" else h,
+                   size[i] + size[j]]
+        # Lance-Williams update of row i to represent the merged cluster
+        for k in sub:
+            if k == i or k == j:
+                continue
+            ai, aj, b, g = coef(size[i], size[j], size[k])
+            D[i, k] = D[k, i] = (ai * D[i, k] + aj * D[j, k]
+                                 + b * h + g * abs(D[i, k] - D[j, k]))
+        active[j] = False
+        size[i] += size[j]
+        label[i] = n + step
+        D[j, :] = D[:, j] = np.inf
+    return ids, Z
+
+
+def cut(ids: Sequence, Z, k: int) -> dict:
+    """Cut the dendrogram into ``k`` clusters; labels are renumbered by the
+    smallest member id so the output is deterministic."""
+    n = len(ids)
+    parent = list(range(2 * n - 1))
+    for step, (l, r, _h, _s) in enumerate(Z[: n - k]):
+        parent[int(l)] = parent[int(r)] = n + step
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    roots = {}
+    assign = {}
+    for i, v in enumerate(ids):
+        assign[v] = roots.setdefault(find(i), len(roots))
+    # renumber by smallest member id
+    first = {}
+    for v in sorted(assign):
+        first.setdefault(assign[v], len(first))
+    return {v: first[c] for v, c in assign.items()}
+
+
+def hierarchical_clustering(df: DataFrame, id_col: str,
+                            cols: Sequence[str], *, k: int,
+                            method: str = "average",
+                            metric: str = "euclidean") -> DataFrame:
+    """End-to-end: distributed pair distances → driver linkage → cut →
+    labels joined back as a DataFrame ``(id_col, cluster)``."""
+    from orange3_spark.stats.distance import row_distances
+
+    pairs = row_distances(df, id_col, cols, metric=metric)
+    ids, Z = linkage_from_pairs(pairs, method=method)
+    labels = cut(ids, Z, k)
+    spark = df.sparkSession
+    lab_df = spark.createDataFrame(
+        [(v, c) for v, c in labels.items()],
+        f"{id_col} {df.schema[id_col].dataType.simpleString()}, cluster int")
+    return df.select(id_col).join(F.broadcast(lab_df), id_col)

@@ -150,3 +150,61 @@ def q_ml_logreg_cv(spark, sf_dir):
         score=lambda pred: E.ca(pred, label="label"))
     return spark.createDataFrame(
         [(i, s) for i, s in enumerate(scores)], "fold int, ca double")
+
+
+@query("q_ml_hierarchical")  # no SQL oracle: dendrogram cut (rows-only check)
+def q_ml_hierarchical(spark, sf_dir):
+    """Agglomerative clustering of nations by order stats: distributed pair
+    distances, driver Lance-Williams on the O(n²) scalar matrix only
+    (Orange/clustering/hierarchical.py re-based on a distributed distance
+    pass)."""
+    from orange3_spark.ml.hierarchical import hierarchical_clustering
+    from orange3_spark.plans.queries_analytics import _nation_features
+    feats = _nation_features(spark, sf_dir)
+    return (hierarchical_clustering(feats, "n_nationkey",
+                                    ["n_orders", "avg_price"], k=4,
+                                    method="average")
+            .orderBy("n_nationkey"))
+
+
+@query("q_ml_mds")  # no SQL oracle: eigensolve (rows-only check)
+def q_ml_mds(spark, sf_dir):
+    """Classical (Torgerson) MDS of nations — distance frame distributed,
+    double-centering + eigensolve on the driver, deterministic sign."""
+    from orange3_spark.ml.projection import mds
+    from orange3_spark.plans.queries_analytics import _nation_features
+    feats = _nation_features(spark, sf_dir)
+    return mds(feats, "n_nationkey", ["n_orders", "avg_price"]) \
+        .orderBy("n_nationkey")
+
+
+@query("q_ml_lda")  # no SQL oracle: eigensolve (rows-only check)
+def q_ml_lda(spark, sf_dir):
+    """Fisher LDA of orders (class = o_orderpriority): scatter matrices from
+    ONE grouped moment pass, k×k eigensolve on the driver, projection as
+    row-local dot products — scales to any row count unlike the
+    driver-local reference (Orange/projection/lda.py)."""
+    from orange3_spark.ml.projection import lda_fit, lda_transform
+    (orders,) = _t(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_totalprice"]
+    comps, _classes = lda_fit(orders, cols, "o_orderpriority",
+                              n_components=1)
+    proj = lda_transform(orders, cols, comps)
+    return (proj.groupBy("o_orderpriority")
+                .agg(F.round(F.avg("lda1"), 6).alias("mean_lda1"),
+                     F.count(F.lit(1)).alias("n"))
+                .orderBy("o_orderpriority"))
+
+
+@query("q_ml_cur")  # no SQL oracle: eigensolve (rows-only check)
+def q_ml_cur(spark, sf_dir):
+    """CUR column-leverage ranking over lineitem numerics — covariance in
+    one pass, leverage from the top right-singular directions; the data is
+    never transposed (Orange/projection/cur.py)."""
+    from orange3_spark.ml.projection import cur_column_leverage
+    (li,) = _t(spark, sf_dir, "lineitem")
+    ranked = cur_column_leverage(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], rank=2)
+    return spark.createDataFrame(
+        [(c, float(round(v, 9))) for c, v in ranked],
+        "column string, leverage double")
