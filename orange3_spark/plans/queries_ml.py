@@ -208,3 +208,17 @@ def q_ml_cur(spark, sf_dir):
     return spark.createDataFrame(
         [(c, float(round(v, 9))) for c, v in ranked],
         "column string, leverage double")
+
+
+@query("q_ml_communities")  # no SQL oracle: iterative graph algorithm (rows-only)
+def q_ml_communities(spark, sf_dir):
+    """Communities of nations on a kNN feature graph — the reference's
+    Louvain path (Orange/clustering/louvain.py) as deterministic synchronous
+    label propagation: one join + grouped mode per round, lineage cut with
+    localCheckpoint."""
+    from orange3_spark.ml.community import louvain_communities
+    from orange3_spark.plans.queries_analytics import _nation_features
+    feats = _nation_features(spark, sf_dir)
+    return (louvain_communities(feats, "n_nationkey",
+                                ["n_orders", "avg_price"], k=3)
+            .orderBy("n_nationkey"))

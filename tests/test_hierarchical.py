@@ -95,3 +95,22 @@ def test_cur_leverage_prefers_high_variance(spark):
     df = spark.createDataFrame(rows, "a double, b double, c double")
     ranked = P.cur_column_leverage(df, ["a", "b", "c"], rank=1)
     assert ranked[0][0] == "a"
+
+
+def test_label_propagation_two_blobs(two_blobs):
+    from orange3_spark.ml.community import louvain_communities
+    out = louvain_communities(two_blobs, "id", ["x", "y"], k=3)
+    labels = {r.id: r.community for r in out.collect()}
+    assert len(labels) == 20
+    assert len({labels[i] for i in range(10)}) == 1
+    assert len({labels[i] for i in range(10, 20)}) == 1
+    assert labels[0] != labels[10]
+    assert labels[0] == 0  # renumber-by-smallest-member determinism
+
+
+def test_knn_graph_symmetric(two_blobs):
+    from orange3_spark.ml.community import knn_graph
+    edges = knn_graph(two_blobs, "id", ["x", "y"], k=2)
+    e = {(r.src, r.dst) for r in edges.collect()}
+    assert all((b, a) in e for a, b in e)
+    assert all(a != b for a, b in e)
