@@ -54,12 +54,15 @@ def label_propagation(edges: DataFrame, *, max_iters: int = 20) -> DataFrame:
     iterative-join pattern; ``localCheckpoint`` cuts the growing lineage so
     round N doesn't recompute rounds 1..N-1.
     """
+    # materialize the graph once — otherwise every round replays the whole
+    # upstream lineage (distance pair frame included)
+    edges = edges.localCheckpoint(eager=True)
     nodes = (edges.select(F.col("src").alias("id"))
                   .union(edges.select(F.col("dst").alias("id")))
-                  .distinct())
+                  .distinct()).localCheckpoint(eager=True)
     labels = nodes.withColumn("community", F.col("id"))
+    seen: list[int] = []  # label-state checksums; sync LPA can 2-cycle
     for _ in range(max_iters):
-        labels = labels.localCheckpoint(eager=True)
         neigh = (edges.join(labels.withColumnRenamed("id", "dst")
                                   .withColumnRenamed("community", "nb"), "dst")
                       .groupBy("src", "nb")
@@ -72,13 +75,14 @@ def label_propagation(edges: DataFrame, *, max_iters: int = 20) -> DataFrame:
         new = nodes.join(new, "id", "left") \
                    .withColumn("community",
                                F.coalesce("community", F.col("id")))
-        changed = (labels.withColumnRenamed("community", "old")
-                         .join(new, "id")
-                         .filter(F.col("old") != F.col("community"))
-                         .count())
+        new = new.localCheckpoint(eager=True)
+        # one agg: order-independent state checksum, doubles as the
+        # convergence AND oscillation test (a 2-cycle repeats a checksum)
+        cs = new.agg(F.sum(F.hash("id", "community"))).first()[0]
         labels = new
-        if changed == 0:
+        if cs in seen:
             break
+        seen.append(cs)
     # renumber communities by their smallest member id
     rep = labels.groupBy("community").agg(F.min("id").alias("rep"))
     return (labels.join(rep, "community")
