@@ -150,4 +150,7 @@ def q_feature_scores(spark, sf_dir):
         rows.append((feat, "chi2", SC.chi2(li, feat, "l_returnflag")[0]))
     for feat in ("l_quantity", "l_extendedprice"):
         rows.append((feat, "anova_f", SC.anova_f(li, feat, "l_returnflag")))
+    rr = SC.rrelieff(li, ["l_quantity", "l_discount", "l_tax"],
+                     "l_extendedprice", n_samples=100, k=5)
+    rows += [(feat, "rrelieff", s) for feat, s in sorted(rr.items())]
     return spark.createDataFrame(rows, "feature string, scorer string, score double")

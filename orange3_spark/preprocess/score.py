@@ -191,6 +191,53 @@ def relieff(df: DataFrame, features: Sequence[str], class_col: str, *,
     return {c: float(v / n) for c, v in zip(cols, w)}
 
 
+def rrelieff(df: DataFrame, features: Sequence[str], target_col: str, *,
+             n_samples: int = 200, k: int = 5) -> dict[str, float]:
+    """RReliefF — the regression Relief (``score.py:382``, Robnik-Šikonja &
+    Kononenko 1997): same bounded-deterministic-sample shape as
+    :func:`relieff`, but neighbor contributions are weighted by how much
+    the *target* differs:
+
+        W[f] = P(dA|dC)-ish ratio  =  N_dCdA[f]/N_dC
+               − (N_dA[f] − N_dCdA[f]) / (m·k − N_dC)
+    """
+    import numpy as np
+
+    cols = list(features)
+    sampled = (df.na.drop(subset=[*cols, target_col])
+                 .orderBy(F.md5(F.concat_ws("|", *[F.col(c).cast("string")
+                                                   for c in cols])))
+                 .limit(n_samples).collect())
+    if len(sampled) < 2:
+        return {c: 0.0 for c in cols}
+    X = np.array([[r[c] for c in cols] for r in sampled], dtype=np.float64)
+    y = np.array([r[target_col] for r in sampled], dtype=np.float64)
+    rng_span = X.max(0) - X.min(0)
+    rng_span[rng_span == 0] = 1.0
+    Xn = (X - X.min(0)) / rng_span
+    y_span = y.max() - y.min() or 1.0
+    yn = (y - y.min()) / y_span
+    n = len(Xn)
+    d = np.abs(Xn[:, None, :] - Xn[None, :, :]).sum(-1)
+    np.fill_diagonal(d, np.inf)
+    n_dc = 0.0
+    n_da = np.zeros(len(cols))
+    n_dcda = np.zeros(len(cols))
+    total = 0
+    for i in range(n):
+        nearest = np.argsort(d[i])[:k]
+        dc = np.abs(yn[nearest] - yn[i])          # target diff per neighbor
+        da = np.abs(Xn[nearest] - Xn[i])          # k × f attr diffs
+        n_dc += dc.sum()
+        n_da += da.sum(0)
+        n_dcda += (dc[:, None] * da).sum(0)
+        total += len(nearest)
+    if n_dc == 0 or total == n_dc:
+        return {c: 0.0 for c in cols}
+    w = n_dcda / n_dc - (n_da - n_dcda) / (total - n_dc)
+    return {c: float(v) for c, v in zip(cols, w)}
+
+
 def select_best_features(df: DataFrame, features: Sequence[str],
                          class_col: str, *, scorer=info_gain,
                          k: int = 5) -> list[str]:

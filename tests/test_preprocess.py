@@ -190,3 +190,19 @@ def test_relieff_ranks_informative_feature(spark):
     w = relieff(df, ["inf", "noise"], "cls", n_samples=150)
     assert w["inf"] > w["noise"]
     assert w["inf"] > 0
+
+
+def test_rrelieff_ranks_informative_feature(spark):
+    import numpy as np
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(150):
+        x1 = float(rng.uniform(0, 1))
+        x2 = float(rng.uniform(0, 1))          # irrelevant
+        y = 3 * x1 + float(rng.normal(0, 0.05))
+        rows.append((x1, x2, y))
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    from orange3_spark.preprocess.score import rrelieff
+    w = rrelieff(df, ["x1", "x2"], "y", n_samples=150, k=5)
+    assert w["x1"] > w["x2"]
+    assert w["x1"] > 0
