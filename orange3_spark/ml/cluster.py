@@ -86,8 +86,12 @@ def dbscan(df: DataFrame, id_col: str, features: Sequence[str], *,
     from orange3_spark.text.dedup import dup_clusters
 
     k = len(features)
+    # cache: `pts` drives the pair join, the degree count, AND the final
+    # assembly — without it the upstream lineage (often a join+agg) replays
+    # once per branch
     pts = df.select(F.col(id_col).alias("id"),
-                    *[F.col(c).cast("double").alias(c) for c in features])
+                    *[F.col(c).cast("double").alias(c) for c in features]) \
+            .cache()
 
     if k > 6:
         # 3^k neighbor cells explodes; beyond ~6 dims grid cells are empty
@@ -122,6 +126,51 @@ def dbscan(df: DataFrame, id_col: str, features: Sequence[str], *,
     pairs = (joined.filter(d2 <= eps * eps)
              .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
              .distinct().cache())
+
+    n_pairs = pairs.count()
+    if n_pairs <= 2_000_000:
+        # the ε-pair list is O(pairs) scalars — run steps 2-4 (degree, core,
+        # components, border) on the driver in one pass instead of ~10 small
+        # distributed jobs whose scheduling overhead dwarfs the work
+        from collections import defaultdict
+
+        nbrs = defaultdict(set)
+        for r in pairs.collect():
+            nbrs[r.id_a].add(r.id_b)
+            nbrs[r.id_b].add(r.id_a)
+        cores = {p for p, s in nbrs.items() if len(s) >= min_pts - 1}
+        parent = {p: p for p in cores}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for p in cores:
+            for q in nbrs[p]:
+                if q in cores and p < q:
+                    ra, rb = find(p), find(q)
+                    if ra != rb:
+                        if rb < ra:
+                            ra, rb = rb, ra
+                        parent[rb] = ra
+        lbl = {p: find(p) for p in cores}
+        for p, s in nbrs.items():          # border points
+            if p not in cores:
+                owners = [lbl[q] for q in s if q in cores]
+                if owners:
+                    lbl[p] = min(owners)
+        spark = df.sparkSession
+        dt = pts.schema["id"].dataType.simpleString()
+        lab_df = spark.createDataFrame(list(lbl.items()),
+                                       f"id {dt}, cluster_id {dt}")
+        return (pts.select("id")
+                .join(lab_df, "id", "left")
+                .select(F.col("id").alias(id_col),
+                        F.coalesce("cluster_id", F.lit(-1)).alias("cluster")))
 
     deg = (pairs.select(F.col("id_a").alias("id"))
            .unionByName(pairs.select(F.col("id_b").alias("id")))

@@ -57,6 +57,38 @@ def label_propagation(edges: DataFrame, *, max_iters: int = 20) -> DataFrame:
     # materialize the graph once — otherwise every round replays the whole
     # upstream lineage (distance pair frame included)
     edges = edges.localCheckpoint(eager=True)
+    n_edges = edges.count()
+    if n_edges <= 2_000_000:
+        # edge list is O(edges) scalars — run the identical synchronous
+        # rounds on the driver; job-scheduling overhead per distributed
+        # round (~1 s) dwarfs this graph's actual work
+        from collections import Counter, defaultdict
+
+        adj = defaultdict(list)
+        for r in edges.collect():
+            adj[r.src].append(r.dst)
+        labels_d = {v: v for v in adj}
+        seen_states: set = set()
+        for _ in range(max_iters):
+            new_d = {}
+            for v, nb in adj.items():
+                cnt = Counter(labels_d[u] for u in nb)
+                top = max(cnt.values())
+                new_d[v] = min(l for l, c in cnt.items() if c == top)
+            state = hash(frozenset(new_d.items()))
+            labels_d = new_d
+            if state in seen_states:
+                break
+            seen_states.add(state)
+        # renumber communities by smallest member
+        rep: dict = {}
+        for v, c in labels_d.items():
+            rep[c] = min(rep.get(c, v), v)
+        spark = edges.sparkSession
+        dt = edges.schema["src"].dataType.simpleString()
+        return spark.createDataFrame(
+            [(v, rep[c]) for v, c in labels_d.items()],
+            f"id {dt}, community {dt}")
     nodes = (edges.select(F.col("src").alias("id"))
                   .union(edges.select(F.col("dst").alias("id")))
                   .distinct()).localCheckpoint(eager=True)

@@ -61,12 +61,12 @@ def q_discretize_equal_freq(spark, sf_dir):
 
 @query("q_continuize_indicators", """
 SELECT o_orderpriority,
-       sum(CASE WHEN o_orderstatus IS NULL THEN NULL
-                WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END) AS n_F,
-       sum(CASE WHEN o_orderstatus IS NULL THEN NULL
-                WHEN o_orderstatus = 'O' THEN 1.0 ELSE 0.0 END) AS n_O,
-       sum(CASE WHEN o_orderstatus IS NULL THEN NULL
-                WHEN o_orderstatus = 'P' THEN 1.0 ELSE 0.0 END) AS n_P
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN NULL
+                WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS n_F,
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN NULL
+                WHEN o_orderstatus = 'O' THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS n_O,
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN NULL
+                WHEN o_orderstatus = 'P' THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS n_P
 FROM orders GROUP BY o_orderpriority
 """)
 def q_continuize_indicators(spark, sf_dir):
@@ -74,11 +74,14 @@ def q_continuize_indicators(spark, sf_dir):
     columns summed per group."""
     (orders,) = _t(spark, sf_dir, "orders")
     out = P.continuize(orders, "o_orderstatus", ["F", "O", "P"], "indicators")
-    return G.aggregate(out, ["o_orderpriority"], {
+    agg = G.aggregate(out, ["o_orderpriority"], {
         "o_orderstatus=F": [("sum", "n_F")],
         "o_orderstatus=O": [("sum", "n_O")],
         "o_orderstatus=P": [("sum", "n_P")],
     })
+    return agg.select("o_orderpriority",
+                      *[F.col(c).cast("double").alias(c)
+                        for c in ("n_F", "n_O", "n_P")])
 
 
 @query("q_impute_mean", """

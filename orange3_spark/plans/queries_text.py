@@ -132,7 +132,7 @@ def q_dedup_minhash(spark, sf_dir):
 def q_dedup_simhash(spark, sf_dir):
     """SimHash fingerprint near-dup pairs (prefix-blocked Hamming join)."""
     (docs,) = _t(spark, sf_dir, "documents")
-    return TD.simhash_near_dups(docs, max_hamming=20, prefix_bits=8)
+    return TD.simhash_near_dups(docs, max_hamming=12, prefix_bits=8)
 
 
 @query("q_knn_cosine", """

@@ -153,23 +153,29 @@ def pearson_pairs(df: DataFrame, columns: Sequence[str]) -> DataFrame:
 
 def average_rank(df: DataFrame, columns: Sequence[str],
                  suffix: str = "_rank") -> DataFrame:
-    """Append average-tie ranks (scipy ``rankdata`` semantics) per column:
-    ``(rank-1) + (ties+1)/2`` via two window functions.
+    """Append average-tie ranks (scipy ``rankdata`` semantics) per column.
 
-    NOTE: an unpartitioned ``rank()`` is a single-reducer sort — fine for
-    correctness/oracle work; at 100 TB compute Spearman from bucketed
-    approximate ranks (percentile_approx) instead.
+    avg rank of value v = (#rows < v) + (#ties(v) + 1)/2.  An unpartitioned
+    ``rank()`` window would funnel every full row through one reducer —
+    per column, sequentially.  Instead: per-column distinct-value counts
+    (parallel agg), a running sum over that far smaller (value, count)
+    frame, and a join of the rank map back onto the rows (Catalyst picks
+    broadcast when the map is small).  Only (value, count) pairs ever pass
+    through a single reducer; at truly huge cardinalities swap the cumsum
+    for a range-bucketed two-level version.
     """
     from pyspark.sql import Window
 
     out = df
     for c in columns:
-        w = Window.orderBy(F.col(c))
-        wp = Window.partitionBy(F.col(c))
-        rk = F.rank().over(w)
-        ties = F.count(F.lit(1)).over(wp)
-        out = out.withColumn(c + suffix,
-                             (rk - 1).cast("double") + (ties + 1) / 2.0)
+        counts = (df.groupBy(c)
+                    .agg(F.count(F.lit(1)).cast("double").alias("__n")))
+        w = Window.orderBy(c).rowsBetween(Window.unboundedPreceding, -1)
+        rank_map = counts.select(
+            c,
+            (F.coalesce(F.sum("__n").over(w), F.lit(0.0))
+             + (F.col("__n") + 1.0) / 2.0).alias(c + suffix))
+        out = out.join(rank_map, c)
     return out
 
 

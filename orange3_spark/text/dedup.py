@@ -108,11 +108,15 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
     ``max_df`` docs upstream if needed (they contribute pairs that will be
     verified anyway).
     """
-    sh = shingle_table(df, text_col, id_col, n).cache()
+    sh = (shingle_table(df, text_col, id_col, n)
+          # join key as a 64-bit hash: the shuffle moves 8-byte longs, not
+          # ~n-word strings (collision odds ~ rows²/2⁶⁴ — negligible)
+          .select(F.col(id_col), F.xxhash64("shingle").alias("s64"))
+          .cache())
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
-    pairs = (a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle"))
+    pairs = (a.join(b, (F.col("a.s64") == F.col("b.s64"))
                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
               .groupBy(F.col(f"a.{id_col}").alias("id_a"),
                        F.col(f"b.{id_col}").alias("id_b"))
@@ -148,7 +152,11 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     """
     sh = shingle_df if shingle_df is not None \
         else shingle_table(df, text_col, id_col, n)
-    aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(seed + k))).alias(f"h{k}")
+    # accept either raw shingle strings or a pre-hashed s64 key column
+    # (hash-of-hash is an equally valid minhash family and avoids hashing
+    # the string num_hashes times)
+    key = F.col("s64") if "s64" in sh.columns else F.col("shingle")
+    aggs = [F.min(F.xxhash64(key, F.lit(seed + k))).alias(f"h{k}")
             for k in range(num_hashes)]
     return sh.groupBy(id_col).agg(*aggs)
 
@@ -196,14 +204,16 @@ def dedup_minhash(df: DataFrame, text_col: str = "text",
                   num_hashes: int = 64, bands: int = 16,
                   threshold: float = 0.7, seed: int = 42) -> DataFrame:
     """Near-dup pairs: LSH candidates verified by exact n-gram Jaccard."""
-    sh = shingle_table(df, text_col, id_col, n).cache()  # feeds 3 consumers
+    sh = (shingle_table(df, text_col, id_col, n)
+          .select(F.col(id_col), F.xxhash64("shingle").alias("s64"))
+          .cache())  # feeds 3 consumers; 8-byte join keys, not strings
     cands = minhash_lsh_candidates(df, text_col, id_col, n=n,
                                    num_hashes=num_hashes, bands=bands,
                                    seed=seed, shingle_df=sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
-    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
-    inter = (cands.join(sa, "id_a").join(sb, ["id_b", "shingle"])
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("s64"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("s64"))
+    inter = (cands.join(sa, "id_a").join(sb, ["id_b", "s64"])
                   .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter")))
     out = (inter
            .join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
@@ -216,6 +226,11 @@ def dedup_minhash(df: DataFrame, text_col: str = "text",
 
 
 # ------------------------------------------------------------- dup clusters
+
+#: Edge count under which connected components run as driver union-find —
+#: the edge list is O(pairs) scalars, not data; 2M edges ≈ tens of MB.
+DRIVER_CC_MAX_EDGES = 2_000_000
+
 
 def dup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
     """Connected components over near-dup pairs → ``(doc_id, cluster_id)``
@@ -235,6 +250,36 @@ def dup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
     # edges drive EVERY propagation round — cache, or the upstream pair
     # computation (shingle join / LSH) re-executes per iteration
     edges = edges.cache()
+    n_edges = edges.count()
+
+    if n_edges <= DRIVER_CC_MAX_EDGES:
+        # the edge list is O(pairs) *scalars* — union-find on the driver
+        # beats a multi-round distributed fixpoint by orders of magnitude
+        # in job overhead; the distributed loop below is the >2M-edge path
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in edges.select("src", "dst").collect():
+            a, b = r[0], r[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:              # min id wins as the representative
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        rows = [(x, find(x)) for x in parent]
+        spark = pairs.sparkSession
+        dt = pairs.schema["id_a"].dataType.simpleString()
+        return spark.createDataFrame(rows, f"doc_id {dt}, cluster_id {dt}")
+
     labels = (edges.select(F.col("src").alias("id"))
               .distinct()
               .withColumn("cluster_id", F.col("id")))
@@ -248,19 +293,17 @@ def dup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
                            F.least(F.col("cluster_id"),
                                    F.coalesce(F.col("nmin"),
                                               F.col("cluster_id")))
-                           .alias("cluster_id")))
-        updated = updated.localCheckpoint()   # cut the growing lineage
-        # round 0 always changes something (every edge endpoint sees a
-        # neighbor) — skip its convergence probe, it's a wasted job
-        if it > 0:
-            changed = (updated.alias("u")
-                       .join(labels.alias("l"), "id")
-                       .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
-                       .limit(1).count())
-            if changed == 0:
-                labels = updated
-                break
-        labels = updated
+                           .alias("cluster_id"),
+                           (F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                            < F.col("cluster_id")).cast("int")
+                           .alias("__changed")))
+        # materialize the round, then probe convergence with ONE cheap agg
+        # over the already-materialized partitions (no extra join replay)
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.agg(F.sum("__changed")).first()[0] or 0
+        labels = updated.drop("__changed")
+        if changed == 0:
+            break
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
@@ -308,6 +351,9 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
     single-block simplification), then filter by Hamming distance."""
     h = simhash_table(df, text_col, id_col, seed=seed)
     h = h.withColumn("block", F.shiftright("sh", 64 - prefix_bits))
+    # one (id, sh, block) row per doc — cache so the self-join's two sides
+    # don't each replay the explode + 64-vote aggregation
+    h = h.cache()
     a, b = h.alias("a"), h.alias("b")
     return (a.join(b, (F.col("a.block") == F.col("b.block"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
