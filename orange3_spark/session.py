@@ -110,8 +110,15 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.sql import functions as F
 
+    nanos = _nanos_timestamp_cols(path)
+    if nanos:
+        # Runtime-settable SQL conf: must hold in *any* caller-supplied
+        # session (the correctness harness builds its own), not only one
+        # produced by get_spark() — otherwise TIMESTAMP(NANOS) parquet
+        # fails the read with PARQUET_TYPE_ILLEGAL.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    for c in _nanos_timestamp_cols(path):
+    for c in nanos:
         # integer division truncates ns -> µs exactly like DuckDB/Arrow do
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
