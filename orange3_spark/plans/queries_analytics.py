@@ -328,19 +328,22 @@ r AS (SELECT id, k,
              rank() OVER (PARTITION BY id ORDER BY v)
              + (COUNT(*) OVER (PARTITION BY id, v) - 1) / 2.0 AS rv
       FROM l)
-SELECT a.id AS id_a, b.id AS id_b, round(0.5 - corr(a.rv, b.rv) / 2, 9) AS dist
+SELECT a.id AS id_a, b.id AS id_b, round(0.5 - corr(a.rv, b.rv) / 2, 6) AS dist
 FROM r a JOIN r b ON a.k = b.k AND a.id < b.id
 GROUP BY a.id, b.id
 """)
 def q_distance_spearman_rows(spark, sf_dir):
     """SpearmanR row distance: average-tie ranks of each row's k values are
     O(k²) row-local comparison expressions (distance.py:609-620), then the
-    same closed-form ρ — still zero shuffles beyond the pair join."""
+    same closed-form ρ — still zero shuffles beyond the pair join.
+
+    Rounded to 6 decimals on both sides: the oracle's one-pass ``corr`` and
+    the closed-form ρ legitimately differ in the ~10th significant digit."""
     feats = _supp_features(spark, sf_dir)
     return D.row_distances(feats, "p_partkey", _SUPP_COLS, metric="spearman") \
             .select(F.col("id_a").cast("long").alias("id_a"),
                     F.col("id_b").cast("long").alias("id_b"),
-                    F.round("dist", 9).alias("dist"))
+                    F.round("dist", 6).alias("dist"))
 
 
 @query("q_distance_bhattacharyya", f"""
