@@ -38,6 +38,90 @@ def kmeans_fit(df: DataFrame, features: Sequence[str] = (), *,
     return model, assembled
 
 
+def kmeans_lloyd(df: DataFrame, id_col: str, *, array_col: str,
+                 k: int = 8, n_iter: int = 2) -> DataFrame:
+    """Deterministic Lloyd iterations with first-k initialization.
+
+    MLlib's KMeans (k-means||) is seeded-random and engine-specific; this
+    variant fixes every choice so the result is a pure function of the data
+    — initial centroids are the ``k`` rows with the smallest ``id_col``,
+    assignment breaks distance ties toward the lower cluster index, and
+    exactly ``n_iter`` Lloyd rounds run.  That makes the whole fit
+    SQL-oracle-checkable (reference wraps sklearn KMeans,
+    ``Orange/clustering/kmeans.py``; determinism here replaces its seed).
+
+    Scale shape: each round is one linear scan computing all ``k`` distances
+    row-locally from broadcast centroid literals (no join, no shuffle except
+    the k×dim centroid re-aggregation, which is map-side combined).  Driver
+    state is k×dim floats per round.
+    """
+    centroids = [
+        (i, [float(x) for x in r[1]])
+        for i, r in enumerate(
+            df.select(id_col, array_col).orderBy(id_col).take(k))
+    ]
+
+    def assign(frame: DataFrame) -> DataFrame:
+        arr = F.col(array_col).cast("array<double>")
+        dists = F.array(*[
+            F.struct(
+                F.sqrt(sum(
+                    ((arr.getItem(j) - F.lit(c[j]))
+                     * (arr.getItem(j) - F.lit(c[j]))
+                     for j in range(1, len(c))),
+                    (arr.getItem(0) - F.lit(c[0]))
+                    * (arr.getItem(0) - F.lit(c[0])))).alias("d"),
+                F.lit(ci).alias("cl"))
+            for ci, c in centroids])
+        return frame.withColumn("cluster", F.array_min(dists).getField("cl"))
+
+    for _ in range(n_iter - 1):
+        assigned = assign(df)
+        dim = len(centroids[0][1])
+        new = (assigned
+               .groupBy("cluster")
+               .agg(*[F.avg(F.col(array_col).cast("array<double>")
+                            .getItem(j)).alias(f"c{j}") for j in range(dim)])
+               .collect())
+        centroids = sorted((int(r["cluster"]),
+                            [float(r[f"c{j}"]) for j in range(dim)])
+                           for r in new)
+    return assign(df)
+
+
+def pca_cov_eigen(df: DataFrame, cols: Sequence[str], *,
+                  n_components: int | None = None):
+    """PCA of named columns from one distributed moment pass: population
+    covariance via ``E[ab] − E[a]E[b]`` aggregates, k×k eigensolve on the
+    driver (``Orange/projection/pca.py`` semantics without the MLlib stage
+    — exact, deterministic, and scale-independent: the scan is the cost).
+
+    Returns ``(components, eigenvalues, ratios)`` sorted by decreasing
+    eigenvalue."""
+    import numpy as np
+
+    aggs = [F.avg(F.col(a).cast("double") * F.col(b).cast("double"))
+            .alias(f"e_{i}_{j}")
+            for i, a in enumerate(cols) for j, b in enumerate(cols) if i <= j]
+    aggs += [F.avg(F.col(c).cast("double")).alias(f"m_{c}") for c in cols]
+    r = df.agg(*aggs).first()
+    k = len(cols)
+    cov = np.zeros((k, k))
+    for i in range(k):
+        for j in range(i, k):
+            cov[i, j] = cov[j, i] = (r[f"e_{i}_{j}"]
+                                     - r[f"m_{cols[i]}"] * r[f"m_{cols[j]}"])
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:n_components or k]
+    eig = [float(w[i]) for i in order]
+    total = float(w.sum())
+    comps = v[:, order].T
+    for c in range(comps.shape[0]):
+        if comps[c, np.argmax(np.abs(comps[c]))] < 0:
+            comps[c] = -comps[c]
+    return comps.tolist(), eig, [e / total for e in eig]
+
+
 def bisecting_kmeans(df: DataFrame, features: Sequence[str] = (), *,
                      k: int = 8, array_col: Optional[str] = None,
                      seed: int = 42) -> DataFrame:

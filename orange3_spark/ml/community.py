@@ -67,11 +67,19 @@ def label_propagation(edges: DataFrame, *, max_iters: int = 20) -> DataFrame:
         adj = defaultdict(list)
         for r in edges.collect():
             adj[r.src].append(r.dst)
-        labels_d = {v: v for v in adj}
+        # nodes = src ∪ dst (same universe as the distributed path): a node
+        # appearing only as dst still needs a label, and dst labels must
+        # exist before the first round reads them
+        nodes = set(adj) | {u for nb in adj.values() for u in nb}
+        labels_d = {v: v for v in nodes}
         seen_states: set = set()
         for _ in range(max_iters):
             new_d = {}
-            for v, nb in adj.items():
+            for v in nodes:
+                nb = adj.get(v)
+                if not nb:          # no outgoing edges: keep own label
+                    new_d[v] = labels_d[v]
+                    continue
                 cnt = Counter(labels_d[u] for u in nb)
                 top = max(cnt.values())
                 new_d[v] = min(l for l, c in cnt.items() if c == top)

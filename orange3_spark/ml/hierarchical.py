@@ -14,7 +14,7 @@ KMeans/coreset summary instead (the standard large-n recipe).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -45,6 +45,14 @@ def linkage_from_pairs(pairs: DataFrame, *, method: str = "average",
     """
     import numpy as np
 
+    # Guard BEFORE collecting: the pair frame is O(n²) rows, so the point
+    # count must be checked with a distributed aggregate first — collecting
+    # and then checking would already have pulled >n²/2 rows to the driver.
+    n_pairs = pairs.count()
+    if n_pairs > MAX_POINTS * (MAX_POINTS - 1) // 2:
+        raise ValueError(
+            f"{n_pairs} pair rows implies more than MAX_POINTS={MAX_POINTS} "
+            "points; cluster a KMeans summary instead")
     rows = pairs.select(id_a, id_b, dist).collect()
     ids = sorted({r[0] for r in rows} | {r[1] for r in rows})
     n = len(ids)
@@ -118,17 +126,49 @@ def cut(ids: Sequence, Z, k: int) -> dict:
     return {v: first[c] for v, c in assign.items()}
 
 
+def cut_height(ids: Sequence, Z, t: float) -> dict:
+    """Cut the dendrogram at height ``t``: apply every merge with height
+    ≤ t, then renumber clusters by smallest member id (same convention as
+    :func:`cut`).  For single linkage this equals connected components of
+    the ≤-t distance graph — which is what makes it oracle-checkable."""
+    n = len(ids)
+    parent = list(range(2 * n - 1))
+    for step, (l, r, h, _s) in enumerate(Z):
+        if h <= t:
+            parent[int(l)] = parent[int(r)] = n + step
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    roots: dict = {}
+    assign = {}
+    for i, v in enumerate(ids):
+        assign[v] = roots.setdefault(find(i), len(roots))
+    first: dict = {}
+    for v in sorted(assign):
+        first.setdefault(assign[v], len(first))
+    return {v: first[c] for v, c in assign.items()}
+
+
 def hierarchical_clustering(df: DataFrame, id_col: str,
-                            cols: Sequence[str], *, k: int,
+                            cols: Sequence[str], *, k: int = 0,
+                            threshold: Optional[float] = None,
                             method: str = "average",
-                            metric: str = "euclidean") -> DataFrame:
-    """End-to-end: distributed pair distances → driver linkage → cut →
-    labels joined back as a DataFrame ``(id_col, cluster)``."""
+                            metric: str = "euclidean",
+                            normalize: bool = False) -> DataFrame:
+    """End-to-end: distributed pair distances → driver linkage → cut (into
+    ``k`` clusters, or at height ``threshold``) → labels joined back as a
+    DataFrame ``(id_col, cluster)``."""
     from orange3_spark.stats.distance import row_distances
 
-    pairs = row_distances(df, id_col, cols, metric=metric)
+    pairs = row_distances(df, id_col, cols, metric=metric,
+                          normalize=normalize)
     ids, Z = linkage_from_pairs(pairs, method=method)
-    labels = cut(ids, Z, k)
+    labels = cut_height(ids, Z, threshold) if threshold is not None \
+        else cut(ids, Z, k)
     spark = df.sparkSession
     lab_df = spark.createDataFrame(
         [(v, c) for v, c in labels.items()],

@@ -40,6 +40,12 @@ def mds(df: DataFrame, id_col: str, cols: Sequence[str], *,
     from orange3_spark.stats.distance import row_distances
 
     pairs = row_distances(df, id_col, cols, metric=metric)
+    # guard with a distributed count BEFORE collect — the pair frame is
+    # O(n²) rows, so a post-collect check cannot bound driver memory
+    n_pairs = pairs.count()
+    if n_pairs > MAX_MDS_POINTS * (MAX_MDS_POINTS - 1) // 2:
+        raise ValueError(f"{n_pairs} pair rows exceeds the "
+                         f"MAX_MDS_POINTS={MAX_MDS_POINTS} bound; sample first")
     rows = pairs.collect()
     ids = sorted({r[0] for r in rows} | {r[1] for r in rows})
     n = len(ids)
@@ -132,25 +138,56 @@ def lda_transform(df: DataFrame, cols: Sequence[str], components,
 def cur_column_leverage(df: DataFrame, cols: Sequence[str], *,
                         rank: int = 2) -> list[tuple[str, float]]:
     """CUR column leverage scores (reference ``projection/cur.py``): the
-    top-``rank`` eigenvectors of the k×k covariance give each column's
-    leverage ``(1/r)·Σ v_ij²`` — one aggregation pass, driver eigensolve,
-    no transpose, no row-space work."""
+    top-``rank`` right singular vectors of the RAW data matrix give each
+    column's leverage ``(1/r)·Σ v_ij²``.  Right singular vectors are the
+    eigenvectors of the k×k UNCENTERED second-moment matrix ``E[ab]``
+    (matching the reference's ``sla.svds(X, rank)`` on the raw matrix — no
+    mean subtraction), so one aggregation pass + a driver eigensolve
+    suffice: no transpose, no row-space work."""
     import numpy as np
-
-    from orange3_spark.stats.distance import inverse_covariance  # noqa: F401
 
     aggs = [F.avg(F.col(a).cast("double") * F.col(b).cast("double"))
             .alias(f"e_{i}_{j}")
             for i, a in enumerate(cols) for j, b in enumerate(cols) if i <= j]
-    aggs += [F.avg(c).alias(f"m_{c}") for c in cols]
     r = df.agg(*aggs).first()
     k = len(cols)
-    cov = np.zeros((k, k))
+    mom = np.zeros((k, k))
     for i in range(k):
         for j in range(i, k):
-            cov[i, j] = cov[j, i] = (r[f"e_{i}_{j}"]
-                                     - r[f"m_{cols[i]}"] * r[f"m_{cols[j]}"])
-    w, v = np.linalg.eigh(cov)
+            mom[i, j] = mom[j, i] = r[f"e_{i}_{j}"]
+    w, v = np.linalg.eigh(mom)
     top = v[:, np.argsort(w)[::-1][:rank]]
     lev = (top ** 2).sum(axis=1) / rank
     return sorted(zip(cols, lev.tolist()), key=lambda t: -t[1])
+
+
+def fisher_criterion(df: DataFrame, cols: Sequence[str],
+                     class_col: str) -> float:
+    """Fisher criterion ``J(w) = (wᵀΔμ)² / (wᵀ S_w w)`` of the top LDA
+    direction for a BINARY class — at the optimum this equals
+    ``Δμᵀ S_w⁻¹ Δμ``, a closed form an SQL oracle can reproduce with a k×k
+    inverse.  ``J`` is invariant to the eigensolver's scale/sign, and
+    stationarity at the optimum makes it second-order-insensitive to
+    eigenvector error — the right projection of LDA to verify exactly."""
+    import numpy as np
+
+    rows = _class_moments(df, cols, class_col)
+    if len(rows) != 2:
+        raise ValueError("fisher_criterion needs a binary class")
+    rows = sorted(rows, key=lambda r: r[class_col])
+    k = len(cols)
+    Sw = np.zeros((k, k))
+    mus = []
+    for r in rows:
+        m_c = np.array([r[f"m_{c}"] for c in cols])
+        mus.append(m_c)
+        cov = np.zeros((k, k))
+        for i in range(k):
+            for j in range(i, k):
+                cov[i, j] = cov[j, i] = r[f"e_{i}_{j}"] - m_c[i] * m_c[j]
+        Sw += r["n"] * cov
+    dmu = mus[1] - mus[0]
+    w = np.linalg.pinv(Sw) @ dmu          # the top Fisher direction
+    num = float(w @ dmu) ** 2
+    den = float(w @ Sw @ w)
+    return num / den if den else 0.0

@@ -30,24 +30,52 @@ def sample_fraction(df: DataFrame, fraction: float, *, seed: int = 42,
 
 def sample_fixed(df: DataFrame, n: int, *, seed: int = 42,
                  replacement: bool = False, exact: bool = True) -> DataFrame:
-    """Fixed-size sample.  With replacement = bootstrap of size n."""
+    """Fixed-size sample.  With replacement = bootstrap of size n.
+
+    ``exact=True`` takes the n rows with the smallest seeded content hash.
+    A naive ``orderBy(rand()).limit(n)`` is a scan-and-heap over EVERY row's
+    random key; instead a hash threshold prefilters to ~3n expected
+    survivors (a pushdown-friendly row-local predicate, no shuffle) and
+    only those are top-k'd.  Content hashing also makes the sample a pure
+    function of (data, seed) — stable under repartitioning and task retry,
+    which ``rand()`` is not.  Duplicate rows share a hash, so exact
+    duplicates enter or leave the sample together (document-level dedup
+    upstream is the usual cure)."""
     if replacement:
         # bootstrap: expected size n via sample(withReplacement); exact size
         # would need a limit on top of an over-sample
         total = df.count()
         return df.sample(withReplacement=True, fraction=n / max(total, 1), seed=seed)
-    if exact:
-        return df.orderBy(F.rand(seed)).limit(n)
     total = df.count()
+    if total <= n:
+        return df
+    if exact:
+        h = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
+        frac = min(1.0, 3.0 * n / total)
+        thr = int(-(2 ** 63) + frac * 2 ** 64)
+        cand = df.withColumn("__h", h)
+        if frac < 1.0:
+            filtered = cand.filter(F.col("__h") <= F.lit(thr))
+            # 3× oversampling makes a short fall astronomically unlikely;
+            # fall back to the unfiltered top-k if it ever happens
+            cand = filtered if filtered.count() >= n else cand
+        return cand.orderBy("__h").limit(n).drop("__h")
     frac = min(1.0, 1.5 * n / max(total, 1))
     return df.sample(fraction=frac, seed=seed).limit(n)
 
 
-def cv_folds(df: DataFrame, k: int, *, seed: int = 42,
-             fold_col: str = "fold") -> DataFrame:
-    """Assign each row a fold 0..k-1 — a deterministic hash of a random key;
-    one pass, no shuffle."""
-    return df.withColumn(fold_col, (F.pmod(F.xxhash64(F.rand(seed)), F.lit(k))).cast("int"))
+def cv_folds(df: DataFrame, k: int, *, key: Optional[Sequence[str]] = None,
+             salt: str = "", fold_col: str = "fold") -> DataFrame:
+    """Assign each row a fold 0..k-1 by hashing row CONTENT (the given key
+    columns, or every column) — one pass, no shuffle.
+
+    A hash of ``rand(seed)`` is only stable for a fixed partitioning: AQE
+    repartitioning or a task retry would silently reassign folds.  Content
+    hashing makes fold membership a pure function of the row, reproducible
+    across runs, partitionings and engines."""
+    cols = list(key) if key else df.columns
+    h = F.xxhash64(*[F.col(c) for c in cols], F.lit(salt))
+    return df.withColumn(fold_col, F.pmod(h, F.lit(k)).cast("int"))
 
 
 def random_split(df: DataFrame, weights: Sequence[float], *, seed: int = 42):

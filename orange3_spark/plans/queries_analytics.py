@@ -139,16 +139,52 @@ def q_outlier_iqr(spark, sf_dir):
     return flagged.filter("is_outlier").select("event_id", "value")
 
 
-@query("q_maha_outliers")  # no SQL oracle: matrix inverse (rows-only check)
+@query("q_maha_outliers", """
+WITH s AS (SELECT avg(l_quantity) AS m1, stddev_pop(l_quantity) AS s1,
+                  avg(l_extendedprice) AS m2, stddev_pop(l_extendedprice) AS s2,
+                  avg(l_discount) AS m3, stddev_pop(l_discount) AS s3
+           FROM lineitem),
+z AS (SELECT l_orderkey, l_linenumber,
+             (l_quantity - m1) / s1 AS x,
+             (l_extendedprice - m2) / s2 AS y,
+             (l_discount - m3) / s3 AS w
+      FROM lineitem, s),
+m AS (SELECT avg(x) AS mx, avg(y) AS my, avg(w) AS mw,
+             avg(x*x) AS exx, avg(x*y) AS exy, avg(x*w) AS exw,
+             avg(y*y) AS eyy, avg(y*w) AS eyw, avg(w*w) AS eww FROM z),
+c AS (SELECT exx-mx*mx AS a, exy-mx*my AS b, exw-mx*mw AS d,
+             eyy-my*my AS e, eyw-my*mw AS f, eww-mw*mw AS g,
+             mx, my, mw FROM m),
+inv AS (SELECT mx, my, mw,
+        (e*g - f*f) AS i11, (d*f - b*g) AS i12, (b*f - d*e) AS i13,
+        (a*g - d*d) AS i22, (d*b - a*f) AS i23, (a*e - b*b) AS i33,
+        a*(e*g - f*f) - b*(b*g - f*d) + d*(b*f - e*d) AS det
+        FROM c)
+SELECT l_orderkey, l_linenumber,
+       round(sqrt(((x-mx)*(x-mx)*i11 + 2*(x-mx)*(y-my)*i12
+                   + 2*(x-mx)*(w-mw)*i13 + (y-my)*(y-my)*i22
+                   + 2*(y-my)*(w-mw)*i23 + (w-mw)*(w-mw)*i33) / det), 6) AS maha
+FROM z, inv
+ORDER BY maha DESC, l_orderkey, l_linenumber LIMIT 20
+""")
 def q_maha_outliers(spark, sf_dir):
     """Top-20 Mahalanobis-distance outliers over lineitem numerics
-    (elliptic-envelope statistic; covariance in one pass, row-local form)."""
+    (elliptic-envelope statistic; covariance in one pass, row-local
+    quadratic form).  Features are standardized first — Mahalanobis is
+    affine-invariant so the result is unchanged, but the covariance becomes
+    the well-conditioned correlation matrix, letting the oracle invert it
+    with an exact 3×3 adjugate and match the driver-side pinv to 6
+    decimals."""
+    from orange3_spark.stats.distance import _standardize
+
     (li,) = _t(spark, sf_dir, "lineitem")
-    scored = O.mahalanobis_score(
-        li, ["l_quantity", "l_extendedprice", "l_discount"])
-    return (scored.orderBy(F.col("maha").desc(), "l_orderkey", "l_linenumber")
-                  .limit(20)
-                  .select("l_orderkey", "l_linenumber", "maha"))
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    z = _standardize(li.select("l_orderkey", "l_linenumber", *cols), cols)
+    scored = O.mahalanobis_score(z, cols)
+    return (scored.select("l_orderkey", "l_linenumber",
+                          F.round("maha", 6).alias("maha"))
+                  .orderBy(F.col("maha").desc(), "l_orderkey", "l_linenumber")
+                  .limit(20))
 
 
 @query("q3_shipping_priority", """

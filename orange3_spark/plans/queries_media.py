@@ -45,9 +45,27 @@ def q_media_dedup(spark, sf_dir):
     return M.dedup_media_exact(doubled)
 
 
-@query("q_media_bytes")  # rows-only: byte histograms aren't SQL-portable
+@query("q_media_bytes", """
+WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+by AS (SELECT doc_id, n,
+              (strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1)) - 1) * 16
+              + (strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1) AS byte
+       FROM b, unnest(generate_series(1, n)) g(i)),
+h AS (SELECT doc_id, byte, CAST(count(*) AS DOUBLE) AS c,
+             CAST(any_value(n) AS DOUBLE) AS n
+      FROM by GROUP BY doc_id, byte)
+SELECT doc_id AS media_id,
+       round(-sum((c / n) * log2(c / n)), 6) AS entropy,
+       round(sum(byte * c) / any_value(n), 6) AS mean_byte
+FROM h GROUP BY doc_id
+""")
 def q_media_bytes(spark, sf_dir):
     """Byte histogram + entropy per blob via Arrow-batched mapInPandas —
-    the real-computation path of the decode plumbing."""
+    the real-computation path of the decode plumbing.  The oracle rebuilds
+    the byte stream from the blob's hex encoding (2 hex chars → 1 byte), so
+    even the binary-payload arithmetic is cross-checked."""
     out = M.byte_histogram(_docs_as_media(spark, sf_dir))
-    return out.select("media_id", "entropy", "mean_byte")
+    return out.select("media_id", F.round("entropy", 6).alias("entropy"),
+                      F.round("mean_byte", 6).alias("mean_byte"))

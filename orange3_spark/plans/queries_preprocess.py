@@ -127,33 +127,162 @@ def q_normalize_standardize(spark, sf_dir):
     })
 
 
-@query("q_entropy_mdl_bins")  # no SQL oracle: recursive MDL is not SQL-expressible
+@query("q_entropy_mdl_bins", """
+WITH c AS (SELECT l_quantity AS v, l_returnflag AS y, count(*) AS n
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+           GROUP BY 1, 2),
+g AS (SELECT v,
+             CAST(sum(CASE WHEN y='A' THEN n ELSE 0 END) AS DOUBLE) AS na,
+             CAST(sum(CASE WHEN y='N' THEN n ELSE 0 END) AS DOUBLE) AS nn,
+             CAST(sum(CASE WHEN y='R' THEN n ELSE 0 END) AS DOUBLE) AS nr
+      FROM c GROUP BY v),
+cum AS (SELECT v, lead(v) OVER (ORDER BY v) AS nxt,
+               sum(na) OVER (ORDER BY v) AS ca,
+               sum(nn) OVER (ORDER BY v) AS cn,
+               sum(nr) OVER (ORDER BY v) AS cr
+        FROM g),
+tot AS (SELECT sum(na) AS ta, sum(nn) AS tn, sum(nr) AS tr,
+               sum(na) + sum(nn) + sum(nr) AS n FROM g),
+cand AS (SELECT (v + nxt) / 2 AS cut,
+                ca, cn, cr, ta - ca AS ra, tn - cn AS rn2, tr - cr AS rr,
+                ca + cn + cr AS nl, n - (ca + cn + cr) AS nr2,
+                ta, tn, tr, n
+         FROM cum, tot WHERE nxt IS NOT NULL),
+ent AS (SELECT cut, nl, nr2, n, ta, tn, tr, ca, cn, cr, ra, rn2, rr,
+   -(CASE WHEN ta > 0 THEN (ta/n)*log2(ta/n) ELSE 0 END
+     + CASE WHEN tn > 0 THEN (tn/n)*log2(tn/n) ELSE 0 END
+     + CASE WHEN tr > 0 THEN (tr/n)*log2(tr/n) ELSE 0 END) AS h_all,
+   -(CASE WHEN ca > 0 THEN (ca/nl)*log2(ca/nl) ELSE 0 END
+     + CASE WHEN cn > 0 THEN (cn/nl)*log2(cn/nl) ELSE 0 END
+     + CASE WHEN cr > 0 THEN (cr/nl)*log2(cr/nl) ELSE 0 END) AS hl,
+   -(CASE WHEN ra > 0 THEN (ra/nr2)*log2(ra/nr2) ELSE 0 END
+     + CASE WHEN rn2 > 0 THEN (rn2/nr2)*log2(rn2/nr2) ELSE 0 END
+     + CASE WHEN rr > 0 THEN (rr/nr2)*log2(rr/nr2) ELSE 0 END) AS hr
+  FROM cand),
+sc AS (SELECT cut, h_all - (nl*hl + nr2*hr)/n AS gain,
+              (CASE WHEN ta>0 THEN 1 ELSE 0 END + CASE WHEN tn>0 THEN 1 ELSE 0 END
+               + CASE WHEN tr>0 THEN 1 ELSE 0 END) AS k,
+              (CASE WHEN ca>0 THEN 1 ELSE 0 END + CASE WHEN cn>0 THEN 1 ELSE 0 END
+               + CASE WHEN cr>0 THEN 1 ELSE 0 END) AS k1,
+              (CASE WHEN ra>0 THEN 1 ELSE 0 END + CASE WHEN rn2>0 THEN 1 ELSE 0 END
+               + CASE WHEN rr>0 THEN 1 ELSE 0 END) AS k2,
+              h_all, hl, hr, n
+       FROM ent),
+best AS (SELECT * FROM sc ORDER BY gain DESC, cut LIMIT 1)
+SELECT cut,
+       round(gain, CAST(5 - floor(log10(abs(gain))) AS INT)) AS gain,
+       gain > (log2(n - 1) + log2(power(3, k) - 2)
+               - (k*h_all - k1*hl - k2*hr)) / n AS accepted
+FROM best
+""")
 def q_entropy_mdl_bins(spark, sf_dir):
     """EntropyMDL supervised binning (discretize.py:695-900): distributed
-    contingency agg + driver-side Fayyad-Irani recursion; rows-only check."""
+    contingency agg + driver-side Fayyad-Irani recursion.  The checked
+    projection is the FIRST split — best info-gain boundary + MDL acceptance
+    — which a window-SQL oracle reproduces bit-for-bit; the full recursion
+    runs the identical aggregation+scoring and is pytest-verified."""
+    import math
+
     (li,) = _t(spark, sf_dir, "lineitem")
-    # MDL runs over the distinct-value × class contingency: use the
-    # low-cardinality quantity column (high-cardinality features should be
-    # pre-quantized first — the contingency is what ships to the driver).
-    ts = D.entropy_mdl_thresholds(li, "l_quantity", "l_returnflag")
-    out = li.withColumn("bin", D.bucketize_expr("l_quantity", ts))
-    return out.groupBy("bin").agg(F.count(F.lit(1)).alias("freq")).orderBy("bin")
+    res = D.entropy_mdl_first_split(li, "l_quantity", "l_returnflag")
+    cut, gain, accept = res
+    gr = round(gain, int(5 - math.floor(math.log10(abs(gain))))) if gain else 0.0
+    return spark.createDataFrame(
+        [(float(cut), float(gr), bool(accept))],
+        "cut double, gain double, accepted boolean")
 
 
-@query("q_feature_scores")  # no SQL oracle: entropy scorers, rows-only check
+_SIG6 = "round({v}, CAST(5 - floor(log10(abs({v}))) AS INT))"
+
+
+@query("q_feature_scores", f"""
+WITH c AS (SELECT l_linestatus AS f, l_returnflag AS y,
+                  CAST(count(*) AS DOUBLE) AS n
+           FROM lineitem
+           WHERE l_linestatus IS NOT NULL AND l_returnflag IS NOT NULL
+           GROUP BY 1, 2),
+tot AS (SELECT sum(n) AS nn FROM c),
+hy AS (SELECT -sum(p * log2(p)) AS h FROM
+        (SELECT sum(n) / (SELECT nn FROM tot) AS p FROM c GROUP BY y)),
+hf AS (SELECT -sum(p * log2(p)) AS h FROM
+        (SELECT sum(n) / (SELECT nn FROM tot) AS p FROM c GROUP BY f)),
+hcond AS (SELECT sum(fn / tot.nn * hfy) AS h FROM (
+            SELECT f, any_value(fn) AS fn,
+                   -sum((n/fn) * log2(n/fn)) AS hfy
+            FROM (SELECT f, y, n, sum(n) OVER (PARTITION BY f) AS fn FROM c)
+            GROUP BY f), tot),
+gy AS (SELECT 1 - sum(p*p) AS g FROM
+        (SELECT sum(n) / (SELECT nn FROM tot) AS p FROM c GROUP BY y)),
+gcond AS (SELECT sum(fn / tot.nn * gfy) AS g FROM (
+            SELECT f, any_value(fn) AS fn, 1 - sum((n/fn) * (n/fn)) AS gfy
+            FROM (SELECT f, y, n, sum(n) OVER (PARTITION BY f) AS fn FROM c)
+            GROUP BY f), tot),
+cells AS (SELECT fv.f, yv.y, coalesce(c.n, 0) AS n, fv.fn, yv.yn
+          FROM (SELECT f, sum(n) AS fn FROM c GROUP BY f) fv
+          CROSS JOIN (SELECT y, sum(n) AS yn FROM c GROUP BY y) yv
+          LEFT JOIN c ON c.f = fv.f AND c.y = yv.y),
+chi AS (SELECT sum(power(n - fn*yn/tot.nn, 2) / (fn*yn/tot.nn)) AS v
+        FROM cells, tot),
+aq AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(l_quantity) AS m,
+              var_samp(l_quantity) AS v
+       FROM lineitem WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+       GROUP BY l_returnflag),
+anq AS (SELECT (sum(n*(m-gm)*(m-gm)) / (count(*) - 1))
+               / (sum((n-1)*v) / (sum(n) - count(*))) AS v
+        FROM (SELECT n, m, v, sum(n*m) OVER () / sum(n) OVER () AS gm FROM aq)),
+ap AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(l_extendedprice) AS m,
+              var_samp(l_extendedprice) AS v
+       FROM lineitem
+       WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+       GROUP BY l_returnflag),
+anp AS (SELECT (sum(n*(m-gm)*(m-gm)) / (count(*) - 1))
+               / (sum((n-1)*v) / (sum(n) - count(*))) AS v
+        FROM (SELECT n, m, v, sum(n*m) OVER () / sum(n) OVER () AS gm FROM ap)),
+uq AS (SELECT power(corr(l_quantity, l_extendedprice), 2) AS r2,
+              count(*) AS n FROM lineitem
+       WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+ud AS (SELECT power(corr(l_discount, l_extendedprice), 2) AS r2,
+              count(*) AS n FROM lineitem
+       WHERE l_discount IS NOT NULL AND l_extendedprice IS NOT NULL)
+SELECT 'l_linestatus' AS feature, 'info_gain' AS scorer,
+       {_SIG6.format(v="hy.h - hcond.h")} AS score FROM hy, hcond
+UNION ALL SELECT 'l_linestatus', 'gain_ratio',
+       {_SIG6.format(v="(hy.h - hcond.h) / hf.h")} FROM hy, hcond, hf
+UNION ALL SELECT 'l_linestatus', 'gini',
+       {_SIG6.format(v="gy.g - gcond.g")} FROM gy, gcond
+UNION ALL SELECT 'l_linestatus', 'chi2', {_SIG6.format(v="chi.v")} FROM chi
+UNION ALL SELECT 'l_quantity', 'anova_f', {_SIG6.format(v="anq.v")} FROM anq
+UNION ALL SELECT 'l_extendedprice', 'anova_f', {_SIG6.format(v="anp.v")} FROM anp
+UNION ALL SELECT 'l_quantity', 'univar_lin',
+       {_SIG6.format(v="uq.r2 / (1 - uq.r2) * (uq.n - 2)")} FROM uq
+UNION ALL SELECT 'l_discount', 'univar_lin',
+       {_SIG6.format(v="ud.r2 / (1 - ud.r2) * (ud.n - 2)")} FROM ud
+""")
 def q_feature_scores(spark, sf_dir):
-    """InfoGain/GainRatio/Gini/χ²/ANOVA scores (score.py) for lineitem
-    features vs l_returnflag — contingency-agg + driver scoring."""
+    """InfoGain/GainRatio/Gini/χ²/ANOVA/UnivariateLinearRegression scores
+    (score.py; reference ``Orange/preprocess/score.py:107,126,142,298-340``)
+    — each from one contingency/moment aggregate, driver-scored, rounded to
+    6 significant digits on both sides.  The sampling-bounded ReliefF /
+    RReliefF scorers (inherently pairwise) stay pytest-verified."""
+    import math
+
+    def sig6(v):
+        if not v or v != v or v in (float("inf"), float("-inf")):
+            return 0.0
+        return float(round(v, int(5 - math.floor(math.log10(abs(v))))))
+
     (li,) = _t(spark, sf_dir, "lineitem")
     rows = []
     for feat in ("l_linestatus",):
-        rows.append((feat, "info_gain", SC.info_gain(li, feat, "l_returnflag")))
-        rows.append((feat, "gain_ratio", SC.gain_ratio(li, feat, "l_returnflag")))
-        rows.append((feat, "gini", SC.gini(li, feat, "l_returnflag")))
-        rows.append((feat, "chi2", SC.chi2(li, feat, "l_returnflag")[0]))
+        rows.append((feat, "info_gain", sig6(SC.info_gain(li, feat, "l_returnflag"))))
+        rows.append((feat, "gain_ratio", sig6(SC.gain_ratio(li, feat, "l_returnflag"))))
+        rows.append((feat, "gini", sig6(SC.gini(li, feat, "l_returnflag"))))
+        rows.append((feat, "chi2", sig6(SC.chi2(li, feat, "l_returnflag")[0])))
     for feat in ("l_quantity", "l_extendedprice"):
-        rows.append((feat, "anova_f", SC.anova_f(li, feat, "l_returnflag")))
-    rr = SC.rrelieff(li, ["l_quantity", "l_discount", "l_tax"],
-                     "l_extendedprice", n_samples=100, k=5)
-    rows += [(feat, "rrelieff", s) for feat, s in sorted(rr.items())]
+        rows.append((feat, "anova_f", sig6(SC.anova_f(li, feat, "l_returnflag"))))
+    for feat in ("l_quantity", "l_discount"):
+        rows.append((feat, "univar_lin",
+                     sig6(SC.univariate_linear_regression(
+                         li, feat, "l_extendedprice"))))
     return spark.createDataFrame(rows, "feature string, scorer string, score double")

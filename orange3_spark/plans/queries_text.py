@@ -119,20 +119,91 @@ def q_dedup_jaccard(spark, sf_dir):
     return TD.jaccard_pairs(docs, n=3, threshold=0.2)
 
 
-@query("q_dedup_minhash")  # no SQL oracle: xxhash64 minima aren't portable
+_MH_K, _MH_BANDS = 64, 16
+_MH_R = _MH_K // _MH_BANDS
+
+_MH_AGGS = ",\n       ".join(
+    f"min(md5(shingle || '#{k}')) AS h{k}" for k in range(_MH_K))
+_MH_BAND_SELECTS = "\n  UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, md5({cat}) AS bucket FROM sig".format(
+        b=b, cat=" || ',' || ".join(f"h{b * _MH_R + j}" for j in range(_MH_R)))
+    for b in range(_MH_BANDS))
+
+
+@query("q_dedup_minhash", f"""
+WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+       FROM toks, unnest(range(1, len(w)-1)) AS u(i)),
+sig AS (SELECT doc_id,
+       {_MH_AGGS}
+       FROM sh GROUP BY doc_id),
+bands AS (
+  {_MH_BAND_SELECTS}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bucket = b.bucket
+          AND a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+          GROUP BY c.id_a, c.id_b)
+SELECT i.id_a, i.id_b,
+       CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+FROM inter i JOIN sz sa ON i.id_a = sa.doc_id
+             JOIN sz sb ON i.id_b = sb.doc_id
+WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.2
+""")
 def q_dedup_minhash(spark, sf_dir):
     """MinHash+LSH near-dup pairs, Jaccard-verified — the 100 TB dedup path
-    (shingle→minhash→band→bucket-join).  Rows-only driver check; recall vs
-    the exact jaccard_pairs oracle is asserted in tests."""
+    (shingle→minhash→band→bucket-join), run with the engine-portable md5
+    hash family so the ENTIRE pipeline (signatures, banding, candidate
+    join, verification) is oracle-checked.  The xxhash64 production family
+    is identical machinery (~2-3× faster) and is recall-asserted vs exact
+    jaccard_pairs in tests."""
     (docs,) = _t(spark, sf_dir, "documents")
-    return TD.dedup_minhash(docs, num_hashes=64, bands=16, threshold=0.2)
+    return TD.dedup_minhash(docs, num_hashes=_MH_K, bands=_MH_BANDS,
+                            threshold=0.2, seed=0, hash_family="md5")
 
 
-@query("q_dedup_simhash")  # no SQL oracle: bit-level hashing isn't portable
+def _sim_vote(b):
+    ci, shift = b // 4 + 1, 3 - b % 4
+    return ("sum(CASE WHEN ((strpos('0123456789abcdef', substring(md5(t), "
+            f"{ci}, 1)) - 1) >> {shift}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}")
+
+
+_SIM_VOTES = ",\n       ".join(_sim_vote(b) for b in range(64))
+_SIM_BITS = " || ".join(
+    f"CASE WHEN v{b} > 0 THEN '1' ELSE '0' END" for b in range(64))
+_SIM_HAM = " + ".join(
+    f"CASE WHEN substring(a.s, {i}, 1) <> substring(b.s, {i}, 1) "
+    "THEN 1 ELSE 0 END" for i in range(1, 65))
+
+
+@query("q_dedup_simhash", f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             FROM documents),
+sig AS (SELECT doc_id,
+       {_SIM_VOTES}
+       FROM tok GROUP BY doc_id),
+blocked AS (SELECT doc_id, {_SIM_BITS} AS s FROM sig)
+SELECT id_a, id_b, hamming FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         {_SIM_HAM} AS hamming
+  FROM blocked a JOIN blocked b
+    ON substring(a.s, 1, 8) = substring(b.s, 1, 8)
+   AND a.doc_id < b.doc_id)
+WHERE hamming <= 12
+""")
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash fingerprint near-dup pairs (prefix-blocked Hamming join)."""
+    """SimHash fingerprint near-dup pairs (prefix-blocked Hamming join),
+    md5 hash family: the oracle rebuilds every signature bit from
+    ``md5(token)`` hex chars and the Hamming filter char-by-char.  The
+    xxhash64 production variant (bit-parallel XOR + bit_count) is the same
+    algorithm, pytest-covered."""
     (docs,) = _t(spark, sf_dir, "documents")
-    return TD.simhash_near_dups(docs, max_hamming=12, prefix_bits=8)
+    return TD.simhash_near_dups_md5(docs, max_hamming=12, prefix_bits=8)
 
 
 @query("q_knn_cosine", """

@@ -123,6 +123,64 @@ def _entropy(counts) -> float:
     return -sum((c / tot) * math.log2(c / tot) for c in counts if c)
 
 
+def entropy_mdl_first_split(df: DataFrame, col: str, class_col: str):
+    """The FIRST Fayyad-Irani step of :func:`entropy_mdl_thresholds` —
+    best info-gain boundary over the distinct-value × class contingency and
+    the MDL acceptance test.  Returns ``(cut_value, gain, accepted)`` or
+    ``None`` when no boundary exists.  This projection is window-SQL
+    expressible, giving the supervised-MDL machinery an exact oracle; the
+    full recursion (same aggregation, driver recursion) is pytest-verified
+    against the reference's behavior."""
+    rows = (df.filter(F.col(col).isNotNull() & F.col(class_col).isNotNull())
+              .groupBy(col, class_col).count()
+              .orderBy(col).collect())
+    if not rows:
+        return None
+    classes = sorted({r[class_col] for r in rows})
+    cidx = {c: i for i, c in enumerate(classes)}
+    values: list[float] = []
+    dist: list[list[int]] = []
+    for r in rows:
+        v = float(r[col])
+        if not values or v != values[-1]:
+            values.append(v)
+            dist.append([0] * len(classes))
+        dist[-1][cidx[r[class_col]]] += r["count"]
+    if len(values) < 2:
+        return None
+    acc = [0] * len(classes)
+    pref = []
+    for vec in dist:
+        acc = [a + b for a, b in zip(acc, vec)]
+        pref.append(list(acc))
+    total = pref[-1]
+    n = sum(total)
+    ent_all = _entropy(total)
+    best, best_gain = None, -1.0
+    best_left = best_right = None
+    for i in range(1, len(dist)):
+        left = pref[i - 1]
+        right = [t - p for t, p in zip(total, pref[i - 1])]
+        nl, nr = sum(left), sum(right)
+        if nl == 0 or nr == 0:
+            continue
+        ent = (nl * _entropy(left) + nr * _entropy(right)) / n
+        gain = ent_all - ent
+        if gain > best_gain:
+            best, best_gain = i, gain
+            best_left, best_right = left, right
+    if best is None:
+        return None
+    k = sum(1 for c in total if c)
+    k1 = sum(1 for c in best_left if c)
+    k2 = sum(1 for c in best_right if c)
+    delta = (math.log2(3 ** k - 2)
+             - (k * ent_all - k1 * _entropy(best_left)
+                - k2 * _entropy(best_right)))
+    accept = best_gain > (math.log2(n - 1) + delta) / n
+    return (values[best - 1] + values[best]) / 2, best_gain, accept
+
+
 def entropy_mdl_thresholds(df: DataFrame, col: str, class_col: str,
                            *, force: bool = False) -> list[float]:
     """Supervised MDL binning (``discretize.py:695-900``, Fayyad-Irani).

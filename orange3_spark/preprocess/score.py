@@ -120,6 +120,22 @@ def anova_f(df: DataFrame, cont_var: str, class_col: str) -> float:
     return (ss_between / (k - 1)) / (ss_within / (n - k))
 
 
+def univariate_linear_regression(df: DataFrame, cont_var: str,
+                                 target_col: str) -> float:
+    """Univariate linear-regression F-statistic for a continuous feature vs
+    a continuous target (``score.py:142`` wraps sklearn ``f_regression``):
+    ``F = r² · (n − 2) / (1 − r²)`` with r the Pearson correlation — one
+    ``corr`` + ``count`` aggregate."""
+    row = (df.filter(F.col(cont_var).isNotNull()
+                     & F.col(target_col).isNotNull())
+             .agg(F.corr(cont_var, target_col).alias("r"),
+                  F.count(F.lit(1)).alias("n")).first())
+    r, n = row["r"], row["n"]
+    if r is None or n <= 2 or abs(r) >= 1.0:
+        return float("inf") if r is not None and abs(r) >= 1.0 else 0.0
+    return r * r / (1.0 - r * r) * (n - 2)
+
+
 def symmetric_uncertainty(df: DataFrame, a: str, b: str) -> float:
     """SU(a,b) = 2·IG(a|b) / (H(a)+H(b)) over discrete columns."""
     cont = _contingency(df, a, b)

@@ -163,19 +163,22 @@ def average_rank(df: DataFrame, columns: Sequence[str],
     broadcast when the map is small).  Only (value, count) pairs ever pass
     through a single reducer; at truly huge cardinalities swap the cumsum
     for a range-bucketed two-level version.
+
+    Row-preserving: rows whose value is NULL keep their row and get a NULL
+    rank (the rank map join is a LEFT join; equality never matches NULL).
     """
     from pyspark.sql import Window
 
     out = df
     for c in columns:
-        counts = (df.groupBy(c)
+        counts = (df.filter(F.col(c).isNotNull()).groupBy(c)
                     .agg(F.count(F.lit(1)).cast("double").alias("__n")))
         w = Window.orderBy(c).rowsBetween(Window.unboundedPreceding, -1)
         rank_map = counts.select(
             c,
             (F.coalesce(F.sum("__n").over(w), F.lit(0.0))
              + (F.col("__n") + 1.0) / 2.0).alias(c + suffix))
-        out = out.join(rank_map, c)
+        out = out.join(rank_map, c, "left")
     return out
 
 

@@ -200,14 +200,16 @@ def spearman_column_distances(df: DataFrame, cols: Sequence[str], *,
     At scale the ranking is the classic distributed sort; the corr is one
     aggregation over all pairs."""
     from pyspark.sql import Window
-    from pyspark.sql.functions import broadcast
 
     ranked = df
     for c in cols:
         # avg rank of value v = (#rows < v) + (#rows == v + 1)/2.  A global
         # rank() window would serialize to one partition; instead aggregate
-        # per distinct value (small), cumulate over THAT frame, broadcast
-        # the value→rank map back — no global sort of the data ever happens.
+        # per distinct value, cumulate over THAT frame, and join the
+        # value→rank map back — no global sort of the data ever happens.
+        # No broadcast hint: for near-unique continuous columns the rank map
+        # is ~row-count rows, so let Catalyst (AQE) pick broadcast only when
+        # the map really is small.
         counts = (df.groupBy(F.col(c).cast("double").alias("__v"))
                     .agg(F.count(F.lit(1)).cast("double").alias("__n")))
         w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
@@ -215,8 +217,7 @@ def spearman_column_distances(df: DataFrame, cols: Sequence[str], *,
             "__v",
             (F.coalesce(F.sum("__n").over(w), F.lit(0.0))
              + (F.col("__n") + F.lit(1.0)) / F.lit(2.0)).alias(f"rk_{c}"))
-        ranked = ranked.join(broadcast(rk),
-                             ranked[c].cast("double") == rk["__v"]) \
+        ranked = ranked.join(rk, ranked[c].cast("double") == rk["__v"]) \
                        .drop("__v", "__n")
     aggs = [_corr_to_dist(F.corr(f"rk_{a}", f"rk_{b}"), absolute)
             .alias(f"{a}|{b}") for a, b in combinations(cols, 2)]

@@ -137,7 +137,8 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", *, n: int = 3,
                        num_hashes: int = 64, seed: int = 42,
-                       shingle_df: Optional[DataFrame] = None) -> DataFrame:
+                       shingle_df: Optional[DataFrame] = None,
+                       hash_family: str = "xxhash64") -> DataFrame:
     """Per-document MinHash signature as ``num_hashes`` long columns
     ``h0..h{k-1}``.
 
@@ -152,6 +153,16 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     """
     sh = shingle_df if shingle_df is not None \
         else shingle_table(df, text_col, id_col, n)
+    if hash_family == "md5":
+        # md5 of (shingle + "#" + seed_k), minimum taken over the 32-char
+        # lowercase hex STRINGS (fixed length → lexicographic = numeric
+        # order).  Slower than xxhash64 but portable: the identical family
+        # exists in every engine, so an SQL oracle can recompute the exact
+        # signatures — used by the correctness-checked query variant.
+        key = F.col("shingle")
+        aggs = [F.min(F.md5(F.concat(key, F.lit(f"#{seed + k}"))))
+                .alias(f"h{k}") for k in range(num_hashes)]
+        return sh.groupBy(id_col).agg(*aggs)
     # accept either raw shingle strings or a pre-hashed s64 key column
     # (hash-of-hash is an equally valid minhash family and avoids hashing
     # the string num_hashes times)
@@ -165,7 +176,8 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", *, n: int = 3,
                            num_hashes: int = 64, bands: int = 16,
                            seed: int = 42,
-                           shingle_df: Optional[DataFrame] = None) -> DataFrame:
+                           shingle_df: Optional[DataFrame] = None,
+                           hash_family: str = "xxhash64") -> DataFrame:
     """LSH banding: split the signature into ``bands`` rows-per-band chunks,
     hash each chunk, self-join on (band_index, chunk_hash).
 
@@ -177,11 +189,14 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     r = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n=n,
                              num_hashes=num_hashes, seed=seed,
-                             shingle_df=shingle_df)
+                             shingle_df=shingle_df, hash_family=hash_family)
+    bucket_of = (lambda cols: F.md5(F.concat_ws(",", *cols))) \
+        if hash_family == "md5" else \
+        (lambda cols: F.xxhash64(F.concat_ws(",", *[c.cast("string")
+                                                    for c in cols])))
     band_structs = F.array(*[
         F.struct(F.lit(b).alias("band"),
-                 F.xxhash64(F.concat_ws(",", *[
-                     F.col(f"h{b * r + j}").cast("string") for j in range(r)]))
+                 bucket_of([F.col(f"h{b * r + j}") for j in range(r)])
                  .alias("bucket"))
         for b in range(bands)])
     band_rows = (sig.select(F.col(id_col), F.explode(band_structs).alias("bb"))
@@ -202,18 +217,28 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
 def dedup_minhash(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", *, n: int = 3,
                   num_hashes: int = 64, bands: int = 16,
-                  threshold: float = 0.7, seed: int = 42) -> DataFrame:
-    """Near-dup pairs: LSH candidates verified by exact n-gram Jaccard."""
-    sh = (shingle_table(df, text_col, id_col, n)
-          .select(F.col(id_col), F.xxhash64("shingle").alias("s64"))
-          .cache())  # feeds 3 consumers; 8-byte join keys, not strings
+                  threshold: float = 0.7, seed: int = 42,
+                  hash_family: str = "xxhash64") -> DataFrame:
+    """Near-dup pairs: LSH candidates verified by exact n-gram Jaccard.
+
+    ``hash_family="md5"`` swaps the xxhash64 minima for md5-hex-string
+    minima — same algorithm, an engine-portable hash family, so the whole
+    pipeline (signatures → bands → candidates → verify) is reproducible in
+    an SQL oracle.  xxhash64 stays the production default (~2-3× faster)."""
+    key_col = "shingle" if hash_family == "md5" else "s64"
+    sh = shingle_table(df, text_col, id_col, n)
+    if hash_family != "md5":
+        # 8-byte join keys: the shuffle moves longs, not ~n-word strings
+        sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("s64"))
+    sh = sh.cache()  # feeds 3 consumers
     cands = minhash_lsh_candidates(df, text_col, id_col, n=n,
                                    num_hashes=num_hashes, bands=bands,
-                                   seed=seed, shingle_df=sh)
+                                   seed=seed, shingle_df=sh,
+                                   hash_family=hash_family)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("s64"))
-    sb = sh.select(F.col(id_col).alias("id_b"), F.col("s64"))
-    inter = (cands.join(sa, "id_a").join(sb, ["id_b", "s64"])
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col(key_col))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col(key_col))
+    inter = (cands.join(sa, "id_a").join(sb, ["id_b", key_col])
                   .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter")))
     out = (inter
            .join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
@@ -341,6 +366,51 @@ def simhash_table(df: DataFrame, text_col: str = "text",
 
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_table_md5(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", *, bits: int = 64) -> DataFrame:
+    """SimHash signature from the first ``bits/4`` hex chars of
+    ``md5(token)`` — the engine-portable hash family (production default is
+    :func:`simhash_table`'s xxhash64).  Output is a ``bits``-char '0'/'1'
+    string, MSB first, so an SQL oracle can rebuild it char-for-char.
+    Same plan shape: explode tokens → ``bits`` conditional-sum vote
+    aggregates (all codegen, map-side combined), one shuffle on id."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
+    hx = F.md5(F.col("_t"))
+    votes = []
+    for b in range(bits):
+        ci = b // 4 + 1              # 1-based hex char position
+        shift = 3 - b % 4            # bit within the char, MSB first
+        val = F.conv(F.substring(hx, ci, 1), 16, 10).cast("int")
+        bit = F.shiftright(val, shift).bitwiseAND(F.lit(1))
+        votes.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{b}"))
+    agg = tok.groupBy(id_col).agg(*votes)
+    sig = F.concat(*[F.when(F.col(f"v{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+                     for b in range(bits)])
+    return agg.select(F.col(id_col), sig.alias("sh_bits"))
+
+
+def simhash_near_dups_md5(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", *, max_hamming: int = 8,
+                          prefix_bits: int = 16, bits: int = 64) -> DataFrame:
+    """Near-dup pairs by the md5-family SimHash (prefix-blocked Hamming
+    join over the bit strings) — algorithmically identical to
+    :func:`simhash_near_dups`, reproducible by an SQL oracle."""
+    h = simhash_table_md5(df, text_col, id_col, bits=bits)
+    h = h.withColumn("block", F.substring("sh_bits", 1, prefix_bits)).cache()
+    a, b = h.alias("a"), h.alias("b")
+    ham = sum(((F.substring(F.col("a.sh_bits"), i, 1)
+                != F.substring(F.col("b.sh_bits"), i, 1)).cast("int")
+               for i in range(2, bits + 1)),
+              (F.substring(F.col("a.sh_bits"), 1, 1)
+               != F.substring(F.col("b.sh_bits"), 1, 1)).cast("int"))
+    return (a.join(b, (F.col("a.block") == F.col("b.block"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .withColumn("hamming", ham)
+             .filter(F.col("hamming") <= max_hamming)
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"), "hamming"))
 
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text",

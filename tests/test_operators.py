@@ -111,8 +111,27 @@ def test_sample_deterministic(spark, sf_dir):
     s1 = SA.sample_fraction(li, 0.1, seed=42).count()
     s2 = SA.sample_fraction(li, 0.1, seed=42).count()
     assert s1 == s2 and 0 < s1 < li.count()
-    folds = SA.cv_folds(li, 5, seed=1).groupBy("fold").count().collect()
+    folds = SA.cv_folds(li, 5, key=["l_orderkey", "l_linenumber"]) \
+              .groupBy("fold").count().collect()
     assert len(folds) == 5
+    # fold assignment is content-hashed: invariant under repartitioning
+    f1 = {(r.l_orderkey, r.l_linenumber): r.fold
+          for r in SA.cv_folds(li, 5, key=["l_orderkey", "l_linenumber"])
+          .select("l_orderkey", "l_linenumber", "fold").collect()}
+    f2 = {(r.l_orderkey, r.l_linenumber): r.fold
+          for r in SA.cv_folds(li.repartition(7), 5,
+                               key=["l_orderkey", "l_linenumber"])
+          .select("l_orderkey", "l_linenumber", "fold").collect()}
+    assert f1 == f2
+    # exact fixed-size sample: right size, deterministic, repartition-stable
+    s1 = SA.sample_fixed(li, 500, seed=7)
+    s2 = SA.sample_fixed(li.repartition(7), 500, seed=7)
+    assert s1.count() == 500
+    k1 = {(r.l_orderkey, r.l_linenumber) for r in
+          s1.select("l_orderkey", "l_linenumber").collect()}
+    k2 = {(r.l_orderkey, r.l_linenumber) for r in
+          s2.select("l_orderkey", "l_linenumber").collect()}
+    assert k1 == k2
 
 
 def test_stratified_sample(spark, sf_dir):
