@@ -131,7 +131,37 @@ def mae(df, label="label", pred="prediction"):
 
 
 def mape(df, label="label", pred="prediction"):
-    return _agg1(df, F.avg(F.abs((F.col(label) - F.col(pred)) / F.col(label))))
+    """Mean absolute percentage error ×100; inf when any actual == 0
+    (scoring.py:426-436 — reference returns np.inf rather than dividing
+    by zero)."""
+    row = df.agg(
+        F.avg(F.abs(F.try_divide(F.col(label) - F.col(pred),
+                                 F.col(label)))).alias("m"),
+        F.sum((F.col(label) == 0).cast("long")).alias("zeros")).first()
+    if row.zeros:
+        return float("inf")
+    return float(row.m) * 100.0
+
+
+def smape(df, label="label", pred="prediction"):
+    """Symmetric MAPE (scoring.py:438-452): 2·mean(|a−p| / (|a|+|p|))·100,
+    with 0/0 counted as zero error."""
+    denom = F.abs(F.col(label)) + F.abs(F.col(pred))
+    term = F.abs(F.col(label) - F.col(pred)) / F.when(denom == 0, F.lit(1.0)).otherwise(denom)
+    return 2.0 * _agg1(df, F.avg(term)) * 100.0
+
+
+def cvrmse(df, label="label", pred="prediction"):
+    """Coefficient of variation of the RMSE (scoring.py:461-470):
+    RMSE / mean(actual) × 100; raises when the mean is ~0 as the
+    reference does."""
+    import math
+    row = df.agg(
+        F.avg(F.pow(F.col(label) - F.col(pred), 2)).alias("mse"),
+        F.avg(F.col(label)).alias("mean")).first()
+    if row.mean is None or abs(row.mean) < 1e-10:
+        raise ValueError("Mean value is too small")
+    return math.sqrt(row.mse) / row.mean * 100.0
 
 
 def r2(df, label="label", pred="prediction"):
@@ -139,3 +169,116 @@ def r2(df, label="label", pred="prediction"):
         F.sum(F.pow(F.col(label) - F.col(pred), 2)).alias("ss_res"),
         F.var_pop(label).alias("v"), F.count(F.lit(1)).alias("n")).first()
     return 1.0 - row.ss_res / (row.v * row.n) if row.v else float("nan")
+
+
+def log_loss(df: DataFrame, label: str = "label", prob: str = "prob",
+             *, eps: float = 1e-15, normalize: bool = True) -> float:
+    """Binary log loss (scoring.py:288-338): −Σ y·ln(p) + (1−y)·ln(1−p),
+    probabilities clipped to [eps, 1−eps] exactly as sklearn does.
+    ``label`` is 0/1, ``prob`` is P(class=1).  One aggregation, no UDF."""
+    p = F.least(F.lit(1.0 - eps), F.greatest(F.lit(eps), F.col(prob)))
+    y = F.col(label).cast("double")
+    term = -(y * F.log(p) + (1.0 - y) * F.log(1.0 - p))
+    agg = F.avg(term) if normalize else F.sum(term)
+    return _agg1(df, agg)
+
+
+def log_loss_multiclass(df: DataFrame, label: str = "label",
+                        probs: str = "probs", classes: Optional[Sequence] = None,
+                        *, eps: float = 1e-15) -> float:
+    """Multiclass log loss: ``probs`` is an array column ordered like
+    ``classes``; −mean ln(p[actual])."""
+    if classes is None:
+        raise ValueError("classes ordering is required")
+    idx = None
+    for i, c in enumerate(classes):
+        cond = F.col(label) == F.lit(c)
+        idx = F.when(cond, i) if idx is None else idx.when(cond, i)
+    p = F.element_at(F.col(probs), idx + 1)
+    p = F.least(F.lit(1.0 - eps), F.greatest(F.lit(eps), p))
+    return _agg1(df, F.avg(-F.log(p)))
+
+
+def specificity(df: DataFrame, positive=None, label: str = "label",
+                pred: str = "prediction", *, average: str = "binary") -> float:
+    """Specificity TN/(TN+FP) (scoring.py:340-391).  ``positive`` given →
+    one-vs-rest for that class; ``average='weighted'`` → class-frequency-
+    weighted mean of per-class specificities, computed in ONE pass via a
+    groupBy over (label, pred) counts (no per-class rescan)."""
+    if positive is not None or average == "binary":
+        if positive is None:
+            positive = 1
+        _, fp, _, tn = confusion_counts(df, positive, label, pred)
+        return tn / (tn + fp) if tn + fp else 0.0
+    if average != "weighted":
+        raise ValueError("average must be 'binary' or 'weighted'")
+    counts = df.groupBy(F.col(label).alias("y"),
+                        F.col(pred).alias("p")).count().collect()
+    n = sum(r["count"] for r in counts)
+    class_n = {}
+    for r in counts:
+        class_n[r.y] = class_n.get(r.y, 0) + r["count"]
+    out = 0.0
+    for c, nc in class_n.items():
+        fp = sum(r["count"] for r in counts if r.y != c and r.p == c)
+        tn = sum(r["count"] for r in counts if r.y != c and r.p != c)
+        spec = tn / (tn + fp) if tn + fp else 0.0
+        out += spec * (nc / n)
+    return out
+
+
+# ------------------------------------------------------- validation schemes
+
+def shuffle_split(df: DataFrame, key: str,
+                  fit: Callable[[DataFrame], object],
+                  score: Callable[[DataFrame], float],
+                  *, n_resamples: int = 10, test_size: float = 0.1,
+                  salt: str = "") -> list[float]:
+    """Repeated random sub-sampling (testing.py:654-710), deterministic:
+    resample i uses the content-hash split with salt ``f"{salt}:{i}"``, so
+    every repetition is a pure function of (data, salt) — reproducible
+    across partitionings where seeded shuffles are not."""
+    out = []
+    for i in range(n_resamples):
+        train, test = train_test_split(df, key, test_size, salt=f"{salt}:{i}")
+        model = fit(train)
+        out.append(score(model.predict(test)))
+    return out
+
+
+def leave_one_out(df: DataFrame, key: str,
+                  fit: Callable[[DataFrame], object],
+                  score: Callable[[DataFrame], float],
+                  *, max_rows: int = 2000) -> list[float]:
+    """Leave-one-out (testing.py:638-652): n fits of size n−1.  Inherently
+    O(n) sequential model fits, so it is bounded — LOO on 100 TB is not a
+    thing; use ``cross_validate`` (k-fold) or the closed-form leverage
+    trick for linear models instead.  Raises above ``max_rows``."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"leave_one_out is O(n) model fits; n={n} > max_rows={max_rows}. "
+            "Use cross_validate(k) at scale.")
+    keys = [r[0] for r in df.select(key).collect()]
+    out = []
+    for kv in keys:
+        train = df.filter(F.col(key) != F.lit(kv))
+        test = df.filter(F.col(key) == F.lit(kv))
+        model = fit(train)
+        out.append(score(model.predict(test)))
+    return out
+
+
+def test_on_test_data(train: DataFrame, test: DataFrame,
+                      fit: Callable[[DataFrame], object],
+                      score: Callable[[DataFrame], float]) -> float:
+    """TestOnTestData (testing.py:712-777): fit on train, score on the
+    separately provided test table."""
+    return score(fit(train).predict(test))
+
+
+def test_on_training_data(df: DataFrame,
+                          fit: Callable[[DataFrame], object],
+                          score: Callable[[DataFrame], float]) -> float:
+    """TestOnTrainingData (testing.py:779+): train == test."""
+    return test_on_test_data(df, df, fit, score)

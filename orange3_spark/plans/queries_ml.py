@@ -246,6 +246,94 @@ def q_ml_cv_ols(spark, sf_dir):
         rows, "fold int, intercept double, slope double, rmse double")
 
 
+@query("q_ml_metrics", f"""
+WITH train AS (SELECT * FROM orders WHERE NOT ({_SPLIT})),
+     test  AS (SELECT * FROM orders WHERE {_SPLIT}),
+     prior AS (SELECT avg(CASE WHEN o_orderpriority = '1-URGENT'
+                               THEN 1.0 ELSE 0.0 END) AS p,
+                      avg(o_totalprice) AS thr FROM train),
+     fit AS (SELECT regr_slope(o_totalprice, o_custkey) AS b,
+                    regr_intercept(o_totalprice, o_custkey) AS a FROM train),
+     m AS (SELECT CASE WHEN t.o_orderpriority = '1-URGENT'
+                       THEN 1.0 ELSE 0.0 END AS y,
+                  prior.p AS p,
+                  CASE WHEN t.o_totalprice > prior.thr THEN 1 ELSE 0 END AS pred,
+                  t.o_totalprice AS a,
+                  fit.a + fit.b * t.o_custkey AS yhat
+           FROM test t, prior, fit)
+SELECT -avg(y * ln(p) + (1 - y) * ln(1 - p)) AS logloss,
+       CAST(sum(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         / sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS specificity,
+       2 * avg(abs(a - yhat) / (abs(a) + abs(yhat))) * 100 AS smape,
+       sqrt(avg(power(a - yhat, 2))) / avg(a) * 100 AS cvrmse
+FROM m
+""")
+def q_ml_metrics(spark, sf_dir):
+    """Evaluation-metric parity (Orange/evaluation/scoring.py:288 LogLoss,
+    :340 Specificity, :438 SMAPE, :461 CVRMSE) on a deterministic hash
+    split: a prior-probability classifier (P(urgent) from train) scores
+    log loss, a threshold classifier scores specificity, and train-fit OLS
+    scores SMAPE/CVRMSE on held-out orders — every metric is one Spark
+    aggregation mirrored exactly by the SQL oracle."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    train, test = E.train_test_split(orders, "o_orderkey", 0.25)
+    y = (F.col("o_orderpriority") == "1-URGENT").cast("double")
+    prior = train.agg(F.avg(y).alias("p"),
+                      F.avg("o_totalprice").alias("thr")).first()
+    scored = (test
+              .withColumn("y", y)
+              .withColumn("prob", F.lit(float(prior.p)))
+              .withColumn("prediction",
+                          (F.col("o_totalprice") > prior.thr).cast("int")))
+    ll = E.log_loss(scored, label="y", prob="prob")
+    spec = E.specificity(scored, positive=1, label="y")
+    ols = L.ols_learner(train, ["o_custkey"], "o_totalprice")
+    pred = ols.predict(test)
+    sm = E.smape(pred, label="o_totalprice")
+    cv = E.cvrmse(pred, label="o_totalprice")
+    return spark.createDataFrame(
+        [(ll, spec, sm, cv)],
+        "logloss double, specificity double, smape double, cvrmse double")
+
+
+@query("q_ml_shuffle_split", f"""
+WITH resample AS (SELECT i FROM (VALUES (0), (1), (2)) AS t(i)),
+     marked AS (
+       SELECT r.i, o.o_custkey, o.o_totalprice,
+              substring(md5(CAST(o.o_orderkey AS VARCHAR) || ':' ||
+                            CAST(r.i AS VARCHAR)), 1, 8) < '3fffffff' AS is_test
+       FROM orders o CROSS JOIN resample r),
+     fit AS (SELECT i, regr_slope(o_totalprice, o_custkey) AS b,
+                    regr_intercept(o_totalprice, o_custkey) AS a
+             FROM marked WHERE NOT is_test GROUP BY i)
+SELECT m.i AS resample,
+       sqrt(avg(power(m.o_totalprice - (f.a + f.b * m.o_custkey), 2))) AS rmse
+FROM marked m JOIN fit f ON m.i = f.i
+WHERE m.is_test GROUP BY m.i ORDER BY m.i
+""")
+def q_ml_shuffle_split(spark, sf_dir):
+    """ShuffleSplit (Orange/evaluation/testing.py:654-710) verified
+    end-to-end: 3 deterministic content-hash resamples (salt = repetition
+    index), OLS refit per resample, held-out RMSE — repeated random
+    sub-sampling as a pure function of (data, salt)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+
+    class _OLS:
+        def __init__(self, train):
+            self.m = L.ols_learner(train, ["o_custkey"], "o_totalprice")
+
+        def predict(self, df):
+            return self.m.predict(df)
+
+    scores = E.shuffle_split(
+        orders, "o_orderkey", _OLS,
+        lambda d: E.rmse(d, label="o_totalprice"),
+        n_resamples=3, test_size=0.25)
+    return spark.createDataFrame(
+        [(i, s) for i, s in enumerate(scores)],
+        "resample int, rmse double").orderBy("resample")
+
+
 _NATION_ML_SQL = """
 SELECT n.n_nationkey,
        CAST(count(*) AS DOUBLE) AS n_orders,

@@ -101,7 +101,80 @@ def test_regression_scores(spark):
     assert abs(E.mse(df) - 1.0) < 1e-12
     assert abs(E.rmse(df) - 1.0) < 1e-12
     assert abs(E.mae(df) - 1.0) < 1e-12
-    assert abs(E.mape(df) - (0.5 + 0.25) / 2) < 1e-12
+    assert abs(E.mape(df) - (0.5 + 0.25) / 2 * 100) < 1e-9
+    # smape: 2*mean(1/3, 1/9)*100
+    assert abs(E.smape(df) - 2 * ((1/3 + 1/9) / 2) * 100) < 1e-9
+    # cvrmse: rmse=1, mean(label)=3
+    assert abs(E.cvrmse(df) - 1.0 / 3.0 * 100) < 1e-9
+
+
+def test_mape_inf_on_zero_actual(spark):
+    df = spark.createDataFrame(
+        [(0.0, 1.0), (2.0, 2.0)], "label double, prediction double")
+    assert E.mape(df) == float("inf")
+
+
+def test_log_loss_and_specificity(spark):
+    import math
+    df = spark.createDataFrame(
+        [(1, 0.8), (0, 0.3), (1, 0.6), (0, 0.1)], "label int, prob double")
+    expect = -(math.log(0.8) + math.log(0.7) + math.log(0.6) + math.log(0.9)) / 4
+    assert abs(E.log_loss(df) - expect) < 1e-12
+    # clipping: p=0 would be -inf without eps
+    dfc = spark.createDataFrame([(1, 0.0)], "label int, prob double")
+    assert E.log_loss(dfc) < 40  # -ln(1e-15) ≈ 34.5
+
+    # tn=2 fp=1 for positive=1 (from test_classification_scores fixture shape)
+    dfp = spark.createDataFrame(
+        [(1, 1), (1, 1), (1, 0), (0, 1), (0, 0), (0, 0)],
+        "label int, prediction int")
+    assert abs(E.specificity(dfp, positive=1) - 2 / 3) < 1e-12
+    w = E.specificity(dfp, average="weighted")
+    # per-class spec: class1: tn/(tn+fp)=2/3; class0: tn=2,fp=1 -> 2/3
+    assert abs(w - 2 / 3) < 1e-12
+
+
+def test_log_loss_multiclass(spark):
+    import math
+    df = spark.createDataFrame(
+        [("a", [0.7, 0.2, 0.1]), ("b", [0.1, 0.8, 0.1]), ("c", [0.2, 0.3, 0.5])],
+        "label string, probs array<double>")
+    expect = -(math.log(0.7) + math.log(0.8) + math.log(0.5)) / 3
+    got = E.log_loss_multiclass(df, probs="probs", classes=["a", "b", "c"])
+    assert abs(got - expect) < 1e-12
+
+
+def test_validation_schemes(spark):
+    class MeanModel:
+        def __init__(self, mu):
+            self.mu = mu
+
+        def predict(self, df):
+            return df.withColumn("prediction", F.lit(self.mu))
+
+    def fit(train):
+        return MeanModel(float(train.agg(F.avg("y")).first()[0]))
+
+    df = spark.createDataFrame(
+        [(i, float(i % 5)) for i in range(40)], "id int, y double")
+    scores = E.shuffle_split(df, "id", fit, lambda d: E.mse(d, label="y"),
+                             n_resamples=3, test_size=0.25)
+    assert len(scores) == 3 and all(s >= 0 for s in scores)
+    # deterministic: same salt -> same scores
+    again = E.shuffle_split(df, "id", fit, lambda d: E.mse(d, label="y"),
+                            n_resamples=3, test_size=0.25)
+    assert scores == again
+
+    small = df.limit(6)
+    loo = E.leave_one_out(small, "id", fit, lambda d: E.mse(d, label="y"))
+    assert len(loo) == 6
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        E.leave_one_out(df, "id", fit, lambda d: E.mse(d, label="y"),
+                        max_rows=10)
+
+    tt = E.test_on_training_data(df, fit, lambda d: E.mse(d, label="y"))
+    assert tt >= 0
 
 
 def test_kmeans_recovers_clusters(emb):
