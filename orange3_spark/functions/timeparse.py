@@ -1,0 +1,80 @@
+"""Lenient multi-format datetime parsing — TimeVariable.parse as a Column.
+
+Reference: ``Orange/data/variable.py:937-985`` (``_ISO_FORMATS`` probe
+table + ``ADDITIONAL_FORMATS``) and ``:1146-1211`` (``parse``): try each
+format in decreasing-probability order, assume the Unix-epoch date when
+only a time is given, and fall back to reading a plain number as a Unix
+timestamp.
+
+Spark shape: ONE ``coalesce`` over ``try_to_timestamp`` probes — each probe
+is a codegen'd JVM expression that yields NULL on mismatch, so the whole
+chain stays row-local inside WholeStageCodegen (no Python, no shuffle);
+Catalyst short-circuits coalesce, so well-formed columns pay ~one parse.
+The reference's strptime loop is per-value driver Python — this is the
+vectorized equivalent.  Missing date fields default to 1970-01-01 in
+Spark's parser, which is exactly the reference's epoch-date rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Spark datetime patterns mirroring variable.py's _ISO_FORMATS order
+# (decreasing probability; time-only patterns inherit the epoch date) and
+# ADDITIONAL_FORMATS (European dot-dates, US slash-dates).  Spark's 'S'
+# fraction accepts 1..n digits on parse, so one .SSSSSS probe covers
+# %f of any precision; 'Z' accepts ±HHMM offsets like %z.
+ISO_FORMATS: tuple[str, ...] = (
+    "yyyy-MM-dd HH:mm:ssZ",
+    "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd HH:mm",
+    "yyyy-MM-dd'T'HH:mm:ssZ",
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd",
+    "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd HH:mm:ss.SSSSSSZ",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSSZ",
+    "yyyyMMdd'T'HHmmssZ",
+    "yyyyMMddHHmmssZ",
+    "HH:mm:ss.SSSSSS",
+    "HH:mm:ss",
+    "HH:mm",
+    "yyyyMMdd'T'HHmmss",
+    "yyyyMMddHHmmss",
+    "yyyyMMdd",
+    "yyyyDDD",
+    "yyyy",
+    "HHmmss.SSSSSS",
+    "yyyy-MM",
+    "yyyy-DDD",
+)
+
+ADDITIONAL_FORMATS: tuple[str, ...] = (
+    "dd.MM.yyyy", "dd. MM. yyyy",
+    "dd.MM.yy", "dd. MM. yy",
+    "MM/dd/yyyy", "MM/dd/yy",
+)
+
+_NUMERIC_RE = r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$"
+
+
+def lenient_timestamp(col, *, formats=None, unix_fallback: bool = True) -> Column:
+    """Parse a string column as a timestamp, trying every known format.
+
+    Mirrors ``TimeVariable.parse``: strip a trailing ``Z`` (UTC marker),
+    probe the format table in order, else read a plain number as Unix
+    seconds.  Unparseable values become NULL (the reference raises; at
+    100 TB a poison row must not kill the job — filter
+    ``parsed IS NULL AND raw IS NOT NULL`` to audit rejects).
+    """
+    if isinstance(col, str):
+        col = F.col(col)
+    c = F.regexp_replace(F.trim(col), "Z$", "")
+    probes = [F.try_to_timestamp(c, F.lit(f))
+              for f in (formats or ISO_FORMATS + ADDITIONAL_FORMATS)]
+    if unix_fallback:
+        probes.append(F.timestamp_seconds(
+            F.when(c.rlike(_NUMERIC_RE), c).cast("double")))
+    return F.coalesce(*probes)

@@ -65,7 +65,7 @@ def read_csv(spark: SparkSession, path: str, *,
         if var_type == TYPE_CONTINUOUS:
             c = c.cast("double")
         elif var_type == TYPE_TIME:
-            c = F.coalesce(F.to_timestamp(c), F.to_timestamp(c, "yyyy-MM-dd"),
-                           F.to_timestamp(c, "HH:mm:ss"))
+            from orange3_spark.functions.timeparse import lenient_timestamp
+            c = lenient_timestamp(c)
         cols.append(c.alias(name))
     return with_domain(df.select(*cols), variables)

@@ -22,8 +22,19 @@ from orange3_spark.domain import (
 # how many distinct values may a discrete column have (sql/backend/base.py:147)
 DISCRETE_MAX_VALUES = 20
 
+# TimeVariable.REGEX (Orange/data/variable.py:977-985) minus the pure-number
+# arms (numbers are claimed by the float probe first), plus the dot/slash
+# date shapes of ADDITIONAL_FORMATS (variable.py:987+) which our lenient
+# parser accepts.
 _ISO_TIME_RE = re.compile(
-    r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2}(\.\d+)?)?)?$|^\d{2}:\d{2}(:\d{2})?$")
+    r"^("
+    r"\d{1,4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2}(\.\d+)?([+-]\d{4})?)?)?Z?|"
+    r"\d{4}\d{2}\d{2}T\d{2}\d{2}\d{2}([+-]\d{4})?Z?|"
+    r"\d{2}:\d{2}(:\d{2}(\.\d+)?)?|"
+    r"\d{1,4}-\d{2,3}|"
+    r"\d{1,2}\. ?\d{1,2}\. ?\d{2,4}|"
+    r"\d{1,2}/\d{1,2}/\d{2,4}"
+    r")$")
 
 
 def _is_float(s: str) -> bool:

@@ -183,11 +183,8 @@ def read_tab(spark: SparkSession, path: str, sep: str = "\t") -> DataFrame:
         if v.var_type == TYPE_CONTINUOUS:
             c = c.cast("double")
         elif v.var_type == TYPE_TIME:
-            c = F.coalesce(
-                F.to_timestamp(c),
-                F.to_timestamp(c, "yyyy-MM-dd"),
-                F.to_timestamp(c, "HH:mm:ss"),
-            )
+            from orange3_spark.functions.timeparse import lenient_timestamp
+            c = lenient_timestamp(c)
         cols.append(c.alias(v.name))
     out = df.select(*cols)
     return with_domain(out, [v for v, k in zip(variables, keep) if k])

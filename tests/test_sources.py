@@ -126,3 +126,47 @@ def test_basket_sparse_vectors(spark, tmp_path):
     assert v[0] == 1.0 and v[1] == 2.0
     w = [f for f in out.values() if f.numNonzeros() == 1][0]
     assert w[2] == 3.0 and w.size == 3
+
+
+def test_lenient_timestamp_formats(spark):
+    """TimeVariable.parse parity (Orange/data/variable.py:937-985,1146):
+    every _ISO_FORMATS/ADDITIONAL_FORMATS family parses; time-only values
+    get the epoch date; plain numbers read as Unix seconds."""
+    from orange3_spark.functions.timeparse import lenient_timestamp
+
+    cases = [
+        ("2021-11-25 14:30:05", "2021-11-25T14:30:05"),
+        ("2021-11-25 14:30", "2021-11-25T14:30:00"),
+        ("2021-11-25T14:30:05", "2021-11-25T14:30:05"),
+        ("2021-11-25T14:30:05Z", "2021-11-25T14:30:05"),
+        ("2021-11-25", "2021-11-25T00:00:00"),
+        ("2021-11-25 14:30:05.25", "2021-11-25T14:30:05.250000"),
+        ("20211125T143005", "2021-11-25T14:30:05"),
+        ("20211125", "2021-11-25T00:00:00"),
+        ("14:30:05", "1970-01-01T14:30:05"),
+        ("14:30", "1970-01-01T14:30:00"),
+        ("2021-11", "2021-11-01T00:00:00"),
+        ("2021", "2021-01-01T00:00:00"),
+        ("25.11.2021", "2021-11-25T00:00:00"),
+        ("11/25/2021", "2021-11-25T00:00:00"),
+        ("11/25/21", "2021-11-25T00:00:00"),
+        ("1637850605", "2021-11-25T14:30:05"),  # unix seconds
+        ("not a date", None),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "raw string")
+    got = {r.raw: r.ts for r in
+           df.select("raw", lenient_timestamp("raw").alias("ts")).collect()}
+    for raw, expect in cases:
+        ts = got[raw]
+        if expect is None:
+            assert ts is None, raw
+        else:
+            assert ts is not None and ts.isoformat() == expect, (raw, ts)
+
+
+def test_time_inference_extended_shapes():
+    from orange3_spark.sources.infer import guess_data_type
+    t, _ = guess_data_type(
+        ["2021-11-25 14:30:05", "25.11.2021", "11/25/2021",
+         "20211125T143005", "2021-11-25T14:30:05+0100"])
+    assert t == "time"
