@@ -286,3 +286,57 @@ def q_feature_scores(spark, sf_dir):
                      sig6(SC.univariate_linear_regression(
                          li, feat, "l_extendedprice"))))
     return spark.createDataFrame(rows, "feature string, scorer string, score double")
+
+
+@query("q_discretize_timewidth", """
+SELECT CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP)
+         AS bin_start,
+       count(*) AS n,
+       sum(value) AS total
+FROM events GROUP BY 1 ORDER BY 1
+""")
+def q_discretize_timewidth(spark, sf_dir):
+    """FixedTimeWidth (Orange/preprocess/discretize.py:272): 6-hour bins by
+    epoch-aligned integer arithmetic — row-local, codegen, no UDF; the bin
+    start doubles as a calendar-stable join key."""
+    (ev,) = _t(spark, sf_dir, "events")
+    out = D.fixed_time_width(ev, "ts", 6, "hour", out_col="bin_start",
+                             max_intervals=None)
+    return (out.groupBy("bin_start")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("value").alias("total"))
+               .orderBy("bin_start"))
+
+
+@query("q_discretize_nice", """
+WITH s AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+                  count(DISTINCT l_extendedprice) AS nu FROM lineitem),
+fac AS (SELECT * FROM (VALUES (1, 0.01), (2, 0.02), (3, 0.025), (4, 0.05),
+                              (5, 0.1), (6, 0.2), (7, 0.25), (8, 0.5),
+                              (9, 1.0), (10, 2.0), (11, 5.0), (12, 10.0),
+                              (13, 20.0)) AS t(i, f)),
+cand AS (SELECT i, f / power(10, -floor(log10(hi - lo))) AS width, lo, hi, nu
+         FROM fac, s),
+cand2 AS (SELECT i, width, floor(lo / width) * width AS mn_,
+                 ceil(hi / width) * width AS mx_, nu FROM cand),
+cand3 AS (SELECT i, width, mn_,
+                 round((mx_ - mn_) / width) AS nbins, nu FROM cand2),
+valid AS (SELECT * FROM cand3 WHERE nbins BETWEEN 2 AND least(50, nu)),
+dedup AS (SELECT *, lag(nbins) OVER (ORDER BY i) AS prev FROM valid),
+kept AS (SELECT * FROM dedup WHERE prev IS NULL OR prev <> nbins),
+chosen AS (SELECT * FROM kept WHERE nbins >= 3
+           ORDER BY abs(4 - nbins), nbins DESC LIMIT 1)
+SELECT CAST(greatest(0, least(nbins - 1,
+         ceil((l_extendedprice - mn_) / width) - 1)) AS INT) AS bin,
+       count(*) AS freq
+FROM lineitem, chosen GROUP BY 1 ORDER BY 1
+""")
+def q_discretize_nice(spark, sf_dir):
+    """Binning with nice decimal thresholds (discretize.py:332,433): one
+    min/max/distinct agg, driver-side candidate arithmetic (powers of ten ×
+    nice factors), pick the candidate nearest 4 bins, then a row-local
+    bucketize.  The oracle replays the same candidate search in SQL."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    out = D.nice_binning(li, "l_extendedprice", 4, out_col="bin")
+    return (out.groupBy("bin").agg(F.count(F.lit(1)).alias("freq"))
+               .orderBy("bin"))

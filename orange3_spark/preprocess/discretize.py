@@ -247,3 +247,136 @@ def entropy_mdl_thresholds(df: DataFrame, col: str, class_col: str,
 
     cuts = split(0, len(values))
     return [(values[i - 1] + values[i]) / 2 for i in sorted(cuts)]
+
+
+# --------------------------------------------------- FixedTimeWidth binning
+
+# unit name -> seconds (fixed-length units binned by epoch division)
+_FIXED_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def fixed_time_width(df: DataFrame, col: str, width: int, unit: str,
+                     *, out_col: Optional[str] = None,
+                     max_intervals: int = 100) -> DataFrame:
+    """FixedTimeWidth discretization (``discretize.py:272-301``): bin a
+    timestamp column into calendar-aligned intervals of ``width`` units
+    (year/month/week/day/hour/minute/second), emitting the bin START as a
+    timestamp column — deterministic, joinable, and SQL-expressible.
+
+    Spark shape: every unit reduces to row-local integer arithmetic on
+    epoch seconds (fixed-length units) or on year/month fields (calendar
+    units), so the whole operator is one codegen'd projection — no shuffle,
+    no UDF.  Day/hour/minute/second bins are aligned to the Unix epoch and
+    weeks to ISO Mondays (the reference aligns to the data minimum, which
+    would make bin identity depend on a global aggregate; epoch alignment
+    keeps bins stable under appends — the property a 100 TB ingest wants).
+    Raises like the reference when the span exceeds ``max_intervals``.
+    """
+    out_col = out_col or f"{col}_bin"
+    c = F.col(col)
+    if unit in _FIXED_SECONDS or unit == "week":
+        if unit == "week":
+            # Monday-aligned week index: epoch day 0 is a Thursday (+3)
+            days = F.floor(c.cast("long") / F.lit(86400))
+            widx = F.floor((days + 3) / F.lit(7))
+            bstart = (F.floor(widx / F.lit(width)) * width * 7 - 3) * 86400
+            binc = F.timestamp_seconds(bstart.cast("long"))
+        else:
+            wsec = width * _FIXED_SECONDS[unit]
+            binc = F.timestamp_seconds(
+                F.floor(c.cast("long") / F.lit(wsec)).cast("long") * wsec)
+    elif unit == "month":
+        midx = (F.year(c) - 1970) * 12 + (F.month(c) - 1)
+        b = F.floor(midx / F.lit(width)).cast("int") * width
+        binc = F.to_timestamp(F.make_date(
+            (F.lit(1970) + F.floor(b / 12)).cast("int"),
+            (b % 12 + 1).cast("int"), F.lit(1)))
+    elif unit == "year":
+        yb = (F.floor(F.year(c) / F.lit(width)) * width).cast("int")
+        binc = F.to_timestamp(F.make_date(yb, F.lit(1), F.lit(1)))
+    else:
+        raise ValueError(f"unknown unit {unit!r}")
+    if max_intervals is not None:
+        r = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+        if r.lo is not None:
+            spans = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
+                     "week": 604800, "month": 2592000, "year": 31536000}
+            n = (r.hi.timestamp() - r.lo.timestamp()) / (width * spans[unit])
+            if n - 1 >= max_intervals:
+                raise ValueError(
+                    f"FixedTimeWidth would produce ~{int(n)} > "
+                    f"{max_intervals} intervals (discretize.py:266 "
+                    "TooManyIntervals)")
+    return df.withColumn(out_col, binc)
+
+
+# ------------------------------------------------------ nice decimal bins
+
+NICE_FACTORS = (0.01, 0.02, 0.025, 0.05, 0.1, 0.2, 0.25, 0.5,
+                1, 2, 5, 10, 20)
+
+
+def nice_decimal_binnings(lo: float, hi: float, n_unique: int,
+                          *, min_width: float = 0, min_bins: int = 2,
+                          max_bins: int = 50) -> list[list[float]]:
+    """All candidate "nice" threshold lists (``decimal_binnings``,
+    ``discretize.py:433-521``): widths are decimal factors of the value
+    span's power of ten; min is floored and max ceiled to the width.
+    Pure driver arithmetic over (lo, hi) — no data access."""
+    if hi <= lo:
+        return []
+    diff = hi - lo
+    f10 = 10.0 ** -math.floor(math.log10(diff))
+    out: list[list[float]] = []
+    max_bins = min(max_bins, n_unique)
+    for f in NICE_FACTORS:
+        width = f / f10
+        if width < min_width:
+            continue
+        mn_ = math.floor(lo / width) * width
+        mx_ = math.ceil(hi / width) * width
+        nbins = round((mx_ - mn_) / width)
+        if min_bins <= nbins <= max_bins and (
+                not out or len(out[-1]) - 1 != nbins):
+            # round like the reference to keep edge values in the right bin
+            out.append([round(mn_ + width * i, 10) for i in range(nbins + 1)])
+    return out
+
+
+def nice_binning_thresholds(df: DataFrame, col: str, n: int = 4,
+                            *, min_unique: int = 5) -> list[float]:
+    """Pick the nice binning closest to ``n`` bins (``Binning.__call__``,
+    ``discretize.py:332-390``): candidates need ≥3 intervals (≥2 when
+    n == 2); ties prefer more bins; few-uniques degrade to one bin per
+    distinct value.  One distributed agg (min/max/count distinct), then
+    driver arithmetic; returns INTERIOR thresholds for ``bucketize_expr``."""
+    r = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi"),
+               F.countDistinct(col).alias("nu")).first()
+    if r.lo is None or r.nu <= 1:
+        return []
+    if r.nu <= min_unique:
+        uniq = sorted(x[0] for x in df.select(col).distinct().collect()
+                      if x[0] is not None)
+        return [float(v) for v in uniq[1:]]    # one bin per distinct value
+    cands = nice_decimal_binnings(float(r.lo), float(r.hi), int(r.nu))
+    need = 2 + (n != 2)
+    ok = [c for c in cands if len(c) - 1 >= need]
+    if not ok:
+        chosen = cands[-1] if cands else []
+    else:
+        chosen = min(ok, key=lambda c: (abs(n - (len(c) - 1)), -(len(c) - 1)))
+    return chosen[1:-1]   # interior thresholds
+
+
+def nice_binning(df: DataFrame, col: str, n: int = 4, *,
+                 labels: bool = False,
+                 out_col: Optional[str] = None) -> DataFrame:
+    """Binning with nice decimal thresholds, applied as a row-local
+    bucketize expression."""
+    ts = nice_binning_thresholds(df, col, n)
+    out_col = out_col or f"{col}_bin"
+    code = bucketize_expr(col, ts)
+    if labels:
+        lab = F.array(*[F.lit(s) for s in bin_labels(ts)])
+        return df.withColumn(out_col, lab[code])
+    return df.withColumn(out_col, code)

@@ -206,3 +206,72 @@ def test_rrelieff_ranks_informative_feature(spark):
     w = rrelieff(df, ["x1", "x2"], "y", n_samples=150, k=5)
     assert w["x1"] > w["x2"]
     assert w["x1"] > 0
+
+
+def test_fixed_time_width_units(spark):
+    from datetime import datetime
+    from orange3_spark.preprocess.discretize import fixed_time_width
+
+    df = spark.createDataFrame(
+        [(datetime(2021, 11, 25, 14, 30, 5),),
+         (datetime(2021, 11, 25, 16, 59, 59),),
+         (datetime(2021, 12, 2, 0, 0, 0),),
+         (datetime(2022, 3, 1, 12, 0, 0),)], "ts timestamp")
+
+    got = {r.ts.isoformat(): r.ts_bin.isoformat() for r in
+           fixed_time_width(df, "ts", 6, "hour", max_intervals=None).collect()}
+    assert got["2021-11-25T14:30:05"] == "2021-11-25T12:00:00"
+    assert got["2021-11-25T16:59:59"] == "2021-11-25T12:00:00"
+
+    got = {r.ts.isoformat(): r.ts_bin.isoformat() for r in
+           fixed_time_width(df, "ts", 1, "week").collect()}
+    # 2021-11-25 is a Thursday -> Monday 2021-11-22
+    assert got["2021-11-25T14:30:05"] == "2021-11-22T00:00:00"
+    assert got["2021-12-02T00:00:00"] == "2021-11-29T00:00:00"
+
+    got = {r.ts.isoformat(): r.ts_bin.isoformat() for r in
+           fixed_time_width(df, "ts", 3, "month").collect()}
+    # quarter starts: Oct 2021, Jan 2022
+    assert got["2021-11-25T14:30:05"] == "2021-10-01T00:00:00"
+    assert got["2022-03-01T12:00:00"] == "2022-01-01T00:00:00"
+
+    got = {r.ts.isoformat(): r.ts_bin.isoformat() for r in
+           fixed_time_width(df, "ts", 10, "year").collect()}
+    assert got["2021-11-25T14:30:05"] == "2020-01-01T00:00:00"
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        fixed_time_width(df, "ts", 1, "hour", max_intervals=100)
+
+
+def test_nice_decimal_binnings_shapes():
+    from orange3_spark.preprocess.discretize import nice_decimal_binnings
+
+    # reference docstring example: values in [10004001, 10007005]
+    cands = nice_decimal_binnings(10004001.0, 10007005.0, 1000)
+    assert cands, "must produce candidates"
+    for ts in cands:
+        w = ts[1] - ts[0]
+        assert ts[0] <= 10004001 and ts[-1] >= 10007005
+        assert 2 <= len(ts) - 1 <= 50
+        # uniform nice width
+        for a, b in zip(ts, ts[1:]):
+            assert abs((b - a) - w) < 1e-6
+
+
+def test_nice_binning_picks_near_n(spark):
+    from orange3_spark.preprocess.discretize import (
+        nice_binning, nice_binning_thresholds)
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(0, 1000, 7)], "x double")
+    ts = nice_binning_thresholds(df, "x", 4)
+    assert 2 <= len(ts) + 1 <= 8   # near 4 bins
+    out = nice_binning(df, "x", 4)
+    bins = {r.x_bin for r in out.collect()}
+    assert bins == set(range(len(ts) + 1))
+
+    # few uniques -> one bin per distinct value
+    small = spark.createDataFrame([(1.0,), (2.0,), (5.0,)] * 3, "x double")
+    ts = nice_binning_thresholds(small, "x", 4)
+    assert ts == [2.0, 5.0]
