@@ -98,8 +98,9 @@ def test_cur_leverage_prefers_high_variance(spark):
 
 
 def test_label_propagation_two_blobs(two_blobs):
-    from orange3_spark.ml.community import louvain_communities
-    out = louvain_communities(two_blobs, "id", ["x", "y"], k=3)
+    from orange3_spark.ml.community import knn_graph, label_propagation
+    edges = knn_graph(two_blobs, "id", ["x", "y"], k=3)
+    out = label_propagation(edges)
     labels = {r.id: r.community for r in out.collect()}
     assert len(labels) == 20
     assert len({labels[i] for i in range(10)}) == 1
@@ -108,9 +109,80 @@ def test_label_propagation_two_blobs(two_blobs):
     assert labels[0] == 0  # renumber-by-smallest-member determinism
 
 
+def test_louvain_communities_two_blobs(two_blobs):
+    """Louvain may split a sparse blob into sub-communities (modularity
+    optimum ≠ connected components), but no community may span blobs."""
+    from orange3_spark.ml.community import louvain_communities
+    out = louvain_communities(two_blobs, "id", ["x", "y"], k=3)
+    labels = {r.id: r.community for r in out.collect()}
+    assert len(labels) == 20
+    left = {labels[i] for i in range(10)}
+    right = {labels[i] for i in range(10, 20)}
+    assert not (left & right)
+
+
 def test_knn_graph_symmetric(two_blobs):
     from orange3_spark.ml.community import knn_graph
     edges = knn_graph(two_blobs, "id", ["x", "y"], k=2)
     e = {(r.src, r.dst) for r in edges.collect()}
     assert all((b, a) in e for a, b in e)
     assert all(a != b for a, b in e)
+
+
+_KARATE = [  # Zachary's karate club, 78 undirected edges (public dataset)
+    (0,1),(0,2),(0,3),(0,4),(0,5),(0,6),(0,7),(0,8),(0,10),(0,11),(0,12),
+    (0,13),(0,17),(0,19),(0,21),(0,31),(1,2),(1,3),(1,7),(1,13),(1,17),
+    (1,19),(1,21),(1,30),(2,3),(2,7),(2,8),(2,9),(2,13),(2,27),(2,28),
+    (2,32),(3,7),(3,12),(3,13),(4,6),(4,10),(5,6),(5,10),(5,16),(6,16),
+    (8,30),(8,32),(8,33),(9,33),(13,33),(14,32),(14,33),(15,32),(15,33),
+    (18,32),(18,33),(19,33),(20,32),(20,33),(22,32),(22,33),(23,25),
+    (23,27),(23,29),(23,32),(23,33),(24,25),(24,27),(24,31),(25,31),
+    (26,29),(26,33),(27,33),(28,31),(28,33),(29,32),(29,33),(30,32),
+    (30,33),(31,32),(31,33),(32,33),
+]
+
+
+def _sym_edges(spark, pairs):
+    rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(rows, "src int, dst int")
+
+
+def test_louvain_two_cliques(spark):
+    from orange3_spark.ml.community import louvain, modularity
+    clique = [(i, j) for i in range(5) for j in range(5) if i < j]
+    pairs = clique + [(i + 5, j + 5) for i, j in clique] + [(0, 5)]
+    edges = _sym_edges(spark, pairs)
+    out = louvain(edges)
+    labels = {r.id: r.community for r in out.collect()}
+    assert len({labels[i] for i in range(5)}) == 1
+    assert len({labels[i] for i in range(5, 10)}) == 1
+    assert labels[0] != labels[5]
+    lab_df = out.withColumnRenamed("community", "community")
+    q = modularity(edges, out)
+    assert q > 0.4
+
+
+def test_louvain_karate_modularity(spark):
+    from orange3_spark.ml.community import louvain, modularity
+    edges = _sym_edges(spark, _KARATE)
+    out = louvain(edges)
+    q = modularity(edges, out)
+    # optimum is 0.4198; greedy Louvain reaches >= 0.40 on karate
+    assert q >= 0.38, q
+    n_comm = out.select("community").distinct().count()
+    assert 2 <= n_comm <= 6
+    # deterministic
+    again = louvain(edges)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_louvain_distributed_path(spark):
+    from orange3_spark.ml.community import louvain
+    clique = [(i, j) for i in range(5) for j in range(5) if i < j]
+    pairs = clique + [(i + 5, j + 5) for i, j in clique] + [(0, 5)]
+    edges = _sym_edges(spark, pairs)
+    out = louvain(edges, driver_max_edges=0)   # force the distributed path
+    labels = {r.id: r.community for r in out.collect()}
+    assert len({labels[i] for i in range(5)}) == 1
+    assert len({labels[i] for i in range(5, 10)}) == 1
+    assert labels[0] != labels[5]
