@@ -9,6 +9,7 @@ since their libs may be absent.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -64,7 +65,14 @@ def _read_xlsx(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
-    """Extension-dispatched read — the ``Table(name)`` entry point."""
+    """Extension-dispatched read — the ``Table(name)`` entry point.
+    URLs (http/https/file, or share links io.py:409-513) route through
+    the UrlReader."""
+    if re.match(r"^(https?|file)://", path) or re.match(
+            r"^(www\.)?(docs\.google\.com|drive\.google\.com|"
+            r"[-\w.]*dropbox\.com)/", path):
+        from orange3_spark.sources.url import read_url
+        return read_url(spark, path)
     base = path.lower()
     for ext in sorted(READERS, key=len, reverse=True):
         if base.endswith(ext):

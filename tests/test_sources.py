@@ -170,3 +170,34 @@ def test_time_inference_extended_shapes():
         ["2021-11-25 14:30:05", "25.11.2021", "11/25/2021",
          "20211125T143005", "2021-11-25T14:30:05+0100"])
     assert t == "time"
+
+
+def test_url_trimmers():
+    from orange3_spark.sources.url import (
+        normalize_url, trim_dropbox, trim_googledrive, trim_googlesheet,
+        trim_url)
+
+    assert (trim_googlesheet(
+        "https://docs.google.com/spreadsheets/d/AbC-123_x/edit#gid=77")
+        == "https://docs.google.com/spreadsheets/d/AbC-123_x/export"
+           "?format=tsv&gid=77")
+    assert (trim_googlesheet("docs.google.com/spreadsheets/d/AbC/edit")
+            == "https://docs.google.com/spreadsheets/d/AbC/export?format=tsv")
+    assert (trim_googledrive("https://drive.google.com/file/d/XYZ/view")
+            == "https://drive.google.com/uc?export=download&id=XYZ")
+    assert (trim_dropbox("https://www.dropbox.com/s/abc/f.csv?dl=0")
+            == "https://www.dropbox.com/s/abc/f.csv?dl=1")
+    # non-matching URLs pass through untouched
+    assert trim_url("https://example.com/data.csv") == "https://example.com/data.csv"
+    assert normalize_url("example.com/x.csv") == "http://example.com/x.csv"
+    assert normalize_url("http://ex.com/č.csv") == "http://ex.com/%C4%8D.csv"
+
+
+def test_url_reader_file_scheme(spark, tmp_path):
+    from orange3_spark.sources.registry import read_table
+
+    p = tmp_path / "t.csv"
+    p.write_text("a;b;c\n1.0;x;2024-01-01\n2.0;y;2024-01-02\n3.5;x;2024-01-03\n")
+    df = read_table(spark, f"file://{p}")
+    rows = sorted(map(tuple, df.select("a", "b").collect()))
+    assert rows == [(1.0, "x"), (2.0, "y"), (3.5, "x")]
