@@ -340,3 +340,26 @@ def q_discretize_nice(spark, sf_dir):
     out = D.nice_binning(li, "l_extendedprice", 4, out_col="bin")
     return (out.groupBy("bin").agg(F.count(F.lit(1)).alias("freq"))
                .orderBy("bin"))
+
+
+@query("q_scale_median_span", """
+WITH s AS (SELECT quantile_cont(l_discount, 0.5) AS med,
+                  max(l_discount) - min(l_discount) AS span
+           FROM lineitem)
+SELECT l_returnflag,
+       avg((l_discount - med) / (CASE WHEN abs(span) < 1e-15 THEN 1.0
+                                      ELSE span END)) AS avg_scaled,
+       count(*) AS n
+FROM lineitem, s GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def q_scale_median_span(spark, sf_dir):
+    """Scale with median centering + span scaling
+    (Orange/preprocess/preprocess.py:467-545, the two variants beyond
+    normalize's mean/std): one stats pass, then a row-local affine map;
+    aggregated per returnflag for a compact oracle-checked projection."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    scaled = P.scale(li, ["l_discount"], center="median", scaling="span")
+    return (scaled.groupBy("l_returnflag")
+                  .agg(F.avg("l_discount").alias("avg_scaled"),
+                       F.count(F.lit(1)).alias("n"))
+                  .orderBy("l_returnflag"))

@@ -279,3 +279,70 @@ def purge_unused_values(df: DataFrame, col: str,
     still-present subset in original order."""
     present = {r[0] for r in df.select(col).distinct().collect()}
     return [v for v in known_values if v in present]
+
+
+def remove_nan_classes(df: DataFrame,
+                       class_cols: Sequence[str]) -> DataFrame:
+    """RemoveNaNClasses (``preprocess.py:239``; deprecated alias of the
+    HasClass filter): drop rows with a missing value in ANY class column."""
+    return df.dropna(how="any", subset=list(class_cols))
+
+
+def remove_sparse(df: DataFrame, threshold: float = 0.05, *,
+                  filter0: bool = True,
+                  columns: Optional[Sequence[str]] = None) -> DataFrame:
+    """RemoveSparse (``preprocess.py:572``): drop columns with too many
+    zeros (``filter0=True``) or NULLs.  ``threshold`` < 1 is a proportion
+    of rows, ≥ 1 an absolute count; a column survives when its zero/NULL
+    count is strictly below the threshold.  One counting pass."""
+    columns = list(columns or df.columns)
+    n = df.count()
+    thr = threshold * n if threshold < 1 else threshold
+    if filter0:
+        aggs = [F.sum((F.col(c) == 0).cast("long")).alias(c) for c in columns]
+    else:
+        aggs = [F.sum(F.col(c).isNull().cast("long")).alias(c)
+                for c in columns]
+    counts = df.agg(*aggs).collect()[0]
+    drop = [c for c in columns if (counts[c] or 0) >= thr]
+    return df.drop(*drop)
+
+
+def scale(df: DataFrame, columns: Sequence[str], *,
+          center: Optional[str] = "mean",   # mean|median|None
+          scaling: Optional[str] = "std",   # std|span|None
+          ) -> DataFrame:
+    """Scale preprocessor (``preprocess.py:467-545``): x → (x − c)/s with
+    c ∈ {mean, interpolated median, 0} and s ∈ {population std, span, 1};
+    s < 1e-15 degrades to 1 like the reference.  One stats pass for every
+    column, then row-local affine expressions."""
+    aggs = []
+    for c in columns:
+        aggs += [F.avg(c).alias(f"{c}__mean"),
+                 F.stddev_pop(c).alias(f"{c}__sd"),
+                 F.expr(f"percentile(`{c}`, 0.5)").alias(f"{c}__med"),
+                 F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max")]
+    st = df.agg(*aggs).collect()[0]
+    out = df
+    for c in columns:
+        if center == "mean":
+            cv = st[f"{c}__mean"]
+        elif center == "median":
+            cv = st[f"{c}__med"]
+        elif center is None:
+            cv = 0.0
+        else:
+            raise ValueError(center)
+        if scaling == "std":
+            sv = st[f"{c}__sd"]
+        elif scaling == "span":
+            sv = (st[f"{c}__max"] or 0.0) - (st[f"{c}__min"] or 0.0)
+        elif scaling is None:
+            sv = 1.0
+        else:
+            raise ValueError(scaling)
+        if sv is None or abs(sv) < 1e-15:
+            sv = 1.0
+        out = out.withColumn(c, (F.col(c) - F.lit(float(cv or 0.0)))
+                             / F.lit(float(sv)))
+    return out

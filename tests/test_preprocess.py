@@ -275,3 +275,44 @@ def test_nice_binning_picks_near_n(spark):
     small = spark.createDataFrame([(1.0,), (2.0,), (5.0,)] * 3, "x double")
     ts = nice_binning_thresholds(small, "x", 4)
     assert ts == [2.0, 5.0]
+
+
+def test_remove_nan_classes_and_sparse(spark):
+    from orange3_spark.preprocess.transform import (
+        remove_nan_classes, remove_sparse)
+
+    df = spark.createDataFrame(
+        [(1.0, 0.0, None), (2.0, 0.0, "a"), (None, 1.0, "b"), (4.0, 0.0, "a")],
+        "x double, z double, cls string")
+    assert remove_nan_classes(df, ["cls"]).count() == 3
+
+    # z is 75% zeros -> dropped at threshold 0.5; x has 1 zero-count
+    out = remove_sparse(df, 0.5, columns=["x", "z"])
+    assert "z" not in out.columns and "x" in out.columns
+    # NaN mode: x has 1 null of 4 -> survives 0.5, dropped at absolute 1
+    out = remove_sparse(df, 0.5, filter0=False, columns=["x"])
+    assert "x" in out.columns
+    out = remove_sparse(df, 1, filter0=False, columns=["x"])
+    assert "x" not in out.columns
+
+
+def test_scale_variants(spark):
+    from orange3_spark.preprocess.transform import scale
+
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (10.0,)], "x double")
+    # median center + span scale: median=2.5, span=9
+    got = sorted(r.x for r in scale(df, ["x"], center="median",
+                                    scaling="span").collect())
+    expect = sorted((v - 2.5) / 9.0 for v in [1, 2, 3, 10])
+    assert all(abs(a - b) < 1e-12 for a, b in zip(got, expect))
+    # mean center + population std
+    import statistics
+    mu = 4.0
+    sd = (sum((v - mu) ** 2 for v in [1, 2, 3, 10]) / 4) ** 0.5
+    got = sorted(r.x for r in scale(df, ["x"]).collect())
+    expect = sorted((v - mu) / sd for v in [1, 2, 3, 10])
+    assert all(abs(a - b) < 1e-12 for a, b in zip(got, expect))
+    # constant column: scale degrades to 1
+    const = spark.createDataFrame([(5.0,), (5.0,)], "x double")
+    got = [r.x for r in scale(const, ["x"]).collect()]
+    assert got == [0.0, 0.0]
