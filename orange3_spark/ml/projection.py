@@ -191,3 +191,248 @@ def fisher_criterion(df: DataFrame, cols: Sequence[str],
     num = float(w @ dmu) ** 2
     den = float(w @ Sw @ w)
     return num / den if den else 0.0
+
+
+# ---------------------------------------------------------------- RadViz
+
+def radviz(df: DataFrame, cols: Sequence[str], *,
+           prefix: str = "radviz") -> DataFrame:
+    """RadViz projection (``Orange/projection/radviz.py:13-52``): place one
+    anchor per feature evenly on the unit circle, span-normalize each
+    feature to [0, 1], and project every row to the convex combination
+    Σ aⱼ·vⱼ / Σ vⱼ (0 when the row sums to 0).
+
+    Fully distributed: ONE min/max aggregate for the spans, then a
+    row-local codegen expression — no sample, no driver math, scales to
+    any row count."""
+    import math
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max")]
+    st = df.agg(*aggs).first()
+    p = len(cols)
+    anchors = [(math.cos(2 * math.pi * j / p), math.sin(2 * math.pi * j / p))
+               for j in range(p)]
+    normed = []
+    for c in cols:
+        lo, hi = st[f"{c}__min"], st[f"{c}__max"]
+        span = (hi - lo) if (hi is not None and lo is not None
+                            and hi != lo) else 1.0
+        normed.append((F.col(c) - F.lit(float(lo or 0.0))) / F.lit(float(span)))
+    s = normed[0]
+    for v in normed[1:]:
+        s = s + v
+    x = sum((F.lit(a[0]) * v for a, v in zip(anchors[1:], normed[1:])),
+            F.lit(anchors[0][0]) * normed[0])
+    y = sum((F.lit(a[1]) * v for a, v in zip(anchors[1:], normed[1:])),
+            F.lit(anchors[0][1]) * normed[0])
+    zero = F.lit(0.0)
+    return (df.withColumn(f"{prefix}_x",
+                          F.coalesce(F.try_divide(x, F.nullif(s, zero)), zero))
+              .withColumn(f"{prefix}_y",
+                          F.coalesce(F.try_divide(y, F.nullif(s, zero)), zero)))
+
+
+# --------------------------------------------------------------- FreeViz
+
+MAX_FREEVIZ_POINTS = 5_000
+
+
+def freeviz_fit(df: DataFrame, cols: Sequence[str], class_col: str, *,
+                p: int = 1, maxiter: int = 200, alpha: float = 0.1,
+                atol: float = 1e-5, discrete_class: bool = True,
+                max_rows: int = MAX_FREEVIZ_POINTS):
+    """FreeViz anchor optimization (``Orange/projection/freeviz.py:15-383``,
+    Demšar et al. 2005): gradient descent on pairwise attract/repel forces.
+    The force field is O(n²) in the fitted points, so the FIT runs on the
+    driver over a bounded table (count checked distributedly first — same
+    posture as the reference, which is wholly in-memory); the learned
+    (P×2) anchor matrix then projects ANY amount of data row-locally via
+    ``freeviz_transform``.  Deterministic: radial anchor init
+    (``init_radial``), no RNG.
+
+    Returns ``(components, center, scale)`` — P×2 list, per-col means, SDs.
+    """
+    import numpy as np
+
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"freeviz_fit is O(n²) in fitted rows; n={n} > {max_rows}. "
+            "Fit on a sample (operators.sample.sample_fixed) and project "
+            "the full table with freeviz_transform.")
+    rows = df.select(*cols, class_col).dropna().collect()
+    X = np.array([[float(r[c]) for c in cols] for r in rows])
+    yv = [r[class_col] for r in rows]
+    if discrete_class:
+        classes = {v: i for i, v in enumerate(dict.fromkeys(yv))}
+        y = np.array([classes[v] for v in yv], dtype=float)
+    else:
+        y = np.array([float(v) for v in yv])
+    N, P = X.shape
+    center = X.mean(axis=0)
+    scale = X.std(axis=0)
+    X = X - center
+    nz = np.abs(scale) > 1e-12
+    X[:, nz] /= scale[nz]
+
+    # deterministic radial init (freeviz.py:init_radial)
+    ang = np.linspace(0, 2 * np.pi, P, endpoint=False)
+    A = np.stack([np.cos(ang), np.sin(ang)], axis=1)
+
+    eps = np.finfo(float).eps * 100
+    E = X @ A
+    for _ in range(maxiter):
+        diff = E[:, None, :] - E[None, :, :]          # e_i − e_j
+        D = np.sqrt((diff ** 2).sum(axis=2))
+        np.fill_diagonal(D, 1.0)
+        if discrete_class:
+            same = y[:, None] == y[None, :]
+            Fm = np.where(same, -(D ** p), 1.0 / np.where(D > eps, D ** p, 1.0))
+            Fm[~same & (D <= eps)] = 0.0
+        else:
+            ydist = (y[:, None] - y[None, :]) ** 2
+            Fm = ydist / np.where(D > eps, D ** p, 1.0)
+        np.fill_diagonal(Fm, 0.0)
+        unit = diff / D[:, :, None]
+        force_on = (unit * Fm[:, :, None]).sum(axis=0)  # Σ_i on each j
+        G = X.T @ force_on
+        with np.errstate(divide="ignore"):
+            step = np.min(np.linalg.norm(A, axis=1)
+                          / np.linalg.norm(G, axis=1))
+        if not np.isfinite(step):
+            break
+        Anew = A - alpha * step * G
+        Anew -= Anew.mean(axis=0)
+        maxr = np.linalg.norm(Anew, axis=1).max()
+        if maxr >= 0.001:
+            Anew /= maxr
+        if np.allclose(np.linalg.norm(Anew - A, axis=1), 0, atol=atol):
+            A = Anew
+            break
+        A = Anew
+        E = X @ A
+    # rotate so the first anchor aligns with (1, 0) (freeviz.py:_rotate)
+    phi = np.arctan2(A[0, 1], A[0, 0])
+    R = np.array([[np.cos(-phi), np.sin(-phi)],
+                  [-np.sin(-phi), np.cos(-phi)]])
+    A = A @ R
+    return A.tolist(), center.tolist(), scale.tolist()
+
+
+def freeviz_transform(df: DataFrame, cols: Sequence[str], components,
+                      center, scale, *, prefix: str = "freeviz") -> DataFrame:
+    """Apply learned FreeViz anchors distributively: two row-local linear
+    combinations over standardized features (codegen, no shuffle)."""
+    terms_x, terms_y = [], []
+    for j, c in enumerate(cols):
+        sd = scale[j] if abs(scale[j]) > 1e-12 else 1.0
+        v = (F.col(c) - F.lit(float(center[j]))) / F.lit(float(sd))
+        terms_x.append(v * F.lit(float(components[j][0])))
+        terms_y.append(v * F.lit(float(components[j][1])))
+    return (df.withColumn(f"{prefix}_x", sum(terms_x[1:], terms_x[0]))
+              .withColumn(f"{prefix}_y", sum(terms_y[1:], terms_y[0])))
+
+
+def freeviz(df: DataFrame, cols: Sequence[str], class_col: str,
+            **kw) -> DataFrame:
+    """Fit on the (bounded) table, project it distributively."""
+    comps, center, scale = freeviz_fit(df, cols, class_col, **kw)
+    return freeviz_transform(df, cols, comps, center, scale)
+
+
+# ----------------------------------------------------------------- t-SNE
+
+MAX_TSNE_POINTS = 2_000
+
+
+def tsne(df: DataFrame, id_col: str, cols: Sequence[str] = (), *,
+         array_col: str | None = None, perplexity: float = 30.0,
+         n_iter: int = 300, learning_rate: float = 200.0,
+         max_rows: int = MAX_TSNE_POINTS) -> DataFrame:
+    """Exact t-SNE (van der Maaten & Hinton 2008) on a bounded table —
+    the reference wraps openTSNE (``Orange/projection/manifold.py``),
+    driver-side in-memory too.  O(n²) affinities mean t-SNE is a
+    VISUALIZATION of a sample, never a 100 TB op: the count guard forces
+    that contract explicitly (sample upstream, then embed).
+
+    Deterministic: PCA initialization (no RNG), fixed iteration schedule
+    (early exaggeration 12× for the first quarter, momentum 0.5→0.8).
+    Returns ``(id, tsne_x, tsne_y)``.
+    """
+    import numpy as np
+
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"tsne is O(n²); n={n} > {max_rows}. Sample first "
+            "(operators.sample.sample_fixed) and embed the sample.")
+    if array_col is not None:
+        rows = df.select(id_col, array_col).dropna().collect()
+        ids = [r[0] for r in rows]
+        X = np.array([[float(x) for x in r[1]] for r in rows])
+    else:
+        rows = df.select(id_col, *cols).dropna().collect()
+        ids = [r[0] for r in rows]
+        X = np.array([[float(r[c]) for c in cols] for r in rows])
+    N = X.shape[0]
+    X = X - X.mean(axis=0)
+    sd = X.std(axis=0)
+    X[:, np.abs(sd) > 1e-12] /= sd[np.abs(sd) > 1e-12]
+
+    # pairwise squared distances + per-point perplexity calibration
+    sq = ((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+    Pm = np.zeros((N, N))
+    target = np.log(min(perplexity, (N - 1) / 3.0))
+    for i in range(N):
+        lo, hi, beta = 1e-20, 1e20, 1.0
+        di = np.delete(sq[i], i)
+        for _ in range(50):
+            ex = np.exp(-di * beta)
+            s = ex.sum()
+            if s <= 0:
+                h = 0.0
+            else:
+                pr = ex / s
+                h = -(pr * np.log(np.maximum(pr, 1e-12))).sum()
+            if abs(h - target) < 1e-5:
+                break
+            if h > target:
+                lo = beta
+                beta = beta * 2 if hi >= 1e20 else (beta + hi) / 2
+            else:
+                hi = beta
+                beta = beta / 2 if lo <= 1e-20 else (beta + lo) / 2
+        ex = np.exp(-sq[i] * beta)
+        ex[i] = 0.0
+        Pm[i] = ex / max(ex.sum(), 1e-12)
+    Pm = (Pm + Pm.T) / (2 * N)
+    Pm = np.maximum(Pm, 1e-12)
+
+    # deterministic PCA init scaled to 1e-4 (standard t-SNE practice)
+    u, s, vt = np.linalg.svd(X, full_matrices=False)
+    Y = (u[:, :2] * s[:2]) * (1e-4 / max(np.abs(u[:, :2] * s[:2]).max(), 1e-12))
+    gains = np.ones_like(Y)
+    inc = np.zeros_like(Y)
+    exag_until = max(50, n_iter // 4)
+    for it in range(n_iter):
+        Pe = Pm * 12.0 if it < exag_until else Pm
+        num = 1.0 / (1.0 + ((Y[:, None, :] - Y[None, :, :]) ** 2).sum(axis=2))
+        np.fill_diagonal(num, 0.0)
+        Q = np.maximum(num / num.sum(), 1e-12)
+        PQ = (Pe - Q) * num
+        grad = 4.0 * ((np.diag(PQ.sum(axis=1)) - PQ) @ Y)
+        momentum = 0.5 if it < exag_until else 0.8
+        gains = np.where(np.sign(grad) != np.sign(inc),
+                         gains + 0.2, gains * 0.8)
+        gains = np.maximum(gains, 0.01)
+        inc = momentum * inc - learning_rate * gains * grad
+        Y = Y + inc
+        Y = Y - Y.mean(axis=0)
+
+    spark = df.sparkSession
+    dt = df.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        [(i, float(y0), float(y1)) for i, (y0, y1) in zip(ids, Y)],
+        f"{id_col} {dt}, tsne_x double, tsne_y double")

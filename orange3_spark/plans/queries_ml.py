@@ -517,3 +517,33 @@ def q_ml_communities(spark, sf_dir):
     return (comp.select(F.col("doc_id").alias("n_nationkey"),
                         F.col("cluster_id").alias("community"))
                 .orderBy("n_nationkey"))
+
+
+@query("q_ml_radviz", f"""
+WITH f AS ({_NATION_ML_SQL}),
+s AS (SELECT min(n_orders) AS lo1, max(n_orders) AS hi1,
+             min(avg_price) AS lo2, max(avg_price) AS hi2 FROM f),
+nv AS (SELECT n_nationkey,
+              (n_orders - lo1) / (CASE WHEN hi1 = lo1 THEN 1.0
+                                       ELSE hi1 - lo1 END) AS v1,
+              (avg_price - lo2) / (CASE WHEN hi2 = lo2 THEN 1.0
+                                        ELSE hi2 - lo2 END) AS v2
+       FROM f, s)
+SELECT n_nationkey,
+       CASE WHEN v1 + v2 = 0 THEN 0.0
+            ELSE (cos(0) * v1 + cos(pi()) * v2) / (v1 + v2) END AS radviz_x,
+       CASE WHEN v1 + v2 = 0 THEN 0.0
+            ELSE (sin(0) * v1 + sin(pi()) * v2) / (v1 + v2) END AS radviz_y
+FROM nv ORDER BY n_nationkey
+""")
+def q_ml_radviz(spark, sf_dir):
+    """RadViz projection (Orange/projection/radviz.py:13-52): evenly-spaced
+    unit-circle anchors, span-normalized features, convex-combination
+    projection — one min/max aggregate plus a row-local expression, so the
+    whole operator is oracle-checkable and scales to any row count."""
+    from orange3_spark.ml.projection import radviz
+    from orange3_spark.plans.queries_analytics import _nation_features4
+    feats = _nation_features4(spark, sf_dir)
+    out = radviz(feats, ["n_orders", "avg_price"])
+    return (out.select("n_nationkey", "radviz_x", "radviz_y")
+               .orderBy("n_nationkey"))

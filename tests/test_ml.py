@@ -242,3 +242,72 @@ def test_dbscan_border_points(spark):
     assert len({out[i] for i in range(5)}) == 1
     assert out[10] == out[0]    # border joins the cluster
     assert out[99] == -1
+
+
+def test_radviz_known_geometry(spark):
+    from orange3_spark.ml.projection import radviz
+
+    # 2 features -> anchors at (1,0) and (-1,0); normalized row (1, 0)
+    # projects to (1,0); (0,1) to (-1,0); (1,1) to (0,0)
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0)], "a double, b double")
+    out = {(r.a, r.b): (round(r.radviz_x, 9), round(r.radviz_y, 9))
+           for r in radviz(df, ["a", "b"]).collect()}
+    assert out[(1.0, 0.0)] == (1.0, 0.0)
+    assert out[(0.0, 1.0)] == (-1.0, 0.0)
+    assert out[(1.0, 1.0)] == (0.0, 0.0)
+    assert out[(0.0, 0.0)] == (0.0, 0.0)   # zero-sum row -> origin
+
+
+def test_freeviz_separates_classes(spark):
+    import numpy as np
+    from orange3_spark.ml.projection import freeviz
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(60):
+        cls = i % 2
+        rows.append((float(cls * 3 + rng.normal(0, .3)),
+                     float(-cls * 2 + rng.normal(0, .3)),
+                     float(rng.normal(0, 1)), f"c{cls}"))
+    df = spark.createDataFrame(rows, "f1 double, f2 double, noise double, y string")
+    out = freeviz(df, ["f1", "f2", "noise"], "y", maxiter=60)
+    pts = [(r.freeviz_x, r.freeviz_y, r.y) for r in out.collect()]
+    c0 = np.array([(x, y) for x, y, c in pts if c == "c0"])
+    c1 = np.array([(x, y) for x, y, c in pts if c == "c1"])
+    between = np.linalg.norm(c0.mean(axis=0) - c1.mean(axis=0))
+    within = (c0.std() + c1.std())
+    assert between > within     # classes pulled apart
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        from orange3_spark.ml.projection import freeviz_fit
+        freeviz_fit(df, ["f1"], "y", max_rows=10)
+
+
+def test_tsne_preserves_clusters(spark):
+    import numpy as np
+    from orange3_spark.ml.projection import tsne
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(60):
+        c = i % 3
+        base = np.zeros(8)
+        base[c] = 6.0
+        v = base + rng.normal(0, 0.3, 8)
+        rows.append((i, [float(x) for x in v], c))
+    df = spark.createDataFrame(rows, "id int, v array<double>, c int")
+    emb = tsne(df, "id", array_col="v", perplexity=10, n_iter=250)
+    pts = {r.id: (r.tsne_x, r.tsne_y) for r in emb.collect()}
+    P = np.array([pts[i] for i in range(60)])
+    cls = np.array([i % 3 for i in range(60)])
+    # mean same-cluster distance far below mean cross-cluster distance
+    dists = np.linalg.norm(P[:, None] - P[None, :], axis=2)
+    same = dists[cls[:, None] == cls[None, :]].mean()
+    cross = dists[cls[:, None] != cls[None, :]].mean()
+    assert cross > 2 * same
+    # deterministic
+    emb2 = tsne(df, "id", array_col="v", perplexity=10, n_iter=250)
+    pts2 = {r.id: (r.tsne_x, r.tsne_y) for r in emb2.collect()}
+    assert pts == pts2
