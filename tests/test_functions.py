@@ -76,3 +76,36 @@ def test_pandas_udf_fallback(df):
     col = compile_to_pandas_udf("x / y if y != 0 else None", df, ["x", "y"])
     out = df.withColumn("q", col).collect()
     assert out[0].q == 0.25 and out[1].q is None
+
+
+def test_python_script_batch_and_grouped(spark):
+    from orange3_spark.functions.python_script import python_script
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), float(i)) for i in range(20)],
+        "id long, g string, v double")
+
+    out = python_script(
+        df, lambda pdf: pdf.assign(v2=pdf.v * 2)[["id", "v2"]],
+        "id long, v2 double")
+    got = {r.id: r.v2 for r in out.collect()}
+    assert got[7] == 14.0 and len(got) == 20
+
+    # grouped mode: whole group per call (rank within group)
+    out = python_script(
+        df, lambda pdf: pdf.assign(rk=pdf.v.rank())[["id", "g", "rk"]],
+        "id long, g string, rk double", group_by=["g"])
+    got = {r.id: r.rk for r in out.collect()}
+    assert got[0] == 1.0 and got[2] == 2.0   # even group: 0,2,4,...
+
+
+def test_grouped_agg_udaf(spark):
+    from orange3_spark.functions.python_script import grouped_agg
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 100.0), ("b", 5.0)], "g string, v double")
+    median = grouped_agg(lambda s: float(s.median()))
+    out = {r.g: r.med for r in
+           df.groupBy("g").agg(median("v").alias("med")).collect()}
+    assert out == {"a": 2.0, "b": 5.0}
