@@ -64,3 +64,31 @@ def test_rowwise_agg_has_no_shuffle(spark, sf_dir):
 def test_sample_hash_is_scan_side(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_sample_hash")
     assert "Exchange" not in plan, "hash sampling is a row-local filter"
+
+
+def test_timewidth_binning_stays_rowlocal(spark, sf_dir):
+    """fixed_time_width is epoch arithmetic: the bin projection itself adds
+    no Exchange beyond the final groupBy (one shuffle total)."""
+    plan = _plan(spark, sf_dir, "q_discretize_timewidth")
+    assert plan.count("Exchange") <= 2, plan  # agg partial+final only
+
+
+def test_radviz_no_shuffle_beyond_stats(spark, sf_dir):
+    """RadViz projection is a row-local expression; only the feature-build
+    joins/aggregates shuffle, and dims broadcast."""
+    plan = _plan(spark, sf_dir, "q_ml_radviz")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lenient_timestamp_codegen(spark):
+    """The format-probe coalesce must stay inside WholeStageCodegen —
+    try_to_timestamp probes are JVM expressions, not fallbacks."""
+    from orange3_spark.functions.timeparse import lenient_timestamp
+
+    df = spark.range(5).selectExpr("CAST(id AS STRING) AS s")
+    out = df.select(lenient_timestamp("s").alias("ts"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark WholeStageCodegen stages in the plan string
+    assert plan.lstrip().startswith("*("), plan[:200]
+    assert "Exchange" not in plan
