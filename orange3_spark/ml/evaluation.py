@@ -229,6 +229,33 @@ def specificity(df: DataFrame, positive=None, label: str = "label",
 
 # ------------------------------------------------------- validation schemes
 
+def cross_validate_feature(df: DataFrame, feature: str,
+                           fit: Callable[[DataFrame], object],
+                           score: Callable[[DataFrame], float],
+                           *, max_folds: int = 100) -> list[tuple]:
+    """CrossValidationFeature (testing.py:610-636): one fold per distinct
+    value of ``feature`` — test on that value's rows, train on every other
+    non-NULL value.  Returns ``[(value, score), ...]`` ordered by value.
+    A distinct probe bounds the fold count (each fold is a full fit)."""
+    values = sorted(
+        r[0] for r in df.select(feature).distinct().collect()
+        if r[0] is not None)
+    if len(values) < 2:
+        raise ValueError(
+            f"'{feature}' does not have at least two distinct values")
+    if len(values) > max_folds:
+        raise ValueError(
+            f"{len(values)} folds (one model fit each) > {max_folds}; "
+            "discretize the feature first")
+    out = []
+    nn = df.filter(F.col(feature).isNotNull())
+    for v in values:
+        train = nn.filter(F.col(feature) != F.lit(v))
+        test = nn.filter(F.col(feature) == F.lit(v))
+        out.append((v, score(fit(train).predict(test))))
+    return out
+
+
 def shuffle_split(df: DataFrame, key: str,
                   fit: Callable[[DataFrame], object],
                   score: Callable[[DataFrame], float],

@@ -311,3 +311,33 @@ def test_tsne_preserves_clusters(spark):
     emb2 = tsne(df, "id", array_col="v", perplexity=10, n_iter=250)
     pts2 = {r.id: (r.tsne_x, r.tsne_y) for r in emb2.collect()}
     assert pts == pts2
+
+
+def test_cross_validate_feature(spark):
+    class MeanModel:
+        def __init__(self, mu):
+            self.mu = mu
+
+        def predict(self, df):
+            return df.withColumn("prediction", F.lit(self.mu))
+
+    def fit(train):
+        return MeanModel(float(train.agg(F.avg("y")).first()[0]))
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0), ("b", 11.0), (None, 99.0)],
+        "f string, y double")
+    folds = E.cross_validate_feature(
+        df, "f", fit, lambda d: E.mae(d, label="y"))
+    got = dict(folds)
+    # test on a (mean 1.5) with model trained on b (mean 10.5): MAE = 9
+    assert abs(got["a"] - 9.0) < 1e-12
+    assert abs(got["b"] - 9.0) < 1e-12
+    # NULL feature rows excluded from both sides
+    assert set(got) == {"a", "b"}
+
+    import pytest as _p
+    single = spark.createDataFrame([("a", 1.0)], "f string, y double")
+    with _p.raises(ValueError):
+        E.cross_validate_feature(single, "f", fit,
+                                 lambda d: E.mae(d, label="y"))
