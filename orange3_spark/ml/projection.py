@@ -19,8 +19,9 @@ Spark shape:
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Iterator, Sequence, Tuple
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -436,3 +437,124 @@ def tsne(df: DataFrame, id_col: str, cols: Sequence[str] = (), *,
     return spark.createDataFrame(
         [(i, float(y0), float(y1)) for i, (y0, y1) in zip(ids, Y)],
         f"{id_col} {dt}, tsne_x double, tsne_y double")
+
+
+# ------------------------------------------------------------------- SOM
+
+def som_fit(df: DataFrame, cols: Sequence[str] = (), *,
+            array_col: str | None = None, dim_x: int = 8, dim_y: int = 8,
+            n_iterations: int = 20, sigma: float = 1.0):
+    """Self-organizing map, BATCH formulation (Kohonen 1990; the reference
+    wraps an online per-sample Cython kernel, ``Orange/projection/som.py:9-96``
+    — inherently sequential, so the engine uses the equivalent batch SOM:
+    each iteration assigns every row to its best-matching unit in ONE scan,
+    aggregates per-unit sums map-side, and recombines them on the driver
+    with the Gaussian grid neighborhood).  Grid state is dim_y×dim_x×P
+    floats — driver-sized regardless of row count.
+
+    Deterministic: PCA-plane init (som.py:init_weights_pca), σ decays as
+    1/(1 + t/(T/2)) like the reference's ``fit``.  Returns the
+    (dim_y, dim_x, P) weight grid as nested lists."""
+    import numpy as np
+
+    if array_col is not None:
+        feat = F.col(array_col).cast("array<double>")
+        probe = df.select(F.size(feat).alias("p")).first()
+        P = int(probe.p)
+        elems = [feat.getItem(j).alias(f"_f{j}") for j in range(P)]
+    else:
+        P = len(cols)
+        elems = [F.col(c).cast("double").alias(f"_f{j}")
+                 for j, c in enumerate(cols)]
+    data = df.select(*elems).dropna().localCheckpoint(eager=True)
+
+    # PCA init from the covariance of a moment pass (cluster.pca_cov_eigen)
+    from orange3_spark.ml.cluster import pca_cov_eigen
+    comps, _eig, _ = pca_cov_eigen(data, [f"_f{j}" for j in range(P)],
+                                   n_components=min(2, P))
+    pc0 = np.asarray(comps[0])
+    pc1 = np.asarray(comps[1]) if len(comps) > 1 else np.zeros(P)
+    W = np.empty((dim_y, dim_x, P))
+    for i, c1 in enumerate(np.linspace(-1, 1, dim_y)):
+        for j, c2 in enumerate(np.linspace(-1, 1, dim_x)):
+            W[i, j] = c1 * pc0 + c2 * pc1
+    norms = (W ** 2).sum(axis=2)
+    norms[norms == 0] = 1
+    W /= norms[:, :, None]
+
+    from pyspark.sql.functions import pandas_udf
+
+    gy, gx = np.mgrid[0:dim_y, 0:dim_x]
+    units = np.stack([gy.ravel(), gx.ravel()], axis=1)   # (U, 2)
+
+    for it in range(n_iterations):
+        decay = 1 + it / (n_iterations / 2)
+        sig = sigma / decay
+        Wf = W.reshape(-1, P)                            # (U, P)
+
+        @pandas_udf("int")
+        def _bmu(it: Iterator[Tuple[pd.Series, ...]]) -> Iterator[pd.Series]:
+            for series in it:
+                X = np.stack([s.to_numpy(dtype=float) for s in series],
+                             axis=1)
+                d = ((X[:, None, :] - Wf[None, :, :]) ** 2).sum(axis=2)
+                yield pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+        stats = (data.withColumn("_u", _bmu(*[F.col(f"_f{j}")
+                                              for j in range(P)]))
+                     .groupBy("_u")
+                     .agg(F.count(F.lit(1)).alias("_n"),
+                          *[F.sum(f"_f{j}").alias(f"_s{j}")
+                            for j in range(P)])
+                     .collect())
+        S = np.zeros((units.shape[0], P))
+        Ncnt = np.zeros(units.shape[0])
+        for r in stats:
+            S[r["_u"]] = [r[f"_s{j}"] for j in range(P)]
+            Ncnt[r["_u"]] = r["_n"]
+        # neighborhood combine on the tiny grid: h(u,v) Gaussian in grid space
+        d2 = ((units[:, None, :] - units[None, :, :]) ** 2).sum(axis=2)
+        H = np.exp(-d2 / (2 * sig * sig))                # (U, U)
+        num = H @ S                                      # (U, P)
+        den = (H @ Ncnt)[:, None]
+        upd = den[:, 0] > 0
+        Wf = Wf.copy()
+        Wf[upd] = num[upd] / den[upd]
+        W = Wf.reshape(dim_y, dim_x, P)
+    return W.tolist()
+
+
+def som(df: DataFrame, cols: Sequence[str] = (), *,
+        array_col: str | None = None, dim_x: int = 8, dim_y: int = 8,
+        n_iterations: int = 20, sigma: float = 1.0,
+        prefix: str = "som") -> DataFrame:
+    """Fit a batch SOM, then add the winning unit's grid coordinates
+    (``som_x``, ``som_y``) to every row — the reference's ``winners``
+    surface (som.py:98-108) as one more Arrow-batched scan."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    W = np.asarray(som_fit(df, cols, array_col=array_col, dim_x=dim_x,
+                           dim_y=dim_y, n_iterations=n_iterations,
+                           sigma=sigma))
+    P = W.shape[2]
+    Wf = W.reshape(-1, P)
+
+    if array_col is not None:
+        feats = [F.col(array_col).cast("array<double>").getItem(j)
+                 for j in range(P)]
+    else:
+        feats = [F.col(c).cast("double") for c in cols]
+
+    @pandas_udf("struct<x:int,y:int>")
+    def _win(it: Iterator[Tuple[pd.Series, ...]]) -> Iterator[pd.DataFrame]:
+        for series in it:
+            X = np.stack([s.to_numpy(dtype=float) for s in series], axis=1)
+            d = ((X[:, None, :] - Wf[None, :, :]) ** 2).sum(axis=2)
+            u = np.argmin(d, axis=1)
+            yield pd.DataFrame({"x": (u % dim_x).astype("int32"),
+                                "y": (u // dim_x).astype("int32")})
+
+    w = _win(*feats)
+    return (df.withColumn(f"{prefix}_x", w.getField("x"))
+              .withColumn(f"{prefix}_y", w.getField("y")))

@@ -123,7 +123,9 @@ _MH_K, _MH_BANDS = 64, 16
 _MH_R = _MH_K // _MH_BANDS
 
 _MH_AGGS = ",\n       ".join(
-    f"min(md5(shingle || '#{k}')) AS h{k}" for k in range(_MH_K))
+    f"min(CAST('0x' || substring(md5(shingle), 1, 8) AS BIGINT)"
+    f" + {k} * CAST('0x' || substring(md5(shingle), 9, 8) AS BIGINT))"
+    f" AS h{k}" for k in range(_MH_K))
 _MH_BAND_SELECTS = "\n  UNION ALL ".join(
     "SELECT doc_id, {b} AS band, md5({cat}) AS bucket FROM sig".format(
         b=b, cat=" || ',' || ".join(f"h{b * _MH_R + j}" for j in range(_MH_R)))

@@ -154,15 +154,21 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     sh = shingle_df if shingle_df is not None \
         else shingle_table(df, text_col, id_col, n)
     if hash_family == "md5":
-        # md5 of (shingle + "#" + seed_k), minimum taken over the 32-char
-        # lowercase hex STRINGS (fixed length → lexicographic = numeric
-        # order).  Slower than xxhash64 but portable: the identical family
-        # exists in every engine, so an SQL oracle can recompute the exact
-        # signatures — used by the correctness-checked query variant.
-        key = F.col("shingle")
-        aggs = [F.min(F.md5(F.concat(key, F.lit(f"#{seed + k}"))))
+        # ONE md5 per shingle, then Kirsch-Mitzenmacher double hashing from
+        # its two 32-bit halves: h_k = h1 + (seed+k)·h2 — exact bigint
+        # arithmetic (max < 2^40, no overflow, ANSI-safe), k families for
+        # the price of one digest.  Portable: any engine with md5 + hex
+        # parsing recomputes identical signatures, so the SQL oracle checks
+        # the exact pipeline.  (A previous per-seed md5(shingle||'#k')
+        # variant cost 64 digests/shingle — measured 30 s vs 8 s at sf0.1.)
+        md = F.md5(F.col("shingle"))
+        pre = sh.select(
+            id_col,
+            F.conv(F.substring(md, 1, 8), 16, 10).cast("long").alias("_h1"),
+            F.conv(F.substring(md, 9, 8), 16, 10).cast("long").alias("_h2"))
+        aggs = [F.min(F.col("_h1") + F.lit(seed + k) * F.col("_h2"))
                 .alias(f"h{k}") for k in range(num_hashes)]
-        return sh.groupBy(id_col).agg(*aggs)
+        return pre.groupBy(id_col).agg(*aggs)
     # accept either raw shingle strings or a pre-hashed s64 key column
     # (hash-of-hash is an equally valid minhash family and avoids hashing
     # the string num_hashes times)
@@ -190,7 +196,10 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     sig = minhash_signatures(df, text_col, id_col, n=n,
                              num_hashes=num_hashes, seed=seed,
                              shingle_df=shingle_df, hash_family=hash_family)
-    bucket_of = (lambda cols: F.md5(F.concat_ws(",", *cols))) \
+    # both families carry bigint h{k} columns now; cast explicitly so the
+    # bucket string matches the oracle's ``h0 || ',' || h1`` rendering
+    bucket_of = (lambda cols: F.md5(F.concat_ws(",", *[c.cast("string")
+                                                       for c in cols]))) \
         if hash_family == "md5" else \
         (lambda cols: F.xxhash64(F.concat_ws(",", *[c.cast("string")
                                                     for c in cols])))
@@ -394,20 +403,42 @@ def simhash_table_md5(df: DataFrame, text_col: str = "text",
 def simhash_near_dups_md5(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", *, max_hamming: int = 8,
                           prefix_bits: int = 16, bits: int = 64) -> DataFrame:
-    """Near-dup pairs by the md5-family SimHash (prefix-blocked Hamming
-    join over the bit strings) — algorithmically identical to
-    :func:`simhash_near_dups`, reproducible by an SQL oracle."""
-    h = simhash_table_md5(df, text_col, id_col, bits=bits)
-    h = h.withColumn("block", F.substring("sh_bits", 1, prefix_bits)).cache()
-    a, b = h.alias("a"), h.alias("b")
-    ham = sum(((F.substring(F.col("a.sh_bits"), i, 1)
-                != F.substring(F.col("b.sh_bits"), i, 1)).cast("int")
-               for i in range(2, bits + 1)),
-              (F.substring(F.col("a.sh_bits"), 1, 1)
-               != F.substring(F.col("b.sh_bits"), 1, 1)).cast("int"))
-    return (a.join(b, (F.col("a.block") == F.col("b.block"))
+    """Near-dup pairs by the md5-family SimHash — same bit family the SQL
+    oracle rebuilds char-for-char, but packed into ONE 64-bit long on the
+    Spark side: each md5 hex char is parsed once (16 ``conv`` projections,
+    not 64), votes OR into a signature long, blocking is a shift, and the
+    Hamming filter is ``bit_count(a XOR b)`` instead of 64 per-pair string
+    comparisons (the string formulation measured 2× slower at sf0.1).
+    The final (id_a, id_b, hamming) values are bit-identical to the
+    string oracle's."""
+    if bits != 64:
+        raise ValueError("packed md5 simhash is 64-bit")
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
+    hx = F.md5(F.col("_t"))
+    tok = tok.select(id_col, *[
+        F.conv(F.substring(hx, i + 1, 1), 16, 10).cast("int").alias(f"_c{i}")
+        for i in range(bits // 4)])
+    votes = []
+    for b in range(bits):
+        ci, shift = b // 4, 3 - b % 4          # MSB-first, like the oracle
+        bit = F.shiftright(F.col(f"_c{ci}"), shift).bitwiseAND(F.lit(1))
+        votes.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{b}"))
+    agg = tok.groupBy(id_col).agg(*votes)
+    sig = None
+    for b in range(bits):
+        mask = -(1 << 63) if b == 0 else (1 << (63 - b))
+        m = (F.when(F.col(f"v{b}") > 0, F.lit(mask))
+              .otherwise(F.lit(0)).cast("long"))
+        sig = m if sig is None else sig.bitwiseOR(m)
+    h = (agg.select(F.col(id_col), sig.alias("sh"))
+            .withColumn("block",
+                        F.shiftrightunsigned(F.col("sh"), 64 - prefix_bits))
+            .cache())
+    a, b_ = h.alias("a"), h.alias("b")
+    return (a.join(b_, (F.col("a.block") == F.col("b.block"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-             .withColumn("hamming", ham)
+             .withColumn("hamming",
+                         F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))))
              .filter(F.col("hamming") <= max_hamming)
              .select(F.col(f"a.{id_col}").alias("id_a"),
                      F.col(f"b.{id_col}").alias("id_b"), "hamming"))

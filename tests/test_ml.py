@@ -341,3 +341,25 @@ def test_cross_validate_feature(spark):
     with _p.raises(ValueError):
         E.cross_validate_feature(single, "f", fit,
                                  lambda d: E.mae(d, label="y"))
+
+
+def test_som_separates_blobs(spark):
+    import numpy as np
+    from orange3_spark.ml.projection import som
+
+    rng = np.random.default_rng(2)
+    rows = []
+    for i in range(120):
+        c = i % 2
+        rows.append((i, float(c * 8 + rng.normal(0, .4)),
+                     float(-c * 8 + rng.normal(0, .4)), c))
+    df = spark.createDataFrame(rows, "id int, a double, b double, c int")
+    out = som(df, ["a", "b"], dim_x=4, dim_y=4, n_iterations=10)
+    pts = [(r.som_x, r.som_y, r.c) for r in out.collect()]
+    u0 = {(x, y) for x, y, c in pts if c == 0}
+    u1 = {(x, y) for x, y, c in pts if c == 1}
+    # the two blobs land on disjoint grid regions
+    assert not (u0 & u1)
+    # deterministic
+    out2 = som(df, ["a", "b"], dim_x=4, dim_y=4, n_iterations=10)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
