@@ -547,3 +547,42 @@ def q_ml_radviz(spark, sf_dir):
     out = radviz(feats, ["n_orders", "avg_price"])
     return (out.select("n_nationkey", "radviz_x", "radviz_y")
                .orderBy("n_nationkey"))
+
+
+@query("q_ml_pls", """
+WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS x1,
+                  CAST(l_discount AS DOUBLE) AS x2,
+                  CAST(l_extendedprice AS DOUBLE) AS y
+           FROM lineitem),
+m AS (SELECT corr(x1, y) AS r1, corr(x2, y) AS r2, corr(x1, x2) AS r12,
+             avg(x1) AS mu1, avg(x2) AS mu2, avg(y) AS muy,
+             stddev_pop(x1) AS sd1, stddev_pop(x2) AS sd2,
+             stddev_pop(y) AS sdy
+      FROM d),
+w AS (SELECT *, r1 / sqrt(r1*r1 + r2*r2) AS w1,
+                r2 / sqrt(r1*r1 + r2*r2) AS w2 FROM m),
+c AS (SELECT *,
+        (r1*w1 + r2*w2) / (w1*w1 + w2*w2 + 2*w1*w2*r12) AS q FROM w),
+b AS (SELECT *, w1*q*sdy/sd1 AS b1, w2*q*sdy/sd2 AS b2 FROM c)
+SELECT b.b1 AS coef_quantity, b.b2 AS coef_discount,
+       b.muy - b.b1*b.mu1 - b.b2*b.mu2 AS intercept,
+       sqrt(avg(power(d.y - (b.muy - b.b1*b.mu1 - b.b2*b.mu2
+                             + b.b1*d.x1 + b.b2*d.x2), 2))) AS rmse
+FROM d, b GROUP BY b.b1, b.b2, b.muy, b.mu1, b.mu2
+""")
+def q_ml_pls(spark, sf_dir):
+    """PLS1 regression (Orange/regression/pls.py wraps sklearn NIPALS):
+    kernel-moment fit — two scans build Z'Z and Z'zy, components extracted
+    on k-by-k driver matrices (``ml/pls.py``).  With one component the
+    coefficients have a closed form in column correlations, so the entire
+    learner (fit + predict + RMSE) is oracle-checked; multi-component
+    deflation parity is pytest-verified against a literal NIPALS."""
+    from orange3_spark.ml.pls import pls_regression
+    (li,) = _t(spark, sf_dir, "lineitem")
+    m = pls_regression(li, ["l_quantity", "l_discount"], "l_extendedprice",
+                       n_components=1)
+    r = E.rmse(m.predict(li), label="l_extendedprice")
+    return spark.createDataFrame(
+        [(m.coefficients[0], m.coefficients[1], m.intercept, r)],
+        "coef_quantity double, coef_discount double, "
+        "intercept double, rmse double")

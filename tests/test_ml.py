@@ -363,3 +363,47 @@ def test_som_separates_blobs(spark):
     # deterministic
     out2 = som(df, ["a", "b"], dim_x=4, dim_y=4, n_iterations=10)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+
+
+def test_pls_matches_literal_nipals(spark):
+    """pls_fit's moment-space recursion equals a literal NIPALS (explicit
+    score/deflation loop on the realized matrix) for 1 and 2 components."""
+    import numpy as np
+    from orange3_spark.ml.pls import pls_fit, pls_regression
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(200, 3))
+    y = 2.0 * X[:, 0] - 1.5 * X[:, 1] + 0.5 * X[:, 2] + rng.normal(0, .3, 200)
+    rows = [(float(a), float(b), float(c), float(t))
+            for (a, b, c), t in zip(X, y)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, x3 double, y double")
+
+    def literal_nipals(X, y, ncomp):
+        Xc = (X - X.mean(0)) / X.std(0)
+        yc = (y - y.mean()) / y.std()
+        W, P, q = [], [], []
+        for _ in range(ncomp):
+            w = Xc.T @ yc
+            w /= np.linalg.norm(w)
+            t = Xc @ w
+            tt = t @ t
+            p = Xc.T @ t / tt
+            qa = yc @ t / tt
+            Xc = Xc - np.outer(t, p)
+            yc = yc - t * qa
+            W.append(w); P.append(p); q.append(qa)
+        W, P, q = np.array(W).T, np.array(P).T, np.array(q)
+        beta = W @ np.linalg.solve(P.T @ W, q)
+        return beta * y.std() / X.std(0)
+
+    for ncomp in (1, 2, 3):
+        coef, intercept, meta = pls_fit(df, ["x1", "x2", "x3"], "y", ncomp)
+        expect = literal_nipals(X, y, ncomp)
+        assert np.allclose(coef, expect, atol=1e-8), (ncomp, coef, expect)
+    # full-rank PLS == OLS
+    ols = L.ols_learner(df, ["x1", "x2", "x3"], "y")
+    assert np.allclose(coef, ols.coefficients, atol=1e-8)
+    assert math.isclose(intercept, ols.intercept, abs_tol=1e-8)
+    # prediction column is a plain expression
+    m = pls_regression(df, ["x1", "x2", "x3"], "y", 2)
+    assert "prediction" in m.predict(df).columns
