@@ -586,3 +586,51 @@ def q_ml_pls(spark, sf_dir):
         [(m.coefficients[0], m.coefficients[1], m.intercept, r)],
         "coef_quantity double, coef_discount double, "
         "intercept double, rmse double")
+
+
+@query("q_ml_curvefit", """
+WITH mu AS (SELECT avg(CAST(l_quantity AS DOUBLE)) AS m FROM lineitem),
+d AS (SELECT CAST(l_quantity AS DOUBLE) - mu.m AS x,
+             CAST(l_extendedprice AS DOUBLE) AS y
+      FROM lineitem, mu),
+s AS (SELECT count(*)::DOUBLE AS s0, sum(x) AS s1, sum(x*x) AS s2,
+             sum(x*x*x) AS s3, sum(x*x*x*x) AS s4,
+             sum(y) AS t0, sum(x*y) AS t1, sum(x*x*y) AS t2
+      FROM d),
+c AS (SELECT *,
+        s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2) AS det
+      FROM s),
+fit AS (SELECT
+  (t0*(s2*s4 - s3*s3) - s1*(t1*s4 - s3*t2) + s2*(t1*s3 - s2*t2)) / det AS a,
+  (s0*(t1*s4 - t2*s3) - t0*(s1*s4 - s3*s2) + s2*(s1*t2 - s2*t1)) / det AS b,
+  (s0*(s2*t2 - s3*t1) - s1*(s1*t2 - s2*t1) + t0*(s1*s3 - s2*s2)) / det AS c
+  FROM c)
+SELECT round(fit.a, 4) AS p_const, round(fit.b, 4) AS p_lin,
+       round(fit.c, 4) AS p_quad,
+       round(sqrt(avg(power(d.y - (fit.a + fit.b*d.x + fit.c*d.x*d.x), 2))),
+             4) AS rmse
+FROM d, fit GROUP BY fit.a, fit.b, fit.c
+""")
+def q_ml_curvefit(spark, sf_dir):
+    """Curve fitting (Orange/regression/curvefit.py): LM where each
+    iteration is one scan aggregating J'J / J'r (``ml/curvefit.py``).
+    A quadratic model is linear in its parameters, so the central-difference
+    Jacobian is exact and Gauss-Newton lands on the normal-equation optimum
+    in one step — giving a closed-form Cramer's-rule SQL oracle.  The
+    genuinely nonlinear path (exp decay) is pytest-verified."""
+    from orange3_spark.ml.curvefit import curve_fit_learner
+    (li,) = _t(spark, sf_dir, "lineitem")
+    mu = li.agg(F.avg(F.col("l_quantity").cast("double"))).first()[0]
+    d = li.select(
+        (F.col("l_quantity").cast("double") - F.lit(float(mu))).alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"))
+    m = curve_fit_learner(d, "a + b*x + c*x*x", "y", [0.0, 0.0, 0.0],
+                          param_names=["a", "b", "c"])
+    r = E.rmse(m.predict(d), label="y")
+    a, b, c = m.parameters
+    # LAPACK vs the oracle's Cramer's rule diverge at ~1e-9 relative through
+    # this solve; 4-decimal HALF_UP rounding on both sides is the tolerance.
+    out = spark.createDataFrame(
+        [(a, b, c, r)],
+        "p_const double, p_lin double, p_quad double, rmse double")
+    return out.select(*[F.round(F.col(c), 4).alias(c) for c in out.columns])

@@ -407,3 +407,34 @@ def test_pls_matches_literal_nipals(spark):
     # prediction column is a plain expression
     m = pls_regression(df, ["x1", "x2", "x3"], "y", 2)
     assert "prediction" in m.predict(df).columns
+
+
+def test_curve_fit_nonlinear_and_linear(spark):
+    """Exponential-decay parameters are recovered by LM; a linear-in-params
+    polynomial converges to the exact normal-equation optimum in one step."""
+    import numpy as np
+    from orange3_spark.ml.curvefit import curve_fit, curve_fit_learner
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 4, 300)
+    y = 2.5 * np.exp(-1.3 * x) + 0.7 + rng.normal(0, 0.01, 300)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double")
+    params, info = curve_fit(df, "a * exp(b * x) + c", "y",
+                             [1.0, -1.0, 0.0], param_names=["a", "b", "c"])
+    assert info["converged"]
+    assert np.allclose(params, [2.5, -1.3, 0.7], atol=0.05), params
+
+    # linear-in-params: equals OLS on (x, x^2) exactly
+    y2 = 1.0 + 2.0 * x - 0.5 * x * x + rng.normal(0, 0.1, 300)
+    df2 = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y2)], "x double, y double")
+    m = curve_fit_learner(df2, "a + b*x + c*x*x", "y", [0.0, 0.0, 0.0],
+                          param_names=["a", "b", "c"])
+    ols = L.ols_learner(df2.withColumn("x2", F.col("x") * F.col("x")),
+                        ["x", "x2"], "y")
+    assert np.allclose(m.parameters, [ols.intercept, *ols.coefficients],
+                       atol=1e-9), (m.parameters, ols.coefficients)
+    assert m.info["n_iter"] <= 2
+    pred = m.predict(df2)
+    assert "prediction" in pred.columns and pred.count() == 300
