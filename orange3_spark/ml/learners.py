@@ -248,3 +248,67 @@ def knn_classifier(df: DataFrame, features: Sequence[str] = (),
         return d.mapInPandas(run, schema=schema)
 
     return Model(_predict, "knn")
+
+
+def softmax_regression(df, features=(), class_col="label", *, array_col=None,
+                       max_iter=50, reg_param=0.0) -> Model:
+    """Softmax/multinomial logistic regression
+    (``Orange/classification/softmax_regression.py``): MLlib
+    LogisticRegression with the multinomial family."""
+    from pyspark.ml.classification import LogisticRegression
+    return _mllib_learner(LogisticRegression, "clf", df, features, class_col,
+                          array_col, maxIter=max_iter, regParam=reg_param,
+                          family="multinomial")
+
+
+def gbt_classifier(df, features=(), class_col="label", *, array_col=None,
+                   max_iter=20, seed=42) -> Model:
+    """Gradient-boosted trees classifier
+    (``Orange/classification/gb.py``; binary labels in MLlib)."""
+    from pyspark.ml.classification import GBTClassifier
+    return _mllib_learner(GBTClassifier, "clf", df, features, class_col,
+                          array_col, maxIter=max_iter, seed=seed)
+
+
+def ridge_regression(df, features=(), target_col="y", **kw) -> Model:
+    """L2 linear regression (``Orange/regression/linear.py:RidgeRegressionLearner``)."""
+    kw.setdefault("reg_param", 1.0)
+    return linear_regression(df, features, target_col, elastic_net=0.0, **kw)
+
+
+def lasso_regression(df, features=(), target_col="y", **kw) -> Model:
+    """L1 linear regression (``Orange/regression/linear.py:LassoRegressionLearner``)."""
+    kw.setdefault("reg_param", 1.0)
+    return linear_regression(df, features, target_col, elastic_net=1.0, **kw)
+
+
+def elastic_net_regression(df, features=(), target_col="y", *,
+                           l1_ratio=0.5, **kw) -> Model:
+    """ElasticNet (``Orange/regression/linear.py:ElasticNetLearner``)."""
+    kw.setdefault("reg_param", 1.0)
+    return linear_regression(df, features, target_col,
+                             elastic_net=l1_ratio, **kw)
+
+
+def sgd_learner(df, features=(), target_col="y", *, loss="squared",
+                array_col=None, **kw) -> Model:
+    """SGD learner surface (``Orange/modelling/linear.py:SGDLearner``).
+    Distributed optimization replaces the sequential epoch loop: the same
+    objectives (squared -> linear, log -> logistic, hinge -> linear SVM)
+    fit via MLlib's parallel L-BFGS/OWL-QN, which is the scalable
+    equivalent of sklearn's SGD on one node."""
+    if loss == "squared":
+        return linear_regression(df, features, target_col,
+                                 array_col=array_col, **kw)
+    if loss == "log":
+        return logistic_regression(df, features, target_col,
+                                   array_col=array_col, **kw)
+    if loss == "hinge":
+        return linear_svm(df, features, target_col, array_col=array_col, **kw)
+    raise ValueError(f"unsupported loss: {loss}")
+
+
+# Reference's "Simple" accelerated variants are API aliases here: MLlib's
+# tree/forest are already the distributed implementations.
+simple_tree = decision_tree
+simple_random_forest = random_forest_classifier

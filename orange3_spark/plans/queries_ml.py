@@ -634,3 +634,136 @@ def q_ml_curvefit(spark, sf_dir):
         [(a, b, c, r)],
         "p_const double, p_lin double, p_quad double, rmse double")
     return out.select(*[F.round(F.col(c), 4).alias(c) for c in out.columns])
+
+
+@query("q_ml_threshold", """
+WITH lab AS (SELECT CAST(o_totalprice AS DOUBLE) AS s,
+                    CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN 1.0 ELSE 0.0 END AS y FROM orders),
+tot AS (SELECT sum(y) AS p_all, count(*)::DOUBLE AS n_all FROM lab),
+per AS (SELECT s AS threshold, sum(y) AS pos, count(*)::DOUBLE AS n
+        FROM lab GROUP BY 1),
+cum AS (SELECT threshold,
+               sum(pos) OVER (ORDER BY threshold DESC
+                              ROWS UNBOUNDED PRECEDING) AS tp,
+               sum(n) OVER (ORDER BY threshold DESC
+                            ROWS UNBOUNDED PRECEDING)
+               - sum(pos) OVER (ORDER BY threshold DESC
+                                ROWS UNBOUNDED PRECEDING) AS fp
+        FROM per)
+SELECT threshold, CAST(tp AS DOUBLE) AS tp, CAST(fp AS DOUBLE) AS fp,
+       (tp + n_all - p_all - fp) / n_all AS ca,
+       2.0 * tp / (tp + fp + p_all) AS f1
+FROM cum, tot
+ORDER BY f1 DESC, threshold ASC LIMIT 1
+""")
+def q_ml_threshold(spark, sf_dir):
+    """ThresholdLearner (Orange/classification/calibration.py:48-86): the
+    decision threshold maximizing F1 over all achievable confusion
+    matrices.  Candidate thresholds are distinct scores; cumulative TP/FP
+    arrive via a window over (score, count) pairs — bounded-cardinality
+    keys, never raw rows — so the full search is oracle-checkable."""
+    from orange3_spark.ml.calibration import threshold_search
+    (orders,) = _t(spark, sf_dir, "orders")
+    lab = orders.select(
+        F.col("o_totalprice").cast("double").alias("s"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1.0)
+         .otherwise(0.0).alias("y"))
+    best = threshold_search(lab, "s", "y", "f1").limit(1)
+    return best.select("threshold",
+                       F.col("tp").cast("double").alias("tp"),
+                       F.col("fp").cast("double").alias("fp"), "ca", "f1")
+
+
+@query("q_ml_calibration_curve", """
+WITH lab AS (SELECT CAST(o_totalprice AS DOUBLE) AS s,
+                    CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN 1.0 ELSE 0.0 END AS y FROM orders),
+r AS (SELECT min(s) AS lo, max(s) AS hi FROM lab),
+w AS (SELECT lo, hi,
+             CASE WHEN hi = lo THEN 1.0 ELSE (hi - lo) / 10 END AS width
+      FROM r)
+SELECT CAST(least(floor((s - lo) / width), 9) AS INT) AS bin,
+       count(*) AS n, avg(s) AS mean_score, avg(y) AS pos_rate
+FROM lab, w GROUP BY 1 ORDER BY 1
+""")
+def q_ml_calibration_curve(spark, sf_dir):
+    """Reliability curve (the diagnostic CalibratedLearner optimizes):
+    equal-width score bins -> (count, mean score, empirical positive rate).
+    One min/max aggregate + one groupBy; the Platt/isotonic calibrators
+    that consume this curve are pytest-verified (MLlib PAV vs literal PAV)."""
+    from orange3_spark.ml.calibration import reliability_curve
+    (orders,) = _t(spark, sf_dir, "orders")
+    lab = orders.select(
+        F.col("o_totalprice").cast("double").alias("s"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1.0)
+         .otherwise(0.0).alias("y"))
+    return reliability_curve(lab, "s", "y", bins=10)
+
+
+def _cn2_step_sql(i: int, src: str) -> str:
+    """One depth-1 CN2 sequential-covering step over CTE ``src``: score all
+    (attr, value) selectors by Laplace, keep the best, drop covered rows."""
+    return f"""
+c{i} AS (
+  SELECT 'l_linestatus' AS attr, l_linestatus AS val, cls,
+         count(*)::DOUBLE AS c FROM {src} GROUP BY 2, 3
+  UNION ALL
+  SELECT 'ship_year', ship_year, cls, count(*)::DOUBLE FROM {src}
+  GROUP BY 2, 3),
+s{i} AS (SELECT attr, val, sum(c) AS tot, max(c) AS top
+         FROM c{i} GROUP BY 1, 2),
+b{i} AS (SELECT s.attr, s.val, s.tot, s.top,
+                (s.top + 1) / (s.tot + k.nc) AS q, min(c{i}.cls) AS pred
+         FROM s{i} s JOIN c{i} ON c{i}.attr = s.attr AND c{i}.val = s.val
+                              AND c{i}.c = s.top, k
+         GROUP BY s.attr, s.val, s.tot, s.top, k.nc
+         ORDER BY q DESC, s.tot DESC, s.attr, s.val LIMIT 1),
+r{i} AS (SELECT {src}.* FROM {src}, b{i}
+         WHERE NOT ((b{i}.attr = 'l_linestatus'
+                     AND {src}.l_linestatus = b{i}.val)
+                 OR (b{i}.attr = 'ship_year'
+                     AND {src}.ship_year = b{i}.val)))"""
+
+
+_CN2_SQL = f"""
+WITH k AS (SELECT count(DISTINCT l_returnflag)::DOUBLE AS nc FROM lineitem),
+r0 AS (SELECT l_linestatus, CAST(year(l_shipdate) AS VARCHAR) AS ship_year,
+              l_returnflag AS cls FROM lineitem),
+{_cn2_step_sql(1, "r0")},
+{_cn2_step_sql(2, "r1")},
+dc AS (SELECT cls, count(*)::DOUBLE AS c FROM r2 GROUP BY 1),
+ds AS (SELECT sum(c) AS tot, max(c) AS top FROM dc),
+dp AS (SELECT ds.tot, ds.top, (ds.top + 1) / (ds.tot + k.nc) AS q,
+              min(dc.cls) AS pred
+       FROM ds JOIN dc ON dc.c = ds.top, k GROUP BY ds.tot, ds.top, k.nc)
+SELECT 0 AS rule_idx, b1.attr || '=' || b1.val AS conditions,
+       b1.pred AS prediction, b1.q AS laplace,
+       CAST(b1.tot AS BIGINT) AS covered, CAST(b1.top AS BIGINT) AS correct
+FROM b1
+UNION ALL
+SELECT 1, b2.attr || '=' || b2.val, b2.pred, b2.q,
+       CAST(b2.tot AS BIGINT), CAST(b2.top AS BIGINT) FROM b2
+UNION ALL
+SELECT 2, 'TRUE', dp.pred, dp.q,
+       CAST(dp.tot AS BIGINT), CAST(dp.top AS BIGINT) FROM dp
+"""
+
+
+@query("q_ml_cn2", _CN2_SQL)
+def q_ml_cn2(spark, sf_dir):
+    """CN2 sequential covering (Orange/classification/rules.py, Laplace
+    evaluator :187-199): each step scores every candidate selector with ONE
+    stack-unpivot aggregation, picks the best, removes covered rows.  With
+    depth-1 rules the whole induction is two chained argmax CTEs + a
+    default rule, so the oracle replays it exactly; multi-selector beam
+    search (XOR-only-separable classes) is pytest-verified."""
+    from orange3_spark.ml.rules import cn2_induce, rules_to_dataframe
+    (li,) = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        "l_linestatus",
+        F.year("l_shipdate").cast("string").alias("ship_year"),
+        F.col("l_returnflag").alias("cls"))
+    rules = cn2_induce(d, ["l_linestatus", "ship_year"], "cls",
+                       max_rules=2, beam_width=1, max_selectors=1)
+    return rules_to_dataframe(spark, rules)

@@ -438,3 +438,155 @@ def test_curve_fit_nonlinear_and_linear(spark):
     assert m.info["n_iter"] <= 2
     pred = m.predict(df2)
     assert "prediction" in pred.columns and pred.count() == 300
+
+
+def test_threshold_search_hand_case(spark):
+    """scores 1..4, labels 0,0,1,1: threshold 3 gives perfect CA and F1."""
+    from orange3_spark.ml.calibration import best_threshold, threshold_search
+
+    df = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)], "s double, y int")
+    t, f1 = best_threshold(df, "s", "y", "f1")
+    assert (t, f1) == (3.0, 1.0)
+    t, ca = best_threshold(df, "s", "y", "ca")
+    assert (t, ca) == (3.0, 1.0)
+    rows = {r.threshold: (r.tp, r.fp, r.ca, r.f1)
+            for r in threshold_search(df, "s", "y").collect()}
+    assert rows[1.0] == (2, 2, 0.5, 2 * 2 / (2 + 2 + 2))
+    assert rows[4.0] == (1, 0, 0.75, 2 * 1 / (1 + 0 + 2))
+
+
+def test_isotonic_matches_literal_pav(spark):
+    import numpy as np
+    from orange3_spark.ml.calibration import isotonic_calibration
+
+    rng = np.random.default_rng(5)
+    s = rng.uniform(0, 1, 80)
+    y = (rng.uniform(0, 1, 80) < s).astype(float)  # monotone-ish
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(s, y)], "s double, y double")
+    m = isotonic_calibration(df, "s", "y")
+
+    def literal_pav(x, y):
+        order = np.argsort(x, kind="stable")
+        vals = list(y[order].astype(float))
+        wts = [1.0] * len(vals)
+        blocks = [[v, w] for v, w in zip(vals, wts)]
+        i = 0
+        merged = []
+        for v, w in blocks:
+            merged.append([v, w])
+            while len(merged) > 1 and merged[-2][0] > merged[-1][0] - 1e-15:
+                v2, w2 = merged.pop()
+                v1, w1 = merged.pop()
+                merged.append([(v1 * w1 + v2 * w2) / (w1 + w2), w1 + w2])
+        out = []
+        for v, w in merged:
+            out.extend([v] * int(round(w)))
+        return np.array(out)
+
+    fitted = np.array(m.predict(df.orderBy("s")).orderBy("s")
+                      .select("calibrated").toPandas()["calibrated"])
+    expect = literal_pav(s, y)
+    # PAV solution is the unique monotone least-squares fit
+    assert np.allclose(np.sort(fitted), np.sort(expect), atol=1e-8)
+    assert (np.diff(fitted) >= -1e-12).all()
+
+
+def test_platt_and_reliability(spark):
+    import numpy as np
+    from orange3_spark.ml.calibration import platt_scaling, reliability_curve
+    from orange3_spark.ml.evaluation import log_loss
+
+    rng = np.random.default_rng(11)
+    s = rng.normal(0, 2, 400)
+    y = (rng.uniform(0, 1, 400) < 1 / (1 + np.exp(-(1.5 * s - 0.5)))).astype(int)
+    df = spark.createDataFrame(
+        [(float(a), int(b)) for a, b in zip(s, y)], "s double, y int")
+    m = platt_scaling(df, "s", "y")
+    assert m.a > 0  # recovers positive slope
+    cal = m.predict(df)
+    assert cal.agg(F.min("calibrated")).first()[0] >= 0.0
+    assert cal.agg(F.max("calibrated")).first()[0] <= 1.0
+    rel = reliability_curve(cal, "calibrated", "y", bins=5).collect()
+    assert [r.bin for r in rel] == sorted(r.bin for r in rel)
+    assert sum(r.n for r in rel) == 400
+    # calibrated probabilities should beat the base rate on log-loss
+    base = df.agg(F.avg(F.col("y").cast("double"))).first()[0]
+    ll_base = df.select(
+        (-(F.col("y") * F.lit(float(np.log(base)))
+           + (1 - F.col("y")) * F.lit(float(np.log(1 - base)))))
+        .alias("ll")).agg(F.avg("ll")).first()[0]
+    eps = 1e-12
+    ll_cal = cal.select(
+        (-(F.col("y") * F.log(F.col("calibrated") + eps)
+           + (1 - F.col("y")) * F.log(1 - F.col("calibrated") + eps)))
+        .alias("ll")).agg(F.avg("ll")).first()[0]
+    assert ll_cal < ll_base
+
+
+def test_cn2_hand_case(spark):
+    """Crafted table: color=red (8 pure a) and color=blue (8 pure b) tie at
+    laplace (8+1)/(8+3); the deterministic tie-break (selector repr) picks
+    blue first, then red, and the default rule covers the rest."""
+    from orange3_spark.ml.rules import cn2_induce, cn2_predict, rules_to_dataframe
+
+    rows = ([("red", "circle", "a")] * 8
+            + [("blue", "square", "b")] * 6
+            + [("blue", "circle", "b")] * 2
+            + [("green", "circle", "c")] * 3
+            + [("green", "square", "b")] * 1)
+    df = spark.createDataFrame(rows, "color string, shape string, cls string")
+    rules = cn2_induce(df, ["color", "shape"], "cls",
+                       max_rules=3, max_selectors=2)
+    assert rules[0].selectors == [("color", "blue")]
+    assert rules[0].prediction == "b"
+    assert rules[0].covered == 8 and rules[0].correct == 8
+    assert abs(rules[0].quality - 9 / 11) < 1e-12
+    assert rules[1].selectors == [("color", "red")]
+    assert rules[1].prediction == "a"
+    # prediction CASE chain classifies training rows consistently
+    pred = cn2_predict(df, rules)
+    agree = pred.where(F.col("prediction") == F.col("cls")).count()
+    assert agree >= 16  # red(8) + blue(8) at minimum
+    rdf = rules_to_dataframe(spark, rules)
+    assert rdf.columns == ["rule_idx", "conditions", "prediction",
+                           "laplace", "covered", "correct"]
+    # default rule is last and unconditioned
+    last = rdf.orderBy(F.col("rule_idx").desc()).first()
+    assert last.conditions == "TRUE"
+
+
+def test_cn2_conjunction_depth(spark):
+    """XOR labels: every single selector is 50/50 (laplace 11/22), so only
+    a 2-selector conjunction (pure, laplace 11/12) can win the beam."""
+    from orange3_spark.ml.rules import cn2_induce
+
+    rows = ([("x", "p", "pos")] * 10
+            + [("x", "q", "neg")] * 10
+            + [("y", "p", "neg")] * 10
+            + [("y", "q", "pos")] * 10)
+    df = spark.createDataFrame(rows, "a string, b string, cls string")
+    rules = cn2_induce(df, ["a", "b"], "cls", max_rules=2, max_selectors=2)
+    assert len(rules[0].selectors) == 2
+    assert rules[0].quality == 11 / 12
+    assert rules[0].covered == 10 and rules[0].correct == 10
+
+
+def test_learner_variants(emb):
+    """Softmax/GBT/ridge/lasso/SGD wrappers fit and predict."""
+    from orange3_spark.ml import learners as L2
+
+    m = L2.softmax_regression(emb, array_col="embedding", class_col="label")
+    assert E.ca(m.predict(emb), label="label") > 0.5
+    tr = emb.withColumn("y", (F.col("label") % 2).cast("double"))
+    g = L2.gbt_classifier(tr, array_col="embedding", class_col="y",
+                          max_iter=5)
+    assert "prediction" in g.predict(tr).columns
+    reg = tr.withColumn("t", F.col("vec_id").cast("double"))
+    for fn in (L2.ridge_regression, L2.lasso_regression,
+               L2.elastic_net_regression):
+        m = fn(reg, ["y"], "t", max_iter=10)
+        assert "prediction" in m.predict(reg).columns
+    s = L2.sgd_learner(reg, ["y"], "t", loss="squared", max_iter=10)
+    assert "prediction" in s.predict(reg).columns
