@@ -311,3 +311,56 @@ def q_fingerprint(spark, sf_dir):
     (docs,) = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", F.md5(F.array_join(TA.tokens("text"), " ")).alias("fp"))
+
+
+@query("q_knn_ivf", """
+WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
+       FROM pts ORDER BY vec_id LIMIT 8),
+a1 AS (SELECT vec_id, v, cl,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY list_distance(v, cv), cl) AS rn
+       FROM pts CROSS JOIN c0),
+w1 AS (SELECT vec_id, v, cl FROM a1 WHERE rn = 1),
+c1 AS (SELECT cl, list(m ORDER BY i) AS cv FROM (
+         SELECT cl, i, avg(v[i]) AS m
+         FROM w1, unnest(generate_series(1, len(v))) g(i)
+         GROUP BY cl, i)
+       GROUP BY cl),
+a2 AS (SELECT p.vec_id, p.v, c1.cl,
+              row_number() OVER (PARTITION BY p.vec_id
+                                 ORDER BY list_distance(p.v, c1.cv), c1.cl) AS rn
+       FROM pts p CROSS JOIN c1),
+w2 AS (SELECT vec_id, v, cl FROM a2 WHERE rn = 1),
+cf AS (SELECT cl, list(m ORDER BY i) AS cv FROM (
+         SELECT cl, i, avg(v[i]) AS m
+         FROM w2, unnest(generate_series(1, len(v))) g(i)
+         GROUP BY cl, i)
+       GROUP BY cl),
+q AS (SELECT vec_id AS qid, v AS qv FROM pts WHERE vec_id < 3),
+pr AS (SELECT qid, qv, cl,
+              row_number() OVER (PARTITION BY qid
+                                 ORDER BY list_distance(qv, cv), cl) AS crn
+       FROM q CROSS JOIN cf),
+probes AS (SELECT qid, qv, cl FROM pr WHERE crn <= 2),
+cand AS (SELECT p.qid, w.vec_id AS id_b, list_distance(p.qv, w.v) AS dist
+         FROM probes p JOIN w2 w ON w.cl = p.cl AND w.vec_id <> p.qid),
+rk AS (SELECT qid, id_b, dist,
+              row_number() OVER (PARTITION BY qid
+                                 ORDER BY dist, id_b) AS rank
+       FROM cand)
+SELECT qid, rank, id_b, round(dist, 6) AS dist
+FROM rk WHERE rank <= 3 ORDER BY qid, rank
+""")
+def q_knn_ivf(spark, sf_dir):
+    """IVF approximate nearest neighbors (similarity/knn.py:ivf_knn): the
+    deterministic-Lloyd coarse quantizer assigns cells, queries probe their
+    2 nearest of 8 cells, exact distances only against probed candidates —
+    an equi-join on cell id, never a cross join.  Fully deterministic, so
+    index build + search are both oracle-replayed."""
+    from orange3_spark.similarity.knn import ivf_knn
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    out = ivf_knn(emb, emb.where(F.col("vec_id") < 3), k=3,
+                  n_cells=8, nprobe=2, n_iter=2)
+    return (out.select("qid", "rank", "id_b", F.round("dist", 6).alias("dist"))
+               .orderBy("qid", "rank"))

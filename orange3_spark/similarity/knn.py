@@ -246,3 +246,58 @@ def neardup_cosine(df: DataFrame, threshold: float = 0.95, *,
                              / (F.col("na") * F.col("nb")))
                  .filter(F.col("score") >= threshold)
                  .select("id_a", "id_b", "score"))
+
+
+# ------------------------------------------------------------------ IVF ANN
+
+def ivf_knn(data: DataFrame, queries: DataFrame, k: int = 5, *,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            query_id: str = "vec_id", n_cells: int = 8, nprobe: int = 2,
+            n_iter: int = 2, exclude_self: bool = True) -> DataFrame:
+    """Inverted-file ANN: deterministic Lloyd k-means builds the coarse
+    quantizer (``ml/cluster.py:kmeans_lloyd`` — first-k init, fixed
+    rounds), cell centroids are refreshed from the final assignment, each
+    query probes its ``nprobe`` nearest cells, and exact distances are
+    computed only against candidates in probed cells.
+
+    Scale shape (the IVF promise): the data side shuffles ONCE on cell id;
+    a query compares against ~``nprobe/n_cells`` of the corpus instead of
+    all of it, and the candidate join is a plain equi-join on cell — no
+    cross join anywhere.  The centroid table is ``n_cells × dim`` floats,
+    always broadcast.  Every step is deterministic, so the whole index +
+    search pipeline is SQL-oracle-checkable (``q_knn_ivf``).  Recall < 1
+    by construction: neighbors outside probed cells are missed — raise
+    ``nprobe`` to trade cost for recall (nprobe=n_cells is exact).
+
+    Returns ``(qid, rank, id_b, dist)``, ``rank`` 1..k by euclidean
+    distance with id tie-break.
+    """
+    from pyspark.sql.window import Window
+
+    from orange3_spark.ml.cluster import kmeans_lloyd
+
+    assigned = kmeans_lloyd(data, id_col, array_col=vec_col,
+                            k=n_cells, n_iter=n_iter).cache()
+    dim = len(data.select(vec_col).first()[0])
+    arr = _as_double(F.col(vec_col))
+    cents = (assigned.groupBy("cluster")
+             .agg(F.array(*[F.avg(arr.getItem(j))
+                            for j in range(dim)]).alias("cvec")))
+    q = queries.select(F.col(query_id).alias("qid"),
+                       _as_double(F.col(vec_col)).alias("qv"))
+    wp = Window.partitionBy("qid").orderBy(F.col("cdist"), F.col("cluster"))
+    probes = (q.crossJoin(F.broadcast(cents))
+               .withColumn("cdist", euclidean(F.col("qv"), F.col("cvec")))
+               .withColumn("crn", F.row_number().over(wp))
+               .filter(F.col("crn") <= nprobe)
+               .select("qid", "qv", "cluster"))
+    side = assigned.select(F.col(id_col).alias("id_b"),
+                           arr.alias("vb"), "cluster")
+    cand = probes.join(side, "cluster")
+    if exclude_self:
+        cand = cand.where(F.col("qid") != F.col("id_b"))
+    cand = cand.withColumn("dist", euclidean(F.col("qv"), F.col("vb")))
+    wr = Window.partitionBy("qid").orderBy(F.col("dist"), F.col("id_b"))
+    return (cand.withColumn("rank", F.row_number().over(wr))
+                .filter(F.col("rank") <= k)
+                .select("qid", "rank", "id_b", "dist"))

@@ -1,0 +1,39 @@
+"""IVF / ANN similarity-search tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_ivf_knn_recall_and_exactness(spark):
+    """IVF with nprobe=n_cells is exact (equals brute force); with fewer
+    probes it returns a subset ranked identically and decent recall on
+    clustered data."""
+    import numpy as np
+    from orange3_spark.similarity.knn import ivf_knn, knn_join_brute_force
+
+    rng = np.random.default_rng(13)
+    centers = rng.normal(0, 10, (4, 8))
+    rows = []
+    for i in range(200):
+        v = centers[i % 4] + rng.normal(0, 1, 8)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.where(F.col("vec_id") < 5)
+
+    exact = ivf_knn(df, qs, k=3, n_cells=4, nprobe=4, n_iter=2)
+    got = {(r.qid, r.rank): r.id_b for r in exact.collect()}
+    # brute force euclidean reference on the driver
+    X = np.array([r[1] for r in rows])
+    for qid in range(5):
+        d = np.sqrt(((X - X[qid]) ** 2).sum(1))
+        d[qid] = np.inf
+        order = np.lexsort((np.arange(len(d)), d))[:3]
+        for rank, nb in enumerate(order, 1):
+            assert got[(qid, rank)] == nb, (qid, rank)
+
+    approx = ivf_knn(df, qs, k=3, n_cells=4, nprobe=1, n_iter=2)
+    hits = {(r.qid, r.id_b) for r in approx.collect()}
+    truth = {(q, n) for (q, _rk), n in got.items()}
+    recall = len(hits & truth) / len(truth)
+    assert recall >= 0.8  # tight blobs: nearest cell holds the neighbors
