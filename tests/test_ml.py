@@ -590,3 +590,38 @@ def test_learner_variants(emb):
         assert "prediction" in m.predict(reg).columns
     s = L2.sgd_learner(reg, ["y"], "t", loss="squared", max_iter=10)
     assert "prediction" in s.predict(reg).columns
+
+
+def test_scoring_sheet(spark):
+    """Integer points bounded, sparse, and predictive on a signal where
+    two of four features matter."""
+    import numpy as np
+    from orange3_spark.ml.scoringsheet import scoring_sheet_learner
+
+    rng = np.random.default_rng(17)
+    n = 400
+    x = rng.normal(0, 1, (n, 4))
+    logit = 2.0 * (x[:, 0] > 0) - 1.5 * (x[:, 1] > 0) + 0.2
+    y = (rng.uniform(0, 1, n) < 1 / (1 + np.exp(-logit))).astype(int)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c), float(d), int(t))
+         for (a, b, c, d), t in zip(x, y)],
+        "f1 double, f2 double, f3 double, f4 double, y int")
+    m = scoring_sheet_learner(df, ["f1", "f2", "f3", "f4"], "y",
+                              num_decision_params=2, max_points=5)
+    assert len(m.sheet) <= 2
+    names = {s[0] for s in m.sheet}
+    assert names <= {"f1", "f2", "f3", "f4"}
+    assert {"f1", "f2"} >= names  # informative features selected
+    for _feat, _thr, pts in m.sheet:
+        assert isinstance(pts, int) and -5 <= pts <= 5 and pts != 0
+    pred = m.predict(df)
+    assert {"score", "probability", "prediction"} <= set(pred.columns)
+    acc = pred.where(F.col("prediction") == F.col("y").cast("double")) \
+              .count() / n
+    assert acc > 0.6
+    # probability strictly monotone in the integer score
+    rows = (pred.select("score", "probability").distinct()
+                .orderBy("score").collect())
+    probs = [r.probability for r in rows]
+    assert probs == sorted(probs)
