@@ -79,9 +79,9 @@ def q_lang_id(spark, sf_dir):
     """n-gram/marker language-ID heuristic: argmax of per-language function-
     word density, alphabetical tie-break, 'und' when nothing fires."""
     (docs,) = _t(spark, sf_dir, "documents")
-    return (docs.select(TA.lang_id("text").alias("predicted_lang"))
-                .groupBy("predicted_lang")
-                .agg(F.count(F.lit(1)).alias("n")))
+    return (TA.lang_id_frame(docs, "text")
+              .groupBy("predicted_lang")
+              .agg(F.count(F.lit(1)).alias("n")))
 
 
 @query("q_dedup_exact", """

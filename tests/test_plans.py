@@ -92,3 +92,34 @@ def test_lenient_timestamp_codegen(spark):
     # '*(n)' prefixes mark WholeStageCodegen stages in the plan string
     assert plan.lstrip().startswith("*("), plan[:200]
     assert "Exchange" not in plan
+
+
+def test_threshold_search_windows_pairs_not_rows(spark, sf_dir):
+    """The threshold scan's single-reducer window runs over distinct
+    (score, count) pairs — a partial aggregate must sit below it so only
+    bounded-cardinality keys cross the exchange."""
+    plan = _plan(spark, sf_dir, "q_ml_threshold")
+    assert "Window" in plan
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos < plan.rfind("HashAggregate"), \
+        "aggregate-before-window shape lost"
+    schema = " | ".join(re.findall(r"ReadSchema: struct<([^>]*)>", plan))
+    assert "o_comment" not in schema, "unused columns must be pruned"
+
+
+def test_ivf_probe_join_not_cross(spark, sf_dir):
+    """IVF candidate generation must be an equi-join on cell id (plus the
+    tiny broadcast centroid cross join) — never a data-side cross join."""
+    plan = _plan(spark, sf_dir, "q_knn_ivf")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the candidate equi-join keys on the quantizer cell
+    assert "cluster" in plan
+
+
+def test_curvefit_prediction_is_codegen(spark, sf_dir):
+    """Curve-fit inference is a literal expression: the final plan stays
+    inside WholeStageCodegen with no Python evaluation."""
+    plan = _plan(spark, sf_dir, "q_ml_curvefit")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

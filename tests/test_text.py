@@ -190,3 +190,21 @@ def test_prepare_training_data_pipeline(spark, sf_dir):
         corpus, jaccard_threshold=0.8, holdout_fraction=0.1)
     assert sorted(r.doc_id for r in holdout.select("doc_id").collect()) == \
         sorted(r.doc_id for r in h2.select("doc_id").collect())
+
+
+def test_lang_id_frame_matches_column_version(spark):
+    from orange3_spark.text import analysis as TA
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog in a house"),
+         (2, "der hund und die katze ist nicht da"),
+         (3, "le chat est une creature"),
+         (4, "xyzzy plugh")],
+        "doc_id int, text string")
+    a = {r.doc_id: r.l for r in
+         df.select("doc_id", TA.lang_id("text").alias("l")).collect()}
+    b = {r.doc_id: r.predicted_lang for r in
+         TA.lang_id_frame(df, "text").select("doc_id", "predicted_lang")
+           .collect()}
+    assert a == b
+    assert a[1] == "en" and a[2] == "de" and a[4] == "und"
