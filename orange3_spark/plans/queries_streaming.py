@@ -89,3 +89,49 @@ def q_window_session(spark, sf_dir):
     return SW.session(ev, "ts", "30 minutes", ["user_id"],
                       [F.count(F.lit(1)).alias("n_events"),
                        F.sum("value").alias("total")])
+
+
+@query("q_stream_dedup", """
+WITH doubled AS (
+  SELECT event_id, ts, user_id, event_type, value FROM events
+  UNION ALL
+  SELECT event_id, ts, user_id, event_type, value FROM events)
+SELECT event_type, count(*) AS n, sum(value) AS total
+FROM (SELECT DISTINCT event_id, ts, user_id, event_type, value FROM doubled)
+GROUP BY event_type
+""")
+def q_stream_dedup(spark, sf_dir):
+    """Watermark-bounded event dedup (streaming/windows.py:dedup): a
+    doubled event feed collapses back to one row per event id.  Batch mode
+    is oracle-checked; the identical operator runs under readStream with
+    dropDuplicatesWithinWatermark (state bounded by the watermark horizon
+    — tests/test_streaming.py)."""
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    doubled = ev.unionByName(ev)
+    return (SW.dedup(doubled,
+                     ["event_id", "ts", "user_id", "event_type", "value"])
+              .groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("value").alias("total")))
+
+
+@query("q_stream_enrich", """
+SELECT c.c_mktsegment AS segment, count(*) AS n,
+       avg(e.value) AS avg_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+""")
+def q_stream_enrich(spark, sf_dir):
+    """Stream-static enrichment (streaming/windows.py:enrich): events join
+    a broadcast customer dimension, then aggregate per segment.  The static
+    side broadcasts so a stream never shuffles; the same plan serves batch
+    (oracle-checked here) and readStream micro-batches."""
+    tabs = load_tables(spark, sf_dir, ("events", "customer"))
+    ev = tabs["events"].select(F.col("user_id"), F.col("value"))
+    cust = tabs["customer"].select(F.col("c_custkey"),
+                                   F.col("c_mktsegment"))
+    joined = SW.enrich(ev, cust, ev.user_id == cust.c_custkey)
+    return (joined.groupBy(F.col("c_mktsegment").alias("segment"))
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.avg("value").alias("avg_value")))

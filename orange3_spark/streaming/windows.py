@@ -89,3 +89,29 @@ def run_to_memory(stream_df: DataFrame, name: str,
          .trigger(availableNow=True).start())
     q.awaitTermination(timeout_s)
     return stream_df.sparkSession.table(name)
+
+
+def dedup(df: DataFrame, keys: Sequence[str], *, time_col: str = "ts",
+          watermark: Optional[str] = None) -> DataFrame:
+    """Exactly-once event dedup by business key.
+
+    Streaming input + watermark → ``dropDuplicatesWithinWatermark``: state
+    for a key is held only until the watermark passes, so state size is
+    bounded by (arrival-rate × watermark) instead of growing forever —
+    the 100-TB-stream shape.  Batch input → plain ``dropDuplicates``
+    (same semantics, no state)."""
+    if df.isStreaming:
+        if watermark is None:
+            raise ValueError("streaming dedup requires a watermark")
+        return (df.withWatermark(time_col, watermark)
+                  .dropDuplicatesWithinWatermark(list(keys)))
+    return df.dropDuplicates(list(keys))
+
+
+def enrich(events: DataFrame, dim: DataFrame, on, how: str = "inner"
+           ) -> DataFrame:
+    """Stream-static enrichment join: the static dimension is broadcast, so
+    the stream never shuffles — each micro-batch (or batch partition) maps
+    through the hash table.  Works identically for batch and readStream
+    inputs (stream-static joins are stateless in Structured Streaming)."""
+    return events.join(F.broadcast(dim), on, how)

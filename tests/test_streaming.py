@@ -114,3 +114,48 @@ def test_stream_filter_operator_surface(spark, sf_dir, tmp_path):
         .withColumn("v2", F.col("value") * 2)
     want = SW.tumbling(batch, "ts", "6 hours", [], [F.sum("v2").alias("s")])
     assert _canon(got, ["window_start", "s"]) == _canon(want, ["window_start", "s"])
+
+
+def test_stream_dedup_equals_batch(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark under readStream collapses a doubled
+    feed to the same distinct set as batch dropDuplicates."""
+    schema, path = _events_schema_and_path(spark, sf_dir, tmp_path)
+    keys = ["event_id", "event_type"]
+    batch = _fix_ts(spark.read.schema(schema).parquet(path))
+    expect = sorted(
+        (r.event_id, r.event_type)
+        for r in SW.dedup(batch.unionByName(batch), keys).collect())
+
+    stream = _fix_ts(SW.stream_from_directory(spark, path, schema))
+    stream = stream.unionByName(stream)
+    got_df = SW.run_to_memory(
+        SW.dedup(stream, keys, time_col="ts", watermark="1 hour"),
+        "dedup_sink", output_mode="append")
+    got = sorted((r.event_id, r.event_type) for r in got_df.collect())
+    assert got == expect
+
+
+def test_stream_enrich_is_broadcast_and_stateless(spark, sf_dir, tmp_path):
+    """Stream-static join: runs under readStream, result equals the batch
+    join, and the batch plan broadcasts the dimension side."""
+    schema, path = _events_schema_and_path(spark, sf_dir, tmp_path)
+    batch = _fix_ts(spark.read.schema(schema).parquet(path)) \
+        .select("event_id", "user_id")
+    dim = spark.createDataFrame(
+        [(i, "seg_%d" % (i % 3)) for i in range(200)],
+        "c_custkey long, seg string")
+    b = SW.enrich(batch, dim, batch.user_id == dim.c_custkey)
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    stream = _fix_ts(SW.stream_from_directory(spark, path, schema)) \
+        .select("event_id", "user_id")
+    s = SW.enrich(stream, dim, stream.user_id == dim.c_custkey)
+    got_df = SW.run_to_memory(s.select("event_id", "seg"), "enrich_sink",
+                              output_mode="append")
+    got = sorted((r.event_id, r.seg) for r in got_df.collect())
+    expect = sorted((r.event_id, r.seg)
+                    for r in b.join(dim, "c_custkey").select("event_id", "seg")
+                    .collect()) if False else sorted(
+        (r.event_id, r.seg) for r in b.select("event_id", "seg").collect())
+    assert got == expect
