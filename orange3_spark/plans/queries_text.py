@@ -364,3 +364,38 @@ def q_knn_ivf(spark, sf_dir):
                   n_cells=8, nprobe=2, n_iter=2)
     return (out.select("qid", "rank", "id_b", F.round("dist", 6).alias("dist"))
                .orderBy("qid", "rank"))
+
+
+@query("q_fingerprint_winnow", """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+g AS (SELECT doc_id, i - 1 AS pos,
+             CAST('0x' || substring(
+                 md5(array_to_string(tk[i:i+2], ' ')), 1, 8) AS BIGINT) AS h
+      FROM toks, unnest(range(1, len(tk) - 3 + 2)) u(i)),
+p AS (SELECT doc_id, pos,
+             h * 1048576 + (1048575 - pos % 1048576) AS pk FROM g),
+s AS (SELECT doc_id, pos,
+             min(pk) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+      FROM p),
+f AS (SELECT DISTINCT doc_id,
+             wmin // 1048576 AS fp_hash,
+             1048575 - (wmin % 1048576) AS fp_pos
+      FROM s WHERE pos >= 3)
+SELECT doc_id, count(*) AS n_fp,
+       CAST(sum(fp_hash) AS BIGINT) AS fp_checksum,
+       CAST(sum(fp_pos) AS BIGINT) AS pos_checksum
+FROM f GROUP BY doc_id
+""")
+def q_fingerprint_winnow(spark, sf_dir):
+    """Winnowing fingerprints (MOSS, Schleimer et al. 2003) with k=3 grams
+    and w=4 windows: rightmost-minimal hash per window via ONE packed-
+    bigint windowed min (text/dedup.py:winnow_fingerprints).  Per-doc
+    fingerprint count + hash/pos checksums pin the exact selection; the
+    engine-portable md5 family makes the full pipeline oracle-checkable."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    fp = TD.winnow_fingerprints(docs, k=3, w=4, hash_family="md5")
+    return (fp.groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_fp"),
+                   F.sum("fp_hash").cast("long").alias("fp_checksum"),
+                   F.sum("fp_pos").cast("long").alias("pos_checksum")))

@@ -462,3 +462,65 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
              .filter(F.col("hamming") <= max_hamming)
              .select(F.col(f"a.{id_col}").alias("id_a"),
                      F.col(f"b.{id_col}").alias("id_b"), "hamming"))
+
+
+# ------------------------------------------------------------- winnowing
+
+_WINNOW_POS_CAP = 1 << 20  # 1M grams/doc: packing bound, raise for books
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", *, k: int = 5, w: int = 4,
+                        hash_family: str = "xxhash64") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003 — the MOSS algorithm): hash every positional k-gram, slide a
+    w-gram window, keep the *rightmost minimal* hash per window, distinct
+    the selections.  Guarantees every shared substring of length
+    ``k + w - 1`` contributes a shared fingerprint, at ~2/(w+1) the k-gram
+    density.
+
+    Spark-first shape: positional grams via posexplode + window ``lead``
+    (codegen, no HOFs); the rightmost-min-per-window selection packs
+    ``(hash, w - 1 - pos)`` into ONE bigint so a single windowed ``min``
+    resolves both the minimum and its rightmost position — no struct
+    ordering (portable to the SQL oracle), no second window pass.  Cost:
+    one shuffle on ``id_col`` for the per-doc windows, then a distinct.
+
+    ``hash_family="md5"`` uses the engine-portable 32-bit md5-prefix hash
+    (exact SQL parity, ``q_fingerprint_winnow``); xxhash64 (folded to 32
+    bits) stays the production default.
+
+    Returns distinct ``(id_col, fp_hash, fp_pos)`` rows.
+    """
+    from pyspark.sql.window import Window
+
+    from orange3_spark.text.analysis import tokens
+
+    toks = tokens(text_col)
+    tok = df.select(F.col(id_col), F.posexplode(toks).alias("_pos", "_tok"))
+    ww = Window.partitionBy(id_col).orderBy("_pos")
+    parts = [F.col("_tok")] + [F.lead("_tok", j).over(ww)
+                               for j in range(1, k)]
+    grams = (tok.select(F.col(id_col), F.col("_pos"),
+                        F.concat_ws(" ", *parts).alias("gram"),
+                        F.lead("_tok", k - 1).over(ww).alias("_lastt"))
+                .filter(F.col("_lastt").isNotNull()))
+    if hash_family == "md5":
+        h32 = F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10) \
+            .cast("long")
+    else:
+        h32 = F.pmod(F.xxhash64(F.col("gram")), F.lit(1 << 32)).cast("long")
+    cap = F.lit(_WINNOW_POS_CAP)
+    packed = (grams.select(
+        F.col(id_col), F.col("_pos"),
+        (h32 * cap + (cap - 1 - F.pmod(F.col("_pos"), cap))).alias("_pk")))
+    w2 = Window.partitionBy(id_col).orderBy("_pos") \
+               .rowsBetween(-(w - 1), Window.currentRow)
+    sel = (packed
+           .withColumn("_win_min", F.min("_pk").over(w2))
+           .filter(F.col("_pos") >= w - 1)  # full windows only
+           .select(F.col(id_col),
+                   (F.col("_win_min") / cap).cast("long").alias("fp_hash"),
+                   (cap - 1 - F.pmod(F.col("_win_min"), cap))
+                   .alias("fp_pos")))
+    return sel.distinct()

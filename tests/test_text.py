@@ -208,3 +208,48 @@ def test_lang_id_frame_matches_column_version(spark):
            .collect()}
     assert a == b
     assert a[1] == "en" and a[2] == "de" and a[4] == "und"
+
+
+def test_winnow_matches_literal_algorithm(spark):
+    """Distributed winnowing equals a literal driver implementation
+    (rightmost minimal hash per window), and docs sharing a long substring
+    share a fingerprint (the winnowing guarantee)."""
+    import hashlib
+
+    from orange3_spark.text.dedup import winnow_fingerprints
+
+    k, w = 3, 4
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog again and again",
+        2: "a different opening but jumps over the lazy dog again and again",
+        3: "completely unrelated words here that overlap with nothing else",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id int, text string")
+    got = {(r.doc_id, r.fp_hash, r.fp_pos)
+           for r in winnow_fingerprints(df, k=k, w=w,
+                                        hash_family="md5").collect()}
+
+    def literal(doc_id, text):
+        toks = text.split()
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+              for g in grams]
+        out = set()
+        for end in range(w - 1, len(hs)):
+            window = hs[end - w + 1:end + 1]
+            m = min(window)
+            # rightmost index achieving the min
+            ridx = end - w + 1 + max(i for i, v in enumerate(window)
+                                     if v == m)
+            out.add((doc_id, m, ridx))
+        return out
+
+    expect = set().union(*(literal(d, t) for d, t in texts.items()))
+    assert got == expect
+    # guarantee: docs 1 and 2 share "jumps over the lazy dog again and
+    # again" (8 tokens > k + w - 1 = 6) -> at least one shared hash
+    h1 = {h for d, h, _p in got if d == 1}
+    h2 = {h for d, h, _p in got if d == 2}
+    h3 = {h for d, h, _p in got if d == 3}
+    assert h1 & h2
+    assert not (h1 & h3) and not (h2 & h3)
