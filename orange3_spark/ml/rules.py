@@ -94,15 +94,15 @@ def cn2_induce(df: DataFrame, attrs: Sequence[str], class_col: str, *,
     remaining = df
     rules: list[Rule] = []
 
+    cached = []
     for _ in range(max_rules):
-        n_left = remaining.count()
-        if n_left == 0:
-            break
         # ---- beam search for the best conjunction on `remaining`
         # beam entries: (quality, selectors, prediction, covered, correct)
         base_counts: dict = {}
         for r in remaining.groupBy(class_col).count().collect():
             base_counts[r[0]] = r[1]
+        if not base_counts:  # everything covered
+            break
         q0, cls0, tot0, top0 = _score(base_counts, n_classes)
         best = (q0, [], cls0, tot0, top0)
         beam = [best]
@@ -115,7 +115,8 @@ def cn2_induce(df: DataFrame, attrs: Sequence[str], class_col: str, *,
                     continue
                 scope = remaining
                 for a, v in sels:
-                    scope = scope.where(F.col(a) == F.lit(v))
+                    scope = scope.where(
+                        F.col(a).cast("string") == F.lit(str(v)))
                 cand = _candidate_counts(scope, free, class_col)
                 by_sel: dict = {}
                 for attr, value, cls, cnt in cand:
@@ -137,6 +138,7 @@ def cn2_induce(df: DataFrame, attrs: Sequence[str], class_col: str, *,
         rule = Rule(sels, cls, quality, tot, top)
         rules.append(rule)
         remaining = remaining.where(~rule.predicate()).cache()
+        cached.append(remaining)
 
     # default rule over whatever is left
     left = {r[0]: r[1] for r in
@@ -144,6 +146,8 @@ def cn2_induce(df: DataFrame, attrs: Sequence[str], class_col: str, *,
     if left:
         q, cls, tot, top = _score(left, n_classes)
         rules.append(Rule([], cls, q, tot, top))
+    for c in cached:
+        c.unpersist()
     return rules
 
 

@@ -165,25 +165,30 @@ class FilterContinuous(Filter):
     def predicate(self, df: DataFrame) -> Column:
         c, v = F.col(self.column), F.lit(self.ref)
         op = self.op
-        if op == ContinuousOps.EQUAL:
-            return c == v
         if op == ContinuousOps.NOT_EQUAL:
             return (c != v) | ~_defined(df, self.column)
-        if op == ContinuousOps.LESS:
-            return c < v
-        if op == ContinuousOps.LESS_EQUAL:
-            return c <= v
-        if op == ContinuousOps.GREATER:
-            return c > v
-        if op == ContinuousOps.GREATER_EQUAL:
-            return c >= v
-        if op == ContinuousOps.BETWEEN:
-            return (c >= v) & (c <= F.lit(self.max))
-        if op == ContinuousOps.OUTSIDE:
-            return (c < v) | (c > F.lit(self.max))
         if op == ContinuousOps.IS_DEFINED:
             return _defined(df, self.column)
-        raise ValueError(f"unknown op {op!r}")
+        if op == ContinuousOps.EQUAL:
+            cmp = c == v
+        elif op == ContinuousOps.LESS:
+            cmp = c < v
+        elif op == ContinuousOps.LESS_EQUAL:
+            cmp = c <= v
+        elif op == ContinuousOps.GREATER:
+            cmp = c > v
+        elif op == ContinuousOps.GREATER_EQUAL:
+            cmp = c >= v
+        elif op == ContinuousOps.BETWEEN:
+            cmp = (c >= v) & (c <= F.lit(self.max))
+        elif op == ContinuousOps.OUTSIDE:
+            cmp = (c < v) | (c > F.lit(self.max))
+        else:
+            raise ValueError(f"unknown op {op!r}")
+        # Spark orders NaN above every value (NaN >= x is TRUE, NaN == NaN
+        # is TRUE); the reference uses numpy semantics where NaN fails every
+        # comparison (filter.py:304-397) — mask missing explicitly.
+        return cmp & _defined(df, self.column)
 
 
 class StringOps(ContinuousOps):

@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis): invariants that hold for ANY input,
+mirroring the reference's randomized-fixture strategy (SURVEY §5) — filter
+semantics vs a literal Python model, sampling partition-invariance, and the
+winnowing guarantee."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from orange3_spark.operators.filters import ContinuousOps, FilterContinuous
+
+_floats = st.one_of(
+    st.none(),
+    st.just(float("nan")),
+    st.floats(-100, 100, allow_nan=False))
+
+
+@settings(max_examples=12, deadline=None)
+@given(vals=st.lists(_floats, min_size=1, max_size=25),
+       lo=st.floats(-50, 50, allow_nan=False),
+       width=st.floats(0, 30, allow_nan=False),
+       op=st.sampled_from([ContinuousOps.LESS, ContinuousOps.GREATER_EQUAL,
+                           ContinuousOps.BETWEEN, ContinuousOps.OUTSIDE,
+                           ContinuousOps.NOT_EQUAL,
+                           ContinuousOps.IS_DEFINED]))
+def test_filter_continuous_matches_python_model(spark, vals, lo, width, op):
+    """Engine filters implement the reference's NULL semantics: comparisons
+    never match NULL/NaN, except NOT_EQUAL which keeps them
+    (sql/filter.py:53) and IS_DEFINED which selects the complement."""
+    hi = lo + width
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id int, x double")
+
+    def undefined(v):
+        return v is None or (isinstance(v, float) and math.isnan(v))
+
+    def model(v):
+        if op == ContinuousOps.IS_DEFINED:
+            return not undefined(v)
+        if op == ContinuousOps.NOT_EQUAL:
+            return undefined(v) or v != lo
+        if undefined(v):
+            return False
+        if op == ContinuousOps.LESS:
+            return v < lo
+        if op == ContinuousOps.GREATER_EQUAL:
+            return v >= lo
+        if op == ContinuousOps.BETWEEN:
+            return lo <= v <= hi
+        if op == ContinuousOps.OUTSIDE:
+            return v < lo or v > hi
+        raise AssertionError(op)
+
+    flt = FilterContinuous(column="x", op=op, ref=lo, max=hi)
+    got = sorted(r.id for r in flt(df).collect())
+    expect = sorted(i for i, v in rows if model(v))
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(n=st.integers(5, 60), parts=st.integers(1, 8),
+       frac=st.floats(0.1, 0.9))
+def test_hash_sampling_partition_invariant(spark, n, parts, frac):
+    """Content-hash sampling selects the same ROWS under any partitioning
+    (the determinism contract seeded rand() cannot give)."""
+    from orange3_spark.operators.sample import sample_hash
+
+    df = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    a = sorted(r.id for r in sample_hash(df, "id", frac).collect())
+    b = sorted(r.id for r in
+               sample_hash(df.repartition(parts), "id", frac).collect())
+    assert a == b
+
+
+@settings(max_examples=8, deadline=None)
+@given(prefix=st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=6),
+       suffix=st.lists(st.sampled_from("qrstuvwx"), min_size=0, max_size=6),
+       shared=st.lists(st.sampled_from("ijklmnop"), min_size=6, max_size=10))
+def test_winnowing_guarantee(spark, prefix, suffix, shared):
+    """Any two documents sharing a token run of length >= k + w - 1 share
+    at least one winnowing fingerprint (k=3, w=4 -> run of 6)."""
+    from orange3_spark.text.dedup import winnow_fingerprints
+
+    t1 = " ".join([*prefix, *shared])
+    t2 = " ".join([*shared, *suffix])
+    df = spark.createDataFrame([(1, t1), (2, t2)], "doc_id int, text string")
+    fp = winnow_fingerprints(df, k=3, w=4).collect()
+    h1 = {r.fp_hash for r in fp if r.doc_id == 1}
+    h2 = {r.fp_hash for r in fp if r.doc_id == 2}
+    assert h1 & h2, (t1, t2)
