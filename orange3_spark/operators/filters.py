@@ -116,7 +116,12 @@ class SameValue(Filter):
     negate: bool = False
 
     def predicate(self, df: DataFrame) -> Column:
-        if self.value is None:
+        import math
+        if self.value is None or (isinstance(self.value, float)
+                                  and math.isnan(self.value)):
+            # NaN is missing: match the undefined rows (Spark's NaN == NaN
+            # is TRUE, which would instead select exactly the NaN rows —
+            # same result here, but NULLs must match too per filter.py:143)
             return ~_defined(df, self.column)
         return F.col(self.column) == F.lit(self.value)
 

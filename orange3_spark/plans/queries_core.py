@@ -481,3 +481,32 @@ def q_create_class(spark, sf_dir):
                           [("widget", "widgetish"), ("bolt", "boltish")],
                           default="other") \
             .select("p_partkey", "p_name", "class")
+
+
+@query("q_udaf_geomean", """
+SELECT l_returnflag,
+       round(exp(avg(ln(CAST(l_quantity AS DOUBLE)))), 6) AS geomean_qty,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""")
+def q_udaf_geomean(spark, sf_dir):
+    """Custom UDAF surface (Orange's Python-defined aggregates /
+    owpythonscript escape hatch): geometric mean per group via the
+    GROUPED_AGG Arrow wrapper (functions/python_script.py:grouped_agg).
+    The oracle recomputes it as exp(avg(ln x)) — checking the Arrow
+    transfer, grouping, and numeric path end-to-end.  6-decimal rounding
+    absorbs summation-order fp drift between numpy and the SQL engine."""
+    import numpy as np
+
+    from orange3_spark.functions.python_script import grouped_agg
+    d = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    geomean = grouped_agg(lambda s: float(np.exp(np.log(
+        s.to_numpy(dtype="float64")).mean())))
+    n_rows = grouped_agg(lambda s: len(s), "long")
+    # GROUPED_AGG UDFs cannot mix with built-in aggregates in one agg —
+    # count through the same wrapper
+    out = (d.groupBy("l_returnflag")
+            .agg(geomean(F.col("l_quantity").cast("double"))
+                 .alias("geomean_qty"),
+                 n_rows(F.col("l_quantity")).alias("n")))
+    return out.withColumn("geomean_qty", F.round("geomean_qty", 6))

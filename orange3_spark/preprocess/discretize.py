@@ -27,12 +27,15 @@ from pyspark.sql import functions as F
 def bucketize_expr(col: str, thresholds: Sequence[float]) -> Column:
     """Map a value to bin index 0..len(thresholds) by fixed thresholds —
     row-local, codegen-friendly (the ``Discretizer`` kernel,
-    ``discretize.py:25-147``).  NULL stays NULL."""
-    c = F.col(col)
+    ``discretize.py:25-147``).  NULL — and NaN, which Spark orders above
+    every threshold and would otherwise land in the top bin — stays NULL
+    (missing in, missing out, the reference's numpy semantics)."""
+    c = F.col(col).cast("double")
     expr = F.lit(len(thresholds))
     for i in reversed(range(len(thresholds))):
         expr = F.when(c <= F.lit(thresholds[i]), F.lit(i)).otherwise(expr)
-    return F.when(c.isNull(), F.lit(None).cast("int")).otherwise(expr.cast("int"))
+    return F.when(c.isNull() | F.isnan(c),
+                  F.lit(None).cast("int")).otherwise(expr.cast("int"))
 
 
 def bin_labels(thresholds: Sequence[float], fmt: str = "%g") -> list[str]:

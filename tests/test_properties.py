@@ -91,3 +91,20 @@ def test_winnowing_guarantee(spark, prefix, suffix, shared):
     h1 = {r.fp_hash for r in fp if r.doc_id == 1}
     h2 = {r.fp_hash for r in fp if r.doc_id == 2}
     assert h1 & h2, (t1, t2)
+
+
+def test_nan_is_missing_in_discretize_and_samevalue(spark):
+    """NaN behaves as missing everywhere: no bin from discretize, and
+    SameValue(NaN) selects the missing rows (NULL and NaN alike)."""
+    from orange3_spark.operators.filters import SameValue
+    from orange3_spark.preprocess.discretize import bucketize_expr
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, float("nan")), (2, None), (3, 9.0)], "id int, x double")
+    bins = {r.id: r.b for r in
+            df.select("id", bucketize_expr("x", [2.0, 5.0]).alias("b"))
+              .collect()}
+    assert bins == {0: 0, 1: None, 2: None, 3: 2}
+    got = sorted(r.id for r in SameValue(column="x",
+                                         value=float("nan"))(df).collect())
+    assert got == [1, 2]
