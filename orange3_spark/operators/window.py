@@ -79,3 +79,69 @@ def top_k_per_group(df: DataFrame, partition_by: Sequence[str],
     deterministic tiebreaker in ``order_by`` for reproducible output."""
     return (with_row_number(df, partition_by, order_by, "_rn")
             .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def asof_join(left: DataFrame, right: DataFrame, *, on: str,
+              by: Sequence[str] = (), right_cols: Sequence[str] = (),
+              tolerance: Optional[str] = None,
+              direction: str = "backward") -> DataFrame:
+    """As-of join: each left row gets the right row with the greatest
+    ``on`` value ≤ its own (``direction="backward"``; ``"forward"``
+    mirrors), optionally within the same ``by`` keys and a ``tolerance``
+    interval (SQL literal like ``INTERVAL 1 HOUR`` or a number).
+
+    Spark-first shape: instead of an inequality join (which Catalyst can
+    only execute as a broadcast-nested-loop or sort-merge-range — both
+    explode at scale), the two sides are UNIONed with a side tag and ONE
+    window pass per ``by`` partition carries the most recent right-side
+    values onto left rows via ``last(..., ignorenulls=True)``.  Cost: one
+    shuffle on ``by`` + one ordered window — the same plan as a rolling
+    aggregate, independent of match fan-out.  Ties on ``on`` resolve
+    right-row-first (a right row at exactly the left timestamp matches),
+    matching DuckDB's ASOF JOIN, which is the oracle (``q_asof_join``).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    rc = list(right_cols) or [c for c in right.columns
+                              if c != on and c not in by]
+    bys = list(by)
+    lt = left.withColumn("__side", F.lit(1))
+    for c in rc:
+        lt = lt.withColumn(f"__r_{c}", F.lit(None).cast(
+            dict(right.dtypes)[c]))
+    rt = right.select(*bys, F.col(on),
+                      *[F.col(c).alias(f"__r_{c}") for c in rc]) \
+              .withColumn("__side", F.lit(0))
+    for c in left.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    u = lt.unionByName(rt.select(lt.columns))
+    if direction == "backward":
+        w = Window.partitionBy(*bys).orderBy(F.col(on).asc(),
+                                             F.col("__side").asc())
+    else:
+        w = Window.partitionBy(*bys).orderBy(F.col(on).desc(),
+                                             F.col("__side").asc())
+    w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    matched = u
+    for c in rc:
+        matched = matched.withColumn(
+            f"__m_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
+    m_on = F.last(F.when(F.col("__side") == 0, F.col(on)),
+                  ignorenulls=True).over(w)
+    matched = matched.withColumn("__m_on", m_on)
+    out = matched.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        tol = F.expr(f"INTERVAL {tolerance}") \
+            if isinstance(tolerance, str) else F.lit(tolerance)
+        gap = (F.col(on) - F.col("__m_on")) if direction == "backward" \
+            else (F.col("__m_on") - F.col(on))
+        keep = F.col("__m_on").isNotNull() & (gap <= tol)
+        for c in rc:
+            out = out.withColumn(
+                f"__m_{c}", F.when(keep, F.col(f"__m_{c}")))
+        out = out.withColumn("__m_on", F.when(keep, F.col("__m_on")))
+    sel = [F.col(c) for c in left.columns] + \
+        [F.col(f"__m_{c}").alias(f"right_{c}") for c in rc] + \
+        [F.col("__m_on").alias(f"right_{on}")]
+    return out.select(*sel)

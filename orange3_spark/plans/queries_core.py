@@ -510,3 +510,67 @@ def q_udaf_geomean(spark, sf_dir):
                  .alias("geomean_qty"),
                  n_rows(F.col("l_quantity")).alias("n")))
     return out.withColumn("geomean_qty", F.round("geomean_qty", 6))
+
+
+@query("q_asof_join", """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id,
+       CAST(round(p.value, 6) AS DOUBLE) AS purchase_value,
+       CAST(round(c.value, 6) AS DOUBLE) AS last_click_value,
+       c.ts AS last_click_ts
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""")
+def q_asof_join(spark, sf_dir):
+    """As-of join (engine extension; the time-series primitive the
+    reference lacks): each purchase matched with the user's most recent
+    prior-or-simultaneous click.  Implemented as union + ONE ordered
+    window per user (operators/window.py:asof_join) — cost is a rolling
+    aggregate, never an inequality-join explosion — and oracle-checked
+    against DuckDB's native ASOF JOIN."""
+    from orange3_spark.operators.window import asof_join
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    p = (ev.where(F.col("event_type") == "purchase")
+           .select("event_id", "user_id", "ts", "value"))
+    c = (ev.where(F.col("event_type") == "click")
+           .select("user_id", "ts", "value"))
+    out = asof_join(p, c, on="ts", by=["user_id"], right_cols=["value"])
+    return out.select(
+        "event_id", "user_id",
+        F.round("value", 6).alias("purchase_value"),
+        F.round("right_value", 6).alias("last_click_value"),
+        F.col("right_ts").alias("last_click_ts"))
+
+
+@query("q_python_script", """
+SELECT o_orderkey,
+       round((o_totalprice - avg(o_totalprice)
+                 OVER (PARTITION BY o_orderpriority))
+             / stddev_pop(o_totalprice) OVER (PARTITION BY o_orderpriority),
+             6) AS z
+FROM orders
+""")
+def q_python_script(spark, sf_dir):
+    """Python Script operator surface (Orange/widgets/data/owpythonscript.py
+    escape hatch): an arbitrary pandas transform per group through the
+    sandboxed applyInPandas wrapper (functions/python_script.py) — here a
+    per-priority z-score, so the oracle replays it as window SQL.  Checks
+    the Arrow group handoff, schema contract, and numeric parity."""
+    import numpy as np
+
+    from orange3_spark.functions.python_script import python_script
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    d = orders.select("o_orderkey", "o_orderpriority",
+                      F.col("o_totalprice").cast("double").alias("p"))
+
+    def zscore(pdf):
+        x = pdf["p"].to_numpy(dtype="float64")
+        z = (x - x.mean()) / x.std()
+        out = pdf[["o_orderkey"]].copy()
+        out["z"] = np.round(z, 6)
+        return out
+
+    return python_script(d, zscore, "o_orderkey long, z double",
+                         group_by=["o_orderpriority"])

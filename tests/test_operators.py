@@ -160,3 +160,50 @@ def test_jdbc_reader_surface():
     touching the network (load() not called)."""
     from orange3_spark.sources import jdbc
     assert callable(jdbc.read_jdbc)
+
+
+def test_asof_join_hand_case(spark):
+    from orange3_spark.operators.window import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 5, "L5"), ("u", 10, "L10"), ("u", 2, "L2"), ("v", 7, "L7")],
+        "k string, t long, lv string")
+    right = spark.createDataFrame(
+        [("u", 3, "R3"), ("u", 5, "R5"), ("u", 9, "R9"), ("w", 1, "W1")],
+        "k string, t long, rv string")
+    got = {(r.k, r.t): (r.right_rv, r.right_t)
+           for r in asof_join(left, right, on="t", by=["k"]).collect()}
+    # exact-ts match (5->R5), backward match (10->R9), earliest (2->none)
+    assert got[("u", 5)] == ("R5", 5)
+    assert got[("u", 10)] == ("R9", 9)
+    assert got[("u", 2)] == (None, None)
+    assert got[("v", 7)] == (None, None)
+
+    fwd = {(r.k, r.t): (r.right_rv, r.right_t)
+           for r in asof_join(left, right, on="t", by=["k"],
+                              direction="forward").collect()}
+    assert fwd[("u", 2)] == ("R3", 3)
+    assert fwd[("u", 10)] == (None, None)
+
+    tol = {(r.k, r.t): r.right_rv
+           for r in asof_join(left, right, on="t", by=["k"],
+                              tolerance=2).collect()}
+    assert tol[("u", 10)] == "R9"  # gap 1 within tolerance
+    assert tol[("u", 5)] == "R5"   # gap 0
+    assert tol[("u", 2)] is None   # no prior right row at all
+
+
+def test_asof_join_no_join_explosion(spark):
+    """The plan is union + window — no nested-loop or cartesian join."""
+    from orange3_spark.operators.window import asof_join
+
+    left = spark.createDataFrame([("u", i) for i in range(50)], "k string, t long")
+    right = spark.createDataFrame([("u", i) for i in range(0, 50, 5)],
+                                  "k string, t long").withColumn(
+        "rv", F.col("t") * 2)
+    out = asof_join(left, right, on="t", by=["k"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
+    rows = {r.t: r.right_rv for r in out.collect()}
+    assert rows[7] == 10 and rows[5] == 10 and rows[4] == 0
