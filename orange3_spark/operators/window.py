@@ -145,3 +145,49 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str,
         [F.col(f"__m_{c}").alias(f"right_{c}") for c in rc] + \
         [F.col("__m_on").alias(f"right_{on}")]
     return out.select(*sel)
+
+
+def range_join(left: DataFrame, right: DataFrame, *, on: str,
+               lower, upper, by: Sequence[str] = (),
+               right_cols: Sequence[str] = ()) -> DataFrame:
+    """Interval join: all (left, right) pairs with
+    ``left.on + lower <= right.on <= left.on + upper`` (and equal ``by``
+    keys).  ``on`` must be numeric (cast timestamps with
+    ``F.unix_timestamp`` upstream); ``lower``/``upper`` are numbers,
+    ``lower <= upper``.
+
+    Spark-first shape: a raw inequality join degenerates to
+    broadcast-nested-loop (O(|L|·|R|)).  Instead both sides are bucketed
+    into width ``upper - lower`` cells; every candidate pair shares the
+    left row's bucket or one of its two neighbors, so the join is an
+    equi-join on (by…, bucket) — the right side is exploded into 3 bucket
+    replicas — followed by the exact range filter.  Shuffle volume is
+    3×|R| + |L| keyed rows; fan-out is bounded by true matches plus
+    same-bucket near-misses, never the cross product.
+    """
+    if not lower <= upper:
+        raise ValueError("lower must be <= upper")
+    width = float(upper - lower) or 1.0
+    bys = list(by)
+    rc = list(right_cols) or [c for c in right.columns
+                              if c != on and c not in bys]
+    lon = F.col(f"l_{on}")
+    ron = F.col(f"r_{on}")
+    lt = left.select(*[F.col(c) for c in left.columns],
+                     F.floor((F.col(on).cast("double") + F.lit(float(lower)))
+                             / F.lit(width)).alias("__bucket")) \
+             .withColumnRenamed(on, f"l_{on}")
+    rt = right.select(*bys, F.col(on).cast("double").alias(f"r_{on}"),
+                      *[F.col(c).alias(f"right_{c}") for c in rc])
+    rt = rt.withColumn("__off", F.explode(F.array(F.lit(-1), F.lit(0),
+                                                  F.lit(1))))
+    rt = rt.withColumn("__bucket",
+                       F.floor(ron / F.lit(width)) + F.col("__off")) \
+           .drop("__off")
+    keys = bys + ["__bucket"]
+    j = lt.join(rt, keys)
+    j = j.where((ron >= lon.cast("double") + F.lit(float(lower)))
+                & (ron <= lon.cast("double") + F.lit(float(upper))))
+    return (j.drop("__bucket")
+             .withColumnRenamed(f"l_{on}", on)
+             .withColumnRenamed(f"r_{on}", f"right_{on}"))

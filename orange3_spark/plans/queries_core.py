@@ -574,3 +574,36 @@ def q_python_script(spark, sf_dir):
 
     return python_script(d, zscore, "o_orderkey long, z double",
                          group_by=["o_orderpriority"])
+
+
+@query("q_range_join", """
+WITH p AS (SELECT event_id, user_id, epoch(ts) AS t FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, epoch(ts) AS t, value FROM events
+      WHERE event_type = 'click')
+SELECT p.event_id, count(*) AS n_clicks,
+       round(sum(c.value), 6) AS click_value
+FROM p JOIN c ON p.user_id = c.user_id
+              AND c.t >= p.t - 3600 AND c.t <= p.t
+GROUP BY p.event_id
+""")
+def q_range_join(spark, sf_dir):
+    """Range (interval) join — engine extension: clicks within the hour
+    before each purchase by the same user.  Implemented as a time-bucket
+    equi-join (right side replicated into 3 neighbor cells, exact filter
+    after) so the plan is hash-join-shaped, never a nested-loop inequality
+    join (operators/window.py:range_join); the oracle IS the inequality
+    join, feasible at oracle scale."""
+    from orange3_spark.operators.window import range_join
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    p = (ev.where(F.col("event_type") == "purchase")
+           .select("event_id", "user_id",
+                   F.col("ts").cast("double").alias("t")))
+    c = (ev.where(F.col("event_type") == "click")
+           .select("user_id", F.col("ts").cast("double").alias("t"),
+                   "value"))
+    j = range_join(p, c, on="t", lower=-3600, upper=0, by=["user_id"],
+                   right_cols=["value"])
+    return (j.groupBy("event_id")
+             .agg(F.count(F.lit(1)).alias("n_clicks"),
+                  F.round(F.sum("right_value"), 6).alias("click_value")))

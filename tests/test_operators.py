@@ -207,3 +207,23 @@ def test_asof_join_no_join_explosion(spark):
     assert "Window" in plan
     rows = {r.t: r.right_rv for r in out.collect()}
     assert rows[7] == 10 and rows[5] == 10 and rows[4] == 0
+
+
+def test_range_join_hand_case_and_plan(spark):
+    from orange3_spark.operators.window import range_join
+
+    left = spark.createDataFrame(
+        [("u", 100.0, "a"), ("u", 200.0, "b"), ("v", 100.0, "c")],
+        "k string, t double, tag string")
+    right = spark.createDataFrame(
+        [("u", 95.0, 1.0), ("u", 100.0, 2.0), ("u", 149.0, 3.0),
+         ("u", 151.0, 4.0), ("v", 90.0, 5.0), ("w", 100.0, 6.0)],
+        "k string, t double, rv double")
+    out = range_join(left, right, on="t", lower=-50, upper=0, by=["k"],
+                     right_cols=["rv"])
+    got = sorted((r.tag, r.right_rv) for r in out.collect())
+    # u@100 matches [50,100]: 95,100 ; u@200 matches [150,200]: 151
+    # v@100 matches [50,100]: 90
+    assert got == [("a", 1.0), ("a", 2.0), ("b", 4.0), ("c", 5.0)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
