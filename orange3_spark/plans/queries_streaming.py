@@ -135,3 +135,31 @@ def q_stream_enrich(spark, sf_dir):
     return (joined.groupBy(F.col("c_mktsegment").alias("segment"))
                   .agg(F.count(F.lit(1)).alias("n"),
                        F.avg("value").alias("avg_value")))
+
+
+@query("q_time_rollup", """
+SELECT 'hour' AS granularity, event_type, date_trunc('hour', ts) AS bucket_ts,
+       count(*) AS n, round(sum(value), 6) AS total
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day', event_type, date_trunc('day', ts), count(*),
+       round(sum(value), 6)
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'month', event_type, date_trunc('month', ts), count(*),
+       round(sum(value), 6)
+FROM events GROUP BY 2, 3
+""")
+def q_time_rollup(spark, sf_dir):
+    """Hypertable-style multi-resolution rollup (engine extension):
+    hour/day/month aggregates per event type from ONE shuffle via
+    GROUPING SETS (streaming/windows.py:time_rollup) — the oracle computes
+    each resolution independently and must agree exactly (coarser buckets
+    are exact rollups of finer ones)."""
+    ev = _events(spark, sf_dir)
+    out = SW.time_rollup(
+        ev, "ts",
+        [F.count(F.lit(1)).alias("n"),
+         F.round(F.sum("value"), 6).alias("total")],
+        granularities=("hour", "day", "month"), keys=["event_type"])
+    return out

@@ -115,3 +115,38 @@ def enrich(events: DataFrame, dim: DataFrame, on, how: str = "inner"
     through the hash table.  Works identically for batch and readStream
     inputs (stream-static joins are stateless in Structured Streaming)."""
     return events.join(F.broadcast(dim), on, how)
+
+
+def time_rollup(df: DataFrame, time_col: str, aggs: Sequence[Column],
+                granularities: Sequence[str] = ("hour", "day", "month"),
+                keys: Sequence[str] = ()) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: aggregates at every
+    requested calendar granularity from ONE shuffle.
+
+    Spark-first shape: project one ``date_trunc`` column per granularity,
+    then aggregate over GROUPING SETS (``DataFrame.groupingSets``, Spark
+    4): Catalyst expands the sets from a single exchange's partial
+    aggregates instead of one scan-and-shuffle per resolution.
+    ``F.grouping`` flags identify which set produced each row — never
+    inferred from NULL bucket values, so NULL timestamps stay unambiguous.
+    Output: ``(granularity, keys..., bucket_ts, aggs...)``."""
+    gs = list(granularities)
+    ks = list(keys)
+    proj = df.select(*df.columns,
+                     *[F.date_trunc(g, F.col(time_col)).alias(f"__g_{g}")
+                       for g in gs])
+    kcols = [F.col(k) for k in ks]
+    sets = [kcols + [F.col(f"__g_{g}")] for g in gs]
+    grouped = proj.groupingSets(sets, *kcols,
+                                *[F.col(f"__g_{g}") for g in gs])
+    out = grouped.agg(*aggs,
+                      *[F.grouping(f"__g_{g}").alias(f"__is_{g}")
+                        for g in gs])
+    gran = F.coalesce(*[F.when(F.col(f"__is_{g}") == 0, F.lit(g))
+                        for g in gs])
+    bucket = F.coalesce(*[F.when(F.col(f"__is_{g}") == 0,
+                                 F.col(f"__g_{g}")) for g in gs])
+    agg_names = [c for c in out.columns
+                 if not c.startswith("__") and c not in ks]
+    return out.select(gran.alias("granularity"), *ks,
+                      bucket.alias("bucket_ts"), *agg_names)

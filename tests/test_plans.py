@@ -123,3 +123,12 @@ def test_curvefit_prediction_is_codegen(spark, sf_dir):
     inside WholeStageCodegen with no Python evaluation."""
     plan = _plan(spark, sf_dir, "q_ml_curvefit")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_time_rollup_single_exchange(spark, sf_dir):
+    """All rollup granularities must come from ONE shuffle (grouping sets),
+    not one aggregation pass per resolution."""
+    plan = _plan(spark, sf_dir, "q_time_rollup")
+    n_exchange = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchange == 1, f"expected 1 exchange, saw {n_exchange}"
+    assert "Expand" in plan  # grouping-sets expansion operator
