@@ -67,10 +67,16 @@ def _candidate_counts(df: DataFrame, attrs: Sequence[str],
     return [(r["attr"], r["value"], r["cls"], r["count"]) for r in rows]
 
 
-def _score(counts_by_class: dict, n_classes: int):
-    """Laplace accuracy + majority prediction with deterministic ties
-    (higher count, then class value)."""
+def _score(counts_by_class: dict, n_classes: int, target_class=None):
+    """Laplace accuracy + prediction with deterministic ties.
+
+    No target class (majority mode): ``(max_count+1)/(total+n_classes)``;
+    with a target class the reference uses k=2 — target vs rest
+    (``LaplaceAccuracyEvaluator``, rules.py:187-199)."""
     total = sum(counts_by_class.values())
+    if target_class is not None:
+        top = counts_by_class.get(target_class, 0)
+        return (top + 1) / (total + 2), target_class, total, top
     # deterministic: max count, then smallest class value
     top = max(counts_by_class.values())
     best_cls = min(c for c, v in counts_by_class.items() if v == top)
@@ -80,7 +86,8 @@ def _score(counts_by_class: dict, n_classes: int):
 def cn2_induce(df: DataFrame, attrs: Sequence[str], class_col: str, *,
                max_rules: int = 5, beam_width: int = 5,
                max_selectors: int = 3, min_covered: int = 1,
-               n_classes: Optional[int] = None) -> list:
+               n_classes: Optional[int] = None,
+               target_class=None) -> list:
     """Ordered CN2 rule list (unordered evaluator, majority prediction).
 
     Each beam depth evaluates all refinements of each beam member with one
@@ -103,7 +110,7 @@ def cn2_induce(df: DataFrame, attrs: Sequence[str], class_col: str, *,
             base_counts[r[0]] = r[1]
         if not base_counts:  # everything covered
             break
-        q0, cls0, tot0, top0 = _score(base_counts, n_classes)
+        q0, cls0, tot0, top0 = _score(base_counts, n_classes, target_class)
         best = (q0, [], cls0, tot0, top0)
         beam = [best]
         for _depth in range(max_selectors):
@@ -122,7 +129,7 @@ def cn2_induce(df: DataFrame, attrs: Sequence[str], class_col: str, *,
                 for attr, value, cls, cnt in cand:
                     by_sel.setdefault((attr, value), {})[cls] = cnt
                 for (attr, value), dist in by_sel.items():
-                    q, cls, tot, top = _score(dist, n_classes)
+                    q, cls, tot, top = _score(dist, n_classes, target_class)
                     if tot >= min_covered:
                         nxt.append((q, sels + [(attr, value)], cls, tot, top))
             if not nxt:
@@ -144,7 +151,7 @@ def cn2_induce(df: DataFrame, attrs: Sequence[str], class_col: str, *,
     left = {r[0]: r[1] for r in
             remaining.groupBy(class_col).count().collect()}
     if left:
-        q, cls, tot, top = _score(left, n_classes)
+        q, cls, tot, top = _score(left, n_classes, target_class)
         rules.append(Rule([], cls, q, tot, top))
     for c in cached:
         c.unpersist()

@@ -625,3 +625,22 @@ def test_scoring_sheet(spark):
                 .orderBy("score").collect())
     probs = [r.probability for r in rows]
     assert probs == sorted(probs)
+
+
+def test_cn2_target_class_mode(spark):
+    """Target-class CN2 (reference k=2 Laplace): rules optimize coverage of
+    ONE class; the pure-pos conjunction wins even though a pure-neg single
+    selector has more coverage."""
+    from orange3_spark.ml.rules import cn2_induce
+
+    rows = ([("x", "p", "pos")] * 10
+            + [("x", "q", "neg")] * 10
+            + [("y", "p", "neg")] * 30
+            + [("y", "q", "neg")] * 10)
+    df = spark.createDataFrame(rows, "a string, b string, cls string")
+    rules = cn2_induce(df, ["a", "b"], "cls", max_rules=1, max_selectors=2,
+                       target_class="pos")
+    r = rules[0]
+    assert r.prediction == "pos"
+    assert set(r.selectors) == {("a", "x"), ("b", "p")}
+    assert r.quality == 11 / 12 and r.correct == 10

@@ -132,3 +132,14 @@ def test_time_rollup_single_exchange(spark, sf_dir):
     n_exchange = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_exchange == 1, f"expected 1 exchange, saw {n_exchange}"
     assert "Expand" in plan  # grouping-sets expansion operator
+
+
+def test_asof_and_range_join_plans(spark, sf_dir):
+    """Event-type predicates reach the parquet scan and neither time-series
+    join degenerates to a nested-loop/cartesian plan."""
+    for name in ("q_asof_join", "q_range_join"):
+        plan = _plan(spark, sf_dir, name)
+        pushed = " | ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+        assert "EqualTo(event_type,purchase)" in pushed, name
+        assert "EqualTo(event_type,click)" in pushed, name
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
