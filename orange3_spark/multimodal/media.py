@@ -178,3 +178,34 @@ def sample_frames(df: DataFrame, binary_col: str = "content",
                                   (i * every_n_bytes + 1).cast("int"),
                                   frame_bytes)))
         .alias("frame_no", "frame")))
+
+
+def resize_image(decoded: DataFrame, out_height: int, out_width: int,
+                 *, id_col: str = "media_id") -> DataFrame:
+    """Nearest-neighbor resize over decoded pixel arrays — Arrow-batched
+    numpy (no codec needed, so unlike the decode stub this is the real
+    operation).  Index map: ``src = floor((dst + 0.5) * in/out)`` per axis
+    (pixel-center convention).  Input/output schema matches
+    ``decode_image`` so the operators compose."""
+    def run(pdf_iter):
+        import numpy as np
+        import pandas as pd
+        for pdf in pdf_iter:
+            out = []
+            for mid, h, w, c, px in zip(pdf[id_col], pdf["height"],
+                                        pdf["width"], pdf["channels"],
+                                        pdf["pixels"]):
+                a = np.asarray(px, dtype=np.float32).reshape(h, w, c)
+                ys = np.minimum((np.arange(out_height) + 0.5)
+                                * h / out_height, h - 1).astype(np.int64)
+                xs = np.minimum((np.arange(out_width) + 0.5)
+                                * w / out_width, w - 1).astype(np.int64)
+                r = a[ys][:, xs]
+                out.append((mid, out_height, out_width, int(c),
+                            r.ravel().tolist()))
+            yield pd.DataFrame(
+                out, columns=["media_id", "height", "width", "channels",
+                              "pixels"])
+
+    return decoded.select(id_col, "height", "width", "channels", "pixels") \
+                  .mapInPandas(run, schema=IMAGE_SCHEMA)

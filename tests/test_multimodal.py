@@ -79,3 +79,24 @@ def test_sample_frames(spark):
     assert frames[0].frame_no == 0
     assert bytes(frames[0].frame) == blob[:32]
     assert bytes(frames[1].frame) == blob[1024:1056]
+
+
+def test_resize_image_matches_literal_numpy(spark):
+    """Distributed nearest-neighbor resize equals literal numpy indexing,
+    and composes with decode_image's schema."""
+    import numpy as np
+    from orange3_spark.multimodal.media import decode_image, resize_image
+
+    blobs = [(i, bytes(range(i, i + 32))) for i in range(4)]
+    df = spark.createDataFrame(blobs, "media_id long, content binary")
+    decoded = decode_image(df, height=8, width=6)
+    resized = resize_image(decoded, 4, 3)
+    rows = {r.media_id: r for r in resized.collect()}
+    dec = {r.media_id: r for r in decoded.collect()}
+    for mid, r in rows.items():
+        assert (r.height, r.width, r.channels) == (4, 3, 3)
+        a = np.asarray(dec[mid].pixels, dtype=np.float32).reshape(8, 6, 3)
+        ys = np.minimum((np.arange(4) + 0.5) * 8 / 4, 7).astype(int)
+        xs = np.minimum((np.arange(3) + 0.5) * 6 / 3, 5).astype(int)
+        expect = a[ys][:, xs].ravel()
+        assert np.allclose(np.asarray(r.pixels, dtype=np.float32), expect)
