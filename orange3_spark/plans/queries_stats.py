@@ -275,3 +275,33 @@ def q_rolling_mean(spark, sf_dir):
                           preceding=3, following=0,
                           name="value_mean_roll").select(
         "event_id", "value_mean_roll")
+
+
+_FS_COLS = ("l_quantity", "l_discount", "l_tax")
+
+_FS_ORACLE = "\nUNION ALL\n".join(f"""
+SELECT '{c}' AS variable, count(*) AS n,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_missing,
+       count(DISTINCT {c}) AS n_distinct,
+       round(avg(CAST({c} AS DOUBLE)), 6) AS mean,
+       round(stddev_pop(CAST({c} AS DOUBLE)), 6) AS stddev,
+       CAST(min({c}) AS DOUBLE) AS min, CAST(max({c}) AS DOUBLE) AS max,
+       round(median(CAST({c} AS DOUBLE)), 6) AS median,
+       (SELECT CAST({c} AS DOUBLE) FROM lineitem WHERE {c} IS NOT NULL
+        GROUP BY {c} ORDER BY count(*) DESC, {c} ASC LIMIT 1) AS mode
+FROM lineitem""" for c in _FS_COLS)
+
+
+@query("q_feature_statistics", _FS_ORACLE)
+def q_feature_statistics(spark, sf_dir):
+    """Feature Statistics profile (owfeaturestatistics.py): one moment
+    scan for every column at once + one stack-unpivot argmax for modes
+    (stats/basic.py:feature_statistics) — vs the oracle's per-column
+    aggregates and correlated mode subqueries."""
+    from orange3_spark.stats.basic import feature_statistics
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    out = feature_statistics(li, list(_FS_COLS))
+    return out.select(
+        "variable", "n", "n_missing", "n_distinct",
+        F.round("mean", 6).alias("mean"), F.round("stddev", 6).alias("stddev"),
+        "min", "max", F.round("median", 6).alias("median"), "mode")

@@ -211,3 +211,56 @@ def fdr(p_values: Sequence[float], dependent: bool = False) -> list[float]:
         out[idx] = val
         prev = val
     return out
+
+
+def feature_statistics(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Per-variable profile (Feature Statistics widget,
+    ``Orange/widgets/data/owfeaturestatistics.py``): count, missing,
+    distinct, mean, population stddev, min/max, exact median, mode.
+
+    Cost shape: ONE aggregation scan computes every per-column moment for
+    every column simultaneously (map-side combined); modes come from ONE
+    stack-unpivot + groupBy over (variable, value) pairs with an argmax
+    window — never a per-column job loop.  Mode ties break toward the
+    smaller value (deterministic, matching the oracle's ORDER BY)."""
+    from pyspark.sql.window import Window
+
+    cols = list(columns)
+    aggs = []
+    for i, c in enumerate(cols):
+        x = F.col(c).cast("double")
+        ok = x.isNotNull() & ~F.isnan(x)
+        aggs += [
+            F.count(F.lit(1)).alias(f"n_{i}"),
+            F.sum((~ok).cast("long")).alias(f"miss_{i}"),
+            F.count_distinct(F.when(ok, x)).alias(f"dist_{i}"),
+            F.avg(F.when(ok, x)).alias(f"mean_{i}"),
+            F.stddev_pop(F.when(ok, x)).alias(f"sd_{i}"),
+            F.min(F.when(ok, x)).alias(f"min_{i}"),
+            F.max(F.when(ok, x)).alias(f"max_{i}"),
+            F.median(F.when(ok, x)).alias(f"med_{i}"),
+        ]
+    row = df.agg(*aggs).first()
+
+    n = len(cols)
+    stack_args = ", ".join(
+        f"'{c}', cast(`{c}` as double)" for c in cols)
+    pairs = df.select(F.expr(
+        f"stack({n}, {stack_args}) as (variable, value)"))
+    counts = (pairs.where(F.col("value").isNotNull()
+                          & ~F.isnan(F.col("value")))
+                   .groupBy("variable", "value").count())
+    w = Window.partitionBy("variable").orderBy(F.col("count").desc(),
+                                               F.col("value").asc())
+    modes = (counts.withColumn("__rn", F.row_number().over(w))
+                   .where(F.col("__rn") == 1)
+                   .select("variable", F.col("value").alias("mode")))
+
+    base = df.sparkSession.createDataFrame(
+        [(c, int(row[f"n_{i}"]), int(row[f"miss_{i}"]),
+          int(row[f"dist_{i}"]), row[f"mean_{i}"], row[f"sd_{i}"],
+          row[f"min_{i}"], row[f"max_{i}"], row[f"med_{i}"])
+         for i, c in enumerate(cols)],
+        "variable string, n bigint, n_missing bigint, n_distinct bigint, "
+        "mean double, stddev double, min double, max double, median double")
+    return base.join(modes, "variable", "left")

@@ -73,3 +73,21 @@ def test_fdr_monotone():
     out = fdr(ps)
     assert all(0 <= q <= 1 for q in out)
     assert out[3] <= out[0] <= out[2] <= out[1]
+
+
+def test_feature_statistics_nan_and_mode(spark):
+    """Missing accounting counts NULL and NaN; mode tie breaks to the
+    smaller value; single agg pass covers all columns."""
+    from orange3_spark.stats.basic import feature_statistics
+
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0), (2.0, 7.0), (float("nan"), 7.0),
+         (None, 9.0)],
+        "a double, b double")
+    out = {r.variable: r for r in feature_statistics(df, ["a", "b"]).collect()}
+    a = out["a"]
+    assert (a.n, a.n_missing, a.n_distinct) == (5, 2, 2)
+    assert a.mode == 2.0 and a.min == 1.0 and a.max == 2.0
+    b = out["b"]
+    assert b.n_missing == 0 and b.mode == 5.0  # 5.0/7.0 tie at 2 -> smaller
+    assert abs(b.median - 7.0) < 1e-9
