@@ -213,7 +213,8 @@ def fdr(p_values: Sequence[float], dependent: bool = False) -> list[float]:
     return out
 
 
-def feature_statistics(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+def feature_statistics(df: DataFrame, columns: Sequence[str], *,
+                       approx: bool = False) -> DataFrame:
     """Per-variable profile (Feature Statistics widget,
     ``Orange/widgets/data/owfeaturestatistics.py``): count, missing,
     distinct, mean, population stddev, min/max, exact median, mode.
@@ -222,7 +223,13 @@ def feature_statistics(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     every column simultaneously (map-side combined); modes come from ONE
     stack-unpivot + groupBy over (variable, value) pairs with an argmax
     window — never a per-column job loop.  Mode ties break toward the
-    smaller value (deterministic, matching the oracle's ORDER BY)."""
+    smaller value (deterministic, matching the oracle's ORDER BY).
+
+    ``approx=True`` is the 100-TB path: HyperLogLog++ distinct counts
+    (``approx_count_distinct``) and a quantile sketch for the median
+    (``percentile_approx``) replace their exact counterparts — same single
+    scan, bounded sketch memory per column instead of exact-distinct
+    hash state.  Exact mode stays the oracle-checked default."""
     from pyspark.sql.window import Window
 
     cols = list(columns)
@@ -233,12 +240,14 @@ def feature_statistics(df: DataFrame, columns: Sequence[str]) -> DataFrame:
         aggs += [
             F.count(F.lit(1)).alias(f"n_{i}"),
             F.sum((~ok).cast("long")).alias(f"miss_{i}"),
-            F.count_distinct(F.when(ok, x)).alias(f"dist_{i}"),
+            (F.approx_count_distinct(F.when(ok, x)) if approx
+             else F.count_distinct(F.when(ok, x))).alias(f"dist_{i}"),
             F.avg(F.when(ok, x)).alias(f"mean_{i}"),
             F.stddev_pop(F.when(ok, x)).alias(f"sd_{i}"),
             F.min(F.when(ok, x)).alias(f"min_{i}"),
             F.max(F.when(ok, x)).alias(f"max_{i}"),
-            F.median(F.when(ok, x)).alias(f"med_{i}"),
+            (F.percentile_approx(F.when(ok, x), 0.5) if approx
+             else F.median(F.when(ok, x))).alias(f"med_{i}"),
         ]
     row = df.agg(*aggs).first()
 

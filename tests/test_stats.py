@@ -91,3 +91,22 @@ def test_feature_statistics_nan_and_mode(spark):
     b = out["b"]
     assert b.n_missing == 0 and b.mode == 5.0  # 5.0/7.0 tie at 2 -> smaller
     assert abs(b.median - 7.0) < 1e-9
+
+
+def test_feature_statistics_approx_close_to_exact(spark, sf_dir):
+    from orange3_spark.session import load_tables
+    from orange3_spark.stats.basic import feature_statistics
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    exact = {r.variable: r for r in
+             feature_statistics(li, ["l_quantity", "l_extendedprice"])
+             .collect()}
+    approx = {r.variable: r for r in
+              feature_statistics(li, ["l_quantity", "l_extendedprice"],
+                                 approx=True).collect()}
+    for v in exact:
+        e, a = exact[v], approx[v]
+        assert abs(a.n_distinct - e.n_distinct) <= max(3, 0.05 * e.n_distinct)
+        span = e.max - e.min or 1.0
+        assert abs(a.median - e.median) <= 0.05 * span
+        assert (a.n, a.n_missing, a.mode) == (e.n, e.n_missing, e.mode)
