@@ -92,6 +92,38 @@ def agg_expr(name: str, col: str, *, approx: bool = False,
     raise ValueError(f"unknown aggregation {name!r}")
 
 
+def weighted_agg_expr(name: str, col: str, weight_col: str) -> Column:
+    """Instance-weighted aggregates — the reference's ``W`` column is
+    first-class in every statistic (``Orange/data/table.py:530-537``,
+    weighted distributions in ``statistics/distribution.py``).  All are
+    plain ratio-of-sums expressions (map-side combinable, one shuffle):
+
+    - ``mean``   = Σwx / Σw
+    - ``var``    = Σwx² / Σw − (Σwx / Σw)²   (population, frequency weights)
+    - ``std``    = sqrt(var)
+    - ``sum``    = Σwx
+    - ``count``  = Σw over defined x
+    """
+    n = name.lower()
+    x = F.col(col).cast("double")
+    w = F.when(x.isNotNull() & ~F.isnan(x),
+               F.col(weight_col).cast("double"))
+    sw = F.sum(w)
+    swx = F.sum(w * x)
+    swx2 = F.sum(w * x * x)
+    if n == "mean":
+        return swx / sw
+    if n == "var":
+        return swx2 / sw - (swx / sw) * (swx / sw)
+    if n == "std":
+        return F.sqrt(swx2 / sw - (swx / sw) * (swx / sw))
+    if n == "sum":
+        return swx
+    if n == "count":
+        return sw
+    raise ValueError(f"unknown weighted aggregation {name!r}")
+
+
 AggSpec = Union[str, tuple[str, str], Column, Callable[[str], Column]]
 
 

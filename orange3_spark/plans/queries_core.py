@@ -607,3 +607,33 @@ def q_range_join(spark, sf_dir):
     return (j.groupBy("event_id")
              .agg(F.count(F.lit(1)).alias("n_clicks"),
                   F.round(F.sum("right_value"), 6).alias("click_value")))
+
+
+@query("q_groupby_weighted", """
+SELECT l_returnflag,
+       round(sum(l_quantity * l_extendedprice) / sum(l_quantity), 6)
+           AS w_mean_price,
+       round(sqrt(sum(l_quantity * l_extendedprice * l_extendedprice)
+                      / sum(l_quantity)
+                  - power(sum(l_quantity * l_extendedprice)
+                              / sum(l_quantity), 2)), 6) AS w_std_price,
+       round(sum(l_quantity * l_extendedprice), 4) AS w_sum_price,
+       round(sum(l_quantity), 4) AS w_count
+FROM lineitem GROUP BY l_returnflag
+""")
+def q_groupby_weighted(spark, sf_dir):
+    """Instance-weighted group-by (reference W column, table.py:530-537):
+    weighted mean/std/sum/count of extendedprice with quantity as the
+    weight — all ratio-of-sums expressions, one shuffle
+    (operators/groupby.py:weighted_agg_expr)."""
+    from orange3_spark.operators.groupby import weighted_agg_expr as WA
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (li.groupBy("l_returnflag")
+              .agg(F.round(WA("mean", "l_extendedprice", "l_quantity"), 6)
+                   .alias("w_mean_price"),
+                   F.round(WA("std", "l_extendedprice", "l_quantity"), 6)
+                   .alias("w_std_price"),
+                   F.round(WA("sum", "l_extendedprice", "l_quantity"), 4)
+                   .alias("w_sum_price"),
+                   F.round(WA("count", "l_extendedprice", "l_quantity"), 4)
+                   .alias("w_count")))

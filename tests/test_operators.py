@@ -227,3 +227,21 @@ def test_range_join_hand_case_and_plan(spark):
     assert got == [("a", 1.0), ("a", 2.0), ("b", 4.0), ("c", 5.0)]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_weighted_aggregates_hand_case(spark):
+    """Weighted mean/var against hand-computed values; NaN/NULL x rows
+    contribute neither value nor weight."""
+    from orange3_spark.operators.groupby import weighted_agg_expr as WA
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 1.0), ("g", 3.0, 3.0), ("g", None, 100.0),
+         ("g", float("nan"), 100.0)],
+        "k string, x double, w double")
+    r = df.groupBy("k").agg(
+        WA("mean", "x", "w").alias("m"), WA("var", "x", "w").alias("v"),
+        WA("count", "x", "w").alias("n")).first()
+    # mean = (1*1 + 3*3)/4 = 2.5 ; var = (1+27)/4 - 2.5^2 = 0.75 ; n = 4
+    assert abs(r.m - 2.5) < 1e-12
+    assert abs(r.v - 0.75) < 1e-12
+    assert r.n == 4.0
