@@ -78,3 +78,27 @@ def lenient_timestamp(col, *, formats=None, unix_fallback: bool = True) -> Colum
         probes.append(F.timestamp_seconds(
             F.when(c.rlike(_NUMERIC_RE), c).cast("double")))
     return F.coalesce(*probes)
+
+
+def epoch_seconds(col, *, fractional: bool = False) -> Column:
+    """Epoch seconds of a timestamp column, independent of the session
+    timezone and of whether the column is TIMESTAMP or TIMESTAMP_NTZ.
+
+    Spark 4 forbids casting TIMESTAMP_NTZ to numeric, and casting NTZ
+    through TIMESTAMP interprets the wall clock in the *session* zone —
+    a correctness trap when the caller's session isn't pinned to UTC
+    (parquet written by pandas/arrow without tz reads back as NTZ).
+    ``unix_timestamp`` interprets NTZ wall clocks as UTC regardless of the
+    session zone — the same convention DuckDB's ``epoch()`` applies to
+    naive timestamps — so results agree with SQL oracles everywhere.
+
+    ``fractional=True`` adds the sub-second part (exact: seconds are a
+    DECIMAL(8,6) field, and timezone offsets are whole minutes, so the
+    fraction is zone-invariant for LTZ inputs too).
+    """
+    if isinstance(col, str):
+        col = F.col(col)
+    secs = F.unix_timestamp(col)
+    if not fractional:
+        return secs
+    return secs + F.date_part(F.lit("SECOND"), col) % 1

@@ -594,14 +594,16 @@ def q_range_join(spark, sf_dir):
     after) so the plan is hash-join-shaped, never a nested-loop inequality
     join (operators/window.py:range_join); the oracle IS the inequality
     join, feasible at oracle scale."""
+    from orange3_spark.functions.timeparse import epoch_seconds
     from orange3_spark.operators.window import range_join
     ev = load_tables(spark, sf_dir, ("events",))["events"]
+    # epoch_seconds(fractional): tz-proof NTZ-safe equivalent of DuckDB's
+    # epoch(ts) — sub-second parity decides boundary-row membership.
+    t = epoch_seconds("ts", fractional=True).cast("double")
     p = (ev.where(F.col("event_type") == "purchase")
-           .select("event_id", "user_id",
-                   F.col("ts").cast("double").alias("t")))
+           .select("event_id", "user_id", t.alias("t")))
     c = (ev.where(F.col("event_type") == "click")
-           .select("user_id", F.col("ts").cast("double").alias("t"),
-                   "value"))
+           .select("user_id", t.alias("t"), "value"))
     j = range_join(p, c, on="t", lower=-3600, upper=0, by=["user_id"],
                    right_cols=["value"])
     return (j.groupBy("event_id")

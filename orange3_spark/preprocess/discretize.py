@@ -275,19 +275,25 @@ def fixed_time_width(df: DataFrame, col: str, width: int, unit: str,
     keeps bins stable under appends — the property a 100 TB ingest wants).
     Raises like the reference when the span exceeds ``max_intervals``.
     """
+    from orange3_spark.functions.timeparse import epoch_seconds
+
     out_col = out_col or f"{col}_bin"
     c = F.col(col)
     if unit in _FIXED_SECONDS or unit == "week":
+        # epoch_seconds, not cast: TIMESTAMP_NTZ (how tz-less parquet reads
+        # back in Spark 4) can't cast to numeric, and this stays correct in
+        # any session timezone.
+        ep = epoch_seconds(c)
         if unit == "week":
             # Monday-aligned week index: epoch day 0 is a Thursday (+3)
-            days = F.floor(c.cast("long") / F.lit(86400))
+            days = F.floor(ep / F.lit(86400))
             widx = F.floor((days + 3) / F.lit(7))
             bstart = (F.floor(widx / F.lit(width)) * width * 7 - 3) * 86400
             binc = F.timestamp_seconds(bstart.cast("long"))
         else:
             wsec = width * _FIXED_SECONDS[unit]
             binc = F.timestamp_seconds(
-                F.floor(c.cast("long") / F.lit(wsec)).cast("long") * wsec)
+                F.floor(ep / F.lit(wsec)).cast("long") * wsec)
     elif unit == "month":
         midx = (F.year(c) - 1970) * 12 + (F.month(c) - 1)
         b = F.floor(midx / F.lit(width)).cast("int") * width
