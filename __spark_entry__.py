@@ -32,16 +32,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness harness grades entries in dict order and may not reach the
-# tail in one round; order so every operator accumulates a driver-recorded
-# green row across rounds: (1) round-1 err/hash-mismatch queries first —
-# each has a fix to prove (nanos-parquet reads, new closed-form oracles,
-# tie-rank parity); (2) everything never checked; (3) queries already
-# verified green in CORRECTNESS_r01.json last.
+# tail in one round (round 1 checked the first 50); order so every operator
+# accumulates a driver-recorded green row across rounds: (1) round-1
+# err/hash-mismatch queries first — each has a fix to prove (nanos-parquet
+# reads, new closed-form oracles, tie-rank parity); (2) the never-checked
+# LLM-pipeline stack (dedup/similarity/text — first-class per the brief),
+# streaming, and new engine extensions; (3) remaining never-checked; (4)
+# queries already verified green in CORRECTNESS_r01.json last.
 _ERR_R1 = [
     "q_outlier_iqr", "q_maha_outliers", "q_groupby_matrix", "q_window_lag",
     "q_window_cumsum", "q_media_bytes", "q_ml_kmeans", "q_ml_dbscan",
     "q_ml_pca", "q_ml_logreg_cv", "q_ml_hierarchical",
     "q_distance_spearman_rows",
+]
+_PRIORITY_PENDING = [
+    # LLM-pipeline: dedup / similarity / text analysis
+    "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",
+    "q_dup_clusters", "q_knn_cosine", "q_neardup_cosine", "q_knn_ivf",
+    "q_fingerprint", "q_fingerprint_winnow", "q_text_stats", "q_text_quality",
+    "q_lang_id", "q_top_ngrams", "q_redact",
+    # streaming window/stateful surface (batch-checkable formulations)
+    "q_window_tumbling", "q_window_sliding", "q_window_session",
+    "q_stream_dedup", "q_stream_enrich", "q_time_rollup",
+    # engine extensions new in round 2
+    "q_udaf_geomean", "q_asof_join", "q_python_script", "q_range_join",
+    "q_groupby_weighted", "q_ml_cv_ols", "q_feature_statistics",
+    # evaluation + scorer parity closures from the round-1 verdict
+    "q_ml_metrics", "q_ml_shuffle_split", "q_feature_scores",
+    "q_ml_communities", "q_ml_cn2", "q_ml_pls", "q_ml_curvefit",
+    "q_ml_threshold", "q_ml_calibration_curve",
 ]
 _VERIFIED_GREEN_R1 = [
     "q_distance_rows", "q_distance_columns", "q_boxplot", "q_sieve_chi2",
@@ -60,10 +79,11 @@ _VERIFIED_GREEN_R1 = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first = [q for q in _ERR_R1 if q in QUERIES]
+    prio = [q for q in _PRIORITY_PENDING if q in QUERIES]
     green = [q for q in _VERIFIED_GREEN_R1 if q in QUERIES]
-    placed = set(first) | set(green)
+    placed = set(first) | set(prio) | set(green)
     pending = [q for q in QUERIES if q not in placed]
-    return {q: QUERIES[q] for q in first + pending + green}
+    return {q: QUERIES[q] for q in first + prio + pending + green}
 
 
 def oracle_sql() -> dict[str, str]:

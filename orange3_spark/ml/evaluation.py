@@ -52,6 +52,68 @@ def cross_validate(df: DataFrame, key: str, k: int,
     return out
 
 
+def cv_ols(df: DataFrame, key: str, k: int, features: Sequence[str],
+           target: str, salt: str = "") -> list[dict]:
+    """Exact k-fold cross-validation of OLS in ONE distributed scan.
+
+    The generic ``cross_validate`` costs 2k passes (k fits + k scorings).
+    For linear least squares every quantity is a sum, so one
+    ``groupBy(fold)`` pass over the augmented moments z z', z y, y²
+    (z = [1, x...]) determines everything on the driver:
+
+    - complement moments for fold i = column totals − fold i's moments
+      (no cancellation: both operands are positive sums of comparable
+      magnitude), solved to β_i via the (p+1)×(p+1) normal equations;
+    - held-out RSS_i = Σy²_i − 2 β_i·v_i + β_i' M_i β_i, evaluated from
+      the SAME fold-i moments — no second pass, no prediction join.
+
+    At 100 TB this is the difference between 2k table scans and one
+    map-side-combined aggregation whose shuffle is k×p² scalars.  Rows
+    with NULL in any feature/target are dropped (as ``ols_learner``).
+    Returns ``[{fold, intercept, coefficients, rmse}, ...]``.
+    """
+    import numpy as np
+
+    p = len(features)
+    z = [F.lit(1.0)] + [F.col(c).cast("double") for c in features]
+    y = F.col(target).cast("double")
+    aggs = [F.count(F.lit(1)).alias("n"),
+            F.sum(y * y).alias("yy")]
+    for i in range(p + 1):
+        for j in range(i, p + 1):
+            aggs.append(F.sum(z[i] * z[j]).alias(f"m_{i}_{j}"))
+        aggs.append(F.sum(z[i] * y).alias(f"v_{i}"))
+    folded = with_fold(df.na.drop(subset=[*features, target]), key, k, salt)
+    rows = {int(r["fold"]): r for r in folded.groupBy("fold").agg(*aggs).collect()}
+
+    def mom(r):
+        M = np.zeros((p + 1, p + 1))
+        v = np.zeros(p + 1)
+        for i in range(p + 1):
+            for j in range(i, p + 1):
+                M[i, j] = M[j, i] = r[f"m_{i}_{j}"]
+            v[i] = r[f"v_{i}"]
+        return M, v, float(r["yy"]), int(r["n"])
+
+    per = {f: mom(r) for f, r in rows.items()}
+    Mt = sum(m[0] for m in per.values())
+    vt = sum(m[1] for m in per.values())
+    out = []
+    for f in range(k):
+        if f not in per:
+            continue
+        Mi, vi, yyi, ni = per[f]
+        beta = np.linalg.solve(Mt - Mi, vt - vi)
+        rss = yyi - 2.0 * float(beta @ vi) + float(beta @ Mi @ beta)
+        out.append({
+            "fold": f,
+            "intercept": float(beta[0]),
+            "coefficients": [float(b) for b in beta[1:]],
+            "rmse": float(np.sqrt(max(rss, 0.0) / ni)),
+        })
+    return out
+
+
 # ------------------------------------------------------------------- scoring
 # each is ONE aggregation over (label, prediction) — no driver-side loops
 

@@ -230,20 +230,17 @@ def q_ml_cv_ols(spark, sf_dir):
     """The cross-validation MECHANISM verified end-to-end: deterministic
     content-hash folds (``ml/evaluation.py:with_fold``), per-fold OLS fit on
     the complement, RMSE on the held-out fold — all closed-form, so every
-    moving part of CV is oracle-checked.  Iterative learners ride the same
-    mechanism (``cross_validate``) and are quality-asserted in pytest
-    (logistic regression: ``tests/test_ml.py``)."""
+    moving part of CV is oracle-checked.  ``cv_ols`` does the whole k-fold
+    in ONE groupBy(fold) moment scan (complement normal equations by
+    subtraction, held-out RSS from the same moments) vs the naive 2k
+    passes.  Iterative learners ride the generic ``cross_validate`` and are
+    quality-asserted in pytest (logistic regression: ``tests/test_ml.py``)."""
     (orders,) = _t(spark, sf_dir, "orders")
-    folded = E.with_fold(orders, "o_orderkey", 3)
-    rows = []
-    for i in range(3):
-        train = folded.filter(F.col("fold") != i).drop("fold")
-        test = folded.filter(F.col("fold") == i).drop("fold")
-        m = L.ols_learner(train, ["o_custkey"], "o_totalprice")
-        r = E.rmse(m.predict(test), label="o_totalprice")
-        rows.append((i, m.intercept, m.coefficients[0], r))
+    rows = E.cv_ols(orders, "o_orderkey", 3, ["o_custkey"], "o_totalprice")
     return spark.createDataFrame(
-        rows, "fold int, intercept double, slope double, rmse double")
+        [(r["fold"], r["intercept"], r["coefficients"][0], r["rmse"])
+         for r in rows],
+        "fold int, intercept double, slope double, rmse double")
 
 
 @query("q_ml_metrics", f"""

@@ -54,7 +54,12 @@ def get_spark(app_name: str = "orange3-spark", **extra_conf: str) -> SparkSessio
         # Spark's reader rejects; read them as long and convert at ingest
         # (see load_tables).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] runs driver+executor in ONE JVM: size the heap for the
+        # executor work, not driver bookkeeping.  8g showed single ~15-19 s
+        # full-GC stalls under the dedup section's shuffle churn; 32g keeps
+        # G1 in concurrent mode for the whole 112-query bench.  On a real
+        # cluster this maps to executor memory, not driver memory.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         # managed-table warehouse (bucketed tables, sources/bucketing.py) —
         # kept out of the repo tree
         .config("spark.sql.warehouse.dir",

@@ -76,6 +76,28 @@ def test_cross_validate_deterministic(emb):
     assert len(run()) == 3
 
 
+def test_cv_ols_matches_naive_loop(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(i, float(i % 17), float(i % 23), 3.0 + 2.0 * (i % 17)
+          - 0.5 * (i % 23) + (i * 37 % 11) / 7.0) for i in range(400)],
+        "id long, x1 double, x2 double, y double")
+    fused = E.cv_ols(df, "id", 4, ["x1", "x2"], "y")
+    assert [r["fold"] for r in fused] == [0, 1, 2, 3]
+    folded = E.with_fold(df, "id", 4)
+    for r in fused:
+        i = r["fold"]
+        train = folded.filter(F.col("fold") != i).drop("fold")
+        test = folded.filter(F.col("fold") == i).drop("fold")
+        m = L.ols_learner(train, ["x1", "x2"], "y")
+        assert math.isclose(r["intercept"], m.intercept, rel_tol=1e-9)
+        for a, b in zip(r["coefficients"], m.coefficients):
+            assert math.isclose(a, b, rel_tol=1e-9)
+        assert math.isclose(r["rmse"], E.rmse(m.predict(test), label="y"),
+                            rel_tol=1e-9)
+
+
 def test_scoring_formulas(spark):
     # labels/preds chosen so tp=2 fp=1 fn=1 tn=2
     df = spark.createDataFrame(
