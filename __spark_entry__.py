@@ -56,7 +56,8 @@ _PRIORITY_PENDING = [
     "q_stream_dedup", "q_stream_enrich", "q_time_rollup",
     # engine extensions new in round 2
     "q_udaf_geomean", "q_asof_join", "q_python_script", "q_range_join",
-    "q_groupby_weighted", "q_ml_cv_ols", "q_feature_statistics",
+    "q_groupby_weighted", "q_groupby_salted", "q_ml_cv_ols",
+    "q_feature_statistics",
     # evaluation + scorer parity closures from the round-1 verdict
     "q_ml_metrics", "q_ml_shuffle_split", "q_feature_scores",
     "q_ml_communities", "q_ml_cn2", "q_ml_pls", "q_ml_curvefit",

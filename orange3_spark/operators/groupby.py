@@ -162,3 +162,65 @@ def aggregate(
     if not keys:
         return df.agg(*exprs)
     return df.groupBy(*keys).agg(*exprs)
+
+
+_SALTED_MERGE = {
+    "count": F.sum, "sum": F.sum, "min": F.min, "max": F.max,
+}
+
+
+def salted_aggregate(df: DataFrame, keys: Sequence[str],
+                     aggs: Mapping[str, Sequence[str]], *,
+                     n_salts: int = 32,
+                     salt_on: Optional[Sequence[str]] = None) -> DataFrame:
+    """Two-phase aggregation for SKEWED group keys.
+
+    A plain ``groupBy(keys)`` hashes every row of a hot key to one reducer;
+    AQE's skew handling splits join partitions, not aggregation partitions,
+    so at 100 TB a 90 %-English ``groupBy(language)`` stalls on one task.
+    Phase 1 groups by ``(keys, salt)`` — ``salt`` is a deterministic hash
+    of ``salt_on`` (default: every non-key column) mod ``n_salts`` — so a
+    hot key's rows spread over ``n_salts`` reducers; phase 2 merges the
+    ``n_salts`` partials per key.  Phase-2 input is ≤ groups×n_salts rows,
+    metadata-sized regardless of data volume.
+
+    Supported agg names: ``count, sum, min, max, mean`` — the algebraically
+    decomposable set (mean = merged sum / merged count; medians and other
+    holistic aggs cannot be salted — use ``approx=True`` percentiles in
+    ``aggregate`` instead).  Output columns ``{col}_{agg}``, matching
+    ``aggregate``.  Deterministic: the salt is content-hashed, never
+    ``rand()``, so retries/AQE replans reproduce the same partials.
+    """
+    salt_cols = [F.col(c) for c in (salt_on or
+                                    [c for c in df.columns if c not in keys])]
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts)))
+
+    partials: dict[str, Column] = {}
+    merge_exprs: list[Column] = []
+    for col, names in aggs.items():
+        for name in names:
+            n = name.lower()
+            out = f"{col}_{name}"
+            x = F.col(col).cast("double") if n in ("sum", "mean") else F.col(col)
+            if n == "mean":
+                partials.setdefault(f"__s_{col}", F.sum(x).alias(f"__s_{col}"))
+                partials.setdefault(f"__c_{col}",
+                                    F.count(col).alias(f"__c_{col}"))
+                merge_exprs.append(
+                    (F.sum(f"__s_{col}") / F.sum(f"__c_{col}")).alias(out))
+            elif n == "count":
+                partials.setdefault(f"__p_{out}",
+                                    F.count(col).alias(f"__p_{out}"))
+                merge_exprs.append(F.sum(f"__p_{out}").alias(out))
+            elif n in _SALTED_MERGE:
+                partials.setdefault(
+                    f"__p_{out}",
+                    getattr(F, n)(x).alias(f"__p_{out}"))
+                merge_exprs.append(_SALTED_MERGE[n](f"__p_{out}").alias(out))
+            else:
+                raise ValueError(
+                    f"{name!r} is not algebraically decomposable; "
+                    "salted_aggregate supports count/sum/min/max/mean")
+    part = salted.groupBy(*keys, "__salt").agg(*partials.values())
+    return part.groupBy(*keys).agg(*merge_exprs)

@@ -639,3 +639,31 @@ def q_groupby_weighted(spark, sf_dir):
                    .alias("w_sum_price"),
                    F.round(WA("count", "l_extendedprice", "l_quantity"), 4)
                    .alias("w_count")))
+
+
+@query("q_groupby_salted", """
+SELECT l_returnflag,
+       count(l_extendedprice) AS l_extendedprice_count,
+       round(sum(l_extendedprice), 2) AS l_extendedprice_sum,
+       round(avg(l_extendedprice), 6) AS l_extendedprice_mean,
+       min(l_extendedprice) AS l_extendedprice_min,
+       max(l_extendedprice) AS l_extendedprice_max
+FROM lineitem GROUP BY l_returnflag
+""")
+def q_groupby_salted(spark, sf_dir):
+    """Two-phase salted aggregation for skewed group keys
+    (operators/groupby.py:salted_aggregate): phase 1 groups by (key,
+    content-hash salt mod 32) so a hot key spreads over 32 reducers, phase
+    2 merges ≤ groups×32 partial rows.  l_returnflag is exactly the shape
+    that dies at 100 TB un-salted (3 keys, one reducer each); the oracle is
+    the plain GROUP BY the decomposition must reproduce."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    out = G.salted_aggregate(
+        li, ["l_returnflag"],
+        {"l_extendedprice": ["count", "sum", "mean", "min", "max"]},
+        n_salts=32, salt_on=["l_orderkey", "l_linenumber"])
+    return out.select(
+        "l_returnflag", "l_extendedprice_count",
+        F.round("l_extendedprice_sum", 2).alias("l_extendedprice_sum"),
+        F.round("l_extendedprice_mean", 6).alias("l_extendedprice_mean"),
+        "l_extendedprice_min", "l_extendedprice_max")

@@ -22,6 +22,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _watermarked(df: DataFrame, time_col: str, watermark: str) -> DataFrame:
+    """``withWatermark`` requires TIMESTAMP (LTZ) event time, but parquet
+    written without a timezone (pandas/arrow default) reads back as
+    TIMESTAMP_NTZ in Spark 4.  Cast NTZ → LTZ first: the wall clock is
+    interpreted in the session zone, which the engine session pins to UTC
+    (session.py) — the same naive-equals-UTC convention the oracles use.
+    """
+    if dict(df.dtypes).get(time_col) == "timestamp_ntz":
+        df = df.withColumn(time_col, F.col(time_col).cast("timestamp"))
+    return df.withWatermark(time_col, watermark)
+
+
 def tumbling(df: DataFrame, time_col: str, duration: str,
              keys: Sequence[str], aggs: Sequence[Column],
              watermark: Optional[str] = None) -> DataFrame:
@@ -32,7 +44,7 @@ def tumbling(df: DataFrame, time_col: str, duration: str,
     than max(event_time) − watermark is evicted and late rows dropped.
     """
     if watermark:
-        df = df.withWatermark(time_col, watermark)
+        df = _watermarked(df, time_col, watermark)
     w = F.window(F.col(time_col), duration)
     return _windowed(df, w.alias("w"), keys, aggs, "window_start", "window_end")
 
@@ -44,7 +56,7 @@ def sliding(df: DataFrame, time_col: str, duration: str, slide: str,
     in duration/slide windows (Spark expands rows internally; state cost
     scales with the overlap factor)."""
     if watermark:
-        df = df.withWatermark(time_col, watermark)
+        df = _watermarked(df, time_col, watermark)
     w = F.window(F.col(time_col), duration, slide)
     return _windowed(df, w.alias("w"), keys, aggs, "window_start", "window_end")
 
@@ -56,7 +68,7 @@ def session(df: DataFrame, time_col: str, gap: str,
     (dynamic window end = last event + gap).  In streaming this REQUIRES a
     watermark (the session can't close otherwise)."""
     if watermark:
-        df = df.withWatermark(time_col, watermark)
+        df = _watermarked(df, time_col, watermark)
     w = F.session_window(F.col(time_col), gap)
     return _windowed(df, w.alias("w"), keys, aggs, "session_start", "session_end")
 
@@ -103,7 +115,7 @@ def dedup(df: DataFrame, keys: Sequence[str], *, time_col: str = "ts",
     if df.isStreaming:
         if watermark is None:
             raise ValueError("streaming dedup requires a watermark")
-        return (df.withWatermark(time_col, watermark)
+        return (_watermarked(df, time_col, watermark)
                   .dropDuplicatesWithinWatermark(list(keys)))
     return df.dropDuplicates(list(keys))
 

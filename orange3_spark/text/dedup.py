@@ -105,14 +105,21 @@ def shingle_table(df: DataFrame, text_col: str = "text",
 
 def jaccard_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", *, n: int = 3,
-                  threshold: float = 0.5) -> DataFrame:
+                  threshold: float = 0.5,
+                  max_df: Optional[int] = None) -> DataFrame:
     """All document pairs with n-gram Jaccard ≥ threshold.
 
     Plan: shingle sizes (one pass) + shingle self-join (pairs sharing ≥1
     shingle only) + per-pair overlap count → |A∩B| / (|A|+|B|−|A∩B|).
-    Hot shingles can skew the join — drop shingles occurring in more than
-    ``max_df`` docs upstream if needed (they contribute pairs that will be
-    verified anyway).
+
+    ``max_df`` is the skew valve for 100 TB corpora: a shingle present in
+    d docs contributes d² join rows, so one boilerplate trigram ("all
+    rights reserved") can dominate the whole shuffle.  With ``max_df``
+    set, shingles whose document frequency exceeds it are dropped from the
+    JOIN side only — true sizes still count them, so the computed Jaccard
+    is a lower bound that differs only for pairs whose sole overlap is
+    ultra-common boilerplate (exactly the pairs near-dup dedup does not
+    want).  Default ``None`` keeps the exact semantics.
     """
     sh = (shingle_table(df, text_col, id_col, n)
           # join key as a 64-bit hash: the shuffle moves 8-byte longs, not
@@ -120,8 +127,13 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
           .select(F.col(id_col), F.xxhash64("shingle").alias("s64"))
           .cache())
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    joinable = sh
+    if max_df is not None:
+        rare = (sh.groupBy("s64").agg(F.count(F.lit(1)).alias("df"))
+                  .filter(F.col("df") <= max_df).select("s64"))
+        joinable = sh.join(rare, "s64")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     pairs = (a.join(b, (F.col("a.s64") == F.col("b.s64"))
                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
               .groupBy(F.col(f"a.{id_col}").alias("id_a"),
@@ -189,13 +201,22 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            num_hashes: int = 64, bands: int = 16,
                            seed: int = 42,
                            shingle_df: Optional[DataFrame] = None,
-                           hash_family: str = "xxhash64") -> DataFrame:
+                           hash_family: str = "xxhash64",
+                           max_bucket: Optional[int] = None) -> DataFrame:
     """LSH banding: split the signature into ``bands`` rows-per-band chunks,
     hash each chunk, self-join on (band_index, chunk_hash).
 
     Two docs land in the same bucket iff one band of their signatures agrees
     exactly — the classic (s^r) curve.  Returns distinct candidate (id_a,
     id_b) pairs; verify with ``jaccard_pairs`` semantics downstream.
+
+    ``max_bucket`` caps bucket size before the self-join: a bucket of d
+    docs yields d(−1)/2 pairs, and at web scale one template bucket (empty
+    docs, boilerplate) can emit billions.  Overflowing buckets are dropped
+    — their members, being near-identical to thousands of others, are
+    still caught in OTHER bands with overwhelming probability (a pair is a
+    candidate if ANY of the ``bands`` buckets matches).  Default ``None``
+    = exact classic behavior.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -220,6 +241,12 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     # tiny (docs × bands rows of 3 scalars) — cache so the self-join's two
     # sides don't each recompute the signatures
     band_rows = band_rows.cache()
+    if max_bucket is not None:
+        ok = (band_rows.groupBy("band", "bucket")
+                       .agg(F.count(F.lit(1)).alias("_bs"))
+                       .filter(F.col("_bs") <= max_bucket)
+                       .select("band", "bucket"))
+        band_rows = band_rows.join(ok, ["band", "bucket"])
     a, b_ = band_rows.alias("a"), band_rows.alias("b")
     return (a.join(b_, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bucket") == F.col("b.bucket"))
@@ -452,15 +479,26 @@ def simhash_near_dups_md5(df: DataFrame, text_col: str = "text",
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", *, max_hamming: int = 8,
-                      prefix_bits: int = 16, seed: int = 42) -> DataFrame:
+                      prefix_bits: int = 16, seed: int = 42,
+                      max_block: Optional[int] = None) -> DataFrame:
     """Near-dup pairs by SimHash: block on the top ``prefix_bits`` bits
     (near-dups usually share the prefix after one rotation — this uses the
-    single-block simplification), then filter by Hamming distance."""
+    single-block simplification), then filter by Hamming distance.
+
+    ``max_block`` is the skew valve: degenerate corpora concentrate one
+    block (empty/template docs hash to the same signature → d²/2 pairs in
+    one task).  Blocks over the cap are dropped with the same rationale as
+    ``minhash_lsh_candidates(max_bucket=...)``; exact mode is the default.
+    """
     h = simhash_table(df, text_col, id_col, seed=seed)
     h = h.withColumn("block", F.shiftright("sh", 64 - prefix_bits))
     # one (id, sh, block) row per doc — cache so the self-join's two sides
     # don't each replay the explode + 64-vote aggregation
     h = h.cache()
+    if max_block is not None:
+        ok = (h.groupBy("block").agg(F.count(F.lit(1)).alias("_bs"))
+               .filter(F.col("_bs") <= max_block).select("block"))
+        h = h.join(ok, "block")
     a, b = h.alias("a"), h.alias("b")
     return (a.join(b, (F.col("a.block") == F.col("b.block"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

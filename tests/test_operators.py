@@ -245,3 +245,34 @@ def test_weighted_aggregates_hand_case(spark):
     assert abs(r.m - 2.5) < 1e-12
     assert abs(r.v - 0.75) < 1e-12
     assert r.n == 4.0
+
+
+def test_salted_aggregate_matches_plain_groupby(spark):
+    """Two-phase salted agg must reproduce the plain groupBy exactly —
+    including a pathologically hot key (90% of rows)."""
+    from orange3_spark.operators.groupby import salted_aggregate
+
+    rows = [("hot" if i % 10 else "cold", i, float(i % 97)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k string, id long, x double")
+    got = {r["k"]: r for r in salted_aggregate(
+        df, ["k"], {"x": ["count", "sum", "mean", "min", "max"]},
+        n_salts=16, salt_on=["id"]).collect()}
+    want = {r["k"]: r for r in df.groupBy("k").agg(
+        F.count("x").alias("x_count"), F.sum("x").alias("x_sum"),
+        F.avg("x").alias("x_mean"), F.min("x").alias("x_min"),
+        F.max("x").alias("x_max")).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["x_count"] == want[k]["x_count"]
+        assert abs(got[k]["x_sum"] - want[k]["x_sum"]) < 1e-6
+        assert abs(got[k]["x_mean"] - want[k]["x_mean"]) < 1e-9
+        assert got[k]["x_min"] == want[k]["x_min"]
+        assert got[k]["x_max"] == want[k]["x_max"]
+
+
+def test_salted_aggregate_rejects_holistic(spark):
+    from orange3_spark.operators.groupby import salted_aggregate
+
+    df = spark.createDataFrame([("a", 1.0)], "k string, x double")
+    with pytest.raises(ValueError, match="decomposable"):
+        salted_aggregate(df, ["k"], {"x": ["median"]})

@@ -71,6 +71,48 @@ def test_minhash_recall_vs_exact(docs):
     assert exact == mh
 
 
+def test_jaccard_max_df_drops_boilerplate_only_pairs(spark):
+    # docs 0-3 share ONLY the boilerplate trigram (df=4); 4/5 are near-dups
+    boiler = "all rights reserved"
+    df = spark.createDataFrame([
+        (0, f"{boiler} alpha beta gamma delta"),
+        (1, f"{boiler} epsilon zeta eta theta"),
+        (2, f"{boiler} iota kappa lam mu"),
+        (3, f"{boiler} nu xi omicron pi"),
+        (4, "rho sigma tau upsilon phi chi psi"),
+        (5, "rho sigma tau upsilon phi chi omega"),
+    ], "doc_id long, text string")
+    exact = TD.jaccard_pairs(df, threshold=0.05)
+    capped = TD.jaccard_pairs(df, threshold=0.05, max_df=3)
+    assert exact.count() > capped.count()
+    keep = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (4, 5) in keep                       # real near-dups survive
+    assert not any(a <= 3 and b <= 3 for a, b in keep)
+
+
+def test_minhash_max_bucket_still_finds_neardups(docs):
+    uncapped = {(r["id_a"], r["id_b"])
+                for r in TD.minhash_lsh_candidates(docs).collect()}
+    # cap of 2 keeps every bucket on this corpus's near-dup cluster (size 3
+    # appears only via multiple bands); the pair set must stay superset of
+    # the true near-dups
+    capped = {(r["id_a"], r["id_b"])
+              for r in TD.minhash_lsh_candidates(docs, max_bucket=2).collect()}
+    assert capped <= uncapped
+    assert (0, 1) in capped or (0, 3) in capped
+
+
+def test_simhash_max_block_caps_degenerate_block(spark):
+    same = [(i, "identical template text body") for i in range(6)]
+    df = spark.createDataFrame(same + [(9, "something else entirely here")],
+                               "doc_id long, text string")
+    full = TD.simhash_near_dups(df, max_hamming=64, prefix_bits=4)
+    capped = TD.simhash_near_dups(df, max_hamming=64, prefix_bits=4,
+                                  max_block=3)
+    assert full.count() >= 15          # 6 identical docs -> C(6,2) in block
+    assert capped.count() < full.count()
+
+
 def test_simhash_near_dups(docs):
     out = {(r["id_a"], r["id_b"]): r["hamming"]
            for r in TD.simhash_near_dups(docs, max_hamming=10,
