@@ -169,6 +169,38 @@ def q_dedup_minhash(spark, sf_dir):
                             threshold=0.2, seed=0, hash_family="md5")
 
 
+@query("q_dedup_incremental", f"""
+WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+       FROM toks, unnest(range(1, len(w)-1)) AS u(i)),
+sig AS (SELECT doc_id,
+       {_MH_AGGS}
+       FROM sh GROUP BY doc_id),
+bands AS (
+  {_MH_BAND_SELECTS})
+SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_index
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+""")
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental ingest dedup: new batch (doc_id % 5 = 0) probes the
+    persisted LSH band index of the historical corpus (doc_id % 5 ≠ 0) —
+    (text/dedup.py:minhash_band_table + lsh_probe).  Signatures are
+    per-document, so batch-built and corpus-built indexes are identical;
+    the probe is an equi-join that shuffles only the new batch when the
+    index is stored bucketed on (band, bucket).  md5 family so the oracle
+    replays the exact index + probe."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    hist = docs.where(F.col("doc_id") % 5 != 0)
+    nb = TD.minhash_band_table(new, num_hashes=_MH_K, bands=_MH_BANDS,
+                               seed=0, hash_family="md5")
+    ib = TD.minhash_band_table(hist, num_hashes=_MH_K, bands=_MH_BANDS,
+                               seed=0, hash_family="md5")
+    return TD.lsh_probe(nb, ib)
+
+
 def _sim_vote(b):
     ci, shift = b // 4 + 1, 3 - b % 4
     return ("sum(CASE WHEN ((strpos('0123456789abcdef', substring(md5(t), "

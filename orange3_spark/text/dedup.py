@@ -196,6 +196,71 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def minhash_band_table(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", *, n: int = 3,
+                       num_hashes: int = 64, bands: int = 16,
+                       seed: int = 42,
+                       shingle_df: Optional[DataFrame] = None,
+                       hash_family: str = "xxhash64") -> DataFrame:
+    """The PERSISTABLE LSH index: ``(id, band, bucket)`` rows, ``bands``
+    per document.  Write this table out (partitioned/bucketed by
+    ``(band, bucket)``) and incremental ingest never re-reads the corpus —
+    new documents probe the index (:func:`lsh_probe`) instead of joining
+    against all historical text.  Signatures are per-document, so an index
+    built corpus-at-once and one grown batch-by-batch are identical."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n=n,
+                             num_hashes=num_hashes, seed=seed,
+                             shingle_df=shingle_df, hash_family=hash_family)
+    # both families carry bigint h{k} columns now; cast explicitly so the
+    # bucket string matches the oracle's ``h0 || ',' || h1`` rendering
+    bucket_of = (lambda cols: F.md5(F.concat_ws(",", *[c.cast("string")
+                                                       for c in cols]))) \
+        if hash_family == "md5" else \
+        (lambda cols: F.xxhash64(F.concat_ws(",", *[c.cast("string")
+                                                    for c in cols])))
+    band_structs = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 bucket_of([F.col(f"h{b * r + j}") for j in range(r)])
+                 .alias("bucket"))
+        for b in range(bands)])
+    return (sig.select(F.col(id_col), F.explode(band_structs).alias("bb"))
+               .select(id_col, F.col("bb.band").alias("band"),
+                       F.col("bb.bucket").alias("bucket")))
+
+
+def lsh_probe(new_bands: DataFrame, index_bands: DataFrame,
+              id_col: str = "doc_id", *,
+              max_bucket: Optional[int] = None) -> DataFrame:
+    """Incremental near-dup candidates: new documents' band rows vs a
+    persisted index (:func:`minhash_band_table`) — the ingest-pipeline
+    shape at 100 TB, where each batch is ~0.1 % of the corpus and
+    re-running the all-pairs self-join would rescan everything.
+
+    Equi-join on ``(band, bucket)``; with the index stored bucketed on
+    those keys the probe shuffles ONLY the new batch.  Returns distinct
+    ``(id_new, id_index)`` pairs (a new doc may also pair with an earlier
+    doc of the same batch if the caller includes the batch in the index).
+    ``max_bucket`` caps INDEX bucket size pre-join, as in
+    :func:`minhash_lsh_candidates`."""
+    idx = index_bands
+    if max_bucket is not None:
+        ok = (idx.groupBy("band", "bucket")
+                 .agg(F.count(F.lit(1)).alias("_bs"))
+                 .filter(F.col("_bs") <= max_bucket)
+                 .select("band", "bucket"))
+        idx = idx.join(ok, ["band", "bucket"])
+    a = new_bands.alias("a")
+    b = idx.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id_new"),
+                     F.col(f"b.{id_col}").alias("id_index"))
+             .distinct())
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", *, n: int = 3,
                            num_hashes: int = 64, bands: int = 16,
@@ -218,26 +283,10 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     candidate if ANY of the ``bands`` buckets matches).  Default ``None``
     = exact classic behavior.
     """
-    assert num_hashes % bands == 0
-    r = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n=n,
-                             num_hashes=num_hashes, seed=seed,
-                             shingle_df=shingle_df, hash_family=hash_family)
-    # both families carry bigint h{k} columns now; cast explicitly so the
-    # bucket string matches the oracle's ``h0 || ',' || h1`` rendering
-    bucket_of = (lambda cols: F.md5(F.concat_ws(",", *[c.cast("string")
-                                                       for c in cols]))) \
-        if hash_family == "md5" else \
-        (lambda cols: F.xxhash64(F.concat_ws(",", *[c.cast("string")
-                                                    for c in cols])))
-    band_structs = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 bucket_of([F.col(f"h{b * r + j}") for j in range(r)])
-                 .alias("bucket"))
-        for b in range(bands)])
-    band_rows = (sig.select(F.col(id_col), F.explode(band_structs).alias("bb"))
-                    .select(id_col, F.col("bb.band").alias("band"),
-                            F.col("bb.bucket").alias("bucket")))
+    band_rows = minhash_band_table(df, text_col, id_col, n=n,
+                                   num_hashes=num_hashes, bands=bands,
+                                   seed=seed, shingle_df=shingle_df,
+                                   hash_family=hash_family)
     # tiny (docs × bands rows of 3 scalars) — cache so the self-join's two
     # sides don't each recompute the signatures
     band_rows = band_rows.cache()

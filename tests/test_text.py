@@ -102,6 +102,23 @@ def test_minhash_max_bucket_still_finds_neardups(docs):
     assert (0, 1) in capped or (0, 3) in capped
 
 
+def test_incremental_probe_equals_full_corpus_restriction(docs):
+    """Probing new docs against a band index of the old corpus must find
+    exactly the full-corpus LSH candidates that cross the new/old split."""
+    new = docs.filter(F.col("doc_id") >= 3)
+    old = docs.filter(F.col("doc_id") < 3)
+    nb = TD.minhash_band_table(new)
+    ib = TD.minhash_band_table(old)
+    got = {(r["id_new"], r["id_index"])
+           for r in TD.lsh_probe(nb, ib).collect()}
+    full = {(r["id_a"], r["id_b"])
+            for r in TD.minhash_lsh_candidates(docs).collect()}
+    want = {(b, a) for a, b in full if a < 3 <= b} | \
+           {(a, b) for a, b in full if b < 3 <= a}
+    assert got == want
+    assert (3, 0) in got        # doc 3 duplicates doc 0 across the split
+
+
 def test_simhash_max_block_caps_degenerate_block(spark):
     same = [(i, "identical template text body") for i in range(6)]
     df = spark.createDataFrame(same + [(9, "something else entirely here")],
