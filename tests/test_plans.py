@@ -143,3 +143,18 @@ def test_asof_and_range_join_plans(spark, sf_dir):
         assert "EqualTo(event_type,purchase)" in pushed, name
         assert "EqualTo(event_type,click)" in pushed, name
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_salted_aggregate_two_exchanges(spark, sf_dir):
+    """Salted agg = exactly two shuffles: (key, salt) partials, then the
+    metadata-sized merge on key — never a third pass."""
+    plan = _plan(spark, sf_dir, "q_groupby_salted")
+    n_exchange = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchange == 2, f"expected 2 exchanges, saw {n_exchange}"
+
+
+def test_incremental_probe_is_equijoin(spark, sf_dir):
+    """The index probe must stay a hash equi-join on (band, bucket) —
+    no nested-loop fallback, no cartesian."""
+    plan = _plan(spark, sf_dir, "q_dedup_incremental")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
