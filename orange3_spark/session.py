@@ -60,6 +60,15 @@ def get_spark(app_name: str = "orange3-spark", **extra_conf: str) -> SparkSessio
         # G1 in concurrent mode for the whole 112-query bench.  On a real
         # cluster this maps to executor memory, not driver memory.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # Shuffle/spill files on tmpfs when available: local-mode bench runs
+        # showed one ~20 s stall per run at a random query with clean GC
+        # logs (max pause 22 ms) — consistent with page-cache writeback of
+        # shuffle files to disk, which tmpfs sidesteps.  Real clusters put
+        # local dirs on NVMe; this is the local-harness equivalent.
+        .config("spark.local.dir",
+                os.environ.get("SPARK_GRAFT_LOCAL_DIR",
+                               "/dev/shm/spark-local"
+                               if os.path.isdir("/dev/shm") else "/tmp"))
         # managed-table warehouse (bucketed tables, sources/bucketing.py) —
         # kept out of the repo tree
         .config("spark.sql.warehouse.dir",
