@@ -191,10 +191,15 @@ def salted_aggregate(df: DataFrame, keys: Sequence[str],
     ``aggregate``.  Deterministic: the salt is content-hashed, never
     ``rand()``, so retries/AQE replans reproduce the same partials.
     """
-    salt_cols = [F.col(c) for c in (salt_on or
-                                    [c for c in df.columns if c not in keys])]
+    salt_src = list(salt_on) if salt_on else \
+        [c for c in df.columns if c not in keys]
+    if not salt_src:
+        raise ValueError(
+            "salted_aggregate needs at least one non-key column to salt on "
+            "(a salt derived from the group key cannot spread a hot key)")
     salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts)))
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(n_salts)))
 
     partials: dict[str, Column] = {}
     merge_exprs: list[Column] = []
