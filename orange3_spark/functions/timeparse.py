@@ -63,15 +63,18 @@ _NUMERIC_RE = r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$"
 def lenient_timestamp(col, *, formats=None, unix_fallback: bool = True) -> Column:
     """Parse a string column as a timestamp, trying every known format.
 
-    Mirrors ``TimeVariable.parse``: strip a trailing ``Z`` (UTC marker),
-    probe the format table in order, else read a plain number as Unix
-    seconds.  Unparseable values become NULL (the reference raises; at
-    100 TB a poison row must not kill the job — filter
-    ``parsed IS NULL AND raw IS NOT NULL`` to audit rejects).
+    Mirrors ``TimeVariable.parse``: a trailing ``Z`` (UTC marker) becomes
+    an explicit ``+0000`` offset — NOT stripped, which would re-interpret
+    the wall clock in the session timezone and shift Z-suffixed instants
+    by the session offset in any non-UTC caller session.  Then probe the
+    format table in order, else read a plain number as Unix seconds.
+    Unparseable values become NULL (the reference raises; at 100 TB a
+    poison row must not kill the job — filter ``parsed IS NULL AND raw IS
+    NOT NULL`` to audit rejects).
     """
     if isinstance(col, str):
         col = F.col(col)
-    c = F.regexp_replace(F.trim(col), "Z$", "")
+    c = F.regexp_replace(F.trim(col), "Z$", "+0000")
     probes = [F.try_to_timestamp(c, F.lit(f))
               for f in (formats or ISO_FORMATS + ADDITIONAL_FORMATS)]
     if unix_fallback:

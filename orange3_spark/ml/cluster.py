@@ -95,9 +95,12 @@ def kmeans_lloyd(df: DataFrame, id_col: str, *, array_col: str,
                .agg(*[F.avg(arr.getItem(j)).alias(f"c{j}")
                       for j in range(dim)])
                .collect())
-        centroids = sorted((int(r["cluster"]),
-                            [float(r[f"c{j}"]) for j in range(dim)])
-                           for r in new)
+        # keep the previous centroid for a cluster that lost every member:
+        # np.argmin labels are POSITIONS in the centroid array, so dropping
+        # an empty cluster would silently renumber all later labels
+        got = {int(r["cluster"]): [float(r[f"c{j}"]) for j in range(dim)]
+               for r in new}
+        centroids = [(i, got.get(i, c)) for i, c in centroids]
     return assign(df, centroids)
 
 

@@ -119,6 +119,10 @@ def curve_fit(df: DataFrame, model, target_col: str,
     it = 0
     for it in range(1, max_iter + 1):
         jtj, jtr, sse, n = _moments(p)
+        if sse is None or not n:
+            raise ValueError(
+                "curve_fit: no rows with non-NULL features/target — "
+                "nothing to fit")
         accepted = False
         trial_lam = lam
         for _ in range(lm_tries):

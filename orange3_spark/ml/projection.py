@@ -229,10 +229,16 @@ def radviz(df: DataFrame, cols: Sequence[str], *,
     y = sum((F.lit(a[1]) * v for a, v in zip(anchors[1:], normed[1:])),
             F.lit(anchors[0][1]) * normed[0])
     zero = F.lit(0.0)
-    return (df.withColumn(f"{prefix}_x",
-                          F.coalesce(F.try_divide(x, F.nullif(s, zero)), zero))
-              .withColumn(f"{prefix}_y",
-                          F.coalesce(F.try_divide(y, F.nullif(s, zero)), zero)))
+
+    def proj(num):
+        # s NULL (some feature missing) must stay NULL — only the genuine
+        # all-at-minimum s == 0 case maps to the origin; a blanket coalesce
+        # would plot missing-data rows at (0, 0)
+        return F.when(s.isNull(), F.lit(None).cast("double")).otherwise(
+            F.coalesce(F.try_divide(num, F.nullif(s, zero)), zero))
+
+    return (df.withColumn(f"{prefix}_x", proj(x))
+              .withColumn(f"{prefix}_y", proj(y)))
 
 
 # --------------------------------------------------------------- FreeViz

@@ -144,7 +144,11 @@ def cn2_induce(df: DataFrame, attrs: Sequence[str], class_col: str, *,
             break
         rule = Rule(sels, cls, quality, tot, top)
         rules.append(rule)
-        remaining = remaining.where(~rule.predicate()).cache()
+        # coalesce: a NULL attribute makes predicate() NULL, and WHERE ~NULL
+        # would silently drop the row; reference semantics are "missing value
+        # fails the selector", so the row must stay uncovered
+        remaining = remaining.where(
+            ~F.coalesce(rule.predicate(), F.lit(False))).cache()
         cached.append(remaining)
 
     # default rule over whatever is left

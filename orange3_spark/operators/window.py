@@ -116,12 +116,18 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str,
         if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     u = lt.unionByName(rt.select(lt.columns))
+    # final content-hash tiebreak: two right rows with identical (by, on)
+    # would otherwise leave last() picking whichever the shuffle ordered
+    # last — nondeterministic across runs/partitionings
+    tie = F.xxhash64(*[F.col(f"__r_{c}") for c in rc]) if rc else F.lit(0)
     if direction == "backward":
         w = Window.partitionBy(*bys).orderBy(F.col(on).asc(),
-                                             F.col("__side").asc())
+                                             F.col("__side").asc(),
+                                             tie.asc())
     else:
         w = Window.partitionBy(*bys).orderBy(F.col(on).desc(),
-                                             F.col("__side").asc())
+                                             F.col("__side").asc(),
+                                             tie.asc())
     w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     matched = u
     for c in rc:
@@ -132,8 +138,13 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str,
     matched = matched.withColumn("__m_on", m_on)
     out = matched.filter(F.col("__side") == 1)
     if tolerance is not None:
-        tol = F.expr(f"INTERVAL {tolerance}") \
-            if isinstance(tolerance, str) else F.lit(tolerance)
+        if isinstance(tolerance, str):
+            # accept both "1 HOUR" and the docstring's "INTERVAL 1 HOUR"
+            import re as _re
+            bare = _re.sub(r"(?i)^\s*interval\s+", "", tolerance)
+            tol = F.expr(f"INTERVAL {bare}")
+        else:
+            tol = F.lit(tolerance)
         gap = (F.col(on) - F.col("__m_on")) if direction == "backward" \
             else (F.col("__m_on") - F.col(on))
         keep = F.col("__m_on").isNotNull() & (gap <= tol)

@@ -279,6 +279,11 @@ def q_rolling_mean(spark, sf_dir):
 
 _FS_COLS = ("l_quantity", "l_discount", "l_tax")
 
+# NaN scope: the engine counts NaN as missing (the reference's numpy
+# semantics, stats/basic.py:feature_statistics); this oracle checks only
+# IS NULL because the TPC-H fixture columns cannot contain NaN.  On
+# NaN-bearing data the engine's n_missing/mean/stddev intentionally
+# diverge from a naive SQL avg(), which treats NaN as a value.
 _FS_ORACLE = "\nUNION ALL\n".join(f"""
 SELECT '{c}' AS variable, count(*) AS n,
        sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_missing,

@@ -297,9 +297,11 @@ def fixed_time_width(df: DataFrame, col: str, width: int, unit: str,
     elif unit == "month":
         midx = (F.year(c) - 1970) * 12 + (F.month(c) - 1)
         b = F.floor(midx / F.lit(width)).cast("int") * width
+        # pmod, not %: Spark's % keeps the dividend's sign, so a pre-1970
+        # (negative) month index would hand make_date a month <= 0
         binc = F.to_timestamp(F.make_date(
             (F.lit(1970) + F.floor(b / 12)).cast("int"),
-            (b % 12 + 1).cast("int"), F.lit(1)))
+            (F.pmod(b, F.lit(12)) + 1).cast("int"), F.lit(1)))
     elif unit == "year":
         yb = (F.floor(F.year(c) / F.lit(width)) * width).cast("int")
         binc = F.to_timestamp(F.make_date(yb, F.lit(1), F.lit(1)))
@@ -366,7 +368,10 @@ def nice_binning_thresholds(df: DataFrame, col: str, n: int = 4,
     if r.nu <= min_unique:
         uniq = sorted(x[0] for x in df.select(col).distinct().collect()
                       if x[0] is not None)
-        return [float(v) for v in uniq[1:]]    # one bin per distinct value
+        # bucketize_expr maps v <= t[i] -> bin i, so the LAST value needs no
+        # threshold (uniq[:-1], not uniq[1:] — the latter merges the two
+        # smallest values into bin 0)
+        return [float(v) for v in uniq[:-1]]   # one bin per distinct value
     cands = nice_decimal_binnings(float(r.lo), float(r.hi), int(r.nu))
     need = 2 + (n != 2)
     ok = [c for c in cands if len(c) - 1 >= need]

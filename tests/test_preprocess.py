@@ -239,6 +239,21 @@ def test_fixed_time_width_units(spark):
            fixed_time_width(df, "ts", 10, "year").collect()}
     assert got["2021-11-25T14:30:05"] == "2020-01-01T00:00:00"
 
+
+def test_fixed_time_width_pre_epoch_months(spark):
+    """Negative month indexes need pmod: % keeps the dividend's sign and
+    would hand make_date a month <= 0 for pre-1970 timestamps."""
+    from datetime import datetime
+    from orange3_spark.preprocess.discretize import fixed_time_width
+
+    df = spark.createDataFrame(
+        [(datetime(1969, 8, 15, 3, 0, 0),),
+         (datetime(1969, 12, 31, 23, 59, 59),)], "ts timestamp")
+    got = {r.ts.isoformat(): r.ts_bin.isoformat() for r in
+           fixed_time_width(df, "ts", 6, "month", max_intervals=None).collect()}
+    assert got["1969-08-15T03:00:00"] == "1969-07-01T00:00:00"
+    assert got["1969-12-31T23:59:59"] == "1969-07-01T00:00:00"
+
     import pytest as _p
     with _p.raises(ValueError):
         fixed_time_width(df, "ts", 1, "hour", max_intervals=100)
@@ -271,10 +286,14 @@ def test_nice_binning_picks_near_n(spark):
     bins = {r.x_bin for r in out.collect()}
     assert bins == set(range(len(ts) + 1))
 
-    # few uniques -> one bin per distinct value
+    # few uniques -> one bin per distinct value (bucketize maps v <= t[i]
+    # to bin i, so the largest value needs no threshold)
     small = spark.createDataFrame([(1.0,), (2.0,), (5.0,)] * 3, "x double")
     ts = nice_binning_thresholds(small, "x", 4)
-    assert ts == [2.0, 5.0]
+    assert ts == [1.0, 2.0]
+    binned = nice_binning(small, "x", 4)
+    assert {(r.x, r.x_bin) for r in binned.collect()} == \
+        {(1.0, 0), (2.0, 1), (5.0, 2)}
 
 
 def test_remove_nan_classes_and_sparse(spark):

@@ -201,3 +201,21 @@ def test_url_reader_file_scheme(spark, tmp_path):
     df = read_table(spark, f"file://{p}")
     rows = sorted(map(tuple, df.select("a", "b").collect()))
     assert rows == [(1.0, "x"), (2.0, "y"), (3.5, "x")]
+
+
+def test_lenient_timestamp_z_is_utc_in_any_session_tz(spark):
+    """A trailing Z is an explicit UTC offset — it must not be stripped
+    and re-read as session-local wall clock."""
+    from pyspark.sql import functions as F
+
+    from orange3_spark.functions.timeparse import lenient_timestamp
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = spark.createDataFrame([("2021-01-01T12:00:00Z",)], "s string")
+        got = df.select(
+            F.unix_timestamp(lenient_timestamp("s")).alias("e")).first()["e"]
+        assert got == 1609502400          # 2021-01-01T12:00:00 UTC
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
