@@ -49,7 +49,8 @@ _PRIORITY_PENDING = [
     # LLM-pipeline: dedup / similarity / text analysis
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_incremental",
-    "q_dup_clusters", "q_knn_cosine", "q_neardup_cosine", "q_knn_ivf",
+    "q_dup_clusters", "q_leakage_safe_split", "q_knn_cosine",
+    "q_neardup_cosine", "q_knn_ivf",
     "q_fingerprint", "q_fingerprint_winnow", "q_text_stats", "q_text_quality",
     "q_lang_id", "q_top_ngrams", "q_redact",
     # streaming window/stateful surface (batch-checkable formulations)

@@ -333,6 +333,50 @@ def q_dup_clusters(spark, sf_dir):
     return TD.dup_clusters(pairs)
 
 
+@query("q_leakage_safe_split", """
+WITH RECURSIVE
+toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+       FROM toks, unnest(range(1, len(w)-1)) AS u(i)),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b
+          FROM p JOIN sz sa ON p.id_a = sa.doc_id
+                 JOIN sz sb ON p.id_b = sb.doc_id
+          WHERE inter / (sa.sz + sb.sz - inter) >= 0.2),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+walk (id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.id),
+comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id),
+rep AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS r
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+SELECT doc_id,
+       CASE WHEN substring(md5(CAST(r AS VARCHAR) || 's'), 1, 8)
+                 < '4ccccccc' THEN 'holdout' ELSE 'train' END AS split
+FROM rep
+""")
+def q_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/holdout split (text/pipeline.py:
+    leakage_safe_split): membership hashes the duplicate-cluster
+    REPRESENTATIVE, so a near-dup component moves to one side wholly —
+    per-doc hashing would put a doc in train and its near-twin in holdout
+    and inflate eval.  Oracle replays components (recursive CTE) + the md5
+    threshold split exactly."""
+    from orange3_spark.text.pipeline import leakage_safe_split
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = TD.jaccard_pairs(docs, n=3, threshold=0.2)
+    train, hold = leakage_safe_split(docs, pairs, holdout_fraction=0.3,
+                                     salt="s")
+    return (train.select("doc_id", F.lit("train").alias("split"))
+            .unionByName(hold.select("doc_id",
+                                     F.lit("holdout").alias("split"))))
+
+
 @query("q_fingerprint", """
 SELECT doc_id, md5(array_to_string(string_split(text, ' '), ' ')) AS fp
 FROM documents

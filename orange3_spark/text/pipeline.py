@@ -84,3 +84,35 @@ def prepare_training_data(
         report.train_docs = _n(train)
         report.holdout_docs = _n(holdout)
     return train, holdout
+
+
+def leakage_safe_split(docs: DataFrame, pairs: DataFrame, *,
+                       id_col: str = "doc_id",
+                       holdout_fraction: float = 0.01,
+                       salt: str = "holdout") -> tuple[DataFrame, DataFrame]:
+    """→ (train, holdout) with every near-dup CLUSTER wholly on one side.
+
+    When near-duplicates are kept (threshold below the dedup policy, or
+    augmentation variants of one source doc), a per-document hash split
+    leaks: a doc in train with its near-twin in holdout inflates eval.
+    Here membership is hashed on the duplicate-cluster REPRESENTATIVE
+    (min id of the connected component, singletons represent themselves),
+    so a whole component moves together — the split stays deterministic,
+    engine-portable, and shuffle-free beyond the one components join.
+
+    ``pairs`` is any (id_a, id_b) near-dup pair frame
+    (``dedup_minhash``/``simhash_near_dups``/``jaccard_pairs``).
+    """
+    clusters = TD.dup_clusters(pairs)
+    rep = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    withrep = (docs.join(
+        clusters.withColumnRenamed("doc_id", id_col), id_col, "left")
+        .withColumn("__rep", rep))
+    threshold = format(int(holdout_fraction * 0xFFFFFFFF), "08x")
+    h = F.substring(
+        F.md5(F.concat(F.col("__rep").cast("string"), F.lit(salt))), 1, 8)
+    marked = withrep.withColumn("__hold", h < F.lit(threshold))
+    keep = [c for c in docs.columns]
+    train = marked.filter(~F.col("__hold")).select(*keep)
+    holdout = marked.filter(F.col("__hold")).select(*keep)
+    return train, holdout

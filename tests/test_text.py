@@ -312,3 +312,17 @@ def test_winnow_matches_literal_algorithm(spark):
     h3 = {h for d, h, _p in got if d == 3}
     assert h1 & h2
     assert not (h1 & h3) and not (h2 & h3)
+
+
+def test_leakage_safe_split_colocates_neardup_clusters(docs):
+    from orange3_spark.text.pipeline import leakage_safe_split
+
+    pairs = TD.jaccard_pairs(docs, threshold=0.5)
+    comp = {0, 1, 3}  # docs 0/1/3 are a near-dup component on this corpus
+    for salt in ("a", "b", "c", "d", "e", "f"):
+        train, hold = leakage_safe_split(
+            docs, pairs, holdout_fraction=0.5, salt=salt)
+        t = {r["doc_id"] for r in train.collect()}
+        h = {r["doc_id"] for r in hold.collect()}
+        assert t | h == {0, 1, 2, 3, 4} and not (t & h)
+        assert comp <= t or comp <= h, f"component split under salt {salt}"
