@@ -40,7 +40,8 @@ def kmeans_fit(df: DataFrame, features: Sequence[str] = (), *,
 
 
 def kmeans_lloyd(df: DataFrame, id_col: str, *, array_col: str,
-                 k: int = 8, n_iter: int = 2) -> DataFrame:
+                 k: int = 8, n_iter: int = 2,
+                 round_centroids: int | None = 6) -> DataFrame:
     """Deterministic Lloyd iterations with first-k initialization.
 
     MLlib's KMeans (k-means||) is seeded-random and engine-specific; this
@@ -97,8 +98,16 @@ def kmeans_lloyd(df: DataFrame, id_col: str, *, array_col: str,
                .collect())
         # keep the previous centroid for a cluster that lost every member:
         # np.argmin labels are POSITIONS in the centroid array, so dropping
-        # an empty cluster would silently renumber all later labels
-        got = {int(r["cluster"]): [float(r[f"c{j}"]) for j in range(dim)]
+        # an empty cluster would silently renumber all later labels.
+        # Rounding the collected averages makes the fit run-stable: F.avg
+        # over doubles is partition-order-dependent in the last bits, and
+        # an unrounded centroid can flip a distance tie between runs (the
+        # oracle rounds its avg() identically, so both engines then use
+        # bit-identical centroid doubles).
+        def _c(v: float) -> float:
+            return round(float(v), round_centroids) \
+                if round_centroids is not None else float(v)
+        got = {int(r["cluster"]): [_c(r[f"c{j}"]) for j in range(dim)]
                for r in new}
         centroids = [(i, got.get(i, c)) for i, c in centroids]
     return assign(df, centroids)

@@ -107,7 +107,7 @@ a1 AS (SELECT vec_id, v, label, cl,
        FROM pts CROSS JOIN c0),
 w1 AS (SELECT vec_id, v, label, cl FROM a1 WHERE rn = 1),
 c1 AS (SELECT cl, list(m ORDER BY i) AS cv FROM (
-         SELECT cl, i, avg(v[i]) AS m
+         SELECT cl, i, round(avg(v[i]), 6) AS m
          FROM w1, unnest(generate_series(1, len(v))) g(i)
          GROUP BY cl, i)
        GROUP BY cl),

@@ -288,8 +288,8 @@ _FS_ORACLE = "\nUNION ALL\n".join(f"""
 SELECT '{c}' AS variable, count(*) AS n,
        sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_missing,
        count(DISTINCT {c}) AS n_distinct,
-       round(avg(CAST({c} AS DOUBLE)), 6) AS mean,
-       round(stddev_pop(CAST({c} AS DOUBLE)), 6) AS stddev,
+       round(avg(CAST({c} AS DOUBLE)), 4) AS mean,
+       round(stddev_pop(CAST({c} AS DOUBLE)), 4) AS stddev,
        CAST(min({c}) AS DOUBLE) AS min, CAST(max({c}) AS DOUBLE) AS max,
        round(median(CAST({c} AS DOUBLE)), 6) AS median,
        (SELECT CAST({c} AS DOUBLE) FROM lineitem WHERE {c} IS NOT NULL
@@ -306,7 +306,11 @@ def q_feature_statistics(spark, sf_dir):
     from orange3_spark.stats.basic import feature_statistics
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     out = feature_statistics(li, list(_FS_COLS))
+    # mean/stddev are F.avg/F.stddev_pop over doubles — partition-order-
+    # dependent in the last bits; 4-decimal rounding (vs the driver's 9
+    # significant digits) puts the unstable digits below the quantum on
+    # both engines.  median/min/max are exact order statistics.
     return out.select(
         "variable", "n", "n_missing", "n_distinct",
-        F.round("mean", 6).alias("mean"), F.round("stddev", 6).alias("stddev"),
+        F.round("mean", 4).alias("mean"), F.round("stddev", 4).alias("stddev"),
         "min", "max", F.round("median", 6).alias("median"), "mode")
