@@ -156,27 +156,44 @@ def mcc(df: DataFrame, positive, label: str = "label",
     return ((tp * tn - fp * fn) / denom) if denom else 0.0
 
 
-def auc(df: DataFrame, label: str = "label",
-        score_col: str = "score") -> float:
-    """Binary AUC via the rank-sum (Mann-Whitney) identity — one sort-based
-    window pass + one aggregate, no pairwise comparison.  Ties get average
-    ranks (exactly scikit's roc_auc_score)."""
+def auc_rank_frame(df: DataFrame, label: str = "label",
+                   score_col: str = "score") -> DataFrame:
+    """Distinct-score frame ``(pos, cnt, r)`` feeding :func:`auc` — split
+    out so plan tests can pin the aggregate-before-window shape."""
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(F.col(score_col))
-    wp = Window.partitionBy(F.col(score_col))
-    ranked = df.select(
-        F.col(label).cast("double").alias("y"),
-        ((F.rank().over(w) - 1).cast("double")
-         + (F.count(F.lit(1)).over(wp) + 1) / 2.0).alias("r"))
-    agg = ranked.agg(
-        F.sum(F.when(F.col("y") == 1.0, F.col("r"))).alias("rs"),
-        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).alias("np"),
-        F.count(F.lit(1)).alias("n")).first()
-    n_pos, n_neg = agg.np, agg.n - agg.np
+    counts = (df.groupBy(F.col(score_col).alias("s"))
+                .agg(F.count(F.lit(1)).cast("double").alias("cnt"),
+                     F.sum((F.col(label).cast("double") == 1.0)
+                           .cast("double")).alias("pos")))
+    # only (score, cnt, pos) rows pass through this single-reducer cumsum
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    return counts.select(
+        "pos",
+        "cnt",
+        (F.coalesce(F.sum("cnt").over(w), F.lit(0.0))
+         + (F.col("cnt") + 1.0) / 2.0).alias("r"))
+
+
+def auc(df: DataFrame, label: str = "label",
+        score_col: str = "score") -> float:
+    """Binary AUC via the Mann-Whitney rank-sum identity on the
+    distinct-(score, count, positives) frame.  A full-table
+    ``groupBy(score)`` (map-side combined, fully parallel) first shrinks
+    the input to one row per distinct score; the running sum that assigns
+    average tie-ranks then windows over THAT bounded frame — never the raw
+    rows (same shape as ``stats/basic.py:average_rank`` and the threshold
+    search in ``ml/calibration.py``).  Ties get average ranks, exactly
+    scikit's ``roc_auc_score``."""
+    agg = auc_rank_frame(df, label, score_col).agg(
+        F.sum(F.col("pos") * F.col("r")).alias("rs"),
+        F.sum("pos").alias("np"),
+        F.sum("cnt").alias("n")).first()
+    n_pos = float(agg.np or 0.0)
+    n_neg = float(agg.n or 0.0) - n_pos
     if not n_pos or not n_neg:
         return float("nan")
-    return (agg.rs - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    return float((agg.rs - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))
 
 
 def mse(df, label="label", pred="prediction"):

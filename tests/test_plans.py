@@ -158,3 +158,25 @@ def test_incremental_probe_is_equijoin(spark, sf_dir):
     no nested-loop fallback, no cartesian."""
     plan = _plan(spark, sf_dir, "q_dedup_incremental")
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_auc_windows_distinct_scores_not_rows(spark, sf_dir):
+    """AUC's average-rank cumsum must window over the distinct-(score,
+    count) aggregate, never the raw rows: a HashAggregate (map-side
+    combined groupBy(score)) must sit below the Window in the plan."""
+    from pyspark.sql import functions as F
+
+    from orange3_spark.ml.evaluation import auc_rank_frame
+    from orange3_spark.session import load_tables
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    scored = orders.select(
+        (F.col("o_totalprice") > 100000).cast("double").alias("label"),
+        F.round((F.col("o_totalprice") / 1000).cast("double"), 0)
+        .alias("score"))
+    plan = (auc_rank_frame(scored, "label", "score")
+            ._jdf.queryExecution().executedPlan().toString())
+    win_pos = plan.find("Window")
+    assert win_pos != -1
+    assert plan.find("HashAggregate", win_pos) != -1, \
+        "groupBy(score) partial aggregate must run below the rank window"
