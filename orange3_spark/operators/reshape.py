@@ -180,21 +180,22 @@ def hstack(left: DataFrame, right: DataFrame, *,
     ``table.py:1417-1439``): same row count, unique names.
 
     With ``row_id`` given, an equi-join on it (order-independent — the only
-    sane distributed semantics).  Without, both sides are numbered by a
-    window over a global order-preserving id and joined on position — valid
-    only when both frames derive from the SAME ordered source; prefer an
+    sane distributed semantics).  Without, both sides get a
+    partition-parallel row index (``operators.rowid.with_row_index`` —
+    zipWithIndex shape, no unpartitioned window) and join on position —
+    valid only when both frames have a deterministic physical order from
+    the SAME source (e.g. two projections of one parquet scan); prefer an
     explicit key.
     """
-    from pyspark.sql.window import Window
-
     dup = set(left.columns) & set(right.columns) - ({row_id} if row_id else set())
     if dup:
         raise ValueError(f"duplicate columns: {sorted(dup)}")
     if row_id is not None:
         return left.join(right, row_id)
-    w = Window.orderBy(F.monotonically_increasing_id())
-    ln = left.withColumn("_pos", F.row_number().over(w))
-    rn = right.withColumn("_pos", F.row_number().over(w))
+    from orange3_spark.operators.rowid import with_row_index
+
+    ln = with_row_index(left, "_pos")
+    rn = with_row_index(right, "_pos")
     return ln.join(rn, "_pos").drop("_pos")
 
 

@@ -363,3 +363,21 @@ def q_scale_median_span(spark, sf_dir):
                   .agg(F.avg("l_discount").alias("avg_scaled"),
                        F.count(F.lit(1)).alias("n"))
                   .orderBy("l_returnflag"))
+
+
+@query("q_randomize", """
+SELECT c_acctbal AS shuffled_acctbal FROM customer
+""")
+def q_randomize(spark, sf_dir):
+    """Randomize (preprocess.py:357-440): shuffle ``c_acctbal``
+    independently of the other columns with a seeded distributed
+    permutation (range-sort on rand + partition-parallel row index —
+    transform.py:randomize).  A permutation preserves the column's exact
+    multiset, and the driver compares sorted rows, so the oracle is simply
+    the unshuffled column; decoupling from the other columns is
+    pytest-checked (test_randomize_breaks_correlation) since no SQL oracle
+    can pin a random pairing."""
+    (cust,) = _t(spark, sf_dir, "customer")
+    out = P.randomize(cust.select("c_custkey", "c_acctbal"), ["c_acctbal"],
+                      seed=7)
+    return out.select(F.col("c_acctbal").alias("shuffled_acctbal"))

@@ -172,18 +172,20 @@ def randomize(df: DataFrame, columns: Sequence[str], *,
     """Randomize: shuffle selected columns INDEPENDENTLY of the rest,
     breaking row correlation (``preprocess.py:357-440``).
 
-    Each shuffled column is reassigned by joining the row-numbered frame
-    with its own values re-numbered in a seeded random order — per column
-    one sort, no driver round-trip.
+    Each shuffled column is reassigned by joining the row-indexed frame
+    with its own values re-indexed in a seeded random order.  Row indexes
+    come from :func:`operators.rowid.with_row_index` (partition-parallel
+    zipWithIndex shape) — never an unpartitioned window: the seeded
+    reorder is a DISTRIBUTED range-sort on ``rand(seed)``, and only
+    per-partition counts touch the driver.
     """
-    from pyspark.sql.window import Window
+    from orange3_spark.operators.rowid import with_row_index
 
-    out = df.withColumn(
-        "_rn", F.row_number().over(Window.orderBy(F.monotonically_increasing_id())))
+    out = with_row_index(df, "_rn")
     for i, c in enumerate(columns):
-        shuffled = (out.select(F.col(c).alias(f"_sh_{c}"))
-                    .withColumn("_rn", F.row_number().over(
-                        Window.orderBy(F.rand(seed + i)))))
+        shuffled = with_row_index(
+            out.select(F.col(c).alias(f"_sh_{c}")), "_rn",
+            order_by=[F.rand(seed + i)])
         out = out.drop(c).join(shuffled, "_rn") \
                  .withColumnRenamed(f"_sh_{c}", c)
     return out.drop("_rn")

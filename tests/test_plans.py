@@ -180,3 +180,11 @@ def test_auc_windows_distinct_scores_not_rows(spark, sf_dir):
     assert win_pos != -1
     assert plan.find("HashAggregate", win_pos) != -1, \
         "groupBy(score) partial aggregate must run below the rank window"
+
+
+def test_randomize_has_no_single_partition_exchange(spark, sf_dir):
+    """Randomize's row indexing and seeded reorder must stay
+    partition-parallel: an unpartitioned Window.orderBy would appear as an
+    Exchange SinglePartition in the plan."""
+    plan = _plan(spark, sf_dir, "q_randomize")
+    assert "Exchange SinglePartition" not in plan
