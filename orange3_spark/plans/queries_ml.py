@@ -764,3 +764,51 @@ def q_ml_cn2(spark, sf_dir):
     rules = cn2_induce(d, ["l_linestatus", "ship_year"], "cls",
                        max_rules=2, beam_width=1, max_selectors=1)
     return rules_to_dataframe(spark, rules)
+
+
+@query("q_ml_logreg_cv", """
+WITH f AS (SELECT o_orderkey,
+                  CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS y,
+                  CAST(CAST(concat('0x', substring(md5(CAST(o_orderkey AS VARCHAR)),1,8)) AS BIGINT) % 3 AS INT) AS fold
+           FROM orders),
+pri AS (SELECT t.fold, round(greatest(avg(f.y), 1 - avg(f.y)), 4) AS majority_share
+        FROM (VALUES (0),(1),(2)) t(fold) JOIN f ON f.fold <> t.fold
+        GROUP BY t.fold),
+te AS (SELECT fold, count(*) AS n_test FROM f GROUP BY fold)
+SELECT te.fold, te.n_test, pri.majority_share, TRUE AS ca_ok
+FROM te JOIN pri USING (fold)
+""")
+def q_ml_logreg_cv(spark, sf_dir):
+    """Cross-validated MLlib logistic regression (testing.py:568 CrossValidation
+    + Orange/classification/logistic_regression.py) on deterministic
+    content-hash folds.  Coefficients aren't closed-form, so the oracle
+    pins what IS exact — per-fold held-out counts and the complement-train
+    majority share (verifying the fold mechanism and split complement) —
+    while ``ca_ok`` asserts the behavioral bound that held-out accuracy
+    stays within 0.02 of the majority baseline (a converged convex fit
+    can't do materially worse; quality itself is pytest-asserted in
+    tests/test_ml.py)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    data = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("x1"),
+        F.col("o_custkey").cast("double").alias("x2"),
+        (F.col("o_orderpriority") == "1-URGENT")
+        .cast("double").alias("label"))
+    folded = E.with_fold(data, "o_orderkey", 3).cache()
+    out = []
+    for i in range(3):
+        train = folded.filter(F.col("fold") != i)
+        test = folded.filter(F.col("fold") == i)
+        maj = train.agg(F.avg("label")).first()[0]
+        maj = max(maj, 1.0 - maj)
+        model = L.logistic_regression(train, ["x1", "x2"], "label")
+        agg = (model.predict(test)
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.avg((F.col("prediction") == F.col("label"))
+                          .cast("double")).alias("ca")).first())
+        out.append((i, int(agg["n"]), round(maj, 4),
+                    bool(agg["ca"] >= maj - 0.02)))
+    folded.unpersist()
+    return spark.createDataFrame(
+        out, "fold int, n_test bigint, majority_share double, ca_ok boolean")
