@@ -1,0 +1,334 @@
+"""Sklearn-parity outlier learners (``Orange/classification/
+outlier_detection.py:88,114,158`` — OneClassSVMLearner,
+IsolationForestLearner, EllipticEnvelopeLearner; widget ``owoutliers.py``).
+
+The reference wraps sklearn, which is driver-local and absent here, so the
+learners are implemented natively with the sample-fit + broadcast-predict
+shape of ``ml/learners.py:knn_classifier``:
+
+  * FIT touches a BOUNDED, deterministically-chosen sample (a distributed
+    top-N on a content hash — a parallel TakeOrdered, not a full sort);
+    model state is kilobytes (trees / location+precision / RFF weights).
+  * PREDICT is embarrassingly parallel: the model rides into an
+    Arrow-batched pandas UDF (Isolation Forest, OCSVM) or — for the
+    elliptic envelope — a pure Column quadratic form with broadcast
+    constants (whole-stage codegen, no Python at all).
+
+Every fit is a pure function of the data + seed: sampling is content-hash
+ordered, tree randomness comes from a seeded numpy Generator, and the MCD
+C-step start is the median-nearest half — so repeated runs (and the
+driver's re-run) produce identical flags.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _features_col(cols: Sequence[str], array_col: Optional[str]):
+    if array_col is not None:
+        return F.col(array_col).cast("array<double>")
+    return F.array(*[F.col(c).cast("double") for c in cols])
+
+
+def _hash_sample(df: DataFrame, cols: Sequence[str],
+                 array_col: Optional[str], n: int):
+    """Deterministic bounded sample: top-``n`` rows by md5 of the feature
+    vector text — partition-layout-independent, a parallel top-k."""
+    feats = _features_col(cols, array_col).alias("_x")
+    key = F.md5(F.to_json(F.struct(feats.alias("v"))))
+    base = df
+    if array_col is None:
+        base = base.na.drop(subset=list(cols))
+    else:
+        base = base.filter(~F.exists(F.col(array_col),
+                                     lambda x: x.isNull()))
+    rows = (base.select(feats, key.alias("_k"))
+                .orderBy("_k").limit(n).collect())
+    import numpy as np
+    return np.asarray([r["_x"] for r in rows], dtype=np.float64)
+
+
+def _avg_path_length(n) -> float:
+    """c(n): average unsuccessful-search path length in a BST — the
+    normalizer from the Isolation Forest paper (Liu/Ting/Zhou 2008)."""
+    if n <= 1:
+        return 0.0
+    if n == 2:
+        return 1.0
+    h = math.log(n - 1) + 0.5772156649015329
+    return 2.0 * h - 2.0 * (n - 1) / n
+
+
+class IsolationForestModel:
+    """Fitted forest: flat arrays per tree (feature, threshold, left,
+    right, leaf-size) — a few KB broadcast into the predict UDF."""
+
+    def __init__(self, trees, psi: int, cols, array_col,
+                 threshold: Optional[float] = None):
+        self.trees = trees
+        self.psi = psi
+        self.cols = list(cols)
+        self.array_col = array_col
+        self.threshold = threshold
+
+    def _scores_np(self, X):
+        import numpy as np
+        m = X.shape[0]
+        if m == 0:
+            return np.zeros(0)
+        depths = np.zeros(m)
+        for feat, thr, left, right, size in self.trees:
+            node = np.zeros(m, dtype=np.int64)
+            done = np.zeros(m, dtype=bool)
+            depth = np.zeros(m)
+            # level-by-level vectorized walk: gather each row's split
+            for _ in range(64):
+                f = feat[node]
+                leaf = f < 0
+                newly = leaf & ~done
+                depth[newly] += np.array(
+                    [_avg_path_length(s) for s in size[node[newly]]])
+                done |= leaf
+                if done.all():
+                    break
+                active = ~done
+                goes_left = X[active, f[active]] < thr[node[active]]
+                nxt = np.where(goes_left, left[node[active]],
+                               right[node[active]])
+                node[active] = nxt
+                depth[active] += 1.0
+            depths += depth
+        e_h = depths / len(self.trees)
+        return np.power(2.0, -e_h / _avg_path_length(self.psi))
+
+    def predict(self, df: DataFrame, *, score_col: str = "score",
+                flag_col: str = "is_outlier",
+                contamination: float = 0.1) -> DataFrame:
+        from pyspark.sql.functions import pandas_udf
+
+        model = self
+
+        @pandas_udf("double")
+        def _score(s: pd.Series) -> pd.Series:
+            import numpy as np
+            X = (np.stack([np.asarray(v, dtype=np.float64) for v in s])
+                 if len(s) else np.zeros((0, 1)))
+            return pd.Series(model._scores_np(X))
+
+        out = df.withColumn(
+            score_col, _score(_features_col(self.cols, self.array_col)))
+        thr = self.threshold
+        if thr is None:
+            # distributed exact quantile — flags the top `contamination`
+            # share, the reference's contamination semantics
+            thr = out.agg(F.percentile(
+                score_col, F.lit(1.0 - contamination))).first()[0]
+        return out.withColumn(flag_col, F.col(score_col) > F.lit(float(thr)))
+
+
+def isolation_forest(df: DataFrame, cols: Sequence[str] = (), *,
+                     array_col: Optional[str] = None, n_trees: int = 100,
+                     psi: int = 256, seed: int = 42) -> IsolationForestModel:
+    """Fit an Isolation Forest on a ``n_trees × psi`` hash-chosen sample
+    (``IsolationForestLearner``, outlier_detection.py:114; Liu et al.).
+
+    Each tree: uniform split feature + uniform threshold inside the node's
+    value range, grown to ``ceil(log2 psi)`` depth or isolation.  All
+    randomness flows from one seeded Generator → byte-stable refits.
+    """
+    import numpy as np
+
+    S = _hash_sample(df, cols, array_col, max(n_trees * 4, psi * 2))
+    if S.shape[0] == 0:
+        raise ValueError("isolation_forest: empty input")
+    rng = np.random.default_rng(seed)
+    p = S.shape[1]
+    max_depth = max(1, math.ceil(math.log2(max(psi, 2))))
+    trees = []
+    for _ in range(n_trees):
+        take = rng.choice(S.shape[0], size=min(psi, S.shape[0]),
+                          replace=False)
+        sample = S[take]
+        feat, thr, left, right, size = [], [], [], [], []
+
+        def build(idx, depth):
+            node = len(feat)
+            feat.append(-1), thr.append(0.0), left.append(-1)
+            right.append(-1), size.append(len(idx))
+            if depth >= max_depth or len(idx) <= 1:
+                return node
+            X = sample[idx]
+            lo, hi = X.min(axis=0), X.max(axis=0)
+            splittable = np.nonzero(hi > lo)[0]
+            if splittable.size == 0:
+                return node
+            f = int(rng.choice(splittable))
+            t = float(rng.uniform(lo[f], hi[f]))
+            goes = X[:, f] < t
+            feat[node], thr[node] = f, t
+            left[node] = build(idx[goes], depth + 1)
+            right[node] = build(idx[~goes], depth + 1)
+            return node
+
+        build(np.arange(sample.shape[0]), 0)
+        trees.append((np.asarray(feat), np.asarray(thr), np.asarray(left),
+                      np.asarray(right), np.asarray(size)))
+    return IsolationForestModel(trees, min(psi, S.shape[0]), cols, array_col)
+
+
+class EllipticEnvelopeModel:
+    """Robust location + precision; predict is a pure Column quadratic
+    form (broadcast constants, whole-stage codegen — no Python)."""
+
+    def __init__(self, location, precision, cols):
+        self.location = location
+        self.precision = precision
+        self.cols = list(cols)
+
+    def mahalanobis_sq(self):
+        diffs = [F.col(c).cast("double") - F.lit(float(m))
+                 for c, m in zip(self.cols, self.location)]
+        q = F.lit(0.0)
+        for i in range(len(self.cols)):
+            for j in range(len(self.cols)):
+                w = float(self.precision[i][j])
+                if w:
+                    q = q + diffs[i] * diffs[j] * F.lit(w)
+        return q
+
+    def predict(self, df: DataFrame, *, score_col: str = "maha_sq",
+                flag_col: str = "is_outlier",
+                contamination: float = 0.1) -> DataFrame:
+        out = df.withColumn(score_col, self.mahalanobis_sq())
+        thr = out.agg(F.percentile(
+            score_col, F.lit(1.0 - contamination))).first()[0]
+        return out.withColumn(flag_col, F.col(score_col) > F.lit(float(thr)))
+
+
+def elliptic_envelope(df: DataFrame, cols: Sequence[str], *,
+                      max_samples: int = 2000,
+                      support_fraction: Optional[float] = None,
+                      max_csteps: int = 30) -> EllipticEnvelopeModel:
+    """Robust covariance à la FastMCD (``EllipticEnvelopeLearner``,
+    outlier_detection.py:158; Rousseeuw & Van Driessen 1999), made
+    deterministic: ONE start — the half of a hash-chosen sample nearest
+    the coordinate-wise median — then C-steps (mean/cov of the support,
+    re-rank all sample points by Mahalanobis, keep the h nearest) until
+    the support set is stable.  The deterministic start replaces sklearn's
+    500 random subsets; C-steps monotonically shrink det(cov) either way.
+    """
+    import numpy as np
+
+    S = _hash_sample(df, cols, None, max_samples)
+    n, p = S.shape
+    if n <= p:
+        raise ValueError("elliptic_envelope: need more rows than columns")
+    h = int(n * support_fraction) if support_fraction else (n + p + 1) // 2
+    med = np.median(S, axis=0)
+    d0 = ((S - med) ** 2).sum(axis=1)
+    support = np.argsort(d0, kind="stable")[:h]
+    for _ in range(max_csteps):
+        sub = S[support]
+        loc = sub.mean(axis=0)
+        cov = np.cov(sub, rowvar=False, bias=True)
+        cov += np.eye(p) * 1e-9 * max(1.0, np.trace(cov) / p)
+        prec = np.linalg.inv(cov)
+        diff = S - loc
+        d = np.einsum("ij,jk,ik->i", diff, prec, diff)
+        new = np.argsort(d, kind="stable")[:h]
+        if np.array_equal(np.sort(new), np.sort(support)):
+            break
+        support = new
+    sub = S[support]
+    loc = sub.mean(axis=0)
+    cov = np.cov(sub, rowvar=False, bias=True)
+    cov += np.eye(p) * 1e-9 * max(1.0, np.trace(cov) / p)
+    return EllipticEnvelopeModel(loc.tolist(),
+                                 np.linalg.inv(cov).tolist(), cols)
+
+
+class OneClassSVMModel:
+    """Linear one-class SVM in a random-Fourier-feature space approximating
+    the RBF kernel (Rahimi & Recht 2007) — w, rho, and the RFF projection
+    ride into an Arrow-batched scoring UDF."""
+
+    def __init__(self, W, b, w, rho, cols):
+        self.W, self.b, self.w, self.rho = W, b, w, rho
+        self.cols = list(cols)
+
+    def _scores_np(self, X):
+        import numpy as np
+        Z = np.sqrt(2.0 / self.W.shape[1]) * np.cos(X @ self.W + self.b)
+        return Z @ self.w - self.rho
+
+    def predict(self, df: DataFrame, *, score_col: str = "svm_score",
+                flag_col: str = "is_outlier") -> DataFrame:
+        from pyspark.sql.functions import pandas_udf
+
+        model = self
+
+        @pandas_udf("double")
+        def _score(s: pd.Series) -> pd.Series:
+            import numpy as np
+            X = (np.stack([np.asarray(v, dtype=np.float64) for v in s])
+                 if len(s) else np.zeros((0, len(model.cols))))
+            return pd.Series(model._scores_np(X))
+
+        out = df.withColumn(score_col,
+                            _score(_features_col(self.cols, None)))
+        return out.withColumn(flag_col, F.col(score_col) < 0)
+
+
+def one_class_svm(df: DataFrame, cols: Sequence[str], *, nu: float = 0.5,
+                  gamma: Optional[float] = None, n_features: int = 256,
+                  max_samples: int = 2000, epochs: int = 100,
+                  seed: int = 42) -> OneClassSVMModel:
+    """One-class SVM (``OneClassSVMLearner``, outlier_detection.py:88):
+    RBF kernel approximated by seeded random Fourier features (Rahimi &
+    Recht 2007), the ν-formulation DUAL (min ½αᵀKα over the capped
+    simplex, Schölkopf et al. 2001) solved by deterministic Frank-Wolfe
+    on the hash-chosen sample, and ρ set to the ν-quantile of the
+    decision values — the dual optimality condition, giving ≈ν of the
+    sample below the boundary.  Standardizes features first (the
+    reference applies AdaptiveNormalize before the SVM)."""
+    import numpy as np
+
+    S = _hash_sample(df, cols, None, max_samples)
+    n, p = S.shape
+    mu, sd = S.mean(axis=0), S.std(axis=0)
+    sd[sd == 0] = 1.0
+    S = (S - mu) / sd
+    if gamma is None:
+        gamma = 1.0 / p  # sklearn's "auto"
+    rng = np.random.default_rng(seed)
+    W = rng.normal(0.0, math.sqrt(2.0 * gamma), size=(p, n_features))
+    b = rng.uniform(0.0, 2.0 * math.pi, size=n_features)
+    Z = np.sqrt(2.0 / n_features) * np.cos(S @ W + b)
+    cap = 1.0 / (nu * n)
+    alpha = np.full(n, 1.0 / n)
+    for t in range(epochs):
+        # K α without materializing K: Z (Zᵀ α) — O(n·n_features)
+        g = Z @ (Z.T @ alpha)
+        order = np.argsort(g, kind="stable")
+        vertex = np.zeros(n)
+        rem = 1.0
+        for i in order:
+            take = min(cap, rem)
+            vertex[i] = take
+            rem -= take
+            if rem <= 0:
+                break
+        step = 2.0 / (t + 2.0)
+        alpha = (1.0 - step) * alpha + step * vertex
+    w = Z.T @ alpha
+    rho = float(np.quantile(Z @ w, nu))
+    # fold the standardization into the projection: x_std @ W = x @ W' + c
+    W_eff = (W.T / sd).T
+    b_eff = b - mu @ (W.T / sd).T
+    return OneClassSVMModel(W_eff, b_eff, w, rho, cols)

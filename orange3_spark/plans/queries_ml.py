@@ -812,3 +812,52 @@ def q_ml_logreg_cv(spark, sf_dir):
     folded.unpersist()
     return spark.createDataFrame(
         out, "fold int, n_test bigint, majority_share double, ca_ok boolean")
+
+
+@query("q_outlier_iforest")
+def q_outlier_iforest(spark, sf_dir):
+    """Isolation Forest (outlier_detection.py:114) fit on a hash-chosen
+    sample with seeded trees, scored distributedly, thresholded at the
+    exact (1−contamination) score quantile.  The fit is a pure function of
+    data+seed but not SQL-expressible — rows-only driver check; planted
+    outliers are pytest-asserted (tests/test_outlier_models.py)."""
+    from orange3_spark.ml.outlier_models import isolation_forest
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    model = isolation_forest(orders, ["o_totalprice", "o_custkey"],
+                             n_trees=50, psi=256, seed=42)
+    flagged = model.predict(orders, contamination=0.05)
+    return (flagged.groupBy("is_outlier")
+            .agg(F.count(F.lit(1)).alias("n")).orderBy("is_outlier"))
+
+
+@query("q_outlier_envelope")
+def q_outlier_envelope(spark, sf_dir):
+    """Elliptic Envelope (outlier_detection.py:158): deterministic FastMCD
+    robust covariance on a hash sample; predict is a codegen quadratic
+    form + exact-quantile contamination threshold.  Rows-only driver
+    check (C-steps aren't SQL); planted outliers pytest-asserted."""
+    from orange3_spark.ml.outlier_models import elliptic_envelope
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    model = elliptic_envelope(li, ["l_quantity", "l_extendedprice",
+                                   "l_discount"])
+    flagged = model.predict(li, contamination=0.1)
+    return (flagged.groupBy("is_outlier")
+            .agg(F.count(F.lit(1)).alias("n")).orderBy("is_outlier"))
+
+
+@query("q_outlier_ocsvm")
+def q_outlier_ocsvm(spark, sf_dir):
+    """One-class SVM (outlier_detection.py:88) via seeded random Fourier
+    features + deterministic subgradient descent on a hash sample —
+    sklearn-free RBF approximation.  Rows-only driver check; separation
+    behavior pytest-asserted."""
+    from orange3_spark.ml.outlier_models import one_class_svm
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    model = one_class_svm(orders, ["o_totalprice", "o_custkey"], nu=0.1,
+                          seed=42)
+    flagged = model.predict(orders)
+    return (flagged.groupBy("is_outlier")
+            .agg(F.count(F.lit(1)).alias("n")).orderBy("is_outlier"))
