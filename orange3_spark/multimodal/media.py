@@ -87,27 +87,45 @@ def decode_image(df: DataFrame, binary_col: str = "content",
                  stub: bool = True) -> DataFrame:
     """Decode blobs to (H, W, C) pixel arrays via Arrow-batched mapInPandas.
 
-    STUB decode: a deterministic fake — pixels are a seeded function of the
-    blob bytes, so tests are exact and the plumbing (batching, schema,
-    memory shape) matches what a real Pillow decode would do.  Wire the real
-    library at the marked line.
+    STUB decode (default): a deterministic fake — pixels are a seeded
+    function of the blob bytes, so tests are exact and the plumbing
+    (batching, schema, memory shape) matches the real decode.
+
+    ``stub=False`` decodes for real with Pillow when it is importable
+    (resize to ``width×height``, RGB, floats in [0, 1]); without Pillow it
+    raises NotImplementedError up front — an honest gate, not a silent
+    fake (the decode libraries are optional deps, like openpyxl for
+    xlsx in ``sources/registry.py``).
     """
     if not stub:
-        raise NotImplementedError(
-            "real image decoding needs Pillow/libjpeg — not in this "
-            "container; run with stub=True for the deterministic fake")
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "real image decoding needs Pillow/libjpeg — not installed "
+                "in this container; run with stub=True for the "
+                "deterministic fake") from exc
 
     def run(pdf_iter):
         import numpy as np
         import pandas as pd
+        if not stub:
+            import io
+
+            from PIL import Image
         for pdf in pdf_iter:
             out = []
             for mid, blob in zip(pdf[id_col], pdf[binary_col]):
-                data = np.frombuffer(bytes(blob), dtype=np.uint8)
-                # --- REAL DECODE GOES HERE (PIL.Image.open(BytesIO(blob)))
-                seed = int(data[:8].sum()) if data.size else 0
-                rng = np.random.default_rng(seed)
-                px = rng.random(height * width * 3, dtype=np.float32)
+                if stub:
+                    data = np.frombuffer(bytes(blob), dtype=np.uint8)
+                    seed = int(data[:8].sum()) if data.size else 0
+                    rng = np.random.default_rng(seed)
+                    px = rng.random(height * width * 3, dtype=np.float32)
+                else:
+                    img = (Image.open(io.BytesIO(bytes(blob)))
+                           .convert("RGB")
+                           .resize((width, height), Image.BILINEAR))
+                    px = (np.asarray(img, dtype=np.float32) / 255.0).ravel()
                 out.append((mid, height, width, 3, px.tolist()))
             yield pd.DataFrame(
                 out, columns=["media_id", "height", "width", "channels",

@@ -50,9 +50,26 @@ def test_stub_decode_shapes_and_determinism(media):
     assert d1[0].pixels != d1[1].pixels
 
 
-def test_real_decode_is_marked_unimplemented(media):
-    with pytest.raises(NotImplementedError):
-        M.decode_image(media, stub=False)
+def test_real_decode_branches_on_pillow(media):
+    """stub=False really decodes when Pillow is importable; without it the
+    gate raises up front instead of silently faking."""
+    try:
+        import PIL.Image  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(NotImplementedError):
+            M.decode_image(media, stub=False)
+        return
+    out = (M.decode_image(media, height=4, width=6, stub=False)
+           .orderBy("media_id").collect())
+    assert all(r.height == 4 and r.width == 6 and r.channels == 3
+               for r in out)
+    assert all(len(r.pixels) == 4 * 6 * 3 for r in out)
+    assert all(0.0 <= p <= 1.0 for p in out[0].pixels)
+    # the fixture's first and fifth blobs are identical PNGs
+    assert out[0].pixels == out[4].pixels
 
 
 def test_image_stats(media):
