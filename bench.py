@@ -47,12 +47,31 @@ def main() -> None:
         spark.catalog.clearCache()
         gc.collect()
 
-    print(json.dumps({
+    result = {
         "metric": "headline_queries_total",
         "value": round(total, 4),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+    }
+    # Full per-query record to a file: the driver keeps only a ~2 KB stdout
+    # tail, which truncated the 115-query line in rounds 1-2 (BENCH_r0*.json
+    # "parsed": null).  stdout gets the full line for humans, then a LAST
+    # line compact enough to survive the tail window and parse.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_result.json")
+    with open(out_path, "w") as fh:
+        json.dump(result, fh)
+    print(json.dumps(result))
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:15])
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(total, 4),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries": slowest,
+        "queries_file": "bench_result.json",
     }))
 
 

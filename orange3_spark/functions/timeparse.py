@@ -64,22 +64,31 @@ def lenient_timestamp(col, *, formats=None, unix_fallback: bool = True) -> Colum
     """Parse a string column as a timestamp, trying every known format.
 
     Mirrors ``TimeVariable.parse``: a trailing ``Z`` (UTC marker) becomes
-    an explicit ``+0000`` offset — NOT stripped, which would re-interpret
-    the wall clock in the session timezone and shift Z-suffixed instants
-    by the session offset in any non-UTC caller session.  Then probe the
-    format table in order, else read a plain number as Unix seconds.
+    an explicit ``+0000`` offset for the offset-bearing formats — NOT
+    stripped, which would re-interpret the wall clock in the session
+    timezone and shift Z-suffixed instants by the session offset in any
+    non-UTC caller session.  Offset-LESS formats additionally probe the
+    Z-stripped string (the reference ``rstrip('Z')``s before parsing, so
+    '2021-01-01Z' / '12:00:00Z' / numeric-with-Z must still parse; their
+    wall clocks carry no time-of-instant ambiguity for date-only and
+    time-only shapes).  Then a plain number reads as Unix seconds.
     Unparseable values become NULL (the reference raises; at 100 TB a
     poison row must not kill the job — filter ``parsed IS NULL AND raw IS
     NOT NULL`` to audit rejects).
     """
     if isinstance(col, str):
         col = F.col(col)
+    fmts = formats or ISO_FORMATS + ADDITIONAL_FORMATS
     c = F.regexp_replace(F.trim(col), "Z$", "+0000")
-    probes = [F.try_to_timestamp(c, F.lit(f))
-              for f in (formats or ISO_FORMATS + ADDITIONAL_FORMATS)]
+    stripped = F.regexp_replace(F.trim(col), "Z$", "")
+    probes = [F.try_to_timestamp(c, F.lit(f)) for f in fmts]
+    # Z-stripped probes only for formats with no offset pattern, and only
+    # ranked AFTER every offset-aware probe so explicit offsets still win
+    probes += [F.try_to_timestamp(stripped, F.lit(f))
+               for f in fmts if "Z" not in f and "X" not in f]
     if unix_fallback:
         probes.append(F.timestamp_seconds(
-            F.when(c.rlike(_NUMERIC_RE), c).cast("double")))
+            F.when(stripped.rlike(_NUMERIC_RE), stripped).cast("double")))
     return F.coalesce(*probes)
 
 

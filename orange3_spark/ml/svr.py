@@ -1,0 +1,175 @@
+"""Support-vector regression (``Orange/regression/svm.py:11,22,33`` —
+SVRLearner, LinearSVRLearner, NuSVRLearner; sklearn wraps in the
+reference, absent here).
+
+Spark-first shape (same contract as ``ml/outlier_models.py``): the fit
+touches a BOUNDED hash-chosen sample (kernel SVR is O(n²) in support
+vectors — sklearn itself caps out well under distributed row counts), and
+the predictor is a broadcast (w, b) pair applied Arrow-batched (RBF via
+the seeded random-Fourier-feature map of Rahimi & Recht 2007) or as a pure
+Column expression (linear).  Every step is deterministic: hash sampling,
+seeded RFF draw, fixed-schedule subgradient descent.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from orange3_spark.ml.outlier_models import _features_col, _hash_sample
+
+
+def _fit_eps_insensitive(Z, y, *, epsilon: float, lam: float,
+                         epochs: int, nu: Optional[float] = None):
+    """Deterministic subgradient descent on the ε-insensitive primal
+    ½λ‖w‖² + mean(max(0, |y − Zw − b| − ε)); ``nu`` switches to the
+    ν-SVR re-parameterization (ε re-set each epoch to the (1−ν)-quantile
+    of |residuals|, so ≈ν of the sample ends outside the tube)."""
+    import numpy as np
+
+    n, d = Z.shape
+    w = np.zeros(d)
+    b = float(np.median(y))
+    eps = epsilon
+    for t in range(epochs):
+        lr = 1.0 / (lam * (t + 1) + 10.0)
+        r = y - Z @ w - b
+        if nu is not None:
+            eps = float(np.quantile(np.abs(r), 1.0 - nu))
+        outside = np.abs(r) > eps
+        sgn = np.sign(r) * outside
+        gw = lam * w - (Z.T @ sgn) / n
+        gb = -sgn.sum() / n
+        w -= lr * gw
+        b -= lr * gb
+    return w, b, eps
+
+
+class SVRModel:
+    """Broadcast (W, c, w, b): score = RFF(x)·w + b, or x·w + b when the
+    RFF projection is None (linear)."""
+
+    def __init__(self, W, c, w, b, cols, array_col=None):
+        self.W, self.c, self.w, self.b = W, c, w, b
+        self.cols = list(cols)
+        self.array_col = array_col
+
+    def _predict_np(self, X):
+        import numpy as np
+        if self.W is None:
+            return X @ self.w + self.b
+        Z = np.sqrt(2.0 / self.W.shape[1]) * np.cos(X @ self.W + self.c)
+        return Z @ self.w + self.b
+
+    def predict(self, df: DataFrame, *,
+                pred_col: str = "prediction") -> DataFrame:
+        if self.W is None:
+            # linear: stay in whole-stage codegen, no Python
+            expr = F.lit(float(self.b))
+            for c, wi in zip(self.cols, self.w):
+                if wi:
+                    expr = expr + F.col(c).cast("double") * F.lit(float(wi))
+            return df.withColumn(pred_col, expr)
+        from pyspark.sql.functions import pandas_udf
+
+        model = self
+
+        @pandas_udf("double")
+        def _pred(s: pd.Series) -> pd.Series:
+            import numpy as np
+            X = (np.stack([np.asarray(v, dtype=np.float64) for v in s])
+                 if len(s) else np.zeros((0, 1)))
+            return pd.Series(model._predict_np(X))
+
+        return df.withColumn(
+            pred_col, _pred(_features_col(self.cols, self.array_col)))
+
+
+def _sample_xy(df, cols, array_col, target, max_samples):
+    import numpy as np
+
+    base = df.filter(F.col(target).isNotNull())
+    feats = _features_col(cols, array_col)
+    aug = base.withColumn("_xy", F.concat(
+        feats, F.array(F.col(target).cast("double"))))
+    S = _hash_sample(aug, [], "_xy", max_samples)
+    return np.asarray(S[:, :-1]), np.asarray(S[:, -1])
+
+
+def svr(df: DataFrame, cols: Sequence[str] = (), target: str = "y", *,
+        array_col: Optional[str] = None, epsilon: float = 0.1,
+        gamma: Optional[float] = None, lam: float = 1e-3,
+        n_features: int = 256, max_samples: int = 2000,
+        epochs: int = 300, seed: int = 42) -> SVRModel:
+    """RBF ε-SVR (``SVRLearner``): standardize, seeded RFF map, then the
+    deterministic ε-insensitive subgradient fit.  ε is in units of the
+    target's scale (like sklearn)."""
+    import numpy as np
+
+    X, y = _sample_xy(df, cols, array_col, target, max_samples)
+    n, p = X.shape
+    mu, sd = X.mean(axis=0), X.std(axis=0)
+    sd[sd == 0] = 1.0
+    Xs = (X - mu) / sd
+    if gamma is None:
+        gamma = 1.0 / p
+    rng = np.random.default_rng(seed)
+    W = rng.normal(0.0, math.sqrt(2.0 * gamma), size=(p, n_features))
+    c = rng.uniform(0.0, 2.0 * math.pi, size=n_features)
+    Z = np.sqrt(2.0 / n_features) * np.cos(Xs @ W + c)
+    w, b, _ = _fit_eps_insensitive(Z, y, epsilon=epsilon, lam=lam,
+                                   epochs=epochs)
+    # fold standardization into the projection
+    W_eff = (W.T / sd).T
+    c_eff = c - mu @ (W.T / sd).T
+    return SVRModel(W_eff, c_eff, w, b, cols, array_col)
+
+
+def nu_svr(df: DataFrame, cols: Sequence[str] = (), target: str = "y", *,
+           array_col: Optional[str] = None, nu: float = 0.5,
+           gamma: Optional[float] = None, lam: float = 1e-3,
+           n_features: int = 256, max_samples: int = 2000,
+           epochs: int = 300, seed: int = 42) -> SVRModel:
+    """ν-SVR (``NuSVRLearner``): the tube width adapts so ≈ν of the
+    sample sits outside it."""
+    import numpy as np
+
+    X, y = _sample_xy(df, cols, array_col, target, max_samples)
+    n, p = X.shape
+    mu, sd = X.mean(axis=0), X.std(axis=0)
+    sd[sd == 0] = 1.0
+    Xs = (X - mu) / sd
+    if gamma is None:
+        gamma = 1.0 / p
+    rng = np.random.default_rng(seed)
+    W = rng.normal(0.0, math.sqrt(2.0 * gamma), size=(p, n_features))
+    c = rng.uniform(0.0, 2.0 * math.pi, size=n_features)
+    Z = np.sqrt(2.0 / n_features) * np.cos(Xs @ W + c)
+    w, b, _ = _fit_eps_insensitive(Z, y, epsilon=0.0, lam=lam,
+                                   epochs=epochs, nu=nu)
+    W_eff = (W.T / sd).T
+    c_eff = c - mu @ (W.T / sd).T
+    return SVRModel(W_eff, c_eff, w, b, cols, array_col)
+
+
+def linear_svr(df: DataFrame, cols: Sequence[str] = (), target: str = "y",
+               *, epsilon: float = 0.1, lam: float = 1e-3,
+               max_samples: int = 4000, epochs: int = 300) -> SVRModel:
+    """Linear ε-SVR (``LinearSVRLearner``): same fit in the ORIGINAL
+    feature space; predict is a pure Column expression (codegen)."""
+    import numpy as np
+
+    X, y = _sample_xy(df, cols, None, target, max_samples)
+    mu, sd = X.mean(axis=0), X.std(axis=0)
+    sd[sd == 0] = 1.0
+    Xs = (X - mu) / sd
+    w, b, _ = _fit_eps_insensitive(Xs, y, epsilon=epsilon, lam=lam,
+                                   epochs=epochs)
+    # un-standardize: y = (x−μ)/σ · w + b = x·(w/σ) + (b − μ·(w/σ))
+    w_eff = w / sd
+    b_eff = b - float(mu @ w_eff)
+    return SVRModel(None, None, w_eff, b_eff, cols)

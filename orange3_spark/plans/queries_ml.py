@@ -861,3 +861,25 @@ def q_outlier_ocsvm(spark, sf_dir):
     flagged = model.predict(orders)
     return (flagged.groupBy("is_outlier")
             .agg(F.count(F.lit(1)).alias("n")).orderBy("is_outlier"))
+
+
+@query("q_ml_svr")
+def q_ml_svr(spark, sf_dir):
+    """RBF ε-SVR (Orange/regression/svm.py:11) on a hash train split,
+    RMSE on the complement — sklearn-free: seeded RFF kernel map +
+    deterministic ε-insensitive fit (ml/svr.py).  Not SQL-expressible →
+    rows-only driver check; fit quality pytest-asserted
+    (tests/test_svr.py)."""
+    from orange3_spark.ml.svr import svr
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    data = orders.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("double").alias("x"),
+        (F.col("o_totalprice") / 1000.0).alias("y"))
+    train, test = E.train_test_split(data, "o_orderkey", 0.25)
+    model = svr(train, ["x"], "y", epsilon=0.1, epochs=200, seed=42)
+    r = E.rmse(model.predict(test), label="y")
+    n = test.count()
+    return spark.createDataFrame([(n, float(round(r, 4)))],
+                                 "n_test bigint, rmse double")

@@ -31,6 +31,18 @@ TPCH_TABLES = (
 )
 
 
+def _default_local_dir(min_free_bytes: int = 8 << 30) -> str:
+    """Prefer tmpfs for shuffle files only when it actually has room
+    (containers often cap /dev/shm at 64 MB); otherwise /tmp."""
+    try:
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize >= min_free_bytes:
+            return "/dev/shm/spark-local"
+    except OSError:
+        pass
+    return "/tmp"
+
+
 def get_spark(app_name: str = "orange3-spark", **extra_conf: str) -> SparkSession:
     """Build (or reuse) a SparkSession with scale-appropriate defaults."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -65,10 +77,10 @@ def get_spark(app_name: str = "orange3-spark", **extra_conf: str) -> SparkSessio
         # logs (max pause 22 ms) — consistent with page-cache writeback of
         # shuffle files to disk, which tmpfs sidesteps.  Real clusters put
         # local dirs on NVMe; this is the local-harness equivalent.
+        # Docker defaults /dev/shm to 64 MB, so require real headroom
+        # before preferring it — shuffle-heavy queries ENOSPC otherwise.
         .config("spark.local.dir",
-                os.environ.get("SPARK_GRAFT_LOCAL_DIR",
-                               "/dev/shm/spark-local"
-                               if os.path.isdir("/dev/shm") else "/tmp"))
+                os.environ.get("SPARK_GRAFT_LOCAL_DIR") or _default_local_dir())
         # managed-table warehouse (bucketed tables, sources/bucketing.py) —
         # kept out of the repo tree
         .config("spark.sql.warehouse.dir",

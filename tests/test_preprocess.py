@@ -254,9 +254,24 @@ def test_fixed_time_width_pre_epoch_months(spark):
     assert got["1969-08-15T03:00:00"] == "1969-07-01T00:00:00"
     assert got["1969-12-31T23:59:59"] == "1969-07-01T00:00:00"
 
+
+def test_fixed_time_width_max_intervals_guard(spark):
+    """The interval-count guard must trip on an explicitly wide span — its
+    own fixture, so no other test's data width decides whether it fires."""
+    from datetime import datetime
+
     import pytest as _p
+
+    from orange3_spark.preprocess.discretize import fixed_time_width
+
+    df = spark.createDataFrame(
+        [(datetime(2000, 1, 1, 0, 0, 0),),
+         (datetime(2000, 1, 15, 0, 0, 0),)], "ts timestamp")  # 336 hours
     with _p.raises(ValueError):
         fixed_time_width(df, "ts", 1, "hour", max_intervals=100)
+    # and it must NOT trip when the bound accommodates the span
+    assert fixed_time_width(df, "ts", 1, "hour",
+                            max_intervals=400).count() == 2
 
 
 def test_nice_decimal_binnings_shapes():

@@ -151,6 +151,11 @@ def test_lenient_timestamp_formats(spark):
         ("11/25/2021", "2021-11-25T00:00:00"),
         ("11/25/21", "2021-11-25T00:00:00"),
         ("1637850605", "2021-11-25T14:30:05"),  # unix seconds
+        # Z-suffix on offset-LESS shapes: the reference rstrip('Z')s, so
+        # these must parse via the stripped probes (ADVICE r2)
+        ("2021-11-25Z", "2021-11-25T00:00:00"),
+        ("14:30:05Z", "1970-01-01T14:30:05"),
+        ("1637850605Z", "2021-11-25T14:30:05"),
         ("not a date", None),
     ]
     df = spark.createDataFrame([(s,) for s, _ in cases], "raw string")
@@ -219,3 +224,39 @@ def test_lenient_timestamp_z_is_utc_in_any_session_tz(spark):
         assert got == 1609502400          # 2021-01-01T12:00:00 UTC
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_xlsx_reader_gate(spark, tmp_path):
+    """Excel reading (reference io.py xlsx reader) is driver-side pandas
+    gated on openpyxl: with the engine absent the registry raises the
+    honest NotImplementedError; with it present a real sheet round-trips."""
+    import pytest as _p
+
+    from orange3_spark.sources.registry import read_table
+
+    try:
+        import openpyxl
+        has_engine = True
+    except ImportError:
+        has_engine = False
+
+    p = tmp_path / "mini.xlsx"
+    if not has_engine:
+        # must be a VALID zip: pandas peeks at the container to infer the
+        # format before importing the engine, so only then does the
+        # missing-openpyxl ImportError (→ our gate) fire
+        import zipfile
+
+        with zipfile.ZipFile(p, "w") as zf:
+            zf.writestr("xl/workbook.xml", "<workbook/>")
+        with _p.raises(NotImplementedError, match="openpyxl"):
+            read_table(spark, str(p))
+        return
+    wb = openpyxl.Workbook()
+    ws = wb.active
+    ws.append(["name", "value"])
+    ws.append(["a", 1])
+    ws.append(["b", 2])
+    wb.save(p)
+    rows = sorted(tuple(r) for r in read_table(spark, str(p)).collect())
+    assert rows == [("a", 1), ("b", 2)]
