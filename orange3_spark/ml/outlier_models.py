@@ -70,12 +70,13 @@ class IsolationForestModel:
     right, leaf-size) — a few KB broadcast into the predict UDF."""
 
     def __init__(self, trees, psi: int, cols, array_col,
-                 threshold: Optional[float] = None):
+                 threshold: Optional[float] = None, fit_sample=None):
         self.trees = trees
         self.psi = psi
         self.cols = list(cols)
         self.array_col = array_col
         self.threshold = threshold
+        self._fit_sample = fit_sample
 
     def _scores_np(self, X):
         import numpy as np
@@ -125,10 +126,13 @@ class IsolationForestModel:
             score_col, _score(_features_col(self.cols, self.array_col)))
         thr = self.threshold
         if thr is None:
-            # distributed exact quantile — flags the top `contamination`
-            # share, the reference's contamination semantics
-            thr = out.agg(F.percentile(
-                score_col, F.lit(1.0 - contamination))).first()[0]
+            # sklearn semantics: the contamination threshold comes from the
+            # TRAINING scores — here the fit sample, quantiled driver-side.
+            # This keeps predict a single scan (a full-data quantile would
+            # re-run the scoring UDF over every row just to set the cut).
+            import numpy as np
+            thr = float(np.quantile(self._scores_np(self._fit_sample),
+                                    1.0 - contamination))
         return out.withColumn(flag_col, F.col(score_col) > F.lit(float(thr)))
 
 
@@ -179,17 +183,19 @@ def isolation_forest(df: DataFrame, cols: Sequence[str] = (), *,
         build(np.arange(sample.shape[0]), 0)
         trees.append((np.asarray(feat), np.asarray(thr), np.asarray(left),
                       np.asarray(right), np.asarray(size)))
-    return IsolationForestModel(trees, min(psi, S.shape[0]), cols, array_col)
+    return IsolationForestModel(trees, min(psi, S.shape[0]), cols, array_col,
+                                fit_sample=S)
 
 
 class EllipticEnvelopeModel:
     """Robust location + precision; predict is a pure Column quadratic
     form (broadcast constants, whole-stage codegen — no Python)."""
 
-    def __init__(self, location, precision, cols):
+    def __init__(self, location, precision, cols, fit_sample=None):
         self.location = location
         self.precision = precision
         self.cols = list(cols)
+        self._fit_sample = fit_sample
 
     def mahalanobis_sq(self):
         diffs = [F.col(c).cast("double") - F.lit(float(m))
@@ -205,10 +211,17 @@ class EllipticEnvelopeModel:
     def predict(self, df: DataFrame, *, score_col: str = "maha_sq",
                 flag_col: str = "is_outlier",
                 contamination: float = 0.1) -> DataFrame:
+        import numpy as np
+
+        # sklearn semantics: threshold from the FIT sample's scores
+        # (driver-side) — predict stays one codegen scan, no extra
+        # quantile pass over the full table
+        diff = self._fit_sample - np.asarray(self.location)
+        d = np.einsum("ij,jk,ik->i", diff,
+                      np.asarray(self.precision), diff)
+        thr = float(np.quantile(d, 1.0 - contamination))
         out = df.withColumn(score_col, self.mahalanobis_sq())
-        thr = out.agg(F.percentile(
-            score_col, F.lit(1.0 - contamination))).first()[0]
-        return out.withColumn(flag_col, F.col(score_col) > F.lit(float(thr)))
+        return out.withColumn(flag_col, F.col(score_col) > F.lit(thr))
 
 
 def elliptic_envelope(df: DataFrame, cols: Sequence[str], *,
@@ -250,7 +263,8 @@ def elliptic_envelope(df: DataFrame, cols: Sequence[str], *,
     cov = np.cov(sub, rowvar=False, bias=True)
     cov += np.eye(p) * 1e-9 * max(1.0, np.trace(cov) / p)
     return EllipticEnvelopeModel(loc.tolist(),
-                                 np.linalg.inv(cov).tolist(), cols)
+                                 np.linalg.inv(cov).tolist(), cols,
+                                 fit_sample=S)
 
 
 class OneClassSVMModel:

@@ -802,7 +802,10 @@ def q_ml_logreg_cv(spark, sf_dir):
         test = folded.filter(F.col("fold") == i)
         maj = train.agg(F.avg("label")).first()[0]
         maj = max(maj, 1.0 - maj)
-        model = L.logistic_regression(train, ["x1", "x2"], "label")
+        # 25 L-BFGS iterations converge far past the ±0.02 CA bound; the
+        # default 50 just doubles the per-fold job count
+        model = L.logistic_regression(train, ["x1", "x2"], "label",
+                                      max_iter=25)
         agg = (model.predict(test)
                .agg(F.count(F.lit(1)).alias("n"),
                     F.avg((F.col("prediction") == F.col("label"))

@@ -1,0 +1,55 @@
+"""Local mirror of the driver's t2 correctness gate: run every queries()
+entry against its DuckDB oracle at sf0.01, write correctness_local.json."""
+import importlib.util
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+sys.path.insert(0, os.path.join(HERE, "tests"))
+
+import duckdb
+
+spec = importlib.util.spec_from_file_location(
+    "e", os.path.join(HERE, "__spark_entry__.py"))
+m = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(m)
+from conftest import assert_matches_oracle  # noqa: E402
+
+from orange3_spark.session import get_spark  # noqa: E402
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+spark = get_spark("oracle-sweep")
+spark.sparkContext.setLogLevel("ERROR")
+con = duckdb.connect()
+for t in ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split():
+    p = os.path.join(sf, f"{t}.parquet")
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+qs, osql = m.queries(), m.oracle_sql()
+out = {}
+n_ok = 0
+for name, fn in qs.items():
+    t0 = time.perf_counter()
+    try:
+        if name in osql:
+            assert_matches_oracle(fn(spark, sf), con, osql[name])
+            out[name] = {"ok": True, "mode": "oracle"}
+        else:
+            n = fn(spark, sf).count()
+            out[name] = {"ok": n >= 0, "mode": "rows_only", "rows": n}
+        n_ok += 1
+        print(f"OK   {name} ({time.perf_counter()-t0:.1f}s)", flush=True)
+    except Exception as ex:
+        out[name] = {"ok": False, "err": str(ex)[:300]}
+        print(f"FAIL {name}: {str(ex)[:200]}", flush=True)
+    spark.catalog.clearCache()
+
+with open(os.path.join(HERE, "correctness_local.json"), "w") as fh:
+    json.dump({"sf_dir": sf, "n": len(out), "n_ok": n_ok,
+               "results": out}, fh, indent=1)
+print(f"\n{n_ok}/{len(out)} green")
