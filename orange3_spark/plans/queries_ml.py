@@ -785,14 +785,18 @@ def q_ml_logreg_cv(spark, sf_dir):
     pins what IS exact — per-fold held-out counts and the complement-train
     majority share (verifying the fold mechanism and split complement) —
     while ``ca_ok`` asserts the behavioral bound that held-out accuracy
-    stays within 0.02 of the majority baseline (a converged convex fit
-    can't do materially worse; quality itself is pytest-asserted in
+    stays within max(0.02, 3σ) of the majority baseline, σ the binomial
+    noise sqrt(maj·(1−maj)/n_test) — a converged convex fit can't do
+    materially worse, but a few-hundred-row fold legitimately wobbles by
+    its sampling error (quality itself is pytest-asserted in
     tests/test_ml.py)."""
     (orders,) = _t(spark, sf_dir, "orders")
     data = orders.select(
         "o_orderkey",
-        F.col("o_totalprice").cast("double").alias("x1"),
-        F.col("o_custkey").cast("double").alias("x2"),
+        # unit-scale features keep L-BFGS well-conditioned; affine
+        # rescaling changes nothing the oracle checks
+        (F.col("o_totalprice") / 100000.0).cast("double").alias("x1"),
+        (F.col("o_custkey") / 1000.0).cast("double").alias("x2"),
         (F.col("o_orderpriority") == "1-URGENT")
         .cast("double").alias("label"))
     folded = E.with_fold(data, "o_orderkey", 3).cache()
@@ -810,8 +814,10 @@ def q_ml_logreg_cv(spark, sf_dir):
                .agg(F.count(F.lit(1)).alias("n"),
                     F.avg((F.col("prediction") == F.col("label"))
                           .cast("double")).alias("ca")).first())
+        import math
+        tol = max(0.02, 3.0 * math.sqrt(maj * (1 - maj) / max(agg["n"], 1)))
         out.append((i, int(agg["n"]), round(maj, 4),
-                    bool(agg["ca"] >= maj - 0.02)))
+                    bool(agg["ca"] >= maj - tol)))
     folded.unpersist()
     return spark.createDataFrame(
         out, "fold int, n_test bigint, majority_share double, ca_ok boolean")
