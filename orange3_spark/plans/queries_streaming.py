@@ -163,3 +163,34 @@ def q_time_rollup(spark, sf_dir):
          F.round(F.sum("value"), 6).alias("total")],
         granularities=("hour", "day", "month"), keys=["event_type"])
     return out
+
+
+@query("q_stream_cusum", """
+WITH x AS (SELECT user_id, ts, event_id, value - 1.5 AS d FROM events),
+p AS (SELECT user_id, ts, event_id,
+             sum(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS pp
+      FROM x),
+q AS (SELECT user_id, pp,
+             min(pp) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS mm,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM p)
+SELECT user_id AS key, round(pp - least(0, mm), 6) AS cusum,
+       (pp - least(0, mm)) > 25.0 AS drifted
+FROM q WHERE rn = 1
+""")
+def q_stream_cusum(spark, sf_dir):
+    """Per-user CUSUM drift state (streaming/stateful.py:cusum_drift_stream,
+    an applyInPandasWithState operator) in its batch-twin closed form:
+    s_t = P_t − min(0, min_{j≤t} P_j) — running sum + running min over one
+    per-key ordered window, so the whole stateful recursion is EXACTLY
+    oracle-checked (additions happen in the declared order on both
+    engines; the streaming path is equivalence-tested in
+    tests/test_stateful.py)."""
+    from orange3_spark.streaming.stateful import cusum_batch
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    return cusum_batch(events, "user_id", "value", ("ts", "event_id"),
+                       target=1.5, slack=0.0, threshold=25.0)

@@ -107,3 +107,37 @@ def cusum_drift_stream(df: DataFrame, key_col: str = "user_id",
             .applyInPandasWithState(make_cusum_fn(target, slack, threshold),
                                     CUSUM_SCHEMA, _CUSUM_STATE,
                                     "update", "NoTimeout"))
+
+
+def cusum_batch(df: DataFrame, key_col: str = "user_id",
+                value_col: str = "value",
+                order_cols: tuple = ("ts", "event_id"), *, target: float,
+                slack: float = 0.0, threshold: float = 5.0) -> DataFrame:
+    """Batch twin of :func:`cusum_drift_stream` — the oracle-checkable form.
+
+    The positive-part CUSUM recursion s_t = max(0, s_{t-1} + x_t − k) has
+    the closed prefix form s_t = P_t − min(0, min_{j≤t} P_j) with
+    P_t = Σ_{i≤t}(x_i − k): a running sum and a running min, both over the
+    SAME per-key ordered window — partition-parallel, no recursion, no
+    state store.  The final state per key reads off the last row.  Every
+    addition happens in the declared (ts, id) order, so the doubles are
+    bit-identical across engines and runs.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    k = float(target) + float(slack)
+    d = F.col(value_col).cast("double") - F.lit(k)
+    run = (Window.partitionBy(key_col).orderBy(*order_cols)
+           .rowsBetween(Window.unboundedPreceding, 0))
+    last = Window.partitionBy(key_col).orderBy(
+        *[F.col(c).desc() for c in order_cols])
+    rows = (df.withColumn("_p", F.sum(d).over(run))
+              .withColumn("_m", F.min(F.col("_p")).over(run))
+              .withColumn("_rn", F.row_number().over(last))
+              .filter(F.col("_rn") == 1))
+    s = F.col("_p") - F.least(F.lit(0.0), F.col("_m"))
+    return rows.select(
+        F.col(key_col).alias("key"),
+        F.round(s, 6).alias("cusum"),
+        (s > F.lit(float(threshold))).alias("drifted"))

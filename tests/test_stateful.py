@@ -68,3 +68,28 @@ def test_cusum_detects_drift(spark, tmp_path):
     got = {r.key: r for r in spark.table("s_cusum").collect()}
     assert not got[1].drifted and got[1].cusum == 0.0
     assert got[2].drifted and got[2].cusum > 5.0
+
+
+def test_cusum_batch_matches_recursion(spark):
+    """The prefix-form batch CUSUM must equal the literal per-row
+    recursion the streaming operator runs."""
+    from orange3_spark.streaming.stateful import cusum_batch
+
+    rows = [(1, i, float(v)) for i, v in
+            enumerate([3, 0, 4, 0, 0, 5, 1, 0])] + \
+           [(2, i, float(v)) for i, v in enumerate([10, 10, 0, 0])]
+    df = spark.createDataFrame(rows, "user_id int, event_id int, value double")
+    got = {r["key"]: (r["cusum"], r["drifted"]) for r in
+           cusum_batch(df, "user_id", "value", ("event_id",),
+                       target=2.0, threshold=5.0).collect()}
+
+    def recur(vals, k=2.0):
+        s = 0.0
+        for v in vals:
+            s = max(0.0, s + v - k)
+        return s
+
+    s1 = recur([3, 0, 4, 0, 0, 5, 1, 0])
+    s2 = recur([10, 10, 0, 0])
+    assert got[1] == (round(s1, 6), s1 > 5.0)
+    assert got[2] == (round(s2, 6), s2 > 5.0)
