@@ -18,6 +18,7 @@ import orange3_spark.plans.queries_core  # noqa: F401
 import orange3_spark.plans.queries_media  # noqa: F401
 import orange3_spark.plans.queries_ml  # noqa: F401
 import orange3_spark.plans.queries_preprocess  # noqa: F401
+import orange3_spark.plans.queries_sources  # noqa: F401
 import orange3_spark.plans.queries_stats  # noqa: F401
 import orange3_spark.plans.queries_streaming  # noqa: F401
 import orange3_spark.plans.queries_text  # noqa: F401

@@ -90,10 +90,13 @@ def kmeans_lloyd(df: DataFrame, id_col: str, *, array_col: str,
     for _ in range(n_iter - 1):
         assigned = assign(df, centroids)
         dim = len(centroids[0][1])
-        arr = F.col(array_col).cast("array<double>")
+        # cast the vector once, then extract — per-dim getItem-with-cast
+        # would re-cast the array `dim` times inside the aggregate
         new = (assigned
+               .select("cluster",
+                       F.col(array_col).cast("array<double>").alias("_arr"))
                .groupBy("cluster")
-               .agg(*[F.avg(arr.getItem(j)).alias(f"c{j}")
+               .agg(*[F.avg(F.col("_arr").getItem(j)).alias(f"c{j}")
                       for j in range(dim)])
                .collect())
         # keep the previous centroid for a cluster that lost every member:
@@ -121,20 +124,62 @@ def pca_cov_eigen(df: DataFrame, cols: Sequence[str], *,
     — exact, deterministic, and scale-independent: the scan is the cost).
 
     Returns ``(components, eigenvalues, ratios)`` sorted by decreasing
-    eigenvalue."""
+    eigenvalue.
+
+    Two physical strategies, same math: up to 16 columns the covariance
+    comes from p(p+1)/2 ``avg(a*b)`` aggregate expressions (codegen,
+    map-side combined, exact SQL-oracle parity).  Above that the
+    expression count grows O(p²) and Janino compilation dominates — a
+    64-dim call is ~2080 aggregates and took *minutes* to compile — so
+    wide inputs switch to one ``mapInPandas`` scan that BLAS-computes
+    per-batch partial Gram matrices (n, Σx, X'X) and combines the
+    per-partition partials on the driver: same single pass, O(p²) doubles
+    of shuffle-free output per partition."""
     import numpy as np
 
-    aggs = [F.avg(F.col(a).cast("double") * F.col(b).cast("double"))
-            .alias(f"e_{i}_{j}")
-            for i, a in enumerate(cols) for j, b in enumerate(cols) if i <= j]
-    aggs += [F.avg(F.col(c).cast("double")).alias(f"m_{c}") for c in cols]
-    r = df.agg(*aggs).first()
     k = len(cols)
-    cov = np.zeros((k, k))
-    for i in range(k):
-        for j in range(i, k):
-            cov[i, j] = cov[j, i] = (r[f"e_{i}_{j}"]
-                                     - r[f"m_{cols[i]}"] * r[f"m_{cols[j]}"])
+    if k > 16:
+        import pandas as pd
+
+        casts = [F.col(c).cast("double").alias(c) for c in cols]
+
+        def _gram(it):
+            n = 0
+            s = np.zeros(k)
+            g = np.zeros((k, k))
+            for pdf in it:
+                X = pdf.to_numpy(dtype=float)
+                X = X[~np.isnan(X).any(axis=1)]
+                if len(X):
+                    n += X.shape[0]
+                    s += X.sum(axis=0)
+                    g += X.T @ X
+            yield pd.DataFrame({"n": [n], "s": [s.tolist()],
+                                "g": [g.ravel().tolist()]})
+
+        parts = (df.select(*casts)
+                   .mapInPandas(_gram, "n long, s array<double>, "
+                                       "g array<double>").collect())
+        n = sum(r["n"] for r in parts)
+        if n == 0:
+            raise ValueError("pca_cov_eigen: no complete rows")
+        s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+        g = np.sum([np.asarray(r["g"]).reshape(k, k) for r in parts], axis=0)
+        mean = s / n
+        cov = g / n - np.outer(mean, mean)
+    else:
+        aggs = [F.avg(F.col(a).cast("double") * F.col(b).cast("double"))
+                .alias(f"e_{i}_{j}")
+                for i, a in enumerate(cols) for j, b in enumerate(cols)
+                if i <= j]
+        aggs += [F.avg(F.col(c).cast("double")).alias(f"m_{c}") for c in cols]
+        r = df.agg(*aggs).first()
+        cov = np.zeros((k, k))
+        for i in range(k):
+            for j in range(i, k):
+                cov[i, j] = cov[j, i] = (r[f"e_{i}_{j}"]
+                                         - r[f"m_{cols[i]}"]
+                                         * r[f"m_{cols[j]}"])
     w, v = np.linalg.eigh(cov)
     order = np.argsort(w)[::-1][:n_components or k]
     eig = [float(w[i]) for i in order]

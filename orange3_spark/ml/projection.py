@@ -467,17 +467,64 @@ def som_fit(df: DataFrame, cols: Sequence[str] = (), *,
         feat = F.col(array_col).cast("array<double>")
         probe = df.select(F.size(feat).alias("p")).first()
         P = int(probe.p)
-        elems = [feat.getItem(j).alias(f"_f{j}") for j in range(P)]
+        vec = feat
     else:
         P = len(cols)
-        elems = [F.col(c).cast("double").alias(f"_f{j}")
-                 for j, c in enumerate(cols)]
-    data = df.select(*elems).dropna().localCheckpoint(eager=True)
+        vec = F.array(*[F.col(c).cast("double") for c in cols])
+    # ONE array column end-to-end: no P-wide column extraction (a per-dim
+    # getItem fan-out re-casts the array P times and blows up codegen at
+    # high dim), and every pass below ships a single Arrow list column.
+    # Materialize via cache, NOT localCheckpoint: eager localCheckpoint of
+    # this plan wedges on Spark 4.1 (count/collect/cache ran in <1 s, the
+    # checkpoint hung for minutes).
+    data = (df.select(vec.alias("_arr"))
+              .filter(F.col("_arr").isNotNull()
+                      & (F.size("_arr") == P)
+                      & ~F.exists("_arr", lambda x: x.isNull() | F.isnan(x)))
+              .cache())
+    n = data.count()
+    if n == 0:
+        raise ValueError("som_fit: no complete rows")
+    # each iteration is one scan; right-size partitions so a small fit
+    # isn't n_iterations×parallelism scheduler round-trips, while big data
+    # keeps full parallelism
+    parts = max(1, min(df.sparkSession.sparkContext.defaultParallelism,
+                       n // 50_000 + 1))
+    if parts < data.rdd.getNumPartitions():
+        data = data.coalesce(parts).cache()
+        data.count()
 
-    # PCA init from the covariance of a moment pass (cluster.pca_cov_eigen)
-    from orange3_spark.ml.cluster import pca_cov_eigen
-    comps, _eig, _ = pca_cov_eigen(data, [f"_f{j}" for j in range(P)],
-                                   n_components=min(2, P))
+    def _stack(series: pd.Series) -> "np.ndarray":
+        return np.stack(series.to_numpy())
+
+    # PCA-plane init from one partial-Gram scan (the som.py
+    # init_weights_pca analogue): per batch n/Σx/X'X with BLAS, driver
+    # eigensolve — no O(P²) aggregate expressions
+    def _gram(batches):
+        gn, s, g = 0, np.zeros(P), np.zeros((P, P))
+        for pdf in batches:
+            X = _stack(pdf["_arr"])
+            gn += X.shape[0]
+            s += X.sum(axis=0)
+            g += X.T @ X
+        yield pd.DataFrame({"n": [gn], "s": [s.tolist()],
+                            "g": [g.ravel().tolist()]})
+
+    gparts = data.mapInPandas(
+        _gram, "n long, s array<double>, g array<double>").collect()
+    gn = sum(r["n"] for r in gparts)
+    s = np.sum([np.asarray(r["s"]) for r in gparts], axis=0)
+    g = np.sum([np.asarray(r["g"]).reshape(P, P) for r in gparts], axis=0)
+    mean = s / gn
+    cov = g / gn - np.outer(mean, mean)
+    w_eig, v_eig = np.linalg.eigh(cov)
+    order = np.argsort(w_eig)[::-1]
+    comps = []
+    for ci in order[:min(2, P)]:
+        c = v_eig[:, ci]
+        if c[np.argmax(np.abs(c))] < 0:
+            c = -c
+        comps.append(c)
     pc0 = np.asarray(comps[0])
     pc1 = np.asarray(comps[1]) if len(comps) > 1 else np.zeros(P)
     W = np.empty((dim_y, dim_x, P))
@@ -488,36 +535,35 @@ def som_fit(df: DataFrame, cols: Sequence[str] = (), *,
     norms[norms == 0] = 1
     W /= norms[:, :, None]
 
-    from pyspark.sql.functions import pandas_udf
-
     gy, gx = np.mgrid[0:dim_y, 0:dim_x]
     units = np.stack([gy.ravel(), gx.ravel()], axis=1)   # (U, 2)
+    U = units.shape[0]
 
     for it in range(n_iterations):
         decay = 1 + it / (n_iterations / 2)
         sig = sigma / decay
         Wf = W.reshape(-1, P)                            # (U, P)
 
-        @pandas_udf("int")
-        def _bmu(it: Iterator[Tuple[pd.Series, ...]]) -> Iterator[pd.Series]:
-            for series in it:
-                X = np.stack([s.to_numpy(dtype=float) for s in series],
-                             axis=1)
+        # ONE mapInPandas scan per iteration: assign each batch to its
+        # best-matching unit AND accumulate per-unit partial sums locally
+        # (U×P floats per partition) — no shuffle, the driver combine is
+        # the map-side-combine of the groupBy it replaces
+        def _iter_stats(batches, Wf=Wf):
+            S = np.zeros((U, P))
+            cnt = np.zeros(U)
+            for pdf in batches:
+                X = _stack(pdf["_arr"])
                 d = ((X[:, None, :] - Wf[None, :, :]) ** 2).sum(axis=2)
-                yield pd.Series(np.argmin(d, axis=1).astype("int32"))
+                u = np.argmin(d, axis=1)
+                np.add.at(cnt, u, 1)
+                np.add.at(S, u, X)
+            yield pd.DataFrame({"cnt": [cnt.tolist()],
+                                "s": [S.ravel().tolist()]})
 
-        stats = (data.withColumn("_u", _bmu(*[F.col(f"_f{j}")
-                                              for j in range(P)]))
-                     .groupBy("_u")
-                     .agg(F.count(F.lit(1)).alias("_n"),
-                          *[F.sum(f"_f{j}").alias(f"_s{j}")
-                            for j in range(P)])
-                     .collect())
-        S = np.zeros((units.shape[0], P))
-        Ncnt = np.zeros(units.shape[0])
-        for r in stats:
-            S[r["_u"]] = [r[f"_s{j}"] for j in range(P)]
-            Ncnt[r["_u"]] = r["_n"]
+        stats = data.mapInPandas(
+            _iter_stats, "cnt array<double>, s array<double>").collect()
+        S = np.sum([np.asarray(r["s"]).reshape(U, P) for r in stats], axis=0)
+        Ncnt = np.sum([np.asarray(r["cnt"]) for r in stats], axis=0)
         # neighborhood combine on the tiny grid: h(u,v) Gaussian in grid space
         d2 = ((units[:, None, :] - units[None, :, :]) ** 2).sum(axis=2)
         H = np.exp(-d2 / (2 * sig * sig))                # (U, U)
@@ -547,15 +593,18 @@ def som(df: DataFrame, cols: Sequence[str] = (), *,
     Wf = W.reshape(-1, P)
 
     if array_col is not None:
-        feats = [F.col(array_col).cast("array<double>").getItem(j)
-                 for j in range(P)]
+        # ship the vector as ONE Arrow list column (a per-dim getItem fan-out
+        # would re-cast the array P times and widen the Arrow batch P-fold)
+        feats = [F.col(array_col).cast("array<double>")]
     else:
-        feats = [F.col(c).cast("double") for c in cols]
+        feats = [F.array(*[F.col(c).cast("double") for c in cols])]
 
     @pandas_udf("struct<x:int,y:int>")
-    def _win(it: Iterator[Tuple[pd.Series, ...]]) -> Iterator[pd.DataFrame]:
+    def _win(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for series in it:
-            X = np.stack([s.to_numpy(dtype=float) for s in series], axis=1)
+            X = np.stack([np.asarray(v, dtype=float)
+                          if v is not None and len(v) == P
+                          else np.full(P, np.nan) for v in series])
             d = ((X[:, None, :] - Wf[None, :, :]) ** 2).sum(axis=2)
             u = np.argmin(d, axis=1)
             yield pd.DataFrame({"x": (u % dim_x).astype("int32"),

@@ -799,7 +799,15 @@ def q_ml_logreg_cv(spark, sf_dir):
         (F.col("o_custkey") / 1000.0).cast("double").alias("x2"),
         (F.col("o_orderpriority") == "1-URGENT")
         .cast("double").alias("label"))
-    folded = E.with_fold(data, "o_orderkey", 3).cache()
+    folded = E.with_fold(data, "o_orderkey", 3)
+    # right-size partitions to the training set: every L-BFGS iteration is
+    # a treeAggregate job over ALL partitions, so 75 iterations × 32
+    # near-empty tasks is pure scheduler overhead at bench scale, while a
+    # 100 TB run keeps full parallelism (≥20k rows per partition)
+    n = folded.count()
+    parts = max(1, min(folded.sparkSession.sparkContext.defaultParallelism,
+                       n // 20_000 + 1))
+    folded = folded.coalesce(parts).cache()
     out = []
     for i in range(3):
         train = folded.filter(F.col("fold") != i)

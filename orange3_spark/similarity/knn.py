@@ -279,9 +279,11 @@ def ivf_knn(data: DataFrame, queries: DataFrame, k: int = 5, *,
     assigned = kmeans_lloyd(data, id_col, array_col=vec_col,
                             k=n_cells, n_iter=n_iter).cache()
     dim = len(data.select(vec_col).first()[0])
-    arr = _as_double(F.col(vec_col))
-    cents = (assigned.groupBy("cluster")
-             .agg(F.array(*[F.avg(arr.getItem(j))
+    # single cast projection, then element extraction (not `dim` re-casts)
+    cents = (assigned.select("cluster",
+                             _as_double(F.col(vec_col)).alias("_arr"))
+             .groupBy("cluster")
+             .agg(F.array(*[F.avg(F.col("_arr").getItem(j))
                             for j in range(dim)]).alias("cvec")))
     q = queries.select(F.col(query_id).alias("qid"),
                        _as_double(F.col(vec_col)).alias("qv"))
@@ -292,7 +294,7 @@ def ivf_knn(data: DataFrame, queries: DataFrame, k: int = 5, *,
                .filter(F.col("crn") <= nprobe)
                .select("qid", "qv", "cluster"))
     side = assigned.select(F.col(id_col).alias("id_b"),
-                           arr.alias("vb"), "cluster")
+                           _as_double(F.col(vec_col)).alias("vb"), "cluster")
     cand = probes.join(side, "cluster")
     if exclude_self:
         cand = cand.where(F.col("qid") != F.col("id_b"))

@@ -497,19 +497,34 @@ def simhash_near_dups_md5(df: DataFrame, text_col: str = "text",
         raise ValueError("packed md5 simhash is 64-bit")
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
     hx = F.md5(F.col("_t"))
+    # SIMD-in-a-register vote counting: each hex char carries 4 signature
+    # bits, and a 16-entry lookup spreads them into four 16-bit lanes of a
+    # long, so ONE long sum per char replaces four conditional-sum
+    # aggregates (16 sums + a count instead of 64 — measured ~2× on the
+    # sf0.1 bench).  Lane k of sum _s{i} counts tokens whose char i has
+    # bit (3-k) set; the majority vote for bit b=4i+k is then
+    # 2*count > n.  Lanes hold counts < 2^16: fine for any document under
+    # 65k tokens — longer docs should use the xxhash64 production variant
+    # (simhash_near_dups), which has no lane packing.
+    lut = [sum((((v >> (3 - k)) & 1) << (16 * k)) for k in range(4))
+           for v in range(16)]
+    lut_arr = F.array(*[F.lit(x).cast("long") for x in lut])
     tok = tok.select(id_col, *[
-        F.conv(F.substring(hx, i + 1, 1), 16, 10).cast("int").alias(f"_c{i}")
+        F.element_at(lut_arr,
+                     F.conv(F.substring(hx, i + 1, 1), 16, 10)
+                      .cast("int") + 1).alias(f"_p{i}")
         for i in range(bits // 4)])
-    votes = []
-    for b in range(bits):
-        ci, shift = b // 4, 3 - b % 4          # MSB-first, like the oracle
-        bit = F.shiftright(F.col(f"_c{ci}"), shift).bitwiseAND(F.lit(1))
-        votes.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{b}"))
-    agg = tok.groupBy(id_col).agg(*votes)
+    agg = tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(f"_p{i}").alias(f"_s{i}") for i in range(bits // 4)])
     sig = None
     for b in range(bits):
+        ci, lane = b // 4, b % 4
+        cnt = F.shiftright(F.col(f"_s{ci}"), 16 * lane).bitwiseAND(
+            F.lit(0xFFFF))
         mask = -(1 << 63) if b == 0 else (1 << (63 - b))
-        m = (F.when(F.col(f"v{b}") > 0, F.lit(mask))
+        # vote = 2*cnt − n; majority ⇔ 2*cnt > n (same as sum(±1) > 0)
+        m = (F.when(cnt * 2 > F.col("_n"), F.lit(mask))
               .otherwise(F.lit(0)).cast("long"))
         sig = m if sig is None else sig.bitwiseOR(m)
     h = (agg.select(F.col(id_col), sig.alias("sh"))
