@@ -429,6 +429,75 @@ def q_select_best(spark, sf_dir):
         [(i + 1, f) for i, f in enumerate(best)], "rank long, feature string")
 
 
+@query("q_impute_asvalue", """
+WITH m AS (SELECT CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR) || 'p'),
+                                      1, 2) < '29'
+                       THEN NULL ELSE o_orderpriority END AS pri
+           FROM orders)
+SELECT coalesce(pri, 'N/A') AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN pri IS NULL THEN 0.0 ELSE 1.0 END) AS DOUBLE)
+           AS n_defined
+FROM m GROUP BY 1
+""")
+def q_impute_asvalue(spark, sf_dir):
+    """Impute AsValue (``impute.py:285``): missing becomes its own category
+    plus a defined-indicator column — mask ~16% of a discrete column by
+    content hash, impute, aggregate both outputs."""
+    from orange3_spark.preprocess.transform import impute_as_value
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    msk = F.substring(
+        F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit("p"))),
+        1, 2) < "29"
+    holey = orders.withColumn(
+        "o_orderpriority",
+        F.when(msk, None).otherwise(F.col("o_orderpriority")))
+    out = impute_as_value(holey, "o_orderpriority", missing_label="N/A")
+    return out.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderpriority_defined").alias("n_defined"))
+
+
+@query("q_sample_fixed", """
+SELECT CAST(300 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_foreign
+""")
+def q_sample_fixed(spark, sf_dir):
+    """Random filter, exact-count mode (``filter.py:110-140``): the sampled
+    row SET is seed/partitioning-dependent, so the oracle pins the exact
+    properties instead — the sample has exactly n rows and every one comes
+    from the source (anti-join count 0)."""
+    from orange3_spark.operators.filters import Random
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    s = Random(prob=300, seed=7)(orders)
+    foreign = s.join(orders, "o_orderkey", "left_anti")
+    return s.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
+        foreign.agg(F.count(F.lit(1)).alias("n_foreign")))
+
+
+@query("q_sample_bernoulli", """
+SELECT TRUE AS in_range, CAST(0 AS BIGINT) AS n_foreign
+""")
+def q_sample_bernoulli(spark, sf_dir):
+    """Random filter, Bernoulli mode: keep-probability 0.2 per row.  The
+    kept count is partitioning-dependent, so the checkable property is the
+    binomial bound — |n − pN| ≤ 5σ — plus provenance (no foreign rows)."""
+    import math
+
+    from orange3_spark.operators.filters import Random
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    n_src = orders.count()
+    s = Random(prob=0.2, seed=11)(orders)
+    tol = 5.0 * math.sqrt(n_src * 0.2 * 0.8)
+    foreign = s.join(orders, "o_orderkey", "left_anti")
+    return (s.agg(F.count(F.lit(1)).alias("_n"))
+             .select((F.abs(F.col("_n") - F.lit(0.2 * n_src))
+                      <= F.lit(tol)).alias("in_range"))
+             .crossJoin(foreign.agg(F.count(F.lit(1)).alias("n_foreign"))))
+
+
 # ------------------------------------- §2.11/§2.12 rows-only registrations
 
 @query("q_ml_tsne")
@@ -460,6 +529,45 @@ def q_ml_som(spark, sf_dir):
     return (out.groupBy("som_x", "som_y")
                .agg(F.count(F.lit(1)).alias("n"))
                .orderBy("som_x", "som_y"))
+
+
+@query("q_ml_freeviz")
+def q_ml_freeviz(spark, sf_dir):
+    """FreeViz anchor projection (``Orange/projection/freeviz.py``,
+    Demšar 2005): deterministic radial-init gradient fit on the bounded
+    per-nation feature table, row-local anchor projection.  Iterative
+    force optimization → rows-only check."""
+    from orange3_spark.ml.projection import freeviz
+
+    nation, customer, orders = _t(spark, sf_dir,
+                                  "nation", "customer", "orders")
+    feats = (orders.join(customer, orders.o_custkey == customer.c_custkey)
+                   .join(nation, customer.c_nationkey == nation.n_nationkey)
+                   .groupBy("n_nationkey", "n_regionkey")
+                   .agg(F.count(F.lit(1)).cast("double").alias("f_orders"),
+                        F.avg("o_totalprice").alias("f_avg"),
+                        F.max("o_totalprice").alias("f_max")))
+    out = freeviz(feats, ["f_orders", "f_avg", "f_max"],
+                  "n_regionkey", maxiter=60)
+    return out.select("n_nationkey",
+                      F.round("freeviz_x", 4).alias("fx"),
+                      F.round("freeviz_y", 4).alias("fy"))
+
+
+@query("q_feature_scores_relieff")
+def q_feature_scores_relieff(spark, sf_dir):
+    """ReliefF (``score.py:338``) on the deterministic md5-ordered bounded
+    sample — nearest hit/miss scoring is inherently pairwise, so the fit
+    sample is the contract (SURVEY §7 risk register).  No SQL oracle;
+    rows-only."""
+    from orange3_spark.preprocess.score import relieff
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    scores = relieff(li, ["l_quantity", "l_discount", "l_tax"],
+                     "l_returnflag", n_samples=150)
+    return spark.createDataFrame(
+        sorted((k, round(v, 6)) for k, v in scores.items()),
+        "feature string, score double")
 
 
 @query("q_scoring_sheet")
