@@ -85,6 +85,15 @@ class IsolationForestModel:
             return np.zeros(0)
         depths = np.zeros(m)
         for feat, thr, left, right, size in self.trees:
+            # per-NODE leaf correction c(size), vectorized once per tree
+            # (≤2ψ values) — a per-row _avg_path_length call here measured
+            # as the predict bottleneck (rows × trees Python calls)
+            s = size.astype(np.float64)
+            c_arr = np.zeros_like(s)
+            c_arr[s == 2] = 1.0
+            big = s > 2
+            c_arr[big] = (2.0 * (np.log(s[big] - 1) + 0.5772156649015329)
+                          - 2.0 * (s[big] - 1) / s[big])
             node = np.zeros(m, dtype=np.int64)
             done = np.zeros(m, dtype=bool)
             depth = np.zeros(m)
@@ -93,8 +102,7 @@ class IsolationForestModel:
                 f = feat[node]
                 leaf = f < 0
                 newly = leaf & ~done
-                depth[newly] += np.array(
-                    [_avg_path_length(s) for s in size[node[newly]]])
+                depth[newly] += c_arr[node[newly]]
                 done |= leaf
                 if done.all():
                     break

@@ -69,3 +69,25 @@ def q_media_bytes(spark, sf_dir):
     out = M.byte_histogram(_docs_as_media(spark, sf_dir))
     return out.select("media_id", F.round("entropy", 6).alias("entropy"),
                       F.round("mean_byte", 6).alias("mean_byte"))
+
+
+@query("q_media_frames", """
+WITH b AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+           FROM documents),
+f AS (SELECT media_id, n, (i - 1) AS fno
+      FROM b, unnest(generate_series(
+          1, LEAST(16, CAST(floor(n / 1024) AS INT) + 1))) g(i))
+SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(LEAST(64, n - fno * 1024)) AS BIGINT) AS bytes_total
+FROM f GROUP BY media_id
+""")
+def q_media_frames(spark, sf_dir):
+    """Frame-sampling plumbing for video blobs (``multimodal/media.py:181``):
+    deterministic byte-offset slices stand in for keyframe extraction (the
+    real ffmpeg call swaps into the same long-form schema).  The oracle
+    re-derives the slice arithmetic — frame count and per-frame byte
+    lengths — from each blob's octet length."""
+    frames = M.sample_frames(_docs_as_media(spark, sf_dir))
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.octet_length("frame")).alias("bytes_total"))

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -517,17 +518,34 @@ def simhash_near_dups_md5(df: DataFrame, text_col: str = "text",
     agg = tok.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_n"),
         *[F.sum(f"_p{i}").alias(f"_s{i}") for i in range(bits // 4)])
-    sig = None
-    for b in range(bits):
-        ci, lane = b // 4, b % 4
-        cnt = F.shiftright(F.col(f"_s{ci}"), 16 * lane).bitwiseAND(
-            F.lit(0xFFFF))
-        mask = -(1 << 63) if b == 0 else (1 << (63 - b))
-        # vote = 2*cnt − n; majority ⇔ 2*cnt > n (same as sum(±1) > 0)
-        m = (F.when(cnt * 2 > F.col("_n"), F.lit(mask))
-              .otherwise(F.lit(0)).cast("long"))
-        sig = m if sig is None else sig.bitwiseOR(m)
-    h = (agg.select(F.col(id_col), sig.alias("sh"))
+
+    # assemble the signature long in ONE vectorized Arrow pass over the
+    # per-doc aggregate (one row per doc): the previous 64-term
+    # when/bitwiseOR chain cost ~2 s of Py4J plan construction plus ~3 s
+    # of codegen compile per invocation — far more than the numpy work
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _sig(sums: pd.Series, n: pd.Series) -> pd.Series:
+        import numpy as np
+        S = (np.stack(sums.to_numpy()).astype(np.int64)
+             if len(sums) else np.zeros((0, bits // 4), dtype=np.int64))
+        N = n.to_numpy().astype(np.int64)
+        sig = np.zeros(len(N), dtype=np.uint64)
+        for i in range(bits // 4):
+            v = S[:, i]
+            for k in range(4):
+                cnt = (v >> (16 * k)) & 0xFFFF
+                b = 4 * i + k                      # MSB-first bit index
+                # vote = 2*cnt − n; majority ⇔ 2*cnt > n (= sum(±1) > 0)
+                sig |= ((2 * cnt > N).astype(np.uint64)
+                        << np.uint64(63 - b))
+        return pd.Series(sig.view(np.int64))
+
+    h = (agg.select(
+            F.col(id_col),
+            _sig(F.array(*[f"_s{i}" for i in range(bits // 4)]),
+                 F.col("_n")).alias("sh"))
             .withColumn("block",
                         F.shiftrightunsigned(F.col("sh"), 64 - prefix_bits))
             .cache())
