@@ -114,6 +114,109 @@ def cv_ols(df: DataFrame, key: str, k: int, features: Sequence[str],
     return out
 
 
+def cv_logreg(df: DataFrame, key: str, k: int, features: Sequence[str],
+              label: str, *, salt: str = "", max_iter: int = 12,
+              tol: float = 1e-9) -> list[dict]:
+    """Exact k-fold CV of unregularized logistic regression with ONE
+    distributed scan per Newton-IRLS iteration — for ALL k models at once
+    (the ``cv_ols`` trick lifted to an iterative GLM).
+
+    Model f trains on the complement of fold f.  Its Newton step needs
+    H_f = Σ_{r∉f} w z z' and g_f = Σ_{r∉f} (y−μ) z with μ, w evaluated
+    under β_f.  Rather than k passes, each scan aggregates, per fold g of
+    the ROW, the moment set under EVERY model's current β (k sets of
+    (p+1)(p+2)/2 + (p+1) sums — map-side combined): then
+    full-data sums under β_f = Σ_g partial[g][f], and the complement is
+    that minus partial[f][f] — no cancellation risk, both positive sums.
+    Shuffle volume is k²·p² scalars; scans are max_iter, not 2k.
+
+    Returns ``[{fold, n_test, majority_share, ca}, ...]`` — the held-out
+    accuracy from one final scan that scores each row under ITS OWN fold's
+    complement model.
+    """
+    import numpy as np
+
+    p = len(features)
+    d = p + 1
+    zc = [F.lit(1.0)] + [F.col(c).cast("double") for c in features]
+    folded = (with_fold(df.na.drop(subset=[*features, label]), key, k, salt)
+              .select(F.col(label).cast("double").alias("_y"), "fold",
+                      *[z.alias(f"_z{i}") for i, z in enumerate(zc)])
+              .cache())
+    z = [F.col(f"_z{i}") for i in range(d)]
+    y = F.col("_y")
+
+    betas = [np.zeros(d) for _ in range(k)]
+    for _ in range(max_iter):
+        aggs = []
+        for f in range(k):
+            eta = sum((z[i] * float(betas[f][i]) for i in range(1, d)),
+                      z[0] * float(betas[f][0]))
+            mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+            w = mu * (F.lit(1.0) - mu)
+            for i in range(d):
+                for j in range(i, d):
+                    aggs.append(F.sum(w * z[i] * z[j]).alias(f"h_{f}_{i}_{j}"))
+                aggs.append(F.sum((y - mu) * z[i]).alias(f"g_{f}_{i}"))
+        rows = {int(r["fold"]): r
+                for r in folded.groupBy("fold").agg(*aggs).collect()}
+
+        def mom(r, f):
+            H = np.zeros((d, d))
+            g = np.zeros(d)
+            for i in range(d):
+                for j in range(i, d):
+                    H[i, j] = H[j, i] = r[f"h_{f}_{i}_{j}"]
+                g[i] = r[f"g_{f}_{i}"]
+            return H, g
+
+        delta = 0.0
+        new_betas = []
+        for f in range(k):
+            Hs = np.zeros((d, d))
+            gs = np.zeros(d)
+            for gfold, r in rows.items():
+                if gfold == f:
+                    continue          # complement model: own fold excluded
+                H, g = mom(r, f)
+                Hs += H
+                gs += g
+            # ridge epsilon only as a singular-Hessian guard (separable data)
+            step = np.linalg.solve(Hs + 1e-10 * np.eye(d), gs)
+            new_betas.append(betas[f] + step)
+            delta = max(delta, float(np.abs(step).max()))
+        betas = new_betas
+        if delta < tol:
+            break
+
+    # one scoring scan: each row is a TEST row exactly for its own fold's
+    # model; majority share comes from the same label sums
+    score_aggs = [F.count(F.lit(1)).alias("n"), F.sum(y).alias("pos")]
+    for f in range(k):
+        eta = sum((z[i] * float(betas[f][i]) for i in range(1, d)),
+                  z[0] * float(betas[f][0]))
+        correct = ((eta > 0).cast("double") == y).cast("double")
+        score_aggs.append(F.sum(correct).alias(f"c_{f}"))
+    rows = {int(r["fold"]): r
+            for r in folded.groupBy("fold").agg(*score_aggs).collect()}
+    folded.unpersist()
+    n_tot = sum(r["n"] for r in rows.values())
+    pos_tot = sum(r["pos"] for r in rows.values())
+    out = []
+    for f in sorted(rows):
+        r = rows[f]
+        train_pos = (pos_tot - r["pos"]) / max(n_tot - r["n"], 1)
+        out.append({
+            "fold": f,
+            "n_test": int(r["n"]),
+            "majority_share": float(max(train_pos, 1.0 - train_pos)),
+            "ca": float(r[f"c_{f}"] / max(r["n"], 1)),
+            "intercept": float(betas[f][0]),
+            "coefficients": [float(b) for b in betas[f][1:]],
+        })
+    return out
+
+
 # ------------------------------------------------------------------- scoring
 # each is ONE aggregation over (label, prediction) — no driver-side loops
 

@@ -779,54 +779,36 @@ SELECT te.fold, te.n_test, pri.majority_share, TRUE AS ca_ok
 FROM te JOIN pri USING (fold)
 """)
 def q_ml_logreg_cv(spark, sf_dir):
-    """Cross-validated MLlib logistic regression (testing.py:568 CrossValidation
+    """Cross-validated logistic regression (testing.py:568 CrossValidation
     + Orange/classification/logistic_regression.py) on deterministic
-    content-hash folds.  Coefficients aren't closed-form, so the oracle
-    pins what IS exact — per-fold held-out counts and the complement-train
-    majority share (verifying the fold mechanism and split complement) —
-    while ``ca_ok`` asserts the behavioral bound that held-out accuracy
-    stays within max(0.02, 3σ) of the majority baseline, σ the binomial
-    noise sqrt(maj·(1−maj)/n_test) — a converged convex fit can't do
-    materially worse, but a few-hundred-row fold legitimately wobbles by
-    its sampling error (quality itself is pytest-asserted in
-    tests/test_ml.py)."""
+    content-hash folds, via the one-scan-per-iteration Newton-IRLS CV
+    (``ml/evaluation.py:cv_logreg`` — all k complement models share each
+    scan, the cv_ols trick lifted to an iterative GLM; the previous
+    per-fold MLlib loop cost 3×25 L-BFGS jobs).  Coefficients aren't
+    closed-form, so the oracle pins what IS exact — per-fold held-out
+    counts and the complement-train majority share — while ``ca_ok``
+    asserts the behavioral bound that held-out accuracy stays within
+    max(0.02, 3σ) of the majority baseline, σ the binomial noise
+    sqrt(maj·(1−maj)/n_test); fit-vs-MLlib parity is pytest-asserted."""
+    import math
+
     (orders,) = _t(spark, sf_dir, "orders")
     data = orders.select(
         "o_orderkey",
-        # unit-scale features keep L-BFGS well-conditioned; affine
+        # unit-scale features keep the Hessian well-conditioned; affine
         # rescaling changes nothing the oracle checks
         (F.col("o_totalprice") / 100000.0).cast("double").alias("x1"),
         (F.col("o_custkey") / 1000.0).cast("double").alias("x2"),
         (F.col("o_orderpriority") == "1-URGENT")
         .cast("double").alias("label"))
-    folded = E.with_fold(data, "o_orderkey", 3)
-    # right-size partitions to the training set: every L-BFGS iteration is
-    # a treeAggregate job over ALL partitions, so 75 iterations × 32
-    # near-empty tasks is pure scheduler overhead at bench scale, while a
-    # 100 TB run keeps full parallelism (≥20k rows per partition)
-    n = folded.count()
-    parts = max(1, min(folded.sparkSession.sparkContext.defaultParallelism,
-                       n // 20_000 + 1))
-    folded = folded.coalesce(parts).cache()
+    folds = E.cv_logreg(data, "o_orderkey", 3, ["x1", "x2"], "label")
     out = []
-    for i in range(3):
-        train = folded.filter(F.col("fold") != i)
-        test = folded.filter(F.col("fold") == i)
-        maj = train.agg(F.avg("label")).first()[0]
-        maj = max(maj, 1.0 - maj)
-        # 25 L-BFGS iterations converge far past the ±0.02 CA bound; the
-        # default 50 just doubles the per-fold job count
-        model = L.logistic_regression(train, ["x1", "x2"], "label",
-                                      max_iter=25)
-        agg = (model.predict(test)
-               .agg(F.count(F.lit(1)).alias("n"),
-                    F.avg((F.col("prediction") == F.col("label"))
-                          .cast("double")).alias("ca")).first())
-        import math
-        tol = max(0.02, 3.0 * math.sqrt(maj * (1 - maj) / max(agg["n"], 1)))
-        out.append((i, int(agg["n"]), round(maj, 4),
-                    bool(agg["ca"] >= maj - tol)))
-    folded.unpersist()
+    for r in folds:
+        maj = r["majority_share"]
+        tol = max(0.02, 3.0 * math.sqrt(maj * (1 - maj)
+                                        / max(r["n_test"], 1)))
+        out.append((r["fold"], r["n_test"], round(maj, 4),
+                    bool(r["ca"] >= maj - tol)))
     return spark.createDataFrame(
         out, "fold int, n_test bigint, majority_share double, ca_ok boolean")
 

@@ -666,3 +666,46 @@ def test_cn2_target_class_mode(spark):
     assert r.prediction == "pos"
     assert set(r.selectors) == {("a", "x"), ("b", "p")}
     assert r.quality == 11 / 12 and r.correct == 10
+
+
+def test_cv_logreg_matches_driver_irls(spark):
+    """The one-scan-per-iteration k-fold Newton CV (evaluation.cv_logreg)
+    must reproduce, per fold, the β a plain driver-side IRLS finds on the
+    collected complement rows — proving the distributed complement-moment
+    assembly (Σ_g partial − own fold) is exact."""
+    import numpy as np
+
+    from orange3_spark.ml import evaluation as E
+
+    rng_rows = []
+    for i in range(400):
+        x1 = (i % 37) / 37.0
+        x2 = ((i * 7) % 23) / 23.0
+        y = 1.0 if (1.5 * x1 - 2.0 * x2 + 0.25) > 0 else 0.0
+        # flip a deterministic subset so the data isn't separable
+        if i % 11 == 0:
+            y = 1.0 - y
+        rng_rows.append((i, x1, x2, y))
+    df = spark.createDataFrame(rng_rows, "id long, x1 double, x2 double, label double")
+    res = E.cv_logreg(df, "id", 3, ["x1", "x2"], "label", max_iter=25)
+    assert sorted(r["fold"] for r in res) == [0, 1, 2]
+    assert sum(r["n_test"] for r in res) == 400
+
+    folded = E.with_fold(df, "id", 3)
+    for r in res:
+        train = folded.filter(F.col("fold") != r["fold"]) \
+                      .select("x1", "x2", "label").collect()
+        X = np.array([[1.0, t["x1"], t["x2"]] for t in train])
+        y = np.array([t["label"] for t in train])
+        beta = np.zeros(3)
+        for _ in range(25):
+            mu = 1.0 / (1.0 + np.exp(-(X @ beta)))
+            W = mu * (1 - mu)
+            H = X.T @ (X * W[:, None]) + 1e-10 * np.eye(3)
+            step = np.linalg.solve(H, X.T @ (y - mu))
+            beta += step
+            if np.abs(step).max() < 1e-9:
+                break
+        got = np.array([r["intercept"], *r["coefficients"]])
+        assert np.allclose(got, beta, atol=1e-6), (r["fold"], got, beta)
+        assert r["ca"] > r["majority_share"] - 0.05
