@@ -81,13 +81,32 @@ def platt_scaling(df: DataFrame, score_col: str, label_col: str,
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
 
-    train = (df.select(F.col(score_col).cast("double").alias("s"),
-                       F.col(label_col).cast("double").alias("y"))
-               .na.drop())
+    # collapse to the distinct-score aggregate with instance weights — the
+    # weighted likelihood is identical, and the fit then iterates over
+    # ≤2×distinct-scores rows instead of the full table (for integer
+    # scoring-sheet scores that's a handful of rows; never larger than df)
+    per = (df.select(F.col(score_col).cast("double").alias("s"),
+                     F.col(label_col).cast("double").alias("y"))
+             .na.drop()
+             .groupBy("s")
+             .agg(F.sum("y").alias("_pos"),
+                  F.count(F.lit(1)).alias("_n")))
+    train = (per.select("s", F.lit(1.0).alias("y"),
+                        F.col("_pos").cast("double").alias("w"))
+                .unionByName(per.select(
+                    "s", F.lit(0.0).alias("y"),
+                    (F.col("_n") - F.col("_pos")).cast("double").alias("w")))
+                .filter(F.col("w") > 0))
+    from orange3_spark.ml.learners import right_size_for_fit
+
     va = VectorAssembler(inputCols=["s"], outputCol="features")
     lr = LogisticRegression(featuresCol="features", labelCol="y",
-                            maxIter=max_iter)
-    fit = lr.fit(va.transform(train))
+                            weightCol="w", maxIter=max_iter)
+    train = right_size_for_fit(va.transform(train))
+    try:
+        fit = lr.fit(train)
+    finally:
+        train.unpersist()
     a = float(fit.coefficients[0])
     b = float(fit.intercept)
 

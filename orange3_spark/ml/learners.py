@@ -110,13 +110,32 @@ def ols_learner(df: DataFrame, features: Sequence[str],
 
 # ----------------------------------------------------------- MLlib estimators
 
+def right_size_for_fit(train: DataFrame, *,
+                       rows_per_task: int = 20_000) -> DataFrame:
+    """Iterative MLlib fits run one treeAggregate job per iteration over
+    EVERY partition, so a small training set on a wide session pays
+    iterations×parallelism near-empty task round-trips.  Coalesce to
+    ceil(n/rows_per_task) partitions (capped at default parallelism):
+    full parallelism at scale, one task at bench SF.  Caller unpersists."""
+    sc = train.sparkSession.sparkContext
+    n = train.count()
+    parts = max(1, min(sc.defaultParallelism, n // rows_per_task + 1))
+    if parts < train.rdd.getNumPartitions():
+        train = train.coalesce(parts)
+    return train.cache()
+
+
 def _mllib_learner(estimator_cls, task: str, df: DataFrame,
                    features: Sequence[str], target_col: str,
                    array_col: Optional[str] = None, **params) -> Model:
-    train = assemble_features(df, features, array_col=array_col)
+    train = right_size_for_fit(assemble_features(df, features,
+                                                 array_col=array_col))
     est = estimator_cls(featuresCol="features", labelCol=target_col,
                         predictionCol="prediction", **params)
-    fitted = est.fit(train)
+    try:
+        fitted = est.fit(train)
+    finally:
+        train.unpersist()
 
     def _predict(d: DataFrame) -> DataFrame:
         dd = assemble_features(d, features, array_col=array_col)

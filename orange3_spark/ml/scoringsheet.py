@@ -60,11 +60,17 @@ def scoring_sheet_learner(df: DataFrame, features: Sequence[str],
     ind = df.select(F.col(class_col).cast("double").alias("__y"),
                     *[indicator(c).alias(f"__b_{i}")
                       for i, c in enumerate(feats)])
+    from orange3_spark.ml.learners import right_size_for_fit
+
     va = VectorAssembler(inputCols=[f"__b_{i}" for i in range(len(feats))],
                          outputCol="features", handleInvalid="skip")
     lr = LogisticRegression(featuresCol="features", labelCol="__y",
                             maxIter=max_iter, regParam=1e-3)
-    fit = lr.fit(va.transform(ind))
+    train = right_size_for_fit(va.transform(ind))
+    try:
+        fit = lr.fit(train)
+    finally:
+        train.unpersist()
     coefs = [float(v) for v in fit.coefficients]
 
     chosen = sorted(range(len(feats)), key=lambda i: -abs(coefs[i]))
