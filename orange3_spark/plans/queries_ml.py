@@ -882,3 +882,21 @@ def q_ml_svr(spark, sf_dir):
     n = test.count()
     return spark.createDataFrame([(n, float(round(r, 4)))],
                                  "n_test bigint, rmse double")
+
+
+@query("q_ml_silhouette")
+def q_ml_silhouette(spark, sf_dir):
+    """Mean silhouette of a deterministic k-means clustering — the score
+    the reference's k-Means widget ranks k by (``owkmeans.py``; MLlib
+    ClusteringEvaluator's squared-euclidean silhouette).  The evaluator's
+    formulation isn't the classic pairwise SQL sum, so this is a rows-only
+    check; clustering determinism itself is oracle-proven by
+    ``q_ml_kmeans``."""
+    from orange3_spark.ml.cluster import kmeans_lloyd, silhouette
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    clustered = kmeans_lloyd(emb, "vec_id", array_col="embedding", k=4,
+                             n_iter=4)
+    s = silhouette(clustered, array_col="embedding")
+    return spark.createDataFrame([(4, float(round(s, 4)))],
+                                 "k bigint, silhouette double")
