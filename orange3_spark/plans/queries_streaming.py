@@ -194,3 +194,20 @@ def q_stream_cusum(spark, sf_dir):
     events = load_tables(spark, sf_dir, ("events",))["events"]
     return cusum_batch(events, "user_id", "value", ("ts", "event_id"),
                        target=1.5, slack=0.0, threshold=25.0)
+
+
+@query("q_stream_totals", """
+SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(value) AS DOUBLE) AS total
+FROM events GROUP BY user_id
+""")
+def q_stream_totals(spark, sf_dir):
+    """Per-key running totals — the other applyInPandasWithState operator
+    (streaming/stateful.py:running_totals_stream; state = one (n, total)
+    pair per key in the state store) — checked through its batch twin,
+    which is the same grouped aggregation the final micro-batch state
+    equals; stream/batch equality is pinned in tests/test_stateful.py."""
+    from orange3_spark.streaming.stateful import running_totals_batch
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    return running_totals_batch(events, "user_id", "value")
