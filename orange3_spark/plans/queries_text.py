@@ -475,3 +475,43 @@ def q_fingerprint_winnow(spark, sf_dir):
               .agg(F.count(F.lit(1)).alias("n_fp"),
                    F.sum("fp_hash").cast("long").alias("fp_checksum"),
                    F.sum("fp_pos").cast("long").alias("pos_checksum")))
+
+
+@query("q_dedup_semantic", """
+WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
+       FROM pts ORDER BY vec_id LIMIT 8),
+a1 AS (SELECT vec_id, v, cl,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY list_distance(v, cv), cl) AS rn
+       FROM pts CROSS JOIN c0),
+w1 AS (SELECT vec_id, v, cl FROM a1 WHERE rn = 1),
+c1 AS (SELECT cl, list(m ORDER BY i) AS cv FROM (
+         SELECT cl, i, round(avg(v[i]), 6) AS m
+         FROM w1, unnest(generate_series(1, len(v))) g(i)
+         GROUP BY cl, i)
+       GROUP BY cl),
+a2 AS (SELECT p.vec_id, p.v, c1.cl,
+              row_number() OVER (PARTITION BY p.vec_id
+                                 ORDER BY list_distance(p.v, c1.cv), c1.cl) AS rn
+       FROM w1 p CROSS JOIN c1),
+w2 AS (SELECT vec_id, v, cl FROM a2 WHERE rn = 1)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cl AS cluster,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+FROM w2 a JOIN w2 b ON a.cl = b.cl AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+""")
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup semantic near-dup pairs (similarity/knn.py:semantic_dedup):
+    deterministic k-means quantizer as the blocking function, cosine
+    pruning within clusters only.  The oracle replays the exact two-round
+    Lloyd fit (same CTEs as q_ml_kmeans) plus the within-cluster cosine
+    join — every stage hash-checked."""
+    from orange3_spark.similarity.knn import semantic_dedup
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, "vec_id", "embedding", k=8, n_iter=2,
+                         threshold=0.4)
+    return out.select("id_a", "id_b", "cluster",
+                      F.round("cos", 6).alias("cos"))

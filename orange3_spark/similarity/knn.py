@@ -303,3 +303,38 @@ def ivf_knn(data: DataFrame, queries: DataFrame, k: int = 5, *,
     return (cand.withColumn("rank", F.row_number().over(wr))
                 .filter(F.col("rank") <= k)
                 .select("qid", "rank", "id_b", "dist"))
+
+
+def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", *, k: int = 8,
+                   n_iter: int = 2, threshold: float = 0.95) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embedding space, then compare vectors
+    only WITHIN each cluster.
+
+    The cluster equi-join bounds the pairwise stage to Σ_c n_c² cells
+    instead of n² — the quantizer is the blocking function, exactly like
+    LSH bands block the token-space dedups.  Deterministic Lloyd
+    (first-k init, lower-index tie-break, rounded centroids —
+    ``ml/cluster.kmeans_lloyd``) makes the whole pipeline a pure function
+    of the data, so a SQL oracle replays it exactly.  At 100 TB: k scales
+    with corpus size to keep clusters bounded; a skewed (degenerate)
+    cluster should be capped like ``minhash_lsh_candidates(max_bucket)``.
+    """
+    from orange3_spark.ml.cluster import kmeans_lloyd
+
+    clustered = kmeans_lloyd(df, id_col, array_col=vec_col,
+                             k=k, n_iter=n_iter)
+    side = (clustered.select(F.col(id_col),
+                             _as_double(F.col(vec_col)).alias("_v"),
+                             "cluster")
+                     .cache())    # one assignment pass feeds both join sides
+    a, b = side.alias("a"), side.alias("b")
+    return (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .withColumn("cos", cosine_similarity(F.col("a._v"),
+                                                  F.col("b._v")))
+             .filter(F.col("cos") >= threshold)
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     F.col("a.cluster").alias("cluster"), "cos"))
