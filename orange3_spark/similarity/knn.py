@@ -312,29 +312,51 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
     arXiv:2303.09540): k-means the embedding space, then compare vectors
     only WITHIN each cluster.
 
-    The cluster equi-join bounds the pairwise stage to Σ_c n_c² cells
+    The cluster grouping bounds the pairwise stage to Σ_c n_c² cells
     instead of n² — the quantizer is the blocking function, exactly like
-    LSH bands block the token-space dedups.  Deterministic Lloyd
-    (first-k init, lower-index tie-break, rounded centroids —
-    ``ml/cluster.kmeans_lloyd``) makes the whole pipeline a pure function
-    of the data, so a SQL oracle replays it exactly.  At 100 TB: k scales
-    with corpus size to keep clusters bounded; a skewed (degenerate)
+    LSH bands block the token-space dedups.  Each cluster's pairs come
+    from ONE per-group BLAS matmul (``applyInPandas``): a self-join with
+    per-pair ``F.aggregate`` folds measured ~4× slower at sf0.1 (the
+    higher-order functions run interpreted — same lesson as
+    ``neardup_cosine_matmul``).  Deterministic Lloyd (first-k init,
+    lower-index tie-break, rounded centroids — ``ml/cluster.kmeans_lloyd``)
+    makes the whole pipeline a pure function of the data, so a SQL oracle
+    replays it exactly.  At 100 TB: k scales with corpus size to keep
+    clusters bounded (shuffle key = cluster id); a skewed (degenerate)
     cluster should be capped like ``minhash_lsh_candidates(max_bucket)``.
     """
+    import numpy as np
+    import pandas as pd
+
     from orange3_spark.ml.cluster import kmeans_lloyd
 
     clustered = kmeans_lloyd(df, id_col, array_col=vec_col,
                              k=k, n_iter=n_iter)
-    side = (clustered.select(F.col(id_col),
-                             _as_double(F.col(vec_col)).alias("_v"),
-                             "cluster")
-                     .cache())    # one assignment pass feeds both join sides
-    a, b = side.alias("a"), side.alias("b")
-    return (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-             .withColumn("cos", cosine_similarity(F.col("a._v"),
-                                                  F.col("b._v")))
-             .filter(F.col("cos") >= threshold)
-             .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"),
-                     F.col("a.cluster").alias("cluster"), "cos"))
+    side = clustered.select(F.col(id_col).alias("_id"),
+                            _as_double(F.col(vec_col)).alias("_v"),
+                            "cluster")
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy()
+        V = np.stack(pdf["_v"].to_numpy())
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cluster": [],
+                                 "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64",
+                 "cluster": "int32", "cos": "float64"})
+        norms = np.sqrt((V * V).sum(axis=1))
+        norms[norms == 0] = 1.0
+        S = (V / norms[:, None]) @ (V / norms[:, None]).T
+        iu, ju = np.triu_indices(n, 1)
+        keep = S[iu, ju] >= threshold
+        ia, ib = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({
+            "id_a": lo, "id_b": hi,
+            "cluster": np.full(len(lo), int(pdf["cluster"].iloc[0]),
+                               dtype="int32"),
+            "cos": S[iu[keep], ju[keep]]})
+
+    return side.groupBy("cluster").applyInPandas(
+        _pairs, "id_a long, id_b long, cluster int, cos double")
