@@ -588,3 +588,30 @@ def q_scoring_sheet(spark, sf_dir):
     rows = [(f, float(round(t, 6)), int(p)) for f, t, p in model.sheet]
     return spark.createDataFrame(
         rows, "feature string, threshold double, points long")
+
+
+@query("q_filter_hasclass", """
+WITH m AS (SELECT CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR) || 'c'),
+                                      1, 2) < '29'
+                       THEN NULL ELSE o_orderstatus END AS cls,
+                  o_orderpriority
+           FROM orders)
+SELECT cls AS o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+FROM m WHERE cls IS NOT NULL GROUP BY 1, 2
+""")
+def q_filter_hasclass(spark, sf_dir):
+    """HasClass filter (``filter.py:86-107``): drop rows whose class
+    variable is missing — mask ~16% of the class column by content hash,
+    filter, aggregate the survivors."""
+    from orange3_spark.operators.filters import HasClass
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    msk = F.substring(
+        F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit("c"))),
+        1, 2) < "29"
+    holey = orders.withColumn(
+        "o_orderstatus",
+        F.when(msk, None).otherwise(F.col("o_orderstatus")))
+    out = HasClass(class_columns=["o_orderstatus"])(holey)
+    return out.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"))
