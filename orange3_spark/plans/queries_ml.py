@@ -21,6 +21,45 @@ def _t(spark, sf_dir, *names):
 _SPLIT = "substring(md5(CAST(o_orderkey AS VARCHAR)),1,8) < '3fffffff'"  # 25% test
 
 
+def lloyd_cte(k: int, n_iter: int, *, label: bool = False) -> str:
+    """DuckDB CTE chain replaying ``ml/cluster.kmeans_lloyd_fit`` exactly:
+    quantize → first-k init → (assign → integer-mean update) × (n_iter−1)
+    → final assignment as ``wf(vec_id[, label], qv, cl)``.
+
+    Every value is exact: quantized coordinates are integers, distances
+    are exact integer sums (``list_distance`` sums integral doubles < 2⁵³,
+    so accumulation order is irrelevant), and centroid updates are
+    ``floor(Σ/n + 0.5)`` — the same correctly-rounded division the engine
+    performs.  Shared by q_ml_kmeans / q_dedup_semantic / q_knn_ivf /
+    q_ml_silhouette so the fit replay is written once."""
+    lbl = ", label" if label else ""
+    plbl = ", p.label" if label else ""
+    parts = [f"""pts AS (SELECT vec_id{lbl},
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> floor(x * 1000000.0 + 0.5)) AS qv
+  FROM embeddings),
+c_0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, qv AS cv
+  FROM pts ORDER BY vec_id LIMIT {k})"""]
+    for r in range(1, n_iter):
+        parts.append(f"""w_{r} AS (SELECT vec_id{lbl}, qv, cl FROM (
+    SELECT p.vec_id{plbl}, p.qv, c.cl,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY list_distance(p.qv, c.cv), c.cl) AS rn
+    FROM pts p CROSS JOIN c_{r - 1} c) s WHERE rn = 1),
+cm_{r} AS (SELECT cl, list(m ORDER BY i) AS cv FROM (
+    SELECT cl, i, floor(sum(qv[i]) / count(*) + 0.5) AS m
+    FROM w_{r}, unnest(generate_series(1, len(qv))) g(i)
+    GROUP BY cl, i) s GROUP BY cl),
+c_{r} AS (SELECT prev.cl, coalesce(cm.cv, prev.cv) AS cv
+  FROM c_{r - 1} prev LEFT JOIN cm_{r} cm ON prev.cl = cm.cl)""")
+    parts.append(f"""wf AS (SELECT vec_id{lbl}, qv, cl FROM (
+    SELECT p.vec_id{plbl}, p.qv, c.cl,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY list_distance(p.qv, c.cv), c.cl) AS rn
+    FROM pts p CROSS JOIN c_{n_iter - 1} c) s WHERE rn = 1)""")
+    return ",\n".join(parts)
+
+
 @query("q_ml_majority_ca", f"""
 WITH train AS (SELECT * FROM orders WHERE NOT ({_SPLIT})),
      test  AS (SELECT * FROM orders WHERE {_SPLIT}),
@@ -96,36 +135,22 @@ def q_ml_knn_ca(spark, sf_dir):
     return spark.createDataFrame([(acc,)], "ca double")
 
 
-@query("q_ml_kmeans", """
-WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
-             FROM embeddings),
-c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
-       FROM pts ORDER BY vec_id LIMIT 8),
-a1 AS (SELECT vec_id, v, label, cl,
-              row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY list_distance(v, cv), cl) AS rn
-       FROM pts CROSS JOIN c0),
-w1 AS (SELECT vec_id, v, label, cl FROM a1 WHERE rn = 1),
-c1 AS (SELECT cl, list(m ORDER BY i) AS cv FROM (
-         SELECT cl, i, round(avg(v[i]), 6) AS m
-         FROM w1, unnest(generate_series(1, len(v))) g(i)
-         GROUP BY cl, i)
-       GROUP BY cl),
-a2 AS (SELECT p.vec_id, p.label, c1.cl,
-              row_number() OVER (PARTITION BY p.vec_id
-                                 ORDER BY list_distance(p.v, c1.cv), c1.cl) AS rn
-       FROM w1 p CROSS JOIN c1),
-w2 AS (SELECT vec_id, label, cl FROM a2 WHERE rn = 1),
-per AS (SELECT cl, label, count(*) AS c FROM w2 GROUP BY cl, label)
-SELECT cl AS cluster, sum(c) AS n, CAST(max(c) AS DOUBLE) / sum(c) AS purity
+@query("q_ml_kmeans", f"""
+WITH {lloyd_cte(8, 2, label=True)},
+per AS (SELECT cl, label, count(*) AS c FROM wf GROUP BY cl, label)
+SELECT cl AS cluster, CAST(sum(c) AS BIGINT) AS n,
+       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS purity
 FROM per GROUP BY cl
 """)
 def q_ml_kmeans(spark, sf_dir):
     """Deterministic Lloyd KMeans (first-k init, 2 rounds, lower-index tie
     break) over the embedding column: cluster sizes + majority-label purity
-    (labels are metadata, unseen by the fit).  Every step is a pure function
-    of the data, so the full fit is oracle-checked; the seeded MLlib
-    k-means|| fit stays pytest-covered (``ml/cluster.py:kmeans``)."""
+    (labels are metadata, unseen by the fit).  The fit runs on an integer
+    grid (``ml/cluster.kmeans_lloyd_fit``) — exact int64 distances and
+    centroid sums, so no partition order or engine rounding can flip an
+    assignment (the float ``avg``+round version hash-failed driver rounds
+    1-3).  The seeded MLlib k-means|| fit stays pytest-covered
+    (``ml/cluster.py:kmeans``)."""
     (emb,) = _t(spark, sf_dir, "embeddings")
     clustered = C.kmeans_lloyd(emb, "vec_id", array_col="embedding",
                                k=8, n_iter=2)
@@ -133,7 +158,8 @@ def q_ml_kmeans(spark, sf_dir):
     top = (per.groupBy("cluster")
               .agg(F.sum("count").alias("n"), F.max("count").alias("top")))
     return top.select("cluster", "n",
-                      (F.col("top") / F.col("n")).alias("purity"))
+                      (F.col("top").cast("double")
+                       / F.col("n").cast("double")).alias("purity"))
 
 
 @query("q_ml_dbscan", """
@@ -884,19 +910,50 @@ def q_ml_svr(spark, sf_dir):
                                  "n_test bigint, rmse double")
 
 
-@query("q_ml_silhouette")
+@query("q_ml_silhouette", f"""
+WITH {lloyd_cte(4, 4)},
+d AS (SELECT a.vec_id AS ia, a.cl AS ca, b.cl AS cb,
+             CAST(list_inner_product(a.qv, a.qv)
+                  + list_inner_product(b.qv, b.qv)
+                  - 2 * list_inner_product(a.qv, b.qv) AS BIGINT) AS d2
+      FROM wf a JOIN wf b ON a.vec_id <> b.vec_id),
+sz AS (SELECT cl, count(*) AS n FROM wf GROUP BY cl),
+ab AS (SELECT d.ia, d.ca,
+              CAST(sum(d.d2) AS DOUBLE)
+                / CASE WHEN d.ca = d.cb THEN (sz.n - 1) ELSE sz.n END AS m,
+              d.ca = d.cb AS own
+       FROM d JOIN sz ON sz.cl = d.cb
+       GROUP BY d.ia, d.ca, d.cb, sz.n),
+s AS (SELECT ia,
+             max(CASE WHEN own THEN m END) AS a,
+             min(CASE WHEN NOT own THEN m END) AS b
+      FROM ab GROUP BY ia),
+si AS (SELECT CASE WHEN a IS NULL OR b IS NULL
+                     OR greatest(a, b) <= 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(floor((b - a) / greatest(a, b) * 1000000000.0
+                               + 0.5) AS BIGINT) END AS sq
+       FROM s)
+SELECT 4 AS k,
+       floor(CAST(sum(sq) AS DOUBLE) / count(*) / 1000000000.0
+             * 1000000.0 + 0.5) / 1000000.0 AS silhouette
+FROM si
+""")
 def q_ml_silhouette(spark, sf_dir):
-    """Mean silhouette of a deterministic k-means clustering — the score
-    the reference's k-Means widget ranks k by (``owkmeans.py``; MLlib
-    ClusteringEvaluator's squared-euclidean silhouette).  The evaluator's
-    formulation isn't the classic pairwise SQL sum, so this is a rows-only
-    check; clustering determinism itself is oracle-proven by
-    ``q_ml_kmeans``."""
-    from orange3_spark.ml.cluster import kmeans_lloyd, silhouette
+    """Mean squared-euclidean silhouette of a deterministic k-means
+    clustering — the score the reference's k-Means widget ranks k by
+    (``owkmeans.py``).  Computed with order-independent exact arithmetic
+    on the quantized grid (``ml/cluster.silhouette_exact``: one
+    sufficient-statistics scan, per-point silhouettes quantized to 1e-9
+    before the final mean), so the full pipeline — fit AND score — is
+    SQL-oracle-checked; the oracle replays it as the classic pairwise
+    sum, feasible at oracle scale.  MLlib's ClusteringEvaluator stays
+    pytest-covered (``ml/cluster.silhouette``)."""
+    from orange3_spark.ml.cluster import kmeans_lloyd_fit, silhouette_exact
 
     (emb,) = _t(spark, sf_dir, "embeddings")
-    clustered = kmeans_lloyd(emb, "vec_id", array_col="embedding", k=4,
-                             n_iter=4)
-    s = silhouette(clustered, array_col="embedding")
-    return spark.createDataFrame([(4, float(round(s, 4)))],
-                                 "k bigint, silhouette double")
+    assigned, _ = kmeans_lloyd_fit(emb, "vec_id", array_col="embedding",
+                                   k=4, n_iter=4)
+    s = silhouette_exact(assigned)
+    import math
+    s6 = math.floor(s * 1000000.0 + 0.5) / 1000000.0
+    return spark.createDataFrame([(4, s6)], "k bigint, silhouette double")

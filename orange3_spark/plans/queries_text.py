@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from orange3_spark.plans.queries_ml import lloyd_cte
 from orange3_spark.plans.registry import query
 from orange3_spark.session import load_tables
 from orange3_spark.similarity import knn as K
@@ -389,56 +390,46 @@ def q_fingerprint(spark, sf_dir):
         "doc_id", F.md5(F.array_join(TA.tokens("text"), " ")).alias("fp"))
 
 
-@query("q_knn_ivf", """
-WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
-       FROM pts ORDER BY vec_id LIMIT 8),
-a1 AS (SELECT vec_id, v, cl,
-              row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY list_distance(v, cv), cl) AS rn
-       FROM pts CROSS JOIN c0),
-w1 AS (SELECT vec_id, v, cl FROM a1 WHERE rn = 1),
-c1 AS (SELECT cl, list(m ORDER BY i) AS cv FROM (
-         SELECT cl, i, avg(v[i]) AS m
-         FROM w1, unnest(generate_series(1, len(v))) g(i)
-         GROUP BY cl, i)
+@query("q_knn_ivf", f"""
+WITH {lloyd_cte(8, 2)},
+cfm AS (SELECT cl, list(m ORDER BY i) AS cv FROM (
+         SELECT cl, i, floor(sum(qv[i]) / count(*) + 0.5) AS m
+         FROM wf, unnest(generate_series(1, len(qv))) g(i)
+         GROUP BY cl, i) s
        GROUP BY cl),
-a2 AS (SELECT p.vec_id, p.v, c1.cl,
-              row_number() OVER (PARTITION BY p.vec_id
-                                 ORDER BY list_distance(p.v, c1.cv), c1.cl) AS rn
-       FROM pts p CROSS JOIN c1),
-w2 AS (SELECT vec_id, v, cl FROM a2 WHERE rn = 1),
-cf AS (SELECT cl, list(m ORDER BY i) AS cv FROM (
-         SELECT cl, i, avg(v[i]) AS m
-         FROM w2, unnest(generate_series(1, len(v))) g(i)
-         GROUP BY cl, i)
-       GROUP BY cl),
-q AS (SELECT vec_id AS qid, v AS qv FROM pts WHERE vec_id < 3),
+cf AS (SELECT prev.cl, coalesce(cfm.cv, prev.cv) AS cv
+       FROM c_1 prev LEFT JOIN cfm ON prev.cl = cfm.cl),
+q AS (SELECT vec_id AS qid, qv FROM pts WHERE vec_id < 3),
 pr AS (SELECT qid, qv, cl,
               row_number() OVER (PARTITION BY qid
                                  ORDER BY list_distance(qv, cv), cl) AS crn
        FROM q CROSS JOIN cf),
 probes AS (SELECT qid, qv, cl FROM pr WHERE crn <= 2),
-cand AS (SELECT p.qid, w.vec_id AS id_b, list_distance(p.qv, w.v) AS dist
-         FROM probes p JOIN w2 w ON w.cl = p.cl AND w.vec_id <> p.qid),
+cand AS (SELECT p.qid, w.vec_id AS id_b,
+                list_distance(p.qv, w.qv) / 1000000.0 AS dist
+         FROM probes p JOIN wf w ON w.cl = p.cl AND w.vec_id <> p.qid),
 rk AS (SELECT qid, id_b, dist,
               row_number() OVER (PARTITION BY qid
                                  ORDER BY dist, id_b) AS rank
        FROM cand)
-SELECT qid, rank, id_b, round(dist, 6) AS dist
+SELECT qid, rank, id_b,
+       floor(dist * 1000000.0 + 0.5) / 1000000.0 AS dist
 FROM rk WHERE rank <= 3 ORDER BY qid, rank
 """)
 def q_knn_ivf(spark, sf_dir):
     """IVF approximate nearest neighbors (similarity/knn.py:ivf_knn): the
     deterministic-Lloyd coarse quantizer assigns cells, queries probe their
     2 nearest of 8 cells, exact distances only against probed candidates —
-    an equi-join on cell id, never a cross join.  Fully deterministic, so
-    index build + search are both oracle-replayed."""
+    an equi-join on cell id, never a cross join.  Index build, centroid
+    refresh, and every distance run on the integer grid (exact int64
+    sums), so the whole pipeline is oracle-replayed bit-for-bit."""
     from orange3_spark.similarity.knn import ivf_knn
     (emb,) = _t(spark, sf_dir, "embeddings")
     out = ivf_knn(emb, emb.where(F.col("vec_id") < 3), k=3,
                   n_cells=8, nprobe=2, n_iter=2)
-    return (out.select("qid", "rank", "id_b", F.round("dist", 6).alias("dist"))
+    return (out.select("qid", "rank", "id_b",
+                       (F.floor(F.col("dist") * 1000000.0 + 0.5)
+                        / 1000000.0).alias("dist"))
                .orderBy("qid", "rank"))
 
 
@@ -477,41 +468,30 @@ def q_fingerprint_winnow(spark, sf_dir):
                    F.sum("fp_pos").cast("long").alias("pos_checksum")))
 
 
-@query("q_dedup_semantic", """
-WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-             FROM embeddings),
-c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
-       FROM pts ORDER BY vec_id LIMIT 8),
-a1 AS (SELECT vec_id, v, cl,
-              row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY list_distance(v, cv), cl) AS rn
-       FROM pts CROSS JOIN c0),
-w1 AS (SELECT vec_id, v, cl FROM a1 WHERE rn = 1),
-c1 AS (SELECT cl, list(m ORDER BY i) AS cv FROM (
-         SELECT cl, i, round(avg(v[i]), 6) AS m
-         FROM w1, unnest(generate_series(1, len(v))) g(i)
-         GROUP BY cl, i)
-       GROUP BY cl),
-a2 AS (SELECT p.vec_id, p.v, c1.cl,
-              row_number() OVER (PARTITION BY p.vec_id
-                                 ORDER BY list_distance(p.v, c1.cv), c1.cl) AS rn
-       FROM w1 p CROSS JOIN c1),
-w2 AS (SELECT vec_id, v, cl FROM a2 WHERE rn = 1)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cl AS cluster,
-       round(list_cosine_similarity(a.v, b.v), 6) AS cos
-FROM w2 a JOIN w2 b ON a.cl = b.cl AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+@query("q_dedup_semantic", f"""
+WITH {lloyd_cte(8, 2)},
+prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cl AS cluster,
+               list_inner_product(a.qv, b.qv)
+                 / (sqrt(list_inner_product(a.qv, a.qv))
+                    * sqrt(list_inner_product(b.qv, b.qv))) AS cosq
+        FROM wf a JOIN wf b ON a.cl = b.cl AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cluster,
+       floor(cosq * 1000000.0 + 0.5) / 1000000.0 AS cos
+FROM prs WHERE cosq >= 0.4
 """)
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup semantic near-dup pairs (similarity/knn.py:semantic_dedup):
     deterministic k-means quantizer as the blocking function, cosine
-    pruning within clusters only.  The oracle replays the exact two-round
-    Lloyd fit (same CTEs as q_ml_kmeans) plus the within-cluster cosine
-    join — every stage hash-checked."""
+    pruning within clusters only.  Fit, cosines, and the threshold test
+    all run on the integer grid (exact sums — see semantic_dedup's
+    exactness note), so the oracle replays every stage bit-for-bit: the
+    shared Lloyd CTEs plus an inner-product cosine on the quantized
+    vectors."""
     from orange3_spark.similarity.knn import semantic_dedup
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     out = semantic_dedup(emb, "vec_id", "embedding", k=8, n_iter=2,
                          threshold=0.4)
     return out.select("id_a", "id_b", "cluster",
-                      F.round("cos", 6).alias("cos"))
+                      (F.floor(F.col("cos") * 1000000.0 + 0.5)
+                       / 1000000.0).alias("cos"))

@@ -270,35 +270,57 @@ def ivf_knn(data: DataFrame, queries: DataFrame, k: int = 5, *,
     ``nprobe`` to trade cost for recall (nprobe=n_cells is exact).
 
     Returns ``(qid, rank, id_b, dist)``, ``rank`` 1..k by euclidean
-    distance with id tie-break.
+    distance with id tie-break.  All distances run on the integer grid of
+    ``kmeans_lloyd_fit`` (exact int64 sums, one sqrt + one divide at the
+    end), so ``dist`` is bit-identical across engines and partitionings.
     """
+    import math
+
     from pyspark.sql.window import Window
 
-    from orange3_spark.ml.cluster import kmeans_lloyd
+    from orange3_spark.ml.cluster import (LLOYD_SCALE, kmeans_lloyd_fit,
+                                          quantize_array)
 
-    assigned = kmeans_lloyd(data, id_col, array_col=vec_col,
-                            k=n_cells, n_iter=n_iter).cache()
-    dim = len(data.select(vec_col).first()[0])
-    # single cast projection, then element extraction (not `dim` re-casts)
-    cents = (assigned.select("cluster",
-                             _as_double(F.col(vec_col)).alias("_arr"))
-             .groupBy("cluster")
-             .agg(F.array(*[F.avg(F.col("_arr").getItem(j))
-                            for j in range(dim)]).alias("cvec")))
+    assigned, cents0 = kmeans_lloyd_fit(data, id_col, array_col=vec_col,
+                                        k=n_cells, n_iter=n_iter)
+    assigned = assigned.cache()
+    dim = len(cents0[0])
+    # refresh centroids from the FINAL assignment — exact integer sums,
+    # floor(Σ/n + 0.5) back onto the grid (empty cells keep the old one)
+    rows = (assigned.groupBy("cluster")
+            .agg(*[F.sum(F.col("_q").getItem(j)).alias(f"s{j}")
+                   for j in range(dim)],
+                 F.count(F.lit(1)).alias("n"))
+            .collect())
+    got = {int(r["cluster"]):
+           [math.floor(int(r[f"s{j}"]) / int(r["n"]) + 0.5)
+            for j in range(dim)]
+           for r in rows}
+    spark = data.sparkSession
+    cents = spark.createDataFrame(
+        [(i, got.get(i, c)) for i, c in enumerate(cents0)],
+        "cluster int, cvec array<bigint>")
+
+    def _d(a, b):
+        # exact int64 squared distance → one sqrt, one rescale divide
+        d2 = F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                         F.lit(0).cast("long"), lambda acc, v: acc + v)
+        return F.sqrt(d2.cast("double")) / F.lit(LLOYD_SCALE)
+
     q = queries.select(F.col(query_id).alias("qid"),
-                       _as_double(F.col(vec_col)).alias("qv"))
+                       quantize_array(F.col(vec_col)).alias("qv"))
     wp = Window.partitionBy("qid").orderBy(F.col("cdist"), F.col("cluster"))
     probes = (q.crossJoin(F.broadcast(cents))
-               .withColumn("cdist", euclidean(F.col("qv"), F.col("cvec")))
+               .withColumn("cdist", _d(F.col("qv"), F.col("cvec")))
                .withColumn("crn", F.row_number().over(wp))
                .filter(F.col("crn") <= nprobe)
                .select("qid", "qv", "cluster"))
     side = assigned.select(F.col(id_col).alias("id_b"),
-                           _as_double(F.col(vec_col)).alias("vb"), "cluster")
+                           F.col("_q").alias("vb"), "cluster")
     cand = probes.join(side, "cluster")
     if exclude_self:
         cand = cand.where(F.col("qid") != F.col("id_b"))
-    cand = cand.withColumn("dist", euclidean(F.col("qv"), F.col("vb")))
+    cand = cand.withColumn("dist", _d(F.col("qv"), F.col("vb")))
     wr = Window.partitionBy("qid").orderBy(F.col("dist"), F.col("id_b"))
     return (cand.withColumn("rank", F.row_number().over(wr))
                 .filter(F.col("rank") <= k)
@@ -318,36 +340,45 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
     from ONE per-group BLAS matmul (``applyInPandas``): a self-join with
     per-pair ``F.aggregate`` folds measured ~4× slower at sf0.1 (the
     higher-order functions run interpreted — same lesson as
-    ``neardup_cosine_matmul``).  Deterministic Lloyd (first-k init,
-    lower-index tie-break, rounded centroids — ``ml/cluster.kmeans_lloyd``)
-    makes the whole pipeline a pure function of the data, so a SQL oracle
-    replays it exactly.  At 100 TB: k scales with corpus size to keep
-    clusters bounded (shuffle key = cluster id); a skewed (degenerate)
-    cluster should be capped like ``minhash_lsh_candidates(max_bucket)``.
+    ``neardup_cosine_matmul``).  At 100 TB: k scales with corpus size to
+    keep clusters bounded (shuffle key = cluster id); a skewed
+    (degenerate) cluster should be capped like
+    ``minhash_lsh_candidates(max_bucket)``.
+
+    Exactness: the fit is the integer-grid deterministic Lloyd
+    (``ml/cluster.kmeans_lloyd_fit``), and cosines are computed ON the
+    quantized vectors — every Gram entry is an integer-valued float64
+    (products ≤ ~3e11, row sums ≤ ~2e13 < 2⁵³), so the BLAS matmul is
+    exact regardless of its summation order and the cosine is a fixed
+    sequence of three correctly-rounded ops (two sqrt, one divide).  Both
+    the threshold test and the reported ``cos`` are therefore
+    bit-identical across engines; a SQL oracle replays the pipeline
+    exactly (``q_dedup_semantic``).
     """
     import numpy as np
     import pandas as pd
 
-    from orange3_spark.ml.cluster import kmeans_lloyd
+    from orange3_spark.ml.cluster import kmeans_lloyd_fit
 
-    clustered = kmeans_lloyd(df, id_col, array_col=vec_col,
-                             k=k, n_iter=n_iter)
+    clustered, _ = kmeans_lloyd_fit(df, id_col, array_col=vec_col,
+                                    k=k, n_iter=n_iter)
     side = clustered.select(F.col(id_col).alias("_id"),
-                            _as_double(F.col(vec_col)).alias("_v"),
-                            "cluster")
+                            F.col("_q").alias("_v"), "cluster")
 
     def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["_id"].to_numpy()
-        V = np.stack(pdf["_v"].to_numpy())
+        # float64 holds the quantized ints exactly; matmul stays exact
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
         n = len(ids)
         if n < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cluster": [],
                                  "cos": []}).astype(
                 {"id_a": "int64", "id_b": "int64",
                  "cluster": "int32", "cos": "float64"})
-        norms = np.sqrt((V * V).sum(axis=1))
+        G = V @ V.T                                   # exact integer grams
+        norms = np.sqrt(np.diag(G))                   # one rounded sqrt
         norms[norms == 0] = 1.0
-        S = (V / norms[:, None]) @ (V / norms[:, None]).T
+        S = G / (norms[:, None] * norms[None, :])     # one mul, one div
         iu, ju = np.triu_indices(n, 1)
         keep = S[iu, ju] >= threshold
         ia, ib = ids[iu[keep]], ids[ju[keep]]
