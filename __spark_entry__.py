@@ -32,37 +32,51 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_filter_groupby"](spark, SF0001)
 
 
-# The correctness harness grades entries in dict order and checked exactly 50
-# per round so far.  Order so the driver's budget lands on queries with no
-# verdict yet: (1) the 27 queries never driver-checked in r1/r2; (2) the two
-# r2 hash-fails whose fixes need proving on the driver's machine; (3) any
-# query registered after round 2 (not named in any list below — sorts into
-# the "pending" bucket automatically); (4) the 86 cumulative greens last.
-_NEVER_CHECKED_R2 = [
-    # §2.10 preprocess — the reference's most-used operators
+# The correctness harness grades entries in dict order with a ~50-query
+# budget per round.  Round-4 priority: (1) the three r3 hash-fails, now
+# rebuilt on order-independent integer fixed-point arithmetic — proving
+# those fixes on the driver's machine is the whole point; (2) oracle-paired
+# queries that have never been driver-graded (registered after the r3
+# budget ran out, incl. q_ml_silhouette which gained an oracle this round);
+# (3) q_knn_ivf, green in r2 but re-based onto the quantized grid — its
+# old verdict no longer covers the current code; (4) the rows-only
+# never-graded queries; (5) anything registered this round (unplaced →
+# auto-bucket, oracle-paired first); (6) the 130 cumulative greens.
+_FIXED_FAILS_R3 = ["q_ml_kmeans", "q_feature_statistics", "q_split_onehot"]
+_NEVER_GRADED_ORACLE = [
+    "q_dedup_semantic", "q_stream_totals", "q_stream_cusum",
+    "q_ml_silhouette", "q_split_tokens",
+]
+_REBASED_GREEN = ["q_knn_ivf"]
+_NEVER_GRADED_ROWS_ONLY = [
+    "q_outlier_iforest", "q_outlier_envelope", "q_outlier_ocsvm",
+    "q_ml_svr", "q_ml_tsne", "q_ml_som", "q_ml_freeviz",
+    "q_feature_scores_relieff", "q_scoring_sheet",
+]
+_VERIFIED_GREEN = [
+    # cumulative greens from CORRECTNESS_r01-r03 — graded last
     "q_discretize_equal_freq", "q_discretize_equal_width", "q_discretize_nice",
     "q_discretize_timewidth", "q_entropy_mdl_bins", "q_continuize_indicators",
     "q_impute_mean", "q_normalize_standardize", "q_scale_median_span",
-    # correlations
     "q_corr_pearson", "q_corr_spearman",
-    # sampling
     "q_sample_hash", "q_sample_stratified", "q_cv_folds",
-    # reshaping / row ops
-    "q_transpose", "q_hstack", "q_split_onehot", "q_rowwise_agg",
+    "q_transpose", "q_hstack", "q_rowwise_agg",
     "q_weighted_distribution", "q_rolling_mean", "q_feature_constructor",
-    # projections + tail
     "q_ml_cur", "q_ml_mds", "q_ml_lda", "q_ml_radviz",
     "q_ml_calibration_curve", "q_sql_passthrough",
-]
-_HASH_FAIL_R2 = ["q_ml_kmeans", "q_feature_statistics"]
-_VERIFIED_GREEN = [
-    # cumulative greens from CORRECTNESS_r01 + r02 — graded last
+    "q_media_frames", "q_ml_logreg_cv", "q_randomize",
+    "q_tab_roundtrip", "q_csv_roundtrip", "q_url_read", "q_basket_read",
+    "q_infer_types", "q_editdomain", "q_purge_domain",
+    "q_filter_samevalue", "q_filter_regex", "q_filter_stringlist",
+    "q_transform_kernels", "q_impute_model", "q_time_parse",
+    "q_select_best", "q_impute_asvalue", "q_sample_fixed",
+    "q_sample_bernoulli", "q_filter_hasclass",
     "q_outlier_iqr", "q_maha_outliers", "q_groupby_matrix", "q_window_lag",
     "q_window_cumsum", "q_media_bytes", "q_ml_dbscan", "q_ml_pca",
     "q_ml_hierarchical", "q_distance_spearman_rows",
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_incremental", "q_dup_clusters", "q_leakage_safe_split",
-    "q_knn_cosine", "q_neardup_cosine", "q_knn_ivf",
+    "q_knn_cosine", "q_neardup_cosine",
     "q_fingerprint", "q_fingerprint_winnow", "q_text_stats", "q_text_quality",
     "q_lang_id", "q_top_ngrams", "q_redact",
     "q_window_tumbling", "q_window_sliding", "q_window_session",
@@ -87,17 +101,17 @@ _VERIFIED_GREEN = [
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    first = [q for q in _NEVER_CHECKED_R2 if q in QUERIES]
-    fails = [q for q in _HASH_FAIL_R2 if q in QUERIES]
+    head = [q for q in (_FIXED_FAILS_R3 + _NEVER_GRADED_ORACLE
+                        + _REBASED_GREEN + _NEVER_GRADED_ROWS_ONLY)
+            if q in QUERIES]
     green = [q for q in _VERIFIED_GREEN if q in QUERIES]
-    placed = set(first) | set(fails) | set(green)
-    # within the new bucket, oracle-paired queries grade before rows-only
-    # ones: a hash verdict is the stronger signal if the driver's budget
-    # runs out mid-bucket
-    new_r3 = sorted((q for q in QUERIES if q not in placed),
-                    key=lambda q: (q not in ORACLE,
-                                   list(QUERIES).index(q)))
-    return {q: QUERIES[q] for q in first + fails + new_r3 + green}
+    placed = set(head) | set(green)
+    # queries registered this round land here automatically; oracle-paired
+    # ones grade before rows-only (a hash verdict is the stronger signal
+    # if the driver's budget runs out mid-bucket)
+    new = sorted((q for q in QUERIES if q not in placed),
+                 key=lambda q: (q not in ORACLE, list(QUERIES).index(q)))
+    return {q: QUERIES[q] for q in head + new + green}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -101,6 +101,20 @@ def kmeans_lloyd_fit(df: DataFrame, id_col: str, *, array_col: str,
     from pyspark.sql.functions import pandas_udf
 
     qdf = df.withColumn("_q", quantize_array(F.col(array_col), quantize))
+    # The fit scans qdf n_iter+1 times (assign per round + the final one);
+    # cache so parquet read + quantization run once, and right-size the
+    # partition count — every Lloyd job is all-partitions, so a small
+    # table spread over 32 near-empty tasks pays pure scheduler overhead
+    # per round (full parallelism returns automatically at real row
+    # counts).  MEMORY_AND_DISK: an over-memory fit spills, not recomputes.
+    from pyspark import StorageLevel
+
+    n_rows = qdf.count()
+    target = max(1, min(df.sparkSession.sparkContext.defaultParallelism,
+                        n_rows // 50_000))
+    if target < qdf.rdd.getNumPartitions():
+        qdf = qdf.coalesce(target)
+    qdf = qdf.persist(StorageLevel.MEMORY_AND_DISK)
     centroids = [[int(x) for x in r["_q"]]
                  for r in qdf.select(id_col, "_q").orderBy(id_col).take(k)]
     dim = len(centroids[0])
@@ -207,7 +221,11 @@ def pca_cov_eigen(df: DataFrame, cols: Sequence[str], *,
                 for i, a in enumerate(cols) for j, b in enumerate(cols)
                 if i <= j]
         aggs += [F.avg(F.col(c).cast("double")).alias(f"m_{c}") for c in cols]
-        r = df.agg(*aggs).first()
+        # listwise-complete like the wide mapInPandas path (which drops any
+        # row with a null/NaN) — without this the two physical strategies
+        # would return different covariances on nulls depending only on
+        # column count
+        r = df.na.drop(subset=list(cols)).agg(*aggs).first()
         cov = np.zeros((k, k))
         for i in range(k):
             for j in range(i, k):

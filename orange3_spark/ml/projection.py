@@ -477,103 +477,110 @@ def som_fit(df: DataFrame, cols: Sequence[str] = (), *,
     # Materialize via cache, NOT localCheckpoint: eager localCheckpoint of
     # this plan wedges on Spark 4.1 (count/collect/cache ran in <1 s, the
     # checkpoint hung for minutes).
-    data = (df.select(vec.alias("_arr"))
-              .filter(F.col("_arr").isNotNull()
-                      & (F.size("_arr") == P)
-                      & ~F.exists("_arr", lambda x: x.isNull() | F.isnan(x)))
-              .cache())
-    n = data.count()
+    pre = (df.select(vec.alias("_arr"))
+             .filter(F.col("_arr").isNotNull()
+                     & (F.size("_arr") == P)
+                     & ~F.exists("_arr", lambda x: x.isNull() | F.isnan(x)))
+             .cache())
+    n = pre.count()
     if n == 0:
+        pre.unpersist()
         raise ValueError("som_fit: no complete rows")
     # each iteration is one scan; right-size partitions so a small fit
     # isn't n_iterations×parallelism scheduler round-trips, while big data
     # keeps full parallelism
     parts = max(1, min(df.sparkSession.sparkContext.defaultParallelism,
                        n // 50_000 + 1))
-    if parts < data.rdd.getNumPartitions():
-        data = data.coalesce(parts).cache()
+    if parts < pre.rdd.getNumPartitions():
+        data = pre.coalesce(parts).cache()
         data.count()
+        pre.unpersist()  # coalesced cache is live; drop the wide one
+    else:
+        data = pre
 
-    def _stack(series: pd.Series) -> "np.ndarray":
-        return np.stack(series.to_numpy())
+    try:
+        def _stack(series: pd.Series) -> "np.ndarray":
+            return np.stack(series.to_numpy())
 
-    # PCA-plane init from one partial-Gram scan (the som.py
-    # init_weights_pca analogue): per batch n/Σx/X'X with BLAS, driver
-    # eigensolve — no O(P²) aggregate expressions
-    def _gram(batches):
-        gn, s, g = 0, np.zeros(P), np.zeros((P, P))
-        for pdf in batches:
-            X = _stack(pdf["_arr"])
-            gn += X.shape[0]
-            s += X.sum(axis=0)
-            g += X.T @ X
-        yield pd.DataFrame({"n": [gn], "s": [s.tolist()],
-                            "g": [g.ravel().tolist()]})
-
-    gparts = data.mapInPandas(
-        _gram, "n long, s array<double>, g array<double>").collect()
-    gn = sum(r["n"] for r in gparts)
-    s = np.sum([np.asarray(r["s"]) for r in gparts], axis=0)
-    g = np.sum([np.asarray(r["g"]).reshape(P, P) for r in gparts], axis=0)
-    mean = s / gn
-    cov = g / gn - np.outer(mean, mean)
-    w_eig, v_eig = np.linalg.eigh(cov)
-    order = np.argsort(w_eig)[::-1]
-    comps = []
-    for ci in order[:min(2, P)]:
-        c = v_eig[:, ci]
-        if c[np.argmax(np.abs(c))] < 0:
-            c = -c
-        comps.append(c)
-    pc0 = np.asarray(comps[0])
-    pc1 = np.asarray(comps[1]) if len(comps) > 1 else np.zeros(P)
-    W = np.empty((dim_y, dim_x, P))
-    for i, c1 in enumerate(np.linspace(-1, 1, dim_y)):
-        for j, c2 in enumerate(np.linspace(-1, 1, dim_x)):
-            W[i, j] = c1 * pc0 + c2 * pc1
-    norms = (W ** 2).sum(axis=2)
-    norms[norms == 0] = 1
-    W /= norms[:, :, None]
-
-    gy, gx = np.mgrid[0:dim_y, 0:dim_x]
-    units = np.stack([gy.ravel(), gx.ravel()], axis=1)   # (U, 2)
-    U = units.shape[0]
-
-    for it in range(n_iterations):
-        decay = 1 + it / (n_iterations / 2)
-        sig = sigma / decay
-        Wf = W.reshape(-1, P)                            # (U, P)
-
-        # ONE mapInPandas scan per iteration: assign each batch to its
-        # best-matching unit AND accumulate per-unit partial sums locally
-        # (U×P floats per partition) — no shuffle, the driver combine is
-        # the map-side-combine of the groupBy it replaces
-        def _iter_stats(batches, Wf=Wf):
-            S = np.zeros((U, P))
-            cnt = np.zeros(U)
+        # PCA-plane init from one partial-Gram scan (the som.py
+        # init_weights_pca analogue): per batch n/Σx/X'X with BLAS, driver
+        # eigensolve — no O(P²) aggregate expressions
+        def _gram(batches):
+            gn, s, g = 0, np.zeros(P), np.zeros((P, P))
             for pdf in batches:
                 X = _stack(pdf["_arr"])
-                d = ((X[:, None, :] - Wf[None, :, :]) ** 2).sum(axis=2)
-                u = np.argmin(d, axis=1)
-                np.add.at(cnt, u, 1)
-                np.add.at(S, u, X)
-            yield pd.DataFrame({"cnt": [cnt.tolist()],
-                                "s": [S.ravel().tolist()]})
+                gn += X.shape[0]
+                s += X.sum(axis=0)
+                g += X.T @ X
+            yield pd.DataFrame({"n": [gn], "s": [s.tolist()],
+                                "g": [g.ravel().tolist()]})
 
-        stats = data.mapInPandas(
-            _iter_stats, "cnt array<double>, s array<double>").collect()
-        S = np.sum([np.asarray(r["s"]).reshape(U, P) for r in stats], axis=0)
-        Ncnt = np.sum([np.asarray(r["cnt"]) for r in stats], axis=0)
-        # neighborhood combine on the tiny grid: h(u,v) Gaussian in grid space
-        d2 = ((units[:, None, :] - units[None, :, :]) ** 2).sum(axis=2)
-        H = np.exp(-d2 / (2 * sig * sig))                # (U, U)
-        num = H @ S                                      # (U, P)
-        den = (H @ Ncnt)[:, None]
-        upd = den[:, 0] > 0
-        Wf = Wf.copy()
-        Wf[upd] = num[upd] / den[upd]
-        W = Wf.reshape(dim_y, dim_x, P)
-    return W.tolist()
+        gparts = data.mapInPandas(
+            _gram, "n long, s array<double>, g array<double>").collect()
+        gn = sum(r["n"] for r in gparts)
+        s = np.sum([np.asarray(r["s"]) for r in gparts], axis=0)
+        g = np.sum([np.asarray(r["g"]).reshape(P, P) for r in gparts], axis=0)
+        mean = s / gn
+        cov = g / gn - np.outer(mean, mean)
+        w_eig, v_eig = np.linalg.eigh(cov)
+        order = np.argsort(w_eig)[::-1]
+        comps = []
+        for ci in order[:min(2, P)]:
+            c = v_eig[:, ci]
+            if c[np.argmax(np.abs(c))] < 0:
+                c = -c
+            comps.append(c)
+        pc0 = np.asarray(comps[0])
+        pc1 = np.asarray(comps[1]) if len(comps) > 1 else np.zeros(P)
+        W = np.empty((dim_y, dim_x, P))
+        for i, c1 in enumerate(np.linspace(-1, 1, dim_y)):
+            for j, c2 in enumerate(np.linspace(-1, 1, dim_x)):
+                W[i, j] = c1 * pc0 + c2 * pc1
+        norms = (W ** 2).sum(axis=2)
+        norms[norms == 0] = 1
+        W /= norms[:, :, None]
+
+        gy, gx = np.mgrid[0:dim_y, 0:dim_x]
+        units = np.stack([gy.ravel(), gx.ravel()], axis=1)   # (U, 2)
+        U = units.shape[0]
+
+        for it in range(n_iterations):
+            decay = 1 + it / (n_iterations / 2)
+            sig = sigma / decay
+            Wf = W.reshape(-1, P)                            # (U, P)
+
+            # ONE mapInPandas scan per iteration: assign each batch to its
+            # best-matching unit AND accumulate per-unit partial sums locally
+            # (U×P floats per partition) — no shuffle, the driver combine is
+            # the map-side-combine of the groupBy it replaces
+            def _iter_stats(batches, Wf=Wf):
+                S = np.zeros((U, P))
+                cnt = np.zeros(U)
+                for pdf in batches:
+                    X = _stack(pdf["_arr"])
+                    d = ((X[:, None, :] - Wf[None, :, :]) ** 2).sum(axis=2)
+                    u = np.argmin(d, axis=1)
+                    np.add.at(cnt, u, 1)
+                    np.add.at(S, u, X)
+                yield pd.DataFrame({"cnt": [cnt.tolist()],
+                                    "s": [S.ravel().tolist()]})
+
+            stats = data.mapInPandas(
+                _iter_stats, "cnt array<double>, s array<double>").collect()
+            S = np.sum([np.asarray(r["s"]).reshape(U, P) for r in stats], axis=0)
+            Ncnt = np.sum([np.asarray(r["cnt"]) for r in stats], axis=0)
+            # neighborhood combine on the tiny grid: h(u,v) Gaussian in grid space
+            d2 = ((units[:, None, :] - units[None, :, :]) ** 2).sum(axis=2)
+            H = np.exp(-d2 / (2 * sig * sig))                # (U, U)
+            num = H @ S                                      # (U, P)
+            den = (H @ Ncnt)[:, None]
+            upd = den[:, 0] > 0
+            Wf = Wf.copy()
+            Wf[upd] = num[upd] / den[upd]
+            W = Wf.reshape(dim_y, dim_x, P)
+        return W.tolist()
+    finally:
+        data.unpersist()
 
 
 def som(df: DataFrame, cols: Sequence[str] = (), *,

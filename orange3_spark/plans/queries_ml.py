@@ -296,27 +296,39 @@ def q_ml_metrics(spark, sf_dir):
     :340 Specificity, :438 SMAPE, :461 CVRMSE) on a deterministic hash
     split: a prior-probability classifier (P(urgent) from train) scores
     log loss, a threshold classifier scores specificity, and train-fit OLS
-    scores SMAPE/CVRMSE on held-out orders — every metric is one Spark
-    aggregation mirrored exactly by the SQL oracle."""
+    scores SMAPE/CVRMSE on held-out orders.
+
+    Cost shape: THREE actions total — the prior agg and the OLS moment agg
+    over train, then ONE combined aggregation over test producing all four
+    metrics (exactly the oracle's final SELECT).  The per-metric
+    ``evaluation`` functions each run their own action (4 extra full test
+    scans here, r3's single biggest bench regression at 11.2 s); batch
+    scoring goes through one agg — the same one-scan-many-scores shape as
+    ``evaluation.regression_scores``/``classification_scores``."""
     (orders,) = _t(spark, sf_dir, "orders")
     train, test = E.train_test_split(orders, "o_orderkey", 0.25)
     y = (F.col("o_orderpriority") == "1-URGENT").cast("double")
     prior = train.agg(F.avg(y).alias("p"),
                       F.avg("o_totalprice").alias("thr")).first()
-    scored = (test
-              .withColumn("y", y)
-              .withColumn("prob", F.lit(float(prior.p)))
-              .withColumn("prediction",
-                          (F.col("o_totalprice") > prior.thr).cast("int")))
-    ll = E.log_loss(scored, label="y", prob="prob")
-    spec = E.specificity(scored, positive=1, label="y")
     ols = L.ols_learner(train, ["o_custkey"], "o_totalprice")
-    pred = ols.predict(test)
-    sm = E.smape(pred, label="o_totalprice")
-    cv = E.cvrmse(pred, label="o_totalprice")
-    return spark.createDataFrame(
-        [(ll, spec, sm, cv)],
-        "logloss double, specificity double, smape double, cvrmse double")
+    pred = (ols.predict(test)
+            .select(y.alias("y"),
+                    (F.col("o_totalprice") > prior.thr).cast("int")
+                    .alias("cls"),
+                    F.col("o_totalprice").alias("a"),
+                    F.col("prediction").alias("yhat")))
+    p = F.lit(float(prior.p))
+    sdenom = F.abs(F.col("a")) + F.abs(F.col("yhat"))
+    return pred.agg(
+        (-F.avg(F.col("y") * F.log(p)
+                + (1.0 - F.col("y")) * F.log(1.0 - p))).alias("logloss"),
+        (F.sum(((F.col("y") == 0) & (F.col("cls") == 0)).cast("long"))
+         .cast("double")
+         / F.sum((F.col("y") == 0).cast("long"))).alias("specificity"),
+        (2.0 * F.avg(F.abs(F.col("a") - F.col("yhat")) / sdenom) * 100.0)
+        .alias("smape"),
+        (F.sqrt(F.avg(F.pow(F.col("a") - F.col("yhat"), 2)))
+         / F.avg("a") * 100.0).alias("cvrmse"))
 
 
 @query("q_ml_shuffle_split", f"""
@@ -338,20 +350,15 @@ def q_ml_shuffle_split(spark, sf_dir):
     """ShuffleSplit (Orange/evaluation/testing.py:654-710) verified
     end-to-end: 3 deterministic content-hash resamples (salt = repetition
     index), OLS refit per resample, held-out RMSE — repeated random
-    sub-sampling as a pure function of (data, salt)."""
+    sub-sampling as a pure function of (data, salt).  ONE scan for all
+    resamples via the moment aggregation (``evaluation.shuffle_split_ols``
+    — the generic fit-per-resample loop is 6 scans and was a 3× bench
+    regression in r3); the generic ``shuffle_split`` stays pytest-covered
+    for arbitrary models."""
     (orders,) = _t(spark, sf_dir, "orders")
-
-    class _OLS:
-        def __init__(self, train):
-            self.m = L.ols_learner(train, ["o_custkey"], "o_totalprice")
-
-        def predict(self, df):
-            return self.m.predict(df)
-
-    scores = E.shuffle_split(
-        orders, "o_orderkey", _OLS,
-        lambda d: E.rmse(d, label="o_totalprice"),
-        n_resamples=3, test_size=0.25)
+    scores = E.shuffle_split_ols(orders, "o_orderkey", ["o_custkey"],
+                                 "o_totalprice", n_resamples=3,
+                                 test_size=0.25)
     return spark.createDataFrame(
         [(i, s) for i, s in enumerate(scores)],
         "resample int, rmse double").orderBy("resample")

@@ -37,6 +37,19 @@ def _tmpdir() -> str:
     return d
 
 
+def _bounded_pandas(df, max_rows: int = 1_000_000):
+    """Driver-side collect with the same explicit bound as
+    ``sources/tab.py:write_tab``: interchange formats are small-data by
+    contract, and a silent ``toPandas()`` of a SF-scaled table would
+    OOM the driver — raise loudly instead."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"interchange-format round-trip is driver-side; {n} rows > "
+            f"{max_rows}. Round-trip a bounded slice instead.")
+    return df.toPandas()
+
+
 # ------------------------------------------------------------ §2.1 readers
 
 @query("q_tab_roundtrip", """
@@ -78,13 +91,42 @@ def q_csv_roundtrip(spark, sf_dir):
 
     (supplier,) = _t(spark, sf_dir, "supplier")
     path = os.path.join(_tmpdir(), "supplier.csv")
-    supplier.toPandas().to_csv(path, index=False)
+    _bounded_pandas(supplier).to_csv(path, index=False)
     back = read_csv(spark, path)
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("s_acctbal"), 2).alias("sum_bal"),
         F.min("s_name").alias("lo_name"),
         F.max("s_name").alias("hi_name"))
+
+
+@query("q_excel_roundtrip", """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(p_size) AS DOUBLE) AS sum_size,
+       CAST(count(DISTINCT p_brand) AS BIGINT) AS n_brands,
+       min(p_name) AS lo_name, max(p_name) AS hi_name
+FROM part
+""")
+def q_excel_roundtrip(spark, sf_dir):
+    """.xlsx round-trip (``io.py:246-389`` ExcelReader, ``:319-346``
+    ExcelWriter) through the self-contained zip+XML codec
+    (``sources/xlsx.py``): parquet → write_xlsx (header + typed cells) →
+    extension-dispatched read (sheet resolution via workbook rels, shared/
+    inline strings, numeric cells, Orange type inference) → aggregate.
+    Any loss in cell encoding, escaping, or inference breaks the hash."""
+    from orange3_spark.sources.registry import read_table
+    from orange3_spark.sources.xlsx import write_xlsx
+
+    (part,) = _t(spark, sf_dir, "part")
+    path = os.path.join(_tmpdir(), "part.xlsx")
+    write_xlsx(part, path)
+    back = read_table(spark, path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("p_size").alias("sum_size"),
+        F.countDistinct("p_brand").alias("n_brands"),
+        F.min("p_name").alias("lo_name"),
+        F.max("p_name").alias("hi_name"))
 
 
 @query("q_url_read", """
@@ -99,7 +141,7 @@ def q_url_read(spark, sf_dir):
 
     (region,) = _t(spark, sf_dir, "region")
     path = os.path.join(_tmpdir(), "region.csv")
-    region.toPandas().to_csv(path, index=False)
+    _bounded_pandas(region).to_csv(path, index=False)
     back = read_url(spark, "file://" + path)
     return back.groupBy("r_name").agg(F.count(F.lit(1)).alias("n"))
 

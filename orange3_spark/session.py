@@ -66,6 +66,14 @@ def get_spark(app_name: str = "orange3-spark", **extra_conf: str) -> SparkSessio
         # Spark's reader rejects; read them as long and convert at ingest
         # (see load_tables).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Generated-class cache (static conf, default 100 entries): a
+        # session running the full 150-query surface evicts constantly, so
+        # re-running any query pays full janino recompilation — measured as
+        # 3-5x "steady-state" slowdowns late in a long session (e.g.
+        # q_dup_clusters 3.2 s solo vs 17.9 s after 150 other queries).
+        # 5000 classes ≈ tens of MB of metaspace: cheap insurance for any
+        # long-lived analytics session, not just the bench.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         # local[N] runs driver+executor in ONE JVM: size the heap for the
         # executor work, not driver bookkeeping.  8g showed single ~15-19 s
         # full-GC stalls under the dedup section's shuffle churn; 32g keeps

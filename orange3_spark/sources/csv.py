@@ -52,6 +52,13 @@ def read_csv(spark: SparkSession, path: str, *,
         header = header if header is not None else s_header
 
     df = spark.read.csv(path, sep=sep, header=header, inferSchema=False)
+    return infer_and_type(df, sample_rows=sample_rows)
+
+
+def infer_and_type(df: DataFrame, *, sample_rows: int = 1000) -> DataFrame:
+    """Sampled Orange type inference + typed casts over a string-typed
+    frame — shared by the csv and xlsx readers (``io_util.py:153-192``
+    applies the same probe regardless of source format)."""
     sample = df.limit(sample_rows).collect()
     variables, cols = [], []
     for i, name in enumerate(df.columns):

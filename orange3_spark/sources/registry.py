@@ -2,8 +2,8 @@
 ``FileFormat`` registry; ``Table.from_file`` ``table.py:1096-1120``).
 
 Parquet is the engine's native persisted form (replacing the reference's
-pickle, ``io.py:199-220``); xlsx/url readers are gated behind import-tries
-since their libs may be absent.
+pickle, ``io.py:199-220``); the xlsx reader/writer is self-contained
+(stdlib zip+XML, ``sources/xlsx.py``) so no optional dependency gates it.
 """
 
 from __future__ import annotations
@@ -55,13 +55,10 @@ def _read_json(spark: SparkSession, path: str) -> DataFrame:
 
 @reader(".xlsx")
 def _read_xlsx(spark: SparkSession, path: str) -> DataFrame:
-    # driver-side: excel is small-data by construction (io.py:246-389)
-    try:
-        import pandas as pd
-        pdf = pd.read_excel(path)
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError("xlsx reading needs openpyxl") from e
-    return spark.createDataFrame(pdf)
+    # driver-side: excel is small-data by construction (io.py:246-389);
+    # self-contained zip+XML parser, no openpyxl dependency
+    from orange3_spark.sources.xlsx import read_xlsx
+    return read_xlsx(spark, path)
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:

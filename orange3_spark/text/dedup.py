@@ -531,6 +531,13 @@ def simhash_near_dups_md5(df: DataFrame, text_col: str = "text",
         S = (np.stack(sums.to_numpy()).astype(np.int64)
              if len(sums) else np.zeros((0, bits // 4), dtype=np.int64))
         N = n.to_numpy().astype(np.int64)
+        if len(N) and int(N.max()) >= 65536:
+            # a 65536-token doc overflows a 16-bit lane into the next
+            # bit's count — corrupt signatures, silently.  Fail loudly.
+            raise ValueError(
+                "simhash_near_dups_md5: document with >= 65536 tokens "
+                "overflows the packed vote lanes; use simhash_near_dups "
+                "(xxhash64 family, unpacked votes) for long documents")
         sig = np.zeros(len(N), dtype=np.uint64)
         for i in range(bits // 4):
             v = S[:, i]

@@ -728,3 +728,60 @@ def test_right_size_for_fit(spark):
     got = sized.rdd.getNumPartitions()
     assert 1 < got <= spark.sparkContext.defaultParallelism
     sized.unpersist()
+
+
+def test_regression_scores_one_pass_matches_per_metric(spark):
+    """The one-scan bundle returns the same values as the per-metric
+    functions (which each run their own action)."""
+    from orange3_spark.ml import evaluation as E
+
+    df = spark.createDataFrame(
+        [(10.0, 12.0), (20.0, 18.0), (30.0, 33.0), (5.0, 4.0)],
+        "label double, prediction double")
+    got = E.regression_scores(df)
+    assert abs(got["rmse"] - E.rmse(df)) < 1e-12
+    assert abs(got["mae"] - E.mae(df)) < 1e-12
+    assert abs(got["mape"] - E.mape(df)) < 1e-12
+    assert abs(got["smape"] - E.smape(df)) < 1e-12
+    assert abs(got["cvrmse"] - E.cvrmse(df)) < 1e-12
+    assert abs(got["r2"] - E.r2(df)) < 1e-12
+
+
+def test_classification_scores_one_pass_matches_per_metric(spark):
+    from orange3_spark.ml import evaluation as E
+
+    df = spark.createDataFrame(
+        [(1, 1, 0.9), (1, 0, 0.2), (0, 0, 0.3), (0, 1, 0.7), (0, 0, 0.1)],
+        "label int, prediction int, prob double")
+    got = E.classification_scores(df, positive=1, prob="prob")
+    assert abs(got["ca"] - E.ca(df)) < 1e-12
+    assert abs(got["specificity"] - E.specificity(df, positive=1)) < 1e-12
+    assert abs(got["logloss"] - E.log_loss(df, prob="prob")) < 1e-12
+    p, r, f1 = E.precision_recall_f1(df, 1)
+    assert (got["precision"], got["recall"], got["f1"]) == (p, r, f1)
+    assert abs(got["mcc"] - E.mcc(df, 1)) < 1e-12
+
+
+def test_shuffle_split_ols_matches_generic_loop(spark, sf_dir):
+    """The single-scan moment formulation reproduces the generic
+    fit-per-resample loop's RMSEs."""
+    from orange3_spark.ml import evaluation as E
+    from orange3_spark.ml import learners as L
+    from orange3_spark.session import load_tables
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+
+    class _OLS:
+        def __init__(self, train):
+            self.m = L.ols_learner(train, ["o_custkey"], "o_totalprice")
+
+        def predict(self, d):
+            return self.m.predict(d)
+
+    want = E.shuffle_split(orders, "o_orderkey", _OLS,
+                           lambda d: E.rmse(d, label="o_totalprice"),
+                           n_resamples=2, test_size=0.25)
+    got = E.shuffle_split_ols(orders, "o_orderkey", ["o_custkey"],
+                              "o_totalprice", n_resamples=2, test_size=0.25)
+    for a, b in zip(got, want):
+        assert abs(a - b) / b < 1e-9

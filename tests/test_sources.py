@@ -226,37 +226,60 @@ def test_lenient_timestamp_z_is_utc_in_any_session_tz(spark):
         spark.conf.set("spark.sql.session.timeZone", prev)
 
 
-def test_xlsx_reader_gate(spark, tmp_path):
-    """Excel reading (reference io.py xlsx reader) is driver-side pandas
-    gated on openpyxl: with the engine absent the registry raises the
-    honest NotImplementedError; with it present a real sheet round-trips."""
+def test_xlsx_reader_malformed(spark, tmp_path):
+    """A zip without workbook parts raises a real error, not a silent
+    empty frame (the reader is self-contained — no openpyxl gate)."""
+    import zipfile
+
     import pytest as _p
 
     from orange3_spark.sources.registry import read_table
 
-    try:
-        import openpyxl
-        has_engine = True
-    except ImportError:
-        has_engine = False
-
     p = tmp_path / "mini.xlsx"
-    if not has_engine:
-        # must be a VALID zip: pandas peeks at the container to infer the
-        # format before importing the engine, so only then does the
-        # missing-openpyxl ImportError (→ our gate) fire
-        import zipfile
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("xl/nothing.xml", "<x/>")
+    with _p.raises(KeyError):
+        read_table(spark, str(p))
 
-        with zipfile.ZipFile(p, "w") as zf:
-            zf.writestr("xl/workbook.xml", "<workbook/>")
-        with _p.raises(NotImplementedError, match="openpyxl"):
-            read_table(spark, str(p))
-        return
-    wb = openpyxl.Workbook()
-    ws = wb.active
-    ws.append(["name", "value"])
-    ws.append(["a", 1])
-    ws.append(["b", 2])
-    wb.save(p)
-    rows = sorted(tuple(r) for r in read_table(spark, str(p)).collect())
-    assert rows == [("a", 1), ("b", 2)]
+
+def test_xlsx_roundtrip_values_and_types(spark, tmp_path):
+    """Self-contained xlsx codec: typed numeric cells, inline strings with
+    XML-special characters, NULLs, and sheet selection all survive."""
+    from orange3_spark.sources.xlsx import read_xlsx, write_xlsx
+
+    df = spark.createDataFrame(
+        [(1, 2.5, "a<b&c", "x"), (2, None, "plain", None),
+         (3, -0.125, "ünïcode", "y")],
+        "k int, v double, s string, m string")
+    path = str(tmp_path / "t.xlsx")
+    write_xlsx(df, path, sheet="data")
+    back = read_xlsx(spark, path)
+    # k has 3 distinct numeric values -> Orange rules it DISCRETE (kept
+    # as string), same as the reference's guess_data_type probe
+    rows = {r["k"]: r for r in back.collect()}
+    assert rows["1"]["s"] == "a<b&c"
+    assert rows["2"]["v"] is None and rows["2"]["m"] is None
+    assert rows["3"]["v"] == -0.125 and rows["3"]["s"] == "ünïcode"
+    # named-sheet resolution
+    assert read_xlsx(spark, path, sheet="data").count() == 3
+    import pytest
+    with pytest.raises(ValueError):
+        read_xlsx(spark, path, sheet="nope")
+
+
+def test_xlsx_writer_bounds(spark, tmp_path):
+    from orange3_spark.sources.xlsx import write_xlsx
+    import pytest
+
+    with pytest.raises(ValueError, match="driver-side"):
+        write_xlsx(spark.range(100), str(tmp_path / "big.xlsx"), max_rows=10)
+
+
+def test_xlsx_extension_dispatch(spark, tmp_path):
+    from orange3_spark.sources.registry import read_table
+    from orange3_spark.sources.xlsx import write_xlsx
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string")
+    path = str(tmp_path / "d.xlsx")
+    write_xlsx(df, path)
+    assert read_table(spark, path).count() == 2
