@@ -36,6 +36,8 @@ MAGIC = (
     ("png", bytes([0x89, 0x50, 0x4E, 0x47])),
     ("jpeg", bytes([0xFF, 0xD8, 0xFF])),
     ("gif", b"GIF8"),
+    ("bmp", b"BM"),
+    ("ppm", b"P6"),
     ("wav", b"RIFF"),
     ("mp3", b"ID3"),
     ("pdf", b"%PDF"),
@@ -84,48 +86,76 @@ IMAGE_SCHEMA = T.StructType([
 
 def decode_image(df: DataFrame, binary_col: str = "content",
                  id_col: str = "media_id", *, height: int = 8, width: int = 8,
-                 stub: bool = True) -> DataFrame:
+                 stub: bool = True, decoder: Optional[str] = None) -> DataFrame:
     """Decode blobs to (H, W, C) pixel arrays via Arrow-batched mapInPandas.
 
-    STUB decode (default): a deterministic fake — pixels are a seeded
-    function of the blob bytes, so tests are exact and the plumbing
-    (batching, schema, memory shape) matches the real decode.
+    Decoder modes (``decoder`` overrides the legacy ``stub`` flag):
 
-    ``stub=False`` decodes for real with Pillow when it is importable
-    (resize to ``width×height``, RGB, floats in [0, 1]); without Pillow it
-    raises NotImplementedError up front — an honest gate, not a silent
-    fake (the decode libraries are optional deps, like openpyxl for
-    xlsx in ``sources/registry.py``).
+    * ``"stub"`` (default): a deterministic fake — pixels are a seeded
+      function of the blob bytes, so tests are exact and the plumbing
+      (batching, schema, memory shape) matches the real decode.
+    * ``"native"``: REAL pure-Python decode of uncompressed BMP / binary
+      PPM (``multimodal/codecs.py`` — header parse, row padding,
+      bottom-up order, BGR→RGB all exercised; no optional deps), with
+      deterministic nearest-neighbor resize to ``width×height``.
+    * ``"pillow"``: Pillow for JPEG/PNG/etc; without Pillow this raises
+      NotImplementedError up front — an honest gate, not a silent fake.
+    * ``"auto"``: native for BMP/PPM magic bytes, Pillow otherwise (the
+      gate applies only if a non-native format actually appears).
     """
-    if not stub:
+    if decoder is None:
+        decoder = "stub" if stub else "pillow"
+    if decoder not in ("stub", "native", "pillow", "auto"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    if decoder == "pillow":
         try:
             import PIL.Image  # noqa: F401
         except ImportError as exc:
             raise NotImplementedError(
-                "real image decoding needs Pillow/libjpeg — not installed "
-                "in this container; run with stub=True for the "
-                "deterministic fake") from exc
+                "JPEG/PNG decoding needs Pillow/libjpeg — not installed "
+                "in this container; decoder='native' handles BMP/PPM, "
+                "decoder='stub' is the deterministic fake") from exc
 
     def run(pdf_iter):
         import numpy as np
         import pandas as pd
-        if not stub:
-            import io
 
-            from PIL import Image
+        from orange3_spark.multimodal.codecs import decode_any
+
+        def _real(blob: bytes) -> "np.ndarray":
+            if decoder != "pillow":
+                try:
+                    return decode_any(blob)
+                except ValueError:
+                    if decoder == "native":
+                        raise
+            try:
+                import io
+
+                from PIL import Image
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "blob is not BMP/PPM and Pillow is unavailable") from exc
+            img = Image.open(io.BytesIO(blob)).convert("RGB")
+            return np.asarray(img, dtype=np.uint8)
+
         for pdf in pdf_iter:
             out = []
             for mid, blob in zip(pdf[id_col], pdf[binary_col]):
-                if stub:
+                if decoder == "stub":
                     data = np.frombuffer(bytes(blob), dtype=np.uint8)
                     seed = int(data[:8].sum()) if data.size else 0
                     rng = np.random.default_rng(seed)
                     px = rng.random(height * width * 3, dtype=np.float32)
                 else:
-                    img = (Image.open(io.BytesIO(bytes(blob)))
-                           .convert("RGB")
-                           .resize((width, height), Image.BILINEAR))
-                    px = (np.asarray(img, dtype=np.float32) / 255.0).ravel()
+                    arr = _real(bytes(blob))
+                    h0, w0 = arr.shape[:2]
+                    if (h0, w0) != (height, width):
+                        # deterministic nearest-neighbor resample
+                        yi = (np.arange(height) * h0) // height
+                        xi = (np.arange(width) * w0) // width
+                        arr = arr[yi][:, xi]
+                    px = (arr.astype(np.float32) / 255.0).ravel()
                 out.append((mid, height, width, 3, px.tolist()))
             yield pd.DataFrame(
                 out, columns=["media_id", "height", "width", "channels",

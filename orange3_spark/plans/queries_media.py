@@ -71,6 +71,59 @@ def q_media_bytes(spark, sf_dir):
                       F.round("mean_byte", 6).alias("mean_byte"))
 
 
+@query("q_media_decode", """
+WITH px AS (SELECT doc_id, (doc_id * 31 + i) % 256 AS v, i
+            FROM documents, unnest(generate_series(0, 167)) g(i))
+SELECT doc_id AS media_id,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(v) AS BIGINT) AS sum_val,
+       CAST(sum(v * (i + 1)) AS BIGINT) AS checksum
+FROM px GROUP BY doc_id
+""")
+def q_media_decode(spark, sf_dir):
+    """REAL image decode, oracle-checked to the pixel: per document an
+    8×7 uncompressed BMP is synthesized whose RGB raster bytes are
+    ``(doc_id·31 + idx) mod 256``, decoded by the pure-Python codec
+    (``multimodal/codecs.py`` via ``decode_image(decoder='native')``),
+    and reduced to exact integer sums + a position-weighted checksum.
+    Width 7 forces 3 bytes of BMP row padding, and the checksum pins
+    bottom-up row order and BGR→RGB channel order — any decode slip
+    shifts it.  The oracle never sees the blob: it recomputes the
+    expected bytes from doc_id, so encode→decode must be lossless to
+    match.  (JPEG/PNG stay behind the Pillow gate; BMP/PPM prove the
+    pipeline with checked pixels in this container.)"""
+    import numpy as np
+    import pandas as pd
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"] \
+        .select("doc_id")
+    H, W = 8, 7
+
+    def mk(pdf_iter):
+        from orange3_spark.multimodal.codecs import encode_bmp
+        for pdf in pdf_iter:
+            out = []
+            for did in pdf["doc_id"]:
+                idx = np.arange(H * W * 3, dtype=np.int64)
+                vals = ((int(did) * 31 + idx) % 256).astype(np.uint8)
+                out.append((int(did), encode_bmp(vals.reshape(H, W, 3))))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    blobs = docs.mapInPandas(mk, "media_id long, content binary")
+    dec = M.decode_image(blobs, height=H, width=W, decoder="native")
+    # back to exact ints: float32(v/255)·255 rounds to v exactly
+    ints = F.transform(F.col("pixels"),
+                       lambda x: F.round(x * 255).cast("long"))
+    weighted = F.transform(ints, lambda v, i: v * (i.cast("long") + 1))
+    lsum = (lambda arr: F.aggregate(arr, F.lit(0).cast("long"),
+                                    lambda a, v: a + v))
+    return dec.select(
+        "media_id",
+        F.size("pixels").cast("long").alias("n_px"),
+        lsum(ints).alias("sum_val"),
+        lsum(weighted).alias("checksum"))
+
+
 @query("q_media_frames", """
 WITH b AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n
            FROM documents),

@@ -274,17 +274,24 @@ def q_feature_scores(spark, sf_dir):
 
     (li,) = _t(spark, sf_dir, "lineitem")
     rows = []
+    # THREE scans total: one shared contingency feeds all four discrete
+    # scorers, one grouped agg scores every ANOVA column, one agg scores
+    # every univariate-regression column (r3 ran 9 separate scans here —
+    # its second-biggest bench regression at 7.4 s)
     for feat in ("l_linestatus",):
-        rows.append((feat, "info_gain", sig6(SC.info_gain(li, feat, "l_returnflag"))))
-        rows.append((feat, "gain_ratio", sig6(SC.gain_ratio(li, feat, "l_returnflag"))))
-        rows.append((feat, "gini", sig6(SC.gini(li, feat, "l_returnflag"))))
-        rows.append((feat, "chi2", sig6(SC.chi2(li, feat, "l_returnflag")[0])))
+        cont = SC.contingency_counts(li, feat, "l_returnflag")
+        rows.append((feat, "info_gain", sig6(SC.info_gain_from(cont))))
+        rows.append((feat, "gain_ratio", sig6(SC.gain_ratio_from(cont))))
+        rows.append((feat, "gini", sig6(SC.gini_from(cont))))
+        rows.append((feat, "chi2", sig6(SC.chi2_from(cont)[0])))
+    anova = SC.anova_f_multi(li, ["l_quantity", "l_extendedprice"],
+                             "l_returnflag")
     for feat in ("l_quantity", "l_extendedprice"):
-        rows.append((feat, "anova_f", sig6(SC.anova_f(li, feat, "l_returnflag"))))
+        rows.append((feat, "anova_f", sig6(anova[feat])))
+    uni = SC.univariate_linear_regression_multi(
+        li, ["l_quantity", "l_discount"], "l_extendedprice")
     for feat in ("l_quantity", "l_discount"):
-        rows.append((feat, "univar_lin",
-                     sig6(SC.univariate_linear_regression(
-                         li, feat, "l_extendedprice"))))
+        rows.append((feat, "univar_lin", sig6(uni[feat])))
     return spark.createDataFrame(rows, "feature string, scorer string, score double")
 
 

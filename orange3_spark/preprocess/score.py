@@ -19,10 +19,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _contingency(df: DataFrame, var: str, class_col: str) -> dict[tuple, int]:
+def contingency_counts(df: DataFrame, var: str,
+                       class_col: str) -> dict[tuple, int]:
+    """Feature×class contingency as a driver dict — ONE grouped count.
+    Every discrete scorer below has a ``*_from`` variant consuming this,
+    so a scoring table over k features costs k scans, not 4-5k (each
+    df-based scorer runs its own action; at 100 TB a redundant
+    contingency is a redundant full read)."""
     rows = (df.filter(F.col(var).isNotNull() & F.col(class_col).isNotNull())
               .groupBy(var, class_col).count().collect())
     return {(r[var], r[class_col]): r["count"] for r in rows}
+
+
+_contingency = contingency_counts
 
 
 def _entropy_from(counts: Sequence[float]) -> float:
@@ -40,9 +49,7 @@ def _marginals(cont: dict[tuple, int]):
     return rows, cols, sum(cont.values())
 
 
-def info_gain(df: DataFrame, var: str, class_col: str) -> float:
-    """H(class) − H(class|var) (``score.py:298``)."""
-    cont = _contingency(df, var, class_col)
+def info_gain_from(cont: dict[tuple, int]) -> float:
     rows, cols, n = _marginals(cont)
     if n == 0:
         return 0.0
@@ -53,19 +60,25 @@ def info_gain(df: DataFrame, var: str, class_col: str) -> float:
     return h_class - h_cond
 
 
-def gain_ratio(df: DataFrame, var: str, class_col: str) -> float:
-    """InfoGain / H(var) (``score.py:309``)."""
-    cont = _contingency(df, var, class_col)
+def info_gain(df: DataFrame, var: str, class_col: str) -> float:
+    """H(class) − H(class|var) (``score.py:298``)."""
+    return info_gain_from(_contingency(df, var, class_col))
+
+
+def gain_ratio_from(cont: dict[tuple, int]) -> float:
     rows, _, n = _marginals(cont)
     h_var = _entropy_from(list(rows.values()))
     if h_var == 0:
         return 0.0
-    return info_gain(df, var, class_col) / h_var
+    return info_gain_from(cont) / h_var
 
 
-def gini(df: DataFrame, var: str, class_col: str) -> float:
-    """Gini impurity decrease (``score.py:328``)."""
-    cont = _contingency(df, var, class_col)
+def gain_ratio(df: DataFrame, var: str, class_col: str) -> float:
+    """InfoGain / H(var) (``score.py:309``)."""
+    return gain_ratio_from(_contingency(df, var, class_col))
+
+
+def gini_from(cont: dict[tuple, int]) -> float:
     rows, cols, n = _marginals(cont)
     if n == 0:
         return 0.0
@@ -82,9 +95,12 @@ def gini(df: DataFrame, var: str, class_col: str) -> float:
     return g_class - g_cond
 
 
-def chi2(df: DataFrame, var: str, class_col: str) -> tuple[float, int]:
-    """χ² statistic + dof over the contingency (``score.py:107``)."""
-    cont = _contingency(df, var, class_col)
+def gini(df: DataFrame, var: str, class_col: str) -> float:
+    """Gini impurity decrease (``score.py:328``)."""
+    return gini_from(_contingency(df, var, class_col))
+
+
+def chi2_from(cont: dict[tuple, int]) -> tuple[float, int]:
     rows, cols, n = _marginals(cont)
     if n == 0:
         return 0.0, 0
@@ -97,6 +113,11 @@ def chi2(df: DataFrame, var: str, class_col: str) -> tuple[float, int]:
                 stat += (obs - exp) ** 2 / exp
     dof = (len(rows) - 1) * (len(cols) - 1)
     return stat, dof
+
+
+def chi2(df: DataFrame, var: str, class_col: str) -> tuple[float, int]:
+    """χ² statistic + dof over the contingency (``score.py:107``)."""
+    return chi2_from(_contingency(df, var, class_col))
 
 
 def anova_f(df: DataFrame, cont_var: str, class_col: str) -> float:
@@ -118,6 +139,59 @@ def anova_f(df: DataFrame, cont_var: str, class_col: str) -> float:
     if ss_within == 0:
         return float("inf")
     return (ss_between / (k - 1)) / (ss_within / (n - k))
+
+
+def anova_f_multi(df: DataFrame, cont_vars: Sequence[str],
+                  class_col: str) -> dict[str, float]:
+    """ANOVA F for MANY continuous features against one class in a single
+    grouped aggregation (per-class n/mean/var for every column at once,
+    map-side combined) — k features cost one scan, not k."""
+    aggs = []
+    for i, c in enumerate(cont_vars):
+        aggs += [F.count(c).alias(f"n_{i}"), F.avg(c).alias(f"m_{i}"),
+                 F.var_samp(c).alias(f"v_{i}")]
+    rows = (df.filter(F.col(class_col).isNotNull())
+              .groupBy(class_col).agg(*aggs).collect())
+    out = {}
+    for i, c in enumerate(cont_vars):
+        groups = [(r[f"n_{i}"], r[f"m_{i}"], r[f"v_{i}"] or 0.0)
+                  for r in rows if r[f"n_{i}"] and r[f"n_{i}"] > 0]
+        k = len(groups)
+        n = sum(g[0] for g in groups)
+        if k < 2 or n <= k:
+            out[c] = 0.0
+            continue
+        grand = sum(g[0] * g[1] for g in groups) / n
+        ss_between = sum(g[0] * (g[1] - grand) ** 2 for g in groups)
+        ss_within = sum((g[0] - 1) * g[2] for g in groups)
+        out[c] = (float("inf") if ss_within == 0
+                  else (ss_between / (k - 1)) / (ss_within / (n - k)))
+    return out
+
+
+def univariate_linear_regression_multi(df: DataFrame,
+                                       cont_vars: Sequence[str],
+                                       target_col: str) -> dict[str, float]:
+    """Univariate-regression F for MANY features vs one target in one
+    aggregation (same single-scan rationale as :func:`anova_f_multi`).
+    Per-feature NULL scope matches the single-column function: each
+    corr/count pair conditions on its own feature's non-NULLs."""
+    ok_t = F.col(target_col).isNotNull()
+    aggs = []
+    for i, c in enumerate(cont_vars):
+        ok = F.col(c).isNotNull() & ok_t
+        aggs += [F.corr(F.when(ok, F.col(c)),
+                        F.when(ok, F.col(target_col))).alias(f"r_{i}"),
+                 F.sum(ok.cast("long")).alias(f"n_{i}")]
+    row = df.agg(*aggs).first()
+    out = {}
+    for i, c in enumerate(cont_vars):
+        r, n = row[f"r_{i}"], row[f"n_{i}"]
+        if r is None or n <= 2 or abs(r) >= 1.0:
+            out[c] = float("inf") if r is not None and abs(r) >= 1.0 else 0.0
+        else:
+            out[c] = r * r / (1.0 - r * r) * (n - 2)
+    return out
 
 
 def univariate_linear_regression(df: DataFrame, cont_var: str,
