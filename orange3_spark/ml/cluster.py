@@ -94,6 +94,12 @@ def kmeans_lloyd_fit(df: DataFrame, id_col: str, *, array_col: str,
 
     Returns ``(assigned, centroids)``: the input plus ``_q`` (quantized
     vector) and ``cluster``, and the final integer-grid centroid list.
+
+    Cache lifetime: the quantized frame stays persisted because the
+    returned ``assigned`` lineage reads it (downstream consumers —
+    SemDeDup's pair stage, silhouette's two scans, IVF's refresh+join —
+    each rescan it).  In a long-lived session, ``unpersist()`` the result
+    (or ``spark.catalog.clearCache()``) once consumed.
     """
     import math
 

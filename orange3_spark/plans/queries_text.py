@@ -495,3 +495,63 @@ def q_dedup_semantic(spark, sf_dir):
     return out.select("id_a", "id_b", "cluster",
                       (F.floor(F.col("cos") * 1000000.0 + 0.5)
                        / 1000000.0).alias("cos"))
+
+
+@query("q_text_repetition", """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+g AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS gram
+      FROM toks, unnest(generate_series(1, len(tk) - 1)) u(i)
+      WHERE len(tk) >= 2),
+c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+r AS (SELECT doc_id, gram, c,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY c DESC, gram) AS rn,
+             sum(c) OVER (PARTITION BY doc_id) AS n_grams,
+             count(*) OVER (PARTITION BY doc_id) AS n_distinct
+      FROM c)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       1.0 - CAST(n_distinct AS DOUBLE) / n_grams AS dup_gram_fraction,
+       gram AS top_gram,
+       CAST(c AS DOUBLE) / n_grams AS top_gram_share
+FROM r WHERE rn = 1
+""")
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): per-doc
+    duplicate-bigram fraction and modal-bigram coverage — the standard
+    'repetitious documents are low quality' signals of LLM data pipelines
+    (text/analysis.py:repetition_stats).  Pure grouped counts + a per-doc
+    window over the count table; exact integer ratios, so the oracle
+    hash-matches bit-for-bit."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return TA.repetition_stats(docs, n=2)
+
+
+@query("q_decontaminate", """
+WITH tr AS (SELECT doc_id, string_split(text, ' ') AS tk
+            FROM documents WHERE doc_id % 20 <> 0),
+bm AS (SELECT string_split(text, ' ') AS tk
+       FROM documents WHERE doc_id % 20 = 0),
+tg AS (SELECT DISTINCT doc_id,
+              array_to_string(tk[i:i+4], ' ') AS shingle
+       FROM tr, unnest(generate_series(1, len(tk) - 4)) u(i)),
+bg AS (SELECT DISTINCT array_to_string(tk[i:i+4], ' ') AS shingle
+       FROM bm, unnest(generate_series(1, len(tk) - 4)) u(i))
+SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM tg JOIN bg USING (shingle)
+GROUP BY tg.doc_id
+""")
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 §C / PaLM / Llama n-gram-overlap
+    rule): training docs sharing any 5-gram with a held-out benchmark
+    corpus are flagged with their distinct-hit count
+    (text/pipeline.py:decontaminate).  One equi-join on the gram key —
+    the benchmark side is eval-suite-sized, so Catalyst broadcasts it;
+    never a cross join.  Here every 20th document stands in as the
+    benchmark."""
+    from orange3_spark.text.pipeline import decontaminate
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    _, contaminated = decontaminate(train, bench, n=5)
+    return contaminated.select("doc_id", "n_shared_grams")

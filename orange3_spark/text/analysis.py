@@ -198,3 +198,61 @@ def lang_id_frame(df: DataFrame, col: str, out: str = "predicted_lang",
         expr = F.when((F.col(t) > 0) & (F.col(t) == best),
                       F.lit(l)).otherwise(expr)
     return prj.withColumn(out, expr).drop(*tmp)
+
+
+def ngram_occurrences(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 2) -> DataFrame:
+    """Long-form (id, gram) with one row per OCCURRENCE (unlike
+    ``dedup.shingle_table``, which distincts) — the input to repetition
+    metrics.  Same codegen-friendly posexplode + window ``lead`` shape;
+    one shuffle on ``id_col``."""
+    from pyspark.sql.window import Window
+
+    toks = tokens(text_col)
+    tok = df.select(F.col(id_col), F.size(toks).alias("_ntok"),
+                    F.posexplode(toks).alias("_pos", "_tok"))
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    parts = [F.col("_tok")] + [F.lead("_tok", j).over(w) for j in range(1, n)]
+    return (tok.filter(F.col("_ntok") >= n)
+               .select(F.col(id_col), F.concat_ws(" ", *parts).alias("gram"),
+                       F.lead("_tok", n - 1).over(w).alias("_last"))
+               .filter(F.col("_last").isNotNull())
+               .drop("_last"))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 2) -> DataFrame:
+    """Gopher-style within-document repetition metrics (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1 — repetitious documents are low quality):
+
+    * ``n_grams`` — total n-gram occurrences,
+    * ``dup_gram_fraction`` — fraction of occurrences beyond the first of
+      their gram (1 − distinct/total; 0 = no repetition),
+    * ``top_gram`` / ``top_gram_share`` — the modal gram and its share of
+      occurrences (count ties break toward the lexicographically smallest
+      gram, so the metric is deterministic).
+
+    Cost shape: one groupBy(id, gram) count (map-side combined) + a
+    per-doc window over the count table (partitioned by doc — bounded) +
+    one per-doc aggregate; no driver loops, no UDFs.  Shuffle key is the
+    doc id, so this scales like any per-document aggregate."""
+    from pyspark.sql.window import Window
+
+    occ = ngram_occurrences(df, text_col, id_col, n)
+    counts = (occ.groupBy(id_col, "gram")
+                 .agg(F.count(F.lit(1)).alias("c")))
+    w = Window.partitionBy(id_col).orderBy(F.col("c").desc(),
+                                           F.col("gram").asc())
+    ranked = counts.withColumn("_rn", F.row_number().over(w))
+    return (ranked.groupBy(id_col)
+            .agg(F.sum("c").alias("n_grams"),
+                 F.count(F.lit(1)).alias("n_distinct"),
+                 F.max(F.when(F.col("_rn") == 1, F.col("gram")))
+                 .alias("top_gram"),
+                 F.max(F.when(F.col("_rn") == 1, F.col("c"))).alias("_top"))
+            .select(id_col, "n_grams",
+                    (1.0 - F.col("n_distinct").cast("double")
+                     / F.col("n_grams")).alias("dup_gram_fraction"),
+                    "top_gram",
+                    (F.col("_top").cast("double")
+                     / F.col("n_grams")).alias("top_gram_share")))

@@ -116,3 +116,34 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame, *,
     train = marked.filter(~F.col("__hold")).select(*keep)
     holdout = marked.filter(F.col("__hold")).select(*keep)
     return train, holdout
+
+
+def decontaminate(train: DataFrame, benchmark: DataFrame, *,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 5) -> tuple[DataFrame, DataFrame]:
+    """Benchmark decontamination: drop training docs that share any word
+    n-gram with an evaluation/benchmark corpus (the n-gram-overlap rule
+    used by GPT-3 §C / PaLM / Llama data pipelines; 8-13 grams in
+    production, parameterized here).
+
+    → ``(clean, contaminated)``; ``contaminated`` carries
+    ``n_shared_grams`` (distinct benchmark grams hit) for audit.
+
+    Scale shape: distinct (id, gram) tables on both sides
+    (``dedup.shingle_table`` — codegen posexplode+lead), one equi-join on
+    the gram key, a per-doc count, then a broadcast-friendly anti/semi
+    split of the training corpus.  The benchmark side is typically tiny
+    (eval suites), so Catalyst broadcasts it; shuffle volume is the
+    training gram table once.  No cross join, no UDFs.
+    """
+    from orange3_spark.text.dedup import shingle_table
+
+    tg = shingle_table(train, text_col, id_col, n=n)
+    bg = (shingle_table(benchmark, text_col, id_col, n=n)
+          .select("shingle").distinct())
+    hits = (tg.join(bg, "shingle")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_shared_grams")))
+    contaminated = train.join(hits, id_col)
+    clean = train.join(hits.select(id_col), id_col, "left_anti")
+    return clean, contaminated

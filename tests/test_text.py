@@ -326,3 +326,39 @@ def test_leakage_safe_split_colocates_neardup_clusters(docs):
         h = {r["doc_id"] for r in hold.collect()}
         assert t | h == {0, 1, 2, 3, 4} and not (t & h)
         assert comp <= t or comp <= h, f"component split under salt {salt}"
+
+
+def test_repetition_stats_known_doc(spark):
+    """'a b a b a b' has 5 bigrams: 3×'a b', 2×'b a' → dup fraction 3/5,
+    top gram 'a b' with share 3/5."""
+    from orange3_spark.text.analysis import repetition_stats
+
+    df = spark.createDataFrame([(1, "a b a b a b"), (2, "w x y z")],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in repetition_stats(df, n=2).collect()}
+    r1 = rows[1]
+    assert r1["n_grams"] == 5 and r1["top_gram"] == "a b"
+    assert abs(r1["dup_gram_fraction"] - 3 / 5) < 1e-12
+    assert abs(r1["top_gram_share"] - 3 / 5) < 1e-12
+    r2 = rows[2]
+    assert r2["n_grams"] == 3 and r2["dup_gram_fraction"] == 0.0
+
+
+def test_decontaminate_flags_overlap(spark):
+    from orange3_spark.text.pipeline import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated text about sparkly engines here"),
+         (3, "quick brown fox jumps over something else entirely")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "we saw the quick brown fox jumps over a fence")],
+        "doc_id long, text string")
+    clean, contaminated = decontaminate(train, bench, n=5)
+    flagged = {r["doc_id"]: r["n_shared_grams"]
+               for r in contaminated.collect()}
+    assert 1 in flagged                  # shares 'the quick brown fox jumps'
+    assert 2 not in flagged
+    assert sorted(r["doc_id"] for r in clean.collect()) \
+        == sorted(set([1, 2, 3]) - set(flagged))
