@@ -100,6 +100,36 @@ def q_csv_roundtrip(spark, sf_dir):
         F.max("s_name").alias("hi_name"))
 
 
+@query("q_csv_import_options", """
+SELECT * FROM (VALUES (1.0, 'Ann; the 1st', '007'),
+                      (2.0, 'Bé', '008'),
+                      (3.0, 'Cy', NULL)) AS t(id, name, code)
+""")
+def q_csv_import_options(spark, sf_dir):
+    """owcsvimport option surface end-to-end (owcsvimport.py: encodings,
+    quoting, preamble skip, NA tokens, per-column type hints): a latin-1
+    file with a quoted embedded separator, one preamble line, a custom NA
+    token, and overrides forcing a zero-padded code to STRING, ids to
+    CONTINUOUS, and dropping a column.  The oracle pins the exact decoded
+    table — any option mishandled (mojibake, eaten quote, shifted rows,
+    cast '007'→7) breaks the hash."""
+    from orange3_spark.sources.csv import read_csv
+
+    path = os.path.join(_tmpdir(), "opts.csv")
+    body = ('# preamble line to skip\n'
+            'id;name;code;junk\n'
+            '1;"Ann; the 1st";007;x\n'
+            '2;Bé;008;y\n'
+            '3;Cy;NA!;z\n')
+    with open(path, "wb") as fh:
+        fh.write(body.encode("latin-1"))
+    df = read_csv(spark, path, sep=";", header=True, skip_rows=1,
+                  encoding="ISO-8859-1", na_values=["NA!"],
+                  column_types={"code": "string", "id": "continuous",
+                                "junk": "skip"})
+    return df.select("id", "name", "code")
+
+
 @query("q_excel_roundtrip", """
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(p_size) AS DOUBLE) AS sum_size,

@@ -9,6 +9,7 @@ of the first KBs) and the Orange typing/metadata pass on a sample.
 from __future__ import annotations
 
 import csv as _csv
+from typing import Mapping, Sequence  # noqa: F401  (doc-typed params)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,8 +40,18 @@ def sniff_dialect(path: str, sample_bytes: int = 64 * 1024) -> tuple[str, bool]:
 
 def read_csv(spark: SparkSession, path: str, *,
              sep: str | None = None, header: bool | None = None,
-             sample_rows: int = 1000) -> DataFrame:
-    """Distributed csv scan + sampled Orange type inference.
+             sample_rows: int = 1000, encoding: str = "UTF-8",
+             quote: str = '"', escape: str = '"',
+             skip_rows: int = 0,
+             na_values: "Sequence[str] | None" = None,
+             column_types: "Mapping[str, str] | None" = None) -> DataFrame:
+    """Distributed csv scan + sampled Orange type inference, with the
+    import-wizard option surface (``Orange/widgets/data/owcsvimport.py``):
+    ``encoding``, ``quote``/``escape`` chars, ``skip_rows`` (leading
+    comment/preamble lines), extra ``na_values`` tokens, and
+    ``column_types`` per-column overrides — ``continuous | discrete |
+    string | time | skip`` — that pin a column's ruling instead of the
+    sampled probe (``skip`` drops it).
 
     The scan itself is ``spark.read.csv`` (splittable, pushdown-capable —
     including .gz via Hadoop codecs, though gzip is not splittable); only
@@ -51,24 +62,72 @@ def read_csv(spark: SparkSession, path: str, *,
         sep = sep if sep is not None else s_sep
         header = header if header is not None else s_header
 
-    df = spark.read.csv(path, sep=sep, header=header, inferSchema=False)
-    return infer_and_type(df, sample_rows=sample_rows)
+    if not skip_rows:
+        df = spark.read.csv(path, sep=sep, header=header, inferSchema=False,
+                            encoding=encoding, quote=quote, escape=escape)
+    else:
+        # A preamble line can have fewer separators than the table, and
+        # Spark sizes the row schema from the FIRST line — so read whole
+        # lines (sentinel sep, quoting off; the outer csv reader still
+        # honors ``encoding``), drop the preamble by file-order index, lift
+        # the header on the driver (one tiny row), and parse the remaining
+        # lines distributed with ``from_csv`` (splittable, no driver data).
+        from pyspark.sql.window import Window
+
+        lines = spark.read.csv(path, sep="\x01", header=False,
+                               encoding=encoding, quote="")
+        line_col = lines.columns[0]
+        idx = F.row_number().over(
+            Window.orderBy(F.monotonically_increasing_id()))
+        lines = lines.withColumn("__i", idx).filter(F.col("__i") > skip_rows)
+        if header:
+            head_line = lines.orderBy("__i").limit(1).collect()[0][line_col]
+            names = next(_csv.reader([head_line], delimiter=sep,
+                                     quotechar=quote or '"'))
+            lines = lines.filter(F.col("__i") > skip_rows + 1)
+        else:
+            n_fields = len(next(_csv.reader(
+                [lines.orderBy("__i").limit(1).collect()[0][line_col]],
+                delimiter=sep, quotechar=quote or '"')))
+            names = [f"_c{j}" for j in range(n_fields)]
+        schema = ", ".join(f"`{n}` STRING" for n in names)
+        parsed = F.from_csv(F.col(line_col), F.lit(schema),
+                            {"sep": sep, "quote": quote, "escape": escape})
+        df = lines.select(parsed.alias("__s")).select("__s.*")
+    return infer_and_type(df, sample_rows=sample_rows,
+                          na_values=na_values, column_types=column_types)
 
 
-def infer_and_type(df: DataFrame, *, sample_rows: int = 1000) -> DataFrame:
+def infer_and_type(df: DataFrame, *, sample_rows: int = 1000,
+                   na_values: "Sequence[str] | None" = None,
+                   column_types: "Mapping[str, str] | None" = None
+                   ) -> DataFrame:
     """Sampled Orange type inference + typed casts over a string-typed
     frame — shared by the csv and xlsx readers (``io_util.py:153-192``
-    applies the same probe regardless of source format)."""
+    applies the same probe regardless of source format).  ``column_types``
+    overrides the probe per column (owcsvimport's per-column type hints);
+    ``na_values`` extends the missing-token set."""
+    missing = set(MISSING_TOKENS) | set(na_values or ())
+    overrides = dict(column_types or {})
     sample = df.limit(sample_rows).collect()
     variables, cols = [], []
     for i, name in enumerate(df.columns):
+        forced = overrides.get(name)
+        if forced == "skip":
+            continue
         vals = [r[i] for r in sample
-                if r[i] is not None and r[i] not in MISSING_TOKENS]
+                if r[i] is not None and r[i] not in missing]
         var_type, values = guess_data_type(vals)
+        if forced is not None:
+            if forced not in (TYPE_CONTINUOUS, TYPE_DISCRETE, TYPE_STRING,
+                              TYPE_TIME):
+                raise ValueError(f"unknown column type override {forced!r}")
+            var_type = forced
+            values = sorted(set(vals)) if forced == TYPE_DISCRETE else None
         role = ROLE_META if var_type == TYPE_STRING else ROLE_ATTRIBUTE
         variables.append(Variable(name, var_type, role, values=values))
         c = F.col(name)
-        c = F.when(c.isin(list(MISSING_TOKENS)), None).otherwise(c)
+        c = F.when(c.isin(list(missing)), None).otherwise(c)
         if var_type == TYPE_CONTINUOUS:
             c = c.cast("double")
         elif var_type == TYPE_TIME:

@@ -283,3 +283,27 @@ def test_xlsx_extension_dispatch(spark, tmp_path):
     path = str(tmp_path / "d.xlsx")
     write_xlsx(df, path)
     assert read_table(spark, path).count() == 2
+
+
+def test_csv_import_options(spark, tmp_path):
+    """owcsvimport surface: encoding, quote/escape, skip_rows, na_values,
+    per-column overrides (force string / force continuous / skip)."""
+    p = tmp_path / "opts.csv"
+    body = ('# preamble line to skip\n'
+            'id;name;code;junk\n'
+            '1;"Ann; the 1st";007;x\n'
+            '2;Bé;008;y\n'
+            '3;Cy;NA!;z\n')
+    p.write_bytes(body.encode("latin-1"))
+    from orange3_spark.sources.csv import read_csv
+
+    df = read_csv(spark, str(p), sep=";", header=True, skip_rows=1,
+                  encoding="ISO-8859-1", na_values=["NA!"],
+                  column_types={"code": "string", "id": "continuous",
+                                "junk": "skip"})
+    assert df.columns == ["id", "name", "code"]
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1.0]["name"] == "Ann; the 1st"      # quoted sep survives
+    assert rows[2.0]["name"] == "Bé"                # latin-1 decoded
+    assert rows[1.0]["code"] == "007"               # forced string: no cast
+    assert rows[3.0]["code"] is None                # custom NA token
