@@ -1,0 +1,124 @@
+"""Scale smoke: run the scale-critical operator families at 1x and Nx the
+sf0.1 corpus (replicated in memory with id offsets; half the replicas get a
+perturbing token so the dedup family sees BOTH exact-copy pressure and
+near-dup pressure) and report wall-clock scaling ratios.
+
+A blocked/bucketed operator should scale roughly linearly in rows (ratio ≈
+N, give or take fixed overheads); a quadratic one would show ≈ N².  This is
+the empirical check behind the "would this hold at 100 TB" claims in
+SURVEY §7 / PERF_NOTES — plan shape says it shouldn't blow up, this script
+measures that it doesn't.
+
+Usage: python scripts/scale_smoke.py [N]      (default N=10)
+Prints one JSON line per operator: {op, t1, tN, ratio, n=N}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from orange3_spark.session import get_spark, load_tables  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicate_docs(docs, n):
+    """n copies; odd replicas get a unique trailing token (near-dups of
+    their source), even replicas are exact copies (dup pressure)."""
+    r = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("_r")
+    out = docs.select("doc_id", "text", r)
+    return out.select(
+        (F.col("doc_id") + F.col("_r") * F.lit(10_000_000)).alias("doc_id"),
+        F.when(F.col("_r") % 2 == 1,
+               F.concat_ws(" ", "text",
+                           F.concat(F.lit("u"), F.col("_r").cast("string"))))
+         .otherwise(F.col("text")).alias("text"))
+
+
+def replicate_emb(emb, n):
+    r = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("_r")
+    out = emb.select("vec_id", "embedding", "label", r)
+    shift = F.col("_r").cast("float") * F.lit(0.001)
+    return out.select(
+        (F.col("vec_id") + F.col("_r") * F.lit(10_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x + shift).alias("embedding"),
+        "label")
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    t = load_tables(spark, SF_DIR, ("documents", "embeddings", "lineitem"))
+    docs, emb, li = t["documents"], t["embeddings"], t["lineitem"]
+
+    from orange3_spark.operators.groupby import salted_aggregate
+    from orange3_spark.similarity.knn import ivf_knn
+    from orange3_spark.text import dedup as TD
+    from orange3_spark.text.analysis import repetition_stats
+
+    def ops(d, e, ln):
+        # NOTE on dup_clusters: replicating every doc k times makes each
+        # duplicate GROUP emit ~k²/2 pairs, so the operator's INPUT grows
+        # quadratically with the replication factor by construction.  The
+        # operator itself is linear in pairs — so its budget below is n²,
+        # not n, and the record carries the measured pair growth.
+        yield ("dedup_exact", n,
+               lambda: TD.dedup_exact(d).count())
+        yield ("dedup_minhash", n * n,
+               lambda: TD.dedup_minhash(d, n=3, threshold=0.5).count())
+        yield ("simhash_near_dups", n * n,
+               lambda: TD.simhash_near_dups(d, max_hamming=4).count())
+        yield ("dup_clusters", n * n,
+               lambda: TD.dup_clusters(
+                   TD.jaccard_pairs(d, n=3, threshold=0.5)
+                   .select("id_a", "id_b")).count())
+        yield ("repetition_stats", n,
+               lambda: repetition_stats(d, n=2).count())
+        yield ("ivf_knn", n,
+               lambda: ivf_knn(e, e.limit(50), k=5, n_cells=16,
+                               nprobe=2, n_iter=2).count())
+        yield ("salted_groupby", n,
+               lambda: salted_aggregate(
+                   ln, ["l_returnflag"],
+                   {"l_quantity": ["sum"], "l_extendedprice": ["mean"]}).count())
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        fn()
+        return round(time.perf_counter() - t0, 3)
+
+    small = {name: (budget, fn) for name, budget, fn in ops(docs, emb, li)}
+    big = {name: fn for name, _, fn in ops(
+        replicate_docs(docs, n), replicate_emb(emb, n),
+        li.crossJoin(spark.range(n).select(F.lit(1).alias("_one")))
+          .drop("_one"))}
+
+    all_ok = True
+    for name, (budget, fn1) in small.items():
+        timed(fn1)                          # warm (codegen/readers)
+        t1 = timed(fn1)
+        tn = timed(big[name])
+        ratio = round(tn / t1, 2) if t1 > 0 else float("inf")
+        # allow 4x headroom over the op's input-growth budget for fixed
+        # overheads and shuffle constants; fail loudly on blow-up
+        ok = ratio <= budget * 4
+        all_ok &= ok
+        print(json.dumps({"op": name, "t1": t1, f"t{n}": tn,
+                          "ratio": ratio, "input_growth": budget,
+                          "n": n, "ok": ok}), flush=True)
+        spark.catalog.clearCache()
+    print(json.dumps({"op": "SUMMARY", "ok": all_ok, "n": n}))
+    sys.exit(0 if all_ok else 1)
+
+
+if __name__ == "__main__":
+    main()
