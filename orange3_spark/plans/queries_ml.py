@@ -331,6 +331,83 @@ def q_ml_metrics(spark, sf_dir):
          / F.avg("a") * 100.0).alias("cvrmse"))
 
 
+@query("q_ml_auc", """
+WITH s AS (SELECT CASE WHEN o_orderpriority = '1-URGENT'
+                       THEN 1.0 ELSE 0.0 END AS y,
+                  o_totalprice AS score FROM orders),
+c AS (SELECT score, CAST(count(*) AS DOUBLE) AS cnt, sum(y) AS pos
+      FROM s GROUP BY score),
+r AS (SELECT pos, cnt,
+             coalesce(sum(cnt) OVER (ORDER BY score
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (cnt + 1.0) / 2.0 AS rk
+      FROM c),
+t AS (SELECT sum(pos * rk) AS rs, sum(pos) AS np,
+             sum(cnt) AS n FROM r)
+SELECT (rs - np * (np + 1) / 2) / (np * (n - np)) AS auc FROM t
+""")
+def q_ml_auc(spark, sf_dir):
+    """Binary AUC via the Mann-Whitney rank-sum identity with average tie
+    ranks (Orange/evaluation/scoring.py:226 wraps sklearn roc_auc_score;
+    ``ml/evaluation.py:auc``): a full-table groupBy(score) first shrinks
+    to one row per distinct score, the tie-rank cumsum windows over THAT
+    bounded frame — never the raw rows.  Exactness: counts are integers,
+    so every rank is a multiple of 0.5 and every partial sum is exact in
+    float64 — order-independent without quantization."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    scored = orders.select(
+        (F.col("o_orderpriority") == "1-URGENT").cast("double").alias("y"),
+        F.col("o_totalprice").alias("score"))
+    a = E.auc(scored, label="y", score_col="score")
+    return spark.createDataFrame([(a,)], "auc double")
+
+
+@query("q_ml_scores_table", f"""
+WITH train AS (SELECT * FROM orders WHERE NOT ({_SPLIT})),
+     test  AS (SELECT * FROM orders WHERE {_SPLIT}),
+     prior AS (SELECT avg(o_totalprice) AS thr FROM train),
+     m AS (SELECT CASE WHEN t.o_orderpriority = '1-URGENT'
+                       THEN 1 ELSE 0 END AS y,
+                  CASE WHEN t.o_totalprice > prior.thr THEN 1 ELSE 0 END AS p
+           FROM test t, prior),
+     cnt AS (SELECT
+        CAST(sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS tp,
+        CAST(sum(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS fp,
+        CAST(sum(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS fn,
+        CAST(sum(CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS tn
+      FROM m)
+SELECT (tp + tn) / (tp + tn + fp + fn) AS ca,
+       tp / (tp + fp) AS precision,
+       tp / (tp + fn) AS recall,
+       2 * (tp / (tp + fp)) * (tp / (tp + fn))
+         / (tp / (tp + fp) + tp / (tp + fn)) AS f1,
+       (tp * tn - fp * fn)
+         / sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)) AS mcc,
+       tn / (tn + fp) AS specificity
+FROM cnt
+""")
+def q_ml_scores_table(spark, sf_dir):
+    """The full binary scoring table from ONE aggregation scan
+    (``evaluation.classification_scores`` — the owtestandscore.py results
+    table computes every metric from the same confusion counts; the
+    per-metric functions would re-scan the split once per metric).
+    Threshold classifier on a deterministic hash split; all six metrics
+    derive from four exact integer counts, so the whole row is
+    order-independent."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    train, test = E.train_test_split(orders, "o_orderkey", 0.25)
+    thr = train.agg(F.avg("o_totalprice").alias("t")).first().t
+    scored = test.select(
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
+        (F.col("o_totalprice") > thr).cast("int").alias("prediction"))
+    s = E.classification_scores(scored, positive=1, label="y")
+    return spark.createDataFrame(
+        [(s["ca"], s["precision"], s["recall"], s["f1"], s["mcc"],
+          s["specificity"])],
+        "ca double, precision double, recall double, f1 double, "
+        "mcc double, specificity double")
+
+
 @query("q_ml_shuffle_split", f"""
 WITH resample AS (SELECT i FROM (VALUES (0), (1), (2)) AS t(i)),
      marked AS (

@@ -626,19 +626,68 @@ def q_ml_freeviz(spark, sf_dir):
                       F.round("freeviz_y", 4).alias("fy"))
 
 
-@query("q_feature_scores_relieff")
+@query("q_feature_scores_relieff", """
+WITH pool AS (
+  SELECT CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS q1,
+         CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS q2,
+         CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT) AS q3,
+         l_returnflag AS y,
+         md5(CAST(l_quantity AS VARCHAR) || '|'
+             || CAST(l_discount AS VARCHAR) || '|'
+             || CAST(l_tax AS VARCHAR) || '|' || l_returnflag) AS h
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        AND l_tax IS NOT NULL AND l_returnflag IS NOT NULL),
+samp AS (SELECT q1, q2, q3, y, row_number() OVER (ORDER BY h) AS rid
+         FROM (SELECT * FROM pool ORDER BY h LIMIT 150) s),
+spans AS (SELECT greatest(max(q1) - min(q1), 1) AS s1,
+                 greatest(max(q2) - min(q2), 1) AS s2,
+                 greatest(max(q3) - min(q3), 1) AS s3,
+                 count(*) AS n FROM samp),
+pairs AS (SELECT a.rid AS i, b.rid AS j, a.y = b.y AS hit,
+                 abs(a.q1 - b.q1) AS d1, abs(a.q2 - b.q2) AS d2,
+                 abs(a.q3 - b.q3) AS d3,
+                 abs(a.q1 - b.q1) * s.s2 * s.s3
+                   + abs(a.q2 - b.q2) * s.s1 * s.s3
+                   + abs(a.q3 - b.q3) * s.s1 * s.s2 AS dist
+          FROM samp a JOIN samp b ON a.rid <> b.rid CROSS JOIN spans s),
+nearest AS (SELECT i, hit, d1, d2, d3,
+                   row_number() OVER (PARTITION BY i, hit
+                                      ORDER BY dist, j) AS rn
+            FROM pairs),
+w AS (SELECT CAST(sum(CASE WHEN hit THEN -d1 ELSE d1 END) AS BIGINT) AS w1,
+             CAST(sum(CASE WHEN hit THEN -d2 ELSE d2 END) AS BIGINT) AS w2,
+             CAST(sum(CASE WHEN hit THEN -d3 ELSE d3 END) AS BIGINT) AS w3
+      FROM nearest WHERE rn <= 5)
+SELECT feature,
+       floor(score * 1000000.0 + 0.5) / 1000000.0 AS score
+FROM (
+  SELECT 'l_discount' AS feature,
+         CAST(w2 AS DOUBLE) / (n * 5 * s2) AS score FROM w, spans
+  UNION ALL
+  SELECT 'l_quantity', CAST(w1 AS DOUBLE) / (n * 5 * s1) FROM w, spans
+  UNION ALL
+  SELECT 'l_tax', CAST(w3 AS DOUBLE) / (n * 5 * s3) FROM w, spans) u
+""")
 def q_feature_scores_relieff(spark, sf_dir):
     """ReliefF (``score.py:338``) on the deterministic md5-ordered bounded
     sample — nearest hit/miss scoring is inherently pairwise, so the fit
-    sample is the contract (SURVEY §7 risk register).  No SQL oracle;
-    rows-only."""
+    sample is the contract (SURVEY §7 risk register).  The quantized exact
+    path (``preprocess/score.py:relieff(quantize=100)``: integer distances
+    scaled by the other features' spans, stable lower-index tie-break, one
+    exact integer accumulation per feature, one final division) makes the
+    whole fit a pure function of the data, so the oracle replays it:
+    sample → spans → pairwise integer distances → 5 nearest hits/misses →
+    signed |Δq| sums.  Previously rows-only."""
     from orange3_spark.preprocess.score import relieff
 
     (li,) = _t(spark, sf_dir, "lineitem")
     scores = relieff(li, ["l_quantity", "l_discount", "l_tax"],
-                     "l_returnflag", n_samples=150)
+                     "l_returnflag", n_samples=150, quantize=100.0)
+    import math
     return spark.createDataFrame(
-        sorted((k, round(v, 6)) for k, v in scores.items()),
+        sorted((c, math.floor(v * 1000000.0 + 0.5) / 1000000.0)
+               for c, v in scores.items()),
         "feature string, score double")
 
 

@@ -242,7 +242,8 @@ def fcbf(df: DataFrame, features: Sequence[str], class_col: str, *,
 
 
 def relieff(df: DataFrame, features: Sequence[str], class_col: str, *,
-            n_samples: int = 200, k: int = 5, seed: int = 42) -> dict[str, float]:
+            n_samples: int = 200, k: int = 5, seed: int = 42,
+            quantize: "float | None" = None) -> dict[str, float]:
     """ReliefF feature scores on a BOUNDED sample (``score.py:338``).
 
     The algorithm is inherently pairwise (nearest hit/miss per sampled
@@ -250,22 +251,71 @@ def relieff(df: DataFrame, features: Sequence[str], class_col: str, *,
     deterministically, pull to the driver (n_samples × k features — tiny),
     score with vectorized numpy.  Documented bound per SURVEY §7 risk
     register — at 100 TB the sample is still n_samples rows.
-    """
+
+    The sample key hashes features AND class: rows with identical features
+    but different classes would otherwise tie with unspecified order, so
+    the sampled (X, y) multiset would not be a pure function of the data.
+
+    ``quantize`` (e.g. 100 for 2-decimal data) switches to the
+    order-independent exact path: values are fixed-pointed to int64,
+    neighbor distances become exact integers (per-feature |Δq| scaled by
+    the other features' spans — same ordering as the span-normalized
+    manhattan distance, no float comparison), neighbor ties break toward
+    the lower sample index, and the score is ONE exact integer
+    accumulation divided once at the end — bit-identical across engines,
+    so the whole fit is SQL-oracle-checkable (``q_feature_scores_relieff``).
+    Requires every class to carry > k sampled rows (raises otherwise —
+    the float path has no such constraint)."""
     import numpy as np
 
     cols = list(features)
+    key = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols],
+                            F.col(class_col).cast("string")))
     sampled = (df.na.drop(subset=[*cols, class_col])
-                 .orderBy(F.md5(F.concat_ws("|", *[F.col(c).cast("string")
-                                                   for c in cols])))
+                 .orderBy(key)
                  .limit(n_samples).collect())
     if len(sampled) < 2:
         return {c: 0.0 for c in cols}
-    X = np.array([[r[c] for c in cols] for r in sampled], dtype=np.float64)
     y = np.array([r[class_col] for r in sampled])
+    n = len(y)
+
+    if quantize is not None:
+        import math
+
+        Q = np.array([[math.floor(float(r[c]) * quantize + 0.5)
+                       for c in cols] for r in sampled], dtype=np.int64)
+        span = Q.max(0) - Q.min(0)
+        span[span == 0] = 1
+        p = len(cols)
+        # exact integer distance with the same ORDER as Σ|Δq_f|/span_f:
+        # multiply through by Πspan  →  Σ|Δq_f|·Π_{g≠f} span_g
+        other = np.array([int(np.prod(np.delete(span, f)))
+                          for f in range(p)], dtype=np.int64)
+        diff = np.abs(Q[:, None, :] - Q[None, :, :])        # (n, n, p)
+        D = (diff * other[None, None, :]).sum(-1)           # exact int64
+        W = np.zeros(p, dtype=np.int64)
+        counted = 0
+        for i in range(n):
+            same = (y == y[i])
+            same[i] = False
+            for mask, sign in ((same, -1), (~same & (np.arange(n) != i), 1)):
+                idx = np.where(mask)[0]
+                if idx.size < k:
+                    raise ValueError(
+                        "relieff(quantize=...): a class has <= k sampled "
+                        "rows; raise n_samples or use the float path")
+                order = idx[np.argsort(D[i, idx], kind="stable")[:k]]
+                W += sign * diff[i, order, :].sum(0)
+            counted += 1
+        # one division per feature at the very end: exact ints in, one
+        # correctly-rounded double out
+        return {c: float(int(W[f]) / (counted * k * int(span[f])))
+                for f, c in enumerate(cols)}
+
+    X = np.array([[r[c] for c in cols] for r in sampled], dtype=np.float64)
     rng_span = X.max(0) - X.min(0)
     rng_span[rng_span == 0] = 1.0
     Xn = (X - X.min(0)) / rng_span
-    n = len(Xn)
     d = np.abs(Xn[:, None, :] - Xn[None, :, :]).sum(-1)
     np.fill_diagonal(d, np.inf)
     w = np.zeros(len(cols))

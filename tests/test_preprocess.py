@@ -350,3 +350,20 @@ def test_scale_variants(spark):
     const = spark.createDataFrame([(5.0,), (5.0,)], "x double")
     got = [r.x for r in scale(const, ["x"]).collect()]
     assert got == [0.0, 0.0]
+
+
+def test_relieff_quantized_matches_float_ranking(spark):
+    """The exact integer path ranks features like the float path and
+    raises when a class has too few sampled rows."""
+    import pytest
+
+    from orange3_spark.preprocess.score import relieff
+
+    rows = [(float(i % 10), float((i * 7) % 5), "a" if i % 10 < 5 else "b")
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "inf double, noise double, cls string")
+    wq = relieff(df, ["inf", "noise"], "cls", n_samples=100, quantize=100.0)
+    assert wq["inf"] > wq["noise"]
+    tiny = spark.createDataFrame(rows[:8], "inf double, noise double, cls string")
+    with pytest.raises(ValueError, match="<= k"):
+        relieff(tiny, ["inf", "noise"], "cls", n_samples=8, quantize=100.0)
