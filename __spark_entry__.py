@@ -47,7 +47,11 @@ _NEVER_GRADED_ORACLE = [
     "q_dedup_semantic", "q_stream_totals", "q_stream_cusum",
     "q_ml_silhouette", "q_split_tokens",
 ]
-_REBASED_GREEN = ["q_knn_ivf"]
+_REBASED_GREEN = [
+    # green in r2/r3 but re-based this round (quantized grid / one-pass
+    # aggregations) — their old verdicts cover code that no longer exists
+    "q_knn_ivf", "q_ml_metrics", "q_ml_shuffle_split", "q_feature_scores",
+]
 _NEVER_GRADED_ROWS_ONLY = [
     "q_outlier_iforest", "q_outlier_envelope", "q_outlier_ocsvm",
     "q_ml_svr", "q_ml_tsne", "q_ml_som", "q_ml_freeviz",

@@ -302,6 +302,8 @@ def silhouette_exact(assigned: DataFrame, *, q_col: str = "_q",
                  F.count(F.lit(1)).alias("n"))
             .collect())
     cls = sorted(int(r[cluster_col]) for r in rows)
+    if len(cls) < 2:
+        return 0.0      # silhouette undefined with one cluster (sklearn: s=0)
     idx = {c: i for i, c in enumerate(cls)}
     S = np.zeros((len(cls), dim), dtype=np.int64)
     SS = np.zeros(len(cls), dtype=np.int64)

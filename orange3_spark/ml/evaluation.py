@@ -582,6 +582,10 @@ def shuffle_split_ols(df: DataFrame, key: str, features: Sequence[str],
     per = {(int(r["_rs"]), bool(r["_is_test"])): mom(r) for r in rows}
     out = []
     for i in range(n_resamples):
+        if (i, False) not in per or (i, True) not in per:
+            raise ValueError(
+                f"shuffle_split_ols: resample {i} has an empty train or "
+                "test side — too few rows for this test_size")
         Mtr, vtr, _, _ = per[(i, False)]
         Mte, vte, yyte, nte = per[(i, True)]
         beta = np.linalg.solve(Mtr, vtr)

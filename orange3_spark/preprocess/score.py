@@ -289,8 +289,12 @@ def relieff(df: DataFrame, features: Sequence[str], class_col: str, *,
         p = len(cols)
         # exact integer distance with the same ORDER as Σ|Δq_f|/span_f:
         # multiply through by Πspan  →  Σ|Δq_f|·Π_{g≠f} span_g
-        other = np.array([int(np.prod(np.delete(span, f)))
+        other = np.array([int(np.prod(np.delete(span, f).astype(object)))
                           for f in range(p)], dtype=np.int64)
+        if int(span.max()) * int(other.max()) * p >= 2 ** 62:
+            raise ValueError(
+                "relieff(quantize=...): span product overflows exact "
+                "int64 distances — lower quantize or use the float path")
         diff = np.abs(Q[:, None, :] - Q[None, :, :])        # (n, n, p)
         D = (diff * other[None, None, :]).sum(-1)           # exact int64
         W = np.zeros(p, dtype=np.int64)

@@ -76,8 +76,8 @@ def write_xlsx(df: DataFrame, path: str, *, sheet: str = "Sheet1",
     rows = df.collect()
 
     def cell(ref: str, v) -> str:
-        if v is None:
-            return ""
+        if v is None or (isinstance(v, float) and v != v):
+            return ""                     # NULL/NaN → blank cell
         if isinstance(v, bool):
             return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
         if isinstance(v, (int, float)):
