@@ -555,3 +555,81 @@ def q_decontaminate(spark, sf_dir):
     bench = docs.where(F.col("doc_id") % 20 == 0)
     _, contaminated = decontaminate(train, bench, n=5)
     return contaminated.select("doc_id", "n_shared_grams")
+
+
+_STOP_EN = "['the','and','of','to','a','in','is','it','you','that']"
+
+@query("q_training_pipeline", f"""
+WITH RECURSIVE
+q AS (SELECT doc_id, text FROM documents
+      WHERE len(string_split(text, ' ')) BETWEEN 10 AND 100000
+        AND CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+              / greatest(length(text), 1) <= 0.2
+        AND CAST(len(list_filter(string_split(text, ' '),
+                 t -> list_contains({_STOP_EN}, lower(t)))) AS DOUBLE)
+              / greatest(len(string_split(text, ' ')), 1) >= 0.01),
+ex AS (SELECT min(doc_id) AS doc_id FROM q
+       GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+d AS (SELECT q.doc_id, q.text FROM q JOIN ex USING (doc_id)),
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+       FROM toks, unnest(range(1, len(w) - 1)) AS u(i)),
+sig AS (SELECT doc_id,
+       {{mh_aggs}}
+       FROM sh GROUP BY doc_id),
+bands AS (
+  {{mh_bands}}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bucket = b.bucket
+          AND a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+          GROUP BY c.id_a, c.id_b),
+p AS (SELECT i.id_a, i.id_b FROM inter i
+      JOIN sz sa ON i.id_a = sa.doc_id JOIN sz sb ON i.id_b = sb.doc_id
+      WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.8),
+e AS (SELECT id_a AS src, id_b AS dst FROM p
+      UNION ALL SELECT id_b, id_a FROM p),
+reach AS (SELECT doc_id AS id, doc_id AS r FROM d
+          UNION
+          SELECT e.src AS id, reach.r FROM e JOIN reach ON e.dst = reach.id),
+lab AS (SELECT id, min(r) AS cl FROM reach GROUP BY id),
+keep AS (SELECT lab.id AS doc_id FROM lab WHERE lab.cl = lab.id),
+sp AS (SELECT doc_id,
+              CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || 'holdout'),
+                                  1, 8) < '0ccccccc'
+                   THEN 'holdout' ELSE 'train' END AS split
+       FROM keep)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM sp GROUP BY split
+""".replace("{mh_aggs}", _MH_AGGS).replace("{mh_bands}", _MH_BAND_SELECTS))
+def q_training_pipeline(spark, sf_dir):
+    """END-TO-END training-data preparation (text/pipeline.py:
+    prepare_training_data): Gopher/C4 quality gate → exact dedup (lowest
+    id per normalized text) → MinHash-LSH near-dup pruning (one survivor
+    per duplicate component) → reproducible content-hash holdout carve.
+    The oracle replays EVERY stage — quality predicates, dedup winners,
+    the full md5-family minhash (signatures, banding, candidate join,
+    Jaccard≥0.8 verification), connected components as a recursive CTE,
+    and the holdout hash — and checks split sizes + id checksums, so a
+    drift anywhere in the five-operator composition breaks the hash.
+    (Engine production default is the xxhash64 family; the md5 family is
+    the engine-portable twin, same plumbing — q_dedup_minhash pins their
+    shared pipeline.)"""
+    from orange3_spark.text.pipeline import prepare_training_data
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    train, hold = prepare_training_data(
+        docs, holdout_fraction=0.05, jaccard_threshold=0.8,
+        hash_family="md5")
+    return (train.select("doc_id", F.lit("train").alias("split"))
+            .unionByName(hold.select("doc_id",
+                                     F.lit("holdout").alias("split")))
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").cast("long").alias("id_checksum")))

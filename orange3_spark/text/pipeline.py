@@ -39,6 +39,7 @@ def prepare_training_data(
     min_tokens: int = 10, max_tokens: int = 100_000,
     max_punct_ratio: float = 0.2, min_stopword_ratio: float = 0.01,
     jaccard_threshold: float = 0.8, holdout_fraction: float = 0.01,
+    hash_family: str = "xxhash64",
     report: Optional[PipelineReport] = None,
 ) -> tuple[DataFrame, DataFrame]:
     """→ (train, holdout) document sets.  Pass ``report`` to collect stage
@@ -68,7 +69,8 @@ def prepare_training_data(
     # 3. near-dup pruning — LSH candidates, Jaccard-verified, keep one doc
     #    (the min id) per duplicate component
     pairs = TD.dedup_minhash(exact, text_col, id_col,
-                             threshold=jaccard_threshold)
+                             threshold=jaccard_threshold,
+                             hash_family=hash_family)
     clusters = TD.dup_clusters(pairs)
     losers = (clusters.filter(F.col("doc_id") != F.col("cluster_id"))
                       .select(F.col("doc_id").alias(id_col)))
