@@ -621,15 +621,12 @@ def q_training_pipeline(spark, sf_dir):
     (Engine production default is the xxhash64 family; the md5 family is
     the engine-portable twin, same plumbing — q_dedup_minhash pins their
     shared pipeline.)"""
-    from orange3_spark.text.pipeline import prepare_training_data
+    from orange3_spark.text.pipeline import prepare_training_data_labeled
 
     (docs,) = _t(spark, sf_dir, "documents")
-    train, hold = prepare_training_data(
+    labeled = prepare_training_data_labeled(
         docs, holdout_fraction=0.05, jaccard_threshold=0.8,
         hash_family="md5")
-    return (train.select("doc_id", F.lit("train").alias("split"))
-            .unionByName(hold.select("doc_id",
-                                     F.lit("holdout").alias("split")))
-            .groupBy("split")
+    return (labeled.groupBy("split")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("doc_id").cast("long").alias("id_checksum")))
