@@ -624,9 +624,14 @@ def q_training_pipeline(spark, sf_dir):
     from orange3_spark.text.pipeline import prepare_training_data_labeled
 
     (docs,) = _t(spark, sf_dir, "documents")
+    # seed=0 matches the shared _MH_AGGS oracle family (h1 + k*h2);
+    # the engine's default seed=42 is a DIFFERENT (equally valid) family
+    # whose banding misses a different set of borderline pairs — caught
+    # by an sf0.1 cross-check where the two families' candidate sets
+    # first diverged
     labeled = prepare_training_data_labeled(
         docs, holdout_fraction=0.05, jaccard_threshold=0.8,
-        hash_family="md5")
+        hash_family="md5", minhash_seed=0)
     return (labeled.groupBy("split")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("doc_id").cast("long").alias("id_checksum")))

@@ -38,7 +38,7 @@ def prepare_training_data_labeled(
     min_tokens: int = 10, max_tokens: int = 100_000,
     max_punct_ratio: float = 0.2, min_stopword_ratio: float = 0.01,
     jaccard_threshold: float = 0.8, holdout_fraction: float = 0.01,
-    hash_family: str = "xxhash64",
+    hash_family: str = "xxhash64", minhash_seed: int = 42,
     report: Optional[PipelineReport] = None,
 ) -> DataFrame:
     """Training-data preparation as ONE lineage: the quality-gated,
@@ -74,7 +74,7 @@ def prepare_training_data_labeled(
     #    (the min id) per duplicate component
     pairs = TD.dedup_minhash(exact, text_col, id_col,
                              threshold=jaccard_threshold,
-                             hash_family=hash_family)
+                             hash_family=hash_family, seed=minhash_seed)
     clusters = TD.dup_clusters(pairs)
     losers = (clusters.filter(F.col("doc_id") != F.col("cluster_id"))
                       .select(F.col("doc_id").alias(id_col)))
