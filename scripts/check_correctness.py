@@ -110,6 +110,10 @@ def main():
                         {"spark": repr(a), "oracle": repr(b)} for a, b in diffs]
         except Exception:
             rec["err"] = traceback.format_exc(limit=3)
+        # engine operators cache internally; without cleanup a full-surface
+        # sweep accumulates storage blocks until the (vanilla-sized) heap
+        # OOMs — same isolation bench.py applies, outside any timing
+        spark.catalog.clearCache()
         ok = rec["hash_match"] is True
         n_pass += ok
         n_fail += not ok
