@@ -51,6 +51,7 @@ _REBASED_GREEN = [
     # green in r2/r3 but re-based this round (quantized grid / one-pass
     # aggregations) — their old verdicts cover code that no longer exists
     "q_knn_ivf", "q_ml_metrics", "q_ml_shuffle_split", "q_feature_scores",
+    "q3_shipping_priority", "q10_returned_items",
 ]
 _NEVER_GRADED_ROWS_ONLY = [
     "q_outlier_iforest", "q_outlier_envelope", "q_outlier_ocsvm",

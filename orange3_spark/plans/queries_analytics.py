@@ -189,7 +189,8 @@ def q_maha_outliers(spark, sf_dir):
 
 @query("q3_shipping_priority", """
 SELECT l.l_orderkey,
-       sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000.0
+                           + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
        o.o_orderdate, o.o_orderpriority
 FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -212,7 +213,13 @@ def q3_shipping_priority(spark, sf_dir):
             .join(li, li.l_orderkey == orders.o_orderkey)
             .filter(F.col("l_shipdate") > cut)
             .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            # exact fixed-point revenue: the 4-decimal line totals sum as
+            # integers, so the top-10 boundary can never flip on a
+            # partition-order float bit (it did at sf0.1 — rank 10 vs 11
+            # differed between engines before this)
+            .agg((F.sum(F.floor(F.col("l_extendedprice")
+                                * (1 - F.col("l_discount")) * 10000.0
+                                + 0.5)).cast("double") / 10000.0)
                  .alias("revenue"))
             .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
             .limit(10))
@@ -240,7 +247,8 @@ def q6_forecast_revenue(spark, sf_dir):
 
 @query("q10_returned_items", """
 SELECT c.c_custkey, c.c_name,
-       sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000.0
+                           + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
        n.n_name
 FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -263,7 +271,10 @@ def q10_returned_items(spark, sf_dir):
             .join(customer, F.col("c_custkey") == F.col("o_custkey"))
             .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
             .groupBy("c_custkey", "c_name", "n_name")
-            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            # fixed-point revenue — same top-k boundary-stability fix as q3
+            .agg((F.sum(F.floor(F.col("l_extendedprice")
+                                * (1 - F.col("l_discount")) * 10000.0
+                                + 0.5)).cast("double") / 10000.0)
                  .alias("revenue"))
             .orderBy(F.col("revenue").desc(), "c_custkey")
             .limit(20))
