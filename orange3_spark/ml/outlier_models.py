@@ -18,6 +18,14 @@ Every fit is a pure function of the data + seed: sampling is content-hash
 ordered, tree randomness comes from a seeded numpy Generator, and the MCD
 C-step start is the median-nearest half — so repeated runs (and the
 driver's re-run) produce identical flags.
+
+Replay oracles: the matrix-level fit functions (``fit_iforest_matrix``,
+``fit_mcd_matrix``) are pure numpy, so ``plans/oracle_replay.py`` re-runs
+them on the identical id-hash sample fetched through DuckDB and embeds
+the fitted constants in exact SQL — turning the distributed predict path
+into a hash-checkable query.  Isolation-forest depths are kept as
+INTEGERS (steps×1e6 + quantized leaf correction) end to end, so no float
+accumulation order can flip a flag.
 """
 
 from __future__ import annotations
@@ -29,6 +37,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: fixed-point scale for isolation-forest path lengths (1 step = 1e6)
+DSCALE = 1_000_000
+
 
 def _features_col(cols: Sequence[str], array_col: Optional[str]):
     if array_col is not None:
@@ -36,12 +47,25 @@ def _features_col(cols: Sequence[str], array_col: Optional[str]):
     return F.array(*[F.col(c).cast("double") for c in cols])
 
 
+def _id_hash_key(id_cols: Sequence[str]):
+    """md5 over '_'-joined id columns — trivially replayable in any SQL
+    engine (``md5(CAST(id AS VARCHAR))``), unlike a JSON-of-floats key."""
+    return F.md5(F.concat_ws(
+        "_", *[F.col(c).cast("string") for c in id_cols]))
+
+
 def _hash_sample(df: DataFrame, cols: Sequence[str],
-                 array_col: Optional[str], n: int):
-    """Deterministic bounded sample: top-``n`` rows by md5 of the feature
-    vector text — partition-layout-independent, a parallel top-k."""
+                 array_col: Optional[str], n: int,
+                 id_cols: Optional[Sequence[str]] = None):
+    """Deterministic bounded sample: top-``n`` rows by a content hash —
+    partition-layout-independent, a parallel top-k.  With ``id_cols`` the
+    hash keys on the ids (replay-friendly); otherwise on the feature
+    vector's JSON text."""
     feats = _features_col(cols, array_col).alias("_x")
-    key = F.md5(F.to_json(F.struct(feats.alias("v"))))
+    if id_cols:
+        key = _id_hash_key(id_cols)
+    else:
+        key = F.md5(F.to_json(F.struct(feats.alias("v"))))
     base = df
     if array_col is None:
         base = base.na.drop(subset=list(cols))
@@ -65,102 +89,19 @@ def _avg_path_length(n) -> float:
     return 2.0 * h - 2.0 * (n - 1) / n
 
 
-class IsolationForestModel:
-    """Fitted forest: flat arrays per tree (feature, threshold, left,
-    right, leaf-size) — a few KB broadcast into the predict UDF."""
+def fit_iforest_matrix(S, n_trees: int, psi: int, seed: int):
+    """Grow the seeded forest on sample matrix ``S`` — pure numpy, shared
+    verbatim by the Spark fit and the DuckDB oracle replay.
 
-    def __init__(self, trees, psi: int, cols, array_col,
-                 threshold: Optional[float] = None, fit_sample=None):
-        self.trees = trees
-        self.psi = psi
-        self.cols = list(cols)
-        self.array_col = array_col
-        self.threshold = threshold
-        self._fit_sample = fit_sample
-
-    def _scores_np(self, X):
-        import numpy as np
-        m = X.shape[0]
-        if m == 0:
-            return np.zeros(0)
-        depths = np.zeros(m)
-        for feat, thr, left, right, size in self.trees:
-            # per-NODE leaf correction c(size), vectorized once per tree
-            # (≤2ψ values) — a per-row _avg_path_length call here measured
-            # as the predict bottleneck (rows × trees Python calls)
-            s = size.astype(np.float64)
-            c_arr = np.zeros_like(s)
-            c_arr[s == 2] = 1.0
-            big = s > 2
-            c_arr[big] = (2.0 * (np.log(s[big] - 1) + 0.5772156649015329)
-                          - 2.0 * (s[big] - 1) / s[big])
-            node = np.zeros(m, dtype=np.int64)
-            done = np.zeros(m, dtype=bool)
-            depth = np.zeros(m)
-            # level-by-level vectorized walk: gather each row's split
-            for _ in range(64):
-                f = feat[node]
-                leaf = f < 0
-                newly = leaf & ~done
-                depth[newly] += c_arr[node[newly]]
-                done |= leaf
-                if done.all():
-                    break
-                active = ~done
-                goes_left = X[active, f[active]] < thr[node[active]]
-                nxt = np.where(goes_left, left[node[active]],
-                               right[node[active]])
-                node[active] = nxt
-                depth[active] += 1.0
-            depths += depth
-        e_h = depths / len(self.trees)
-        return np.power(2.0, -e_h / _avg_path_length(self.psi))
-
-    def predict(self, df: DataFrame, *, score_col: str = "score",
-                flag_col: str = "is_outlier",
-                contamination: float = 0.1) -> DataFrame:
-        from pyspark.sql.functions import pandas_udf
-
-        model = self
-
-        @pandas_udf("double")
-        def _score(s: pd.Series) -> pd.Series:
-            import numpy as np
-            X = (np.stack([np.asarray(v, dtype=np.float64) for v in s])
-                 if len(s) else np.zeros((0, 1)))
-            return pd.Series(model._scores_np(X))
-
-        out = df.withColumn(
-            score_col, _score(_features_col(self.cols, self.array_col)))
-        thr = self.threshold
-        if thr is None:
-            # sklearn semantics: the contamination threshold comes from the
-            # TRAINING scores — here the fit sample, quantiled driver-side.
-            # This keeps predict a single scan (a full-data quantile would
-            # re-run the scoring UDF over every row just to set the cut).
-            import numpy as np
-            thr = float(np.quantile(self._scores_np(self._fit_sample),
-                                    1.0 - contamination))
-        return out.withColumn(flag_col, F.col(score_col) > F.lit(float(thr)))
-
-
-def isolation_forest(df: DataFrame, cols: Sequence[str] = (), *,
-                     array_col: Optional[str] = None, n_trees: int = 100,
-                     psi: int = 256, seed: int = 42) -> IsolationForestModel:
-    """Fit an Isolation Forest on a ``n_trees × psi`` hash-chosen sample
-    (``IsolationForestLearner``, outlier_detection.py:114; Liu et al.).
-
-    Each tree: uniform split feature + uniform threshold inside the node's
-    value range, grown to ``ceil(log2 psi)`` depth or isolation.  All
-    randomness flows from one seeded Generator → byte-stable refits.
-    """
+    Returns ``(trees, psi_eff)``; each tree is flat arrays
+    ``(feat, thr, left, right, size, qc)`` with ``qc`` the leaf
+    correction c(size) pre-quantized to ``DSCALE`` — all downstream depth
+    arithmetic is int64."""
     import numpy as np
 
-    S = _hash_sample(df, cols, array_col, max(n_trees * 4, psi * 2))
     if S.shape[0] == 0:
         raise ValueError("isolation_forest: empty input")
     rng = np.random.default_rng(seed)
-    p = S.shape[1]
     max_depth = max(1, math.ceil(math.log2(max(psi, 2))))
     trees = []
     for _ in range(n_trees):
@@ -189,10 +130,120 @@ def isolation_forest(df: DataFrame, cols: Sequence[str] = (), *,
             return node
 
         build(np.arange(sample.shape[0]), 0)
+        s = np.asarray(size, dtype=np.float64)
+        c_arr = np.zeros_like(s)
+        c_arr[s == 2] = 1.0
+        big = s > 2
+        c_arr[big] = (2.0 * (np.log(s[big] - 1) + 0.5772156649015329)
+                      - 2.0 * (s[big] - 1) / s[big])
+        qc = np.floor(c_arr * DSCALE + 0.5).astype(np.int64)
         trees.append((np.asarray(feat), np.asarray(thr), np.asarray(left),
-                      np.asarray(right), np.asarray(size)))
-    return IsolationForestModel(trees, min(psi, S.shape[0]), cols, array_col,
-                                fit_sample=S)
+                      np.asarray(right), np.asarray(size), qc))
+    return trees, min(psi, S.shape[0])
+
+
+class IsolationForestModel:
+    """Fitted forest: flat arrays per tree (feature, threshold, left,
+    right, leaf-size, quantized-leaf-correction) — a few KB broadcast
+    into the predict UDF.  Depths are exact int64 fixed-point
+    (``steps*DSCALE + qc``), so flags are order- and engine-independent."""
+
+    def __init__(self, trees, psi: int, cols, array_col, fit_qdepths=None):
+        self.trees = trees
+        self.psi = psi
+        self.cols = list(cols)
+        self.array_col = array_col
+        self._fit_qdepths = fit_qdepths
+
+    def _qdepths_np(self, X):
+        """Summed quantized depth per row over all trees — int64 exact."""
+        import numpy as np
+        m = X.shape[0]
+        qd = np.zeros(m, dtype=np.int64)
+        if m == 0:
+            return qd
+        for feat, thr, left, right, _size, qc in self.trees:
+            node = np.zeros(m, dtype=np.int64)
+            done = np.zeros(m, dtype=bool)
+            depth = np.zeros(m, dtype=np.int64)
+            # level-by-level vectorized walk: gather each row's split
+            for _ in range(64):
+                f = feat[node]
+                leaf = f < 0
+                newly = leaf & ~done
+                depth[newly] += qc[node[newly]]
+                done |= leaf
+                if done.all():
+                    break
+                active = ~done
+                goes_left = X[active, f[active]] < thr[node[active]]
+                nxt = np.where(goes_left, left[node[active]],
+                               right[node[active]])
+                node[active] = nxt
+                depth[active] += DSCALE
+            qd += depth
+        return qd
+
+    def _scores_from_qd(self, qd):
+        import numpy as np
+        e_h = qd.astype(np.float64) / DSCALE / len(self.trees)
+        return np.power(2.0, -e_h / _avg_path_length(self.psi))
+
+    def qthreshold(self, contamination: float) -> int:
+        """Integer depth cut from the FIT sample: the ``floor(c·m)``-th
+        smallest summed depth; rows strictly below are outliers — the
+        monotone image of sklearn's score-quantile threshold, kept in
+        int space so both engines compare identical integers."""
+        import numpy as np
+        qd = np.sort(self._fit_qdepths)
+        k = min(int(math.floor(contamination * qd.shape[0])),
+                qd.shape[0] - 1)
+        return int(qd[k])
+
+    def predict(self, df: DataFrame, *, score_col: str = "score",
+                flag_col: str = "is_outlier",
+                qdepth_col: str = "qdepth",
+                contamination: float = 0.1) -> DataFrame:
+        from pyspark.sql.functions import pandas_udf
+
+        model = self
+
+        @pandas_udf("long")
+        def _qdepth(s: pd.Series) -> pd.Series:
+            import numpy as np
+            X = (np.stack([np.asarray(v, dtype=np.float64) for v in s])
+                 if len(s) else np.zeros((0, 1)))
+            return pd.Series(model._qdepths_np(X))
+
+        qthr = self.qthreshold(contamination)
+        norm = DSCALE * len(self.trees) * _avg_path_length(self.psi)
+        out = df.withColumn(
+            qdepth_col, _qdepth(_features_col(self.cols, self.array_col)))
+        out = out.withColumn(
+            score_col,
+            F.pow(F.lit(2.0), -F.col(qdepth_col).cast("double")
+                  / F.lit(float(norm))))
+        return out.withColumn(flag_col, F.col(qdepth_col) < F.lit(qthr))
+
+
+def isolation_forest(df: DataFrame, cols: Sequence[str] = (), *,
+                     array_col: Optional[str] = None, n_trees: int = 100,
+                     psi: int = 256, seed: int = 42,
+                     id_cols: Optional[Sequence[str]] = None
+                     ) -> IsolationForestModel:
+    """Fit an Isolation Forest on a hash-chosen sample
+    (``IsolationForestLearner``, outlier_detection.py:114; Liu et al.).
+
+    Each tree: uniform split feature + uniform threshold inside the node's
+    value range, grown to ``ceil(log2 psi)`` depth or isolation.  All
+    randomness flows from one seeded Generator → byte-stable refits.
+    """
+    S = _hash_sample(df, cols, array_col, max(n_trees * 4, psi * 2),
+                     id_cols=id_cols)
+    trees, psi_eff = fit_iforest_matrix(S, n_trees, psi, seed)
+    model = IsolationForestModel(trees, psi_eff, cols, array_col)
+    model._fit_qdepths = model._qdepths_np(S)
+    return model
 
 
 class EllipticEnvelopeModel:
@@ -216,37 +267,28 @@ class EllipticEnvelopeModel:
                     q = q + diffs[i] * diffs[j] * F.lit(w)
         return q
 
+    def threshold(self, contamination: float) -> float:
+        """(1−contamination) quantile of the FIT sample's quadratic-form
+        scores — sklearn semantics; keeps predict a single codegen scan
+        (no extra quantile pass over the full table)."""
+        return mcd_threshold(self._fit_sample, self.location,
+                             self.precision, contamination)
+
     def predict(self, df: DataFrame, *, score_col: str = "maha_sq",
                 flag_col: str = "is_outlier",
                 contamination: float = 0.1) -> DataFrame:
-        import numpy as np
-
-        # sklearn semantics: threshold from the FIT sample's scores
-        # (driver-side) — predict stays one codegen scan, no extra
-        # quantile pass over the full table
-        diff = self._fit_sample - np.asarray(self.location)
-        d = np.einsum("ij,jk,ik->i", diff,
-                      np.asarray(self.precision), diff)
-        thr = float(np.quantile(d, 1.0 - contamination))
+        thr = self.threshold(contamination)
         out = df.withColumn(score_col, self.mahalanobis_sq())
         return out.withColumn(flag_col, F.col(score_col) > F.lit(thr))
 
 
-def elliptic_envelope(df: DataFrame, cols: Sequence[str], *,
-                      max_samples: int = 2000,
-                      support_fraction: Optional[float] = None,
-                      max_csteps: int = 30) -> EllipticEnvelopeModel:
-    """Robust covariance à la FastMCD (``EllipticEnvelopeLearner``,
-    outlier_detection.py:158; Rousseeuw & Van Driessen 1999), made
-    deterministic: ONE start — the half of a hash-chosen sample nearest
-    the coordinate-wise median — then C-steps (mean/cov of the support,
-    re-rank all sample points by Mahalanobis, keep the h nearest) until
-    the support set is stable.  The deterministic start replaces sklearn's
-    500 random subsets; C-steps monotonically shrink det(cov) either way.
-    """
+def fit_mcd_matrix(S, support_fraction: Optional[float] = None,
+                   max_csteps: int = 30):
+    """Deterministic FastMCD on sample matrix ``S`` → (location,
+    precision) lists — pure numpy, shared by Spark fit and oracle
+    replay."""
     import numpy as np
 
-    S = _hash_sample(df, cols, None, max_samples)
     n, p = S.shape
     if n <= p:
         raise ValueError("elliptic_envelope: need more rows than columns")
@@ -270,9 +312,37 @@ def elliptic_envelope(df: DataFrame, cols: Sequence[str], *,
     loc = sub.mean(axis=0)
     cov = np.cov(sub, rowvar=False, bias=True)
     cov += np.eye(p) * 1e-9 * max(1.0, np.trace(cov) / p)
-    return EllipticEnvelopeModel(loc.tolist(),
-                                 np.linalg.inv(cov).tolist(), cols,
-                                 fit_sample=S)
+    return loc.tolist(), np.linalg.inv(cov).tolist()
+
+
+def mcd_threshold(S, location, precision, contamination: float) -> float:
+    """Contamination threshold: (1−c) quantile of the fit sample's
+    Mahalanobis² — one shared definition so the oracle replay embeds the
+    exact constant the Spark predict compares against."""
+    import numpy as np
+
+    diff = np.asarray(S) - np.asarray(location)
+    d = np.einsum("ij,jk,ik->i", diff, np.asarray(precision), diff)
+    return float(np.quantile(d, 1.0 - contamination))
+
+
+def elliptic_envelope(df: DataFrame, cols: Sequence[str], *,
+                      max_samples: int = 2000,
+                      support_fraction: Optional[float] = None,
+                      max_csteps: int = 30,
+                      id_cols: Optional[Sequence[str]] = None
+                      ) -> EllipticEnvelopeModel:
+    """Robust covariance à la FastMCD (``EllipticEnvelopeLearner``,
+    outlier_detection.py:158; Rousseeuw & Van Driessen 1999), made
+    deterministic: ONE start — the half of a hash-chosen sample nearest
+    the coordinate-wise median — then C-steps (mean/cov of the support,
+    re-rank all sample points by Mahalanobis, keep the h nearest) until
+    the support set is stable.  The deterministic start replaces sklearn's
+    500 random subsets; C-steps monotonically shrink det(cov) either way.
+    """
+    S = _hash_sample(df, cols, None, max_samples, id_cols=id_cols)
+    loc, prec = fit_mcd_matrix(S, support_fraction, max_csteps)
+    return EllipticEnvelopeModel(loc, prec, cols, fit_sample=S)
 
 
 class OneClassSVMModel:

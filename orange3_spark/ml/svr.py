@@ -89,14 +89,14 @@ class SVRModel:
             pred_col, _pred(_features_col(self.cols, self.array_col)))
 
 
-def _sample_xy(df, cols, array_col, target, max_samples):
+def _sample_xy(df, cols, array_col, target, max_samples, id_cols=None):
     import numpy as np
 
     base = df.filter(F.col(target).isNotNull())
     feats = _features_col(cols, array_col)
     aug = base.withColumn("_xy", F.concat(
         feats, F.array(F.col(target).cast("double"))))
-    S = _hash_sample(aug, [], "_xy", max_samples)
+    S = _hash_sample(aug, [], "_xy", max_samples, id_cols=id_cols)
     return np.asarray(S[:, :-1]), np.asarray(S[:, -1])
 
 
@@ -156,14 +156,11 @@ def nu_svr(df: DataFrame, cols: Sequence[str] = (), target: str = "y", *,
     return SVRModel(W_eff, c_eff, w, b, cols, array_col)
 
 
-def linear_svr(df: DataFrame, cols: Sequence[str] = (), target: str = "y",
-               *, epsilon: float = 0.1, lam: float = 1e-3,
-               max_samples: int = 4000, epochs: int = 300) -> SVRModel:
-    """Linear ε-SVR (``LinearSVRLearner``): same fit in the ORIGINAL
-    feature space; predict is a pure Column expression (codegen)."""
-    import numpy as np
-
-    X, y = _sample_xy(df, cols, None, target, max_samples)
+def fit_linear_svr_matrix(X, y, *, epsilon: float = 0.1, lam: float = 1e-3,
+                          epochs: int = 300):
+    """Standardize → ε-insensitive fit → fold the scaling back out.
+    Pure numpy on the sample matrix, shared verbatim by the Spark fit and
+    the DuckDB oracle replay (``plans/oracle_replay.py``)."""
     mu, sd = X.mean(axis=0), X.std(axis=0)
     sd[sd == 0] = 1.0
     Xs = (X - mu) / sd
@@ -172,4 +169,16 @@ def linear_svr(df: DataFrame, cols: Sequence[str] = (), target: str = "y",
     # un-standardize: y = (x−μ)/σ · w + b = x·(w/σ) + (b − μ·(w/σ))
     w_eff = w / sd
     b_eff = b - float(mu @ w_eff)
+    return w_eff, b_eff
+
+
+def linear_svr(df: DataFrame, cols: Sequence[str] = (), target: str = "y",
+               *, epsilon: float = 0.1, lam: float = 1e-3,
+               max_samples: int = 4000, epochs: int = 300,
+               id_cols: Optional[Sequence[str]] = None) -> SVRModel:
+    """Linear ε-SVR (``LinearSVRLearner``): same fit in the ORIGINAL
+    feature space; predict is a pure Column expression (codegen)."""
+    X, y = _sample_xy(df, cols, None, target, max_samples, id_cols=id_cols)
+    w_eff, b_eff = fit_linear_svr_matrix(X, y, epsilon=epsilon, lam=lam,
+                                         epochs=epochs)
     return SVRModel(None, None, w_eff, b_eff, cols)

@@ -1,0 +1,215 @@
+"""Replay-oracle generators for sample-fit learners.
+
+The outlier/SVR learners (``ml/outlier_models.py``, ``ml/svr.py``) fit on
+a BOUNDED hash-chosen sample with seeded numpy — a pure function of
+(data, seed).  That makes the whole pipeline SQL-checkable without the
+fit being SQL-expressible: at ``oracle_sql()`` time we re-fetch the
+identical sample through DuckDB (the hash key is ``md5(CAST(id AS
+VARCHAR))``, bit-identical in both engines), re-run the identical numpy
+fit, and emit SQL that embeds the fitted constants and MIRRORS the Spark
+predict expression tree node for node (same literals via ``repr`` —
+round-trip exact; same association order — no float reordering).
+
+The driver then grades the DISTRIBUTED predict path end to end: hash
+sampling, broadcast scoring (recursive-CTE tree walk for the forest,
+codegen quadratic form for the envelope, codegen linear predictor for
+the SVR), integer fixed-point aggregation, thresholding.
+
+Generation cost: three sub-second numpy fits on ≤4000-row samples,
+memoized per process.  SQL strings are static once generated, so the
+same contract as hand-written oracles holds.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+_SF_DIR_DEFAULT = "/root/testdata/sf0.01"
+_CACHE: dict[str, str] = {}
+
+
+def _sf_dir() -> str:
+    # the driver registers its DuckDB views from sf0.01 (the correctness
+    # contract); honor the harness override used by check_correctness.py
+    return os.environ.get("SPARK_GRAFT_SF_DIR", _SF_DIR_DEFAULT)
+
+
+def _fetch(sql: str):
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    try:
+        return np.asarray(con.execute(sql).fetchall(), dtype=np.float64)
+    finally:
+        con.close()
+
+
+def _lit(x: float) -> str:
+    """Exact double literal: repr round-trips, DuckDB's strtod is
+    correctly rounded → same bits as Spark's ``F.lit(float)``."""
+    return repr(float(x))
+
+
+def lazy(fn: Callable[[], str]) -> Callable[[], str]:
+    def wrapped() -> str:
+        key = fn.__name__
+        if key not in _CACHE:
+            _CACHE[key] = fn()
+        return _CACHE[key]
+    wrapped.__name__ = fn.__name__
+    return wrapped
+
+
+# ---------------------------------------------------------------- iforest
+
+IFOREST_PARAMS = dict(n_trees=16, psi=64, seed=42, contamination=0.05)
+
+
+@lazy
+def iforest_oracle() -> str:
+    """q_outlier_iforest: embed the fitted split tables; score every row
+    with a recursive-CTE walk (integer fixed-point depths — no float
+    accumulation anywhere), threshold at the replayed integer cut."""
+    from orange3_spark.ml.outlier_models import (
+        DSCALE, IsolationForestModel, fit_iforest_matrix)
+
+    P = IFOREST_PARAMS
+    n_sample = max(P["n_trees"] * 4, P["psi"] * 2)
+    S = _fetch(f"""
+        SELECT CAST(o_totalprice AS DOUBLE), CAST(o_custkey AS DOUBLE)
+        FROM '{_sf_dir()}/orders.parquet'
+        WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL
+        ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT {n_sample}""")
+    trees, psi_eff = fit_iforest_matrix(S, P["n_trees"], P["psi"], P["seed"])
+    model = IsolationForestModel(trees, psi_eff,
+                                 ["o_totalprice", "o_custkey"], None)
+    model._fit_qdepths = model._qdepths_np(S)
+    qthr = model.qthreshold(P["contamination"])
+
+    rows = []
+    for t, (feat, thr, left, right, _size, qc) in enumerate(trees):
+        for n in range(len(feat)):
+            rows.append(f"({t},{n},{int(feat[n])},{_lit(thr[n])},"
+                        f"{int(left[n])},{int(right[n])},{int(qc[n])})")
+    values = ",\n".join(rows)
+    return f"""
+WITH RECURSIVE
+r AS (SELECT o_orderkey AS id, CAST(o_totalprice AS DOUBLE) AS x0,
+             CAST(o_custkey AS DOUBLE) AS x1
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL),
+nodes(t, n, f, thr, lt, rt, qc) AS (
+  SELECT * FROM (VALUES
+{values}
+  ) v),
+walk(id, t, n, d) AS (
+  SELECT r.id, tt.t, 0, CAST(0 AS BIGINT)
+  FROM r CROSS JOIN (SELECT DISTINCT t FROM nodes) tt
+  UNION ALL
+  SELECT w.id, w.t,
+         CASE WHEN (CASE nd.f WHEN 0 THEN rr.x0 ELSE rr.x1 END) < nd.thr
+              THEN nd.lt ELSE nd.rt END,
+         w.d + {DSCALE}
+  FROM walk w
+  JOIN nodes nd ON nd.t = w.t AND nd.n = w.n AND nd.f >= 0
+  JOIN r rr ON rr.id = w.id),
+leaf AS (SELECT w.id, w.d + nd.qc AS qd
+         FROM walk w JOIN nodes nd ON nd.t = w.t AND nd.n = w.n
+         WHERE nd.f < 0),
+tot AS (SELECT id, CAST(sum(qd) AS BIGINT) AS qdsum FROM leaf GROUP BY id)
+SELECT qdsum < {qthr} AS is_outlier, count(*) AS n,
+       CAST(sum(qdsum) AS BIGINT) AS qdepth_total
+FROM tot GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------- envelope
+
+ENVELOPE_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+ENVELOPE_CONTAMINATION = 0.1
+
+
+@lazy
+def envelope_oracle() -> str:
+    """q_outlier_envelope: embed the MCD (μ, Σ⁻¹) and threshold; mirror
+    the Spark quadratic-form Column fold term for term (same skip-zero
+    rule, same left-association) so every double matches bit for bit."""
+    from orange3_spark.ml.outlier_models import (fit_mcd_matrix,
+                                                 mcd_threshold)
+
+    cols = ENVELOPE_COLS
+    sel = ", ".join(f"CAST({c} AS DOUBLE)" for c in cols)
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    key = ("md5(CAST(l_orderkey AS VARCHAR) || '_' || "
+           "CAST(l_linenumber AS VARCHAR))")
+    S = _fetch(f"""
+        SELECT {sel} FROM '{_sf_dir()}/lineitem.parquet'
+        WHERE {notnull} ORDER BY {key} LIMIT 2000""")
+    loc, prec = fit_mcd_matrix(S)
+    thr = mcd_threshold(S, loc, prec, ENVELOPE_CONTAMINATION)
+
+    # mirror EllipticEnvelopeModel.mahalanobis_sq: q = 0.0; then
+    # q = q + (d_i * d_j) * w_ij for each nonzero w, i-major order
+    diffs = [f"(CAST({c} AS DOUBLE) - {_lit(m)})"
+             for c, m in zip(cols, loc)]
+    q = "0.0"
+    for i in range(len(cols)):
+        for j in range(len(cols)):
+            w = float(prec[i][j])
+            if w:
+                q = f"({q} + (({diffs[i]} * {diffs[j]}) * {_lit(w)}))"
+    return f"""
+WITH scored AS (SELECT {q} AS maha_sq FROM lineitem),
+flagged AS (SELECT maha_sq, maha_sq > {_lit(thr)} AS is_outlier
+            FROM scored)
+SELECT is_outlier, count(*) AS n,
+       CAST(sum(CAST(floor(maha_sq * 1000000.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS qscore_total
+FROM flagged GROUP BY 1 ORDER BY 1
+"""
+
+
+# -------------------------------------------------------------- linear SVR
+
+SVR_PARAMS = dict(epsilon=0.1, epochs=200, max_samples=4000)
+_TEST = "substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) < '3fffffff'"
+
+
+@lazy
+def svr_oracle() -> str:
+    """q_ml_svr: replay the linear ε-SVR fit on the identical train-side
+    hash sample, embed (w, b), and mirror the codegen predictor + the
+    integer fixed-point squared-error aggregation."""
+    from orange3_spark.ml.svr import fit_linear_svr_matrix
+
+    P = SVR_PARAMS
+    XY = _fetch(f"""
+        SELECT CAST(o_custkey AS DOUBLE) AS x,
+               CAST(o_totalprice AS DOUBLE) / 1000.0 AS y
+        FROM '{_sf_dir()}/orders.parquet'
+        WHERE NOT ({_TEST})
+          AND o_totalprice IS NOT NULL AND o_custkey IS NOT NULL
+        ORDER BY md5(CAST(o_orderkey AS VARCHAR))
+        LIMIT {P["max_samples"]}""")
+    X, y = XY[:, :1], XY[:, 1]
+    w, b = fit_linear_svr_matrix(X, y, epsilon=P["epsilon"],
+                                 epochs=P["epochs"])
+    # mirror SVRModel.predict linear path: lit(b) (+ x*lit(w) if w truthy)
+    pred = _lit(b)
+    if w[0]:
+        pred = f"({pred} + (x * {_lit(w[0])}))"
+    return f"""
+WITH src AS (SELECT CAST(o_custkey AS DOUBLE) AS x,
+                    CAST(o_totalprice AS DOUBLE) / 1000.0 AS y
+             FROM orders
+             WHERE {_TEST}
+               AND o_totalprice IS NOT NULL AND o_custkey IS NOT NULL),
+qe AS (SELECT CAST(floor(((y - {pred}) * (y - {pred})) * 1000000.0 + 0.5)
+              AS BIGINT) AS qe
+       FROM src)
+SELECT count(*) AS n_test, CAST(sum(qe) AS BIGINT) AS qerr_sum,
+       sqrt(CAST(sum(qe) AS DOUBLE) / 1000000.0 / count(*)) AS rmse
+FROM qe
+"""

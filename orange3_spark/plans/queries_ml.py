@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from orange3_spark.ml import cluster as C
 from orange3_spark.ml import evaluation as E
 from orange3_spark.ml import learners as L
+from orange3_spark.plans import oracle_replay as OR
 from orange3_spark.plans.registry import query
 from orange3_spark.session import load_tables
 
@@ -923,37 +924,53 @@ def q_ml_logreg_cv(spark, sf_dir):
         out, "fold int, n_test bigint, majority_share double, ca_ok boolean")
 
 
-@query("q_outlier_iforest")
+@query("q_outlier_iforest", OR.iforest_oracle)
 def q_outlier_iforest(spark, sf_dir):
-    """Isolation Forest (outlier_detection.py:114) fit on a hash-chosen
-    sample with seeded trees, scored distributedly, thresholded at the
-    exact (1−contamination) score quantile.  The fit is a pure function of
-    data+seed but not SQL-expressible — rows-only driver check; planted
-    outliers are pytest-asserted (tests/test_outlier_models.py)."""
+    """Isolation Forest (outlier_detection.py:114) fit on an id-hash
+    sample with seeded trees, scored distributedly on an INTEGER
+    fixed-point depth scale, thresholded at the replayed integer cut.
+    The fit isn't SQL — the oracle (plans/oracle_replay.iforest_oracle)
+    re-runs the identical numpy fit on the identical DuckDB-fetched
+    sample and replays scoring as a recursive-CTE tree walk, grading the
+    distributed predict path end to end.  Planted outliers stay
+    pytest-asserted (tests/test_outlier_models.py)."""
     from orange3_spark.ml.outlier_models import isolation_forest
 
     (orders,) = _t(spark, sf_dir, "orders")
-    model = isolation_forest(orders, ["o_totalprice", "o_custkey"],
-                             n_trees=50, psi=256, seed=42)
-    flagged = model.predict(orders, contamination=0.05)
+    P = OR.IFOREST_PARAMS
+    model = isolation_forest(
+        orders.na.drop(subset=["o_totalprice", "o_custkey"]),
+        ["o_totalprice", "o_custkey"], n_trees=P["n_trees"], psi=P["psi"],
+        seed=P["seed"], id_cols=["o_orderkey"])
+    flagged = model.predict(
+        orders.na.drop(subset=["o_totalprice", "o_custkey"]),
+        contamination=P["contamination"])
     return (flagged.groupBy("is_outlier")
-            .agg(F.count(F.lit(1)).alias("n")).orderBy("is_outlier"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("qdepth").alias("qdepth_total"))
+            .orderBy("is_outlier"))
 
 
-@query("q_outlier_envelope")
+@query("q_outlier_envelope", OR.envelope_oracle)
 def q_outlier_envelope(spark, sf_dir):
     """Elliptic Envelope (outlier_detection.py:158): deterministic FastMCD
-    robust covariance on a hash sample; predict is a codegen quadratic
-    form + exact-quantile contamination threshold.  Rows-only driver
-    check (C-steps aren't SQL); planted outliers pytest-asserted."""
+    robust covariance on an id-hash sample; predict is a codegen quadratic
+    form + exact-quantile contamination threshold.  The oracle
+    (plans/oracle_replay.envelope_oracle) replays the fit on the identical
+    sample and mirrors the quadratic-form Column fold bit for bit, so the
+    distributed scoring + flag counts are hash-checked; planted outliers
+    stay pytest-asserted."""
     from orange3_spark.ml.outlier_models import elliptic_envelope
 
     (li,) = _t(spark, sf_dir, "lineitem")
-    model = elliptic_envelope(li, ["l_quantity", "l_extendedprice",
-                                   "l_discount"])
-    flagged = model.predict(li, contamination=0.1)
+    model = elliptic_envelope(li, OR.ENVELOPE_COLS,
+                              id_cols=["l_orderkey", "l_linenumber"])
+    flagged = model.predict(li, contamination=OR.ENVELOPE_CONTAMINATION)
     return (flagged.groupBy("is_outlier")
-            .agg(F.count(F.lit(1)).alias("n")).orderBy("is_outlier"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.floor(F.col("maha_sq") * F.lit(1000000.0)
+                               + F.lit(0.5))).alias("qscore_total"))
+            .orderBy("is_outlier"))
 
 
 @query("q_outlier_ocsvm")
@@ -972,26 +989,37 @@ def q_outlier_ocsvm(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n")).orderBy("is_outlier"))
 
 
-@query("q_ml_svr")
+@query("q_ml_svr", OR.svr_oracle)
 def q_ml_svr(spark, sf_dir):
-    """RBF ε-SVR (Orange/regression/svm.py:11) on a hash train split,
-    RMSE on the complement — sklearn-free: seeded RFF kernel map +
-    deterministic ε-insensitive fit (ml/svr.py).  Not SQL-expressible →
-    rows-only driver check; fit quality pytest-asserted
-    (tests/test_svr.py)."""
-    from orange3_spark.ml.svr import svr
+    """Linear ε-SVR (Orange/regression/svm.py:22 LinearSVRLearner) on a
+    hash train split, RMSE on the complement via integer fixed-point
+    squared errors.  The deterministic subgradient fit is replayed by the
+    oracle (plans/oracle_replay.svr_oracle) on the identical id-hash
+    sample, with (w, b) embedded and the codegen predictor mirrored — so
+    split, sampling, distributed prediction and error aggregation are all
+    hash-checked.  The RBF/ν variants (SVRLearner/NuSVRLearner, RFF map)
+    stay pytest-asserted (tests/test_svr.py)."""
+    from orange3_spark.ml.svr import linear_svr
 
     (orders,) = _t(spark, sf_dir, "orders")
-    data = orders.select(
+    P = OR.SVR_PARAMS
+    data = orders.na.drop(subset=["o_totalprice", "o_custkey"]).select(
         "o_orderkey",
         F.col("o_custkey").cast("double").alias("x"),
-        (F.col("o_totalprice") / 1000.0).alias("y"))
+        (F.col("o_totalprice").cast("double") / F.lit(1000.0)).alias("y"))
     train, test = E.train_test_split(data, "o_orderkey", 0.25)
-    model = svr(train, ["x"], "y", epsilon=0.1, epochs=200, seed=42)
-    r = E.rmse(model.predict(test), label="y")
-    n = test.count()
-    return spark.createDataFrame([(n, float(round(r, 4)))],
-                                 "n_test bigint, rmse double")
+    model = linear_svr(train, ["x"], "y", epsilon=P["epsilon"],
+                       epochs=P["epochs"], max_samples=P["max_samples"],
+                       id_cols=["o_orderkey"])
+    pred = model.predict(test)
+    err = F.col("y") - F.col("prediction")
+    qe = F.floor((err * err) * F.lit(1000000.0) + F.lit(0.5))
+    agg = pred.agg(F.count(F.lit(1)).alias("n_test"),
+                   F.sum(qe).alias("qerr_sum"))
+    return agg.select(
+        "n_test", "qerr_sum",
+        F.sqrt(F.col("qerr_sum").cast("double") / F.lit(1000000.0)
+               / F.col("n_test")).alias("rmse"))
 
 
 @query("q_ml_silhouette", f"""

@@ -16,10 +16,11 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLE: dict[str, str] = {}
+#: str, or a zero-arg callable producing the SQL lazily (replay oracles)
+ORACLE: dict[str, object] = {}
 
 
-def query(name: str, sql: Optional[str] = None):
+def query(name: str, sql=None):
     def deco(fn):
         QUERIES[name] = fn
         if sql is not None:
