@@ -1,8 +1,9 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) and prints ONE JSON line.
 
-Timing methodology (round 4): every query runs TWICE and the reported
-figure is the second (steady-state) run.  Round-3 forensics showed the
+Timing methodology (round 4, wording fixed round 5): every query runs
+TWICE and the reported figure is the MINIMUM of the two passes (see the
+comment at the ``timings`` computation).  Round-3 forensics showed the
 first execution of a query carries one-off costs that are properties of
 the session, not the plan — janino whole-stage-codegen compilation,
 Arrow/pandas-UDF runner spin-up, and ContextCleaner/GC stalls inherited

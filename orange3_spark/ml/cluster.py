@@ -98,8 +98,11 @@ def kmeans_lloyd_fit(df: DataFrame, id_col: str, *, array_col: str,
     Cache lifetime: the quantized frame stays persisted because the
     returned ``assigned`` lineage reads it (downstream consumers —
     SemDeDup's pair stage, silhouette's two scans, IVF's refresh+join —
-    each rescan it).  In a long-lived session, ``unpersist()`` the result
-    (or ``spark.catalog.clearCache()``) once consumed.
+    each rescan it).  The persisted handle is exposed as
+    ``assigned.lloyd_cache`` — call ``assigned.lloyd_cache.unpersist()``
+    once consumed so repeated fits in a long-lived session don't
+    accumulate storage blocks (wrappers that fully materialize their
+    small outputs release it themselves).
     """
     import math
 
@@ -157,7 +160,9 @@ def kmeans_lloyd_fit(df: DataFrame, id_col: str, *, array_col: str,
                 for j in range(dim)]
                for r in rows}
         centroids = [got.get(i, c) for i, c in enumerate(centroids)]
-    return assign(qdf, centroids), centroids
+    assigned = assign(qdf, centroids)
+    assigned.lloyd_cache = qdf     # release handle for long-lived sessions
+    return assigned, centroids
 
 
 def kmeans_lloyd(df: DataFrame, id_col: str, *, array_col: str,
@@ -167,7 +172,9 @@ def kmeans_lloyd(df: DataFrame, id_col: str, *, array_col: str,
     See ``kmeans_lloyd_fit`` for the exactness contract."""
     assigned, _ = kmeans_lloyd_fit(df, id_col, array_col=array_col,
                                    k=k, n_iter=n_iter, quantize=quantize)
-    return assigned.drop("_q")
+    out = assigned.drop("_q")
+    out.lloyd_cache = assigned.lloyd_cache
+    return out
 
 
 def pca_cov_eigen(df: DataFrame, cols: Sequence[str], *,
@@ -289,6 +296,14 @@ def silhouette_exact(assigned: DataFrame, *, q_col: str = "_q",
     Per-point silhouettes are quantized to 1e-9 before the final mean so
     the cross-point sum is an exact integer too.  Singleton clusters score
     0 (sklearn convention).
+
+    Overflow posture: per-row |q|² reaches ~dim·(q_max)² (≈2.6e14 at
+    LLOYD_SCALE with unit-scale dim-64 embeddings), so the CLUSTER sums
+    SS=Σ|q|² and the per-point numerators n_C·|x|² and x·S_C leave int64
+    around 10⁴–10⁷ rows per cluster.  The Spark-side SS accumulates in
+    decimal(38,0) (exact far past any row count), and the scoring batch
+    switches to exact Python-int (object-dtype) arithmetic when the
+    worst-case intermediate approaches 2⁶³ — slower, never wrong.
     """
     import numpy as np
 
@@ -296,8 +311,11 @@ def silhouette_exact(assigned: DataFrame, *, q_col: str = "_q",
     rows = (assigned.groupBy(cluster_col)
             .agg(*[F.sum(F.col(q_col).getItem(j)).alias(f"s{j}")
                    for j in range(dim)],
+                 # decimal(38,0): |q|² per row can be ~2.6e14 — a long sum
+                 # silently wraps near ~3.5e4 rows/cluster; decimal is exact
                  F.sum(sum((F.col(q_col).getItem(j) * F.col(q_col).getItem(j)
-                            for j in range(dim)), F.lit(0).cast("long")))
+                            for j in range(dim)), F.lit(0).cast("long"))
+                       .cast("decimal(38,0)"))
                  .alias("ss"),
                  F.count(F.lit(1)).alias("n"))
             .collect())
@@ -306,23 +324,45 @@ def silhouette_exact(assigned: DataFrame, *, q_col: str = "_q",
         return 0.0      # silhouette undefined with one cluster (sklearn: s=0)
     idx = {c: i for i, c in enumerate(cls)}
     S = np.zeros((len(cls), dim), dtype=np.int64)
-    SS = np.zeros(len(cls), dtype=np.int64)
+    SS_py = [0] * len(cls)          # Python ints: decimal sums can pass 2⁶³
     N = np.zeros(len(cls), dtype=np.int64)
     for r in rows:
         i = idx[int(r[cluster_col])]
         S[i] = [int(r[f"s{j}"]) for j in range(dim)]
-        SS[i] = int(r["ss"])
+        SS_py[i] = int(r["ss"])
         N[i] = int(r["n"])
+    # worst-case per-point intermediate: n_C·|x|² + 2·|x·S_C| + SS_C.
+    # |x|² ≤ dim·x_max² and |x·S_C| ≤ dim·x_max·max|S| — if that bound
+    # nears 2⁶³, int64 would wrap silently; use exact object-int math.
+    s_max = int(np.abs(S).max()) if S.size else 0
+    n_max = int(N.max()) if N.size else 0
+    ss_max = max(SS_py) if SS_py else 0
+    exact_obj = [False]              # decided per batch, sticky once tripped
+
+    def _int64_safe(x_abs_max: int) -> bool:
+        worst = (n_max * dim * x_abs_max * x_abs_max
+                 + 2 * dim * x_abs_max * s_max + ss_max)
+        return worst < (1 << 62)
 
     def _stats(it):
         for pdf in it:
             X = np.stack([np.asarray(v, dtype=np.int64)
                           for v in pdf[q_col]])
             own = np.asarray([idx[int(c)] for c in pdf[cluster_col]])
-            x2 = (X * X).sum(axis=1)                      # exact int64
-            # numerators: n_C·|x|² − 2·x·S_C + SS_C, exact int64
-            num = (N[None, :] * x2[:, None]
-                   - 2 * (X @ S.T) + SS[None, :])
+            x_abs_max = int(np.abs(X).max()) if X.size else 0
+            if exact_obj[0] or not _int64_safe(x_abs_max):
+                exact_obj[0] = True
+                Xo = X.astype(object)
+                num = (np.asarray(N, dtype=object)[None, :]
+                       * (Xo * Xo).sum(axis=1)[:, None]
+                       - 2 * (Xo @ S.astype(object).T)
+                       + np.asarray(SS_py, dtype=object)[None, :])
+            else:
+                SS = np.asarray(SS_py, dtype=np.int64)
+                x2 = (X * X).sum(axis=1)                  # exact int64
+                # numerators: n_C·|x|² − 2·x·S_C + SS_C, exact int64
+                num = (N[None, :] * x2[:, None]
+                       - 2 * (X @ S.T) + SS[None, :])
             npt = len(X)
             si = np.zeros(npt)
             for p in range(npt):

@@ -18,12 +18,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: Strata are class values — a bounded set by construction.  The probe
+#: fetches MAX_STRATA+1 distinct keys and fails loudly past the cap (the
+#: same 21-distinct-style guard as the discrete-type probe,
+#: preprocess/transform.py) instead of collecting an unbounded key list
+#: when someone stratifies on a continuous column by mistake.
+MAX_STRATA = 1000
+
+
 def sample_fraction(df: DataFrame, fraction: float, *, seed: int = 42,
                     stratify_by: Optional[str] = None) -> DataFrame:
     """Bernoulli sample; stratified variant keeps the fraction per class
     (``sampleBy``)."""
     if stratify_by is not None:
-        keys = [r[0] for r in df.select(stratify_by).distinct().collect()]
+        keys = [r[0] for r in df.select(stratify_by).distinct()
+                .limit(MAX_STRATA + 1).collect()]
+        if len(keys) > MAX_STRATA:
+            raise ValueError(
+                f"sample_fraction: stratify_by={stratify_by!r} has more "
+                f"than {MAX_STRATA} distinct values — strata must be a "
+                "categorical column; discretize a continuous key first")
         return df.sampleBy(stratify_by, {k: fraction for k in keys}, seed=seed)
     return df.sample(fraction=fraction, seed=seed)
 

@@ -1066,6 +1066,7 @@ def q_ml_silhouette(spark, sf_dir):
     assigned, _ = kmeans_lloyd_fit(emb, "vec_id", array_col="embedding",
                                    k=4, n_iter=4)
     s = silhouette_exact(assigned)
+    assigned.lloyd_cache.unpersist()   # score is a scalar — release the fit
     import math
     s6 = math.floor(s * 1000000.0 + 0.5) / 1000000.0
     return spark.createDataFrame([(4, s6)], "k bigint, silhouette double")

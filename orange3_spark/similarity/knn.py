@@ -281,9 +281,9 @@ def ivf_knn(data: DataFrame, queries: DataFrame, k: int = 5, *,
     from orange3_spark.ml.cluster import (LLOYD_SCALE, kmeans_lloyd_fit,
                                           quantize_array)
 
-    assigned, cents0 = kmeans_lloyd_fit(data, id_col, array_col=vec_col,
-                                        k=n_cells, n_iter=n_iter)
-    assigned = assigned.cache()
+    fitted, cents0 = kmeans_lloyd_fit(data, id_col, array_col=vec_col,
+                                      k=n_cells, n_iter=n_iter)
+    assigned = fitted.cache()
     dim = len(cents0[0])
     # refresh centroids from the FINAL assignment — exact integer sums,
     # floor(Σ/n + 0.5) back onto the grid (empty cells keep the old one)
@@ -292,6 +292,10 @@ def ivf_knn(data: DataFrame, queries: DataFrame, k: int = 5, *,
                    for j in range(dim)],
                  F.count(F.lit(1)).alias("n"))
             .collect())
+    # the collect above materialized `assigned`'s own cache — the Lloyd
+    # quantized frame underneath is now redundant; release it so repeated
+    # index builds don't stack storage blocks
+    fitted.lloyd_cache.unpersist()
     got = {int(r["cluster"]):
            [math.floor(int(r[f"s{j}"]) / int(r["n"]) + 0.5)
             for j in range(dim)]
@@ -322,9 +326,11 @@ def ivf_knn(data: DataFrame, queries: DataFrame, k: int = 5, *,
         cand = cand.where(F.col("qid") != F.col("id_b"))
     cand = cand.withColumn("dist", _d(F.col("qv"), F.col("vb")))
     wr = Window.partitionBy("qid").orderBy(F.col("dist"), F.col("id_b"))
-    return (cand.withColumn("rank", F.row_number().over(wr))
-                .filter(F.col("rank") <= k)
-                .select("qid", "rank", "id_b", "dist"))
+    out = (cand.withColumn("rank", F.row_number().over(wr))
+               .filter(F.col("rank") <= k)
+               .select("qid", "rank", "id_b", "dist"))
+    out.lloyd_cache = assigned     # release handle (the IVF postings list)
+    return out
 
 
 def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
@@ -389,5 +395,7 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
                                dtype="int32"),
             "cos": S[iu[keep], ju[keep]]})
 
-    return side.groupBy("cluster").applyInPandas(
+    out = side.groupBy("cluster").applyInPandas(
         _pairs, "id_a long, id_b long, cluster int, cos double")
+    out.lloyd_cache = clustered.lloyd_cache   # release handle for callers
+    return out

@@ -72,22 +72,46 @@ def read_csv(spark: SparkSession, path: str, *,
         # honors ``encoding``), drop the preamble by file-order index, lift
         # the header on the driver (one tiny row), and parse the remaining
         # lines distributed with ``from_csv`` (splittable, no driver data).
-        from pyspark.sql.window import Window
-
         lines = spark.read.csv(path, sep="\x01", header=False,
                                encoding=encoding, quote="")
         line_col = lines.columns[0]
-        idx = F.row_number().over(
-            Window.orderBy(F.monotonically_increasing_id()))
-        lines = lines.withColumn("__i", idx).filter(F.col("__i") > skip_rows)
+        # Splittable line index — NO global window (row_number over an
+        # unpartitioned window collapses the whole file into one task):
+        # partition-local record number (the lower 33 bits of
+        # monotonically_increasing_id, per its documented layout) plus
+        # cumulative per-partition offsets from one small count job.
+        # File splits are byte-ranges in order, so partition id order is
+        # line order; the index is stable across the re-scan because the
+        # same file yields the same splits.
+        lines = (lines
+                 .withColumn("__pid", F.spark_partition_id())
+                 .withColumn("__mid", F.monotonically_increasing_id()))
+        counts = {r["__pid"]: r["n"] for r in
+                  lines.groupBy("__pid")
+                       .agg(F.count(F.lit(1)).alias("n")).collect()}
+        acc, offs = 0, {}
+        for pid in sorted(counts):
+            offs[pid] = acc
+            acc += counts[pid]
+        if not offs:                       # empty file: keep the map valid
+            offs = {0: 0}
+        off = F.create_map(*[F.lit(v) for kv in offs.items()
+                             for v in kv])[F.col("__pid")]
+        local = (F.col("__mid")
+                 - F.shiftleft(F.col("__pid").cast("long"), 33))
+        lines = (lines
+                 .withColumn("__i", (off + local + F.lit(1)).cast("long"))
+                 .drop("__pid", "__mid")
+                 .filter(F.col("__i") > skip_rows))
+        first_kept = F.col("__i") == skip_rows + 1
         if header:
-            head_line = lines.orderBy("__i").limit(1).collect()[0][line_col]
+            head_line = lines.filter(first_kept).collect()[0][line_col]
             names = next(_csv.reader([head_line], delimiter=sep,
                                      quotechar=quote or '"'))
             lines = lines.filter(F.col("__i") > skip_rows + 1)
         else:
             n_fields = len(next(_csv.reader(
-                [lines.orderBy("__i").limit(1).collect()[0][line_col]],
+                [lines.filter(first_kept).collect()[0][line_col]],
                 delimiter=sep, quotechar=quote or '"')))
             names = [f"_c{j}" for j in range(n_fields)]
         schema = ", ".join(f"`{n}` STRING" for n in names)

@@ -157,8 +157,11 @@ def read_xlsx(spark: SparkSession, path: str, *,
         grid: list[dict[int, str | None]] = []
         for row in ws.iter(f"{_NS}row"):
             cells: dict[int, str | None] = {}
-            for c in row.iter(f"{_NS}c"):
-                j = _col_index(c.get("r", "A1"))
+            last = -1                 # running index: a cell without r=
+            for c in row.iter(f"{_NS}c"):   # follows its predecessor (OOXML)
+                r_attr = c.get("r")
+                j = _col_index(r_attr) if r_attr else last + 1
+                last = j
                 t = c.get("t", "n")
                 if t == "inlineStr":
                     is_el = c.find(f"{_NS}is")
@@ -181,6 +184,16 @@ def read_xlsx(spark: SparkSession, path: str, *,
         raise ValueError(f"{path}: empty worksheet")
     width = max(max(r, default=-1) for r in grid) + 1
     names = [grid[0].get(j) or f"c{j}" for j in range(width)]
+    # de-duplicate header names (repeated or empty header cells would make
+    # F.col ambiguous downstream): suffix later repeats with _2, _3, …
+    used: set[str] = set()
+    for i, n in enumerate(names):
+        base, k = n, 1
+        while n in used:
+            k += 1
+            n = f"{base}_{k}"
+        used.add(n)
+        names[i] = n
     data = [tuple(r.get(j) for j in range(width)) for r in grid[1:]]
     raw = spark.createDataFrame(
         data, ", ".join(f"`{n}` string" for n in names))

@@ -276,3 +276,17 @@ def test_salted_aggregate_rejects_holistic(spark):
     df = spark.createDataFrame([("a", 1.0)], "k string, x double")
     with pytest.raises(ValueError, match="decomposable"):
         salted_aggregate(df, ["k"], {"x": ["median"]})
+
+
+def test_stratified_sample_rejects_continuous_strata(spark):
+    import orange3_spark.operators.sample as SA
+
+    old = SA.MAX_STRATA
+    SA.MAX_STRATA = 5
+    try:
+        df = spark.range(100).select(
+            (F.col("id").cast("double") / 7.0).alias("x"), "id")
+        with pytest.raises(ValueError, match="distinct values"):
+            SA.sample_fraction(df, 0.5, stratify_by="x")
+    finally:
+        SA.MAX_STRATA = old
