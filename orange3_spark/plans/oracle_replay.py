@@ -171,6 +171,52 @@ FROM flagged GROUP BY 1 ORDER BY 1
 """
 
 
+# --------------------------------------------------------------- AdaBoost
+
+ADABOOST_PARAMS = dict(n_estimators=12, max_samples=2000)
+
+
+@lazy
+def adaboost_oracle() -> str:
+    """q_ml_adaboost: replay the SAMME stump fit on the identical id-hash
+    sample, embed (feature, threshold, polarity, alpha) per stump, and
+    mirror the codegen margin chain term for term — comparisons and a
+    fixed-order sum of literals, no libm anywhere, so flags and quantized
+    margins are bit-exact."""
+    from orange3_spark.ml.ensembles import fit_adaboost_matrix
+
+    P = ADABOOST_PARAMS
+    S = _fetch(f"""
+        SELECT CAST(o_totalprice AS DOUBLE), CAST(o_custkey AS DOUBLE),
+               CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN 1.0 ELSE 0.0 END
+        FROM '{_sf_dir()}/orders.parquet'
+        WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL
+          AND o_orderpriority IS NOT NULL
+        ORDER BY md5(CAST(o_orderkey AS VARCHAR))
+        LIMIT {P["max_samples"]}""")
+    X, y = S[:, :-1], S[:, -1]
+    stumps = fit_adaboost_matrix(X, y, n_estimators=P["n_estimators"])
+    cols = ["CAST(o_totalprice AS DOUBLE)", "CAST(o_custkey AS DOUBLE)"]
+    # mirror AdaBoostModel.margin: e = 0.0; e = e + (CASE…±pol) * alpha
+    e = "0.0"
+    for f, thr, pol, alpha in stumps:
+        vote = (f"(CASE WHEN {cols[f]} < {_lit(thr)} THEN {_lit(pol)} "
+                f"ELSE {_lit(-pol)} END)")
+        e = f"({e} + ({vote} * {_lit(alpha)}))"
+    return f"""
+WITH scored AS (
+  SELECT (o_orderpriority = '1-URGENT') AS actual, {e} AS margin
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL
+    AND o_orderpriority IS NOT NULL)
+SELECT actual, margin > 0 AS prediction, count(*) AS n,
+       CAST(sum(CAST(floor(margin * 1000000.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS qmargin_total
+FROM scored GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # -------------------------------------------------------------- linear SVR
 
 SVR_PARAMS = dict(epsilon=0.1, epochs=200, max_samples=4000)

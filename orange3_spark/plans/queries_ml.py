@@ -1070,3 +1070,156 @@ def q_ml_silhouette(spark, sf_dir):
     import math
     s6 = math.floor(s * 1000000.0 + 0.5) / 1000000.0
     return spark.createDataFrame([(4, s6)], "k bigint, silhouette double")
+
+
+@query("q_ml_adaboost", OR.adaboost_oracle)
+def q_ml_adaboost(spark, sf_dir):
+    """AdaBoost/SAMME over depth-1 stumps (Orange/ensembles/ada_boost.py
+    SklAdaBoostClassificationLearner; Orange/tests/test_ada_boost.py) —
+    id-hash sample fit, pure-codegen CASE-WHEN margin predict.  The oracle
+    (plans/oracle_replay.adaboost_oracle) replays the fit on the identical
+    sample and mirrors the margin chain, so the distributed scoring pass
+    (flags + quantized margins + confusion counts) is hash-checked."""
+    from orange3_spark.ml.ensembles import ada_boost_classifier
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    P = OR.ADABOOST_PARAMS
+    base = orders.na.drop(subset=["o_totalprice", "o_custkey",
+                                  "o_orderpriority"])
+    model = ada_boost_classifier(
+        base.withColumn("_y", F.col("o_orderpriority") == "1-URGENT"),
+        ["o_totalprice", "o_custkey"], "_y",
+        n_estimators=P["n_estimators"], max_samples=P["max_samples"],
+        id_cols=["o_orderkey"])
+    scored = model.predict(
+        base.withColumn("actual", F.col("o_orderpriority") == "1-URGENT"))
+    return (scored.groupBy("actual", "prediction")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.floor(F.col("margin") * F.lit(1000000.0)
+                               + F.lit(0.5))).alias("qmargin_total"))
+            .orderBy("actual", "prediction"))
+
+
+_STACK_SQL = """
+WITH d AS (SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS key,
+    CAST(floor(CAST(l_quantity AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS qx0,
+    CAST(floor(CAST(l_discount AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS qx1,
+    CAST(floor((CAST(l_extendedprice AS DOUBLE) / 1000.0) * 10000.0 + 0.5)
+         AS BIGINT) AS qy
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    AND l_extendedprice IS NOT NULL),
+f AS (SELECT *, CAST(CAST(concat('0x',
+        substring(md5(CAST(key AS VARCHAR)), 1, 8)) AS BIGINT) % 3 AS INT)
+        AS fold FROM d),
+m AS (SELECT fold, count(*) AS n, sum(qy) AS sy,
+             sum(qx0) AS s0, sum(qx0*qx0) AS s00, sum(qx0*qy) AS s0y,
+             sum(qx1) AS s1, sum(qx1*qx1) AS s11, sum(qx1*qy) AS s1y
+      FROM f GROUP BY fold),
+tot AS (SELECT sum(n) AS n, sum(sy) AS sy, sum(s0) AS s0, sum(s00) AS s00,
+               sum(s0y) AS s0y, sum(s1) AS s1, sum(s11) AS s11,
+               sum(s1y) AS s1y FROM m),
+compd AS (SELECT m.fold,
+    CAST(t.n - m.n AS DOUBLE) AS n, CAST(t.sy - m.sy AS DOUBLE) AS sy,
+    CAST(t.s0 - m.s0 AS DOUBLE) AS s0, CAST(t.s00 - m.s00 AS DOUBLE) AS s00,
+    CAST(t.s0y - m.s0y AS DOUBLE) AS s0y,
+    CAST(t.s1 - m.s1 AS DOUBLE) AS s1, CAST(t.s11 - m.s11 AS DOUBLE) AS s11,
+    CAST(t.s1y - m.s1y AS DOUBLE) AS s1y
+  FROM m, tot t),
+bs AS (SELECT fold, n, sy, s0, s1,
+              (n*s0y - s0*sy) / (n*s00 - s0*s0) AS b0s,
+              (n*s1y - s1*sy) / (n*s11 - s1*s1) AS b1s
+       FROM compd),
+beta AS (SELECT fold, b0s, (sy - b0s*s0) / n AS b0i,
+                b1s, (sy - b1s*s1) / n AS b1i FROM bs),
+z AS (SELECT f.qy,
+    CAST(floor((b.b0i + b.b0s * CAST(f.qx0 AS DOUBLE)) + 0.5) AS BIGINT)
+        AS qz0,
+    CAST(floor((b.b1i + b.b1s * CAST(f.qx1 AS DOUBLE)) + 0.5) AS BIGINT)
+        AS qz1
+  FROM f JOIN beta b ON f.fold = b.fold),
+mm AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+              CAST(sum(qz0) AS DOUBLE) AS a1, CAST(sum(qz1) AS DOUBLE) AS a2,
+              CAST(sum(qz0*qz0) AS DOUBLE) AS a11,
+              CAST(sum(qz0*qz1) AS DOUBLE) AS a12,
+              CAST(sum(qz1*qz1) AS DOUBLE) AS a22,
+              CAST(sum(qy) AS DOUBLE) AS c0,
+              CAST(sum(qz0*qy) AS DOUBLE) AS c1,
+              CAST(sum(qz1*qy) AS DOUBLE) AS c2
+       FROM z),
+sol AS (SELECT
+  (n*(a11*a22 - a12*a12) - a1*(a1*a22 - a12*a2)
+     + a2*(a1*a12 - a11*a2)) AS det,
+  (c0*(a11*a22 - a12*a12) - a1*(c1*a22 - a12*c2)
+     + a2*(c1*a12 - a11*c2)) AS det0,
+  (n*(c1*a22 - a12*c2) - c0*(a1*a22 - a12*a2)
+     + a2*(a1*c2 - c1*a2)) AS det1,
+  (n*(a11*c2 - c1*a12) - a1*(a1*c2 - c1*a2)
+     + c0*(a1*a12 - a11*a2)) AS det2
+  FROM mm),
+meta AS (SELECT det0/det AS mi, det1/det AS w0, det2/det AS w1 FROM sol),
+fullb AS (SELECT b0s, (sy - b0s*s0) / n AS b0i,
+                 b1s, (sy - b1s*s1) / n AS b1i FROM (
+    SELECT n, sy, s0, s1,
+           (n*s0y - s0*sy) / (n*s00 - s0*s0) AS b0s,
+           (n*s1y - s1*sy) / (n*s11 - s1*s1) AS b1s
+    FROM (SELECT CAST(n AS DOUBLE) AS n, CAST(sy AS DOUBLE) AS sy,
+                 CAST(s0 AS DOUBLE) AS s0, CAST(s00 AS DOUBLE) AS s00,
+                 CAST(s0y AS DOUBLE) AS s0y, CAST(s1 AS DOUBLE) AS s1,
+                 CAST(s11 AS DOUBLE) AS s11, CAST(s1y AS DOUBLE) AS s1y
+          FROM tot) t) u),
+pred AS (SELECT f.qy,
+    ((meta.mi + (meta.w0 * (fullb.b0i + fullb.b0s * CAST(f.qx0 AS DOUBLE))))
+      + (meta.w1 * (fullb.b1i + fullb.b1s * CAST(f.qx1 AS DOUBLE)))) AS p
+  FROM f, meta, fullb),
+qe AS (SELECT CAST(floor(((CAST(qy AS DOUBLE) - p) * (CAST(qy AS DOUBLE) - p))
+                         + 0.5) AS BIGINT) AS e FROM pred)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_rows,
+       meta.mi AS meta_intercept, meta.w0 AS w0, meta.w1 AS w1,
+       (SELECT sqrt(CAST(sum(e) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+               / 10000.0 FROM qe) AS rmse
+FROM meta
+"""
+
+
+@query("q_ml_stack", _STACK_SQL)
+def q_ml_stack(spark, sf_dir):
+    """Stacked regression (Orange/ensembles/stack.py:18-96 StackedLearner,
+    Orange/tests/test_stack.py): two single-feature OLS bases, K-fold CV
+    meta-features, OLS aggregate — reduced to two moment scans + one
+    scoring scan (ml/ensembles.stacked_ols_quantized).  Exactness: every
+    distributed sum is an integer (decimal(38,0) / HUGEINT), every float
+    derives from identical integers through IEEE op trees mirrored in the
+    static SQL oracle (complement fold moments, 3x3 Cramer solve,
+    full-data refits, quantized-residual RMSE) — the float variant
+    measured 1e-6 relative drift on the ill-conditioned meta solve, so
+    bit-exact discipline is load-bearing here, not a flourish."""
+    import math
+
+    from orange3_spark.ml.ensembles import stacked_ols_quantized
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    data = (li.na.drop(subset=["l_quantity", "l_discount",
+                               "l_extendedprice"])
+            .select((F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+                    .cast("bigint").alias("key"),
+                    F.floor(F.col("l_quantity").cast("double") * F.lit(100.0)
+                            + F.lit(0.5)).alias("qx0"),
+                    F.floor(F.col("l_discount").cast("double")
+                            * F.lit(10000.0) + F.lit(0.5)).alias("qx1"),
+                    F.floor((F.col("l_extendedprice").cast("double")
+                             / F.lit(1000.0)) * F.lit(10000.0)
+                            + F.lit(0.5)).alias("qy")))
+    _folds, _fulls, (mi, w0, w1), pexpr = stacked_ols_quantized(
+        data, "key", ["qx0", "qx1"], "qy", k=3)
+    res = F.col("qy").cast("double") - pexpr
+    agg = data.agg(
+        F.sum(F.floor((res * res) + F.lit(0.5)).cast("decimal(38,0)"))
+        .alias("q"),
+        F.count(F.lit(1)).alias("n")).first()
+    rmse = math.sqrt(float(int(agg["q"]))
+                     / float(int(agg["n"]))) / 10000.0
+    return spark.createDataFrame(
+        [(int(agg["n"]), float(mi), float(w0), float(w1), float(rmse))],
+        "n_rows bigint, meta_intercept double, w0 double, w1 double, "
+        "rmse double")

@@ -1,0 +1,88 @@
+"""Ensembles: stacking must beat-or-match its worst base, AdaBoost must
+nail a pattern no single stump can, and refits must be deterministic
+(parity with Orange/tests/test_stack.py, test_ada_boost.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _lin(spark, n=400):
+    """y = 2·a − 3·b + 1 (exact), a and b each alone underdetermine y."""
+    rows = [(i, float(i % 17), float((i * 7) % 13),
+             2.0 * (i % 17) - 3.0 * ((i * 7) % 13) + 1.0)
+            for i in range(n)]
+    return spark.createDataFrame(rows, "id long, a double, b double, y double")
+
+
+def test_stacked_ols_combines_bases(spark):
+    from orange3_spark.ml.ensembles import stacked_ols
+    from orange3_spark.ml.learners import ols_learner
+
+    df = _lin(spark)
+    stack = stacked_ols(df, "id", [["a"], ["b"]], "y", k=3)
+
+    def _rmse(pred):
+        return pred.agg(F.sqrt(F.avg((F.col("y") - F.col("prediction"))
+                                     ** 2))).first()[0]
+
+    r_stack = _rmse(stack.predict(df))
+    r_a = _rmse(ols_learner(df, ["a"], "y").predict(df))
+    r_b = _rmse(ols_learner(df, ["b"], "y").predict(df))
+    # each base is blind to one term; the stack sees both through the
+    # meta-combination and must strictly improve on both bases
+    assert r_stack < min(r_a, r_b) * 0.9
+
+
+def test_stacked_learner_generic(spark):
+    from orange3_spark.ml.ensembles import stacked_learner
+    from orange3_spark.ml.learners import mean_learner, ols_learner
+
+    df = _lin(spark)
+    stack = stacked_learner(
+        df, "id",
+        [lambda d: ols_learner(d, ["a"], "y"),
+         lambda d: ols_learner(d, ["b"], "y"),
+         lambda d: mean_learner(d, "y")],
+        lambda meta, cols: ols_learner(meta, cols, "y"), k=3)
+    out = stack.predict(df)
+    r = out.agg(F.sqrt(F.avg((F.col("y") - F.col("prediction"))
+                             ** 2))).first()[0]
+    base = ols_learner(df, ["a"], "y").predict(df)
+    r_a = base.agg(F.sqrt(F.avg((F.col("y") - F.col("prediction"))
+                               ** 2))).first()[0]
+    assert r < r_a
+    assert "z0" not in out.columns          # meta cols cleaned up
+
+
+def test_adaboost_learns_interval(spark):
+    """label = x in [3, 7): a single threshold stump caps at 0.7 accuracy
+    (it can only get one side of the interval); the boosted combination
+    must beat that cap decisively."""
+    from orange3_spark.ml.ensembles import ada_boost_classifier
+
+    rows = [(i, float(i % 10), bool(3 <= i % 10 < 7))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, x double, y boolean")
+    model = ada_boost_classifier(df, ["x"], "y", n_estimators=10,
+                                 id_cols=["id"])
+    scored = model.predict(df)
+    acc = (scored.filter(F.col("prediction") == F.col("y")).count()
+           / df.count())
+    assert acc >= 0.85, f"boosted acc {acc} should beat the 0.7 stump cap"
+    # determinism: refit produces identical stumps
+    again = ada_boost_classifier(df, ["x"], "y", n_estimators=10,
+                                 id_cols=["id"])
+    assert again.stumps == model.stumps
+
+
+def test_adaboost_predict_is_codegen(spark):
+    from orange3_spark.ml.ensembles import ada_boost_classifier
+
+    rows = [(i, float(i % 10), bool(i % 10 < 5)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, x double, y boolean")
+    model = ada_boost_classifier(df, ["x"], "y", n_estimators=5,
+                                 id_cols=["id"])
+    plan = (model.predict(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
