@@ -269,6 +269,72 @@ def knn_classifier(df: DataFrame, features: Sequence[str] = (),
     return Model(_predict, "knn")
 
 
+def knn_regressor(df: DataFrame, features: Sequence[str] = (),
+                  target_col: str = "y", *, array_col: Optional[str] = None,
+                  k: int = 5, id_col: Optional[str] = None,
+                  max_broadcast_cells: int = 50_000_000) -> Model:
+    """kNN regression (``Orange/regression/knn.py`` KNNRegressionLearner
+    wraps sklearn KNeighborsRegressor; tests ``Orange/tests/test_knn.py``):
+    prediction = mean target of the k nearest training rows, same
+    broadcast+BLAS inference shape as :func:`knn_classifier`.
+
+    Exactness contract: with INTEGER feature/target columns and an
+    ``id_col``, neighbor selection is a total order (squared distance,
+    then train id — ``np.lexsort``), distances are exact integer-valued
+    float64 (products < 2⁵³), and the prediction is ``Σy/k`` from an
+    exact int sum — so the whole inference pass is replayable in SQL
+    (``q_ml_knn_reg``).  Float features work too, minus the bit-exact
+    guarantee."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    feat = list(features)
+    sel = ([array_col] if array_col is not None else feat) + [target_col]
+    if id_col is not None:
+        sel = sel + [id_col]
+    rows = df.select(*sel).collect()
+    if array_col is not None:
+        train_x = np.array([r[0] for r in rows], dtype=np.float64)
+    else:
+        train_x = np.array([r[:len(feat)] for r in rows], dtype=np.float64)
+    train_y = np.array([r[target_col] for r in rows], dtype=np.float64)
+    int_y = all(float(v).is_integer() for v in train_y[:100])
+    if int_y:
+        train_y = train_y.astype(np.int64)
+    train_id = (np.array([r[id_col] for r in rows])
+                if id_col is not None else np.arange(len(rows)))
+    if train_x.size > max_broadcast_cells:
+        raise ValueError("training matrix exceeds broadcast bound")
+    sc = df.sparkSession.sparkContext
+    b = sc.broadcast((train_x, train_y, train_id))
+
+    def _predict(d: DataFrame) -> DataFrame:
+        in_fields = d.schema.fields
+        schema = T.StructType(list(in_fields) +
+                              [T.StructField("prediction", T.DoubleType())])
+
+        def run(pdf_iter):
+            X, y, ids = b.value
+            for pdf in pdf_iter:
+                if array_col is not None:
+                    q = np.array(list(pdf[array_col]), dtype=np.float64)
+                else:
+                    q = pdf[feat].to_numpy(dtype=np.float64)
+                d2 = ((q ** 2).sum(1)[:, None] - 2 * q @ X.T
+                      + (X ** 2).sum(1)[None, :])
+                preds = np.empty(len(q))
+                for i in range(len(q)):
+                    order = np.lexsort((ids, d2[i]))[:k]   # dist, then id
+                    preds[i] = y[order].sum() / k          # exact Σ/k
+                pdf = pdf.copy()
+                pdf["prediction"] = preds
+                yield pdf
+
+        return d.mapInPandas(run, schema=schema)
+
+    return Model(_predict, "knn_reg")
+
+
 def softmax_regression(df, features=(), class_col="label", *, array_col=None,
                        max_iter=50, reg_param=0.0) -> Model:
     """Softmax/multinomial logistic regression

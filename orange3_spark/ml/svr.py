@@ -156,6 +156,75 @@ def nu_svr(df: DataFrame, cols: Sequence[str] = (), target: str = "y", *,
     return SVRModel(W_eff, c_eff, w, b, cols, array_col)
 
 
+def _fit_hinge(Z, y, *, lam: float, epochs: int):
+    """Deterministic subgradient descent on the soft-margin hinge primal
+    ½λ‖w‖² + mean(max(0, 1 − y(Zw + b))), y ∈ {−1, +1} — the linear-SVC
+    core the RFF map turns into an RBF-kernel SVC."""
+    import numpy as np
+
+    n, d = Z.shape
+    w = np.zeros(d)
+    b = 0.0
+    for t in range(epochs):
+        lr = 1.0 / (lam * (t + 1) + 10.0)
+        viol = (y * (Z @ w + b)) < 1.0
+        yv = y * viol
+        gw = lam * w - (Z.T @ yv) / n
+        gb = -yv.sum() / n
+        w -= lr * gw
+        b -= lr * gb
+    return w, b
+
+
+class SVMClassifierModel:
+    """Broadcast (W, c, w, b): margin = RFF(x)·w + b, prediction =
+    margin > 0.  ``W is None`` → linear (pure Column codegen)."""
+
+    def __init__(self, W, c, w, b, cols, array_col=None):
+        self._scorer = SVRModel(W, c, w, b, cols, array_col)
+
+    def predict(self, df: DataFrame, *, margin_col: str = "margin",
+                pred_col: str = "prediction") -> DataFrame:
+        out = self._scorer.predict(df, pred_col=margin_col)
+        return out.withColumn(pred_col, F.col(margin_col) > 0)
+
+
+def svm_classifier(df: DataFrame, cols: Sequence[str] = (),
+                   label_col: str = "label", *,
+                   array_col: Optional[str] = None,
+                   gamma: Optional[float] = None, lam: float = 1e-3,
+                   n_features: int = 256, max_samples: int = 2000,
+                   epochs: int = 200, seed: int = 42,
+                   id_cols: Optional[Sequence[str]] = None
+                   ) -> SVMClassifierModel:
+    """RBF-kernel SVM classifier (``Orange/classification/svm.py`` —
+    SVMLearner wraps sklearn SVC, kernel='rbf' default;
+    ``Orange/tests/test_svm.py``): standardize, seeded random-Fourier
+    map (Rahimi & Recht 2007 — the same approximation powering ``svr``
+    and ``one_class_svm``), deterministic hinge fit on an id-hash
+    sample; predict is Arrow-batched and embarrassingly parallel.
+    ``label_col`` is boolean / 0-1; internally mapped to ±1."""
+    import numpy as np
+
+    X, y01 = _sample_xy(df, cols, array_col, label_col, max_samples,
+                        id_cols=id_cols)
+    y = np.where(y01 > 0, 1.0, -1.0)
+    n, p = X.shape
+    mu, sd = X.mean(axis=0), X.std(axis=0)
+    sd[sd == 0] = 1.0
+    Xs = (X - mu) / sd
+    if gamma is None:
+        gamma = 1.0 / p
+    rng = np.random.default_rng(seed)
+    W = rng.normal(0.0, math.sqrt(2.0 * gamma), size=(p, n_features))
+    c = rng.uniform(0.0, 2.0 * math.pi, size=n_features)
+    Z = np.sqrt(2.0 / n_features) * np.cos(Xs @ W + c)
+    w, b = _fit_hinge(Z, y, lam=lam, epochs=epochs)
+    W_eff = (W.T / sd).T
+    c_eff = c - mu @ (W.T / sd).T
+    return SVMClassifierModel(W_eff, c_eff, w, b, cols, array_col)
+
+
 def fit_linear_svr_matrix(X, y, *, epsilon: float = 0.1, lam: float = 1e-3,
                           epochs: int = 300):
     """Standardize → ε-insensitive fit → fold the scaling back out.

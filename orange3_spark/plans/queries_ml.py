@@ -1223,3 +1223,148 @@ def q_ml_stack(spark, sf_dir):
         [(int(agg["n"]), float(mi), float(w0), float(w1), float(rmse))],
         "n_rows bigint, meta_intercept double, w0 double, w1 double, "
         "rmse double")
+
+
+@query("q_ml_svm", """
+WITH s AS (SELECT vec_id,
+                  CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y,
+                  substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+                      < '3fffffff' AS is_test
+           FROM embeddings),
+pri AS (SELECT round(greatest(avg(y), 1 - avg(y)), 4) AS majority_share
+        FROM s WHERE NOT is_test),
+te AS (SELECT count(*) AS n_test FROM s WHERE is_test)
+SELECT te.n_test, pri.majority_share, TRUE AS ca_ok FROM te, pri
+""")
+def q_ml_svm(spark, sf_dir):
+    """RBF-kernel SVM classifier (Orange/classification/svm.py SVMLearner,
+    sklearn SVC kernel='rbf'; Orange/tests/test_svm.py) via the seeded
+    random-Fourier map + deterministic hinge fit (ml/svr.svm_classifier)
+    on a hash train split of the embeddings.  The RFF cosine projection
+    rules out a bit-exact SQL mirror (libm cos differs across engines at
+    the last ulp), so the oracle pins what IS exact — held-out count and
+    complement-train majority share — while ``ca_ok`` asserts the
+    behavioral bound ca ≥ majority − max(0.02, 3σ) (same contract as
+    q_ml_logreg_cv); kernel nonlinearity (XOR separation, which the
+    linear SVM cannot do) is pytest-asserted (tests/test_svr.py)."""
+    import math
+
+    from orange3_spark.ml.svr import svm_classifier
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    data = emb.withColumn("_y", (F.col("label") < 5).cast("double"))
+    train, test = E.train_test_split(data, "vec_id", 0.25)
+    model = svm_classifier(train, array_col="embedding", label_col="_y",
+                           id_cols=["vec_id"], epochs=200, seed=42)
+    scored = model.predict(test)
+    n_test = scored.count()
+    ca = (scored.filter(F.col("prediction")
+                        == (F.col("_y") > 0)).count() / max(n_test, 1))
+    avg_y = train.agg(F.avg("_y")).first()[0]
+    maj = max(avg_y, 1.0 - avg_y)
+    tol = max(0.02, 3.0 * math.sqrt(maj * (1 - maj) / max(n_test, 1)))
+    return spark.createDataFrame(
+        [(n_test, round(maj, 4), bool(ca >= maj - tol))],
+        "n_test bigint, majority_share double, ca_ok boolean")
+
+
+@query("q_ml_knn_reg", """
+WITH d AS (SELECT o_orderkey AS id, CAST(o_custkey AS BIGINT) AS qx,
+                  CAST(floor(CAST(o_totalprice AS DOUBLE) * 10.0 + 0.5)
+                       AS BIGINT) AS qy,
+                  substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+                      < '3fffffff' AS is_test
+           FROM orders
+           WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL),
+pairs AS (SELECT t.id, t.qy AS ty, tr.qy,
+                 row_number() OVER (PARTITION BY t.id
+                     ORDER BY (t.qx - tr.qx) * (t.qx - tr.qx), tr.id) AS rn
+          FROM d t JOIN d tr ON NOT tr.is_test
+          WHERE t.is_test),
+knn AS (SELECT id, any_value(ty) AS ty,
+               CAST(sum(qy) AS DOUBLE) / 5.0 AS pred
+        FROM pairs WHERE rn <= 5 GROUP BY id),
+qe AS (SELECT CAST(floor(((CAST(ty AS DOUBLE) - pred)
+                          * (CAST(ty AS DOUBLE) - pred)) + 0.5)
+                   AS BIGINT) AS e FROM knn)
+SELECT count(*) AS n_test, CAST(sum(e) AS BIGINT) AS qerr_sum,
+       sqrt(CAST(sum(e) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 10.0
+           AS rmse
+FROM qe
+""")
+def q_ml_knn_reg(spark, sf_dir):
+    """kNN regression (Orange/regression/knn.py KNNRegressionLearner;
+    Orange/tests/test_knn.py) — mean of the 5 nearest training targets by
+    exact integer squared distance with train-id tie-break
+    (ml/learners.knn_regressor, broadcast+BLAS inference).  The whole
+    inference pass — split, neighbor selection, Σ/k prediction, quantized
+    residual RMSE — is replayed by the literal top-k-join oracle."""
+    import math
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    data = (orders.na.drop(subset=["o_custkey", "o_totalprice"])
+            .select(F.col("o_orderkey").alias("id"),
+                    F.col("o_custkey").cast("long").alias("qx"),
+                    F.floor(F.col("o_totalprice").cast("double")
+                            * F.lit(10.0) + F.lit(0.5)).alias("qy")))
+    train, test = E.train_test_split(data, "id", 0.25)
+    model = L.knn_regressor(train, ["qx"], "qy", k=5, id_col="id")
+    pred = model.predict(test)
+    res = F.col("qy").cast("double") - F.col("prediction")
+    agg = pred.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor((res * res) + F.lit(0.5)).cast("decimal(38,0)"))
+        .alias("q")).first()
+    rmse = math.sqrt(float(int(agg["q"]))
+                     / float(int(agg["n"]))) / 10.0
+    return spark.createDataFrame(
+        [(int(agg["n"]), int(agg["q"]), float(rmse))],
+        "n_test bigint, qerr_sum bigint, rmse double")
+
+
+@query("q_ml_mlp_reg", """
+WITH d AS (SELECT l_orderkey,
+                  substring(md5(CAST(l_orderkey * 10 + l_linenumber
+                                     AS VARCHAR)), 1, 8)
+                      < '3fffffff' AS is_test
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+             AND l_extendedprice IS NOT NULL)
+SELECT CAST(count(*) AS BIGINT) AS n_test, TRUE AS rmse_ok
+FROM d WHERE is_test
+""")
+def q_ml_mlp_reg(spark, sf_dir):
+    """MLP regression (Orange/regression/neural_network.py
+    NNRegressionLearner — sklearn MLPRegressor, driver-local in the
+    reference too; Orange/tests/test_nn.py) via the sample-fit seeded
+    tanh MLP (ml/neural.mlp_regressor) + Arrow-batched predict.  The
+    iterative fit isn't SQL — the oracle pins the exact held-out count
+    while ``rmse_ok`` asserts the behavioral bound rmse ≤ 1.1 × test
+    stddev (the net must not do materially worse than the constant
+    predictor; learning a real nonlinearity is pytest-asserted,
+    tests/test_neural.py)."""
+    import math
+
+    from orange3_spark.ml.neural import mlp_regressor
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    data = (li.na.drop(subset=["l_quantity", "l_discount",
+                               "l_extendedprice"])
+            .select((F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+                    .cast("bigint").alias("key"),
+                    F.col("l_quantity").cast("double").alias("x0"),
+                    F.col("l_discount").cast("double").alias("x1"),
+                    (F.col("l_extendedprice").cast("double")
+                     / F.lit(1000.0)).alias("y")))
+    train, test = E.train_test_split(data, "key", 0.25)
+    model = mlp_regressor(train, ["x0", "x1"], "y", id_cols=["key"],
+                          epochs=300, seed=42)
+    pred = model.predict(test)
+    r = pred.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sqrt(F.avg((F.col("y") - F.col("prediction"))
+                     * (F.col("y") - F.col("prediction")))).alias("rmse"),
+        F.stddev_pop("y").alias("sd")).first()
+    ok = bool(r["rmse"] <= 1.1 * r["sd"])
+    return spark.createDataFrame([(int(r["n"]), ok)],
+                                 "n_test bigint, rmse_ok boolean")

@@ -60,3 +60,58 @@ def test_linear_svr_recovers_line(spark):
     df = spark.createDataFrame(rows, "id int, x double, y double")
     model = linear_svr(df, ["x"], "y", epsilon=0.01, epochs=2000)
     assert _rmse(model.predict(df)) < 5.0
+
+
+def test_kernel_svm_separates_xor(spark):
+    """XOR labels are not linearly separable — the RFF kernel map must
+    get them (Orange/classification/svm.py SVC parity)."""
+    import numpy as np
+    from orange3_spark.ml.svr import svm_classifier
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(400):
+        x, y = rng.normal(0, 1.0), rng.normal(0, 1.0)
+        x += 2.0 if i % 4 in (0, 1) else -2.0
+        y += 2.0 if i % 4 in (0, 2) else -2.0
+        rows.append((i, float(x), float(y), bool((x > 0) == (y > 0))))
+    df = spark.createDataFrame(rows, "id long, x double, y double, lbl boolean")
+    data = df.withColumn("_y", F.col("lbl").cast("double"))
+    model = svm_classifier(data, ["x", "y"], "_y", id_cols=["id"],
+                           gamma=0.5, epochs=400, seed=2)
+    scored = model.predict(data)
+    acc = scored.filter(F.col("prediction") == F.col("lbl")).count() / 400
+    assert acc > 0.9, acc
+
+
+def test_kernel_svm_refit_deterministic(spark):
+    import numpy as np
+    from orange3_spark.ml.svr import svm_classifier
+
+    rows = [(i, float(i % 13), float((i * 3) % 7), bool(i % 2))
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, a double, b double, l boolean")
+    data = df.withColumn("_y", F.col("l").cast("double"))
+    m1 = svm_classifier(data, ["a", "b"], "_y", id_cols=["id"], epochs=50)
+    m2 = svm_classifier(data, ["a", "b"], "_y", id_cols=["id"], epochs=50)
+    assert np.array_equal(m1._scorer.w, m2._scorer.w)
+    assert m1._scorer.b == m2._scorer.b
+
+
+def test_knn_regressor_exact_mean(spark):
+    """1-d integer grid: the k=3 neighbor set and Σ/k mean are fully
+    predictable — assert them literally."""
+    from orange3_spark.ml.learners import knn_regressor
+
+    train = spark.createDataFrame(
+        [(i, i * 10, i * 100) for i in range(10)],
+        "id long, qx long, qy long")
+    test = spark.createDataFrame([(100, 41), (101, 95)],
+                                 "id long, qx long")
+    model = knn_regressor(train, ["qx"], "qy", k=3, id_col="id")
+    got = {r["id"]: r["prediction"]
+           for r in model.predict(test).collect()}
+    # qx=41 → neighbors 40,50,30 (dists 1,81,121) → mean(400,500,300)=400
+    assert got[100] == 400.0
+    # qx=95 → neighbors 90,80,70 (dists 25,225,625) → mean(900,800,700)=800
+    assert got[101] == 800.0
