@@ -384,6 +384,66 @@ def silhouette_exact(assigned: DataFrame, *, q_col: str = "_q",
     return float(total) / n / 1e9
 
 
+def adjusted_rand_index(assigned: DataFrame, cluster_col: str = "cluster",
+                        label_col: str = "label") -> float:
+    """Adjusted Rand Index of a clustering against reference labels
+    (``Orange/evaluation/clustering.py:59-85`` ClusteringEvaluation
+    scores ARI per fold via sklearn ``adjusted_rand_score``).
+
+    One distributed crosstab — ``groupBy(cluster, label)`` counts, k×c
+    rows to the driver — then the exact pair-count formula on Python
+    ints (no float until the two final divisions, mirrored by the SQL
+    oracle in ``q_ml_ari``).  NULL cluster/label rows are dropped, like
+    sklearn."""
+    rows = (assigned
+            .filter(F.col(cluster_col).isNotNull()
+                    & F.col(label_col).isNotNull())
+            .groupBy(cluster_col, label_col)
+            .agg(F.count(F.lit(1)).alias("n")).collect())
+    if not rows:
+        return 0.0
+    from collections import defaultdict
+
+    a, b = defaultdict(int), defaultdict(int)
+    sum_comb = 0
+    n_tot = 0
+    for r in rows:
+        nij = int(r["n"])
+        a[r[cluster_col]] += nij
+        b[r[label_col]] += nij
+        sum_comb += (nij * (nij - 1)) // 2
+        n_tot += nij
+    sum_a = sum((x * (x - 1)) // 2 for x in a.values())
+    sum_b = sum((x * (x - 1)) // 2 for x in b.values())
+    nc2 = (n_tot * (n_tot - 1)) // 2
+    if nc2 == 0:
+        return 0.0
+    expected = (float(sum_a) * float(sum_b)) / float(nc2)
+    maximum = (float(sum_a) + float(sum_b)) / 2.0
+    if maximum == expected:
+        return 1.0    # degenerate: single cluster == single class
+    return (float(sum_comb) - expected) / (maximum - expected)
+
+
+def evaluate_clustering(df: DataFrame, id_col: str, *, array_col: str,
+                        label_col: str = "label", k: int = 8,
+                        n_iter: int = 2) -> dict:
+    """Clustering evaluation harness (ClusteringEvaluation,
+    ``Orange/evaluation/clustering.py:24-85``): fit the deterministic
+    Lloyd k-means and score it by silhouette AND ARI against the given
+    labels — the two scores the reference reports per fold.  Releases
+    the fit cache before returning (scores are scalars)."""
+    assigned, _ = kmeans_lloyd_fit(df, id_col, array_col=array_col,
+                                   k=k, n_iter=n_iter)
+    scores = {
+        "k": k,
+        "silhouette": silhouette_exact(assigned),
+        "ari": adjusted_rand_index(assigned, "cluster", label_col),
+    }
+    assigned.lloyd_cache.unpersist()
+    return scores
+
+
 def dbscan(df: DataFrame, id_col: str, features: Sequence[str], *,
            eps: float, min_pts: int = 5,
            grid_blocking: bool = True) -> DataFrame:

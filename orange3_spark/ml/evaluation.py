@@ -281,6 +281,47 @@ def auc_rank_frame(df: DataFrame, label: str = "label",
          + (F.col("cnt") + 1.0) / 2.0).alias("r"))
 
 
+def performance_curves(df: DataFrame, label: str = "label",
+                       score_col: str = "score") -> DataFrame:
+    """Performance-curve frame (``Orange/evaluation/performance_curves.py:39``
+    Curves; widget ROC analysis): one row per DISTINCT score threshold,
+    classifying positive at ``score ≥ threshold`` — columns
+    ``(threshold, tp, fp, tpr, fpr, prec, lift)``.
+
+    Shape: a full-table ``groupBy(score)`` (map-side combined, fully
+    parallel) shrinks the input to one row per distinct score; the
+    descending cumulative sums then window over THAT bounded frame — the
+    same aggregate-before-window discipline as :func:`auc_rank_frame`.
+    All curve values are ratios of exact integer counts (one correctly
+    rounded division each), so the frame is bit-identical across engines
+    and partitionings — SQL-oracle-checkable (``q_ml_roc_curve``)."""
+    from pyspark.sql.window import Window
+
+    counts = (df.groupBy(F.col(score_col).alias("threshold"))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum((F.col(label).cast("double") == 1.0)
+                           .cast("long")).alias("np")))
+    w = (Window.orderBy(F.col("threshold").desc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    c = counts.select("threshold",
+                      F.sum("np").over(w).alias("tp"),
+                      F.sum("n").over(w).alias("cum"))
+    t = counts.agg(F.sum("n").alias("tot"), F.sum("np").alias("p"))
+    j = c.crossJoin(F.broadcast(t))
+    tp_d = F.col("tp").cast("double")
+    fp_d = (F.col("cum") - F.col("tp")).cast("double")
+    return j.select(
+        "threshold",
+        F.col("tp").cast("long").alias("tp"),
+        (F.col("cum") - F.col("tp")).cast("long").alias("fp"),
+        (tp_d / F.col("p").cast("double")).alias("tpr"),
+        (fp_d / (F.col("tot") - F.col("p")).cast("double")).alias("fpr"),
+        (tp_d / F.col("cum").cast("double")).alias("prec"),
+        ((tp_d * F.col("tot").cast("double"))
+         / (F.col("cum").cast("double") * F.col("p").cast("double")))
+        .alias("lift"))
+
+
 def auc(df: DataFrame, label: str = "label",
         score_col: str = "score") -> float:
     """Binary AUC via the Mann-Whitney rank-sum identity on the

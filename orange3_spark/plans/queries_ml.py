@@ -1368,3 +1368,80 @@ def q_ml_mlp_reg(spark, sf_dir):
     ok = bool(r["rmse"] <= 1.1 * r["sd"])
     return spark.createDataFrame([(int(r["n"]), ok)],
                                  "n_test bigint, rmse_ok boolean")
+
+
+@query("q_ml_roc_curve", """
+WITH d AS (SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) / 100.0)
+                       AS BIGINT) AS threshold,
+                  CASE WHEN o_orderpriority = '1-URGENT'
+                       THEN 1 ELSE 0 END AS pos
+           FROM orders
+           WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+g AS (SELECT threshold, count(*) AS n, sum(pos) AS np FROM d GROUP BY 1),
+c AS (SELECT threshold,
+             sum(np) OVER (ORDER BY threshold DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             sum(n) OVER (ORDER BY threshold DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM g),
+t AS (SELECT sum(n) AS tot, sum(np) AS p FROM g)
+SELECT c.threshold, CAST(c.tp AS BIGINT) AS tp,
+       CAST(c.cum - c.tp AS BIGINT) AS fp,
+       CAST(c.tp AS DOUBLE) / CAST(t.p AS DOUBLE) AS tpr,
+       CAST(c.cum - c.tp AS DOUBLE) / CAST(t.tot - t.p AS DOUBLE) AS fpr,
+       CAST(c.tp AS DOUBLE) / CAST(c.cum AS DOUBLE) AS prec,
+       (CAST(c.tp AS DOUBLE) * CAST(t.tot AS DOUBLE))
+           / (CAST(c.cum AS DOUBLE) * CAST(t.p AS DOUBLE)) AS lift
+FROM c, t ORDER BY c.threshold
+""")
+def q_ml_roc_curve(spark, sf_dir):
+    """ROC / lift curve frame (Orange/evaluation/performance_curves.py:39
+    Curves + widget ROC analysis): per distinct score threshold, the
+    cumulative confusion counts and (tpr, fpr, precision, lift) —
+    ml/evaluation.performance_curves, the aggregate-before-window shape
+    of auc_rank_frame extended to full curves.  Every value is a ratio of
+    exact integer counts, so the oracle replays it verbatim."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    scored = (orders.na.drop(subset=["o_totalprice", "o_orderpriority"])
+              .select(F.floor(F.col("o_totalprice").cast("double")
+                              / F.lit(100.0)).alias("score"),
+                      (F.col("o_orderpriority") == "1-URGENT")
+                      .cast("int").alias("label")))
+    return E.performance_curves(scored, label="label", score_col="score")
+
+
+@query("q_ml_ari", f"""
+WITH {lloyd_cte(8, 2, label=True)},
+ct AS (SELECT cl, label, CAST(count(*) AS BIGINT) AS n
+       FROM wf GROUP BY cl, label),
+pc AS (SELECT CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS sc FROM ct),
+ac AS (SELECT CAST(sum((s * (s - 1)) // 2) AS BIGINT) AS sa
+       FROM (SELECT sum(n) AS s FROM ct GROUP BY cl)),
+bc AS (SELECT CAST(sum((s * (s - 1)) // 2) AS BIGINT) AS sb
+       FROM (SELECT sum(n) AS s FROM ct GROUP BY label)),
+nt AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM ct),
+f AS (SELECT pc.sc, ac.sa, bc.sb, (nt.n * (nt.n - 1)) // 2 AS nc2
+      FROM pc, ac, bc, nt)
+SELECT 8 AS k,
+       (CAST(sc AS DOUBLE)
+        - (CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) / CAST(nc2 AS DOUBLE))
+       / ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2.0
+          - (CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) / CAST(nc2 AS DOUBLE))
+           AS ari
+FROM f
+""")
+def q_ml_ari(spark, sf_dir):
+    """Adjusted Rand Index of the deterministic Lloyd clustering against
+    the embeddings labels (Orange/evaluation/clustering.py:59-85
+    ClusteringEvaluation ARI).  One crosstab + the exact pair-count
+    formula on Python ints (ml/cluster.adjusted_rand_index); the oracle
+    replays fit AND score — lloyd_cte then the same integer combinatorics
+    with mirrored final divisions."""
+    from orange3_spark.ml.cluster import adjusted_rand_index, kmeans_lloyd
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    clustered = kmeans_lloyd(emb, "vec_id", array_col="embedding",
+                             k=8, n_iter=2)
+    ari = adjusted_rand_index(clustered, "cluster", "label")
+    clustered.lloyd_cache.unpersist()
+    return spark.createDataFrame([(8, float(ari))], "k bigint, ari double")

@@ -388,3 +388,52 @@ def q_randomize(spark, sf_dir):
     out = P.randomize(cust.select("c_custkey", "c_acctbal"), ["c_acctbal"],
                       seed=7)
     return out.select(F.col("c_acctbal").alias("shuffled_acctbal"))
+
+
+@query("q_adaptive_normalize", """
+WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS qty,
+                  CASE WHEN l_discount > 0.08
+                       THEN CAST(l_discount AS DOUBLE)
+                       ELSE 0.0 END AS disc
+           FROM lineitem),
+qstats AS (SELECT avg(qty) AS m, stddev_samp(qty) AS sd FROM d),
+qn AS (SELECT (qty - m) / sd AS v FROM d, qstats),
+dstats AS (SELECT min(disc) AS mn, max(disc) AS mx FROM d),
+dn AS (SELECT (disc - 0.0) / (mx - mn) AS v FROM d, dstats)
+SELECT 'qty' AS col_name, 'normalize' AS branch,
+       floor(avg(v) * 1000000.0 + 0.5) / 1000000.0 AS mean_q,
+       floor(min(v) * 1000000.0 + 0.5) / 1000000.0 AS min_q,
+       floor(max(v) * 1000000.0 + 0.5) / 1000000.0 AS max_q
+FROM qn
+UNION ALL
+SELECT 'disc', 'scale',
+       floor(avg(v) * 1000000.0 + 0.5) / 1000000.0,
+       floor(min(v) * 1000000.0 + 0.5) / 1000000.0,
+       floor(max(v) * 1000000.0 + 0.5) / 1000000.0
+FROM dn
+""")
+def q_adaptive_normalize(spark, sf_dir):
+    """AdaptiveNormalize (preprocess.py:615): the zero-share probe routes
+    a dense column through Normalize(standardize) and a mostly-zero
+    column through Scale(span, no centering) — the sparse-safe path.  The
+    oracle replays both branches and the quantized result stats; the
+    dispatch itself is pinned by the branch column."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    data = li.select(
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.when(F.col("l_discount") > 0.08,
+               F.col("l_discount").cast("double"))
+        .otherwise(F.lit(0.0)).alias("disc"))
+    rows = []
+    for col in ("qty", "disc"):
+        out, branch = P.adaptive_normalize(data, [col])
+        st = out.agg(
+            F.floor(F.avg(col) * F.lit(1000000.0) + F.lit(0.5)).alias("m"),
+            F.floor(F.min(col) * F.lit(1000000.0) + F.lit(0.5)).alias("lo"),
+            F.floor(F.max(col) * F.lit(1000000.0) + F.lit(0.5)).alias("hi"),
+        ).first()
+        rows.append((col, branch, st["m"] / 1000000.0,
+                     st["lo"] / 1000000.0, st["hi"] / 1000000.0))
+    return spark.createDataFrame(
+        rows, "col_name string, branch string, mean_q double, "
+              "min_q double, max_q double")

@@ -243,6 +243,30 @@ def normalize(df: DataFrame, columns: Sequence[str], *,
     return out
 
 
+def adaptive_normalize(df: DataFrame, columns: Sequence[str], *,
+                       method: str = "standardize",
+                       scale_span: bool = True,
+                       sparsity_threshold: float = 0.5
+                       ) -> tuple[DataFrame, str]:
+    """AdaptiveNormalize (``preprocess.py:615-660``): normalize dense
+    data, merely SCALE sparse data — the reference avoids centering a
+    sparse matrix because that would densify it.  Sparsity here is the
+    measured zero-fraction over the named columns (one probe aggregate;
+    the reference keys on the matrix's storage class, which a DataFrame
+    doesn't carry — zero share is the property that decision encodes).
+
+    Returns ``(transformed, branch)`` with branch ``'normalize'`` or
+    ``'scale'`` so callers/tests can pin the dispatch."""
+    zero_share = df.agg(*[
+        F.avg((F.col(c).isNull() | (F.col(c) == 0)).cast("double"))
+        .alias(c) for c in columns]).first()
+    overall = sum(zero_share[c] or 0.0 for c in columns) / len(columns)
+    if overall > sparsity_threshold:
+        return (scale(df, columns, center=None,
+                      scaling="span" if scale_span else "std"), "scale")
+    return normalize(df, columns, method=method), "normalize"
+
+
 # ---------------------------------------------------------------------- remove
 
 def remove_constant_columns(df: DataFrame,
