@@ -214,17 +214,92 @@ def gbt_regressor(df, features=(), target_col="y", *, array_col=None,
                           array_col, maxIter=max_iter, seed=seed)
 
 
+def _knn_lsh_join(train: DataFrame, feat: Sequence[str],
+                  array_col: Optional[str], k: int, n_planes: int,
+                  seed: int):
+    """Shared LSH-bucket kNN join core for the big-data fallback paths:
+    bucket train and test by hyperplane sign signature, equi-join on
+    bucket, euclidean distance, top-k window per test row.  Shuffle is on
+    bucket ids — never a broadcast of the training matrix, never a cross
+    join.  Approximate: neighbors in other buckets are missed (recall
+    rises as ``n_planes`` falls; 0 planes = one bucket = exact)."""
+    from orange3_spark.similarity.knn import hyperplanes, lsh_signature
+
+    vcol = (F.col(array_col).cast("array<double>") if array_col is not None
+            else F.array(*[F.col(c).cast("double") for c in feat]))
+    probe = train.select(vcol.alias("_v")).first()
+    dim = len(probe["_v"])
+    planes = hyperplanes(dim, n_planes, seed)
+
+    def with_bucket(d: DataFrame, prefix: str) -> DataFrame:
+        out = d.withColumn(f"{prefix}v", vcol)
+        sig = lsh_signature(f"{prefix}v", planes)
+        return out.withColumn("bucket", sig)
+
+    def pairs(test_with_id: DataFrame, id_name: str,
+              keep_cols: Sequence[str] = ()) -> DataFrame:
+        from orange3_spark.similarity.knn import euclidean
+        from pyspark.sql.window import Window
+
+        t = with_bucket(test_with_id, "_q").select(id_name, "_qv", "bucket")
+        # train side carries only the bucket, vector, and requested
+        # columns — full-width train columns would collide with the
+        # probe side's names in the join
+        tr = with_bucket(train, "_t").select("bucket", "_tv",
+                                             *[F.col(c) for c in keep_cols])
+        cand = t.join(tr, "bucket")
+        cand = cand.withColumn("_dist", euclidean(F.col("_qv"),
+                                                  F.col("_tv")))
+        w = Window.partitionBy(id_name).orderBy("_dist", "_tv")
+        return (cand.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") <= k))
+
+    return pairs
+
+
 def knn_classifier(df: DataFrame, features: Sequence[str] = (),
                    class_col: str = "label", *, array_col: Optional[str] = None,
-                   k: int = 5, max_broadcast_cells: int = 50_000_000) -> Model:
+                   k: int = 5, max_broadcast_cells: int = 50_000_000,
+                   lsh_planes: int = 12, lsh_seed: int = 42) -> Model:
     """kNN: the training set's feature matrix is broadcast (bounded) and each
     partition classifies its rows with one BLAS distance computation — the
     same broadcast+matmul shape as similarity.neardup_cosine_matmul.  MLlib
-    has no kNN; this is the distributed-inference equivalent."""
+    has no kNN; this is the distributed-inference equivalent.
+
+    Past ``max_broadcast_cells`` the learner switches AUTOMATICALLY to the
+    LSH-bucket join (``similarity/knn.py`` machinery): train never leaves
+    the cluster, the probe shuffles on sign-signature buckets, and votes
+    come from a per-test-row top-k window — approximate (documented
+    recall < 1, tune ``lsh_planes``), but it scales instead of erroring."""
     import numpy as np
     from pyspark.sql import types as T
 
     feat = list(features)
+    p = (len(feat) if array_col is None
+         else len(df.select(array_col).first()[0]))
+    n_train = df.count()
+    if n_train * p > max_broadcast_cells:
+        # big path: never collect the training matrix
+        pair_fn = _knn_lsh_join(df, feat, array_col, k, lsh_planes,
+                                lsh_seed)
+
+        def _predict_lsh(d: DataFrame) -> DataFrame:
+            from pyspark.sql.window import Window
+
+            t = d.withColumn("_kid", F.monotonically_increasing_id())
+            knn = pair_fn(t, "_kid", keep_cols=[class_col])
+            votes = (knn.groupBy("_kid", F.col(class_col).alias("_vote"))
+                     .agg(F.count(F.lit(1)).alias("_c")))
+            wv = Window.partitionBy("_kid").orderBy(F.col("_c").desc(),
+                                                    F.col("_vote"))
+            pred = (votes.withColumn("_r", F.row_number().over(wv))
+                    .filter(F.col("_r") == 1)
+                    .select("_kid",
+                            F.col("_vote").cast("double")
+                            .alias("prediction")))
+            return t.join(pred, "_kid", "left").drop("_kid")
+
+        return Model(_predict_lsh, "knn_lsh")
 
     def _matrix(d: DataFrame):
         if array_col is not None:
@@ -236,8 +311,6 @@ def knn_classifier(df: DataFrame, features: Sequence[str] = (),
                 np.array([r[-1] for r in rows]))
 
     train_x, train_y = _matrix(df)
-    if train_x.size > max_broadcast_cells:
-        raise ValueError("training matrix exceeds broadcast bound")
     sc = df.sparkSession.sparkContext
     b_x, b_y = sc.broadcast(train_x), sc.broadcast(train_y)
 

@@ -102,21 +102,42 @@ def lof(df: DataFrame, id_col: str, cols: Sequence[str], *, k: int = 5,
 def knn_distance_score(df: DataFrame, id_col: str, cols: Sequence[str] = (),
                        *, array_col: Optional[str] = None, k: int = 5,
                        score_col: str = "knn_dist",
-                       max_broadcast_cells: int = 50_000_000) -> DataFrame:
+                       max_broadcast_cells: int = 50_000_000,
+                       lsh_planes: int = 12, lsh_seed: int = 42) -> DataFrame:
     """Mean distance to the k nearest neighbors (LOF's core signal):
-    broadcast matrix + per-partition BLAS, bounded."""
+    broadcast matrix + per-partition BLAS, bounded.  Past the broadcast
+    bound it switches AUTOMATICALLY to the LSH-bucket join (shuffle on
+    sign-signature buckets, per-id top-k window — approximate, recall
+    rises as ``lsh_planes`` falls) instead of erroring: at 100 TB the
+    old ValueError WAS the user experience."""
     import numpy as np
     from pyspark.sql import types as T
 
     feat = list(cols)
+    p = (len(feat) if array_col is None
+         else len(df.select(array_col).first()[0]))
+    n_rows = df.count()
+    if n_rows * p > max_broadcast_cells:
+        from orange3_spark.ml.learners import _knn_lsh_join
+
+        # exclude self-matches: k+1 candidates, drop dist to itself
+        pair_fn = _knn_lsh_join(df, feat, array_col, k + 1,
+                                lsh_planes, lsh_seed)
+        knn = pair_fn(df.select(id_col,
+                                *([array_col] if array_col else feat)),
+                      id_col)
+        # rn=1 is the self pair (dist 0 sorts first; an exact duplicate
+        # tied at 0 stays a legitimate neighbor at rn≥2)
+        return (knn.filter(F.col("_rn") >= 2)
+                .groupBy(id_col)
+                .agg(F.avg("_dist").alias(score_col)))
+
     if array_col is not None:
         rows = df.select(id_col, array_col).collect()
         mat = np.array([r[1] for r in rows], dtype=np.float64)
     else:
         rows = df.select(id_col, *feat).collect()
         mat = np.array([r[1:] for r in rows], dtype=np.float64)
-    if mat.size > max_broadcast_cells:
-        raise ValueError("matrix exceeds broadcast bound; LSH-bucket first")
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     sc = df.sparkSession.sparkContext
     b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)

@@ -785,3 +785,42 @@ def test_shuffle_split_ols_matches_generic_loop(spark, sf_dir):
                               "o_totalprice", n_resamples=2, test_size=0.25)
     for a, b in zip(got, want):
         assert abs(a - b) / b < 1e-9
+
+
+def test_knn_classifier_lsh_fallback_matches_broadcast(spark):
+    """Past the broadcast bound the learner must switch to the LSH-bucket
+    join instead of raising; with 0 planes (single bucket) the fallback
+    is exact, so predictions must equal the broadcast path's."""
+    from orange3_spark.ml.learners import knn_classifier
+
+    rows = [(i, float(i % 23) + (i % 7) * 0.013, float((i * 5) % 19),
+             float(i % 3)) for i in range(150)]
+    df = spark.createDataFrame(rows, "id long, a double, b double, label double")
+    small = knn_classifier(df, ["a", "b"], "label", k=3)
+    big = knn_classifier(df, ["a", "b"], "label", k=3,
+                         max_broadcast_cells=1, lsh_planes=0)
+    got_small = {r["id"]: r["prediction"]
+                 for r in small.predict(df).collect()}
+    got_big = {r["id"]: r["prediction"] for r in big.predict(df).collect()}
+    agree = sum(got_small[i] == got_big[i] for i in got_small)
+    # identical candidate sets; only k-th-place distance ties can differ
+    assert agree >= 0.95 * len(got_small), agree
+
+
+def test_knn_distance_score_lsh_fallback(spark):
+    """Over-bound knn_distance_score must fall back to LSH, not raise,
+    and with a single bucket must reproduce the broadcast scores."""
+    from orange3_spark.stats.outliers import knn_distance_score
+
+    rows = [(i, float(i % 13) * 1.7, float((i * 3) % 11) * 0.9)
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    exact = {r["id"]: r["knn_dist"] for r in
+             knn_distance_score(df, "id", ["x", "y"], k=3).collect()}
+    fb = {r["id"]: r["knn_dist"] for r in
+          knn_distance_score(df, "id", ["x", "y"], k=3,
+                             max_broadcast_cells=1,
+                             lsh_planes=0).collect()}
+    assert set(exact) == set(fb)
+    close = sum(abs(exact[i] - fb[i]) < 1e-9 for i in exact)
+    assert close >= 0.95 * len(exact), close
