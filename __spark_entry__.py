@@ -33,30 +33,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness harness grades entries in dict order with a ~50-query
-# budget per round.  Round-4 priority: (1) the three r3 hash-fails, now
-# rebuilt on order-independent integer fixed-point arithmetic — proving
-# those fixes on the driver's machine is the whole point; (2) oracle-paired
-# queries that have never been driver-graded (registered after the r3
-# budget ran out, incl. q_ml_silhouette which gained an oracle this round);
-# (3) q_knn_ivf, green in r2 but re-based onto the quantized grid — its
-# old verdict no longer covers the current code; (4) the rows-only
-# never-graded queries; (5) anything registered this round (unplaced →
-# auto-bucket, oracle-paired first); (6) the 130 cumulative greens.
-_FIXED_FAILS_R3 = ["q_ml_kmeans", "q_feature_statistics", "q_split_onehot"]
-_NEVER_GRADED_ORACLE = [
-    "q_dedup_semantic", "q_stream_totals", "q_stream_cusum",
-    "q_ml_silhouette", "q_split_tokens",
+# budget per round.  Round-5 priority: (1) the three ex-rows-only queries
+# that gained REPLAY oracles (plans/oracle_replay.py) — a driver hash
+# verdict on them is the round's headline; (2) operators new this round
+# (ensembles, kernel SVM, kNN/MLP regressors, ROC curves, ARI,
+# AdaptiveNormalize); (3) greens whose engine code materially changed
+# since their last verdict (silhouette's decimal SS, the Lloyd cache
+# handles, csv skip_rows re-index, xlsx header de-dup, knn_classifier
+# fallback refactor, strata guard); (4) the remaining rows-only five;
+# (5) the cumulative greens.
+_REPLAY_ORACLED_R5 = ["q_outlier_iforest", "q_outlier_envelope",
+                      "q_ml_svr", "q_scoring_sheet"]
+_NEW_R5 = [
+    "q_ml_adaboost", "q_ml_stack", "q_ml_svm", "q_ml_knn_reg",
+    "q_ml_mlp_reg", "q_ml_roc_curve", "q_ml_ari", "q_adaptive_normalize",
 ]
 _REBASED_GREEN = [
-    # green in r2/r3 but re-based this round (quantized grid / one-pass
-    # aggregations) — their old verdicts cover code that no longer exists
-    "q_knn_ivf", "q_ml_metrics", "q_ml_shuffle_split", "q_feature_scores",
-    "q3_shipping_priority", "q10_returned_items",
+    # green in earlier rounds but their engine paths changed this round —
+    # the old verdicts cover code that no longer exists
+    "q_ml_silhouette", "q_ml_kmeans", "q_dedup_semantic", "q_knn_ivf",
+    "q_csv_import_options", "q_excel_roundtrip", "q_sample_stratified",
+    "q_ml_knn_ca",
 ]
 _NEVER_GRADED_ROWS_ONLY = [
-    "q_outlier_iforest", "q_outlier_envelope", "q_outlier_ocsvm",
-    "q_ml_svr", "q_ml_tsne", "q_ml_som", "q_ml_freeviz",
-    "q_feature_scores_relieff", "q_scoring_sheet",
+    "q_outlier_ocsvm", "q_ml_tsne", "q_ml_som", "q_ml_freeviz",
 ]
 _VERIFIED_GREEN = [
     # cumulative greens from CORRECTNESS_r01-r03 — graded last
@@ -106,7 +106,7 @@ _VERIFIED_GREEN = [
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    head = [q for q in (_FIXED_FAILS_R3 + _NEVER_GRADED_ORACLE
+    head = [q for q in (_REPLAY_ORACLED_R5 + _NEW_R5
                         + _REBASED_GREEN + _NEVER_GRADED_ROWS_ONLY)
             if q in QUERIES]
     green = [q for q in _VERIFIED_GREEN if q in QUERIES]

@@ -217,6 +217,69 @@ FROM scored GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------- scoring sheet
+
+SCORING_SHEET_PARAMS = dict(num_decision_params=2, max_points=5)
+
+
+@lazy
+def scoringsheet_oracle() -> str:
+    """q_scoring_sheet: replay the whole fit — exact interpolated medians
+    (p=0.5 fractions are 0 or 0.5 → bit-identical), the 2^p indicator
+    contingency (exact integer counts through DuckDB), and the identical
+    numpy IRLS — then embed the resulting point sheet.  This checks the
+    distributed pieces end to end: Spark's percentile, the indicator
+    groupBy, and the deterministic solve."""
+    import duckdb
+
+    from orange3_spark.ml.scoringsheet import (exact_median, irls_counts,
+                                               sheet_from_coefs)
+
+    feats = ["o_totalprice", "c_acctbal"]
+    base = (f"SELECT CAST(o.o_totalprice AS DOUBLE) AS x0, "
+            f"CAST(c.c_acctbal AS DOUBLE) AS x1, "
+            f"(o.o_orderstatus = 'F') AS y "
+            f"FROM '{_sf_dir()}/orders.parquet' o "
+            f"JOIN '{_sf_dir()}/customer.parquet' c "
+            f"ON o.o_custkey = c.c_custkey")
+    con = duckdb.connect()
+    try:
+        meds = [exact_median(
+            v[0] for v in con.execute(
+                f"SELECT x{i} FROM ({base}) WHERE x{i} IS NOT NULL"
+            ).fetchall())
+            for i in range(len(feats))]
+        cond = " , ".join(f"(x{i} >= {_lit(m)}) AS b{i}"
+                          for i, m in enumerate(meds))
+        cont = con.execute(
+            f"SELECT {cond}, count(*) AS n, "
+            f"sum(CASE WHEN y THEN 1 ELSE 0 END) AS k "
+            f"FROM ({base}) GROUP BY ALL").fetchall()
+    finally:
+        con.close()
+    patterns = [tuple(int(r[i]) for i in range(len(feats))) for r in cont]
+    counts = [int(r[len(feats)]) for r in cont]
+    pos = [int(r[len(feats) + 1]) for r in cont]
+    order = sorted(range(len(patterns)), key=lambda i: patterns[i])
+    beta = irls_counts([patterns[i] for i in order],
+                       [counts[i] for i in order],
+                       [pos[i] for i in order],
+                       n_features=len(feats), iters=50)
+    P = SCORING_SHEET_PARAMS
+    sheet = sheet_from_coefs(feats, meds, beta[1:],
+                             num_decision_params=P["num_decision_params"],
+                             max_points=P["max_points"])
+    if not sheet:
+        return ("SELECT CAST(NULL AS VARCHAR) AS feature, "
+                "CAST(NULL AS DOUBLE) AS threshold, "
+                "CAST(NULL AS BIGINT) AS points WHERE FALSE")
+    rows = ",\n".join(f"('{f}', {_lit(round(t, 6))}, {p})"
+                      for f, t, p in sheet)
+    return (f"SELECT feature, CAST(threshold AS DOUBLE) AS threshold, "
+            f"CAST(points AS BIGINT) AS points FROM (VALUES\n{rows}\n) "
+            f"v(feature, threshold, points)")
+
+
 # -------------------------------------------------------------- linear SVR
 
 SVR_PARAMS = dict(epsilon=0.1, epochs=200, max_samples=4000)

@@ -22,6 +22,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from orange3_spark.plans import oracle_replay as OR2
 from orange3_spark.plans.registry import query
 from orange3_spark.session import load_tables
 
@@ -691,11 +692,17 @@ def q_feature_scores_relieff(spark, sf_dir):
         "feature string, score double")
 
 
-@query("q_scoring_sheet")
+@query("q_scoring_sheet", OR2.scoringsheet_oracle)
 def q_scoring_sheet(spark, sf_dir):
     """Scoring sheet learner (``Orange/classification/scoringsheet.py``):
-    median-threshold indicators + L1-ish logistic fit → integer point
-    sheet.  Iterative MLlib fit → rows-only check."""
+    exact-median indicators + contingency-IRLS logistic fit → integer
+    point sheet.  Binary indicators collapse the training set to a
+    2^p-row integer contingency, so the fit is a pure function of exact
+    counts — the oracle (plans/oracle_replay.scoringsheet_oracle) replays
+    medians, contingency and the identical IRLS through DuckDB and embeds
+    the sheet, hash-grading the distributed percentile + groupBy + solve
+    end to end (previously rows-only: the MLlib L-BFGS fit was
+    deterministic only per-partitioning)."""
     from orange3_spark.ml.scoringsheet import scoring_sheet_learner
 
     customer, orders = _t(spark, sf_dir, "customer", "orders")
@@ -704,8 +711,10 @@ def q_scoring_sheet(spark, sf_dir):
                 .select("o_totalprice", "c_acctbal",
                         (F.col("o_orderstatus") == "F")
                         .cast("double").alias("y")))
+    P = OR2.SCORING_SHEET_PARAMS
     model = scoring_sheet_learner(df, ["o_totalprice", "c_acctbal"], "y",
-                                  num_decision_params=2)
+                                  num_decision_params=P["num_decision_params"],
+                                  max_points=P["max_points"])
     rows = [(f, float(round(t, 6)), int(p)) for f, t, p in model.sheet]
     return spark.createDataFrame(
         rows, "feature string, threshold double, points long")
