@@ -385,20 +385,72 @@ def knn_regressor(df: DataFrame, features: Sequence[str] = (),
         in_fields = d.schema.fields
         schema = T.StructType(list(in_fields) +
                               [T.StructField("prediction", T.DoubleType())])
+        # the O(n_test·n_train) distance work happens inside mapInPandas —
+        # a filter-derived test set often sits in 1-2 input splits, which
+        # would serialize it; spread the probe rows across the executors
+        par = d.sparkSession.sparkContext.defaultParallelism
+        if d.rdd.getNumPartitions() < par:
+            d = d.repartition(par)
 
         def run(pdf_iter):
             X, y, ids = b.value
+            # canonical id order: within equal distances the smallest id
+            # wins, so pre-sorting train by id makes "first index" = the
+            # tie-break, with no per-row lexsort
+            id_order = np.argsort(ids, kind="stable")
+            Xs, ys = X[id_order], y[id_order]
+            ysf = ys.astype(np.float64)
+            x2 = (Xs ** 2).sum(1)
+            kk = min(k, len(ys))
+            one_d = Xs.shape[1] == 1
+            if one_d:
+                # 1-d fast path: sort train by (x, id) once; each probe's
+                # k nearest live in a bounded POSITION window around its
+                # insertion point (≤ (k+2)·max_multiplicity positions per
+                # side), so selection is searchsorted + a tiny per-row
+                # sort instead of an O(n_train) partition per probe
+                ordx = np.argsort(Xs[:, 0], kind="stable")  # id-stable
+                xs_s, ys_s = Xs[ordx, 0], ysf[ordx]
+                idr_s = ordx                     # position→id-rank (asc=smaller id)
+                _, cnts = np.unique(xs_s, return_counts=True)
+                W = int(min(len(xs_s), (kk + 2) * cnts.max() + 8))
             for pdf in pdf_iter:
                 if array_col is not None:
                     q = np.array(list(pdf[array_col]), dtype=np.float64)
                 else:
                     q = pdf[feat].to_numpy(dtype=np.float64)
-                d2 = ((q ** 2).sum(1)[:, None] - 2 * q @ X.T
-                      + (X ** 2).sum(1)[None, :])
                 preds = np.empty(len(q))
-                for i in range(len(q)):
-                    order = np.lexsort((ids, d2[i]))[:k]   # dist, then id
-                    preds[i] = y[order].sum() / k          # exact Σ/k
+                if one_d:
+                    pos = np.searchsorted(xs_s, q[:, 0])
+                    n_tr = len(xs_s)
+                    for i in range(len(q)):
+                        lo = max(0, pos[i] - W)
+                        hi = min(n_tr, pos[i] + W)
+                        dd = (xs_s[lo:hi] - q[i, 0]) ** 2
+                        sel = np.lexsort((idr_s[lo:hi], dd))[:kk]
+                        preds[i] = ys_s[lo + sel].sum() / kk
+                    pdf = pdf.copy()
+                    pdf["prediction"] = preds
+                    yield pdf
+                    continue
+                # chunk so the (chunk × n_train) distance block stays
+                # ~100-200 MB; selection is vectorized (partition + one
+                # mask-matvec), only boundary TIES get per-row work
+                chunk = max(1, int(3e7) // max(len(ys), 1))
+                for lo in range(0, len(q), chunk):
+                    qc = q[lo:lo + chunk]
+                    d2 = ((qc ** 2).sum(1)[:, None] - 2 * qc @ Xs.T
+                          + x2[None, :])
+                    kth = np.partition(d2, kk - 1, axis=1)[:, kk - 1:kk]
+                    lt = d2 < kth
+                    n_lt = lt.sum(axis=1)
+                    sums = lt @ ysf                        # exact ints
+                    eq_rows = np.nonzero(n_lt < kk)[0]
+                    for i in eq_rows:                      # boundary ties
+                        cand = np.nonzero(d2[i] == kth[i, 0])[0]
+                        take = cand[: kk - n_lt[i]]        # smallest ids
+                        sums[i] += float(ys[take].sum())
+                    preds[lo:lo + chunk] = sums / kk
                 pdf = pdf.copy()
                 pdf["prediction"] = preds
                 yield pdf

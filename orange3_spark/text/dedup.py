@@ -361,13 +361,14 @@ def dup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
     standard way to run small-fixpoint graph algorithms without a graph
     library.  Input: (id_a, id_b) pairs from any dedup operator.
     """
-    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-             .unionByName(pairs.select(F.col("id_b").alias("src"),
-                                       F.col("id_a").alias("dst"))))
-    # edges drive EVERY propagation round — cache, or the upstream pair
-    # computation (shingle join / LSH) re-executes per iteration
-    edges = edges.cache()
-    n_edges = edges.count()
+    # materialize the pair list ONCE before any branching: both the
+    # src→dst and dst→src directions (and every propagation round) derive
+    # from it, and the upstream pair computation (shingle self-join / LSH)
+    # is the expensive part — an unmaterialized union would execute it
+    # once per branch
+    p2 = pairs.select(F.col("id_a").alias("src"),
+                      F.col("id_b").alias("dst")).cache()
+    n_edges = 2 * p2.count()
 
     if n_edges <= DRIVER_CC_MAX_EDGES:
         # the edge list is O(pairs) *scalars* — union-find on the driver
@@ -383,7 +384,9 @@ def dup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
                 parent[x], x = r, parent[x]
             return r
 
-        for r in edges.select("src", "dst").collect():
+        # union-find treats each pair as an undirected edge — no need to
+        # materialize the reversed direction at all on this path
+        for r in p2.collect():
             a, b = r[0], r[1]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
@@ -395,8 +398,14 @@ def dup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
         rows = [(x, find(x)) for x in parent]
         spark = pairs.sparkSession
         dt = pairs.schema["id_a"].dataType.simpleString()
+        p2.unpersist()
         return spark.createDataFrame(rows, f"doc_id {dt}, cluster_id {dt}")
 
+    # both directions, derived from the MATERIALIZED pair cache — the
+    # union here only re-reads cached rows, and it drives every round
+    edges = (p2.unionByName(p2.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+             .cache())
     labels = (edges.select(F.col("src").alias("id"))
               .distinct()
               .withColumn("cluster_id", F.col("id")))
@@ -421,6 +430,8 @@ def dup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
         labels = updated.drop("__changed")
         if changed == 0:
             break
+    edges.unpersist()
+    p2.unpersist()
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
 
 

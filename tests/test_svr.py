@@ -115,3 +115,29 @@ def test_knn_regressor_exact_mean(spark):
     assert got[100] == 400.0
     # qx=95 → neighbors 90,80,70 (dists 25,225,625) → mean(900,800,700)=800
     assert got[101] == 800.0
+
+
+def test_knn_regressor_1d_window_matches_brute_force(spark):
+    """Large 1-d train set with heavy duplicate x values: the sorted-window
+    fast path must agree exactly with the O(n·m) lexsort definition.
+    Regression test for a window-local index applied to the global array."""
+    import numpy as np
+    from orange3_spark.ml.learners import knn_regressor
+
+    rng = np.random.default_rng(7)
+    n_tr, k = 4000, 5
+    tx = rng.integers(0, 500, size=n_tr)      # ~8x multiplicity
+    ty = rng.integers(0, 1000, size=n_tr)
+    train = spark.createDataFrame(
+        [(int(i), int(tx[i]), int(ty[i])) for i in range(n_tr)],
+        "id long, qx long, qy long")
+    probes = rng.integers(-10, 510, size=60)
+    test = spark.createDataFrame(
+        [(1_000_000 + j, int(q)) for j, q in enumerate(probes)],
+        "id long, qx long")
+    model = knn_regressor(train, ["qx"], "qy", k=k, id_col="id")
+    got = {r["id"]: r["prediction"] for r in model.predict(test).collect()}
+    for j, q in enumerate(probes):
+        d2 = (tx.astype(np.int64) - int(q)) ** 2
+        order = np.lexsort((np.arange(n_tr), d2))[:k]
+        assert got[1_000_000 + j] == ty[order].sum() / k
