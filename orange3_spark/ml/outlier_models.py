@@ -355,9 +355,19 @@ class OneClassSVMModel:
         self.cols = list(cols)
 
     def _scores_np(self, X):
+        """Batch-size-independent scoring: the projection accumulates the
+        p feature terms in a fixed Python loop and the final reduction is
+        numpy's pairwise sum over the fixed RFF axis — no BLAS call whose
+        kernel (and float rounding) depends on how many rows this Arrow
+        batch happens to hold.  That makes every row's score a pure
+        function of the row, so the oracle replay (plans/oracle_replay
+        .ocsvm_oracle) reproduces it bit for bit."""
         import numpy as np
-        Z = np.sqrt(2.0 / self.W.shape[1]) * np.cos(X @ self.W + self.b)
-        return Z @ self.w - self.rho
+        XW = np.zeros((X.shape[0], self.W.shape[1]))
+        for j in range(self.W.shape[0]):
+            XW += X[:, j, None] * self.W[j]
+        Z = np.sqrt(2.0 / self.W.shape[1]) * np.cos(XW + self.b)
+        return (Z * self.w).sum(axis=1) - self.rho
 
     def predict(self, df: DataFrame, *, score_col: str = "svm_score",
                 flag_col: str = "is_outlier") -> DataFrame:
@@ -377,21 +387,15 @@ class OneClassSVMModel:
         return out.withColumn(flag_col, F.col(score_col) < 0)
 
 
-def one_class_svm(df: DataFrame, cols: Sequence[str], *, nu: float = 0.5,
-                  gamma: Optional[float] = None, n_features: int = 256,
-                  max_samples: int = 2000, epochs: int = 100,
-                  seed: int = 42) -> OneClassSVMModel:
-    """One-class SVM (``OneClassSVMLearner``, outlier_detection.py:88):
-    RBF kernel approximated by seeded random Fourier features (Rahimi &
-    Recht 2007), the ν-formulation DUAL (min ½αᵀKα over the capped
-    simplex, Schölkopf et al. 2001) solved by deterministic Frank-Wolfe
-    on the hash-chosen sample, and ρ set to the ν-quantile of the
-    decision values — the dual optimality condition, giving ≈ν of the
-    sample below the boundary.  Standardizes features first (the
-    reference applies AdaptiveNormalize before the SVM)."""
+def fit_ocsvm_matrix(S, *, nu: float = 0.5, gamma: Optional[float] = None,
+                     n_features: int = 256, epochs: int = 100,
+                     seed: int = 42):
+    """Fit the RFF one-class SVM on sample matrix ``S`` — pure seeded
+    numpy, shared verbatim by the Spark fit and the DuckDB oracle replay
+    (plans/oracle_replay.ocsvm_oracle), so both produce bit-identical
+    (W_eff, b_eff, w, rho)."""
     import numpy as np
 
-    S = _hash_sample(df, cols, None, max_samples)
     n, p = S.shape
     mu, sd = S.mean(axis=0), S.std(axis=0)
     sd[sd == 0] = 1.0
@@ -423,4 +427,26 @@ def one_class_svm(df: DataFrame, cols: Sequence[str], *, nu: float = 0.5,
     # fold the standardization into the projection: x_std @ W = x @ W' + c
     W_eff = (W.T / sd).T
     b_eff = b - mu @ (W.T / sd).T
+    return W_eff, b_eff, w, rho
+
+
+def one_class_svm(df: DataFrame, cols: Sequence[str], *, nu: float = 0.5,
+                  gamma: Optional[float] = None, n_features: int = 256,
+                  max_samples: int = 2000, epochs: int = 100,
+                  seed: int = 42,
+                  id_cols: Optional[Sequence[str]] = None) -> OneClassSVMModel:
+    """One-class SVM (``OneClassSVMLearner``, outlier_detection.py:88):
+    RBF kernel approximated by seeded random Fourier features (Rahimi &
+    Recht 2007), the ν-formulation DUAL (min ½αᵀKα over the capped
+    simplex, Schölkopf et al. 2001) solved by deterministic Frank-Wolfe
+    on the hash-chosen sample, and ρ set to the ν-quantile of the
+    decision values — the dual optimality condition, giving ≈ν of the
+    sample below the boundary.  Standardizes features first (the
+    reference applies AdaptiveNormalize before the SVM).  With
+    ``id_cols`` the sample key is an id hash — SQL-replayable, which is
+    what lets q_outlier_ocsvm carry an exact oracle."""
+    S = _hash_sample(df, cols, None, max_samples, id_cols=id_cols)
+    W_eff, b_eff, w, rho = fit_ocsvm_matrix(
+        S, nu=nu, gamma=gamma, n_features=n_features, epochs=epochs,
+        seed=seed)
     return OneClassSVMModel(W_eff, b_eff, w, rho, cols)

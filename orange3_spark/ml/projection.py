@@ -270,8 +270,27 @@ def freeviz_fit(df: DataFrame, cols: Sequence[str], class_col: str, *,
             "Fit on a sample (operators.sample.sample_fixed) and project "
             "the full table with freeviz_transform.")
     rows = df.select(*cols, class_col).dropna().collect()
+    # canonical row order (collect order is a partitioning artifact):
+    # sort by the full value tuple so the float ops below — and the
+    # oracle replay on a DuckDB fetch of the same table — are
+    # partition-independent
+    rows = sorted(rows, key=lambda r: tuple(r))
     X = np.array([[float(r[c]) for c in cols] for r in rows])
     yv = [r[class_col] for r in rows]
+    return fit_freeviz_matrix(X, yv, p=p, maxiter=maxiter, alpha=alpha,
+                              atol=atol, discrete_class=discrete_class)
+
+
+def fit_freeviz_matrix(X, yv, *, p: int = 1, maxiter: int = 200,
+                       alpha: float = 0.1, atol: float = 1e-5,
+                       discrete_class: bool = True):
+    """FreeViz gradient fit on matrix ``X`` with class list ``yv`` — pure
+    deterministic numpy (radial init, no RNG), shared verbatim by the
+    Spark entry point and the oracle replay
+    (plans/oracle_replay.freeviz_oracle)."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
     if discrete_class:
         classes = {v: i for i, v in enumerate(dict.fromkeys(yv))}
         y = np.array([classes[v] for v in yv], dtype=float)
@@ -377,12 +396,35 @@ def tsne(df: DataFrame, id_col: str, cols: Sequence[str] = (), *,
             "(operators.sample.sample_fixed) and embed the sample.")
     if array_col is not None:
         rows = df.select(id_col, array_col).dropna().collect()
-        ids = [r[0] for r in rows]
-        X = np.array([[float(x) for x in r[1]] for r in rows])
     else:
         rows = df.select(id_col, *cols).dropna().collect()
-        ids = [r[0] for r in rows]
+    # canonical id order: collect() returns rows in partition order, which
+    # is a property of the scan, not the data — sorting by id makes the
+    # input matrix (and every float op downstream) partition-independent,
+    # which is what lets the oracle replay the embedding bit for bit
+    rows = sorted(rows, key=lambda r: r[0])
+    ids = [r[0] for r in rows]
+    if array_col is not None:
+        X = np.array([[float(x) for x in r[1]] for r in rows])
+    else:
         X = np.array([[float(r[c]) for c in cols] for r in rows])
+    Y = fit_tsne_matrix(X, perplexity=perplexity, n_iter=n_iter,
+                        learning_rate=learning_rate)
+
+    spark = df.sparkSession
+    dt = df.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        [(i, float(y0), float(y1)) for i, (y0, y1) in zip(ids, Y)],
+        f"{id_col} {dt}, tsne_x double, tsne_y double")
+
+
+def fit_tsne_matrix(X, *, perplexity: float = 30.0, n_iter: int = 300,
+                    learning_rate: float = 200.0):
+    """Exact t-SNE on matrix ``X`` — pure deterministic numpy (PCA init,
+    fixed schedule, no RNG), shared verbatim by the Spark entry point and
+    the oracle replay (plans/oracle_replay.tsne_oracle)."""
+    import numpy as np
+
     N = X.shape[0]
     X = X - X.mean(axis=0)
     sd = X.std(axis=0)
@@ -437,15 +479,119 @@ def tsne(df: DataFrame, id_col: str, cols: Sequence[str] = (), *,
         inc = momentum * inc - learning_rate * gains * grad
         Y = Y + inc
         Y = Y - Y.mean(axis=0)
-
-    spark = df.sparkSession
-    dt = df.schema[id_col].dataType.simpleString()
-    return spark.createDataFrame(
-        [(i, float(y0), float(y1)) for i, (y0, y1) in zip(ids, Y)],
-        f"{id_col} {dt}, tsne_x double, tsne_y double")
+    return Y
 
 
 # ------------------------------------------------------------------- SOM
+
+#: Fixed-point scale for the SOM's cross-partition accumulators.  Every
+#: quantity summed ACROSS partitions (Gram matrix, per-unit sums, counts)
+#: is an integer in this scale, so the driver combine is exact and the
+#: fitted grid is a pure function of the data — independent of
+#: partitioning, batch sizes and combine order.  That is what lets
+#: fit_som_matrix (the oracle replay twin) reproduce the fit bit for bit.
+SOM_QSCALE = 1_000_000.0
+
+
+def _som_units(dim_x: int, dim_y: int):
+    import numpy as np
+
+    gy, gx = np.mgrid[0:dim_y, 0:dim_x]
+    return np.stack([gy.ravel(), gx.ravel()], axis=1)
+
+
+def _som_guard(gn: int, qmax: int) -> None:
+    if gn > 0 and gn * (qmax * qmax) >= 2 ** 62:
+        raise ValueError(
+            f"som: quantized Gram sum may overflow int64 "
+            f"(n={gn}, max|q|={qmax}); lower SOM_QSCALE or sample")
+
+
+def _som_init(gn: int, s, g, dim_x: int, dim_y: int):
+    """PCA-plane grid init from EXACT integer sufficient statistics
+    (quantized-space Σq and ΣqqT); returns the (dim_y, dim_x, P) grid in
+    RAW feature space.  Shared by the Spark fit and the replay."""
+    import numpy as np
+
+    s = np.asarray(s, dtype=np.float64)
+    g = np.asarray(g, dtype=np.float64)
+    P = s.shape[0]
+    mean_q = s / gn
+    cov_q = g / gn - np.outer(mean_q, mean_q)
+    w_eig, v_eig = np.linalg.eigh(cov_q)
+    order = np.argsort(w_eig)[::-1]
+    comps = []
+    for ci in order[:min(2, P)]:
+        c = v_eig[:, ci]
+        if c[np.argmax(np.abs(c))] < 0:
+            c = -c
+        comps.append(c)
+    pc0 = np.asarray(comps[0])
+    pc1 = np.asarray(comps[1]) if len(comps) > 1 else np.zeros(P)
+    W = np.empty((dim_y, dim_x, P))
+    for i, c1 in enumerate(np.linspace(-1, 1, dim_y)):
+        for j, c2 in enumerate(np.linspace(-1, 1, dim_x)):
+            W[i, j] = c1 * pc0 + c2 * pc1
+    norms = (W ** 2).sum(axis=2)
+    norms[norms == 0] = 1
+    W /= norms[:, :, None]
+    return W
+
+
+def _som_step(Wf, cnt, S, it: int, n_iterations: int, sigma: float, units):
+    """One batch-SOM grid update from EXACT integer per-unit statistics
+    (counts + quantized coordinate sums).  Shared by both fit paths."""
+    import numpy as np
+
+    decay = 1 + it / (n_iterations / 2)
+    sig = sigma / decay
+    cnt = np.asarray(cnt, dtype=np.float64)
+    S_raw = np.asarray(S, dtype=np.float64) / SOM_QSCALE
+    d2 = ((units[:, None, :] - units[None, :, :]) ** 2).sum(axis=2)
+    H = np.exp(-d2 / (2 * sig * sig))
+    num = H @ S_raw
+    den = (H @ cnt)[:, None]
+    upd = den[:, 0] > 0
+    Wf = Wf.copy()
+    Wf[upd] = num[upd] / den[upd]
+    return Wf
+
+
+def _som_bmu(X, Wf):
+    """Best-matching unit per row — row-local, batch-size-independent
+    (pairwise sum over the fixed feature axis, ties → lowest unit)."""
+    import numpy as np
+
+    d = ((X[:, None, :] - Wf[None, :, :]) ** 2).sum(axis=2)
+    return np.argmin(d, axis=1)
+
+
+def fit_som_matrix(X, *, dim_x: int = 8, dim_y: int = 8,
+                   n_iterations: int = 20, sigma: float = 1.0):
+    """Local twin of :func:`som_fit` on a full matrix — identical integer
+    statistics, identical driver math — used by the oracle replay
+    (plans/oracle_replay.som_oracle) to reproduce the distributed fit
+    bit for bit."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    n, P = X.shape
+    Xq = np.floor(X * SOM_QSCALE + 0.5).astype(np.int64)
+    _som_guard(n, int(np.abs(Xq).max()) if n else 0)
+    W = _som_init(n, Xq.sum(axis=0), Xq.T @ Xq, dim_x, dim_y)
+    units = _som_units(dim_x, dim_y)
+    U = units.shape[0]
+    for it in range(n_iterations):
+        Wf = W.reshape(-1, P)
+        u = _som_bmu(X, Wf)
+        cnt = np.zeros(U, dtype=np.int64)
+        S = np.zeros((U, P), dtype=np.int64)
+        np.add.at(cnt, u, 1)
+        np.add.at(S, u, Xq)
+        W = _som_step(Wf, cnt, S, it, n_iterations, sigma,
+                      units).reshape(dim_y, dim_x, P)
+    return W.tolist()
+
 
 def som_fit(df: DataFrame, cols: Sequence[str] = (), *,
             array_col: str | None = None, dim_x: int = 8, dim_y: int = 8,
@@ -502,82 +648,69 @@ def som_fit(df: DataFrame, cols: Sequence[str] = (), *,
         def _stack(series: pd.Series) -> "np.ndarray":
             return np.stack(series.to_numpy())
 
+        def _quant(X):
+            return np.floor(X * SOM_QSCALE + 0.5).astype(np.int64)
+
         # PCA-plane init from one partial-Gram scan (the som.py
-        # init_weights_pca analogue): per batch n/Σx/X'X with BLAS, driver
-        # eigensolve — no O(P²) aggregate expressions
+        # init_weights_pca analogue): per batch n/Σq/qᵀq in EXACT int64
+        # (quantized fixed point), driver eigensolve — the cross-partition
+        # combine is integer addition, so the init (and everything
+        # downstream) is independent of partitioning and combine order
         def _gram(batches):
-            gn, s, g = 0, np.zeros(P), np.zeros((P, P))
+            gn, qmax = 0, 0
+            s = np.zeros(P, dtype=np.int64)
+            g = np.zeros((P, P), dtype=np.int64)
             for pdf in batches:
-                X = _stack(pdf["_arr"])
-                gn += X.shape[0]
-                s += X.sum(axis=0)
-                g += X.T @ X
-            yield pd.DataFrame({"n": [gn], "s": [s.tolist()],
+                Xq = _quant(_stack(pdf["_arr"]))
+                gn += Xq.shape[0]
+                if Xq.size:
+                    qmax = max(qmax, int(np.abs(Xq).max()))
+                s += Xq.sum(axis=0)
+                g += Xq.T @ Xq
+            yield pd.DataFrame({"n": [gn], "qmax": [qmax],
+                                "s": [s.tolist()],
                                 "g": [g.ravel().tolist()]})
 
         gparts = data.mapInPandas(
-            _gram, "n long, s array<double>, g array<double>").collect()
+            _gram, "n long, qmax long, s array<long>, g array<long>"
+        ).collect()
         gn = sum(r["n"] for r in gparts)
-        s = np.sum([np.asarray(r["s"]) for r in gparts], axis=0)
-        g = np.sum([np.asarray(r["g"]).reshape(P, P) for r in gparts], axis=0)
-        mean = s / gn
-        cov = g / gn - np.outer(mean, mean)
-        w_eig, v_eig = np.linalg.eigh(cov)
-        order = np.argsort(w_eig)[::-1]
-        comps = []
-        for ci in order[:min(2, P)]:
-            c = v_eig[:, ci]
-            if c[np.argmax(np.abs(c))] < 0:
-                c = -c
-            comps.append(c)
-        pc0 = np.asarray(comps[0])
-        pc1 = np.asarray(comps[1]) if len(comps) > 1 else np.zeros(P)
-        W = np.empty((dim_y, dim_x, P))
-        for i, c1 in enumerate(np.linspace(-1, 1, dim_y)):
-            for j, c2 in enumerate(np.linspace(-1, 1, dim_x)):
-                W[i, j] = c1 * pc0 + c2 * pc1
-        norms = (W ** 2).sum(axis=2)
-        norms[norms == 0] = 1
-        W /= norms[:, :, None]
+        _som_guard(gn, max((int(r["qmax"]) for r in gparts), default=0))
+        s = np.sum([np.asarray(r["s"], dtype=np.int64) for r in gparts],
+                   axis=0)
+        g = np.sum([np.asarray(r["g"], dtype=np.int64).reshape(P, P)
+                    for r in gparts], axis=0)
+        W = _som_init(gn, s, g, dim_x, dim_y)
 
-        gy, gx = np.mgrid[0:dim_y, 0:dim_x]
-        units = np.stack([gy.ravel(), gx.ravel()], axis=1)   # (U, 2)
+        units = _som_units(dim_x, dim_y)                     # (U, 2)
         U = units.shape[0]
 
         for it in range(n_iterations):
-            decay = 1 + it / (n_iterations / 2)
-            sig = sigma / decay
             Wf = W.reshape(-1, P)                            # (U, P)
 
             # ONE mapInPandas scan per iteration: assign each batch to its
-            # best-matching unit AND accumulate per-unit partial sums locally
-            # (U×P floats per partition) — no shuffle, the driver combine is
-            # the map-side-combine of the groupBy it replaces
+            # best-matching unit AND accumulate per-unit partial sums
+            # locally (U×P int64 per partition, quantized-exact) — no
+            # shuffle, the driver combine is exact integer addition
             def _iter_stats(batches, Wf=Wf):
-                S = np.zeros((U, P))
-                cnt = np.zeros(U)
+                S = np.zeros((U, P), dtype=np.int64)
+                cnt = np.zeros(U, dtype=np.int64)
                 for pdf in batches:
                     X = _stack(pdf["_arr"])
-                    d = ((X[:, None, :] - Wf[None, :, :]) ** 2).sum(axis=2)
-                    u = np.argmin(d, axis=1)
+                    u = _som_bmu(X, Wf)
                     np.add.at(cnt, u, 1)
-                    np.add.at(S, u, X)
+                    np.add.at(S, u, _quant(X))
                 yield pd.DataFrame({"cnt": [cnt.tolist()],
                                     "s": [S.ravel().tolist()]})
 
             stats = data.mapInPandas(
-                _iter_stats, "cnt array<double>, s array<double>").collect()
-            S = np.sum([np.asarray(r["s"]).reshape(U, P) for r in stats], axis=0)
-            Ncnt = np.sum([np.asarray(r["cnt"]) for r in stats], axis=0)
-            # neighborhood combine on the tiny grid: h(u,v) Gaussian in grid space
-            d2 = ((units[:, None, :] - units[None, :, :]) ** 2).sum(axis=2)
-            H = np.exp(-d2 / (2 * sig * sig))                # (U, U)
-            num = H @ S                                      # (U, P)
-            den = (H @ Ncnt)[:, None]
-            upd = den[:, 0] > 0
-            Wf = Wf.copy()
-            Wf[upd] = num[upd] / den[upd]
-            W = Wf.reshape(dim_y, dim_x, P)
+                _iter_stats, "cnt array<long>, s array<long>").collect()
+            S = np.sum([np.asarray(r["s"], dtype=np.int64).reshape(U, P)
+                        for r in stats], axis=0)
+            Ncnt = np.sum([np.asarray(r["cnt"], dtype=np.int64)
+                           for r in stats], axis=0)
+            W = _som_step(Wf, Ncnt, S, it, n_iterations, sigma,
+                          units).reshape(dim_y, dim_x, P)
         return W.tolist()
     finally:
         data.unpersist()

@@ -280,6 +280,217 @@ def scoringsheet_oracle() -> str:
             f"v(feature, threshold, points)")
 
 
+# ------------------------------------------------------------------ OCSVM
+
+OCSVM_PARAMS = dict(nu=0.1, seed=42, max_samples=2000)
+OCSVM_QSCALE = 1_000_000.0
+
+
+@lazy
+def ocsvm_oracle() -> str:
+    """q_outlier_ocsvm: no SQL engine reproduces numpy's ``cos`` bit for
+    bit, so this oracle replays the ENTIRE pipeline in the same numpy the
+    Spark UDF runs — identical id-hash sample (DuckDB md5 == Spark md5),
+    identical ``fit_ocsvm_matrix``, identical batch-size-independent
+    ``_scores_np`` — and embeds the aggregated result as literals.  What
+    the driver then grades end to end is the DISTRIBUTED half: hash
+    sampling, Arrow-batched scoring across arbitrary partitionings, the
+    sign threshold, and the integer fixed-point aggregation."""
+    import numpy as np
+
+    from orange3_spark.ml.outlier_models import (OneClassSVMModel,
+                                                 fit_ocsvm_matrix)
+
+    P = OCSVM_PARAMS
+    S = _fetch(f"""
+        SELECT CAST(o_totalprice AS DOUBLE), CAST(o_custkey AS DOUBLE)
+        FROM '{_sf_dir()}/orders.parquet'
+        WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL
+        ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT {P["max_samples"]}""")
+    W, b, w, rho = fit_ocsvm_matrix(S, nu=P["nu"], seed=P["seed"])
+    model = OneClassSVMModel(W, b, w, rho, ["o_totalprice", "o_custkey"])
+    X = _fetch(f"""
+        SELECT CAST(o_totalprice AS DOUBLE), CAST(o_custkey AS DOUBLE)
+        FROM '{_sf_dir()}/orders.parquet'
+        WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL""")
+    scores = model._scores_np(X)
+    q = np.floor(scores * OCSVM_QSCALE + 0.5)
+    flags = scores < 0
+    rows = []
+    for flag in (False, True):
+        m = flags == flag
+        if m.any():
+            rows.append(f"({'TRUE' if flag else 'FALSE'}, "
+                        f"{int(m.sum())}, {int(q[m].sum())})")
+    values = ",\n".join(rows)
+    return (f"SELECT is_outlier, CAST(n AS BIGINT) AS n, "
+            f"CAST(qscore_total AS BIGINT) AS qscore_total FROM (VALUES\n"
+            f"{values}\n) v(is_outlier, n, qscore_total) ORDER BY 1")
+
+
+# ------------------------------------------------------------------ t-SNE
+
+TSNE_PARAMS = dict(fraction=0.06, n_iter=150)
+TSNE_QSCALE = 10_000.0
+
+
+@lazy
+def tsne_oracle() -> str:
+    """q_ml_tsne: the embedding is a pure function of the id-SORTED hash
+    sample (ml/projection.tsne sorts after collect, so partitioning can't
+    reorder the float ops).  Re-fetch the identical sample through DuckDB
+    (same md5 substring predicate as operators/sample.sample_hash), run
+    the identical ``fit_tsne_matrix`` schedule, and embed the quantized
+    coordinates — the driver then grades Spark's sampling + collection +
+    embedding + fixed-point quantization row by row."""
+    import duckdb
+    import numpy as np
+
+    from orange3_spark.ml.projection import fit_tsne_matrix
+
+    P = TSNE_PARAMS
+    thr = format(int(P["fraction"] * 0xFFFFFFFF), "08x")
+    con = duckdb.connect()
+    try:
+        rows = con.execute(f"""
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM '{_sf_dir()}/embeddings.parquet'
+            WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) < '{thr}'
+              AND embedding IS NOT NULL
+            ORDER BY vec_id""").fetchall()
+    finally:
+        con.close()
+    ids = [r[0] for r in rows]
+    X = np.array([[float(x) for x in r[1]] for r in rows])
+    Y = fit_tsne_matrix(X, n_iter=P["n_iter"])
+    q = np.floor(Y * TSNE_QSCALE + 0.5).astype(np.int64)
+    values = ",\n".join(f"({i}, {qx}, {qy})"
+                        for i, (qx, qy) in zip(ids, q))
+    return (f"SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+            f"CAST(qx AS BIGINT) AS qx, CAST(qy AS BIGINT) AS qy "
+            f"FROM (VALUES\n{values}\n) v(vec_id, qx, qy)")
+
+
+# ---------------------------------------------------------------- FreeViz
+
+FREEVIZ_QSCALE = 10_000.0
+
+_FREEVIZ_FEATS_SQL = """
+WITH qrows AS (
+  SELECT n.n_nationkey, n.n_regionkey,
+         CAST(floor(CAST(o.o_totalprice AS DOUBLE) * 100.0 + 0.5)
+              AS BIGINT) AS qq
+  FROM {orders} o
+  JOIN {customer} c ON o.o_custkey = c.c_custkey
+  JOIN {nation} n ON c.c_nationkey = n.n_nationkey),
+base AS (SELECT n_nationkey, n_regionkey, count(*) AS n,
+                sum(qq) AS qsum, max(qq) AS qmax
+         FROM qrows GROUP BY 1, 2)
+SELECT n_nationkey, n_regionkey,
+       CAST(n AS DOUBLE) AS f_orders,
+       CAST(qsum AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS f_avg,
+       CAST(qmax AS DOUBLE) / 100.0 AS f_max
+FROM base
+"""
+
+
+@lazy
+def freeviz_oracle() -> str:
+    """q_ml_freeviz: the per-nation feature table is exact integer
+    arithmetic (count / fixed-point sum / max → divisions of exact ints),
+    so DuckDB reproduces the fit input bit for bit.  Replay the
+    deterministic gradient fit on the value-sorted rows (mirroring
+    freeviz_fit's canonical sort) and mirror freeviz_transform's
+    left-associated projection chain with embedded literals."""
+    import duckdb
+
+    from orange3_spark.ml.projection import fit_freeviz_matrix
+
+    sf = _sf_dir()
+    feats_gen = _FREEVIZ_FEATS_SQL.format(
+        orders=f"'{sf}/orders.parquet'",
+        customer=f"'{sf}/customer.parquet'",
+        nation=f"'{sf}/nation.parquet'")
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"SELECT f_orders, f_avg, f_max, n_regionkey FROM "
+            f"({feats_gen})").fetchall()
+    finally:
+        con.close()
+    # mirror freeviz_fit's canonical sort: full value tuple (cols, class)
+    rows = sorted(rows, key=lambda r: tuple(r))
+    X = [[r[0], r[1], r[2]] for r in rows]
+    yv = [r[3] for r in rows]
+    comps, center, scale = fit_freeviz_matrix(X, yv, maxiter=60)
+
+    # mirror freeviz_transform: v=(col-center)/sd; x=((t0+t1)+t2)
+    cols = ["f_orders", "f_avg", "f_max"]
+    tx, ty = [], []
+    for j, c in enumerate(cols):
+        sd = scale[j] if abs(scale[j]) > 1e-12 else 1.0
+        v = f"(({c} - {_lit(center[j])}) / {_lit(sd)})"
+        tx.append(f"({v} * {_lit(comps[j][0])})")
+        ty.append(f"({v} * {_lit(comps[j][1])})")
+    ex, ey = tx[0], ty[0]
+    for j in range(1, len(cols)):
+        ex = f"({ex} + {tx[j]})"
+        ey = f"({ey} + {ty[j]})"
+    feats = _FREEVIZ_FEATS_SQL.format(orders="orders", customer="customer",
+                                      nation="nation")
+    return f"""
+WITH feats AS ({feats})
+SELECT n_nationkey,
+       CAST(floor({ex} * {FREEVIZ_QSCALE} + 0.5) AS BIGINT) AS qfx,
+       CAST(floor({ey} * {FREEVIZ_QSCALE} + 0.5) AS BIGINT) AS qfy
+FROM feats
+"""
+
+
+# -------------------------------------------------------------------- SOM
+
+SOM_PARAMS = dict(dim_x=4, dim_y=4, n_iterations=10)
+
+
+@lazy
+def som_oracle() -> str:
+    """q_ml_som: the distributed fit's cross-partition statistics are
+    exact quantized integers, so ``fit_som_matrix`` (the local twin
+    sharing the same _som_init/_som_step/_som_bmu helpers) reproduces the
+    grid bit for bit from a DuckDB fetch in ANY row order.  Replay fit +
+    winner assignment and embed the per-unit counts — the driver then
+    grades the distributed Gram scan, the per-iteration assignment scans,
+    the winner UDF and the count aggregation end to end."""
+    import duckdb
+    import numpy as np
+
+    from orange3_spark.ml.projection import _som_bmu, fit_som_matrix
+
+    P = SOM_PARAMS
+    con = duckdb.connect()
+    try:
+        rows = con.execute(f"""
+            SELECT CAST(embedding AS DOUBLE[]) FROM
+            '{_sf_dir()}/embeddings.parquet'
+            WHERE embedding IS NOT NULL ORDER BY vec_id""").fetchall()
+    finally:
+        con.close()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    W = np.asarray(fit_som_matrix(X, dim_x=P["dim_x"], dim_y=P["dim_y"],
+                                  n_iterations=P["n_iterations"]))
+    u = _som_bmu(X, W.reshape(-1, X.shape[1]))
+    sx, sy = u % P["dim_x"], u // P["dim_x"]
+    counts: dict = {}
+    for x, y in zip(sx, sy):
+        counts[(int(x), int(y))] = counts.get((int(x), int(y)), 0) + 1
+    values = ",\n".join(f"({x}, {y}, {n})"
+                        for (x, y), n in sorted(counts.items()))
+    return (f"SELECT CAST(som_x AS INTEGER) AS som_x, "
+            f"CAST(som_y AS INTEGER) AS som_y, CAST(n AS BIGINT) AS n "
+            f"FROM (VALUES\n{values}\n) v(som_x, som_y, n) "
+            f"ORDER BY som_x, som_y")
+
+
 # -------------------------------------------------------------- linear SVR
 
 SVR_PARAMS = dict(epsilon=0.1, epochs=200, max_samples=4000)

@@ -973,20 +973,30 @@ def q_outlier_envelope(spark, sf_dir):
             .orderBy("is_outlier"))
 
 
-@query("q_outlier_ocsvm")
+@query("q_outlier_ocsvm", OR.ocsvm_oracle)
 def q_outlier_ocsvm(spark, sf_dir):
     """One-class SVM (outlier_detection.py:88) via seeded random Fourier
-    features + deterministic subgradient descent on a hash sample —
-    sklearn-free RBF approximation.  Rows-only driver check; separation
-    behavior pytest-asserted."""
+    features + deterministic Frank-Wolfe on an id-hash sample —
+    sklearn-free RBF approximation.  Scoring is batch-size-independent
+    numpy, so the oracle (plans/oracle_replay.ocsvm_oracle) replays
+    sample, fit and per-row scores bit for bit and the driver hash-checks
+    flag counts + integer fixed-point score sums end to end; separation
+    behavior stays pytest-asserted."""
     from orange3_spark.ml.outlier_models import one_class_svm
 
+    P = OR.OCSVM_PARAMS
     (orders,) = _t(spark, sf_dir, "orders")
-    model = one_class_svm(orders, ["o_totalprice", "o_custkey"], nu=0.1,
-                          seed=42)
-    flagged = model.predict(orders)
+    data = orders.na.drop(subset=["o_totalprice", "o_custkey"])
+    model = one_class_svm(data, ["o_totalprice", "o_custkey"], nu=P["nu"],
+                          seed=P["seed"], max_samples=P["max_samples"],
+                          id_cols=["o_orderkey"])
+    flagged = model.predict(data)
     return (flagged.groupBy("is_outlier")
-            .agg(F.count(F.lit(1)).alias("n")).orderBy("is_outlier"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.floor(F.col("svm_score") * F.lit(OR.OCSVM_QSCALE)
+                               + F.lit(0.5)).cast("long"))
+                 .alias("qscore_total"))
+            .orderBy("is_outlier"))
 
 
 @query("q_ml_svr", OR.svr_oracle)

@@ -573,58 +573,90 @@ def q_sample_bernoulli(spark, sf_dir):
 
 # ------------------------------------- §2.11/§2.12 rows-only registrations
 
-@query("q_ml_tsne")
+@query("q_ml_tsne", OR2.tsne_oracle)
 def q_ml_tsne(spark, sf_dir):
     """Deterministic exact t-SNE of a hash-sampled slice of the embeddings
     table (``Orange/projection/manifold.py``; PCA init, fixed schedule).
-    O(n²) by nature → sample-then-embed is the contract; no SQL oracle
-    (iterative gradient descent), driver does the rows-only check."""
+    O(n²) by nature → sample-then-embed is the contract.  The embedding
+    is a pure function of the id-SORTED sample matrix, so the oracle
+    (plans/oracle_replay.tsne_oracle) re-fetches the identical hash
+    sample through DuckDB, re-runs the identical numpy schedule, and the
+    driver hash-checks the integer fixed-point coordinates row by row —
+    sampling, collection, embedding and quantization end to end."""
     from orange3_spark.ml.projection import tsne
     from orange3_spark.operators.sample import sample_hash
 
     (emb,) = _t(spark, sf_dir, "embeddings")
-    sampled = sample_hash(emb, "vec_id", 0.06)
-    out = tsne(sampled, "vec_id", array_col="embedding", n_iter=150)
-    return out.select("vec_id",
-                      F.round("tsne_x", 4).alias("tsne_x"),
-                      F.round("tsne_y", 4).alias("tsne_y"))
+    P = OR2.TSNE_PARAMS
+    sampled = sample_hash(emb, "vec_id", P["fraction"])
+    out = tsne(sampled, "vec_id", array_col="embedding",
+               n_iter=P["n_iter"])
+    return out.select(
+        "vec_id",
+        F.floor(F.col("tsne_x") * F.lit(OR2.TSNE_QSCALE) + F.lit(0.5))
+        .cast("long").alias("qx"),
+        F.floor(F.col("tsne_y") * F.lit(OR2.TSNE_QSCALE) + F.lit(0.5))
+        .cast("long").alias("qy"))
 
 
-@query("q_ml_som")
+@query("q_ml_som", OR2.som_oracle)
 def q_ml_som(spark, sf_dir):
     """Batch SOM (Kohonen; reference ``Orange/projection/som.py``):
     PCA-plane init, one assignment scan per iteration, driver-sized grid.
-    Returns per-unit hit counts; no SQL oracle (iterative), rows-only."""
+    Every cross-partition statistic (Gram init, per-unit sums, counts)
+    is an exact quantized integer, so the fitted grid is a pure function
+    of the data and the oracle (plans/oracle_replay.som_oracle) replays
+    fit + winner assignment bit for bit; the driver hash-checks the
+    per-unit hit counts end to end."""
     from orange3_spark.ml.projection import som
 
+    P = OR2.SOM_PARAMS
     (emb,) = _t(spark, sf_dir, "embeddings")
-    out = som(emb, array_col="embedding", dim_x=4, dim_y=4, n_iterations=10)
+    data = emb.filter(F.col("embedding").isNotNull())
+    out = som(data, array_col="embedding", dim_x=P["dim_x"],
+              dim_y=P["dim_y"], n_iterations=P["n_iterations"])
     return (out.groupBy("som_x", "som_y")
                .agg(F.count(F.lit(1)).alias("n"))
                .orderBy("som_x", "som_y"))
 
 
-@query("q_ml_freeviz")
+@query("q_ml_freeviz", OR2.freeviz_oracle)
 def q_ml_freeviz(spark, sf_dir):
     """FreeViz anchor projection (``Orange/projection/freeviz.py``,
     Demšar 2005): deterministic radial-init gradient fit on the bounded
-    per-nation feature table, row-local anchor projection.  Iterative
-    force optimization → rows-only check."""
+    per-nation feature table, row-local anchor projection.  Features are
+    built from EXACT integer aggregates (count / fixed-point sum / max)
+    so the feature matrix is partition-independent and bit-identical in
+    DuckDB; the oracle (plans/oracle_replay.freeviz_oracle) replays the
+    fit on it and mirrors the anchor-projection Column chain term for
+    term, hash-checking aggregation, fit, distributed projection and
+    quantization end to end."""
     from orange3_spark.ml.projection import freeviz
 
     nation, customer, orders = _t(spark, sf_dir,
                                   "nation", "customer", "orders")
+    q = F.floor(F.col("o_totalprice").cast("double") * F.lit(100.0)
+                + F.lit(0.5)).cast("long")
     feats = (orders.join(customer, orders.o_custkey == customer.c_custkey)
                    .join(nation, customer.c_nationkey == nation.n_nationkey)
                    .groupBy("n_nationkey", "n_regionkey")
-                   .agg(F.count(F.lit(1)).cast("double").alias("f_orders"),
-                        F.avg("o_totalprice").alias("f_avg"),
-                        F.max("o_totalprice").alias("f_max")))
+                   .agg(F.count(F.lit(1)).alias("n"),
+                        F.sum(q).alias("qsum"), F.max(q).alias("qmax"))
+                   .select("n_nationkey", "n_regionkey",
+                           F.col("n").cast("double").alias("f_orders"),
+                           (F.col("qsum").cast("double")
+                            / F.col("n").cast("double")
+                            / F.lit(100.0)).alias("f_avg"),
+                           (F.col("qmax").cast("double")
+                            / F.lit(100.0)).alias("f_max")))
     out = freeviz(feats, ["f_orders", "f_avg", "f_max"],
                   "n_regionkey", maxiter=60)
-    return out.select("n_nationkey",
-                      F.round("freeviz_x", 4).alias("fx"),
-                      F.round("freeviz_y", 4).alias("fy"))
+    return out.select(
+        "n_nationkey",
+        F.floor(F.col("freeviz_x") * F.lit(OR2.FREEVIZ_QSCALE) + F.lit(0.5))
+        .cast("long").alias("qfx"),
+        F.floor(F.col("freeviz_y") * F.lit(OR2.FREEVIZ_QSCALE) + F.lit(0.5))
+        .cast("long").alias("qfy"))
 
 
 @query("q_feature_scores_relieff", """
