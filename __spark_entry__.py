@@ -33,17 +33,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness harness grades entries in dict order with a ~50-query
-# budget per round.  Round-5 priority: (1) the three ex-rows-only queries
-# that gained REPLAY oracles (plans/oracle_replay.py) — a driver hash
+# budget per round.  Round-5 priority: (1) every ex-rows-only query that
+# gained a REPLAY oracle this round (plans/oracle_replay.py) — all eight,
+# so 166/166 registered queries are now oracle-paired and a driver hash
 # verdict on them is the round's headline; (2) operators new this round
 # (ensembles, kernel SVM, kNN/MLP regressors, ROC curves, ARI,
 # AdaptiveNormalize); (3) greens whose engine code materially changed
-# since their last verdict (silhouette's decimal SS, the Lloyd cache
-# handles, csv skip_rows re-index, xlsx header de-dup, knn_classifier
-# fallback refactor, strata guard); (4) the remaining rows-only five;
-# (5) the cumulative greens.
-_REPLAY_ORACLED_R5 = ["q_outlier_iforest", "q_outlier_envelope",
-                      "q_ml_svr", "q_scoring_sheet"]
+# since their last verdict (kNN-regressor vectorized inference, the
+# dup-cluster pair materialization, the k-means-family sufficient-stats
+# scan, silhouette, csv skip_rows re-index, xlsx header de-dup,
+# knn_classifier fallback, strata guard); (4) the cumulative greens.
+_REPLAY_ORACLED_R5 = [
+    "q_outlier_ocsvm", "q_ml_tsne", "q_ml_som", "q_ml_freeviz",
+    "q_outlier_iforest", "q_outlier_envelope", "q_ml_svr",
+    "q_scoring_sheet",
+]
 _NEW_R5 = [
     "q_ml_adaboost", "q_ml_stack", "q_ml_svm", "q_ml_knn_reg",
     "q_ml_mlp_reg", "q_ml_roc_curve", "q_ml_ari", "q_adaptive_normalize",
@@ -51,13 +55,12 @@ _NEW_R5 = [
 _REBASED_GREEN = [
     # green in earlier rounds but their engine paths changed this round —
     # the old verdicts cover code that no longer exists
+    "q_dup_clusters", "q_leakage_safe_split", "q_training_pipeline",
     "q_ml_silhouette", "q_ml_kmeans", "q_dedup_semantic", "q_knn_ivf",
-    "q_csv_import_options", "q_excel_roundtrip", "q_sample_stratified",
-    "q_ml_knn_ca",
+    "q_ml_ari", "q_csv_import_options", "q_excel_roundtrip",
+    "q_sample_stratified", "q_ml_knn_ca",
 ]
-_NEVER_GRADED_ROWS_ONLY = [
-    "q_outlier_ocsvm", "q_ml_tsne", "q_ml_som", "q_ml_freeviz",
-]
+_NEVER_GRADED_ROWS_ONLY: list[str] = []
 _VERIFIED_GREEN = [
     # cumulative greens from CORRECTNESS_r01-r03 — graded last
     "q_discretize_equal_freq", "q_discretize_equal_width", "q_discretize_nice",

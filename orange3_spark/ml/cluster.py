@@ -61,6 +61,68 @@ def quantize_array(col, scale: float = LLOYD_SCALE):
                        lambda x: F.floor(x * F.lit(scale) + F.lit(0.5)))
 
 
+def _cluster_suff_stats(assigned: DataFrame, *, q_col: str = "_q",
+                        cluster_col: str = "cluster",
+                        with_ss: bool = False) -> dict:
+    """Per-cluster sufficient statistics ``{cluster: (n, Σq[, Σ|q|²])}``
+    in ONE Arrow-batched scan with EXACT integer accumulation.
+
+    Replaces a ``groupBy().agg(sum(getItem(j)) for j in dim)`` — whose
+    64-wide expression tree costs seconds of driver analysis + codegen
+    per call (the dominant cost of the Lloyd loop on small data) — with
+    a mapInPandas partial-aggregation: per-partition int64 coordinate
+    sums (exact: |q|·rows ≪ 2⁶³) and Python-int squared-norm sums
+    (arbitrary precision, shipped as strings), combined on the driver
+    with exact integer addition — order- and partition-independent, same
+    values the wide agg produced."""
+    import numpy as np
+
+    def _suff(it):
+        acc: dict = {}
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.int64)
+                          for v in pdf[q_col]])
+            cl = pdf[cluster_col].to_numpy()
+            for c in np.unique(cl):
+                m = cl == c
+                Xc = X[m]
+                a = acc.setdefault(int(c),
+                                   [0, np.zeros(X.shape[1],
+                                                dtype=np.int64), 0])
+                a[0] += int(m.sum())
+                a[1] += Xc.sum(axis=0)
+                if with_ss:
+                    # per-row |q|² fits int64 (dim·q_max² ≈ 2.2e13);
+                    # the PARTITION sum may not — accumulate object ints
+                    rs = (Xc * Xc).sum(axis=1)
+                    a[2] += int(rs.astype(object).sum())
+        rows = {"cl": [], "n": [], "s": [], "ss": []}
+        for c, (n, s, ss) in acc.items():
+            rows["cl"].append(c)
+            rows["n"].append(n)
+            rows["s"].append(s.tolist())
+            rows["ss"].append(str(ss))
+        yield pd.DataFrame(rows)
+
+    parts = (assigned.select(q_col, cluster_col)
+             .mapInPandas(_suff, "cl long, n long, s array<long>, "
+                                 "ss string")
+             .collect())
+    import numpy as np
+
+    out: dict = {}
+    for r in parts:
+        c = int(r["cl"])
+        n, s, ss = out.get(c, (0, None, 0))
+        sv = np.asarray(r["s"], dtype=np.int64)
+        out[c] = (n + int(r["n"]),
+                  sv if s is None else s + sv,
+                  ss + int(r["ss"]))
+    return out
+
+
 def kmeans_lloyd_fit(df: DataFrame, id_col: str, *, array_col: str,
                      k: int = 8, n_iter: int = 2,
                      quantize: float = LLOYD_SCALE):
@@ -145,20 +207,14 @@ def kmeans_lloyd_fit(df: DataFrame, id_col: str, *, array_col: str,
 
     for _ in range(n_iter - 1):
         assigned = assign(qdf, centroids)
-        rows = (assigned.groupBy("cluster")
-                .agg(*[F.sum(F.col("_q").getItem(j)).alias(f"s{j}")
-                       for j in range(dim)],
-                     F.count(F.lit(1)).alias("n"))
-                .collect())
+        stats = _cluster_suff_stats(assigned)
         # floor(Σ/n + 0.5): Σ and n are exact ints, so the true division is
         # correctly rounded and identical in Python/DuckDB/Spark.  Keep the
         # previous centroid for a cluster that lost every member: labels
         # are POSITIONS in the centroid array, so dropping an empty cluster
         # would silently renumber all later labels.
-        got = {int(r["cluster"]):
-               [math.floor(int(r[f"s{j}"]) / int(r["n"]) + 0.5)
-                for j in range(dim)]
-               for r in rows}
+        got = {c: [math.floor(int(s[j]) / n + 0.5) for j in range(dim)]
+               for c, (n, s, _ss) in stats.items()}
         centroids = [got.get(i, c) for i, c in enumerate(centroids)]
     assigned = assign(qdf, centroids)
     assigned.lloyd_cache = qdf     # release handle for long-lived sessions
@@ -308,29 +364,20 @@ def silhouette_exact(assigned: DataFrame, *, q_col: str = "_q",
     import numpy as np
 
     dim = len(assigned.select(q_col).first()[0])
-    rows = (assigned.groupBy(cluster_col)
-            .agg(*[F.sum(F.col(q_col).getItem(j)).alias(f"s{j}")
-                   for j in range(dim)],
-                 # decimal(38,0): |q|² per row can be ~2.6e14 — a long sum
-                 # silently wraps near ~3.5e4 rows/cluster; decimal is exact
-                 F.sum(sum((F.col(q_col).getItem(j) * F.col(q_col).getItem(j)
-                            for j in range(dim)), F.lit(0).cast("long"))
-                       .cast("decimal(38,0)"))
-                 .alias("ss"),
-                 F.count(F.lit(1)).alias("n"))
-            .collect())
-    cls = sorted(int(r[cluster_col]) for r in rows)
+    stats = _cluster_suff_stats(assigned, q_col=q_col,
+                                cluster_col=cluster_col, with_ss=True)
+    cls = sorted(stats)
     if len(cls) < 2:
         return 0.0      # silhouette undefined with one cluster (sklearn: s=0)
     idx = {c: i for i, c in enumerate(cls)}
     S = np.zeros((len(cls), dim), dtype=np.int64)
-    SS_py = [0] * len(cls)          # Python ints: decimal sums can pass 2⁶³
+    SS_py = [0] * len(cls)          # Python ints: partition sums pass 2⁶³
     N = np.zeros(len(cls), dtype=np.int64)
-    for r in rows:
-        i = idx[int(r[cluster_col])]
-        S[i] = [int(r[f"s{j}"]) for j in range(dim)]
-        SS_py[i] = int(r["ss"])
-        N[i] = int(r["n"])
+    for c, (n, s, ss) in stats.items():
+        i = idx[c]
+        S[i] = s
+        SS_py[i] = ss
+        N[i] = n
     # worst-case per-point intermediate: n_C·|x|² + 2·|x·S_C| + SS_C.
     # |x|² ≤ dim·x_max² and |x·S_C| ≤ dim·x_max·max|S| — if that bound
     # nears 2⁶³, int64 would wrap silently; use exact object-int math.

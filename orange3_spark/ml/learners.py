@@ -345,7 +345,8 @@ def knn_classifier(df: DataFrame, features: Sequence[str] = (),
 def knn_regressor(df: DataFrame, features: Sequence[str] = (),
                   target_col: str = "y", *, array_col: Optional[str] = None,
                   k: int = 5, id_col: Optional[str] = None,
-                  max_broadcast_cells: int = 50_000_000) -> Model:
+                  max_broadcast_cells: int = 50_000_000,
+                  lsh_planes: int = 12, lsh_seed: int = 42) -> Model:
     """kNN regression (``Orange/regression/knn.py`` KNNRegressionLearner
     wraps sklearn KNeighborsRegressor; tests ``Orange/tests/test_knn.py``):
     prediction = mean target of the k nearest training rows, same
@@ -357,11 +358,35 @@ def knn_regressor(df: DataFrame, features: Sequence[str] = (),
     float64 (products < 2⁵³), and the prediction is ``Σy/k`` from an
     exact int sum — so the whole inference pass is replayable in SQL
     (``q_ml_knn_reg``).  Float features work too, minus the bit-exact
-    guarantee."""
+    guarantee.
+
+    Past ``max_broadcast_cells`` the learner switches AUTOMATICALLY to
+    the LSH-bucket join (same big path as :func:`knn_classifier`): train
+    never leaves the cluster, the probe shuffles on sign-signature
+    buckets, prediction = mean target over the bucketed top-k —
+    approximate recall, but it scales instead of erroring."""
     import numpy as np
     from pyspark.sql import types as T
 
     feat = list(features)
+    p = (len(feat) if array_col is None
+         else len(df.select(array_col).first()[0]))
+    n_train = df.count()
+    if n_train * p > max_broadcast_cells:
+        # big path: never collect the training matrix
+        pair_fn = _knn_lsh_join(df, feat, array_col, k, lsh_planes,
+                                lsh_seed)
+
+        def _predict_lsh(d: DataFrame) -> DataFrame:
+            t = d.withColumn("_kid", F.monotonically_increasing_id())
+            knn = pair_fn(t, "_kid", keep_cols=[target_col])
+            pred = (knn.groupBy("_kid")
+                    .agg((F.sum(F.col(target_col).cast("double")) / F.lit(k))
+                         .alias("prediction")))
+            return t.join(pred, "_kid", "left").drop("_kid")
+
+        return Model(_predict_lsh, "knn_reg_lsh")
+
     sel = ([array_col] if array_col is not None else feat) + [target_col]
     if id_col is not None:
         sel = sel + [id_col]
@@ -376,8 +401,6 @@ def knn_regressor(df: DataFrame, features: Sequence[str] = (),
         train_y = train_y.astype(np.int64)
     train_id = (np.array([r[id_col] for r in rows])
                 if id_col is not None else np.arange(len(rows)))
-    if train_x.size > max_broadcast_cells:
-        raise ValueError("training matrix exceeds broadcast bound")
     sc = df.sparkSession.sparkContext
     b = sc.broadcast((train_x, train_y, train_id))
 

@@ -72,8 +72,12 @@ def _hash_sample(df: DataFrame, cols: Sequence[str],
     else:
         base = base.filter(~F.exists(F.col(array_col),
                                      lambda x: x.isNull()))
+    # tie-break by the feature vector itself: the testdata plants rows
+    # that share an id but differ in payload (lineitem dup ids), and a
+    # hash-only sort would leave their order — and the limit boundary —
+    # partition-dependent, breaking oracle replays
     rows = (base.select(feats, key.alias("_k"))
-                .orderBy("_k").limit(n).collect())
+                .orderBy("_k", "_x").limit(n).collect())
     import numpy as np
     return np.asarray([r["_x"] for r in rows], dtype=np.float64)
 

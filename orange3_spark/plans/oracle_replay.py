@@ -144,9 +144,11 @@ def envelope_oracle() -> str:
     notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
     key = ("md5(CAST(l_orderkey AS VARCHAR) || '_' || "
            "CAST(l_linenumber AS VARCHAR))")
+    # ORDER BY key THEN payload — mirrors _hash_sample's tie-break for
+    # duplicate-id rows with different payloads (present in the testdata)
     S = _fetch(f"""
         SELECT {sel} FROM '{_sf_dir()}/lineitem.parquet'
-        WHERE {notnull} ORDER BY {key} LIMIT 2000""")
+        WHERE {notnull} ORDER BY {key}, {sel} LIMIT 2000""")
     loc, prec = fit_mcd_matrix(S)
     thr = mcd_threshold(S, loc, prec, ENVELOPE_CONTAMINATION)
 

@@ -8,6 +8,11 @@ import pytest
 from orange3_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+# The replay-oracle generators (plans/oracle_replay.py) fetch their fit
+# samples from $SPARK_GRAFT_SF_DIR — point them at the SAME dir the tests
+# query, or every replayed fit would be trained on different data than
+# the Spark path under test.
+os.environ["SPARK_GRAFT_SF_DIR"] = SF_DIR
 
 
 @pytest.fixture(scope="session")

@@ -141,3 +141,23 @@ def test_knn_regressor_1d_window_matches_brute_force(spark):
         d2 = (tx.astype(np.int64) - int(q)) ** 2
         order = np.lexsort((np.arange(n_tr), d2))[:k]
         assert got[1_000_000 + j] == ty[order].sum() / k
+
+
+def test_knn_regressor_lsh_fallback_matches_broadcast(spark):
+    """Over-bound knn_regressor must fall back to the LSH-bucket join
+    instead of raising; with 0 planes (single bucket) the candidate set
+    is the full train set, so predictions match the broadcast path
+    wherever the k-th distance is untied."""
+    from orange3_spark.ml.learners import knn_regressor
+
+    rows = [(i, float(i % 23) + (i % 7) * 0.013, float((i * 5) % 19))
+            for i in range(150)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    small = knn_regressor(df, ["x"], "y", k=3, id_col="id")
+    big = knn_regressor(df, ["x"], "y", k=3, id_col="id",
+                        max_broadcast_cells=1, lsh_planes=0)
+    got_small = {r["id"]: r["prediction"] for r in small.predict(df).collect()}
+    got_big = {r["id"]: r["prediction"] for r in big.predict(df).collect()}
+    assert set(got_small) == set(got_big)
+    agree = sum(abs(got_small[i] - got_big[i]) < 1e-9 for i in got_small)
+    assert agree >= 0.9 * len(got_small), agree
