@@ -80,8 +80,19 @@ class MLPRegressorModel:
         self.array_col = array_col
 
     def _predict_np(self, X):
+        """Batch-size-independent scoring (same discipline as the SVM /
+        OCSVM scorers): fixed-order accumulation over the p input terms
+        and a pairwise sum over the fixed hidden axis — no BLAS kernel
+        whose rounding depends on the Arrow batch's row count, so each
+        row's prediction is a pure function of the row and the oracle
+        replay (plans/oracle_replay.mlp_reg_oracle) reproduces it bit
+        for bit."""
         import numpy as np
-        return np.tanh(X @ self.W1 + self.b1) @ self.w2 + self.b2
+        XW = np.zeros((X.shape[0], self.W1.shape[1]))
+        for j in range(self.W1.shape[0]):
+            XW += X[:, j, None] * self.W1[j]
+        H = np.tanh(XW + self.b1)
+        return (H * self.w2).sum(axis=1) + self.b2
 
     def predict(self, df: DataFrame, *,
                 pred_col: str = "prediction") -> DataFrame:

@@ -59,11 +59,24 @@ class SVRModel:
         self.array_col = array_col
 
     def _predict_np(self, X):
+        """Batch-size-independent scoring (same discipline as
+        OneClassSVMModel._scores_np): fixed-order accumulation over the p
+        feature terms and a pairwise sum over the fixed RFF axis — no
+        BLAS kernel whose rounding depends on the Arrow batch's row
+        count, so each row's score is a pure function of the row and the
+        oracle replay (plans/oracle_replay.svm_oracle) reproduces it bit
+        for bit."""
         import numpy as np
         if self.W is None:
-            return X @ self.w + self.b
-        Z = np.sqrt(2.0 / self.W.shape[1]) * np.cos(X @ self.W + self.c)
-        return Z @ self.w + self.b
+            out = np.full(X.shape[0], float(self.b))
+            for j in range(X.shape[1]):
+                out += X[:, j] * self.w[j]
+            return out
+        XW = np.zeros((X.shape[0], self.W.shape[1]))
+        for j in range(self.W.shape[0]):
+            XW += X[:, j, None] * self.W[j]
+        Z = np.sqrt(2.0 / self.W.shape[1]) * np.cos(XW + self.c)
+        return (Z * self.w).sum(axis=1) + self.b
 
     def predict(self, df: DataFrame, *,
                 pred_col: str = "prediction") -> DataFrame:
@@ -204,10 +217,22 @@ def svm_classifier(df: DataFrame, cols: Sequence[str] = (),
     and ``one_class_svm``), deterministic hinge fit on an id-hash
     sample; predict is Arrow-batched and embarrassingly parallel.
     ``label_col`` is boolean / 0-1; internally mapped to ±1."""
-    import numpy as np
-
     X, y01 = _sample_xy(df, cols, array_col, label_col, max_samples,
                         id_cols=id_cols)
+    W_eff, c_eff, w, b = fit_svm_classifier_matrix(
+        X, y01, gamma=gamma, lam=lam, n_features=n_features,
+        epochs=epochs, seed=seed)
+    return SVMClassifierModel(W_eff, c_eff, w, b, cols, array_col)
+
+
+def fit_svm_classifier_matrix(X, y01, *, gamma=None, lam: float = 1e-3,
+                              n_features: int = 256, epochs: int = 200,
+                              seed: int = 42):
+    """Fit the RFF hinge classifier on sample matrix ``X`` — pure seeded
+    numpy, shared verbatim by the Spark fit and the DuckDB oracle replay
+    (plans/oracle_replay.svm_oracle)."""
+    import numpy as np
+
     y = np.where(y01 > 0, 1.0, -1.0)
     n, p = X.shape
     mu, sd = X.mean(axis=0), X.std(axis=0)
@@ -222,7 +247,7 @@ def svm_classifier(df: DataFrame, cols: Sequence[str] = (),
     w, b = _fit_hinge(Z, y, lam=lam, epochs=epochs)
     W_eff = (W.T / sd).T
     c_eff = c - mu @ (W.T / sd).T
-    return SVMClassifierModel(W_eff, c_eff, w, b, cols, array_col)
+    return W_eff, c_eff, w, b
 
 
 def fit_linear_svr_matrix(X, y, *, epsilon: float = 0.1, lam: float = 1e-3,

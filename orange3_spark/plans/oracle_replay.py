@@ -493,6 +493,140 @@ def som_oracle() -> str:
             f"ORDER BY som_x, som_y")
 
 
+# ------------------------------------------------------------- kernel SVM
+
+SVM_PARAMS = dict(epochs=200, seed=42, max_samples=2000,
+                  test_fraction=0.25)
+SVM_QSCALE = 1_000_000.0
+
+
+@lazy
+def svm_oracle() -> str:
+    """q_ml_svm: like ocsvm, libm cos rules out a bit-exact SQL mirror,
+    so the oracle replays the ENTIRE pipeline in the same numpy the
+    Spark UDF runs — identical id-hash train sample, identical
+    ``fit_svm_classifier_matrix``, identical batch-size-independent
+    margin scoring — and embeds the aggregated confusion/margin table as
+    literals.  The driver then grades the distributed half end to end:
+    the hash split, sampling, Arrow-batched margin scoring under
+    arbitrary partitionings, the sign threshold, and the fixed-point
+    margin aggregation."""
+    import duckdb
+    import numpy as np
+
+    from orange3_spark.ml.svr import (SVMClassifierModel, SVRModel,
+                                      fit_svm_classifier_matrix)
+
+    P = SVM_PARAMS
+    thr = format(int(P["test_fraction"] * 0xFFFFFFFF), "08x")
+    test_pred = (f"substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) "
+                 f"< '{thr}'")
+    con = duckdb.connect()
+    try:
+        tr = con.execute(f"""
+            SELECT CAST(embedding AS DOUBLE[]),
+                   CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END
+            FROM '{_sf_dir()}/embeddings.parquet'
+            WHERE NOT ({test_pred}) AND label IS NOT NULL
+              AND embedding IS NOT NULL
+            ORDER BY md5(CAST(vec_id AS VARCHAR))
+            LIMIT {P["max_samples"]}""").fetchall()
+        te = con.execute(f"""
+            SELECT CAST(embedding AS DOUBLE[]),
+                   CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END
+            FROM '{_sf_dir()}/embeddings.parquet'
+            WHERE {test_pred} AND label IS NOT NULL
+              AND embedding IS NOT NULL""").fetchall()
+    finally:
+        con.close()
+    Xtr = np.array([r[0] for r in tr], dtype=np.float64)
+    ytr = np.array([r[1] for r in tr], dtype=np.float64)
+    W, c, w, b = fit_svm_classifier_matrix(Xtr, ytr, epochs=P["epochs"],
+                                           seed=P["seed"])
+    scorer = SVRModel(W, c, w, b, [], None)
+    Xte = np.array([r[0] for r in te], dtype=np.float64)
+    yte = np.array([r[1] for r in te], dtype=np.float64)
+    m = scorer._predict_np(Xte)
+    q = np.floor(m * SVM_QSCALE + 0.5)
+    rows = []
+    for actual in (False, True):
+        for pred in (False, True):
+            sel = (yte > 0) == actual
+            sel &= (m > 0) == pred
+            if sel.any():
+                rows.append(f"({'TRUE' if actual else 'FALSE'}, "
+                            f"{'TRUE' if pred else 'FALSE'}, "
+                            f"{int(sel.sum())}, {int(q[sel].sum())})")
+    values = ",\n".join(rows)
+    return (f"SELECT actual, prediction, CAST(n AS BIGINT) AS n, "
+            f"CAST(qmargin_total AS BIGINT) AS qmargin_total FROM (VALUES\n"
+            f"{values}\n) v(actual, prediction, n, qmargin_total) "
+            f"ORDER BY 1, 2")
+
+
+# ---------------------------------------------------------- MLP regressor
+
+MLP_PARAMS = dict(epochs=300, seed=42, max_samples=2000,
+                  test_fraction=0.25)
+MLP_QSCALE = 1_000_000.0
+
+
+@lazy
+def mlp_reg_oracle() -> str:
+    """q_ml_mlp_reg: tanh can't be mirrored in SQL bit for bit, so the
+    oracle replays the ENTIRE pipeline in the same numpy the Spark UDF
+    runs — identical id-hash train sample (duplicate-key rows ordered by
+    the payload tie-break, mirroring _hash_sample), identical
+    ``fit_mlp_matrix``, identical batch-size-independent prediction —
+    and embeds the exact fixed-point error aggregate as literals.  The
+    driver then grades the distributed half end to end: hash split,
+    sampling, Arrow-batched prediction under arbitrary partitionings,
+    and the integer error aggregation."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    from orange3_spark.ml.neural import MLPRegressorModel, fit_mlp_matrix
+
+    P = MLP_PARAMS
+    thr = format(int(P["test_fraction"] * 0xFFFFFFFF), "08x")
+    base = f"""
+        SELECT CAST(l_quantity AS DOUBLE) AS x0,
+               CAST(l_discount AS DOUBLE) AS x1,
+               CAST(l_extendedprice AS DOUBLE) / 1000.0 AS y,
+               md5(CAST(CAST(l_orderkey * 10 + l_linenumber AS BIGINT)
+                        AS VARCHAR)) AS h
+        FROM '{_sf_dir()}/lineitem.parquet'
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+          AND l_extendedprice IS NOT NULL"""
+    con = duckdb.connect()
+    try:
+        tr = con.execute(f"""
+            SELECT x0, x1, y FROM ({base})
+            WHERE NOT (substring(h, 1, 8) < '{thr}')
+            ORDER BY h, x0, x1, y LIMIT {P["max_samples"]}""").fetchall()
+        te = con.execute(f"""
+            SELECT x0, x1, y FROM ({base})
+            WHERE substring(h, 1, 8) < '{thr}'""").fetchall()
+    finally:
+        con.close()
+    TR = np.asarray(tr, dtype=np.float64)
+    W1, b1, w2, b2 = fit_mlp_matrix(TR[:, :2], TR[:, 2],
+                                    epochs=P["epochs"], seed=P["seed"])
+    model = MLPRegressorModel(W1, b1, w2, b2, ["x0", "x1"])
+    TE = np.asarray(te, dtype=np.float64)
+    pred = model._predict_np(TE[:, :2])
+    res = TE[:, 2] - pred
+    q = np.floor((res * res) * MLP_QSCALE + 0.5)
+    qsum = int(sum(int(v) for v in q))
+    n = len(TE)
+    rmse = math.sqrt(float(qsum) / MLP_QSCALE / float(n))
+    return (f"SELECT CAST({n} AS BIGINT) AS n_test, "
+            f"CAST({qsum} AS BIGINT) AS qerr_sum, "
+            f"CAST({_lit(rmse)} AS DOUBLE) AS rmse")
+
+
 # -------------------------------------------------------------- linear SVR
 
 SVR_PARAMS = dict(epsilon=0.1, epochs=200, max_samples=4000)

@@ -1235,47 +1235,38 @@ def q_ml_stack(spark, sf_dir):
         "rmse double")
 
 
-@query("q_ml_svm", """
-WITH s AS (SELECT vec_id,
-                  CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y,
-                  substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)
-                      < '3fffffff' AS is_test
-           FROM embeddings),
-pri AS (SELECT round(greatest(avg(y), 1 - avg(y)), 4) AS majority_share
-        FROM s WHERE NOT is_test),
-te AS (SELECT count(*) AS n_test FROM s WHERE is_test)
-SELECT te.n_test, pri.majority_share, TRUE AS ca_ok FROM te, pri
-""")
+@query("q_ml_svm", OR.svm_oracle)
 def q_ml_svm(spark, sf_dir):
     """RBF-kernel SVM classifier (Orange/classification/svm.py SVMLearner,
     sklearn SVC kernel='rbf'; Orange/tests/test_svm.py) via the seeded
     random-Fourier map + deterministic hinge fit (ml/svr.svm_classifier)
-    on a hash train split of the embeddings.  The RFF cosine projection
-    rules out a bit-exact SQL mirror (libm cos differs across engines at
-    the last ulp), so the oracle pins what IS exact — held-out count and
-    complement-train majority share — while ``ca_ok`` asserts the
-    behavioral bound ca ≥ majority − max(0.02, 3σ) (same contract as
-    q_ml_logreg_cv); kernel nonlinearity (XOR separation, which the
-    linear SVM cannot do) is pytest-asserted (tests/test_svr.py)."""
-    import math
-
+    on a hash train split of the embeddings.  Margin scoring is
+    batch-size-independent numpy, so the oracle
+    (plans/oracle_replay.svm_oracle) replays split, sample, fit and
+    per-row margins bit for bit and the driver hash-checks the full
+    confusion table + integer fixed-point margin sums end to end; kernel
+    nonlinearity (XOR separation, which the linear SVM cannot do) stays
+    pytest-asserted (tests/test_svr.py)."""
     from orange3_spark.ml.svr import svm_classifier
 
+    P = OR.SVM_PARAMS
     (emb,) = _t(spark, sf_dir, "embeddings")
-    data = emb.withColumn("_y", (F.col("label") < 5).cast("double"))
-    train, test = E.train_test_split(data, "vec_id", 0.25)
+    data = (emb.filter(F.col("label").isNotNull()
+                       & F.col("embedding").isNotNull())
+            .withColumn("_y", (F.col("label") < 5).cast("double")))
+    train, test = E.train_test_split(data, "vec_id", P["test_fraction"])
     model = svm_classifier(train, array_col="embedding", label_col="_y",
-                           id_cols=["vec_id"], epochs=200, seed=42)
+                           id_cols=["vec_id"], epochs=P["epochs"],
+                           seed=P["seed"], max_samples=P["max_samples"])
     scored = model.predict(test)
-    n_test = scored.count()
-    ca = (scored.filter(F.col("prediction")
-                        == (F.col("_y") > 0)).count() / max(n_test, 1))
-    avg_y = train.agg(F.avg("_y")).first()[0]
-    maj = max(avg_y, 1.0 - avg_y)
-    tol = max(0.02, 3.0 * math.sqrt(maj * (1 - maj) / max(n_test, 1)))
-    return spark.createDataFrame(
-        [(n_test, round(maj, 4), bool(ca >= maj - tol))],
-        "n_test bigint, majority_share double, ca_ok boolean")
+    return (scored.groupBy(
+                (F.col("_y") > 0).alias("actual"),
+                F.col("prediction").alias("prediction"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.floor(F.col("margin") * F.lit(OR.SVM_QSCALE)
+                               + F.lit(0.5)).cast("long"))
+                 .alias("qmargin_total"))
+            .orderBy("actual", "prediction"))
 
 
 @query("q_ml_knn_reg", """
@@ -1332,31 +1323,22 @@ def q_ml_knn_reg(spark, sf_dir):
         "n_test bigint, qerr_sum bigint, rmse double")
 
 
-@query("q_ml_mlp_reg", """
-WITH d AS (SELECT l_orderkey,
-                  substring(md5(CAST(l_orderkey * 10 + l_linenumber
-                                     AS VARCHAR)), 1, 8)
-                      < '3fffffff' AS is_test
-           FROM lineitem
-           WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
-             AND l_extendedprice IS NOT NULL)
-SELECT CAST(count(*) AS BIGINT) AS n_test, TRUE AS rmse_ok
-FROM d WHERE is_test
-""")
+@query("q_ml_mlp_reg", OR.mlp_reg_oracle)
 def q_ml_mlp_reg(spark, sf_dir):
     """MLP regression (Orange/regression/neural_network.py
     NNRegressionLearner — sklearn MLPRegressor, driver-local in the
     reference too; Orange/tests/test_nn.py) via the sample-fit seeded
-    tanh MLP (ml/neural.mlp_regressor) + Arrow-batched predict.  The
-    iterative fit isn't SQL — the oracle pins the exact held-out count
-    while ``rmse_ok`` asserts the behavioral bound rmse ≤ 1.1 × test
-    stddev (the net must not do materially worse than the constant
-    predictor; learning a real nonlinearity is pytest-asserted,
-    tests/test_neural.py)."""
+    tanh MLP (ml/neural.mlp_regressor) + Arrow-batched predict.
+    Prediction is batch-size-independent numpy, so the oracle
+    (plans/oracle_replay.mlp_reg_oracle) replays split, sample, fit and
+    per-row predictions bit for bit and the driver hash-checks the
+    integer fixed-point error aggregate end to end; learning a real
+    nonlinearity stays pytest-asserted (tests/test_neural.py)."""
     import math
 
     from orange3_spark.ml.neural import mlp_regressor
 
+    P = OR.MLP_PARAMS
     (li,) = _t(spark, sf_dir, "lineitem")
     data = (li.na.drop(subset=["l_quantity", "l_discount",
                                "l_extendedprice"])
@@ -1366,18 +1348,21 @@ def q_ml_mlp_reg(spark, sf_dir):
                     F.col("l_discount").cast("double").alias("x1"),
                     (F.col("l_extendedprice").cast("double")
                      / F.lit(1000.0)).alias("y")))
-    train, test = E.train_test_split(data, "key", 0.25)
+    train, test = E.train_test_split(data, "key", P["test_fraction"])
     model = mlp_regressor(train, ["x0", "x1"], "y", id_cols=["key"],
-                          epochs=300, seed=42)
+                          epochs=P["epochs"], seed=P["seed"],
+                          max_samples=P["max_samples"])
     pred = model.predict(test)
-    r = pred.agg(
+    res = F.col("y") - F.col("prediction")
+    agg = pred.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sqrt(F.avg((F.col("y") - F.col("prediction"))
-                     * (F.col("y") - F.col("prediction")))).alias("rmse"),
-        F.stddev_pop("y").alias("sd")).first()
-    ok = bool(r["rmse"] <= 1.1 * r["sd"])
-    return spark.createDataFrame([(int(r["n"]), ok)],
-                                 "n_test bigint, rmse_ok boolean")
+        F.sum(F.floor((res * res) * F.lit(OR.MLP_QSCALE) + F.lit(0.5))
+              .cast("decimal(38,0)")).alias("q")).first()
+    rmse = math.sqrt(float(int(agg["q"])) / OR.MLP_QSCALE
+                     / float(int(agg["n"])))
+    return spark.createDataFrame(
+        [(int(agg["n"]), int(agg["q"]), float(rmse))],
+        "n_test bigint, qerr_sum bigint, rmse double")
 
 
 @query("q_ml_roc_curve", """

@@ -21,6 +21,9 @@ from conftest import assert_matches_oracle  # noqa: E402
 from orange3_spark.session import get_spark  # noqa: E402
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# conftest (imported above for assert_matches_oracle) pins the replay-
+# oracle dir to ITS test default — repoint at the dir this sweep runs
+os.environ["SPARK_GRAFT_SF_DIR"] = sf
 spark = get_spark("oracle-sweep")
 spark.sparkContext.setLogLevel("ERROR")
 con = duckdb.connect()
