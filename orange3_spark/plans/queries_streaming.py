@@ -211,3 +211,39 @@ def q_stream_totals(spark, sf_dir):
 
     events = load_tables(spark, sf_dir, ("events",))["events"]
     return running_totals_batch(events, "user_id", "value")
+
+
+@query("q_stream_interval_join", """
+WITH c AS (SELECT event_id, ts, user_id, value FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT event_id, ts, user_id, value FROM events
+      WHERE event_type = 'purchase'),
+j AS (SELECT c.user_id, p.value AS pv
+      FROM c JOIN p ON c.user_id = p.user_id
+       AND epoch(p.ts) >= epoch(c.ts)
+       AND epoch(p.ts) < epoch(c.ts) + 3600)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(floor(pv * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS qvalue_total
+FROM j
+""")
+def q_stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join (streaming/windows.interval_join):
+    each click matches same-user purchases within the following hour —
+    a key equi-join with the event-time range as join condition, the
+    canonical watermark-bounded stream-stream join.  Batch mode is
+    oracle-checked (exact pair counts + fixed-point value sums); the
+    identical operator runs under two readStream sources with watermarks
+    in tests/test_streaming.py."""
+    ev = _events(spark, sf_dir).select("event_id", "ts", "user_id",
+                                       "event_type", "value")
+    clicks = ev.filter(F.col("event_type") == "click")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    j = SW.interval_join(clicks, buys, "user_id",
+                         lower="0 seconds", upper="1 hour")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.floor(F.col("r_value") * F.lit(100.0) + F.lit(0.5))
+              .cast("long")).alias("qvalue_total"))

@@ -159,3 +159,29 @@ def test_stream_enrich_is_broadcast_and_stateless(spark, sf_dir, tmp_path):
                     .collect()) if False else sorted(
         (r.event_id, r.seg) for r in b.select("event_id", "seg").collect())
     assert got == expect
+
+
+def test_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join: two watermarked readStream sources
+    joined on user within [0s, 1h) must produce exactly the batch pairs
+    (availableNow processes everything, so no late drops)."""
+    schema, path = _events_schema_and_path(spark, sf_dir, tmp_path)
+    batch = _fix_ts(spark.read.parquet(path)).select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    bc = batch.filter(F.col("event_type") == "click")
+    bp = batch.filter(F.col("event_type") == "purchase")
+    want = SW.interval_join(bc, bp, "user_id", upper="1 hour")
+
+    s1 = _fix_ts(SW.stream_from_directory(spark, path, schema)).select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    s2 = _fix_ts(SW.stream_from_directory(spark, path, schema)).select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    sc = s1.filter(F.col("event_type") == "click")
+    sp = s2.filter(F.col("event_type") == "purchase")
+    got = SW.run_to_memory(
+        SW.interval_join(sc, sp, "user_id", upper="1 hour",
+                         left_watermark="2 hours",
+                         right_watermark="2 hours"),
+        "t_interval_join", output_mode="append")
+    cols = ["event_id", "user_id", "r_event_id", "r_value"]
+    assert _canon(got, cols) == _canon(want, cols)
