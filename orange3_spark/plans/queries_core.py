@@ -667,3 +667,31 @@ def q_groupby_salted(spark, sf_dir):
         F.round("l_extendedprice_sum", 2).alias("l_extendedprice_sum"),
         F.round("l_extendedprice_mean", 6).alias("l_extendedprice_mean"),
         "l_extendedprice_min", "l_extendedprice_max")
+
+
+@query("q_json_extract", """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS k_sum,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS k_max
+FROM events
+WHERE props IS NOT NULL
+GROUP BY event_type
+""")
+def q_json_extract(spark, sf_dir):
+    """Semi-structured metadata extraction — a training-data pipeline
+    staple the reference lacks (Orange has no JSON surface; document /
+    event metadata routinely ships as JSON strings).  Spark-first:
+    ``get_json_object`` is a row-local JVM expression (whole-stage
+    codegen, no Python), the extracted field casts to BIGINT and
+    aggregates exactly; for repeated multi-field access, ``from_json``
+    with an explicit schema would vectorize the parse once."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (ev.filter(F.col("props").isNotNull())
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(k).alias("k_sum"),
+                 F.max(k).alias("k_max")))
