@@ -380,8 +380,11 @@ def knn_regressor(df: DataFrame, features: Sequence[str] = (),
         def _predict_lsh(d: DataFrame) -> DataFrame:
             t = d.withColumn("_kid", F.monotonically_increasing_id())
             knn = pair_fn(t, "_kid", keep_cols=[target_col])
+            # avg == Σ/k whenever the bucket held ≥ k candidates (the
+            # top-k window keeps exactly k); with fewer it degrades to
+            # the mean of what was found instead of underestimating
             pred = (knn.groupBy("_kid")
-                    .agg((F.sum(F.col(target_col).cast("double")) / F.lit(k))
+                    .agg(F.avg(F.col(target_col).cast("double"))
                          .alias("prediction")))
             return t.join(pred, "_kid", "left").drop("_kid")
 
