@@ -156,6 +156,150 @@ def logistic_regression(df, features=(), class_col="label", *,
                           array_col, maxIter=max_iter, regParam=reg_param)
 
 
+#: Fixed-point scale for logistic_irls's cross-partition accumulators.
+IRLS_QSCALE = 1_000_000.0
+
+
+def _irls_row_stats(X, y, beta, qscale: float):
+    """Per-row quantized Newton-IRLS contributions — row-local,
+    batch-size-independent (fixed-order accumulation over the p feature
+    terms, no batch-shape BLAS), shared verbatim by the distributed scan
+    and the local replay twin.  Returns int64 (qH upper-triangle, qg)."""
+    import numpy as np
+
+    n, p = X.shape
+    t = np.full(n, beta[0])
+    for j in range(p):
+        t += X[:, j] * beta[j + 1]
+    mu = 1.0 / (1.0 + np.exp(-t))
+    w = mu * (1.0 - mu)
+    z = np.concatenate([np.ones((n, 1)), X], axis=1)
+    d = p + 1
+    qH = np.empty((n, d * (d + 1) // 2))
+    c = 0
+    for i in range(d):
+        for j in range(i, d):
+            qH[:, c] = np.floor(w * z[:, i] * z[:, j] * qscale + 0.5)
+            c += 1
+    qg = np.empty((n, d))
+    for i in range(d):
+        qg[:, i] = np.floor((y - mu) * z[:, i] * qscale + 0.5)
+    return qH.astype(np.int64), qg.astype(np.int64)
+
+
+def _irls_solve(qH_tot, qg_tot, d: int, qscale: float, ridge: float):
+    """Driver-side Newton step from EXACT integer totals — a pure
+    function of (qH, qg), identical in both fit paths."""
+    import numpy as np
+
+    H = np.zeros((d, d))
+    c = 0
+    for i in range(d):
+        for j in range(i, d):
+            H[i, j] = H[j, i] = float(qH_tot[c]) / qscale
+            c += 1
+    g = np.asarray([float(v) / qscale for v in qg_tot])
+    return np.linalg.solve(H + ridge * np.eye(d), g)
+
+
+def logistic_irls(df: DataFrame, features: Sequence[str],
+                  label_col: str = "label", *, iters: int = 8,
+                  qscale: float = IRLS_QSCALE,
+                  ridge: float = 1e-8) -> list:
+    """FULL-data distributed logistic regression via Newton-IRLS with
+    partition-independent EXACT arithmetic (``Orange/classification/
+    logistic_regression.py`` wraps sklearn, driver-local; MLlib's L-BFGS
+    is float-sum order-dependent, so its coefficients change with
+    partitioning — this engine variant doesn't).
+
+    Each Newton iteration is ONE Arrow-batched scan: every row emits its
+    quantized Hessian/gradient contribution (row-local — floor(w·z_i·z_j
+    ·scale + 0.5) as int64), partitions partial-sum in int64 and ship
+    arbitrary-precision totals as strings, and the driver combine is
+    exact integer addition — so β after every iteration is a pure
+    function of the data, independent of partitioning, batching and
+    combine order, and the whole fit is replayable from any engine's
+    fetch of the same rows (plans/oracle_replay.logreg_irls_oracle).
+    Shuffle volume per iteration: (p+1)(p+2)/2 + (p+1) scalars per
+    partition.  Returns β = [intercept, coef...].
+    """
+    import numpy as np
+
+    p = len(features)
+    d = p + 1
+    n_tri = d * (d + 1) // 2
+    sel = (df.na.drop(subset=[*features, label_col])
+           .select(F.array(*[F.col(c).cast("double") for c in features])
+                   .alias("_x"),
+                   F.col(label_col).cast("double").alias("_y")))
+    sel = sel.persist()
+    try:
+        beta = np.zeros(d)
+
+        def scan(beta_now):
+            def run(it):
+                import pandas as pd
+
+                accH = [0] * n_tri
+                accg = [0] * d
+                for pdf in it:
+                    if not len(pdf):
+                        continue
+                    X = np.stack([np.asarray(v, dtype=np.float64)
+                                  for v in pdf["_x"]])
+                    y = pdf["_y"].to_numpy(dtype=np.float64)
+                    qH, qg = _irls_row_stats(X, y, beta_now, qscale)
+                    sH = qH.sum(axis=0)      # int64: partition-local
+                    sg = qg.sum(axis=0)
+                    for i in range(n_tri):
+                        accH[i] += int(sH[i])
+                    for i in range(d):
+                        accg[i] += int(sg[i])
+                yield pd.DataFrame({"h": [[str(v) for v in accH]],
+                                    "g": [[str(v) for v in accg]]})
+
+            parts = sel.mapInPandas(
+                run, "h array<string>, g array<string>").collect()
+            qH_tot = [0] * n_tri
+            qg_tot = [0] * d
+            for r in parts:
+                for i, v in enumerate(r["h"]):
+                    qH_tot[i] += int(v)
+                for i, v in enumerate(r["g"]):
+                    qg_tot[i] += int(v)
+            return qH_tot, qg_tot
+
+        for _ in range(iters):
+            qH_tot, qg_tot = scan(beta)
+            beta = beta + _irls_solve(qH_tot, qg_tot, d, qscale, ridge)
+        return [float(b) for b in beta]
+    finally:
+        sel.unpersist()
+
+
+def fit_logistic_irls_matrix(X, y, *, iters: int = 8,
+                             qscale: float = IRLS_QSCALE,
+                             ridge: float = 1e-8):
+    """Local twin of :func:`logistic_irls` on a full matrix — identical
+    quantized statistics, identical driver math — used by the oracle
+    replay to reproduce the distributed fit bit for bit from a DuckDB
+    fetch in any row order."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    d = X.shape[1] + 1
+    beta = np.zeros(d)
+    for _ in range(iters):
+        qH, qg = _irls_row_stats(X, y, beta, qscale)
+        qH_tot = [int(sum(int(v) for v in qH[:, i]))
+                  for i in range(qH.shape[1])]
+        qg_tot = [int(sum(int(v) for v in qg[:, i]))
+                  for i in range(qg.shape[1])]
+        beta = beta + _irls_solve(qH_tot, qg_tot, d, qscale, ridge)
+    return [float(b) for b in beta]
+
+
 def random_forest_classifier(df, features=(), class_col="label", *,
                              array_col=None, num_trees=50, seed=42) -> Model:
     from pyspark.ml.classification import RandomForestClassifier

@@ -627,6 +627,50 @@ def mlp_reg_oracle() -> str:
             f"CAST({_lit(rmse)} AS DOUBLE) AS rmse")
 
 
+# ---------------------------------------------------- distributed logreg
+
+LOGREG_IRLS_PARAMS = dict(iters=8)
+LOGREG_IRLS_QSCALE = 1_000_000.0
+
+
+@lazy
+def logreg_irls_oracle() -> str:
+    """q_ml_logreg_irls: the distributed IRLS fit accumulates EXACT
+    quantized-integer Hessian/gradient totals, so
+    ``fit_logistic_irls_matrix`` reproduces β bit for bit from a DuckDB
+    fetch in any row order; the margin is then a plain linear Column
+    chain, mirrored here term for term with β literals — a TRUE SQL
+    mirror, no embedded results."""
+    import numpy as np
+
+    from orange3_spark.ml.learners import fit_logistic_irls_matrix
+
+    P = LOGREG_IRLS_PARAMS
+    XY = _fetch(f"""
+        SELECT CAST(o_totalprice AS DOUBLE) / 100000.0,
+               CAST(o_custkey AS DOUBLE) / 1000.0,
+               CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN 1.0 ELSE 0.0 END
+        FROM '{_sf_dir()}/orders.parquet'
+        WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL
+          AND o_orderpriority IS NOT NULL""")
+    beta = fit_logistic_irls_matrix(XY[:, :2], XY[:, 2], iters=P["iters"])
+    # mirror the query's margin chain: ((b0 + x1*b1) + x2*b2)
+    m = (f"(({_lit(beta[0])} + (CAST(o_totalprice AS DOUBLE) / 100000.0) "
+         f"* {_lit(beta[1])}) + (CAST(o_custkey AS DOUBLE) / 1000.0) "
+         f"* {_lit(beta[2])})")
+    return f"""
+WITH s AS (SELECT (o_orderpriority = '1-URGENT') AS actual, {m} AS m
+           FROM orders
+           WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL
+             AND o_orderpriority IS NOT NULL)
+SELECT actual, m > 0 AS prediction, count(*) AS n,
+       CAST(sum(CAST(floor(m * {LOGREG_IRLS_QSCALE} + 0.5) AS BIGINT))
+            AS BIGINT) AS qmargin_total
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # -------------------------------------------------------------- linear SVR
 
 SVR_PARAMS = dict(epsilon=0.1, epochs=200, max_samples=4000)

@@ -1440,3 +1440,40 @@ def q_ml_ari(spark, sf_dir):
     ari = adjusted_rand_index(clustered, "cluster", "label")
     clustered.lloyd_cache.unpersist()
     return spark.createDataFrame([(8, float(ari))], "k bigint, ari double")
+
+
+@query("q_ml_logreg_irls", OR.logreg_irls_oracle)
+def q_ml_logreg_irls(spark, sf_dir):
+    """FULL-data distributed logistic regression
+    (Orange/classification/logistic_regression.py wraps sklearn,
+    driver-local; MLlib L-BFGS is partitioning-dependent) via
+    quantized-exact Newton-IRLS (ml/learners.logistic_irls): one
+    Arrow-batched scan per iteration, integer Hessian/gradient totals,
+    so β is a pure function of the data.  The oracle replays the fit on
+    a DuckDB fetch (fit_logistic_irls_matrix twin) and mirrors the
+    linear margin with β literals — confusion table + fixed-point margin
+    sums are hash-graded end to end."""
+    from orange3_spark.ml.learners import logistic_irls
+
+    P = OR.LOGREG_IRLS_PARAMS
+    (orders,) = _t(spark, sf_dir, "orders")
+    data = (orders.na.drop(subset=["o_totalprice", "o_custkey",
+                                   "o_orderpriority"])
+            .select((F.col("o_totalprice").cast("double")
+                     / F.lit(100000.0)).alias("x1"),
+                    (F.col("o_custkey").cast("double")
+                     / F.lit(1000.0)).alias("x2"),
+                    (F.col("o_orderpriority") == "1-URGENT")
+                    .cast("double").alias("y")))
+    beta = logistic_irls(data, ["x1", "x2"], "y", iters=P["iters"])
+    m = (F.lit(beta[0]) + F.col("x1") * F.lit(beta[1])
+         + F.col("x2") * F.lit(beta[2]))
+    scored = data.withColumn("_m", m)
+    return (scored.groupBy(
+                (F.col("y") > 0).alias("actual"),
+                (F.col("_m") > 0).alias("prediction"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.floor(F.col("_m") * F.lit(OR.LOGREG_IRLS_QSCALE)
+                               + F.lit(0.5)).cast("long"))
+                 .alias("qmargin_total"))
+            .orderBy("actual", "prediction"))

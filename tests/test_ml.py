@@ -824,3 +824,27 @@ def test_knn_distance_score_lsh_fallback(spark):
     assert set(exact) == set(fb)
     close = sum(abs(exact[i] - fb[i]) < 1e-9 for i in exact)
     assert close >= 0.95 * len(exact), close
+
+
+def test_logistic_irls_partition_independent(spark):
+    """Distributed quantized-IRLS logistic regression: β must be
+    bit-identical under any partitioning and equal to the local twin."""
+    import numpy as np
+
+    from orange3_spark.ml.learners import (fit_logistic_irls_matrix,
+                                           logistic_irls)
+
+    rows = [(float(i % 17) / 10.0, float((i * 7) % 23) / 10.0,
+             1.0 if (i % 17) + (i * 7) % 23 > 18 else 0.0)
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    b1 = logistic_irls(df, ["x1", "x2"], "y", iters=6)
+    b2 = logistic_irls(df.repartition(11), ["x1", "x2"], "y", iters=6)
+    assert b1 == b2
+    X = np.array([[r[0], r[1]] for r in rows])
+    y = np.array([r[2] for r in rows])
+    assert b1 == fit_logistic_irls_matrix(X, y, iters=6)
+    # sanity: the fit actually separates (better than majority)
+    t = b1[0] + X[:, 0] * b1[1] + X[:, 1] * b1[2]
+    acc = ((t > 0) == (y > 0)).mean()
+    assert acc >= max(y.mean(), 1 - y.mean())
