@@ -144,3 +144,55 @@ def q_media_frames(spark, sf_dir):
     return frames.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_frames"),
         F.sum(F.octet_length("frame")).alias("bytes_total"))
+
+
+@query("q_media_audio", """
+WITH d AS (SELECT doc_id, 400 + (doc_id % 5) * 100 AS n FROM documents),
+s AS (SELECT doc_id, n, (i - 1) AS t,
+             ((doc_id * 31 + (i - 1) * (i - 1) * 7) % 2048) - 1024 AS v
+      FROM d, unnest(generate_series(1, CAST(n AS INT))) g(i)),
+z AS (SELECT doc_id, n, t, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv
+      FROM s)
+SELECT doc_id, CAST(any_value(n) AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(any_value(n) * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(sum(v * v) AS BIGINT) AS energy,
+       CAST(sum(CASE WHEN pv IS NOT NULL AND pv * v < 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM z GROUP BY doc_id
+""")
+def q_media_audio(spark, sf_dir):
+    """REAL audio codec round-trip + feature extraction
+    (``multimodal/audio.py``): a deterministic integer waveform per doc
+    (pure function of doc_id — no libm) is encoded to genuine RIFF/WAV
+    bytes with the stdlib ``wave`` writer, decoded back by the engine's
+    parser, and reduced to integer features (sample count, floor
+    duration, Σs² energy, zero crossings) in one Arrow-batched scan.
+    The oracle re-derives every feature from the waveform DEFINITION —
+    any loss in the encoder, the RIFF parsing, or the feature math
+    breaks the hash."""
+    import numpy as np
+
+    from orange3_spark.multimodal.audio import (audio_feature_table,
+                                                encode_wav)
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+
+    def mk(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 400 + (did % 5) * 100
+                t = np.arange(n, dtype=np.int64)
+                v = ((did * 31 + t * t * 7) % 2048) - 1024
+                ids.append(did)
+                blobs.append(encode_wav(v.astype("<i2"), rate=8000))
+            yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    media = docs.select("doc_id").mapInPandas(
+        mk, "doc_id long, content binary")
+    return audio_feature_table(media, "content", "doc_id")

@@ -179,3 +179,37 @@ def test_decode_image_pillow_gate(spark):
         pass
     with pytest.raises(NotImplementedError, match="Pillow"):
         decode_image(df, decoder="pillow").collect()
+
+
+def test_wav_roundtrip_exact():
+    """encode_wav → decode_wav is bit-exact for int16 mono PCM."""
+    import numpy as np
+
+    from orange3_spark.multimodal.audio import decode_wav, encode_wav
+
+    rng = np.random.default_rng(3)
+    s = rng.integers(-32768, 32767, size=1234, dtype=np.int16)
+    blob = encode_wav(s, rate=16000)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    back, rate = decode_wav(blob)
+    assert rate == 16000
+    assert np.array_equal(back, s)
+
+
+def test_wav_decode_rejects_stereo():
+    import io
+    import wave
+
+    import numpy as np
+    import pytest
+
+    from orange3_spark.multimodal.audio import decode_wav
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(np.zeros(64, dtype="<i2").tobytes())
+    with pytest.raises(ValueError, match="mono"):
+        decode_wav(buf.getvalue())
