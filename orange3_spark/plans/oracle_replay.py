@@ -671,6 +671,72 @@ FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# ------------------------------------------------------------------ BM25
+
+BM25_PARAMS = dict(terms=("hash", "spark", "window"), k1=1.2, b=0.75,
+                   top_n=20)
+BM25_QSCALE = 1_000_000.0
+
+
+@lazy
+def bm25_oracle() -> str:
+    """q_text_bm25: df/N/avg-doc-length are exact integers (one DuckDB
+    fetch at generation time), idf comes from the SAME shared
+    ``idf_robertson`` the Spark driver embeds, and the score is a fixed-
+    order left-associated chain — so this mirrors the codegen expression
+    term for term with identical double literals.  A true SQL mirror:
+    tokenization, tf counts, ranking and the top-n boundary are all
+    recomputed by DuckDB."""
+    import duckdb
+
+    from orange3_spark.text.bm25 import idf_robertson
+
+    P = BM25_PARAMS
+    terms = sorted(set(P["terms"]))
+    k1, b = P["k1"], P["b"]
+    doc = f"'{_sf_dir()}/documents.parquet'"
+    tk = ("SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '), "
+          "x -> x <> '')) AS t FROM {src}")
+    con = duckdb.connect()
+    try:
+        n_docs = con.execute(
+            f"SELECT count(*) FROM {doc}").fetchone()[0]
+        s, c = con.execute(
+            f"SELECT sum(n), count(*) FROM (SELECT count(*) AS n FROM "
+            f"({tk.format(src=doc)}) GROUP BY doc_id)").fetchone()
+        dfs = dict(con.execute(
+            f"SELECT t, count(DISTINCT doc_id) FROM ({tk.format(src=doc)}) "
+            f"WHERE t IN ({', '.join(repr(t) for t in terms)}) "
+            f"GROUP BY t").fetchall())
+    finally:
+        con.close()
+    avg_len = float(int(s)) / float(int(c))
+    norm = (f"({_lit(k1)} * ({_lit(1.0 - b)} + ({_lit(b)} * "
+            f"(CAST(doc_len AS DOUBLE) / {_lit(avg_len)}))))")
+    score = None
+    for t in terms:
+        idf = idf_robertson(int(n_docs), int(dfs.get(t, 0)))
+        tf = f"COALESCE(CAST(tf_{t} AS DOUBLE), 0.0)"
+        part = (f"({_lit(idf)} * (({tf} * {_lit(k1 + 1.0)}) "
+                f"/ ({tf} + {norm})))")
+        score = part if score is None else f"({score} + {part})"
+    tf_cols = ",\n       ".join(
+        f"sum(CASE WHEN t = '{t}' THEN 1 ELSE 0 END) AS tf_{t}"
+        for t in terms)
+    return f"""
+WITH tk AS ({tk.format(src='documents')}),
+ln AS (SELECT doc_id, count(*) AS doc_len FROM tk GROUP BY doc_id),
+tf AS (SELECT doc_id,
+       {tf_cols}
+       FROM tk GROUP BY doc_id),
+s AS (SELECT l.doc_id, l.doc_len, {score} AS score
+      FROM ln l LEFT JOIN tf USING (doc_id))
+SELECT doc_id, CAST(doc_len AS BIGINT) AS doc_len,
+       CAST(floor(score * {BM25_QSCALE} + 0.5) AS BIGINT) AS qscore
+FROM s ORDER BY qscore DESC, doc_id LIMIT {P["top_n"]}
+"""
+
+
 # -------------------------------------------------------------- linear SVR
 
 SVR_PARAMS = dict(epsilon=0.1, epochs=200, max_samples=4000)

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from orange3_spark.plans import oracle_replay as OR2
 from orange3_spark.plans.queries_ml import lloyd_cte
 from orange3_spark.plans.registry import query
 from orange3_spark.session import load_tables
@@ -635,3 +636,24 @@ def q_training_pipeline(spark, sf_dir):
     return (labeled.groupBy("split")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("doc_id").cast("long").alias("id_checksum")))
+
+
+@query("q_text_bm25", OR2.bm25_oracle)
+def q_text_bm25(spark, sf_dir):
+    """BM25 keyword retrieval (text/bm25.py — not in the reference; the
+    pipeline op for scoring a corpus against a query): exact-integer
+    tf/df/length statistics, driver-embedded idf literals, fixed-order
+    codegen score chain, deterministic (qscore, doc_id) top-n.  The
+    oracle is a true SQL mirror — DuckDB re-tokenizes, re-counts and
+    re-ranks with the identical double literals."""
+    from orange3_spark.text.bm25 import bm25_scores
+
+    P = OR2.BM25_PARAMS
+    (docs,) = _t(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, list(P["terms"]), k1=P["k1"], b=P["b"])
+    return (scored.select(
+                "doc_id", "doc_len",
+                F.floor(F.col("score") * F.lit(OR2.BM25_QSCALE)
+                        + F.lit(0.5)).cast("long").alias("qscore"))
+            .orderBy(F.col("qscore").desc(), "doc_id")
+            .limit(P["top_n"]))

@@ -362,3 +362,19 @@ def test_decontaminate_flags_overlap(spark):
     assert 2 not in flagged
     assert sorted(r["doc_id"] for r in clean.collect()) \
         == sorted(set([1, 2, 3]) - set(flagged))
+
+
+def test_bm25_ranks_term_frequency(spark):
+    """A doc saturated with the query term must outrank a doc with one
+    mention, which outranks a doc with none; absent terms contribute
+    exactly 0."""
+    from orange3_spark.text.bm25 import bm25_scores
+
+    rows = [(1, "apple apple apple apple banana"),
+            (2, "apple kiwi kiwi kiwi kiwi"),
+            (3, "kiwi banana kiwi banana kiwi")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["score"]
+           for r in bm25_scores(df, ["apple"]).collect()}
+    assert got[1] > got[2] > got[3]
+    assert got[3] == 0.0
