@@ -671,6 +671,45 @@ FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# ------------------------------------------------------------ data mixing
+
+MIX_PARAMS = dict(target={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+                  salt="mix")
+
+
+@lazy
+def mix_oracle() -> str:
+    """q_mix_sources: per-source counts are exact integers, the keep
+    thresholds come from the SAME shared ``mix_thresholds`` float math,
+    and membership is an md5 predicate — a true SQL mirror of the whole
+    mixing step including the threshold arithmetic."""
+    import duckdb
+
+    from orange3_spark.text.pipeline import mix_thresholds
+
+    P = MIX_PARAMS
+    con = duckdb.connect()
+    try:
+        counts = dict(con.execute(
+            f"SELECT source, count(*) FROM "
+            f"'{_sf_dir()}/documents.parquet' GROUP BY source").fetchall())
+    finally:
+        con.close()
+    thrs = mix_thresholds({k: int(v) for k, v in counts.items()},
+                          P["target"])
+    conds = " OR ".join(
+        f"(source = '{s}' AND substring(md5(CAST(doc_id AS VARCHAR) || "
+        f"'{P['salt']}'), 1, 8) < '{thr}')"
+        for s, thr in thrs.items())
+    return f"""
+SELECT source, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(doc_id) AS BIGINT) AS min_id,
+       CAST(max(doc_id) AS BIGINT) AS max_id
+FROM documents WHERE {conds}
+GROUP BY source ORDER BY source
+"""
+
+
 # ------------------------------------------------------------------ BM25
 
 BM25_PARAMS = dict(terms=("hash", "spark", "window"), k1=1.2, b=0.75,

@@ -657,3 +657,25 @@ def q_text_bm25(spark, sf_dir):
                         + F.lit(0.5)).cast("long").alias("qscore"))
             .orderBy(F.col("qscore").desc(), "doc_id")
             .limit(P["top_n"]))
+
+
+@query("q_mix_sources", OR2.mix_oracle)
+def q_mix_sources(spark, sf_dir):
+    """Data mixing toward target source proportions
+    (text/pipeline.mix_sources — the LLM "data mixture" step, absent in
+    the reference): solve the largest feasible total from exact
+    per-source counts, keep rows by a content-hash threshold per source.
+    Membership is a pure function of (doc_id, salt), so the oracle
+    (plans/oracle_replay.mix_oracle) mirrors the whole step — counts,
+    shared threshold arithmetic, md5 predicate — in SQL, and the driver
+    hash-checks the kept set per source."""
+    from orange3_spark.text.pipeline import mix_sources
+
+    P = OR2.MIX_PARAMS
+    (docs,) = _t(spark, sf_dir, "documents")
+    kept = mix_sources(docs, P["target"], salt=P["salt"])
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id"))
+            .orderBy("source"))

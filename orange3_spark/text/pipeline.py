@@ -14,7 +14,7 @@ Stage costs at 100 TB:
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional
+from typing import Mapping, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -169,3 +169,58 @@ def decontaminate(train: DataFrame, benchmark: DataFrame, *,
     contaminated = train.join(hits, id_col)
     clean = train.join(hits.select(id_col), id_col, "left_anti")
     return clean, contaminated
+
+
+def mix_sources(docs: DataFrame, target: Mapping[str, float], *,
+                id_col: str = "doc_id", source_col: str = "source",
+                salt: str = "mix", max_sources: int = 10_000) -> DataFrame:
+    """Data mixing: deterministically sample the corpus toward TARGET
+    source proportions — the "data mixture" step of an LLM training
+    pipeline (not in the reference; weights like 50% web / 30% code /
+    20% books are standard practice).
+
+    Solves for the largest total T such that every requested source can
+    supply its share (n_s = T·target_s ≤ count_s), then keeps rows by
+    the same content-hash predicate as ``operators.sample.sample_hash``
+    — membership is a pure function of (id, salt), reproducible across
+    engines/partitionings, and the per-source thresholds are literals a
+    SQL oracle can replay exactly (``q_mix_sources``).  Sources not in
+    ``target`` are dropped.  Cost: one count aggregation + one
+    scan-side filter; no shuffle of the kept rows.
+
+    The distinct-source probe is bounded (``max_sources``) with a loud
+    failure, like the stratified sampler's strata guard.
+    """
+    counts = {r[source_col]: int(r["n"]) for r in
+              (docs.groupBy(source_col)
+               .agg(F.count(F.lit(1)).alias("n"))
+               .limit(max_sources + 1).collect())}
+    if len(counts) > max_sources:
+        raise ValueError(
+            f"mix_sources: more than {max_sources} distinct sources — "
+            f"{source_col!r} must be a bounded category column")
+    thrs = mix_thresholds(counts, target)
+    if not thrs:
+        return docs.filter(F.lit(False))
+    pred = None
+    h = F.substring(F.md5(F.concat(F.col(id_col).cast("string"),
+                                   F.lit(salt))), 1, 8)
+    for s, thr in thrs.items():
+        p = (F.col(source_col) == F.lit(s)) & (h < F.lit(thr))
+        pred = p if pred is None else pred | p
+    return docs.filter(pred)
+
+
+def mix_thresholds(counts: Mapping[str, int],
+                   target: Mapping[str, float]) -> "dict[str, str]":
+    """Per-source hex hash thresholds for :func:`mix_sources` — shared
+    verbatim by the Spark path and the SQL oracle replay so both embed
+    the identical literals.  Largest feasible total first (the binding
+    source caps it), then each source's keep fraction."""
+    want = {s: f for s, f in target.items() if f > 0 and counts.get(s)}
+    if not want:
+        return {}
+    total = min(counts[s] / f for s, f in want.items())
+    return {s: format(int(min(1.0, (total * f) / counts[s]) * 0xFFFFFFFF),
+                      "08x")
+            for s, f in sorted(want.items())}

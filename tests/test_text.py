@@ -378,3 +378,25 @@ def test_bm25_ranks_term_frequency(spark):
            for r in bm25_scores(df, ["apple"]).collect()}
     assert got[1] > got[2] > got[3]
     assert got[3] == 0.0
+
+
+def test_mix_sources_proportions_and_determinism(spark):
+    """Mixing must hit target proportions within hash-sampling noise,
+    keep membership stable across partitionings, and exhaust the
+    binding source."""
+    from orange3_spark.text.pipeline import mix_sources
+
+    rows = [(i, f"src{i % 4}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    target = {"src0": 0.6, "src1": 0.2, "src2": 0.2}   # src3 dropped
+    got = mix_sources(df, target, source_col="source")
+    by = {r["source"]: r["n"] for r in
+          got.groupBy("source")
+          .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "src3" not in by
+    # binding source: src0 needs 0.6T <= 1000 -> T<=1666; src0 fully kept
+    assert by["src0"] == 1000
+    assert abs(by["src1"] - 333) < 60 and abs(by["src2"] - 333) < 60
+    got2 = mix_sources(df.repartition(17), target, source_col="source")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, got2.collect()))
