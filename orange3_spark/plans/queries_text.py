@@ -679,3 +679,41 @@ def q_mix_sources(spark, sf_dir):
                  F.min("doc_id").alias("min_id"),
                  F.max("doc_id").alias("max_id"))
             .orderBy("source"))
+
+
+@query("q_pack_sequences", """
+WITH t AS (SELECT doc_id,
+                  CAST(len(list_filter(string_split(trim(text), ' '),
+                                       x -> x <> '')) AS BIGINT) AS n_tokens,
+                  CAST(CAST(concat('0x', substring(
+                      md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16
+                      AS INT) AS bucket
+           FROM documents),
+p AS (SELECT bucket, doc_id, n_tokens,
+             CAST(floor(CAST(COALESCE(sum(n_tokens) OVER (
+                 PARTITION BY bucket ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS DOUBLE) / 512.0) AS BIGINT) AS seq_id
+      FROM t)
+SELECT bucket, CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       CAST(max(seq_id) AS BIGINT) AS max_seq
+FROM p GROUP BY bucket ORDER BY bucket
+""")
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (text/packing.py — the pretraining prep step the
+    reference lacks): bucket-parallel sequential fill of documents into
+    ~512-token sequences via one partitioned window cumsum, all exact
+    integers.  The oracle mirrors tokenization, the md5 bucket hash, the
+    window cumsum and the floor split in SQL."""
+    from orange3_spark.text.packing import pack_sequences
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, target_tokens=512, n_buckets=16)
+    return (packed.groupBy("bucket")
+            .agg(F.countDistinct("seq_id").alias("n_seqs"),
+                 F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("tokens"),
+                 F.max("seq_id").alias("max_seq"))
+            .orderBy("bucket"))

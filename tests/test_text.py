@@ -400,3 +400,25 @@ def test_mix_sources_proportions_and_determinism(spark):
     got2 = mix_sources(df.repartition(17), target, source_col="source")
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, got2.collect()))
+
+
+def test_pack_sequences_fill_contract(spark):
+    """seq_id must equal the definition — floor(cumulative tokens before
+    / target) within (bucket, id-order) — recomputed exactly in Python,
+    and be stable across partitionings."""
+    from orange3_spark.text.packing import pack_sequences
+
+    rows = [(i, " ".join(["w"] * (20 + i % 30))) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = pack_sequences(df, target_tokens=100, n_buckets=4)
+    got = sorted(map(tuple, packed.collect()))
+    by_bucket = {}
+    for did, n, b, sq in got:
+        by_bucket.setdefault(b, []).append((did, n, sq))
+    for b, docs in by_bucket.items():
+        cum = 0
+        for did, n, sq in sorted(docs):
+            assert sq == cum // 100, (b, did, cum, sq)
+            cum += n
+    p2 = pack_sequences(df.repartition(9), target_tokens=100, n_buckets=4)
+    assert got == sorted(map(tuple, p2.collect()))
