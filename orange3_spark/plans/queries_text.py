@@ -717,3 +717,43 @@ def q_pack_sequences(spark, sf_dir):
                  F.sum("n_tokens").alias("tokens"),
                  F.max("seq_id").alias("max_seq"))
             .orderBy("bucket"))
+
+
+@query("q_repeated_spans", """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
+       FROM toks, unnest(range(1, len(w) - 3)) AS u(i)
+       WHERE len(w) >= 5),
+short AS (SELECT DISTINCT doc_id, array_to_string(w, ' ') AS s
+          FROM toks WHERE len(w) < 5),
+allsh AS (SELECT * FROM sh UNION SELECT * FROM short),
+dfreq AS (SELECT s, count(*) AS df FROM allsh GROUP BY s),
+tot AS (SELECT doc_id, count(*) AS n_spans FROM allsh GROUP BY doc_id),
+shr AS (SELECT a.doc_id, count(*) AS n_shared
+        FROM allsh a JOIN dfreq d ON a.s = d.s AND d.df >= 2
+        GROUP BY a.doc_id),
+p AS (SELECT t.doc_id, t.n_spans, COALESCE(shr.n_shared, 0) AS n_shared
+      FROM tot t LEFT JOIN shr ON t.doc_id = shr.doc_id)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_spans) AS BIGINT) AS spans_total,
+       CAST(sum(n_shared) AS BIGINT) AS shared_total,
+       CAST(sum(CASE WHEN n_shared * 2 >= n_spans THEN 1 ELSE 0 END)
+            AS BIGINT) AS flagged_docs
+FROM p
+""")
+def q_repeated_spans(spark, sf_dir):
+    """Cross-document repeated-span statistics (Lee et al. 2022 span
+    dedup signal; text/dedup.repeated_span_stats): distinct 5-gram spans
+    per doc, span document frequency, per-doc shared counts — exact
+    integers end to end; docs with ≥half their spans shared are flagged.
+    The oracle replays the shingle/df/join CTEs in SQL."""
+    from orange3_spark.text.dedup import repeated_span_stats
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    stats = repeated_span_stats(docs, n=5, min_df=2)
+    return stats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_spans").alias("spans_total"),
+        F.sum("n_shared").alias("shared_total"),
+        F.sum(((F.col("n_shared") * 2) >= F.col("n_spans"))
+              .cast("long")).alias("flagged_docs"))

@@ -668,3 +668,44 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                    (cap - 1 - F.pmod(F.col("_win_min"), cap))
                    .alias("fp_pos")))
     return sel.distinct()
+
+
+# ------------------------------------------------------- repeated spans
+
+def repeated_span_stats(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", *, n: int = 10,
+                        min_df: int = 2,
+                        max_df: Optional[int] = None) -> DataFrame:
+    """Cross-document repeated-span statistics — the span-level dedup
+    signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"): for every document, how many of its
+    distinct word n-gram spans also occur in ≥ ``min_df``−1 OTHER
+    documents, and what fraction of its spans that is.  Upstream of
+    span REMOVAL (which needs a tokenizer-aligned rewrite), the flag
+    frame is what a pipeline filters or audits on.
+
+    Plan: the existing shingle table (posexplode + window ``lead``,
+    distinct per doc) → span document frequency (one groupBy on the
+    64-bit span hash) → semi-aggregated join back.  ``max_df`` caps
+    pathological boilerplate spans exactly like ``jaccard_pairs`` —
+    spans present in more than ``max_df`` docs still COUNT as repeated
+    but are dropped from the join side valve-style only when set.
+    All integer counts — exact under any partitioning, and the oracle
+    replays the same CTEs in SQL (``q_repeated_spans``)."""
+    sh = (shingle_table(df, text_col, id_col, n)
+          .select(F.col(id_col), F.xxhash64("shingle").alias("s64")))
+    dfreq = sh.groupBy("s64").agg(F.count(F.lit(1)).alias("df"))
+    rep = dfreq.filter(F.col("df") >= min_df)
+    if max_df is not None:
+        rep = rep.filter(F.col("df") <= max_df)
+    totals = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    shared = (sh.join(rep.select("s64"), "s64")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+    return (totals.join(shared, id_col, "left")
+            .select(F.col(id_col), "n_spans",
+                    F.coalesce(F.col("n_shared"), F.lit(0))
+                    .alias("n_shared"))
+            .withColumn("shared_frac",
+                        F.col("n_shared").cast("double")
+                        / F.col("n_spans").cast("double")))

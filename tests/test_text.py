@@ -422,3 +422,19 @@ def test_pack_sequences_fill_contract(spark):
             cum += n
     p2 = pack_sequences(df.repartition(9), target_tokens=100, n_buckets=4)
     assert got == sorted(map(tuple, p2.collect()))
+
+
+def test_repeated_span_stats(spark):
+    """A doc sharing a 3-gram with another doc counts it as shared; a
+    unique doc shares nothing."""
+    from orange3_spark.text.dedup import repeated_span_stats
+
+    rows = [(1, "the quick brown fox jumps"),
+            (2, "a the quick brown dog"),
+            (3, "completely different words here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_spans"], r["n_shared"])
+           for r in repeated_span_stats(df, n=3).collect()}
+    # 'the quick brown' appears in docs 1 and 2
+    assert got[1] == (3, 1) and got[2] == (3, 1)
+    assert got[3] == (3, 0)
