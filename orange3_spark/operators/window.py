@@ -202,3 +202,35 @@ def range_join(left: DataFrame, right: DataFrame, *, on: str,
     return (j.drop("__bucket")
              .withColumnRenamed(f"l_{on}", on)
              .withColumnRenamed(f"r_{on}", f"right_{on}"))
+
+
+def sessionize(df: DataFrame, *, key: str, time_col: str = "ts",
+               gap: str = "30 minutes",
+               session_col: str = "session_id") -> DataFrame:
+    """Event-level sessionization: assign every event a per-key session
+    ordinal — a new session starts when the gap to the previous event of
+    the same key exceeds ``gap``.
+
+    The aggregate form (``streaming/windows.session`` via
+    ``session_window``) collapses rows; this keeps every EVENT row with
+    its (key, session_id) label — what downstream per-event features
+    join on.  One partitioned window (shuffle on key), two passes of the
+    same spec: lag to mark session starts, running sum to number them.
+    Ties on (time, …) are ordered deterministically by the full sort key.
+    All arithmetic is integer epoch seconds — exactly replayable in SQL
+    (``q_sessionize``).
+    """
+    from pyspark.sql.window import Window
+
+    gap_s = F.expr(f"INTERVAL {gap}")
+    w = Window.partitionBy(key).orderBy(time_col)
+    prev = F.lag(time_col).over(w)
+    is_new = (prev.isNull()
+              | (F.col(time_col).cast("timestamp")
+                 > prev.cast("timestamp") + gap_s)).cast("long")
+    return (df.withColumn("_new", is_new)
+            .withColumn(session_col,
+                        F.sum("_new").over(
+                            w.rowsBetween(Window.unboundedPreceding, 0))
+                        - F.lit(1))
+            .drop("_new"))

@@ -290,3 +290,27 @@ def test_stratified_sample_rejects_continuous_strata(spark):
             SA.sample_fraction(df, 0.5, stratify_by="x")
     finally:
         SA.MAX_STRATA = old
+
+
+def test_sessionize_gap_boundaries(spark):
+    """Events within the gap share a session; a gap strictly greater
+    than the threshold opens a new one; ids are 0-based per key."""
+    import datetime as dt
+
+    from orange3_spark.operators.window import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [(1, at(0)), (1, at(29)), (1, at(59)),      # chained: one session
+            (1, at(95)),                               # 36min gap: new
+            (2, at(0)), (2, at(31))]                   # >30min: two sessions
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r["user_id"], r["ts"].minute + 60 * (r["ts"].hour - 12)):
+           r["session_id"]
+           for r in sessionize(df, key="user_id", gap="30 minutes").collect()}
+    assert got[(1, 0)] == 0 and got[(1, 29)] == 0 and got[(1, 59)] == 0
+    assert got[(1, 95)] == 1
+    assert got[(2, 0)] == 0 and got[(2, 31)] == 1
