@@ -234,3 +234,34 @@ def sessionize(df: DataFrame, *, key: str, time_col: str = "ts",
                             w.rowsBetween(Window.unboundedPreceding, 0))
                         - F.lit(1))
             .drop("_new"))
+
+
+def funnel_counts(events: DataFrame, steps: Sequence[str], *,
+                  key: str = "user_id", time_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """Ordered-funnel conversion: how many keys reached step 1, then
+    step 2 STRICTLY AFTER their first step-1 event, and so on.
+
+    Per step: the earliest qualifying event per key (groupBy min over
+    the filtered scan, joined to the previous step's frontier — the
+    frontier is keys×1 timestamp, broadcast-sized relative to the event
+    log, so each stage is one pruned scan + one cheap join).  Exact
+    timestamps and counts — SQL-replayable (``q_funnel``).  Returns one
+    row per step: ``(step, step_name, n_keys)``."""
+    frontier = None
+    out = []
+    for i, step in enumerate(steps):
+        stage = events.filter(F.col(type_col) == F.lit(step))
+        if frontier is not None:
+            stage = (stage.join(frontier, key)
+                     .filter(F.col(time_col) > F.col("_ft")))
+        frontier = (stage.groupBy(key)
+                    .agg(F.min(time_col).alias("_ft")))
+        out.append(frontier.agg(
+            F.lit(i + 1).alias("step"),
+            F.lit(step).alias("step_name"),
+            F.count(F.lit(1)).alias("n_keys")))
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res

@@ -287,3 +287,28 @@ def q_sessionize(spark, sf_dir):
         F.count(F.lit(1)).alias("sessions_total"),
         F.max("n_events").alias("max_events_in_session"),
         F.sum("n_events").alias("events_total"))
+
+
+@query("q_funnel", """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM events e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM events e JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
+SELECT 1 AS step, 'view' AS step_name,
+       CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_keys
+UNION ALL SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+UNION ALL SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+""")
+def q_funnel(spark, sf_dir):
+    """Ordered-funnel conversion (operators/window.funnel_counts):
+    view → click (strictly after the first view) → purchase (strictly
+    after that click), earliest-qualifying-event frontiers per user —
+    exact timestamps/counts, mirrored step for step by the oracle."""
+    from orange3_spark.operators.window import funnel_counts
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
+    return funnel_counts(ev, ["view", "click", "purchase"])

@@ -314,3 +314,25 @@ def test_sessionize_gap_boundaries(spark):
     assert got[(1, 0)] == 0 and got[(1, 29)] == 0 and got[(1, 59)] == 0
     assert got[(1, 95)] == 1
     assert got[(2, 0)] == 0 and got[(2, 31)] == 1
+
+
+def test_funnel_requires_strict_order(spark):
+    """A key only advances when the next step happens strictly after its
+    previous-step frontier."""
+    import datetime as dt
+
+    from orange3_spark.operators.window import funnel_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [(1, at(0), "view"), (1, at(5), "click"), (1, at(9), "buy"),
+            (2, at(0), "click"), (2, at(5), "view"),     # click BEFORE view
+            (3, at(0), "view")]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                                     "event_type string")
+    got = {r["step_name"]: r["n_keys"]
+           for r in funnel_counts(df, ["view", "click", "buy"]).collect()}
+    assert got == {"view": 3, "click": 1, "buy": 1}
