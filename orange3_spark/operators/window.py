@@ -265,3 +265,34 @@ def funnel_counts(events: DataFrame, steps: Sequence[str], *,
     for o in out[1:]:
         res = res.unionByName(o)
     return res
+
+
+def cohort_retention(events: DataFrame, *, key: str = "user_id",
+                     time_col: str = "ts",
+                     granularity: str = "week") -> DataFrame:
+    """Cohort retention: keys grouped by their FIRST-activity bucket
+    (the cohort), counted as active per subsequent bucket.
+
+    Two exact aggregations: first-activity per key (groupBy min), then
+    distinct keys per (cohort, age) where age = bucket(ts) − cohort in
+    whole buckets.  All date_trunc/datediff integers — SQL-replayable
+    (``q_cohort_retention``).  Returns
+    ``(cohort, age, n_active)``."""
+    first = (events.groupBy(key)
+             .agg(F.date_trunc(granularity, F.min(time_col))
+                  .alias("_cohort")))
+    act = (events.join(first, key)
+           .select(F.col(key), F.col("_cohort"),
+                   F.date_trunc(granularity, F.col(time_col))
+                   .alias("_bucket")))
+    unit_days = {"day": 1, "week": 7}.get(granularity)
+    if unit_days is None:
+        raise ValueError(
+            f"cohort_retention: granularity {granularity!r} not supported"
+            " (day/week — months are uneven; bucket by month upstream)")
+    age = (F.datediff(F.col("_bucket"), F.col("_cohort"))
+           / F.lit(unit_days)).cast("long")
+    return (act.withColumn("age", age)
+            .groupBy(F.col("_cohort").alias("cohort"), "age")
+            .agg(F.countDistinct(key).alias("n_active"))
+            .orderBy("cohort", "age"))

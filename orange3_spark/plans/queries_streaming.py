@@ -312,3 +312,25 @@ def q_funnel(spark, sf_dir):
 
     ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
     return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+@query("q_cohort_retention", """
+WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+           FROM events GROUP BY user_id),
+a AS (SELECT e.user_id, f.cohort,
+             CAST(date_diff('day', f.cohort,
+                            date_trunc('week', e.ts)) / 7 AS BIGINT) AS age
+      FROM events e JOIN f ON e.user_id = f.user_id)
+SELECT CAST(cohort AS TIMESTAMP) AS cohort, age,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+FROM a GROUP BY cohort, age ORDER BY cohort, age
+""")
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention (operators/window.cohort_retention):
+    first-activity week per user, distinct active users per
+    (cohort, weeks-since) — exact date_trunc/datediff integers, mirrored
+    by the oracle."""
+    from orange3_spark.operators.window import cohort_retention
+
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    return cohort_retention(ev, granularity="week")

@@ -336,3 +336,22 @@ def test_funnel_requires_strict_order(spark):
     got = {r["step_name"]: r["n_keys"]
            for r in funnel_counts(df, ["view", "click", "buy"]).collect()}
     assert got == {"view": 3, "click": 1, "buy": 1}
+
+
+def test_cohort_retention_ages(spark):
+    import datetime as dt
+
+    from orange3_spark.operators.window import cohort_retention
+
+    mon = dt.datetime(2024, 1, 1)   # a Monday: week buckets align
+
+    def at(days):
+        return mon + dt.timedelta(days=days)
+
+    rows = [(1, at(0)), (1, at(8)),            # cohort w0, active w0+w1
+            (2, at(1)),                        # cohort w0, only w0
+            (3, at(7)), (3, at(21))]           # cohort w1, active w1+w3
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r["cohort"].day, r["age"]): r["n_active"]
+           for r in cohort_retention(df, granularity="week").collect()}
+    assert got == {(1, 0): 2, (1, 1): 1, (8, 0): 1, (8, 2): 1}
