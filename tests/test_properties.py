@@ -108,3 +108,38 @@ def test_nan_is_missing_in_discretize_and_samevalue(spark):
     got = sorted(r.id for r in SameValue(column="x",
                                          value=float("nan"))(df).collect())
     assert got == [1, 2]
+
+
+@settings(max_examples=10, deadline=None)
+@given(n=st.integers(3, 40), cut=st.integers(1, 39), seed=st.integers(0, 99))
+def test_scorers_are_batch_size_independent(n, cut, seed):
+    """Every Arrow-batched scorer backing a replay oracle must produce
+    bit-identical per-row outputs no matter how rows are batched —
+    scoring [all rows] must equal scoring any split concatenated.
+    (This is the invariant that makes the OCSVM/SVM/MLP oracles exact.)"""
+    import numpy as np
+
+    from orange3_spark.ml.neural import MLPRegressorModel, fit_mlp_matrix
+    from orange3_spark.ml.outlier_models import (OneClassSVMModel,
+                                                 fit_ocsvm_matrix)
+    from orange3_spark.ml.svr import SVRModel, fit_svm_classifier_matrix
+
+    rng = np.random.default_rng(seed)
+    cut = min(cut, n - 1)
+    Xtr = rng.normal(size=(50, 2))
+    ytr = (rng.random(50) > 0.5).astype(float)
+    X = rng.normal(size=(n, 2))
+
+    W, b, w, rho = fit_ocsvm_matrix(Xtr, nu=0.2, seed=seed)
+    m1 = OneClassSVMModel(W, b, w, rho, ["a", "b"])
+    Wc, cc, wc, bc = fit_svm_classifier_matrix(Xtr, ytr, epochs=20,
+                                               seed=seed)
+    m2 = SVRModel(Wc, cc, wc, bc, ["a", "b"])
+    W1, b1, w2, b2 = fit_mlp_matrix(Xtr, ytr, epochs=20, seed=seed)
+    m3 = MLPRegressorModel(W1, b1, w2, b2, ["a", "b"])
+
+    for model, fn in ((m1, m1._scores_np), (m2, m2._predict_np),
+                      (m3, m3._predict_np)):
+        whole = fn(X)
+        split = np.concatenate([fn(X[:cut]), fn(X[cut:])])
+        assert np.array_equal(whole, split), type(model).__name__
