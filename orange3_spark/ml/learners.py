@@ -174,6 +174,15 @@ def _irls_row_stats(X, y, beta, qscale: float):
     mu = 1.0 / (1.0 + np.exp(-t))
     w = mu * (1.0 - mu)
     z = np.concatenate([np.ones((n, 1)), X], axis=1)
+    # int64 wrap guard (same posture as _som_guard): the largest quantized
+    # Hessian entry is bounded by 0.25·max|z|²·qscale — raise before the
+    # astype(int64) below could silently wrap on huge raw features
+    zmax = float(np.abs(z).max()) if z.size else 0.0
+    if 0.25 * zmax * zmax * qscale >= 2.0 ** 62:
+        raise ValueError(
+            f"logistic_irls: feature magnitude {zmax:.3g} would overflow "
+            f"the quantized int64 accumulators at scale {qscale:.0e}; "
+            "standardize/rescale the features first")
     d = p + 1
     qH = np.empty((n, d * (d + 1) // 2))
     c = 0
@@ -394,7 +403,11 @@ def _knn_lsh_join(train: DataFrame, feat: Sequence[str],
         cand = t.join(tr, "bucket")
         cand = cand.withColumn("_dist", euclidean(F.col("_qv"),
                                                   F.col("_tv")))
-        w = Window.partitionBy(id_name).orderBy("_dist", "_tv")
+        # TOTAL order: duplicate train vectors can carry different
+        # payloads (keep_cols), so the payload joins the sort key or the
+        # k-boundary tie-break would be shuffle-order-dependent
+        w = Window.partitionBy(id_name).orderBy(
+            "_dist", "_tv", *[F.col(c) for c in keep_cols])
         return (cand.withColumn("_rn", F.row_number().over(w))
                     .filter(F.col("_rn") <= k))
 
@@ -430,7 +443,12 @@ def knn_classifier(df: DataFrame, features: Sequence[str] = (),
         def _predict_lsh(d: DataFrame) -> DataFrame:
             from pyspark.sql.window import Window
 
-            t = d.withColumn("_kid", F.monotonically_increasing_id())
+            # PIN the generated ids: _kid is nondeterministic, and the
+            # frame sits on BOTH sides of the prediction join — without
+            # cutting lineage a recomputation could renumber one side
+            # and attach predictions to the wrong rows
+            t = (d.withColumn("_kid", F.monotonically_increasing_id())
+                 .localCheckpoint())
             knn = pair_fn(t, "_kid", keep_cols=[class_col])
             votes = (knn.groupBy("_kid", F.col(class_col).alias("_vote"))
                      .agg(F.count(F.lit(1)).alias("_c")))
@@ -522,7 +540,12 @@ def knn_regressor(df: DataFrame, features: Sequence[str] = (),
                                 lsh_seed)
 
         def _predict_lsh(d: DataFrame) -> DataFrame:
-            t = d.withColumn("_kid", F.monotonically_increasing_id())
+            # PIN the generated ids: _kid is nondeterministic, and the
+            # frame sits on BOTH sides of the prediction join — without
+            # cutting lineage a recomputation could renumber one side
+            # and attach predictions to the wrong rows
+            t = (d.withColumn("_kid", F.monotonically_increasing_id())
+                 .localCheckpoint())
             knn = pair_fn(t, "_kid", keep_cols=[target_col])
             # avg == Σ/k whenever the bucket held ≥ k candidates (the
             # top-k window keeps exactly k); with fewer it degrades to
@@ -543,7 +566,9 @@ def knn_regressor(df: DataFrame, features: Sequence[str] = (),
     else:
         train_x = np.array([r[:len(feat)] for r in rows], dtype=np.float64)
     train_y = np.array([r[target_col] for r in rows], dtype=np.float64)
-    int_y = all(float(v).is_integer() for v in train_y[:100])
+    # exact-int mode only when EVERY target is integer-valued — a probe
+    # of the head would silently truncate later fractional targets
+    int_y = bool(np.all(np.floor(train_y) == train_y))
     if int_y:
         train_y = train_y.astype(np.int64)
     train_id = (np.array([r[id_col] for r in rows])

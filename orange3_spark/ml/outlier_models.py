@@ -188,11 +188,6 @@ class IsolationForestModel:
             qd += depth
         return qd
 
-    def _scores_from_qd(self, qd):
-        import numpy as np
-        e_h = qd.astype(np.float64) / DSCALE / len(self.trees)
-        return np.power(2.0, -e_h / _avg_path_length(self.psi))
-
     def qthreshold(self, contamination: float) -> int:
         """Integer depth cut from the FIT sample: the ``floor(c·m)``-th
         smallest summed depth; rows strictly below are outliers — the
@@ -216,7 +211,7 @@ class IsolationForestModel:
         def _qdepth(s: pd.Series) -> pd.Series:
             import numpy as np
             X = (np.stack([np.asarray(v, dtype=np.float64) for v in s])
-                 if len(s) else np.zeros((0, 1)))
+                 if len(s) else np.zeros((0, len(model.cols))))
             return pd.Series(model._qdepths_np(X))
 
         qthr = self.qthreshold(contamination)
@@ -383,7 +378,7 @@ class OneClassSVMModel:
         def _score(s: pd.Series) -> pd.Series:
             import numpy as np
             X = (np.stack([np.asarray(v, dtype=np.float64) for v in s])
-                 if len(s) else np.zeros((0, len(model.cols))))
+                 if len(s) else np.zeros((0, model.W.shape[0])))
             return pd.Series(model._scores_np(X))
 
         out = df.withColumn(score_col,

@@ -95,7 +95,7 @@ class SVRModel:
         def _pred(s: pd.Series) -> pd.Series:
             import numpy as np
             X = (np.stack([np.asarray(v, dtype=np.float64) for v in s])
-                 if len(s) else np.zeros((0, 1)))
+                 if len(s) else np.zeros((0, model.W.shape[0])))
             return pd.Series(model._predict_np(X))
 
         return df.withColumn(

@@ -401,22 +401,20 @@ qn AS (SELECT (qty - m) / sd AS v FROM d, qstats),
 dstats AS (SELECT min(disc) AS mn, max(disc) AS mx FROM d),
 dn AS (SELECT (disc - 0.0) / (mx - mn) AS v FROM d, dstats)
 SELECT 'qty' AS col_name, 'normalize' AS branch,
-       floor(avg(v) * 1000000.0 + 0.5) / 1000000.0 AS mean_q,
-       floor(min(v) * 1000000.0 + 0.5) / 1000000.0 AS min_q,
-       floor(max(v) * 1000000.0 + 0.5) / 1000000.0 AS max_q
+       avg(v) AS mean_q, min(v) AS min_q, max(v) AS max_q
 FROM qn
 UNION ALL
-SELECT 'disc', 'scale',
-       floor(avg(v) * 1000000.0 + 0.5) / 1000000.0,
-       floor(min(v) * 1000000.0 + 0.5) / 1000000.0,
-       floor(max(v) * 1000000.0 + 0.5) / 1000000.0
+SELECT 'disc', 'scale', avg(v), min(v), max(v)
 FROM dn
 """)
 def q_adaptive_normalize(spark, sf_dir):
     """AdaptiveNormalize (preprocess.py:615): the zero-share probe routes
     a dense column through Normalize(standardize) and a mostly-zero
     column through Scale(span, no centering) — the sparse-safe path.  The
-    oracle replays both branches and the quantized result stats; the
+    oracle replays both branches; result stats are RAW doubles so the
+    driver's 9-sig-digit canonicalization absorbs last-ulp
+    partial-aggregation differences (an in-query floor quantization
+    would amplify them into integer flips — the r3 flake class); the
     dispatch itself is pinned by the branch column."""
     (li,) = _t(spark, sf_dir, "lineitem")
     data = li.select(
@@ -427,13 +425,10 @@ def q_adaptive_normalize(spark, sf_dir):
     rows = []
     for col in ("qty", "disc"):
         out, branch = P.adaptive_normalize(data, [col])
-        st = out.agg(
-            F.floor(F.avg(col) * F.lit(1000000.0) + F.lit(0.5)).alias("m"),
-            F.floor(F.min(col) * F.lit(1000000.0) + F.lit(0.5)).alias("lo"),
-            F.floor(F.max(col) * F.lit(1000000.0) + F.lit(0.5)).alias("hi"),
-        ).first()
-        rows.append((col, branch, st["m"] / 1000000.0,
-                     st["lo"] / 1000000.0, st["hi"] / 1000000.0))
+        st = out.agg(F.avg(col).alias("m"), F.min(col).alias("lo"),
+                     F.max(col).alias("hi")).first()
+        rows.append((col, branch, float(st["m"]), float(st["lo"]),
+                     float(st["hi"])))
     return spark.createDataFrame(
         rows, "col_name string, branch string, mean_q double, "
               "min_q double, max_q double")

@@ -128,9 +128,14 @@ def knn_distance_score(df: DataFrame, id_col: str, cols: Sequence[str] = (),
                       id_col)
         # rn=1 is the self pair (dist 0 sorts first; an exact duplicate
         # tied at 0 stays a legitimate neighbor at rn≥2)
-        return (knn.filter(F.col("_rn") >= 2)
-                .groupBy(id_col)
-                .agg(F.avg("_dist").alias(score_col)))
+        scored = (knn.filter(F.col("_rn") >= 2)
+                  .groupBy(id_col)
+                  .agg(F.avg("_dist").alias(score_col)))
+        # a row alone in its sign-signature bucket has no candidates at
+        # all — keep it with a NULL score (every input id must come back,
+        # like the broadcast path) rather than silently shrinking the
+        # population; callers treat NULL as "no neighbor evidence"
+        return (df.select(id_col).join(scored, id_col, "left"))
 
     if array_col is not None:
         rows = df.select(id_col, array_col).collect()
