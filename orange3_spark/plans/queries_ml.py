@@ -1299,7 +1299,11 @@ def q_ml_knn_reg(spark, sf_dir):
     exact integer squared distance with train-id tie-break
     (ml/learners.knn_regressor, broadcast+BLAS inference).  The whole
     inference pass — split, neighbor selection, Σ/k prediction, quantized
-    residual RMSE — is replayed by the literal top-k-join oracle."""
+    residual RMSE — is replayed by the literal top-k-join oracle.
+    NOTE: the ORACLE is O(test × train) by construction (a literal pair
+    join) — run it at grading SF only; at sf0.1 the DuckDB side builds
+    ~4e9 pair rows and spills tens of GB (the engine side stays
+    vectorized top-k and is fine at any SF)."""
     import math
 
     (orders,) = _t(spark, sf_dir, "orders")
