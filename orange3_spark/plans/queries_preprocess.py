@@ -401,21 +401,24 @@ qn AS (SELECT (qty - m) / sd AS v FROM d, qstats),
 dstats AS (SELECT min(disc) AS mn, max(disc) AS mx FROM d),
 dn AS (SELECT (disc - 0.0) / (mx - mn) AS v FROM d, dstats)
 SELECT 'qty' AS col_name, 'normalize' AS branch,
-       avg(v) AS mean_q, min(v) AS min_q, max(v) AS max_q
+       round(avg(v), 6) AS mean_q, round(min(v), 6) AS min_q,
+       round(max(v), 6) AS max_q
 FROM qn
 UNION ALL
-SELECT 'disc', 'scale', avg(v), min(v), max(v)
+SELECT 'disc', 'scale', round(avg(v), 6), round(min(v), 6),
+       round(max(v), 6)
 FROM dn
 """)
 def q_adaptive_normalize(spark, sf_dir):
     """AdaptiveNormalize (preprocess.py:615): the zero-share probe routes
     a dense column through Normalize(standardize) and a mostly-zero
     column through Scale(span, no centering) — the sparse-safe path.  The
-    oracle replays both branches; result stats are RAW doubles so the
-    driver's 9-sig-digit canonicalization absorbs last-ulp
-    partial-aggregation differences (an in-query floor quantization
-    would amplify them into integer flips — the r3 flake class); the
-    dispatch itself is pinned by the branch column."""
+    oracle replays both branches; result stats round to six ABSOLUTE
+    decimals on both sides — the standardized column's mean is a ~1e-13
+    cancellation artifact where significant-digit canonicalization (and
+    any floor quantization) amplifies engine ulp noise, while absolute
+    rounding collapses it to 0.0; the dispatch itself is pinned by the
+    branch column."""
     (li,) = _t(spark, sf_dir, "lineitem")
     data = li.select(
         F.col("l_quantity").cast("double").alias("qty"),
@@ -425,8 +428,9 @@ def q_adaptive_normalize(spark, sf_dir):
     rows = []
     for col in ("qty", "disc"):
         out, branch = P.adaptive_normalize(data, [col])
-        st = out.agg(F.avg(col).alias("m"), F.min(col).alias("lo"),
-                     F.max(col).alias("hi")).first()
+        st = out.agg(F.round(F.avg(col), 6).alias("m"),
+                     F.round(F.min(col), 6).alias("lo"),
+                     F.round(F.max(col), 6).alias("hi")).first()
         rows.append((col, branch, float(st["m"]), float(st["lo"]),
                      float(st["hi"])))
     return spark.createDataFrame(
