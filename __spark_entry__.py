@@ -55,6 +55,7 @@ _NEW_R5 = [
 _REBASED_GREEN = [
     # green in earlier rounds but their engine paths changed this round —
     # the old verdicts cover code that no longer exists
+    "q_outlier_envelope",   # duplicate-id sample order now payload-tied
     "q_dup_clusters", "q_leakage_safe_split", "q_training_pipeline",
     "q_ml_silhouette", "q_ml_kmeans", "q_dedup_semantic", "q_knn_ivf",
     "q_ml_ari", "q_csv_import_options", "q_excel_roundtrip",
