@@ -757,3 +757,28 @@ def q_repeated_spans(spark, sf_dir):
         F.sum("n_shared").alias("shared_total"),
         F.sum(((F.col("n_shared") * 2) >= F.col("n_spans"))
               .cast("long")).alias("flagged_docs"))
+
+
+@query("q_hard_negatives", """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND label IS NOT NULL),
+p AS (SELECT a.vec_id AS id, b.vec_id AS neg_id,
+             list_cosine_similarity(a.v, b.v) AS score
+      FROM e a JOIN e b ON a.label <> b.label),
+r AS (SELECT id, neg_id, score,
+             row_number() OVER (PARTITION BY id
+                 ORDER BY score DESC, neg_id) AS rn
+      FROM p)
+SELECT id AS vec_id, neg_id, score FROM r WHERE rn <= 3
+""")
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (similarity/knn.hard_negatives — the
+    contrastive-training prep step the reference lacks): per vector, the
+    3 most-cosine-similar different-label vectors, scored with one
+    fixed-shape matvec per probe row (batch-independent) and selected by
+    (score desc, id).  The oracle replays the full different-label join
+    + ranked window in SQL; raw-score doubles survive the driver's
+    canonicalization."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return K.hard_negatives(emb, k=3)

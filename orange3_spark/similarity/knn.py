@@ -399,3 +399,74 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
         _pairs, "id_a long, id_b long, cluster int, cos double")
     out.lloyd_cache = clustered.lloyd_cache   # release handle for callers
     return out
+
+
+def hard_negatives(df: DataFrame, *, id_col: str = "vec_id",
+                   array_col: str = "embedding", label_col: str = "label",
+                   k: int = 5,
+                   max_broadcast_cells: int = 50_000_000) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every vector,
+    the k most-cosine-similar vectors with a DIFFERENT label — the
+    "hardest" negatives a (query, positive) pair should train against
+    (not in the reference; standard embedding-model practice).
+
+    Bounded path: broadcast the (ids, labels, unit-normalized matrix)
+    and score each probe row with ONE fixed-shape matvec against the
+    whole matrix — per-row work, so scores are batch-size-independent
+    and the top-k (score desc, id asc) selection is deterministic under
+    any partitioning.  Past ``max_broadcast_cells`` raise with the
+    documented recipe (IVF/LSH-bucket the candidate side first —
+    ``ivf_knn`` / ``lsh_bucket_knn`` are the scale path; hard negatives
+    only need APPROXIMATE nearest there).
+    Returns ``(id, neg_id, score)``, k rows per id."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    rows = (df.select(id_col, label_col, array_col)
+            .filter(F.col(array_col).isNotNull()
+                    & F.col(label_col).isNotNull()).collect())
+    X = np.array([[float(v) for v in r[array_col]] for r in rows])
+    if X.size > max_broadcast_cells:
+        raise ValueError(
+            f"hard_negatives: {X.size} cells exceed the broadcast bound; "
+            "block candidates with ivf_knn/lsh_bucket_knn first")
+    ids = np.array([int(r[id_col]) for r in rows], dtype=np.int64)
+    labels = np.array([r[label_col] for r in rows])
+    norms = np.sqrt((X * X).sum(axis=1))
+    norms[norms == 0] = 1.0
+    Xn = X / norms[:, None]
+    sc = df.sparkSession.sparkContext
+    b = sc.broadcast((ids, labels, Xn))
+
+    schema = T.StructType([
+        T.StructField(id_col, df.schema[id_col].dataType),
+        T.StructField("neg_id", df.schema[id_col].dataType),
+        T.StructField("score", T.DoubleType())])
+
+    def run(it):
+        import pandas as pd
+
+        ids_b, labels_b, M = b.value
+        for pdf in it:
+            out_id, out_neg, out_s = [], [], []
+            for rid, lab, vec in zip(pdf[id_col], pdf[label_col],
+                                     pdf[array_col]):
+                q = np.asarray(vec, dtype=np.float64)
+                nq = float(np.sqrt((q * q).sum())) or 1.0
+                s = M @ (q / nq)          # ONE fixed-shape matvec per row
+                mask = labels_b != lab
+                cand = np.nonzero(mask)[0]
+                if cand.size == 0:
+                    continue
+                order = np.lexsort((ids_b[cand], -s[cand]))[:k]
+                take = cand[order]
+                out_id += [rid] * len(take)
+                out_neg += list(ids_b[take])
+                out_s += list(s[take])
+            yield pd.DataFrame({id_col: out_id, "neg_id": out_neg,
+                                "score": out_s})
+
+    return (df.select(id_col, label_col, array_col)
+            .filter(F.col(array_col).isNotNull()
+                    & F.col(label_col).isNotNull())
+            .mapInPandas(run, schema))

@@ -37,3 +37,27 @@ def test_ivf_knn_recall_and_exactness(spark):
     truth = {(q, n) for (q, _rk), n in got.items()}
     recall = len(hits & truth) / len(truth)
     assert recall >= 0.8  # tight blobs: nearest cell holds the neighbors
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    """Negatives must come from a different label, ranked by cosine, and
+    the assignment must be partitioning-stable."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=8)], int(i % 3))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, "
+                                     "label int")
+    from orange3_spark.similarity.knn import hard_negatives
+
+    got = hard_negatives(df, k=4).collect()
+    lab = {i: i % 3 for i in range(60)}
+    per = {}
+    for r in got:
+        assert lab[r["vec_id"]] != lab[r["neg_id"]]
+        per.setdefault(r["vec_id"], []).append(r["score"])
+    assert all(len(v) == 4 and v == sorted(v, reverse=True)
+               for v in per.values())
+    got2 = hard_negatives(df.repartition(7), k=4).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
