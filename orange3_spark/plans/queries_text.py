@@ -782,3 +782,56 @@ def q_hard_negatives(spark, sf_dir):
     canonicalization."""
     (emb,) = _t(spark, sf_dir, "embeddings")
     return K.hard_negatives(emb, k=3)
+
+
+@query("q_lm_score", """
+WITH tk AS (SELECT doc_id, lang,
+                   list_filter(string_split(trim(text), ' '),
+                               x -> x <> '') AS t
+            FROM documents),
+bg AS (SELECT doc_id, lang, t[i] AS w1, t[i + 1] AS w2
+       FROM tk, unnest(generate_series(1, len(t) - 1)) g(i)),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg WHERE lang = 'en'
+       GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg WHERE lang = 'en' GROUP BY 1),
+v AS (SELECT count(DISTINCT x) AS v
+      FROM (SELECT unnest(t) AS x FROM tk WHERE lang = 'en')),
+sc AS (SELECT b.doc_id,
+              ((COALESCE(c2.c2, 0) + 1) * 1000000)
+                  // (COALESCE(c1.c1, 0) + v.v) AS pq
+       FROM bg b
+       LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+       LEFT JOIN c1 ON b.w1 = c1.w1
+       CROSS JOIN v),
+lm AS (SELECT doc_id, CAST(sum(pq) AS BIGINT) // count(*) AS lm_q
+       FROM sc GROUP BY doc_id)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(lm.lm_q) AS BIGINT) AS n_scored,
+       CAST(sum(COALESCE(lm.lm_q, 0)) AS BIGINT) AS sum_lm,
+       CAST(sum(CASE WHEN lm.lm_q < 34500 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_low
+FROM documents d LEFT JOIN lm ON d.doc_id = lm.doc_id
+GROUP BY d.source ORDER BY d.source
+""")
+def q_lm_score(spark, sf_dir):
+    """CCNet-style LM quality filter (text/lm.py — fit an add-one bigram
+    LM on the trusted `lang='en'` slice, score every doc by exact-integer
+    mean bigram likelihood): per-source doc counts, scored counts, score
+    checksum and the count below the 0.0345 filter threshold.  Every value
+    is an exact integer (``(c2+1)·1e6 DIV (c1+V)`` per bigram, integer
+    mean per doc), so the oracle is a full SQL mirror — DuckDB refits the
+    model and rescores the corpus."""
+    from orange3_spark.text.lm import bigram_lm_scores
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    lm = bigram_lm_scores(docs, train_filter=F.col("lang") == "en")
+    return (docs.join(lm, "doc_id", "left")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count("lm_q").alias("n_scored"),
+                 F.sum(F.coalesce(F.col("lm_q"), F.lit(0)))
+                 .cast("long").alias("sum_lm"),
+                 F.sum(F.when(F.col("lm_q") < 34500, 1).otherwise(0))
+                 .cast("long").alias("n_low"))
+            .orderBy("source"))

@@ -438,3 +438,40 @@ def test_repeated_span_stats(spark):
     # 'the quick brown' appears in docs 1 and 2
     assert got[1] == (3, 1) and got[2] == (3, 1)
     assert got[3] == (3, 0)
+
+
+def test_bigram_lm_scores_literal(spark):
+    """Hand-computed add-one bigram likelihoods on a 3-doc corpus: the
+    model trains on the lang='en' slice only; integer fixed-point matches
+    c2/c1/V done by hand."""
+    from orange3_spark.text import lm as LM
+
+    df = spark.createDataFrame([
+        (0, "a b a b", "en"),       # train: bigrams ab, ba, ab
+        (1, "a b c", "en"),         # train: ab, bc
+        (2, "b a q", "xx"),         # scored only
+    ], "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in LM.bigram_lm_scores(
+        df, train_filter=F.col("lang") == "en").collect()}
+    # model: c2(a,b)=3, c2(b,a)=1, c2(b,c)=1; c1(a)=3, c1(b)=2; V=3
+    s = LM.LM_SCALE
+    pq_ab = (3 + 1) * s // (3 + 3)
+    pq_ba = (1 + 1) * s // (2 + 3)
+    pq_bc = (1 + 1) * s // (2 + 3)
+    pq_aq = (0 + 1) * s // (3 + 3)   # unseen bigram, seen context
+    assert out[0]["n_bigrams"] == 3
+    assert out[0]["sum_pq"] == 2 * pq_ab + pq_ba
+    assert out[0]["lm_q"] == (2 * pq_ab + pq_ba) // 3
+    assert out[1]["sum_pq"] == pq_ab + pq_bc
+    assert out[2]["sum_pq"] == pq_ba + pq_aq
+    assert out[2]["lm_q"] == (pq_ba + pq_aq) // 2
+
+
+def test_bigram_lm_single_token_docs_unscored(spark):
+    from orange3_spark.text import lm as LM
+
+    df = spark.createDataFrame([
+        (0, "a b", "en"), (1, "solo", "en"), (2, "", "en"),
+    ], "doc_id long, text string, lang string")
+    out = LM.bigram_lm_scores(df, train_filter=F.lit(True)).collect()
+    assert {r["doc_id"] for r in out} == {0}
