@@ -835,3 +835,106 @@ def q_lm_score(spark, sf_dir):
                  F.sum(F.when(F.col("lm_q") < 34500, 1).otherwise(0))
                  .cast("long").alias("n_low"))
             .orderBy("source"))
+
+
+def _pq_cte(m: int = 4, sub: int = 16, k: int = 16) -> str:
+    """DuckDB CTE chain replaying ``similarity/pq.pq_fit`` (m=4, k=16,
+    n_iter=2) exactly: quantize → per-subspace slice → first-k init →
+    one integer-mean Lloyd update → final assignment per subspace as
+    ``wfs{j}(vec_id, cl)`` with centroids ``c1s{j}(cl, cv)``.  Same
+    exactness argument as ``queries_ml.lloyd_cte`` — all values are
+    integers on the LLOYD_SCALE grid."""
+    parts = ["""pts AS (SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> floor(x * 1000000.0 + 0.5)) AS qv
+  FROM embeddings)"""]
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(f"""p{j} AS (SELECT vec_id, list_slice(qv, {lo}, {hi}) AS sv FROM pts),
+c0s{j} AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, sv AS cv
+  FROM p{j} ORDER BY vec_id LIMIT {k}),
+w1s{j} AS (SELECT vec_id, sv, cl FROM (
+    SELECT p.vec_id, p.sv, c.cl,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY list_distance(p.sv, c.cv), c.cl) AS rn
+    FROM p{j} p CROSS JOIN c0s{j} c) s WHERE rn = 1),
+cm1s{j} AS (SELECT cl, list(mu ORDER BY i) AS cv FROM (
+    SELECT cl, i, floor(sum(sv[i]) / count(*) + 0.5) AS mu
+    FROM w1s{j}, unnest(generate_series(1, len(sv))) g(i)
+    GROUP BY cl, i) s GROUP BY cl),
+c1s{j} AS (SELECT prev.cl, coalesce(cm.cv, prev.cv) AS cv
+  FROM c0s{j} prev LEFT JOIN cm1s{j} cm ON prev.cl = cm.cl),
+wfs{j} AS (SELECT vec_id, cl FROM (
+    SELECT p.vec_id, c.cl,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY list_distance(p.sv, c.cv), c.cl) AS rn
+    FROM p{j} p CROSS JOIN c1s{j} c) s WHERE rn = 1)""")
+    return ",\n".join(parts)
+
+
+@query("q_pq_codes", f"""
+WITH {_pq_cte()},
+u AS ({" UNION ALL ".join(
+    f"SELECT CAST({j} AS INT) AS subspace, cl AS code, vec_id FROM wfs{j}"
+    for j in range(4))})
+SELECT subspace, CAST(code AS INT) AS code,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(vec_id) AS BIGINT) AS id_checksum
+FROM u GROUP BY subspace, code ORDER BY subspace, code
+""")
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization encoding (similarity/pq.pq_fit — m=4
+    subspaces × k=16 codes over the 64-dim embedding, deterministic
+    integer-grid Lloyd per subspace, all subspaces fit in one Arrow scan
+    per round): per-(subspace, code) population + id checksum, so a
+    single flipped code anywhere breaks the hash.  The oracle refits all
+    four sub-quantizers from scratch in SQL (``_pq_cte``)."""
+    from orange3_spark.similarity.pq import pq_fit
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    encoded, _ = pq_fit(emb, "vec_id", array_col="embedding",
+                        m=4, k=16, n_iter=2)
+    out = (encoded.selectExpr("vec_id",
+                              "posexplode(codes) AS (subspace, code)")
+           .groupBy("subspace", "code")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("vec_id").cast("long").alias("id_checksum"))
+           .orderBy("subspace", "code"))
+    # the Lloyd rounds consumed the cache; the final assignment in `out`
+    # recomputes one scan from parquet — release to avoid storage leaks
+    encoded.pq_cache.unpersist()
+    return out
+
+
+@query("q_pq_adc", f"""
+WITH {_pq_cte()},
+q AS (SELECT qv FROM pts WHERE vec_id = 0),
+{",".join(f'''
+qs{j} AS (SELECT list_slice(qv, {j * 16 + 1}, {(j + 1) * 16}) AS sv FROM q),
+d{j} AS (SELECT w.vec_id,
+         CAST(sum((q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i])) AS BIGINT) AS d
+         FROM wfs{j} w JOIN c1s{j} c ON w.cl = c.cl CROSS JOIN qs{j} q,
+              unnest(generate_series(1, len(c.cv))) g(i)
+         GROUP BY w.vec_id)''' for j in range(4))}
+SELECT d0.vec_id, d0.d + d1.d + d2.d + d3.d AS adist
+FROM d0 JOIN d1 USING (vec_id) JOIN d2 USING (vec_id)
+        JOIN d3 USING (vec_id)
+ORDER BY adist, vec_id LIMIT 10
+""")
+def q_pq_adc(spark, sf_dir):
+    """Asymmetric-distance (ADC) top-10 under the PQ codebook
+    (similarity/pq.pq_adc_topk): the query's m×k exact-integer distance
+    table is built driver-side from the fitted centroids and each row's
+    approximate distance is four ``element_at`` lookups on the codes
+    column — whole-stage codegen, one scan, no join, no vector reads.
+    The oracle refits the codebook in SQL and recomputes every lookup
+    from the assignment + centroid tables."""
+    from orange3_spark.similarity.pq import pq_adc_topk, pq_fit
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    encoded, cents = pq_fit(emb, "vec_id", array_col="embedding",
+                            m=4, k=16, n_iter=2)
+    out = pq_adc_topk(encoded, cents, qv, id_col="vec_id", n=10)
+    encoded.pq_cache.unpersist()
+    return out

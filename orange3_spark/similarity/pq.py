@@ -1,0 +1,168 @@
+"""Product quantization (PQ) for the embedding column — the third ANN
+path next to brute-force/LSH/IVF (Jégou et al. 2011, "Product
+quantization for nearest neighbor search").
+
+At 100 TB the embedding table itself is the bottleneck: a 64-dim float
+vector is 256 bytes, its PQ code (m=4 subspaces × 16 centroids) is 4
+bytes.  Encode once, then answer top-k queries by ASYMMETRIC DISTANCE
+(ADC): per query, an m×k lookup table of exact subspace distances is
+built driver-side from the fitted centroids, and each row's approximate
+distance is m integer table lookups — pure whole-stage-codegen column
+expressions over the codes column, no join, no UDF, no vector reads.
+
+Determinism contract (same family as ``ml/cluster.kmeans_lloyd_fit``):
+inputs quantized to the LLOYD_SCALE integer grid, sub-quantizers are
+deterministic Lloyd (first-k init by id, exact int64 distances,
+lower-index tie break, ``floor(Σ/n + 0.5)`` centroid updates), so codes
+and ADC distances are pure functions of the data — the SQL oracle refits
+and re-encodes from scratch and matches bit-for-bit.
+
+Scale shape: the fit is ``n_iter`` linear scans TOTAL (all m subspaces
+assign + accumulate inside one Arrow pass per round — not m separate
+fits); driver state is m·k·(dim/m) ints.  Encoding is one scan; ADC
+scoring is one scan of (id, codes).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from orange3_spark.ml.cluster import LLOYD_SCALE, quantize_array
+
+
+def _assign_codes_udf(cents):
+    """pandas_udf: quantized vector → array<int> of m subspace codes
+    (exact int64 distances, argmin ties to the lower code)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = [np.asarray(c, dtype=np.int64) for c in cents]   # m × k × sub
+    m = len(C)
+    sub = C[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def _codes(s: pd.Series) -> pd.Series:
+        if not len(s):
+            return pd.Series(np.zeros((0, m), dtype="int32").tolist())
+        X = np.stack([np.asarray(v, dtype=np.int64) for v in s])
+        out = np.empty((len(X), m), dtype="int32")
+        for j in range(m):
+            Xj = X[:, j * sub:(j + 1) * sub]
+            d = ((Xj[:, None, :] - C[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j] = np.argmin(d, axis=1)
+        return pd.Series(list(out))
+
+    return _codes
+
+
+def pq_fit(df: DataFrame, id_col: str, *, array_col: str,
+           m: int = 4, k: int = 16, n_iter: int = 2,
+           quantize: float = LLOYD_SCALE):
+    """Fit m deterministic sub-quantizers and encode the input.
+
+    Returns ``(encoded, centroids)``: the input plus ``codes``
+    (``array<int>`` of length m) and the fitted integer-grid centroid
+    lists ``centroids[j][c]``.  The persisted quantized frame is exposed
+    as ``encoded.pq_cache`` — unpersist once consumed (same contract as
+    ``kmeans_lloyd_fit``)."""
+    import numpy as np
+    from pyspark import StorageLevel
+
+    qdf = df.withColumn("_q", quantize_array(F.col(array_col), quantize))
+    n_rows = qdf.count()
+    target = max(1, min(df.sparkSession.sparkContext.defaultParallelism,
+                        n_rows // 50_000))
+    if target < qdf.rdd.getNumPartitions():
+        qdf = qdf.coalesce(target)
+    qdf = qdf.persist(StorageLevel.MEMORY_AND_DISK)
+
+    first = [[int(x) for x in r["_q"]]
+             for r in qdf.select(id_col, "_q").orderBy(id_col).take(k)]
+    dim = len(first[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    cents = [[row[j * sub:(j + 1) * sub] for row in first]
+             for j in range(m)]
+
+    for _ in range(n_iter - 1):
+        coded = qdf.withColumn("codes", _assign_codes_udf(cents)(F.col("_q")))
+
+        def _suff(it, sub=sub, m=m):
+            acc: dict = {}
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                X = np.stack([np.asarray(v, dtype=np.int64)
+                              for v in pdf["_q"]])
+                K_ = np.stack([np.asarray(v, dtype=np.int64)
+                               for v in pdf["codes"]])
+                for j in range(m):
+                    Xj = X[:, j * sub:(j + 1) * sub]
+                    for c in np.unique(K_[:, j]):
+                        msk = K_[:, j] == c
+                        a = acc.setdefault((j, int(c)),
+                                           [0, np.zeros(sub, np.int64)])
+                        a[0] += int(msk.sum())
+                        a[1] += Xj[msk].sum(axis=0)
+            rows = {"j": [], "cl": [], "n": [], "s": []}
+            for (j, c), (n, s) in acc.items():
+                rows["j"].append(j)
+                rows["cl"].append(c)
+                rows["n"].append(n)
+                rows["s"].append(s.tolist())
+            yield pd.DataFrame(rows)
+
+        parts = (coded.select("_q", "codes")
+                 .mapInPandas(_suff, "j int, cl int, n long, s array<long>")
+                 .collect())
+        agg: dict = {}
+        for r in parts:
+            key = (int(r["j"]), int(r["cl"]))
+            n, s = agg.get(key, (0, None))
+            sv = [int(x) for x in r["s"]]
+            agg[key] = (n + int(r["n"]),
+                        sv if s is None else [a + b for a, b in zip(s, sv)])
+        for j in range(m):
+            for c in range(k):
+                if (j, c) in agg:
+                    n, s = agg[(j, c)]
+                    cents[j][c] = [math.floor(x / n + 0.5) for x in s]
+
+    encoded = qdf.withColumn("codes", _assign_codes_udf(cents)(F.col("_q")))
+    encoded.pq_cache = qdf
+    return encoded, cents
+
+
+def adc_table(centroids, query_vec: Sequence[float], *,
+              quantize: float = LLOYD_SCALE):
+    """Exact integer ADC lookup table ``d[j][c] = |q_j − centroid_jc|²``
+    from the quantized query (python-int arithmetic, no overflow)."""
+    qq = [math.floor(float(x) * quantize + 0.5) for x in query_vec]
+    m, k = len(centroids), len(centroids[0])
+    sub = len(centroids[0][0])
+    return [[sum((qq[j * sub + i] - centroids[j][c][i]) ** 2
+                 for i in range(sub))
+             for c in range(k)]
+            for j in range(m)]
+
+
+def pq_adc_topk(encoded: DataFrame, centroids,
+                query_vec: Sequence[float], *, id_col: str,
+                n: int = 10, quantize: float = LLOYD_SCALE) -> DataFrame:
+    """Top-n rows by asymmetric PQ distance to ``query_vec`` →
+    ``(id_col, adist)``.  The distance is m ``element_at`` lookups on
+    array literals — whole-stage codegen, one scan, partitioned top-n."""
+    dtab = adc_table(centroids, query_vec, quantize=quantize)
+    dist = None
+    for j, row in enumerate(dtab):
+        lut = F.array(*[F.lit(int(v)) for v in row])
+        term = F.element_at(lut, F.element_at(F.col("codes"), j + 1) + 1)
+        dist = term if dist is None else dist + term
+    return (encoded.select(F.col(id_col), dist.cast("long").alias("adist"))
+            .orderBy("adist", id_col).limit(n))

@@ -61,3 +61,59 @@ def test_hard_negatives_excludes_same_label(spark):
                for v in per.values())
     got2 = hard_negatives(df.repartition(7), k=4).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
+
+
+def test_pq_codes_are_argmin_and_partition_stable(spark):
+    """Every emitted code is the argmin sub-centroid (numpy replay), and
+    the whole encoding is invariant to repartitioning."""
+    import math
+
+    import numpy as np
+
+    from orange3_spark.similarity.pq import pq_fit
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    encoded, cents = pq_fit(df, "vec_id", array_col="embedding",
+                            m=2, k=4, n_iter=2)
+    got = {r["vec_id"]: list(r["codes"])
+           for r in encoded.select("vec_id", "codes").collect()}
+    encoded.pq_cache.unpersist()
+    C = [np.asarray(c, dtype=np.int64) for c in cents]
+    for i, v in rows:
+        q = np.array([math.floor(x * 1e6 + 0.5) for x in v], dtype=np.int64)
+        for j in range(2):
+            d = ((q[j * 4:(j + 1) * 4][None, :] - C[j]) ** 2).sum(axis=1)
+            assert got[i][j] == int(np.argmin(d))
+    enc2, cents2 = pq_fit(df.repartition(7), "vec_id",
+                          array_col="embedding", m=2, k=4, n_iter=2)
+    got2 = {r["vec_id"]: list(r["codes"])
+            for r in enc2.select("vec_id", "codes").collect()}
+    enc2.pq_cache.unpersist()
+    assert cents == cents2 and got == got2
+
+
+def test_pq_adc_matches_table_lookup(spark):
+    """ADC distances equal the explicit m×k table lookup over the codes,
+    and the top-k is ordered by (adist, id)."""
+    import numpy as np
+
+    from orange3_spark.similarity.pq import adc_table, pq_adc_topk, pq_fit
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    encoded, cents = pq_fit(df, "vec_id", array_col="embedding",
+                            m=2, k=4, n_iter=2)
+    codes = {r["vec_id"]: list(r["codes"])
+             for r in encoded.select("vec_id", "codes").collect()}
+    qv = rows[5][1]
+    top = pq_adc_topk(encoded, cents, qv, id_col="vec_id", n=40).collect()
+    encoded.pq_cache.unpersist()
+    dtab = adc_table(cents, qv)
+    for r in top:
+        want = sum(dtab[j][codes[r["vec_id"]][j]] for j in range(2))
+        assert r["adist"] == want
+    ks = [(r["adist"], r["vec_id"]) for r in top]
+    assert ks == sorted(ks)
