@@ -62,8 +62,18 @@ def main() -> None:
 
     from orange3_spark.operators.groupby import salted_aggregate
     from orange3_spark.similarity.knn import ivf_knn
+    from orange3_spark.similarity.pq import pq_adc_topk, pq_fit
     from orange3_spark.text import dedup as TD
+    from orange3_spark.text import lm as LM
     from orange3_spark.text.analysis import repetition_stats
+
+    def _pq_adc_count(e):
+        qv = e.orderBy("vec_id").select("embedding").limit(1).collect()[0][0]
+        enc, cents = pq_fit(e, "vec_id", array_col="embedding",
+                            m=4, k=16, n_iter=2)
+        n_ = pq_adc_topk(enc, cents, qv, id_col="vec_id", n=10).count()
+        enc.pq_cache.unpersist()
+        return n_
 
     def ops(d, e, ln):
         # NOTE on dup_clusters: replicating every doc k times makes each
@@ -90,6 +100,16 @@ def main() -> None:
                lambda: salted_aggregate(
                    ln, ["l_returnflag"],
                    {"l_quantity": ["sum"], "l_extendedprice": ["mean"]}).count())
+        # bigram LM: model fit + corpus scoring are both linear scans;
+        # the model table grows sub-linearly (vocab saturates under
+        # replication), so the whole op should track n
+        yield ("bigram_lm_scores", n,
+               lambda: LM.bigram_lm_scores(
+                   d, train_filter=F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+               .count())
+        # PQ: n_iter linear scans (fit) + one encode scan + one ADC scan
+        yield ("pq_adc", n,
+               lambda: _pq_adc_count(e))
 
     def timed(fn):
         t0 = time.perf_counter()
