@@ -837,20 +837,26 @@ def q_lm_score(spark, sf_dir):
             .orderBy("source"))
 
 
-def _pq_cte(m: int = 4, sub: int = 16, k: int = 16) -> str:
+def _pq_cte(m: int = 4, sub: int = 16, k: int = 16, *,
+            src: str | None = None, col: str = "qv") -> str:
     """DuckDB CTE chain replaying ``similarity/pq.pq_fit`` (m=4, k=16,
     n_iter=2) exactly: quantize → per-subspace slice → first-k init →
     one integer-mean Lloyd update → final assignment per subspace as
     ``wfs{j}(vec_id, cl)`` with centroids ``c1s{j}(cl, cv)``.  Same
     exactness argument as ``queries_ml.lloyd_cte`` — all values are
-    integers on the LLOYD_SCALE grid."""
-    parts = ["""pts AS (SELECT vec_id,
+    integers on the LLOYD_SCALE grid.  ``src``/``col`` retarget the
+    chain at a prior CTE with pre-quantized vectors (the IVF-PQ
+    residual table); default quantizes ``embeddings`` itself."""
+    parts = []
+    if src is None:
+        parts.append("""pts AS (SELECT vec_id,
     list_transform(CAST(embedding AS DOUBLE[]),
                    x -> floor(x * 1000000.0 + 0.5)) AS qv
-  FROM embeddings)"""]
+  FROM embeddings)""")
+        src = "pts"
     for j in range(m):
         lo, hi = j * sub + 1, (j + 1) * sub
-        parts.append(f"""p{j} AS (SELECT vec_id, list_slice(qv, {lo}, {hi}) AS sv FROM pts),
+        parts.append(f"""p{j} AS (SELECT vec_id, list_slice({col}, {lo}, {hi}) AS sv FROM {src}),
 c0s{j} AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, sv AS cv
   FROM p{j} ORDER BY vec_id LIMIT {k}),
 w1s{j} AS (SELECT vec_id, sv, cl FROM (
@@ -938,3 +944,63 @@ def q_pq_adc(spark, sf_dir):
     out = pq_adc_topk(encoded, cents, qv, id_col="vec_id", n=10)
     encoded.pq_cache.unpersist()
     return out
+
+
+def _ivfpq_sql(n_cells: int = 16, nprobe: int = 4, m: int = 4,
+               sub: int = 16, topn: int = 10) -> str:
+    """Full IVF-PQ replay: coarse Lloyd (``queries_ml.lloyd_cte``) →
+    integer residuals → PQ chain over residuals (``_pq_cte``) → probe
+    the nprobe nearest cells → ADC from the residual codebooks."""
+    from orange3_spark.plans.queries_ml import lloyd_cte
+
+    d_ctes = ",".join(f"""
+d{j} AS (SELECT w.vec_id,
+         CAST(sum((rq.rqv[{j * sub} + i] - c.cv[i])
+                  * (rq.rqv[{j * sub} + i] - c.cv[i])) AS BIGINT) AS d
+         FROM wfs{j} w JOIN c1s{j} c ON w.cl = c.cl
+              JOIN res r ON r.vec_id = w.vec_id
+              JOIN rq ON rq.cell = r.cell,
+              unnest(generate_series(1, {sub})) g(i)
+         GROUP BY w.vec_id)""" for j in range(m))
+    return f"""
+WITH {lloyd_cte(n_cells, 2)},
+res AS (SELECT s.vec_id, s.cell, list(v ORDER BY i) AS rv FROM (
+    SELECT w.vec_id, w.cl AS cell, i, w.qv[i] - c.cv[i] AS v
+    FROM wf w JOIN c_1 c ON w.cl = c.cl,
+         unnest(generate_series(1, len(w.qv))) g(i)) s
+    GROUP BY s.vec_id, s.cell),
+{_pq_cte(m, sub, src="res", col="rv")},
+q AS (SELECT qv FROM pts WHERE vec_id = 0),
+prb AS (SELECT cl AS cell, cv FROM (
+    SELECT c.cl, c.cv,
+           row_number() OVER (ORDER BY list_distance(q.qv, c.cv), c.cl)
+               AS rk
+    FROM c_1 c CROSS JOIN q) s WHERE rk <= {nprobe}),
+rq AS (SELECT s.cell, list(v ORDER BY i) AS rqv FROM (
+    SELECT p.cell, i, q.qv[i] - p.cv[i] AS v
+    FROM prb p CROSS JOIN q,
+         unnest(generate_series(1, len(p.cv))) g(i)) s
+    GROUP BY s.cell),
+{d_ctes}
+SELECT d0.vec_id, {" + ".join(f"d{j}.d" for j in range(m))} AS adist
+FROM d0 {" ".join(f"JOIN d{j} USING (vec_id)" for j in range(1, m))}
+ORDER BY adist, vec_id LIMIT {topn}
+"""
+
+
+@query("q_ivfpq", _ivfpq_sql())
+def q_ivfpq(spark, sf_dir):
+    """IVF-PQ approximate nearest neighbors
+    (similarity/pq.ivfpq_topk — the production ANN shape at 100 TB):
+    deterministic Lloyd coarse cells, product-quantized residuals, and
+    asymmetric-distance ranking over the 4 probed cells only — the query
+    touches nprobe/n_cells of the corpus and never reads a raw vector.
+    All arithmetic on the integer grid; the oracle refits the coarse
+    quantizer AND all four residual codebooks from scratch in SQL and
+    replays probe selection + every ADC lookup."""
+    from orange3_spark.similarity.pq import ivfpq_topk
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivfpq_topk(emb, qv, id_col="vec_id", array_col="embedding",
+                      n_cells=16, nprobe=4, m=4, k=16, n_iter=2, topn=10)

@@ -117,3 +117,32 @@ def test_pq_adc_matches_table_lookup(spark):
         assert r["adist"] == want
     ks = [(r["adist"], r["vec_id"]) for r in top]
     assert ks == sorted(ks)
+
+
+def test_ivfpq_recall_and_partition_stability(spark):
+    """IVF-PQ top-k on clustered data finds most true neighbors (ADC on
+    4-dim sub-codebooks is lossy but cell-local), and the result is
+    invariant to input partitioning."""
+    import numpy as np
+
+    from orange3_spark.similarity.pq import ivfpq_topk
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(4, 8)) * 5.0
+    rows = [(i, [float(x) for x in centers[i % 4]
+                 + rng.normal(size=8) * 0.2]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qv = rows[0][1]
+    got = ivfpq_topk(df, qv, id_col="vec_id", array_col="embedding",
+                     n_cells=8, nprobe=3, m=2, k=8, topn=10).collect()
+    ids = [r["vec_id"] for r in got]
+    X = np.array([v for _, v in rows])
+    true = np.argsort(((X - np.array(qv)) ** 2).sum(axis=1),
+                      kind="stable")[:10]
+    recall = len(set(ids) & set(int(i) for i in true)) / 10.0
+    assert recall >= 0.6, recall
+    got2 = ivfpq_topk(df.repartition(9), qv, id_col="vec_id",
+                      array_col="embedding", n_cells=8, nprobe=3,
+                      m=2, k=8, topn=10).collect()
+    assert [(r["vec_id"], r["adist"]) for r in got] == \
+           [(r["vec_id"], r["adist"]) for r in got2]
