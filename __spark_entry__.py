@@ -43,6 +43,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # dup-cluster pair materialization, the k-means-family sufficient-stats
 # scan, silhouette, csv skip_rows re-index, xlsx header de-dup,
 # knn_classifier fallback, strata guard); (4) the cumulative greens.
+_NEWEST_R5 = [
+    # registered latest in round 5, never driver-graded — grade first
+    "q_lm_score", "q_pq_codes", "q_pq_adc", "q_ivfpq",
+]
 _REPLAY_ORACLED_R5 = [
     "q_outlier_ocsvm", "q_ml_tsne", "q_ml_som", "q_ml_freeviz",
     "q_outlier_iforest", "q_outlier_envelope", "q_ml_svr",
@@ -110,7 +114,7 @@ _VERIFIED_GREEN = [
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    head = [q for q in (_REPLAY_ORACLED_R5 + _NEW_R5
+    head = [q for q in (_NEWEST_R5 + _REPLAY_ORACLED_R5 + _NEW_R5
                         + _REBASED_GREEN + _NEVER_GRADED_ROWS_ONLY)
             if q in QUERIES]
     green = [q for q in _VERIFIED_GREEN if q in QUERIES]
