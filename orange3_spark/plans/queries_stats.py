@@ -354,3 +354,116 @@ def q_feature_statistics(spark, sf_dir):
         "variable", "n", "n_missing", "n_distinct",
         _r("mean", 4).alias("mean"), _r("stddev", 4).alias("stddev"),
         "min", "max", _r("median", 6).alias("median"), "mode")
+
+
+@query("q_sketch_kmv", """
+WITH tk AS (SELECT source,
+                   list_filter(string_split(trim(text), ' '),
+                               x -> x <> '') AS t
+            FROM documents),
+sh AS (SELECT DISTINCT source, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+           AS s
+       FROM tk, unnest(generate_series(1, len(t) - 2)) g(i)),
+d AS (SELECT DISTINCT source,
+             CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT) AS h
+      FROM sh),
+r AS (SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      FROM d),
+km AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+              max(h) AS h_k
+       FROM r WHERE rn <= 64 GROUP BY source),
+ex AS (SELECT source, CAST(count(DISTINCT s) AS BIGINT) AS true_distinct
+       FROM sh GROUP BY source)
+SELECT km.source, km.n_kept, km.h_k,
+       CAST(CASE WHEN km.n_kept < 64 THEN km.n_kept
+            ELSE (63 * 4294967296) // km.h_k END AS BIGINT)
+           AS est_distinct,
+       ex.true_distinct
+FROM km JOIN ex ON km.source = ex.source
+ORDER BY km.source
+""")
+def q_sketch_kmv(spark, sf_dir):
+    """KMV distinct-count sketch (stats/sketches.kmv_distinct — bounded
+    state where Spark's HLL++ is engine-internal and unreplayable):
+    per-source distinct 3-gram shingle estimates from the k=64 smallest
+    md5 hashes, alongside the exact distinct count the driver can
+    compare against.  Every value is an exact integer
+    (``(k−1)·2³² DIV h_k``), so DuckDB re-derives the identical sketch."""
+    from orange3_spark.stats.sketches import kmv_distinct
+    from orange3_spark.text.analysis import tokens
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    tk = tokens("text")
+    sh = (docs.select(
+            "source",
+            F.explode(F.array_distinct(F.when(
+                F.size(tk) >= 3,
+                F.transform(F.slice(tk, 1, F.size(tk) - 2),
+                            lambda x, i: F.concat_ws(
+                                " ", x, F.element_at(tk, i + 2),
+                                F.element_at(tk, i + 3))))
+                .otherwise(F.array().cast("array<string>"))))
+            .alias("s")))
+    est = kmv_distinct(sh, "s", group_by="source", k=64)
+    true = (sh.groupBy("source")
+            .agg(F.countDistinct("s").alias("true_distinct")))
+    return est.join(true, "source").orderBy("source")
+
+
+_CMS_PROBES = ("fast", "hash", "table", "und", "value")
+
+
+@query("q_sketch_cms", f"""
+WITH tk AS (SELECT unnest(list_filter(string_split(trim(text), ' '),
+                          x -> x <> '')) AS tok
+            FROM documents),
+lanes AS (SELECT d AS lane,
+                 CAST(concat('0x', substring(md5(CAST(d AS VARCHAR)
+                     || '|' || tok), 1, 8)) AS BIGINT) % 1024 AS bucket
+          FROM tk, unnest([0, 1, 2, 3]) g(d)),
+tab AS (SELECT lane, bucket, count(*) AS n FROM lanes GROUP BY 1, 2),
+items AS (SELECT unnest({list(_CMS_PROBES)}) AS item),
+pr AS (SELECT item, d AS lane,
+              CAST(concat('0x', substring(md5(CAST(d AS VARCHAR)
+                  || '|' || item), 1, 8)) AS BIGINT) % 1024 AS bucket
+       FROM items, unnest([0, 1, 2, 3]) g(d)),
+est AS (SELECT item, min(COALESCE(tab.n, 0)) AS cms_n
+        FROM pr LEFT JOIN tab ON pr.lane = tab.lane
+             AND pr.bucket = tab.bucket
+        GROUP BY item),
+tru AS (SELECT tok AS item, count(*) AS true_n FROM tk
+        WHERE tok IN {tuple(_CMS_PROBES)} GROUP BY tok)
+SELECT i.item, CAST(COALESCE(e.cms_n, 0) AS BIGINT) AS cms_n,
+       CAST(COALESCE(t.true_n, 0) AS BIGINT) AS true_n
+FROM items i LEFT JOIN est e ON i.item = e.item
+             LEFT JOIN tru t ON i.item = t.item
+ORDER BY i.item
+""")
+def q_sketch_cms(spark, sf_dir):
+    """Count-Min frequency sketch (stats/sketches.cms_lanes — a
+    4×1024-cell integer table regardless of vocabulary size): point
+    estimates for five probe tokens next to their true counts.  The
+    md5 lane family makes the sketch a pure function of the data, so
+    the oracle rebuilds the identical table and takes the identical
+    lane minima."""
+    from orange3_spark.stats.sketches import cms_lanes, cms_point_estimates
+    from orange3_spark.text.analysis import tokens
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("tok"))
+    table = cms_lanes(tok, "tok", width=1024, depth=4)
+    est = cms_point_estimates(table, list(_CMS_PROBES),
+                              width=1024, depth=4)
+    true = (tok.where(F.col("tok").isin(*_CMS_PROBES))
+            .groupBy(F.col("tok").alias("item"))
+            .agg(F.count(F.lit(1)).alias("true_n")))
+    items = docs.sparkSession.createDataFrame(
+        [(i,) for i in _CMS_PROBES], "item string")
+    return (items.join(est, "item", "left").join(true, "item", "left")
+            .select("item",
+                    F.coalesce("cms_n", F.lit(0)).cast("long")
+                    .alias("cms_n"),
+                    F.coalesce("true_n", F.lit(0)).cast("long")
+                    .alias("true_n"))
+            .orderBy("item"))

@@ -110,3 +110,40 @@ def test_feature_statistics_approx_close_to_exact(spark, sf_dir):
         span = e.max - e.min or 1.0
         assert abs(a.median - e.median) <= 0.05 * span
         assert (a.n, a.n_missing, a.mode) == (e.n, e.n_missing, e.mode)
+
+
+def test_kmv_distinct_exact_below_k_and_estimates_above(spark):
+    from orange3_spark.stats.sketches import kmv_distinct
+
+    rows = ([("small", f"v{i}") for i in range(20)] * 3
+            + [("big", f"w{i}") for i in range(5000)])
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {r["g"]: r for r in
+           kmv_distinct(df, "v", group_by="g", k=64).collect()}
+    assert out["small"]["n_kept"] == 20
+    assert out["small"]["est_distinct"] == 20      # exact below k
+    est = out["big"]["est_distinct"]
+    assert out["big"]["n_kept"] == 64
+    assert abs(est - 5000) / 5000 < 0.5, est       # ~1/sqrt(64) error
+    out2 = {r["g"]: r["est_distinct"] for r in
+            kmv_distinct(df.repartition(11), "v", group_by="g",
+                         k=64).collect()}
+    assert out2 == {g: r["est_distinct"] for g, r in out.items()}
+
+
+def test_cms_overestimates_and_is_deterministic(spark):
+    from orange3_spark.stats.sketches import cms_lanes, cms_point_estimates
+
+    rows = ([("apple",)] * 500 + [("pear",)] * 30
+            + [(f"noise{i % 700}",) for i in range(3000)])
+    df = spark.createDataFrame(rows, "tok string")
+    table = cms_lanes(df, "tok", width=256, depth=4)
+    est = {r["item"]: r["cms_n"] for r in cms_point_estimates(
+        table, ["apple", "pear", "absent"], width=256, depth=4).collect()}
+    assert est["apple"] >= 500 and est["apple"] <= 500 + 3530
+    assert est["pear"] >= 30
+    assert est["absent"] >= 0                       # may collide upward
+    table2 = cms_lanes(df.repartition(9), "tok", width=256, depth=4)
+    est2 = {r["item"]: r["cms_n"] for r in cms_point_estimates(
+        table2, ["apple", "pear", "absent"], width=256, depth=4).collect()}
+    assert est == est2
