@@ -1004,3 +1004,35 @@ def q_ivfpq(spark, sf_dir):
     qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return ivfpq_topk(emb, qv, id_col="vec_id", array_col="embedding",
                       n_cells=16, nprobe=4, m=4, k=16, n_iter=2, topn=10)
+
+
+@query("q_corpus_report", """
+WITH base AS (SELECT source,
+       CAST(len(list_filter(string_split(trim(text), ' '),
+                            x -> x <> '')) AS BIGINT) AS nt,
+       CAST(length(text) AS BIGINT) AS nc,
+       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+       lang
+    FROM documents)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       CAST(sum(nc) AS BIGINT) AS total_chars,
+       CAST(count(*) - count(DISTINCT norm) AS BIGINT) AS n_exact_dups,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(CASE WHEN nt < 10 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_short,
+       CAST(sum(nt) AS BIGINT) // CAST(count(*) AS BIGINT)
+           AS mean_tokens
+FROM base GROUP BY source ORDER BY source
+""")
+def q_corpus_report(spark, sf_dir):
+    """Per-source corpus data card (text/pipeline.corpus_report — the
+    summary panel a curation run starts from): doc/token/char totals,
+    exact-dup pressure (docs minus distinct normalized texts), language
+    spread and short-doc counts from ONE grouped aggregation — every
+    value an exact integer, mirrored term-for-term in SQL."""
+    from orange3_spark.text.pipeline import corpus_report
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return corpus_report(docs).orderBy("source")

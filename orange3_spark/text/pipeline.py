@@ -224,3 +224,36 @@ def mix_thresholds(counts: Mapping[str, int],
     return {s: format(int(min(1.0, (total * f) / counts[s]) * 0xFFFFFFFF),
                       "08x")
             for s, f in sorted(want.items())}
+
+
+def corpus_report(docs: DataFrame, *, text_col: str = "text",
+                  group_by: str = "source",
+                  short_doc_tokens: int = 10) -> DataFrame:
+    """Per-group corpus "data card": the one-scan summary a curation run
+    starts from (doc/token/char totals, exact-dup pressure, language
+    spread, short-doc count) → one row per group.
+
+    All metrics are exact integers from a single grouped aggregation
+    (plus the distinct-normalized-text term inside it), so the panel is
+    engine-replayable; mean tokens/doc is the truncating integer
+    division both engines share."""
+    toks = TA.token_count(text_col).cast("long")
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return (docs
+            .select(F.col(group_by), toks.alias("_nt"),
+                    F.length(text_col).cast("long").alias("_nc"),
+                    norm.alias("_norm"), "lang")
+            .groupBy(group_by)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("_nt").alias("total_tokens"),
+                 F.sum("_nc").alias("total_chars"),
+                 F.countDistinct("_norm").alias("n_unique_texts"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.sum((F.col("_nt") < short_doc_tokens).cast("long"))
+                 .alias("n_short"))
+            .select(group_by, "n_docs", "total_tokens", "total_chars",
+                    (F.col("n_docs") - F.col("n_unique_texts"))
+                    .alias("n_exact_dups"),
+                    "n_langs", "n_short",
+                    F.expr("total_tokens DIV n_docs")
+                    .alias("mean_tokens")))

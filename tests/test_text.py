@@ -475,3 +475,20 @@ def test_bigram_lm_single_token_docs_unscored(spark):
     ], "doc_id long, text string, lang string")
     out = LM.bigram_lm_scores(df, train_filter=F.lit(True)).collect()
     assert {r["doc_id"] for r in out} == {0}
+
+
+def test_corpus_report_literal(spark):
+    from orange3_spark.text.pipeline import corpus_report
+
+    df = spark.createDataFrame([
+        (0, "a b c d e f g h i j k", "en", "s1"),
+        (1, "a b c d e f g h i j k", "en", "s1"),   # exact dup of 0
+        (2, "short doc", "de", "s1"),
+        (3, "x y", "en", "s2"),
+    ], "doc_id long, text string, lang string, source string")
+    out = {r["source"]: r for r in corpus_report(df).collect()}
+    s1 = out["s1"]
+    assert s1["n_docs"] == 3 and s1["n_exact_dups"] == 1
+    assert s1["total_tokens"] == 24 and s1["n_langs"] == 2
+    assert s1["n_short"] == 1 and s1["mean_tokens"] == 8
+    assert out["s2"]["n_short"] == 1 and out["s2"]["n_exact_dups"] == 0
