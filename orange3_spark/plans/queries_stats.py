@@ -361,9 +361,12 @@ WITH tk AS (SELECT source,
                    list_filter(string_split(trim(text), ' '),
                                x -> x <> '') AS t
             FROM documents),
-sh AS (SELECT DISTINCT source, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
-           AS s
-       FROM tk, unnest(generate_series(1, len(t) - 2)) g(i)),
+sh AS (SELECT DISTINCT source, s FROM (
+       SELECT source, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS s
+       FROM tk, unnest(generate_series(1, len(t) - 2)) g(i)
+       UNION ALL
+       SELECT source, array_to_string(t, ' ') AS s
+       FROM tk WHERE len(t) < 3)),
 d AS (SELECT DISTINCT source,
              CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT) AS h
       FROM sh),
@@ -391,20 +394,14 @@ def q_sketch_kmv(spark, sf_dir):
     compare against.  Every value is an exact integer
     (``(k−1)·2³² DIV h_k``), so DuckDB re-derives the identical sketch."""
     from orange3_spark.stats.sketches import kmv_distinct
-    from orange3_spark.text.analysis import tokens
+    from orange3_spark.text.dedup import shingle_table
 
     (docs,) = _t(spark, sf_dir, "documents")
-    tk = tokens("text")
-    sh = (docs.select(
-            "source",
-            F.explode(F.array_distinct(F.when(
-                F.size(tk) >= 3,
-                F.transform(F.slice(tk, 1, F.size(tk) - 2),
-                            lambda x, i: F.concat_ws(
-                                " ", x, F.element_at(tk, i + 2),
-                                F.element_at(tk, i + 3))))
-                .otherwise(F.array().cast("array<string>"))))
-            .alias("s")))
+    # posexplode+lead shingling (dedup.shingle_table — HOF shingles()
+    # are CodegenFallback, ~20x slower), then a broadcast id→source map
+    sh = (shingle_table(docs, n=3)
+          .join(F.broadcast(docs.select("doc_id", "source")), "doc_id")
+          .select("source", F.col("shingle").alias("s")))
     est = kmv_distinct(sh, "s", group_by="source", k=64)
     true = (sh.groupBy("source")
             .agg(F.countDistinct("s").alias("true_distinct")))
