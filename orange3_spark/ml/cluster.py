@@ -61,6 +61,23 @@ def quantize_array(col, scale: float = LLOYD_SCALE):
                        lambda x: F.floor(x * F.lit(scale) + F.lit(0.5)))
 
 
+def rightsize_persist(qdf: DataFrame, *, rows_per_task: int = 50_000):
+    """Shared fit-scaffold for the Lloyd family (k-means, PQ): count the
+    input, coalesce a small frame so per-round jobs don't pay pure
+    scheduler overhead on near-empty tasks (full parallelism returns
+    automatically at real row counts), and persist MEMORY_AND_DISK so an
+    over-memory fit spills instead of recomputing.  Returns
+    ``(persisted_df, n_rows)``."""
+    from pyspark import StorageLevel
+
+    n_rows = qdf.count()
+    target = max(1, min(qdf.sparkSession.sparkContext.defaultParallelism,
+                        n_rows // rows_per_task))
+    if target < qdf.rdd.getNumPartitions():
+        qdf = qdf.coalesce(target)
+    return qdf.persist(StorageLevel.MEMORY_AND_DISK), n_rows
+
+
 def _cluster_suff_stats(assigned: DataFrame, *, q_col: str = "_q",
                         cluster_col: str = "cluster",
                         with_ss: bool = False) -> dict:
@@ -172,20 +189,10 @@ def kmeans_lloyd_fit(df: DataFrame, id_col: str, *, array_col: str,
     from pyspark.sql.functions import pandas_udf
 
     qdf = df.withColumn("_q", quantize_array(F.col(array_col), quantize))
-    # The fit scans qdf n_iter+1 times (assign per round + the final one);
-    # cache so parquet read + quantization run once, and right-size the
-    # partition count — every Lloyd job is all-partitions, so a small
-    # table spread over 32 near-empty tasks pays pure scheduler overhead
-    # per round (full parallelism returns automatically at real row
-    # counts).  MEMORY_AND_DISK: an over-memory fit spills, not recomputes.
-    from pyspark import StorageLevel
-
-    n_rows = qdf.count()
-    target = max(1, min(df.sparkSession.sparkContext.defaultParallelism,
-                        n_rows // 50_000))
-    if target < qdf.rdd.getNumPartitions():
-        qdf = qdf.coalesce(target)
-    qdf = qdf.persist(StorageLevel.MEMORY_AND_DISK)
+    # The fit scans qdf n_iter+1 times (assign per round + the final
+    # one); cache so parquet read + quantization run once
+    # (rightsize_persist holds the why of the coalesce + storage level)
+    qdf, _ = rightsize_persist(qdf)
     centroids = [[int(x) for x in r["_q"]]
                  for r in qdf.select(id_col, "_q").orderBy(id_col).take(k)]
     dim = len(centroids[0])

@@ -947,7 +947,7 @@ def q_pq_adc(spark, sf_dir):
 
 
 def _ivfpq_sql(n_cells: int = 16, nprobe: int = 4, m: int = 4,
-               sub: int = 16, topn: int = 10) -> str:
+               sub: int = 16, k: int = 16, topn: int = 10) -> str:
     """Full IVF-PQ replay: coarse Lloyd (``queries_ml.lloyd_cte``) →
     integer residuals → PQ chain over residuals (``_pq_cte``) → probe
     the nprobe nearest cells → ADC from the residual codebooks."""
@@ -969,7 +969,7 @@ res AS (SELECT s.vec_id, s.cell, list(v ORDER BY i) AS rv FROM (
     FROM wf w JOIN c_1 c ON w.cl = c.cl,
          unnest(generate_series(1, len(w.qv))) g(i)) s
     GROUP BY s.vec_id, s.cell),
-{_pq_cte(m, sub, src="res", col="rv")},
+{_pq_cte(m, sub, k, src="res", col="rv")},
 q AS (SELECT qv FROM pts WHERE vec_id = 0),
 prb AS (SELECT cl AS cell, cv FROM (
     SELECT c.cl, c.cv,

@@ -72,22 +72,20 @@ def pq_fit(df: DataFrame, id_col: str, *, array_col: str,
     ``kmeans_lloyd_fit``).  ``pre_quantized=True`` takes ``array_col``
     as already-integer-grid values (e.g. IVF residuals) verbatim."""
     import numpy as np
-    from pyspark import StorageLevel
+
+    from orange3_spark.ml.cluster import rightsize_persist
 
     if pre_quantized:
         qdf = df.withColumn("_q", F.col(array_col).cast("array<bigint>"))
     else:
         qdf = df.withColumn("_q",
                             quantize_array(F.col(array_col), quantize))
-    n_rows = qdf.count()
-    target = max(1, min(df.sparkSession.sparkContext.defaultParallelism,
-                        n_rows // 50_000))
-    if target < qdf.rdd.getNumPartitions():
-        qdf = qdf.coalesce(target)
-    qdf = qdf.persist(StorageLevel.MEMORY_AND_DISK)
+    qdf, _ = rightsize_persist(qdf)
 
     first = [[int(x) for x in r["_q"]]
              for r in qdf.select(id_col, "_q").orderBy(id_col).take(k)]
+    if not first:
+        raise ValueError("pq_fit: empty input frame")
     dim = len(first[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -169,12 +167,8 @@ def pq_adc_topk(encoded: DataFrame, centroids,
     """Top-n rows by asymmetric PQ distance to ``query_vec`` →
     ``(id_col, adist)``.  The distance is m ``element_at`` lookups on
     array literals — whole-stage codegen, one scan, partitioned top-n."""
-    dtab = adc_table(centroids, query_vec, quantize=quantize)
-    dist = None
-    for j, row in enumerate(dtab):
-        lut = F.array(*[F.lit(int(v)) for v in row])
-        term = F.element_at(lut, F.element_at(F.col("codes"), j + 1) + 1)
-        dist = term if dist is None else dist + term
+    dist = _adc_lookup_expr(adc_table(centroids, query_vec,
+                                      quantize=quantize))
     return (encoded.select(F.col(id_col), dist.cast("long").alias("adist"))
             .orderBy("adist", id_col).limit(n))
 

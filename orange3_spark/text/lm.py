@@ -82,6 +82,11 @@ def bigram_model(reference: DataFrame, *, text_col: str = "text",
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = (reference.select(F.explode(tokens(text_col)).alias("t"))
              .agg(F.countDistinct("t").alias("v")).collect()[0]["v"])
+    if not vocab:
+        # a zero vocab would make every denominator 0: Spark DIV yields
+        # NULL silently while SQL `//` raises — fail loudly instead
+        raise ValueError("bigram_model: the reference slice has no "
+                         "tokens — check train_filter")
     return c2, c1, int(vocab)
 
 

@@ -227,7 +227,7 @@ def mix_thresholds(counts: Mapping[str, int],
 
 
 def corpus_report(docs: DataFrame, *, text_col: str = "text",
-                  group_by: str = "source",
+                  group_by: str = "source", lang_col: str = "lang",
                   short_doc_tokens: int = 10) -> DataFrame:
     """Per-group corpus "data card": the one-scan summary a curation run
     starts from (doc/token/char totals, exact-dup pressure, language
@@ -242,7 +242,7 @@ def corpus_report(docs: DataFrame, *, text_col: str = "text",
     return (docs
             .select(F.col(group_by), toks.alias("_nt"),
                     F.length(text_col).cast("long").alias("_nc"),
-                    norm.alias("_norm"), "lang")
+                    norm.alias("_norm"), F.col(lang_col).alias("lang"))
             .groupBy(group_by)
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("_nt").alias("total_tokens"),
