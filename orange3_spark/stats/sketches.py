@@ -83,7 +83,13 @@ def cms_lanes(df: DataFrame, col: str, *, width: int = 1024,
               depth: int = 4) -> DataFrame:
     """Count-Min table: ``(lane, bucket, n)`` — depth·width rows of
     bounded state, one map-side-combined groupBy regardless of the
-    input's key cardinality."""
+    input's key cardinality.
+
+    Streaming-compatible as-is: on a ``readStream`` frame the same
+    expression maintains the sketch as a bounded streaming aggregation
+    (depth·width state-store keys forever, the property that makes CMS
+    the right frequency monitor on an unbounded stream) — stream/batch
+    equality is pinned in tests/test_streaming.py."""
     lanes = F.array(*[
         F.struct(F.lit(d).alias("lane"),
                  F.pmod(_h32(F.concat(F.lit(f"{d}|"), F.col(col))),

@@ -185,3 +185,22 @@ def test_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
         "t_interval_join", output_mode="append")
     cols = ["event_id", "user_id", "r_event_id", "r_value"]
     assert _canon(got, cols) == _canon(want, cols)
+
+
+def test_stream_cms_equals_batch(spark, sf_dir, tmp_path):
+    """cms_lanes is pure DataFrame ops, so the SAME code maintains the
+    Count-Min table as bounded streaming state (depth×width keys in the
+    state store regardless of token cardinality); the final table equals
+    the batch sketch."""
+    from orange3_spark.stats.sketches import cms_lanes
+
+    schema, path = _events_schema_and_path(spark, sf_dir, tmp_path)
+    batch = spark.read.parquet(path).select("event_type")
+    want = cms_lanes(batch, "event_type", width=64, depth=4)
+    stream = (SW.stream_from_directory(spark, path, schema)
+              .select("event_type"))
+    got = SW.run_to_memory(cms_lanes(stream, "event_type",
+                                     width=64, depth=4), "t_cms")
+    cols = ["lane", "bucket", "n"]
+    assert _canon(got, cols) == _canon(want, cols)
+    assert got.count() <= 64 * 4       # bounded state
