@@ -47,6 +47,7 @@ _NEWEST_R5 = [
     # registered latest in round 5, never driver-graded — grade first
     "q_lm_score", "q_pq_codes", "q_pq_adc", "q_ivfpq",
     "q_sketch_kmv", "q_sketch_cms", "q_corpus_report",
+    "q_ml_adaboost_reg",
 ]
 _REPLAY_ORACLED_R5 = [
     "q_outlier_ocsvm", "q_ml_tsne", "q_ml_som", "q_ml_freeviz",

@@ -394,3 +394,149 @@ def ada_boost_classifier(df: DataFrame, cols: Sequence[str],
     stumps = fit_adaboost_matrix(X, y, n_estimators=n_estimators,
                                  learning_rate=learning_rate)
     return AdaBoostModel(stumps, cols)
+
+
+# -------------------------------------------------------- AdaBoost.R2
+
+def fit_adaboost_r2_matrix(X, y, *, n_estimators: int = 8,
+                           learning_rate: float = 1.0,
+                           w_scale: int = 1_000_000_000):
+    """AdaBoost.R2 (Drucker 1997 — the algorithm behind the reference's
+    ``SklAdaBoostRegressionLearner``, ``Orange/ensembles/ada_boost.py``)
+    boosting regression stumps on a sample matrix — pure numpy, shared
+    by the Spark fit and the DuckDB oracle replay, so the float pow/log
+    in the weight updates run as the SAME instruction sequence on both
+    sides.
+
+    Deviations from sklearn, chosen for determinism: the base stump is
+    fit on the weights DIRECTLY (exact weighted-SSE sweep over every
+    distinct-value midpoint; sklearn draws a weighted bootstrap — i.e.
+    randomness — instead), and stage weights are also returned QUANTIZED
+    to integers (``floor(ln(1/β)·w_scale + 0.5)``) so the weighted-median
+    prediction can run on exact integer cumulative sums in any engine.
+
+    Each stump predicts the weighted mean of its side.  Rounds stop when
+    average loss ≥ 0.5 or the fit is perfect.  Returns
+    ``[(feature, threshold, left_mean, right_mean, alpha_q), ...]``.
+    """
+    import math
+
+    import numpy as np
+
+    X = np.asarray(X, dtype=float)
+    y = np.asarray(y, dtype=float)
+    n, p = X.shape
+    w = np.full(n, 1.0 / n)
+    stumps = []
+    for _ in range(n_estimators):
+        best = None             # (sse, feat, thr, lmean, rmean)
+        for f in range(p):
+            order = np.argsort(X[:, f], kind="stable")
+            xs, ys, ws = X[order, f], y[order], w[order]
+            cw = np.cumsum(ws)
+            cwy = np.cumsum(ws * ys)
+            cwy2 = np.cumsum(ws * ys * ys)
+            tw, twy, twy2 = cw[-1], cwy[-1], cwy2[-1]
+            for c in np.nonzero(xs[1:] > xs[:-1])[0]:
+                lw, lwy, lwy2 = cw[c], cwy[c], cwy2[c]
+                rw, rwy, rwy2 = tw - lw, twy - lwy, twy2 - lwy2
+                if lw <= 0 or rw <= 0:
+                    continue
+                sse = (lwy2 - lwy * lwy / lw) + (rwy2 - rwy * rwy / rw)
+                if best is None or sse < best[0] - 1e-15:
+                    best = (sse, f, (xs[c] + xs[c + 1]) / 2.0,
+                            lwy / lw, rwy / rw)
+        if best is None:
+            break
+        _, f, thr, lm, rm = best
+        pred = np.where(X[:, f] < thr, lm, rm)
+        err = np.abs(y - pred)
+        emax = float(err.max())
+        # relative tolerance: an exactly-separating split leaves float
+        # dust in the side means (~1e-15·|y|); without it the dust makes
+        # loss≡1 on one side, eps hits 0.5 and the round aborts empty
+        if emax <= 1e-12 * max(1.0, float(np.abs(y).max())):
+            # perfect stage: by convention it dominates the median —
+            # give it the weight cap and stop
+            stumps.append((int(f), float(thr), float(lm), float(rm),
+                           int(50.0 * w_scale)))
+            break
+        loss = err / emax
+        eps = float((w * loss).sum())
+        if eps >= 0.5:
+            break
+        beta = eps / (1.0 - eps)
+        alpha = learning_rate * math.log(1.0 / max(beta, 1e-300))
+        stumps.append((int(f), float(thr), float(lm), float(rm),
+                       int(math.floor(alpha * w_scale + 0.5))))
+        w = w * np.power(beta, (1.0 - loss) * learning_rate)
+        s = float(w.sum())
+        if s <= 0.0:
+            break
+        w = w / s
+    return stumps
+
+
+class AdaBoostR2Model:
+    """Fitted stump ensemble; predict is the weighted MEDIAN over stage
+    predictions (sklearn semantics) evaluated with exact integer stage
+    weights: per row the stages sort by (prediction, stage), integer
+    cumulative weights accumulate left-to-right, and the first stage
+    reaching half the total wins — bit-replayable as a SQL window."""
+
+    def __init__(self, stumps, cols):
+        self.stumps = stumps
+        self.cols = list(cols)
+        self.half_q = (sum(s[4] for s in stumps) + 1) // 2
+
+    def prediction(self) -> Column:
+        entries = []
+        for t, (f, thr, lm, rm, aq) in enumerate(self.stumps):
+            pred = F.when(
+                F.col(self.cols[f]).cast("double") < F.lit(thr),
+                F.lit(lm)).otherwise(F.lit(rm))
+            entries.append(F.struct(pred.alias("p"),
+                                    F.lit(t).cast("int").alias("t"),
+                                    F.lit(int(aq)).alias("w")))
+        arr = F.sort_array(F.array(*entries))
+        half = F.lit(int(self.half_q))
+        init = F.struct(F.lit(0).cast("long").alias("s"),
+                        F.lit(None).cast("double").alias("y"))
+        return F.aggregate(
+            arr, init,
+            lambda a, x: F.struct(
+                (a["s"] + x["w"]).alias("s"),
+                F.when(a["y"].isNull() & (a["s"] + x["w"] >= half),
+                       x["p"]).otherwise(a["y"]).alias("y")),
+            lambda a: a["y"])
+
+    def predict(self, df: DataFrame, *,
+                pred_col: str = "prediction") -> DataFrame:
+        return df.withColumn(pred_col, self.prediction())
+
+
+def ada_boost_regressor(df: DataFrame, cols: Sequence[str],
+                        target_col: str, *, n_estimators: int = 8,
+                        learning_rate: float = 1.0,
+                        max_samples: int = 4000,
+                        id_cols: Optional[Sequence[str]] = None
+                        ) -> AdaBoostR2Model:
+    """AdaBoost.R2 fit on a bounded id-hash sample (same scaffold as
+    ``ada_boost_classifier``); inference is one codegen column over the
+    full table — no vectors leave the cluster after the sample."""
+    import numpy as np
+
+    from orange3_spark.ml.outlier_models import _hash_sample
+
+    aug = df.withColumn(
+        "_xy", F.concat(F.array(*[F.col(c).cast("double") for c in cols]),
+                        F.array(F.col(target_col).cast("double"))))
+    S = _hash_sample(aug, [], "_xy", max_samples, id_cols=id_cols)
+    X, y = np.asarray(S[:, :-1]), np.asarray(S[:, -1])
+    stumps = fit_adaboost_r2_matrix(X, y, n_estimators=n_estimators,
+                                    learning_rate=learning_rate)
+    if not stumps:
+        # degenerate corpus (no valid split): constant global mean
+        stumps = [(0, float("-inf"), float(np.mean(y)), float(np.mean(y)),
+                   1_000_000_000)]
+    return AdaBoostR2Model(stumps, cols)

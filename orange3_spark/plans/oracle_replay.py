@@ -818,3 +818,66 @@ SELECT count(*) AS n_test, CAST(sum(qe) AS BIGINT) AS qerr_sum,
        sqrt(CAST(sum(qe) AS DOUBLE) / 1000000.0 / count(*)) AS rmse
 FROM qe
 """
+
+
+# ------------------------------------------------------- AdaBoost.R2
+
+ADABOOST_R2_PARAMS = dict(n_estimators=8, max_samples=4000)
+
+
+@lazy
+def adaboost_r2_oracle() -> str:
+    """q_ml_adaboost_reg: replay the R2 stump fit on the identical
+    id-hash sample, embed (feature, threshold, left/right mean,
+    integer stage weight) per stump, and mirror the weighted-median
+    predict as a per-row window: stages sorted by (pred, t), INTEGER
+    cumulative weights (exact under any accumulation order), first
+    stage reaching half the total wins — then quantized prediction and
+    absolute-error checksums over the full table."""
+    from orange3_spark.ml.ensembles import fit_adaboost_r2_matrix
+
+    P = ADABOOST_R2_PARAMS
+    S = _fetch(f"""
+        SELECT CAST(o_custkey AS DOUBLE), CAST(o_orderkey AS DOUBLE),
+               CAST(o_totalprice AS DOUBLE)
+        FROM '{_sf_dir()}/orders.parquet'
+        WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL
+          AND o_totalprice IS NOT NULL
+        ORDER BY md5(CAST(o_orderkey AS VARCHAR))
+        LIMIT {P["max_samples"]}""")
+    X, y = S[:, :-1], S[:, -1]
+    stumps = fit_adaboost_r2_matrix(X, y,
+                                    n_estimators=P["n_estimators"])
+    cols = ["CAST(o_custkey AS DOUBLE)", "CAST(o_orderkey AS DOUBLE)"]
+    half = (sum(s[4] for s in stumps) + 1) // 2
+
+    def _d(x: float) -> str:
+        # force DOUBLE: a bare decimal-point literal parses as DECIMAL
+        # in DuckDB and the downstream *1e6 multiply overflows its
+        # int64-backed width (and would compute in decimal, not IEEE)
+        return f"CAST({_lit(x)} AS DOUBLE)"
+
+    stage_rows = "\n  UNION ALL ".join(
+        f"SELECT o_orderkey AS rid, {t} AS t, "
+        f"(CASE WHEN {cols[f]} < {_d(thr)} THEN {_d(lm)} "
+        f"ELSE {_d(rm)} END) AS pred, "
+        f"CAST({aq} AS BIGINT) AS w FROM base"
+        for t, (f, thr, lm, rm, aq) in enumerate(stumps))
+    return f"""
+WITH base AS (SELECT * FROM orders
+              WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL
+                AND o_totalprice IS NOT NULL),
+lat AS ({stage_rows}),
+c AS (SELECT rid, t, pred,
+             sum(w) OVER (PARTITION BY rid ORDER BY pred, t) AS cdf
+      FROM lat),
+sel AS (SELECT rid, min(pred) AS yhat FROM c
+        WHERE cdf >= {half} GROUP BY rid)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(yhat * 1000000.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS qpred_total,
+       CAST(sum(CAST(floor(abs(CAST(b.o_totalprice AS DOUBLE) - yhat)
+                           * 1000000.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS qerr_total
+FROM sel JOIN base b ON sel.rid = b.o_orderkey
+"""

@@ -1481,3 +1481,34 @@ def q_ml_logreg_irls(spark, sf_dir):
                                + F.lit(0.5)).cast("long"))
                  .alias("qmargin_total"))
             .orderBy("actual", "prediction"))
+
+
+@query("q_ml_adaboost_reg", OR.adaboost_r2_oracle)
+def q_ml_adaboost_reg(spark, sf_dir):
+    """AdaBoost.R2 regression (Orange/ensembles/ada_boost.py
+    SklAdaBoostRegressionLearner; Orange/tests/test_ada_boost.py) —
+    deterministic weighted-stump boosting on an id-hash sample, then a
+    pure-codegen weighted-MEDIAN predict over the full table (stage
+    predictions sorted per row, exact integer cumulative stage weights).
+    The oracle replays the fit AND the median window, hash-checking the
+    quantized prediction and absolute-error checksums."""
+    from orange3_spark.ml.ensembles import ada_boost_regressor
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    P = OR.ADABOOST_R2_PARAMS
+    base = orders.na.drop(subset=["o_custkey", "o_orderkey",
+                                  "o_totalprice"])
+    model = ada_boost_regressor(
+        base, ["o_custkey", "o_orderkey"], "o_totalprice",
+        n_estimators=P["n_estimators"], max_samples=P["max_samples"],
+        id_cols=["o_orderkey"])
+    scored = model.predict(base)
+    err = F.abs(F.col("o_totalprice").cast("double")
+                - F.col("prediction"))
+    return scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("prediction") * F.lit(1000000.0)
+                      + F.lit(0.5)).cast("long"))
+        .cast("long").alias("qpred_total"),
+        F.sum(F.floor(err * F.lit(1000000.0) + F.lit(0.5)).cast("long"))
+        .cast("long").alias("qerr_total"))

@@ -86,3 +86,41 @@ def test_adaboost_predict_is_codegen(spark):
     plan = (model.predict(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_adaboost_r2_stump_and_median(spark):
+    """Literal check: a single clean split is found in round 1, and the
+    distributed weighted-median predict equals the numpy replay."""
+    import numpy as np
+
+    from orange3_spark.ml.ensembles import (AdaBoostR2Model,
+                                            fit_adaboost_r2_matrix)
+
+    X = np.array([[1.0], [2.0], [3.0], [10.0], [11.0], [12.0]])
+    y = np.array([5.0, 5.0, 5.0, 20.0, 20.0, 20.0])
+    stumps = fit_adaboost_r2_matrix(X, y, n_estimators=4)
+    f, thr, lm, rm, aq = stumps[0]
+    assert f == 0 and thr == 6.5
+    assert abs(lm - 5.0) < 1e-9 and abs(rm - 20.0) < 1e-9
+    assert aq == 50_000_000_000          # perfect stage cap, then stop
+    assert len(stumps) == 1
+    df = spark.createDataFrame([(float(v),) for v in X[:, 0]], "x double")
+    got = {r["x"]: r["prediction"] for r in
+           AdaBoostR2Model(stumps, ["x"]).predict(df).collect()}
+    assert got[1.0] == lm and got[12.0] == rm
+
+
+def test_adaboost_r2_weighted_median_order(spark):
+    """With three stages of known weights, the median picks the stage
+    where the integer cumulative weight first reaches half."""
+    from orange3_spark.ml.ensembles import AdaBoostR2Model
+
+    # stage preds at x=0: 1.0, 3.0, 2.0 with weights 2, 3, 4 (total 9,
+    # half=5): sorted by pred -> (1.0,w2)->2, (2.0,w4)->6 >= 5 -> 2.0
+    stumps = [(0, 10.0, 1.0, -1.0, 2), (0, 10.0, 3.0, -3.0, 3),
+              (0, 10.0, 2.0, -2.0, 4)]
+    m = AdaBoostR2Model(stumps, ["x"])
+    df = spark.createDataFrame([(0.0,), (99.0,)], "x double")
+    got = {r["x"]: r["prediction"] for r in m.predict(df).collect()}
+    assert got[0.0] == 2.0
+    assert got[99.0] == -2.0   # mirrored side: -3,-2,-1 -> cum 3,7 -> -2
