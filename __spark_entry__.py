@@ -33,16 +33,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness harness grades entries in dict order with a ~50-query
-# budget per round.  Round-5 priority: (1) every ex-rows-only query that
-# gained a REPLAY oracle this round (plans/oracle_replay.py) — all eight,
-# so 166/166 registered queries are now oracle-paired and a driver hash
-# verdict on them is the round's headline; (2) operators new this round
-# (ensembles, kernel SVM, kNN/MLP regressors, ROC curves, ARI,
-# AdaptiveNormalize); (3) greens whose engine code materially changed
-# since their last verdict (kNN-regressor vectorized inference, the
-# dup-cluster pair materialization, the k-means-family sufficient-stats
-# scan, silhouette, csv skip_rows re-index, xlsx header de-dup,
-# knn_classifier fallback, strata guard); (4) the cumulative greens.
+# budget per round.  Round-5 final priority (186 registered, ALL
+# oracle-paired): (1) the operators registered latest in the round and
+# never driver-graded (LM scoring, PQ/IVF-PQ, KMV/CMS sketches, corpus
+# report, AdaBoost.R2); (2) the eight ex-rows-only queries that gained
+# REPLAY oracles this round (plans/oracle_replay.py) — their first-ever
+# hash verdicts; (3) the mid-round additions (ensembles, kernel SVM,
+# kNN/MLP regressors, ROC curves, ARI, AdaptiveNormalize); (4) greens
+# whose engine code materially changed since their last verdict (the
+# k-means-family sufficient-stats scan, dup-cluster pair
+# materialization, kNN fallback, csv/xlsx/strata fixes, shared
+# rightsize_persist scaffold); (5) the cumulative greens.
 _NEWEST_R5 = [
     # registered latest in round 5, never driver-graded — grade first
     "q_lm_score", "q_pq_codes", "q_pq_adc", "q_ivfpq",
