@@ -906,9 +906,11 @@ def q_pq_codes(spark, sf_dir):
            .agg(F.count(F.lit(1)).alias("n"),
                 F.sum("vec_id").cast("long").alias("id_checksum"))
            .orderBy("subspace", "code"))
-    # the Lloyd rounds consumed the cache; the final assignment in `out`
-    # recomputes one scan from parquet — release to avoid storage leaks
-    encoded.pq_cache.unpersist()
+    # keep the quantized cache: the returned (lazy) frame's final
+    # assignment reads it, and the grading/bench harnesses clearCache()
+    # between queries (same contract as q_ml_kmeans's lloyd cache);
+    # library callers release via encoded.pq_cache
+    out.pq_cache = encoded.pq_cache
     return out
 
 
@@ -942,7 +944,7 @@ def q_pq_adc(spark, sf_dir):
     encoded, cents = pq_fit(emb, "vec_id", array_col="embedding",
                             m=4, k=16, n_iter=2)
     out = pq_adc_topk(encoded, cents, qv, id_col="vec_id", n=10)
-    encoded.pq_cache.unpersist()
+    out.pq_cache = encoded.pq_cache    # harness clearCache() releases
     return out
 
 
