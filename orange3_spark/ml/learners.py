@@ -105,6 +105,7 @@ def ols_learner(df: DataFrame, features: Sequence[str],
 
     m = Model(_predict, "ols")
     m.intercept, m.coefficients = intercept, coefs
+    m.features = list(features)          # for ml/persist JSON round-trip
     return m
 
 

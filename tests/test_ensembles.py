@@ -124,3 +124,44 @@ def test_adaboost_r2_weighted_median_order(spark):
     got = {r["x"]: r["prediction"] for r in m.predict(df).collect()}
     assert got[0.0] == 2.0
     assert got[99.0] == -2.0   # mirrored side: -3,-2,-1 -> cum 3,7 -> -2
+
+
+def test_model_json_roundtrip(spark, tmp_path):
+    """Fitted models round-trip through JSON (no pickle surface) with
+    identical predictions."""
+    import numpy as np
+
+    from orange3_spark.ml import persist as P
+    from orange3_spark.ml.ensembles import fit_adaboost_r2_matrix, \
+        AdaBoostR2Model
+    from orange3_spark.ml.learners import ols_learner
+
+    rng = np.random.default_rng(2)
+    rows = [(float(x), float(2.5 * x + 1.0 + rng.normal() * 0.1))
+            for x in rng.uniform(0, 10, 80)]
+    df = spark.createDataFrame(rows, "x double, y double")
+
+    ols = ols_learner(df, ["x"], "y")
+    p = tmp_path / "ols.json"
+    P.save_model(ols, str(p))
+    ols2 = P.load_model(str(p))
+    a = [r["prediction"] for r in ols.predict(df).collect()]
+    b = [r["prediction"] for r in ols2.predict(df).collect()]
+    assert a == b
+
+    X = np.array([[r[0]] for r in rows])
+    y = np.array([r[1] for r in rows])
+    m = AdaBoostR2Model(fit_adaboost_r2_matrix(X, y, n_estimators=3),
+                        ["x"])
+    p2 = tmp_path / "r2.json"
+    P.save_model(m, str(p2))
+    m2 = P.load_model(str(p2))
+    assert m2.stumps == m.stumps and m2.half_q == m.half_q
+    a = [r["prediction"] for r in m.predict(df).collect()]
+    b = [r["prediction"] for r in m2.predict(df).collect()]
+    assert a == b
+
+    books = [[[1, 2], [3, 4]], [[5, 6], [7, 8]]]
+    p3 = tmp_path / "books.json"
+    P.save_codebooks(books, str(p3))
+    assert P.load_codebooks(str(p3)) == books
