@@ -90,6 +90,29 @@ def bigram_model(reference: DataFrame, *, text_col: str = "text",
     return c2, c1, int(vocab)
 
 
+def score_bigrams(docs: DataFrame, c2: DataFrame, c1: DataFrame,
+                  vocab: int, *, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  scale: int = LM_SCALE) -> DataFrame:
+    """Score documents under an already-fit bigram model →
+    ``(id_col, n_bigrams, sum_pq, lm_q)``.
+
+    ``docs`` may be a STREAMING frame: the model joins are stream-static
+    (the vocab-bounded count tables broadcast) and the per-doc
+    aggregation is a bounded streaming agg — the CCNet gate as a live
+    filter (stream/batch equality pinned in tests/test_streaming.py)."""
+    bg = doc_bigrams(docs, text_col=text_col, keep=(id_col,))
+    scored = (bg.join(c2, ["w1", "w2"], "left")
+              .join(c1, ["w1"], "left")
+              .select(F.col(id_col),
+                      F.expr(f"((coalesce(c2, 0L) + 1L) * {scale}L) DIV "
+                             f"(coalesce(c1, 0L) + {vocab}L)").alias("pq")))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum("pq").alias("sum_pq"))
+            .withColumn("lm_q", F.expr("sum_pq DIV n_bigrams")))
+
+
 def bigram_lm_scores(docs: DataFrame, *, train_filter: Column,
                      text_col: str = "text", id_col: str = "doc_id",
                      scale: int = LM_SCALE,
@@ -102,13 +125,5 @@ def bigram_lm_scores(docs: DataFrame, *, train_filter: Column,
     result back to the corpus to count them — ``q_lm_score`` does)."""
     c2, c1, vocab = bigram_model(docs.where(train_filter),
                                  text_col=text_col, min_count=min_count)
-    bg = doc_bigrams(docs, text_col=text_col, keep=(id_col,))
-    scored = (bg.join(c2, ["w1", "w2"], "left")
-              .join(c1, ["w1"], "left")
-              .select(F.col(id_col),
-                      F.expr(f"((coalesce(c2, 0L) + 1L) * {scale}L) DIV "
-                             f"(coalesce(c1, 0L) + {vocab}L)").alias("pq")))
-    return (scored.groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("n_bigrams"),
-                 F.sum("pq").alias("sum_pq"))
-            .withColumn("lm_q", F.expr("sum_pq DIV n_bigrams")))
+    return score_bigrams(docs, c2, c1, vocab, text_col=text_col,
+                         id_col=id_col, scale=scale)

@@ -204,3 +204,29 @@ def test_stream_cms_equals_batch(spark, sf_dir, tmp_path):
     cols = ["lane", "bucket", "n"]
     assert _canon(got, cols) == _canon(want, cols)
     assert got.count() <= 64 * 4       # bounded state
+
+
+def test_stream_lm_gate_equals_batch(spark, sf_dir, tmp_path):
+    """The CCNet-style LM quality gate runs on a readStream corpus: the
+    bigram model fits on a static reference, scoring is stream-static
+    joins + a bounded per-doc aggregation, and the final scores equal
+    the batch path exactly."""
+    import os
+
+    from orange3_spark.text.lm import bigram_model, score_bigrams
+
+    d = tmp_path / "docs_dir"
+    d.mkdir(exist_ok=True)
+    link = d / "documents.parquet"
+    if not link.exists():
+        os.symlink(f"{sf_dir}/documents.parquet", link)
+    batch = spark.read.parquet(str(d))
+    schema = batch.schema
+    c2, c1, vocab = bigram_model(batch.where(F.col("lang") == "en"))
+    want = _canon(score_bigrams(batch, c2, c1, vocab),
+                  ["doc_id", "n_bigrams", "sum_pq", "lm_q"])
+    stream = SW.stream_from_directory(spark, str(d), schema)
+    got_df = SW.run_to_memory(score_bigrams(stream, c2, c1, vocab),
+                              "t_lm_gate")
+    got = _canon(got_df, ["doc_id", "n_bigrams", "sum_pq", "lm_q"])
+    assert got == want
