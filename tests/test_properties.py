@@ -143,3 +143,46 @@ def test_scorers_are_batch_size_independent(n, cut, seed):
         whole = fn(X)
         split = np.concatenate([fn(X[:cut]), fn(X[cut:])])
         assert np.array_equal(whole, split), type(model).__name__
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=st.lists(
+    st.lists(st.sampled_from("abcde"), min_size=0, max_size=8)
+    .map(lambda ws: " ".join(ws)),
+    min_size=1, max_size=12),
+    train_mod=st.integers(1, 3))
+def test_bigram_lm_matches_python_model(spark, texts, train_mod):
+    """Engine LM scores equal a literal Python bigram model for ANY
+    corpus: same add-one smoothing, same integer fixed-point."""
+    from orange3_spark.text.lm import LM_SCALE, bigram_lm_scores
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    train_ids = {i for i, _ in rows if i % train_mod == 0}
+
+    # literal python model on the train slice
+    c2: dict = {}
+    c1: dict = {}
+    vocab = set()
+    for i, t in rows:
+        toks = [w for w in t.strip().split() if w]
+        if i in train_ids:
+            vocab.update(toks)
+            for a, b in zip(toks, toks[1:]):
+                c2[(a, b)] = c2.get((a, b), 0) + 1
+                c1[a] = c1.get(a, 0) + 1
+    if not vocab:
+        return                      # engine raises loudly on empty ref
+    want = {}
+    for i, t in rows:
+        toks = [w for w in t.strip().split() if w]
+        pqs = [((c2.get((a, b), 0) + 1) * LM_SCALE)
+               // (c1.get(a, 0) + len(vocab))
+               for a, b in zip(toks, toks[1:])]
+        if pqs:
+            want[i] = (len(pqs), sum(pqs), sum(pqs) // len(pqs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["sum_pq"], r["lm_q"])
+           for r in bigram_lm_scores(
+               df, train_filter=F.pmod(F.col("doc_id"),
+                                       F.lit(train_mod)) == 0).collect()}
+    assert got == want
