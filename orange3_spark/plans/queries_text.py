@@ -1038,3 +1038,98 @@ def q_corpus_report(spark, sf_dir):
 
     (docs,) = _t(spark, sf_dir, "documents")
     return corpus_report(docs).orderBy("source")
+
+
+def _bpe_cte(k: int = 8) -> str:
+    """DuckDB CTE chain replaying ``text/bpe.bpe_fit`` exactly: word
+    counts → double-sentinel encoding (module docstring of text/bpe.py)
+    → ``k`` rounds of (overlapping pair count, ``ORDER BY c DESC, a, b
+    LIMIT 1`` argmax ``m{i}``, literal-``replace`` merge) — ending with
+    the fully segmented word table ``w{k}(w, cnt, s)``.  Every statistic
+    is an integer count and the merge 'replace' has identical
+    left-to-right non-overlapping semantics in both engines, so the
+    replay is exact."""
+    parts = ["""w0 AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+         chr(31)||chr(31)
+           || regexp_replace(w, '(.)', concat('\\1', chr(31), chr(31)), 'g')
+           || '</w>' || chr(31)||chr(31) AS s
+  FROM (SELECT unnest(list_filter(string_split(trim(text), ' '),
+                                  x -> x <> '')) AS w
+        FROM documents WHERE text IS NOT NULL)
+  WHERE NOT contains(w, chr(31))
+  GROUP BY w)"""]
+    for i in range(k):
+        parts.append(f"""p{i} AS (
+  SELECT t[i] AS a, t[i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT cnt, list_filter(string_split(s, chr(31)||chr(31)),
+                                x -> x <> '') AS t FROM w{i}),
+       unnest(generate_series(1, len(t) - 1)) g(i)
+  GROUP BY 1, 2),
+m{i} AS (SELECT CAST({i} AS INT) AS rank, a, b, c FROM p{i}
+         ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+w{i + 1} AS (
+  SELECT w, cnt,
+         replace(s, chr(31)||a||chr(31)||chr(31)||b||chr(31),
+                 chr(31)||a||b||chr(31)) AS s
+  FROM w{i} CROSS JOIN m{i})""")
+    return ",\n".join(parts)
+
+
+@query("q_bpe_vocab", f"""
+WITH {_bpe_cte(8)}
+SELECT rank, a AS left_sym, b AS right_sym, a || b AS merged,
+       CAST(c AS BIGINT) AS cnt
+FROM ({" UNION ALL ".join(f"SELECT * FROM m{i}" for i in range(8))})
+ORDER BY rank
+""")
+def q_bpe_vocab(spark, sf_dir):
+    """BPE tokenizer training (text/bpe.bpe_fit — Sennrich et al. 2016):
+    the first 8 merges fit on the whole corpus, as the ordered merge
+    table (rank, pair, merged symbol, weighted count).  The corpus is
+    scanned ONCE for word counts; every merge round is one codegen job
+    over the cached vocab-bounded word table.  All statistics are exact
+    integer counts and ties break on the pair itself, so the DuckDB
+    oracle refits the full merge chain from scratch (``_bpe_cte``)."""
+    from orange3_spark.text.bpe import bpe_fit
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    merges, words = bpe_fit(docs, n_merges=8)
+    words.bpe_cache.unpersist()        # merges are collected constants
+    return spark.createDataFrame(
+        [(r, a, b, a + b, c) for r, a, b, c in merges],
+        "rank int, left_sym string, right_sym string, merged string, "
+        "cnt long")
+
+
+@query("q_bpe_tokenize", f"""
+WITH {_bpe_cte(8)},
+tok AS (SELECT source, w
+        FROM (SELECT source,
+                     unnest(list_filter(string_split(trim(text), ' '),
+                                        x -> x <> '')) AS w
+              FROM documents WHERE text IS NOT NULL)
+        WHERE NOT contains(w, chr(31))),
+seg AS (SELECT w, len(list_filter(string_split(s, chr(31)||chr(31)),
+                                  x -> x <> '')) AS n_sym
+        FROM w8)
+SELECT tok.source,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(tok.w)) AS BIGINT) AS n_chars,
+       CAST(sum(seg.n_sym) AS BIGINT) AS n_bpe_tokens
+FROM tok JOIN seg ON tok.w = seg.w
+GROUP BY tok.source ORDER BY tok.source
+""")
+def q_bpe_tokenize(spark, sf_dir):
+    """Apply a fitted BPE vocab to the corpus (text/bpe.bpe_apply):
+    per-source word/char/subword-token totals under the 8-merge vocab of
+    q_bpe_vocab.  The replace chain segments only the DISTINCT words
+    (|vocab| work, not |corpus|) and joins back by word; the oracle
+    refits the chain and recounts every segmentation in SQL."""
+    from orange3_spark.text.bpe import bpe_apply, bpe_fit
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    merges, words = bpe_fit(docs, n_merges=8)
+    words.bpe_cache.unpersist()
+    return (bpe_apply(docs, merges, keep=("source",))
+            .orderBy("source"))

@@ -492,3 +492,81 @@ def test_corpus_report_literal(spark):
     assert s1["total_tokens"] == 24 and s1["n_langs"] == 2
     assert s1["n_short"] == 1 and s1["mean_tokens"] == 8
     assert out["s2"]["n_short"] == 1 and out["s2"]["n_exact_dups"] == 0
+
+
+# ---------------------------------------------------------------- BPE
+
+
+def _bpe_truth(texts, n_merges):
+    """Literal token-scan BPE (Sennrich et al. 2016 reference shape):
+    word counts, overlapping pair counts, merge = sequential scan."""
+    import collections
+
+    wc = collections.Counter(w for t in texts for w in t.split() if w)
+    state = {w: list(w) + ["</w>"] for w in wc}
+    merges = []
+    for rank in range(n_merges):
+        pc = collections.Counter()
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc[w]
+        if not pc:
+            break
+        (a, b), c = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((rank, a, b, c))
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    return merges, state
+
+
+def test_bpe_fit_matches_literal_model(spark):
+    from orange3_spark.text import bpe as B
+
+    texts = ["low lower lowest low low",
+             "new newer newest new newer",
+             "aaa aa a aaa",          # overlap semantics: 'a a' in 'aaa'
+             "low new lowest"]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    merges, words = B.bpe_fit(df, n_merges=6)
+    truth, _ = _bpe_truth(texts, 6)
+    assert merges == truth
+    words.bpe_cache.unpersist()
+
+
+def test_bpe_segment_overlap_and_end_marker(spark):
+    from orange3_spark.text import bpe as B
+    from pyspark.sql import functions as F
+
+    # merge ('a','a') on 'aaa' must fuse only the FIRST pair (token-scan
+    # semantics), and 'a</w>' fuses the end marker
+    df = spark.createDataFrame([("aaa",), ("ba",)], ["w"])
+    merges = [(0, "a", "a", 99), (1, "a", "</w>", 98)]
+    got = {r["w"]: r["syms"] for r in df.select(
+        "w", B.bpe_segment(F.col("w"), merges).alias("syms")).collect()}
+    assert got["aaa"] == ["aa", "a</w>"]
+    assert got["ba"] == ["b", "a</w>"]
+
+
+def test_bpe_apply_counts_distinct_word_path(spark):
+    from orange3_spark.text import bpe as B
+
+    df = spark.createDataFrame(
+        [("s1", "ab ab cd"), ("s2", "ab x\x1fy")], ["source", "text"])
+    merges = [(0, "a", "b", 3)]
+    got = {r["source"]: r for r in
+           B.bpe_apply(df, merges, keep=("source",)).collect()}
+    # s1: 'ab'×2 → ['ab','</w>'] = 2 syms each; 'cd' → ['c','d','</w>']=3
+    assert got["s1"]["n_words"] == 3
+    assert got["s1"]["n_chars"] == 6
+    assert got["s1"]["n_bpe_tokens"] == 2 + 2 + 3
+    # s2: the sentinel-bearing word is dropped on both engine and oracle
+    assert got["s2"]["n_words"] == 1
+    assert got["s2"]["n_bpe_tokens"] == 2
