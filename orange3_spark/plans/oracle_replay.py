@@ -881,3 +881,70 @@ SELECT CAST(count(*) AS BIGINT) AS n,
             AS BIGINT) AS qerr_total
 FROM sel JOIN base b ON sel.rid = b.o_orderkey
 """
+
+
+# ------------------------------------------------- quality classifier
+
+QCLF_PARAMS = dict(n_buckets=16, iters=6, thr="80000000", label_lang="en")
+QCLF_QSCALE = 1_000_000.0
+
+
+def _qclf_tok_sql(text: str = "text") -> str:
+    return f"list_filter(string_split(trim({text}), ' '), x -> x <> '')"
+
+
+def _qclf_x_sql(b: int, n_buckets: int) -> str:
+    """Mirror of text/quality_clf._bucket + the x_b ratio: DOUBLE count
+    over INT length — the same IEEE division as Spark's
+    ``size().cast('double') / size(toks)``."""
+    return (f"CAST(len(list_filter(toks, t -> "
+            f"CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) "
+            f"% {n_buckets} = {b})) AS DOUBLE) / len(toks)")
+
+
+@lazy
+def quality_clf_oracle() -> str:
+    """q_quality_classifier: the hashing-trick featurizer is exact
+    integer ratios (md5-bucket counts / token count) and the IRLS fit
+    accumulates exact quantized-integer totals, so
+    ``fit_logistic_irls_matrix`` reproduces β bit for bit from a DuckDB
+    fetch of the same id-hash training slice; the scoring margin is
+    then mirrored as the identical left-associated linear chain with β
+    literals — a TRUE end-to-end replay (featurize → fit → score →
+    per-source filter report), no embedded results."""
+    from orange3_spark.ml.learners import fit_logistic_irls_matrix
+
+    P = QCLF_PARAMS
+    B = P["n_buckets"]
+    xs = ", ".join(f"{_qclf_x_sql(b, B)} AS x{b}" for b in range(B))
+    S = _fetch(f"""
+        WITH d AS (SELECT doc_id, lang, {_qclf_tok_sql()} AS toks
+                   FROM '{_sf_dir()}/documents.parquet'
+                   WHERE text IS NOT NULL)
+        SELECT {xs},
+               CASE WHEN lang = '{P["label_lang"]}' THEN 1.0
+                    ELSE 0.0 END AS y
+        FROM d
+        WHERE len(toks) > 0
+          AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              < '{P["thr"]}'""")
+    beta = fit_logistic_irls_matrix(S[:, :B], S[:, B], iters=P["iters"])
+    m = _lit(beta[0])
+    for b in range(B):
+        m = f"({m} + x{b} * {_lit(beta[b + 1])})"
+    return f"""
+WITH d AS (SELECT source, lang, {_qclf_tok_sql()} AS toks
+           FROM documents WHERE text IS NOT NULL),
+f AS (SELECT source, lang, {xs} FROM d WHERE len(toks) > 0),
+s AS (SELECT source, (lang = '{P["label_lang"]}') AS actual_pos,
+             {m} AS m
+      FROM f)
+SELECT source, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN actual_pos THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pos,
+       CAST(sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_keep,
+       CAST(sum(CAST(floor(m * {QCLF_QSCALE} + 0.5) AS BIGINT))
+            AS BIGINT) AS qmargin_total
+FROM s GROUP BY source ORDER BY source
+"""

@@ -1133,3 +1133,37 @@ def q_bpe_tokenize(spark, sf_dir):
     words.bpe_cache.unpersist()
     return (bpe_apply(docs, merges, keep=("source",))
             .orderBy("source"))
+
+
+@query("q_quality_classifier", OR2.quality_clf_oracle)
+def q_quality_classifier(spark, sf_dir):
+    """Trained quality classifier (text/quality_clf.py — fastText-style
+    hashed bag-of-words, Joulin et al. 2017; the GPT-3/CCNet trained
+    filter family the reference lacks).  Fit: exact-integer IRLS
+    (ml/learners.logistic_irls) on the md5 id-hash training slice with
+    weak labels ``lang == 'en'``; score: ONE codegen pass over the full
+    corpus (left-associated linear chain, no UDF/join/state).  Output
+    is the per-source filter report: docs, actual positives, kept at
+    m>0, fixed-point margin checksum.  The oracle refetches the slice,
+    refits β bit-for-bit (fit_logistic_irls_matrix twin) and mirrors
+    the feature + margin op trees node for node."""
+    from orange3_spark.text.quality_clf import (
+        quality_clf_fit, quality_clf_score)
+
+    P = OR2.QCLF_PARAMS
+    (docs,) = _t(spark, sf_dir, "documents")
+    beta = quality_clf_fit(docs, F.col("lang") == P["label_lang"],
+                           n_buckets=P["n_buckets"],
+                           sample_thr=P["thr"], iters=P["iters"])
+    scored = quality_clf_score(docs, beta, n_buckets=P["n_buckets"],
+                               keep=("source", "lang"))
+    return (scored
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum((F.col("lang") == P["label_lang"]).cast("long"))
+                 .alias("n_pos"),
+                 F.sum((F.col("m") > 0).cast("long")).alias("n_keep"),
+                 F.sum(F.floor(F.col("m") * F.lit(OR2.QCLF_QSCALE)
+                               + F.lit(0.5)).cast("long"))
+                 .alias("qmargin_total"))
+            .orderBy("source"))

@@ -570,3 +570,55 @@ def test_bpe_apply_counts_distinct_word_path(spark):
     # s2: the sentinel-bearing word is dropped on both engine and oracle
     assert got["s2"]["n_words"] == 1
     assert got["s2"]["n_bpe_tokens"] == 2
+
+
+# -------------------------------------------------- quality classifier
+
+
+def _py_bucket(tok: str, n: int) -> int:
+    import hashlib
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n
+
+
+def test_hashed_bow_matches_literal_md5_model(spark):
+    from orange3_spark.text.quality_clf import hashed_bow
+
+    txt = "the quick brown fox the"
+    df = spark.createDataFrame([(1, txt), (2, "   "), (3, None)],
+                               ["doc_id", "text"])
+    out = hashed_bow(df, n_buckets=8, keep=("doc_id",)).collect()
+    assert [r["doc_id"] for r in out] == [1]   # empty/null dropped
+    toks = txt.split()
+    for b in range(8):
+        want = sum(_py_bucket(t, 8) == b for t in toks) / len(toks)
+        assert out[0][f"x{b}"] == want
+
+
+def test_quality_clf_fit_partition_independent(spark):
+    from orange3_spark.text.quality_clf import quality_clf_fit
+    from pyspark.sql import functions as F
+
+    rows = [(i, ("alpha beta gamma" if i % 2 else "uno dos tres"),
+             "en" if i % 2 else "es") for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    kw = dict(n_buckets=8, sample_thr="ffffffff", iters=4)
+    b1 = quality_clf_fit(df.repartition(1), F.col("lang") == "en", **kw)
+    b7 = quality_clf_fit(df.repartition(7), F.col("lang") == "en", **kw)
+    assert b1 == b7                      # exact-integer IRLS: bit-equal
+
+
+def test_quality_clf_separates_weak_labels(spark):
+    from orange3_spark.text.quality_clf import (
+        quality_clf_fit, quality_clf_score)
+    from pyspark.sql import functions as F
+
+    rows = [(i, ("alpha beta gamma delta" if i % 2
+                 else "uno dos tres cuatro"),
+             "en" if i % 2 else "es") for i in range(80)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    beta = quality_clf_fit(df, F.col("lang") == "en",
+                           n_buckets=8, sample_thr="ffffffff", iters=6)
+    got = quality_clf_score(df, beta, n_buckets=8,
+                            keep=("lang",)).collect()
+    for r in got:
+        assert (r["m"] > 0) == (r["lang"] == "en")
