@@ -1167,3 +1167,47 @@ def q_quality_classifier(spark, sf_dir):
                                + F.lit(0.5)).cast("long"))
                  .alias("qmargin_total"))
             .orderBy("source"))
+
+
+@query("q_cdc_chunks", """
+WITH d AS (SELECT source, doc_id,
+                  list_filter(string_split(trim(text), ' '),
+                              x -> x <> '') AS tk
+           FROM documents WHERE text IS NOT NULL),
+t AS (SELECT source, doc_id, tk[i] AS tok, i,
+             CASE WHEN i >= 3 AND
+                  CAST('0x' || substring(md5(array_to_string(tk[i-2:i],
+                      ' ')), 1, 8) AS BIGINT) % 8 = 0
+                  THEN 1 ELSE 0 END AS flag
+      FROM d, unnest(range(1, len(tk) + 1)) u(i)),
+b AS (SELECT source, doc_id, tok, i,
+             coalesce(sum(flag) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS chunk_no
+      FROM t),
+c AS (SELECT source, doc_id, chunk_no,
+             CAST('0x' || substring(md5(string_agg(tok, ' ' ORDER BY i)),
+                                    1, 8) AS BIGINT) AS chash,
+             count(*) AS n_tok
+      FROM b GROUP BY source, doc_id, chunk_no),
+o AS (SELECT source, n_tok,
+             CASE WHEN count(*) OVER (PARTITION BY chash) > 1
+                  THEN 1 ELSE 0 END AS dup
+      FROM c)
+SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(dup) AS BIGINT) AS n_dup_chunks,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(dup * n_tok) AS BIGINT) AS n_dup_tokens
+FROM o GROUP BY source ORDER BY source
+""")
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking dedup (text/dedup.cdc_chunks — the
+    Rabin/FastCDC family at token level): boundaries where the trailing
+    3-gram md5 hash ≡ 0 (mod 8), chunks rebuilt per doc, chunk-level dup
+    pressure per source (a chunk is duplicated iff its content hash has
+    >1 instance corpus-wide).  Boundary selection, chunk hashes and all
+    counts are exact md5-integer arithmetic — the oracle replays the
+    full pipeline in windowed SQL."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (TD.cdc_chunk_stats(docs, k=3, divisor=8, group_col="source")
+            .orderBy("source"))

@@ -709,3 +709,82 @@ def repeated_span_stats(df: DataFrame, text_col: str = "text",
             .withColumn("shared_frac",
                         F.col("n_shared").cast("double")
                         / F.col("n_spans").cast("double")))
+
+
+# ------------------------------------------- content-defined chunking
+
+def cdc_chunks(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", *, k: int = 3, divisor: int = 8,
+               keep: Sequence[str] = ()) -> DataFrame:
+    """Content-defined chunking (the Rabin/FastCDC family, token-level):
+    split every document at positions where the hash of the trailing
+    ``k``-token gram satisfies ``h % divisor == 0`` — boundaries move
+    WITH the content, so an insertion early in a document shifts only
+    the one chunk it lands in, and every other chunk still dedups
+    (fixed-size blocks would mis-align everything downstream; that is
+    the whole point of CDC storage/backup systems, applied here to
+    chunk-level corpus dedup between near-identical revisions).
+
+    Spark-first shape: posexplode + per-doc window ``lag`` builds the
+    trailing grams, a lagged windowed cumsum of boundary flags assigns
+    chunk numbers, and one groupBy rebuilds each chunk (order pinned by
+    ``array_sort`` on (pos, token) structs — no collect_list order
+    assumption).  Everything is md5-integer arithmetic, so the SQL
+    oracle replays boundary selection and chunk hashes exactly.
+
+    Mean chunk length ≈ ``divisor`` tokens.  Returns one row per chunk:
+    ``(*keep, id_col, chunk_no, chash, n_tok)``.
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens(text_col)
+    tok = df.select(*keep, F.col(id_col),
+                    F.posexplode(toks).alias("_pos", "_tok"))
+    ww = Window.partitionBy(id_col).orderBy("_pos")
+    parts = [F.lag("_tok", j).over(ww) for j in range(k - 1, 0, -1)]
+    gram = F.concat_ws(" ", *parts, F.col("_tok"))
+    h32 = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+    flag = ((F.col("_pos") >= k - 1)
+            & (h32 % F.lit(divisor) == 0)).cast("long")
+    cum = Window.partitionBy(id_col).orderBy("_pos") \
+                .rowsBetween(Window.unboundedPreceding, -1)
+    body = (tok.withColumn("_flag", flag)
+               .withColumn("chunk_no",
+                           F.coalesce(F.sum("_flag").over(cum), F.lit(0))))
+    ctext = F.array_join(
+        F.transform(F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                    lambda s: s["_tok"]), " ")
+    return (body.groupBy(*keep, id_col, "chunk_no")
+                .agg(ctext.alias("_ctext"),
+                     F.count(F.lit(1)).alias("n_tok"))
+                .select(*keep, id_col, "chunk_no",
+                        F.conv(F.substring(F.md5(F.col("_ctext")), 1, 8),
+                               16, 10).cast("long").alias("chash"),
+                        "n_tok"))
+
+
+def cdc_chunk_stats(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", *, k: int = 3,
+                    divisor: int = 8,
+                    group_col: str = "source") -> DataFrame:
+    """Chunk-level dup pressure per ``group_col``: total/duplicated
+    chunk and token counts, where a chunk is duplicated iff its content
+    hash occurs in more than one (doc, chunk) instance corpus-wide.
+
+    One extra shuffle beyond `cdc_chunks` (a window count over the
+    chunk hash — hash-partitioned; identical-chunk skew is bounded by
+    the CDC chunk length itself and AQE handles residual hot hashes).
+    """
+    from pyspark.sql.window import Window
+
+    ch = cdc_chunks(df, text_col, id_col, k=k, divisor=divisor,
+                    keep=(group_col,))
+    occ = F.count(F.lit(1)).over(Window.partitionBy("chash"))
+    dup = (occ > 1).cast("long")
+    return (ch.withColumn("_dup", dup)
+              .groupBy(group_col)
+              .agg(F.count(F.lit(1)).alias("n_chunks"),
+                   F.sum("_dup").alias("n_dup_chunks"),
+                   F.sum("n_tok").alias("n_tokens"),
+                   F.sum(F.col("_dup") * F.col("n_tok"))
+                   .alias("n_dup_tokens")))

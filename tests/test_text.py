@@ -622,3 +622,76 @@ def test_quality_clf_separates_weak_labels(spark):
                             keep=("lang",)).collect()
     for r in got:
         assert (r["m"] > 0) == (r["lang"] == "en")
+
+
+# ------------------------------------------- content-defined chunking
+
+
+def _py_cdc(text, k=3, divisor=8):
+    """Literal CDC model: trailing k-gram md5 boundary, chunks as token
+    lists."""
+    import hashlib
+
+    tk = [t for t in text.split() if t]
+    chunks, cur = [], []
+    for i, t in enumerate(tk):
+        flag = 0
+        if i >= k - 1:
+            gram = " ".join(tk[i - k + 1:i + 1])
+            h = int(hashlib.md5(gram.encode()).hexdigest()[:8], 16)
+            flag = 1 if h % divisor == 0 else 0
+        cur.append(t)
+        if flag:
+            chunks.append(cur)
+            cur = []
+    if cur:
+        chunks.append(cur)
+    return [" ".join(c) for c in chunks]
+
+
+def test_cdc_chunks_match_literal_model(spark):
+    import hashlib
+
+    from orange3_spark.text import dedup as TD
+
+    texts = [("d%d" % i,
+              " ".join("tok%d" % ((i * 17 + j) % 23)
+                       for j in range(40))) for i in range(6)]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = TD.cdc_chunks(df, id_col="doc_id").collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did, text in texts:
+        want = _py_cdc(text)
+        rows = sorted(by_doc[did], key=lambda r: r["chunk_no"])
+        assert len(rows) == len(want)
+        for r, w in zip(rows, want):
+            assert r["n_tok"] == len(w.split())
+            assert r["chash"] == int(
+                hashlib.md5(w.encode()).hexdigest()[:8], 16)
+
+
+def test_cdc_insertion_shifts_only_one_chunk(spark):
+    from orange3_spark.text import dedup as TD
+
+    base = " ".join("w%d" % (j % 31) for j in range(120))
+    # insert one token near the front of a copy: all chunks after the
+    # landing chunk must still dedup against the original (the CDC
+    # property a fixed-size splitter lacks)
+    toks = base.split()
+    edited = " ".join(toks[:5] + ["INSERTED"] + toks[5:])
+    df = spark.createDataFrame([("a", base), ("b", edited)],
+                               ["doc_id", "text"])
+    ch = TD.cdc_chunks(df, id_col="doc_id").collect()
+    ha = {r["chash"] for r in ch if r["doc_id"] == "a"}
+    hb = {r["chash"] for r in ch if r["doc_id"] == "b"}
+    shared = ha & hb
+    assert len(shared) >= max(len(ha) - 3, 1)
+
+    stats = {r["source"]: r for r in TD.cdc_chunk_stats(
+        df.withColumnRenamed("doc_id", "src_doc")
+          .withColumn("doc_id", F.col("src_doc"))
+          .withColumn("source", F.col("src_doc")),
+        group_col="source").collect()}
+    assert stats["a"]["n_dup_chunks"] >= len(shared)
