@@ -122,6 +122,10 @@ def bpe_fit(docs: DataFrame, *, text_col: str = "text",
                             x.alias("a"),
                             F.element_at(syms, i + 2).alias("b")))
         ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        # argmax by (c DESC, a ASC, b ASC): orderBy+limit(1) compiles to
+        # TakeOrderedAndProject — per-partition top-1 straight off the
+        # groupBy shuffle, no second exchange (a global min(struct) agg
+        # costs one more AQE stage per round; measured in PLANS.md)
         best = (cur.select(F.col("cnt"), F.explode(pairs).alias("p"))
                 .groupBy("p.a", "p.b")
                 .agg(F.sum("cnt").alias("c"))

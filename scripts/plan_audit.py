@@ -94,6 +94,22 @@ AUDITS = {
         ("weighted-median predict is codegen, no Python eval",
          r"HashAggregate"),
     ],
+    "q_quality_classifier": [
+        ("full-corpus scoring is pure codegen (fit jobs are separate)",
+         r"(\*\(\d+\)|WholeStageCodegen)"),
+        ("scan prunes to text/lang/source",
+         r"ReadSchema: struct<text:string,lang:string,source:string"),
+    ],
+    "q_cdc_chunks": [
+        ("chunk windows are PARTITIONED by doc (no global order)",
+         r"windowspecdefinition\(doc_id"),
+        ("dup counting partitions by chunk hash",
+         r"windowspecdefinition\(chash"),
+    ],
+    "q_bpe_tokenize": [
+        ("segmentation joins DISTINCT words back (equi-join, no UDF)",
+         r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
+    ],
 }
 
 BAD_PATTERNS = [
@@ -118,6 +134,17 @@ JOB_BUDGETS = {
     # pq_fit: count + take(k) + one suff-stats collect per Lloyd round +
     # the query-vec collect + the final aggregate (measured 9 at sf0.01)
     "q_pq_codes": 12,
+    # bpe_fit: the CORPUS is scanned once (round 1 materializes the
+    # persisted word table); each of the 8 merge rounds then runs one
+    # TakeOrdered argmax over the cached vocab-bounded table, which AQE
+    # splits into 2-3 stage-jobs (measured 20).  The budget bounds
+    # per-round job growth, not corpus reads — those stay at 1.
+    "q_bpe_vocab": 24,
+    # IRLS fit: one mapInPandas scan per Newton iteration (6, over the
+    # persisted feature slice) + the persist materialization + the final
+    # scoring aggregate (measured 11); a breach means a per-iteration
+    # rescan leaked in
+    "q_quality_classifier": 12,
 }
 
 

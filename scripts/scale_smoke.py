@@ -34,13 +34,14 @@ def replicate_docs(docs, n):
     """n copies; odd replicas get a unique trailing token (near-dups of
     their source), even replicas are exact copies (dup pressure)."""
     r = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("_r")
-    out = docs.select("doc_id", "text", r)
+    out = docs.select("doc_id", "text", "lang", "source", r)
     return out.select(
         (F.col("doc_id") + F.col("_r") * F.lit(10_000_000)).alias("doc_id"),
         F.when(F.col("_r") % 2 == 1,
                F.concat_ws(" ", "text",
                            F.concat(F.lit("u"), F.col("_r").cast("string"))))
-         .otherwise(F.col("text")).alias("text"))
+         .otherwise(F.col("text")).alias("text"),
+        "lang", "source")
 
 
 def replicate_emb(emb, n):
@@ -74,6 +75,19 @@ def main() -> None:
         n_ = pq_adc_topk(enc, cents, qv, id_col="vec_id", n=10).count()
         enc.pq_cache.unpersist()
         return n_
+
+    from orange3_spark.text.bpe import bpe_fit
+    from orange3_spark.text.quality_clf import (quality_clf_fit,
+                                                quality_clf_score)
+
+    def _bpe_fit_count(d):
+        merges, words = bpe_fit(d, n_merges=4)
+        words.bpe_cache.unpersist()
+        return len(merges)
+
+    def _qclf_count(d):
+        beta = quality_clf_fit(d, F.col("lang") == "en", iters=3)
+        return quality_clf_score(d, beta).count()
 
     def ops(d, e, ln):
         # NOTE on dup_clusters: replicating every doc k times makes each
@@ -110,6 +124,18 @@ def main() -> None:
         # PQ: n_iter linear scans (fit) + one encode scan + one ADC scan
         yield ("pq_adc", n,
                lambda: _pq_adc_count(e))
+        # BPE: one corpus scan, then merge rounds over the word table —
+        # the word table SATURATES under replication (same words), so
+        # the fit should grow sub-linearly
+        yield ("bpe_fit", n,
+               lambda: _bpe_fit_count(d))
+        # CDC: two partitioned windows + one groupBy — linear
+        yield ("cdc_chunk_stats", n,
+               lambda: TD.cdc_chunk_stats(d).count())
+        # quality classifier: IRLS iterations over the hash slice + one
+        # scoring scan — linear
+        yield ("quality_clf", n,
+               lambda: _qclf_count(d))
 
     def timed(fn):
         t0 = time.perf_counter()
