@@ -230,3 +230,31 @@ def test_stream_lm_gate_equals_batch(spark, sf_dir, tmp_path):
                               "t_lm_gate")
     got = _canon(got_df, ["doc_id", "n_bigrams", "sum_pq", "lm_q"])
     assert got == want
+
+
+def test_stream_quality_clf_gate_equals_batch(spark, sf_dir, tmp_path):
+    """The trained quality classifier gates a readStream corpus: beta is
+    fit on the static slice, scoring is a stateless codegen projection
+    (no join, no state), and per-doc margins equal the batch path."""
+    import os
+
+    from orange3_spark.text.quality_clf import (quality_clf_fit,
+                                                quality_clf_score)
+
+    d = tmp_path / "docs_dir_q"
+    d.mkdir(exist_ok=True)
+    link = d / "documents.parquet"
+    if not link.exists():
+        os.symlink(f"{sf_dir}/documents.parquet", link)
+    batch = spark.read.parquet(str(d))
+    schema = batch.schema
+    beta = quality_clf_fit(batch, F.col("lang") == "en", iters=3)
+    cols = ["doc_id", "m"]
+    want = _canon(quality_clf_score(batch, beta, keep=("doc_id",))
+                  .select(*cols), cols)
+    stream = SW.stream_from_directory(spark, str(d), schema)
+    got_df = SW.run_to_memory(
+        quality_clf_score(stream, beta, keep=("doc_id",)).select(*cols),
+        "t_qclf_gate", output_mode="append")
+    got = _canon(got_df, cols)
+    assert got == want
