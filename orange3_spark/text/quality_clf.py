@@ -63,17 +63,45 @@ def hashed_bow(docs: DataFrame, *, text_col: str = "text",
     doubles (plus ``keep`` passthrough columns).  Empty/null documents
     are dropped — they have no token distribution to classify."""
     toks = tokens(text_col)
+    # hash each token ONCE into a bucket array, then count per bucket —
+    # filtering the raw tokens per bucket would run md5 n_buckets times
+    # per token inside interpreted HOFs (measured 16× the md5 work and
+    # the slowest query in the suite before this split)
+    bk = F.transform(toks, lambda t: _bucket(t, n_buckets))
 
     def _frac(b: int) -> Column:
         # NB: a one-arg lambda — a second (defaulted) parameter would be
         # read by PySpark as the HOF's (element, index) form
-        return (F.size(F.filter(toks, lambda t: _bucket(t, n_buckets)
-                                == F.lit(b))).cast("double")
-                / F.size(toks)).alias(f"x{b}")
+        return (F.size(F.filter(bk, lambda v: v == F.lit(b)))
+                .cast("double") / F.size(toks)).alias(f"x{b}")
 
     cols = [_frac(b) for b in range(n_buckets)]
     return (docs.where(F.col(text_col).isNotNull() & (F.size(toks) > 0))
             .select(*keep, *cols))
+
+
+def hashed_bow_agg(docs: DataFrame, *, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   n_buckets: int = QCLF_BUCKETS,
+                   keep: Sequence[str] = ()) -> DataFrame:
+    """`hashed_bow` twin for the FIT path: explode + one groupBy on
+    ``id_col`` with per-bucket conditional sums.  Emits the identical
+    ``x_b`` doubles (same integer counts, same division) but as narrow
+    codegen expressions — the row-local 16-HOF projection pays a
+    multi-second whole-stage-codegen compile that a bounded training
+    slice never amortizes.  Costs one shuffle, so the full-corpus
+    SCORING path keeps the stateless row-local `hashed_bow` (also the
+    streamable one)."""
+    tok = (docs.where(F.col(text_col).isNotNull())
+           .select(*keep, id_col, F.explode(tokens(text_col)).alias("_t")))
+    bk = _bucket(F.col("_t"), n_buckets)
+    n = F.count(F.lit(1))
+    aggs = [F.sum((bk == b).cast("long")).alias(f"_c{b}")
+            for b in range(n_buckets)]
+    g = tok.groupBy(*keep, id_col).agg(n.alias("_n"), *aggs)
+    return g.select(*keep, id_col,
+                    *[(F.col(f"_c{b}").cast("double") / F.col("_n"))
+                      .alias(f"x{b}") for b in range(n_buckets)])
 
 
 def margin_expr(beta: Sequence[float], n_buckets: int) -> Column:
@@ -102,9 +130,9 @@ def quality_clf_fit(docs: DataFrame, label: Column, *,
     sl = docs.where(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
         < F.lit(sample_thr))
-    feat = hashed_bow(sl.withColumn("_y", label.cast("double")),
-                      text_col=text_col, n_buckets=n_buckets,
-                      keep=("_y",))
+    feat = hashed_bow_agg(sl.withColumn("_y", label.cast("double")),
+                          text_col=text_col, id_col=id_col,
+                          n_buckets=n_buckets, keep=("_y",))
     return logistic_irls(feat, [f"x{b}" for b in range(n_buckets)],
                          "_y", iters=iters)
 

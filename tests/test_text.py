@@ -695,3 +695,16 @@ def test_cdc_insertion_shifts_only_one_chunk(spark):
           .withColumn("source", F.col("src_doc")),
         group_col="source").collect()}
     assert stats["a"]["n_dup_chunks"] >= len(shared)
+
+
+def test_hashed_bow_agg_equals_row_local(spark):
+    from orange3_spark.text.quality_clf import hashed_bow, hashed_bow_agg
+
+    rows = [(i, " ".join("t%d" % ((i * 7 + j) % 13) for j in range(i % 9)))
+            for i in range(30)]          # includes zero-token docs
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = {r["doc_id"]: tuple(r)[1:] for r in
+         hashed_bow(df, n_buckets=8, keep=("doc_id",)).collect()}
+    b = {r["doc_id"]: tuple(r)[1:] for r in
+         hashed_bow_agg(df, n_buckets=8).collect()}
+    assert a == b                        # bit-equal doubles, same drops
