@@ -141,10 +141,10 @@ JOB_BUDGETS = {
     # per-round job growth, not corpus reads — those stay at 1.
     "q_bpe_vocab": 24,
     # IRLS fit: one mapInPandas scan per Newton iteration (6, over the
-    # persisted feature slice) + the persist materialization + the final
-    # scoring aggregate (measured 11); a breach means a per-iteration
-    # rescan leaked in
-    "q_quality_classifier": 12,
+    # persisted feature slice) + the slice featurization's explode/agg
+    # AQE stages + the final scoring aggregate (measured 13); a breach
+    # means a per-iteration rescan leaked in
+    "q_quality_classifier": 15,
 }
 
 
