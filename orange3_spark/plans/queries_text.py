@@ -1211,3 +1211,101 @@ def q_cdc_chunks(spark, sf_dir):
     (docs,) = _t(spark, sf_dir, "documents")
     return (TD.cdc_chunk_stats(docs, k=3, divisor=8, group_col="source")
             .orderBy("source"))
+
+
+def _doc_lloyd_cte(k: int, n_iter: int, n_buckets: int = 16) -> str:
+    """DuckDB Lloyd replay over DOCUMENT hashed-bow features — the
+    queries_ml.lloyd_cte shape (quantize → first-k init → assign/update
+    rounds → final ``wf(vec_id, label, qv, cl)``) with pts built from
+    the quality-classifier featurizer SQL instead of the embeddings
+    table.  Every x_b is an exact integer ratio, quantization is
+    ``floor(x·1e6 + 0.5)``, so the whole fit replays bit for bit."""
+    xs = ", ".join(f"{OR2._qclf_x_sql(b, n_buckets)} AS x{b}"
+                   for b in range(n_buckets))
+    arr = "[" + ", ".join(f"x{b}" for b in range(n_buckets)) + "]"
+    parts = [f"""d0 AS (SELECT doc_id, source, {OR2._qclf_tok_sql()} AS toks
+  FROM documents WHERE text IS NOT NULL),
+f AS (SELECT doc_id, source, {xs} FROM d0 WHERE len(toks) > 0),
+pts AS (SELECT doc_id AS vec_id, source AS label,
+  list_transform({arr}, x -> floor(x * 1000000.0 + 0.5)) AS qv FROM f),
+c_0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, qv AS cv
+  FROM pts ORDER BY vec_id LIMIT {k})"""]
+    for r in range(1, n_iter):
+        parts.append(f"""w_{r} AS (SELECT vec_id, label, qv, cl FROM (
+    SELECT p.vec_id, p.label, p.qv, c.cl,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY list_distance(p.qv, c.cv), c.cl) AS rn
+    FROM pts p CROSS JOIN c_{r - 1} c) s WHERE rn = 1),
+cm_{r} AS (SELECT cl, list(m ORDER BY i) AS cv FROM (
+    SELECT cl, i, floor(sum(qv[i]) / count(*) + 0.5) AS m
+    FROM w_{r}, unnest(generate_series(1, len(qv))) g(i)
+    GROUP BY cl, i) s GROUP BY cl),
+c_{r} AS (SELECT prev.cl, coalesce(cm.cv, prev.cv) AS cv
+  FROM c_{r - 1} prev LEFT JOIN cm_{r} cm ON prev.cl = cm.cl)""")
+    parts.append(f"""wf AS (SELECT vec_id, label, qv, cl FROM (
+    SELECT p.vec_id, p.label, p.qv, c.cl,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY list_distance(p.qv, c.cv), c.cl) AS rn
+    FROM pts p CROSS JOIN c_{n_iter - 1} c) s WHERE rn = 1)""")
+    return ",\n".join(parts)
+
+
+_CURATION_QUOTA = 40
+
+
+@query("q_cluster_curation", f"""
+WITH {_doc_lloyd_cte(8, 2)},
+r AS (SELECT cl, vec_id, label,
+             row_number() OVER (PARTITION BY cl
+                 ORDER BY md5(CAST(vec_id AS VARCHAR) || 'cbal'),
+                          vec_id) AS rk
+      FROM wf)
+SELECT cl AS cluster, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN rk <= {_CURATION_QUOTA} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(count(DISTINCT CASE WHEN rk <= {_CURATION_QUOTA}
+                                THEN label END) AS BIGINT)
+           AS n_sources_kept,
+       CAST(sum(CASE WHEN rk <= {_CURATION_QUOTA} THEN vec_id
+                     ELSE 0 END) AS BIGINT) AS kept_id_sum
+FROM r GROUP BY cl ORDER BY cl
+""")
+def q_cluster_curation(spark, sf_dir):
+    """Cluster-balanced corpus curation (the diversity-preserving
+    sampling step of SemDeDup-style pipelines, Abbas et al. 2023, and
+    density-capped curation generally): cluster documents on their
+    hashed bag-of-words features (text/quality_clf.hashed_bow_agg →
+    deterministic quantized Lloyd, ml/cluster.kmeans_lloyd), then keep
+    a fixed per-cluster quota chosen by document hash — over-dense
+    regions are downsampled, small clusters survive whole.  Per-cluster
+    report: size, kept count, source spread of the kept set, kept-id
+    checksum.  The oracle refits Lloyd over the identical feature SQL
+    and replays the quota window."""
+    from pyspark.sql.window import Window
+
+    from orange3_spark.ml.cluster import kmeans_lloyd
+    from orange3_spark.text.quality_clf import hashed_bow_agg
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    B = OR2.QCLF_PARAMS["n_buckets"]
+    feats = hashed_bow_agg(docs, keep=("source",))
+    pre = feats.select("doc_id", "source",
+                       F.array(*[f"x{b}" for b in range(B)]).alias("_v"))
+    clustered = kmeans_lloyd(pre, "doc_id", array_col="_v",
+                             k=8, n_iter=2)
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("cbal"))),
+        "doc_id")
+    ranked = clustered.withColumn("rk", F.row_number().over(w))
+    q = F.lit(_CURATION_QUOTA)
+    out = (ranked.groupBy("cluster")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum((F.col("rk") <= q).cast("long")).alias("n_kept"),
+                F.countDistinct(F.when(F.col("rk") <= q,
+                                       F.col("source")))
+                .alias("n_sources_kept"),
+                F.sum(F.when(F.col("rk") <= q, F.col("doc_id"))
+                      .otherwise(F.lit(0))).alias("kept_id_sum"))
+           .orderBy("cluster"))
+    clustered.lloyd_cache.unpersist()
+    return out

@@ -708,3 +708,17 @@ def test_hashed_bow_agg_equals_row_local(spark):
     b = {r["doc_id"]: tuple(r)[1:] for r in
          hashed_bow_agg(df, n_buckets=8).collect()}
     assert a == b                        # bit-equal doubles, same drops
+
+
+def test_cluster_curation_quota_semantics(spark):
+    """Dense clusters are capped at the quota, sparse ones survive
+    whole, and the kept set is hash-deterministic across partitionings."""
+    from orange3_spark.plans.queries_text import q_cluster_curation
+
+    out = {r["cluster"]: r for r in
+           q_cluster_curation(spark, "/root/testdata/sf0.001").collect()}
+    assert out, "no clusters"
+    from orange3_spark.plans.queries_text import _CURATION_QUOTA
+    for r in out.values():
+        assert r["n_kept"] == min(r["n_docs"], _CURATION_QUOTA)
+        assert 1 <= r["n_sources_kept"] <= r["n_kept"]
