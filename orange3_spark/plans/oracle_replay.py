@@ -925,9 +925,11 @@ def quality_clf_oracle() -> str:
                CASE WHEN lang = '{P["label_lang"]}' THEN 1.0
                     ELSE 0.0 END AS y
         FROM d
-        WHERE len(toks) > 0
+        WHERE len(toks) > 0 AND lang IS NOT NULL
           AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
               < '{P["thr"]}'""")
+    # lang IS NOT NULL mirrors the engine: a NULL weak label is dropped
+    # by logistic_irls's na.drop, not coerced to the negative class
     beta = fit_logistic_irls_matrix(S[:, :B], S[:, B], iters=P["iters"])
     m = _lit(beta[0])
     for b in range(B):
