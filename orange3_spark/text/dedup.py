@@ -771,17 +771,18 @@ def cdc_chunk_stats(df: DataFrame, text_col: str = "text",
     chunk and token counts, where a chunk is duplicated iff its content
     hash occurs in more than one (doc, chunk) instance corpus-wide.
 
-    One extra shuffle beyond `cdc_chunks` (a window count over the
-    chunk hash — hash-partitioned; identical-chunk skew is bounded by
-    the CDC chunk length itself and AQE handles residual hot hashes).
+    Occurrence counting is a groupBy + equi-join back (NOT a window
+    over the chunk hash): the partial aggregation absorbs hot identical
+    chunks map-side and AQE's skew-join split covers the join, whereas
+    a hash-partitioned window would funnel every instance of a
+    boilerplate chunk through one task with no mitigation.
     """
-    from pyspark.sql.window import Window
-
     ch = cdc_chunks(df, text_col, id_col, k=k, divisor=divisor,
                     keep=(group_col,))
-    occ = F.count(F.lit(1)).over(Window.partitionBy("chash"))
-    dup = (occ > 1).cast("long")
-    return (ch.withColumn("_dup", dup)
+    occ = ch.groupBy("chash").agg(F.count(F.lit(1)).alias("_occ"))
+    dup = (F.col("_occ") > 1).cast("long")
+    return (ch.join(occ, "chash")
+              .withColumn("_dup", dup)
               .groupBy(group_col)
               .agg(F.count(F.lit(1)).alias("n_chunks"),
                    F.sum("_dup").alias("n_dup_chunks"),

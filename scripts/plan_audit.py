@@ -103,8 +103,9 @@ AUDITS = {
     "q_cdc_chunks": [
         ("chunk windows are PARTITIONED by doc (no global order)",
          r"windowspecdefinition\(doc_id"),
-        ("dup counting partitions by chunk hash",
-         r"windowspecdefinition\(chash"),
+        ("dup counting is groupBy + equi-join (map-side combine, AQE "
+         "skew-join), not a chash window",
+         r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
     ],
     "q_bpe_tokenize": [
         ("segmentation joins DISTINCT words back (equi-join, no UDF)",
