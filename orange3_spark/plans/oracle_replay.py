@@ -950,3 +950,44 @@ SELECT source, CAST(count(*) AS BIGINT) AS n,
             AS BIGINT) AS qmargin_total
 FROM s GROUP BY source ORDER BY source
 """
+
+
+# ------------------------------------------------- temperature mixing
+
+MIXT_PARAMS = dict(temperature=0.5, salt="mixT")
+
+
+@lazy
+def mix_temperature_oracle() -> str:
+    """q_mix_temperature: observed counts are exact integers, the
+    temperature law and keep thresholds come from the SAME shared
+    ``temperature_targets`` / ``mix_thresholds`` float math, and
+    membership is an md5 predicate — a true SQL mirror of the whole
+    temperature-mixing step."""
+    import duckdb
+
+    from orange3_spark.text.pipeline import (mix_thresholds,
+                                             temperature_targets)
+
+    P = MIXT_PARAMS
+    con = duckdb.connect()
+    try:
+        counts = dict(con.execute(
+            f"SELECT source, count(*) FROM "
+            f"'{_sf_dir()}/documents.parquet' GROUP BY source").fetchall())
+    finally:
+        con.close()
+    target = temperature_targets({k: int(v) for k, v in counts.items()},
+                                 P["temperature"])
+    thrs = mix_thresholds({k: int(v) for k, v in counts.items()}, target)
+    conds = " OR ".join(
+        f"(source = '{s}' AND substring(md5(CAST(doc_id AS VARCHAR) || "
+        f"'{P['salt']}'), 1, 8) < '{thr}')"
+        for s, thr in thrs.items())
+    return f"""
+SELECT source, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(doc_id) AS BIGINT) AS min_id,
+       CAST(max(doc_id) AS BIGINT) AS max_id
+FROM documents WHERE {conds}
+GROUP BY source ORDER BY source
+"""

@@ -1309,3 +1309,23 @@ def q_cluster_curation(spark, sf_dir):
            .orderBy("cluster"))
     clustered.lloyd_cache.unpersist()
     return out
+
+
+@query("q_mix_temperature", OR2.mix_temperature_oracle)
+def q_mix_temperature(spark, sf_dir):
+    """Temperature-scaled data mixing (text/pipeline.mix_temperature —
+    the mBERT/XLM-R multilingual sampling law p_s ∝ c_s^T, here T=0.5
+    upweighting small sources): one count aggregation → shared-float
+    thresholds → content-hash keep predicate, no shuffle of kept rows.
+    Per-source kept counts + id range; the oracle recomputes the law
+    from the same counts and mirrors the md5 predicate."""
+    from orange3_spark.text.pipeline import mix_temperature
+
+    P = OR2.MIXT_PARAMS
+    (docs,) = _t(spark, sf_dir, "documents")
+    kept = mix_temperature(docs, P["temperature"], salt=P["salt"])
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id"))
+            .orderBy("source"))

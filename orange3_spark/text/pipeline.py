@@ -257,3 +257,39 @@ def corpus_report(docs: DataFrame, *, text_col: str = "text",
                     "n_langs", "n_short",
                     F.expr("total_tokens DIV n_docs")
                     .alias("mean_tokens")))
+
+
+def temperature_targets(counts: Mapping[str, int],
+                        temperature: float) -> "dict[str, float]":
+    """Temperature-scaled sampling proportions ``p_s = c_s^T / Σ c_j^T``
+    — the multilingual/multisource sampling law (mBERT/XLM-R, T≈0.3-0.7
+    upweights low-resource sources; T=1 is natural proportions).  Plain
+    driver float math shared VERBATIM by the Spark path and the SQL
+    oracle (like :func:`mix_thresholds`), so both embed identical
+    threshold literals."""
+    pw = {s: float(c) ** temperature for s, c in sorted(counts.items())
+          if c > 0}
+    z = sum(pw.values())
+    return {s: v / z for s, v in pw.items()} if z else {}
+
+
+def mix_temperature(docs: DataFrame, temperature: float, *,
+                    id_col: str = "doc_id", source_col: str = "source",
+                    salt: str = "mixT",
+                    max_sources: int = 10_000) -> DataFrame:
+    """Deterministic temperature mixing: measure the observed source
+    counts (one aggregation), convert them to temperature-scaled target
+    proportions, and keep rows by the same content-hash predicate as
+    :func:`mix_sources` — one scan-side filter, no shuffle of the kept
+    rows, fully SQL-replayable (``q_mix_temperature``)."""
+    counts = {r[source_col]: int(r["n"]) for r in
+              (docs.groupBy(source_col)
+               .agg(F.count(F.lit(1)).alias("n"))
+               .limit(max_sources + 1).collect())}
+    if len(counts) > max_sources:
+        raise ValueError(
+            f"mix_temperature: more than {max_sources} distinct sources "
+            f"— {source_col!r} must be a bounded category column")
+    return mix_sources(docs, temperature_targets(counts, temperature),
+                       id_col=id_col, source_col=source_col, salt=salt,
+                       max_sources=max_sources)

@@ -722,3 +722,32 @@ def test_cluster_curation_quota_semantics(spark):
     for r in out.values():
         assert r["n_kept"] == min(r["n_docs"], _CURATION_QUOTA)
         assert 1 <= r["n_sources_kept"] <= r["n_kept"]
+
+
+def test_temperature_targets_law():
+    from orange3_spark.text.pipeline import temperature_targets
+
+    counts = {"a": 900, "b": 90, "c": 10}
+    t1 = temperature_targets(counts, 1.0)
+    assert abs(t1["a"] - 0.9) < 1e-12          # T=1: natural proportions
+    t0 = temperature_targets(counts, 0.0)
+    assert all(abs(v - 1 / 3) < 1e-12 for v in t0.values())   # T=0: uniform
+    t5 = temperature_targets(counts, 0.5)
+    assert t1["c"] < t5["c"] < t0["c"]         # T<1 upweights the tail
+    assert abs(sum(t5.values()) - 1.0) < 1e-12
+
+
+def test_mix_temperature_deterministic_and_rebalanced(spark):
+    from orange3_spark.text.pipeline import mix_temperature
+
+    rows = [(i, "s_big" if i < 400 else "s_small") for i in range(440)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = mix_temperature(df, 0.5)
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in
+               mix_temperature(df.repartition(7), 0.5).collect())
+    assert a == b                             # hash membership, not rand
+    n = {r["source"]: r["n"] for r in
+         kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # natural ratio 10:1 must compress toward sqrt(10):1
+    assert n["s_big"] / n["s_small"] < 400 / 40
