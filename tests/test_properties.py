@@ -186,3 +186,112 @@ def test_bigram_lm_matches_python_model(spark, texts, train_mod):
                df, train_filter=F.pmod(F.col("doc_id"),
                                        F.lit(train_mod)) == 0).collect()}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=st.lists(
+    st.lists(st.sampled_from(["ab", "ba", "aab", "bb", "a", "b"]),
+             min_size=1, max_size=6).map(" ".join),
+    min_size=1, max_size=8),
+    n_merges=st.integers(1, 5))
+def test_bpe_fit_matches_python_model_property(spark, texts, n_merges):
+    """The distributed BPE fit equals the literal Sennrich token-scan
+    model for ANY corpus: same pair counts (overlapping), same argmax
+    tie-break, same merge application (non-overlapping left-to-right)."""
+    import collections
+
+    from orange3_spark.text.bpe import bpe_fit
+
+    wc = collections.Counter(w for t in texts for w in t.split() if w)
+    state = {w: list(w) + ["</w>"] for w in wc}
+    merges = []
+    for rank in range(n_merges):
+        pc: collections.Counter = collections.Counter()
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc[w]
+        if not pc:
+            break
+        (a, b), c = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((rank, a, b, c))
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got, words = bpe_fit(df, n_merges=n_merges)
+    words.bpe_cache.unpersist()
+    assert got == merges
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=st.lists(
+    st.lists(st.sampled_from("abc"), min_size=0, max_size=30)
+    .map(lambda cs: " ".join("".join(cs[i:i + 3])
+                             for i in range(0, len(cs), 3))),
+    min_size=1, max_size=6),
+    divisor=st.sampled_from([2, 4, 8]))
+def test_cdc_chunks_match_python_model_property(spark, texts, divisor):
+    """CDC boundaries/chunks equal the literal rolling-gram model for
+    ANY corpus and divisor; total tokens are preserved."""
+    import hashlib
+
+    from orange3_spark.text import dedup as TD
+
+    def py_chunks(text, k=3):
+        tk = [t for t in text.split() if t]
+        chunks, cur = [], []
+        for i, t in enumerate(tk):
+            cur.append(t)
+            if i >= k - 1:
+                gram = " ".join(tk[i - k + 1:i + 1])
+                h = int(hashlib.md5(gram.encode()).hexdigest()[:8], 16)
+                if h % divisor == 0:
+                    chunks.append(" ".join(cur))
+                    cur = []
+        if cur:
+            chunks.append(" ".join(cur))
+        return chunks
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = TD.cdc_chunks(df, divisor=divisor).collect()
+    by_doc: dict = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in rows:
+        want = py_chunks(t)
+        have = sorted(by_doc.get(i, []), key=lambda r: r["chunk_no"])
+        assert len(have) == len(want)
+        for r, w in zip(have, want):
+            assert r["n_tok"] == len(w.split())
+            assert r["chash"] == int(
+                hashlib.md5(w.encode()).hexdigest()[:8], 16)
+
+
+@settings(max_examples=8, deadline=None)
+@given(counts=st.dictionaries(st.sampled_from("pqrs"),
+                              st.integers(1, 500),
+                              min_size=1, max_size=4),
+       temp=st.floats(0.1, 1.0, allow_nan=False))
+def test_temperature_targets_properties(counts, temp):
+    """For any counts and T∈(0,1]: proportions sum to 1, order is
+    preserved, and ratios compress monotonically toward uniform."""
+    from orange3_spark.text.pipeline import temperature_targets
+
+    t = temperature_targets(counts, temp)
+    assert abs(sum(t.values()) - 1.0) < 1e-9
+    ks = sorted(counts, key=counts.get)
+    for a, b in zip(ks, ks[1:]):
+        assert t[a] <= t[b] + 1e-12
+    big, small = ks[-1], ks[0]
+    if counts[big] > counts[small]:
+        nat = counts[big] / counts[small]
+        assert t[big] / t[small] <= nat + 1e-9
