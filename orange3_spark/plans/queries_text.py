@@ -1329,3 +1329,34 @@ def q_mix_temperature(spark, sf_dir):
                  F.min("doc_id").alias("min_id"),
                  F.max("doc_id").alias("max_id"))
             .orderBy("source"))
+
+
+@query("q_tfidf_terms", """
+WITH tok AS (SELECT source, doc_id,
+                    unnest(list_filter(string_split(trim(text), ' '),
+                                       x -> x <> '')) AS term
+             FROM documents WHERE text IS NOT NULL),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+tf AS (SELECT source, term, count(*) AS tf FROM tok GROUP BY source, term),
+s AS (SELECT tf.source, tf.term, tf.tf, dft.df,
+             (tf.tf * 1000000) // dft.df AS score
+      FROM tf JOIN dft ON tf.term = dft.term),
+r AS (SELECT source, term, tf, df, score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score DESC, term ASC) AS rnk
+      FROM s)
+SELECT source, CAST(rnk AS INT) AS rnk, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score AS BIGINT) AS score
+FROM r WHERE rnk <= 5 ORDER BY source, rnk
+""")
+def q_tfidf_terms(spark, sf_dir):
+    """Per-source distinctive keywords (text/analysis.distinctive_terms
+    — TF-IDF-shaped ranking on the exact-integer reciprocal-df score
+    tf·10⁶ div df; no libm, so the full ranking incl. ties is
+    hash-graded).  One explode, two aggregations, one term equi-join,
+    one partitioned top-5 window."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (TA.distinctive_terms(docs, top_n=5)
+            .withColumn("rnk", F.col("rnk").cast("int"))
+            .orderBy("source", "rnk"))

@@ -256,3 +256,45 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
                     "top_gram",
                     (F.col("_top").cast("double")
                      / F.col("n_grams")).alias("top_gram_share")))
+
+
+def distinctive_terms(docs: DataFrame, *, text_col: str = "text",
+                      id_col: str = "doc_id", group_col: str = "source",
+                      top_n: int = 5,
+                      min_df: int = 1) -> DataFrame:
+    """Per-group distinctive-keyword extraction — TF-IDF-shaped ranking
+    on an EXACT integer surrogate: ``score = tf_g(t) · 10⁶ div df(t)``
+    where ``tf_g`` is the term's count inside the group and ``df`` its
+    corpus-wide document frequency.  Reciprocal-df is a monotone idf
+    (a term in every doc scores low, a group-private term scores high)
+    chosen over ``log`` idf deliberately: no libm anywhere, so the
+    ranking — ties broken ``(score DESC, term ASC)`` — is bit-identical
+    in Spark and the SQL oracle (the repo's BM25 keeps the classic log
+    idf for *query-time* retrieval, where the handful of idf values are
+    driver literals; here idf spans the whole vocabulary).
+
+    Shape: one explode, two aggregations (df by term, tf by
+    group×term), one equi-join on the term, one PARTITIONED top-n
+    window — every stage shuffles on bounded keys.  Returns
+    ``(group_col, rnk, term, tf, df, score)``.
+    """
+    from pyspark.sql.window import Window
+
+    tok = (docs.where(F.col(text_col).isNotNull())
+           .select(group_col, id_col,
+                   F.explode(tokens(text_col)).alias("term")))
+    df_t = (tok.groupBy("term")
+            .agg(F.countDistinct(id_col).alias("df"))
+            .where(F.col("df") >= min_df))
+    tf = (tok.groupBy(group_col, "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    # true integral division (`div`), NOT floor(a/b): the IEEE quotient
+    # of two exact ints can round UP across an integer once 1/df drops
+    # below ulp(score) — integer div is exact at any scale
+    scored = (tf.join(df_t, "term")
+              .withColumn("score", F.expr("(tf * 1000000L) div df")))
+    w = Window.partitionBy(group_col).orderBy(F.col("score").desc(),
+                                              F.col("term").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= top_n)
+            .select(group_col, "rnk", "term", "tf", "df", "score"))

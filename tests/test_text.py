@@ -751,3 +751,21 @@ def test_mix_temperature_deterministic_and_rebalanced(spark):
          kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
     # natural ratio 10:1 must compress toward sqrt(10):1
     assert n["s_big"] / n["s_small"] < 400 / 40
+
+
+def test_distinctive_terms_literal(spark):
+    from orange3_spark.text.analysis import distinctive_terms
+
+    rows = [(1, "s1", "zebra zebra common"),
+            (2, "s1", "common zebra"),
+            (3, "s2", "yak common"),
+            (4, "s2", "yak yak common common")]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {(r["source"], r["term"]): r for r in
+           distinctive_terms(df, top_n=2).collect()}
+    # zebra: tf(s1)=3, df=2 -> 1_500_000; common: tf(s1)=2, df=4 -> 500_000
+    z = out[("s1", "zebra")]
+    assert (z["tf"], z["df"], z["score"], z["rnk"]) == (3, 2, 1_500_000, 1)
+    y = out[("s2", "yak")]
+    assert (y["tf"], y["df"], y["score"], y["rnk"]) == (3, 2, 1_500_000, 1)
+    assert out[("s1", "common")]["score"] == 500_000
