@@ -48,7 +48,7 @@ _NEWEST_R5 = [
     # registered latest in round 5, never driver-graded — grade first
     "q_quality_classifier", "q_cluster_curation", "q_cdc_chunks",
     "q_bpe_vocab", "q_bpe_tokenize", "q_mix_temperature",
-    "q_tfidf_terms",
+    "q_tfidf_terms", "q_sliding_chunks",
     "q_lm_score", "q_pq_codes", "q_pq_adc", "q_ivfpq",
     "q_sketch_kmv", "q_sketch_cms", "q_corpus_report",
     "q_ml_adaboost_reg",

@@ -1360,3 +1360,43 @@ def q_tfidf_terms(spark, sf_dir):
     return (TA.distinctive_terms(docs, top_n=5)
             .withColumn("rnk", F.col("rnk").cast("int"))
             .orderBy("source", "rnk"))
+
+
+@query("q_sliding_chunks", """
+WITH d AS (SELECT source, doc_id,
+                  list_filter(string_split(trim(text), ' '),
+                              x -> x <> '') AS tk
+           FROM documents WHERE text IS NOT NULL),
+c AS (SELECT source, doc_id,
+             tk[s : s + 31] AS ck
+      FROM d, unnest(generate_series(
+               1, greatest(len(tk) - 16, 1), 16)) g(s)
+      WHERE len(tk) > 0),
+h AS (SELECT source, doc_id, len(ck) AS n_tok,
+             CAST('0x' || substring(md5(array_to_string(ck, ' ')), 1, 8)
+                  AS BIGINT) AS chash
+      FROM c)
+SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT chash) AS BIGINT) AS n_distinct_chunks,
+       CAST(sum(chash) AS BIGINT) AS chash_sum
+FROM h GROUP BY source ORDER BY source
+""")
+def q_sliding_chunks(spark, sf_dir):
+    """Sliding-window chunking (text/packing.sliding_chunks — RAG/eval
+    window prep, 32-token windows every 16): per-source chunk counts,
+    token totals, distinct-chunk counts and a chunk-hash checksum.
+    Chunking itself is row-local codegen (no shuffle before the
+    aggregate); the oracle replays slice geometry and hashes in SQL."""
+    from orange3_spark.text.packing import sliding_chunks
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    ch = sliding_chunks(docs, window=32, stride=16, keep=("source",))
+    return (ch.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.countDistinct("doc_id").alias("n_docs"),
+                 F.sum("n_tok").alias("n_tokens"),
+                 F.countDistinct("chash").alias("n_distinct_chunks"),
+                 F.sum("chash").alias("chash_sum"))
+            .orderBy("source"))

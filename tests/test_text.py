@@ -769,3 +769,29 @@ def test_distinctive_terms_literal(spark):
     y = out[("s2", "yak")]
     assert (y["tf"], y["df"], y["score"], y["rnk"]) == (3, 2, 1_500_000, 1)
     assert out[("s1", "common")]["score"] == 500_000
+
+
+def test_sliding_chunks_geometry(spark):
+    import hashlib
+
+    from orange3_spark.text.packing import sliding_chunks
+
+    toks = ["t%d" % i for i in range(40)]
+    df = spark.createDataFrame(
+        [(1, "sA", " ".join(toks)),       # 40 toks: starts 1,17,33 (0-based 0,16,32)
+         (2, "sA", "only three tokens"),  # shorter than window: one chunk
+         (3, "sB", "   "), (4, "sB", None)],       # empty: none
+        ["doc_id", "source", "text"])
+    got = sliding_chunks(df, window=32, stride=16,
+                         keep=("source",)).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2}
+    d1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["start_tok"] for r in d1] == [1, 17]   # 33 > 40-32+1=9 cap
+    assert [r["n_tok"] for r in d1] == [32, 24]
+    want0 = " ".join(toks[0:32])
+    assert d1[0]["chash"] == int(
+        hashlib.md5(want0.encode()).hexdigest()[:8], 16)
+    assert by_doc[2][0]["n_tok"] == 3 and by_doc[2][0]["start_tok"] == 1
