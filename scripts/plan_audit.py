@@ -111,6 +111,12 @@ AUDITS = {
         ("segmentation joins DISTINCT words back (equi-join, no UDF)",
          r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
     ],
+    "q_sliding_chunks": [
+        ("chunking is row-local codegen (explode, no window/join)",
+         r"Generate posexplode"),
+        ("scan prunes to id+text+source (no lang/n_chars)",
+         r"ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+    ],
 }
 
 BAD_PATTERNS = [
