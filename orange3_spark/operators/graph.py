@@ -1,0 +1,106 @@
+"""Graph propagation operators — fixed-point PageRank.
+
+The reference has no graph engine (its network add-on is out of core),
+but a 100 TB corpus pipeline constantly needs link-style propagation:
+domain authority over a web graph, account importance over an
+interaction graph, dedup-cluster centrality.  The classic Spark answer
+is iterative join+aggregate (Pregel's "messages" are exactly a
+``join(edges, ranks) → groupBy(dst).sum``), which this module
+implements with one deliberate twist: **all rank mass is exact int64
+fixed-point** (parts-per-``total``), so
+
+* partial aggregation is associative — results are bit-identical under
+  any partitioning, executor count, or engine (the float PageRank sum
+  ``Σ r(u)/deg(u)`` is famously run-to-run unstable at cluster scale);
+* the DuckDB oracle replays iterations verbatim with ``//`` integer
+  division.
+
+Scale shape: edges are counted+persisted ONCE (the iteration loop must
+never re-run the upstream edge derivation — at 100 TB that is the whole
+input); each iteration is one shuffle of (dst, contrib) pairs.  Dangling
+mass is folded in as a 1-row aggregate cross-joined into the update —
+no per-iteration driver action.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: total rank mass, in fixed-point "parts" — ranks sum to ≤ this
+TOTAL = 10**12
+
+
+def pagerank_frame(edges: DataFrame, *, src: str = "src",
+                   dst: str = "dst", iterations: int = 3,
+                   damping_pct: int = 85,
+                   total: int = TOTAL) -> DataFrame:
+    """Lazy rank frame ``(node, rank)`` after ``iterations`` rounds.
+
+    Exact-integer update (mirrored by the SQL oracle term for term)::
+
+        retained(u) = (rank(u) * damping_pct) div 100
+        contrib(e)  = retained(src(e)) div outdeg(src(e))
+        dang_share  = (Σ retained over out-degree-0 nodes) div n
+        rank'(v)    = (total * (100-damping_pct)) div 100 div n
+                      + dang_share + Σ contrib(e to v)
+
+    Caller owns persistence of ``edges`` (see :func:`pagerank_topk`);
+    the returned plan references it ``iterations`` times.
+    ``n = |nodes|`` is fetched driver-side once (one count job)."""
+    e = edges.select(F.col(src).cast("string").alias("src"),
+                     F.col(dst).cast("string").alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    teleport = (total * (100 - damping_pct)) // 100 // n
+    ranks = nodes.withColumn("rank", F.lit(total // n).cast("long"))
+    for _ in range(iterations):
+        retained = ranks.withColumn(
+            "ret", F.expr(f"(rank * {damping_pct}) div 100"))
+        contrib = (e.join(retained.select(F.col("node").alias("src"),
+                                          "ret"), "src")
+                   .join(outdeg, "src")
+                   .select(F.col("dst").alias("node"),
+                           F.expr("ret div outdeg").alias("c"))
+                   .groupBy("node")
+                   .agg(F.sum("c").alias("contrib")))
+        # dangling mass: 1-row aggregate folded in lazily (no action)
+        dang = (retained.join(outdeg.select(F.col("src").alias("node")),
+                              "node", "left_anti")
+                .agg(F.coalesce(F.sum("ret"), F.lit(0)).alias("dang")))
+        ranks = (nodes.join(contrib, "node", "left")
+                 .crossJoin(F.broadcast(dang))
+                 .select("node",
+                         (F.lit(teleport)
+                          + F.expr(f"dang div {n}")
+                          + F.coalesce(F.col("contrib"), F.lit(0)))
+                         .cast("long").alias("rank")))
+    return ranks
+
+
+def pagerank_topk(edges: DataFrame, *, k: int = 20, src: str = "src",
+                  dst: str = "dst", iterations: int = 3,
+                  damping_pct: int = 85,
+                  total: int = TOTAL) -> DataFrame:
+    """Top-``k`` nodes by rank (ties broken by node id — ranks are
+    exact integers, so the cut is deterministic).  Persists the edge
+    frame for the iteration loop and unpersists before returning a
+    small literal frame."""
+    from pyspark import StorageLevel
+
+    spark = edges.sparkSession
+    e = (edges.select(F.col(src).cast("string").alias("src"),
+                      F.col(dst).cast("string").alias("dst"))
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        ranks = pagerank_frame(e, iterations=iterations,
+                               damping_pct=damping_pct, total=total)
+        top = (ranks.orderBy(F.desc("rank"), F.asc("node"))
+               .limit(k).collect())
+    finally:
+        e.unpersist()
+    return spark.createDataFrame(
+        [(r["node"], int(r["rank"])) for r in top],
+        "node string, rank long")

@@ -463,3 +463,67 @@ def q_outlier_lof(spark, sf_dir):
         F.col("p_retailprice").alias("y"))
     out = O.lof(pts, "p_partkey", ["x", "y"], k=5)
     return out.select("p_partkey", F.round("lof", 9).alias("lof"))
+
+
+def _pr_contrib_cte(prev: str) -> str:
+    return f"""(SELECT e.dst AS node,
+                CAST(sum(((r.rank * 85) // 100) // o.d) AS BIGINT) AS c
+         FROM edges e
+         JOIN {prev} r ON e.src = r.node
+         JOIN od o ON e.src = o.src
+         GROUP BY e.dst)"""
+
+
+@query("q_pagerank", f"""
+WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+edges AS (SELECT 'C' || CAST(c AS VARCHAR) AS src,
+                 'S' || CAST(s AS VARCHAR) AS dst FROM e0
+          UNION ALL
+          SELECT 'S' || CAST(s AS VARCHAR), 'C' || CAST(c AS VARCHAR)
+          FROM e0),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+od AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1000000000000 // nn.n AS BIGINT) AS rank
+       FROM nodes, nn),
+i1 AS (SELECT nd.node,
+              CAST((1000000000000 * 15) // 100 // nn.n
+                   + COALESCE(cb.c, 0) AS BIGINT) AS rank
+       FROM nodes nd CROSS JOIN nn
+       LEFT JOIN {_pr_contrib_cte('r0')} cb ON nd.node = cb.node),
+i2 AS (SELECT nd.node,
+              CAST((1000000000000 * 15) // 100 // nn.n
+                   + COALESCE(cb.c, 0) AS BIGINT) AS rank
+       FROM nodes nd CROSS JOIN nn
+       LEFT JOIN {_pr_contrib_cte('i1')} cb ON nd.node = cb.node),
+i3 AS (SELECT nd.node,
+              CAST((1000000000000 * 15) // 100 // nn.n
+                   + COALESCE(cb.c, 0) AS BIGINT) AS rank
+       FROM nodes nd CROSS JOIN nn
+       LEFT JOIN {_pr_contrib_cte('i2')} cb ON nd.node = cb.node)
+SELECT node, rank FROM i3 ORDER BY rank DESC, node LIMIT 20
+""")
+def q_pagerank(spark, sf_dir):
+    """Fixed-point PageRank (operators/graph.py) over the symmetric
+    customer↔supplier trade graph (both directions of every distinct
+    customer→supplier lineitem pair, so every node has out-edges and
+    the dangling term is structurally zero — the engine still computes
+    it, as an exactly-0 integer).  Three iterations in exact int64
+    parts-per-10^12; the oracle unrolls the identical integer update,
+    and the top-20 cut is deterministic because ranks are exact
+    integers with a node-id tiebreak."""
+    from orange3_spark.operators.graph import pagerank_topk
+
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    e0 = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+          .select("o_custkey", "l_suppkey").distinct())
+    edges = (e0.select(
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string"))
+        .alias("src"),
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+        .alias("dst"))
+        .union(e0.select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")))))
+    return pagerank_topk(edges, k=20, iterations=3)

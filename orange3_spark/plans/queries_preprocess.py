@@ -401,24 +401,34 @@ qn AS (SELECT (qty - m) / sd AS v FROM d, qstats),
 dstats AS (SELECT min(disc) AS mn, max(disc) AS mx FROM d),
 dn AS (SELECT (disc - 0.0) / (mx - mn) AS v FROM d, dstats)
 SELECT 'qty' AS col_name, 'normalize' AS branch,
-       round(avg(v), 6) AS mean_q, round(min(v), 6) AS min_q,
-       round(max(v), 6) AS max_q
+       CAST(sum(CASE WHEN v < -0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(sum(CASE WHEN v >= -0.5 AND v < 0.5 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mid,
+       CAST(sum(CASE WHEN v >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
 FROM qn
 UNION ALL
-SELECT 'disc', 'scale', round(avg(v), 6), round(min(v), 6),
-       round(max(v), 6)
+SELECT 'disc', 'scale',
+       CAST(sum(CASE WHEN v < -0.5 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN v >= -0.5 AND v < 0.5 THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(sum(CASE WHEN v >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
 FROM dn
 """)
 def q_adaptive_normalize(spark, sf_dir):
     """AdaptiveNormalize (preprocess.py:615): the zero-share probe routes
     a dense column through Normalize(standardize) and a mostly-zero
-    column through Scale(span, no centering) — the sparse-safe path.  The
-    oracle replays both branches; result stats round to six ABSOLUTE
-    decimals on both sides — the standardized column's mean is a ~1e-13
-    cancellation artifact where significant-digit canonicalization (and
-    any floor quantization) amplifies engine ulp noise, while absolute
-    rounding collapses it to 0.0; the dispatch itself is pinned by the
-    branch column."""
+    column through Scale(span, no centering) — the sparse-safe path.
+
+    Determinism note (this query was the r5 driver's one hash-fail): the
+    standardized column's MEAN is a ~1e-13 cancellation artifact, and
+    ``round(x, 6)`` of it yields -0.0 or +0.0 depending on the machine's
+    partial-sum order — the local canon collapses signed zero, the
+    driver's does not.  The check values are therefore integer BUCKET
+    COUNTS at boundaries ±0.5 in normalized space: qty is lattice-valued
+    (integers 1..50), so the z boundaries m±sd/2 sit ~0.5 qty-units from
+    the nearest data point while the engines' m/sd agree to ~1e-13 —
+    counts cannot flip; disc maps to {0, 0.9, 1.0}, all far from ±0.5.
+    The dispatch itself is pinned by the branch column."""
     (li,) = _t(spark, sf_dir, "lineitem")
     data = li.select(
         F.col("l_quantity").cast("double").alias("qty"),
@@ -428,11 +438,13 @@ def q_adaptive_normalize(spark, sf_dir):
     rows = []
     for col in ("qty", "disc"):
         out, branch = P.adaptive_normalize(data, [col])
-        st = out.agg(F.round(F.avg(col), 6).alias("m"),
-                     F.round(F.min(col), 6).alias("lo"),
-                     F.round(F.max(col), 6).alias("hi")).first()
-        rows.append((col, branch, float(st["m"]), float(st["lo"]),
-                     float(st["hi"])))
+        st = out.agg(
+            F.sum((F.col(col) < -0.5).cast("long")).alias("lo"),
+            F.sum(((F.col(col) >= -0.5) & (F.col(col) < 0.5))
+                  .cast("long")).alias("mid"),
+            F.sum((F.col(col) >= 0.5).cast("long")).alias("hi")).first()
+        rows.append((col, branch, int(st["lo"]), int(st["mid"]),
+                     int(st["hi"])))
     return spark.createDataFrame(
-        rows, "col_name string, branch string, mean_q double, "
-              "min_q double, max_q double")
+        rows, "col_name string, branch string, n_low long, "
+              "n_mid long, n_high long")

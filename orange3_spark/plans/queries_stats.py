@@ -464,3 +464,157 @@ def q_sketch_cms(spark, sf_dir):
                     F.coalesce("true_n", F.lit(0)).cast("long")
                     .alias("true_n"))
             .orderBy("item"))
+
+
+_HLL_C = 423993302490689630000.0  # alpha_256 * 256^2 * 2^53, folded
+
+
+def _hll_lc_list() -> str:
+    from orange3_spark.stats.sketches import hll_lc_table
+    return "[" + ", ".join(str(v) for v in hll_lc_table(256)) + "]"
+
+
+@query("q_sketch_hll", f"""
+WITH h AS (SELECT event_type AS g,
+                  CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)),
+                                              1, 15)) AS BIGINT) AS h
+           FROM events),
+r AS (SELECT g, h % 256 AS idx, h // 256 AS v FROM h),
+rh AS (SELECT g, idx,
+              max(CASE WHEN v > 0 THEN 53 - length(bin(v)) ELSE 53 END) AS mj
+       FROM r GROUP BY g, idx),
+s AS (SELECT g, count(*) AS n_present,
+             CAST(sum(1::BIGINT << (53 - mj)) AS BIGINT) AS s_present
+      FROM rh GROUP BY g),
+tru AS (SELECT event_type AS g,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS true_distinct
+        FROM events GROUP BY 1),
+raw AS (SELECT g,
+               CAST(256 - n_present AS BIGINT) AS n_zero,
+               CAST(s_present + (256 - n_present) * (1::BIGINT << 53)
+                    AS BIGINT) AS s_scaled,
+               CAST(floor({_HLL_C!r}
+                          / CAST(s_present
+                                 + (256 - n_present) * (1::BIGINT << 53)
+                                 AS DOUBLE)) AS BIGINT) AS est_raw
+        FROM s)
+SELECT raw.g AS event_type, raw.n_zero, raw.s_scaled,
+       CAST(CASE WHEN raw.n_zero > 0 AND raw.est_raw < 640
+                 THEN ({{lc}})[raw.n_zero]
+                 ELSE raw.est_raw END AS BIGINT) AS est_distinct,
+       tru.true_distinct
+FROM raw JOIN tru ON raw.g = tru.g
+ORDER BY 1
+""".replace("{lc}", _hll_lc_list()))
+def q_sketch_hll(spark, sf_dir):
+    """Deterministic HyperLogLog (stats/sketches.hll_distinct): distinct
+    users per event type from 256 registers of bounded, mergeable state
+    — the replayable twin of Spark's engine-internal
+    ``approx_count_distinct``.  rho is an exact ``length(bin(v))``
+    computation, the harmonic sum is a scaled int64 (associative under
+    any partitioning), and the single float op is one IEEE division by
+    a shared literal — so DuckDB re-derives the identical estimate,
+    next to the exact distinct count for error context."""
+    from orange3_spark.stats.sketches import hll_distinct
+
+    (ev,) = _t(spark, sf_dir, "events")
+    est = hll_distinct(ev.select("event_type", "user_id"), "user_id",
+                       group_by="event_type", p=8)
+    true = (ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("true_distinct")))
+    return est.join(true, "event_type").orderBy("event_type")
+
+
+_BLOOM_PROBES = ("1", "17", "100", "2", "3",
+                 "-1", "0", "-42", "999999999", "absent-key")
+
+
+@query("q_sketch_bloom", f"""
+WITH keys AS (SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS kk FROM part),
+b AS (SELECT DISTINCT
+             CAST(concat('0x', substring(md5(CAST(d AS VARCHAR) || '|' || kk),
+                                         1, 8)) AS BIGINT) % 8192 AS bucket
+      FROM keys, unnest([0, 1, 2, 3]) g(d)),
+items AS (SELECT unnest({list(_BLOOM_PROBES)}) AS item),
+pr AS (SELECT item,
+              CAST(concat('0x', substring(md5(CAST(d AS VARCHAR) || '|'
+                                              || item), 1, 8))
+                   AS BIGINT) % 8192 AS bucket
+       FROM items, unnest([0, 1, 2, 3]) g(d)),
+hits AS (SELECT item,
+                CAST(sum(CASE WHEN b.bucket IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_lanes_set
+         FROM pr LEFT JOIN b ON pr.bucket = b.bucket GROUP BY item)
+SELECT h.item, h.n_lanes_set, h.n_lanes_set = 4 AS maybe_present,
+       h.item IN (SELECT kk FROM keys) AS truly_present
+FROM hits h ORDER BY h.item
+""")
+def q_sketch_bloom(spark, sf_dir):
+    """Bloom-filter membership sketch (stats/sketches.bloom_buckets):
+    the part-key set compressed to <=8192 set-bit rows, probed with five
+    present and five absent keys.  No false negatives by construction;
+    the md5 lane family makes the bit set a pure function of the data,
+    so the oracle rebuilds the identical filter.  At 100 TB this is the
+    broadcastable pre-filter for semi joins against a huge key set."""
+    from orange3_spark.stats.sketches import bloom_buckets, bloom_probe
+
+    (part,) = _t(spark, sf_dir, "part")
+    table = bloom_buckets(part.select("p_partkey"), "p_partkey",
+                          bits=8192, depth=4)
+    probed = bloom_probe(table, list(_BLOOM_PROBES), bits=8192, depth=4)
+    truth = (part.select(F.col("p_partkey").cast("string").alias("item"))
+             .distinct().withColumn("truly_present", F.lit(True)))
+    return (probed.join(truth, "item", "left")
+            .select("item", "n_lanes_set", "maybe_present",
+                    F.coalesce("truly_present", F.lit(False))
+                    .alias("truly_present"))
+            .orderBy("item"))
+
+
+@query("q_sketch_quantile", """
+WITH lohi AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+                     CAST(max(l_extendedprice) AS DOUBLE) AS hi
+              FROM lineitem),
+b AS (SELECT l_returnflag AS g,
+             CAST(least(floor((CAST(l_extendedprice AS DOUBLE) - lo)
+                              / ((hi - lo) / 512)), 511) AS BIGINT) AS bin
+      FROM lineitem, lohi),
+t AS (SELECT g, bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+c AS (SELECT g, bin, n,
+             CAST(sum(n) OVER (PARTITION BY g ORDER BY bin) AS BIGINT) AS cum,
+             CAST(sum(n) OVER (PARTITION BY g) AS BIGINT) AS total
+      FROM t),
+ps AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                      CAST(0.99 AS DOUBLE)]) AS p),
+hit AS (SELECT g, p, bin, n, cum,
+               CAST(ceil(p * total) AS BIGINT) AS target
+        FROM c, ps
+        WHERE cum >= CAST(ceil(p * total) AS BIGINT)
+          AND cum - n < CAST(ceil(p * total) AS BIGINT))
+SELECT g AS l_returnflag, p,
+       lo + (CAST(bin AS DOUBLE)
+             + CAST(target - (cum - n) AS DOUBLE) / CAST(n AS DOUBLE))
+            * ((hi - lo) / 512) AS q_est
+FROM hit, lohi
+ORDER BY 1, 2
+""")
+def q_sketch_quantile(spark, sf_dir):
+    """Mergeable equi-width quantile sketch
+    (stats/sketches.quantile_bins): p50/p90/p99 of extended price per
+    return flag from a 512-bin integer histogram — the shuffle-once,
+    replayable alternative to engine-internal Greenwald-Khanna
+    (``approx_quantile``).  Bin state is exact integers; the recovery
+    interpolation is a fixed IEEE tree over them, identical in DuckDB."""
+    from orange3_spark.stats.sketches import (quantile_bins,
+                                              quantile_from_bins)
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    lo_hi = li.agg(F.min("l_extendedprice").alias("lo"),
+                   F.max("l_extendedprice").alias("hi")).first()
+    lo, hi = float(lo_hi["lo"]), float(lo_hi["hi"])
+    bins = quantile_bins(li, "l_extendedprice", group_by="l_returnflag",
+                         n_bins=512, lo=lo, hi=hi)
+    out = quantile_from_bins(bins, [0.5, 0.9, 0.99],
+                             lo=lo, w=(hi - lo) / 512)
+    return (out.select(F.col("g").alias("l_returnflag"), "p", "q_est")
+            .orderBy("l_returnflag", "p"))

@@ -355,3 +355,26 @@ def test_cohort_retention_ages(spark):
     got = {(r["cohort"].day, r["age"]): r["n_active"]
            for r in cohort_retention(df, granularity="week").collect()}
     assert got == {(1, 0): 2, (1, 1): 1, (8, 0): 1, (8, 2): 1}
+
+
+def test_pagerank_fixed_point_deterministic_and_dangling(spark):
+    from orange3_spark.operators.graph import pagerank_frame, pagerank_topk
+
+    # star: hub -> a,b,c (a,b,c dangling); hub should outrank leaves'
+    # teleport-only baseline after one round of back-flow via dangling
+    edges = spark.createDataFrame(
+        [("hub", "a"), ("hub", "b"), ("hub", "c"),
+         ("a", "hub"), ("b", "hub")], "src string, dst string")
+    r = {x["node"]: x["rank"] for x in
+         pagerank_frame(edges, iterations=3).collect()}
+    assert set(r) == {"hub", "a", "b", "c"}
+    assert r["hub"] > r["a"] == r["b"] > 0
+    # incoming mass is symmetric for a/b/c (rank ignores own out-edges;
+    # c's dangling retained mass is redistributed to everyone equally)
+    assert r["c"] == r["a"]
+    # exact integer determinism under repartition
+    r2 = {x["node"]: x["rank"] for x in
+          pagerank_frame(edges.repartition(7), iterations=3).collect()}
+    assert r == r2
+    top = pagerank_topk(edges, k=2, iterations=3).collect()
+    assert [t["node"] for t in top] == ["hub", "a"]  # tie a<b broken by id

@@ -147,3 +147,61 @@ def test_cms_overestimates_and_is_deterministic(spark):
     est2 = {r["item"]: r["cms_n"] for r in cms_point_estimates(
         table2, ["apple", "pear", "absent"], width=256, depth=4).collect()}
     assert est == est2
+
+
+def test_hll_estimates_and_is_partition_invariant(spark):
+    from orange3_spark.stats.sketches import hll_distinct
+
+    rows = ([("small", f"v{i % 30}") for i in range(300)]
+            + [("big", f"w{i}") for i in range(8000)])
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {r["g"]: r for r in
+           hll_distinct(df, "v", group_by="g", p=8).collect()}
+    # ~1.04/sqrt(256) ≈ 6.5% std error; allow 4 sigma
+    assert abs(out["big"]["est_distinct"] - 8000) / 8000 < 0.26
+    assert abs(out["small"]["est_distinct"] - 30) / 30 < 0.5
+    out2 = {r["g"]: r["est_distinct"] for r in
+            hll_distinct(df.repartition(13), "v", group_by="g",
+                         p=8).collect()}
+    assert out2 == {g: r["est_distinct"] for g, r in out.items()}
+    # bounded state: s_scaled <= m * 2^53
+    assert all(r["s_scaled"] <= 256 * (1 << 53) for r in out.values())
+
+
+def test_bloom_no_false_negatives(spark):
+    from orange3_spark.stats.sketches import bloom_buckets, bloom_probe
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(2000)],
+                               "v string")
+    table = bloom_buckets(df, "v", bits=8192, depth=4)
+    probes = [f"k{i}" for i in range(0, 2000, 97)] + ["zz1", "zz2", "zz3"]
+    out = {r["item"]: r["maybe_present"] for r in
+           bloom_probe(table, probes, bits=8192, depth=4).collect()}
+    assert all(out[f"k{i}"] for i in range(0, 2000, 97))   # no false neg
+    # determinism under repartition
+    t2 = bloom_buckets(df.repartition(7), "v", bits=8192, depth=4)
+    out2 = {r["item"]: r["maybe_present"] for r in
+            bloom_probe(t2, probes, bits=8192, depth=4).collect()}
+    assert out == out2
+
+
+def test_quantile_sketch_brackets_exact_quantiles(spark):
+    from orange3_spark.stats.sketches import (quantile_bins,
+                                              quantile_from_bins)
+
+    rows = [("a", float(i)) for i in range(1, 1001)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    bins = quantile_bins(df, "x", group_by="g", n_bins=128,
+                         lo=1.0, hi=1000.0)
+    out = {r["p"]: r["q_est"] for r in
+           quantile_from_bins(bins, [0.5, 0.9], lo=1.0,
+                              w=(1000.0 - 1.0) / 128).collect()}
+    # bin width ~7.8 → estimate within one bin of the true quantile
+    assert abs(out[0.5] - 500.5) < 8.0
+    assert abs(out[0.9] - 900.1) < 8.0
+    bins2 = quantile_bins(df.repartition(9), "x", group_by="g",
+                          n_bins=128, lo=1.0, hi=1000.0)
+    out2 = {r["p"]: r["q_est"] for r in
+            quantile_from_bins(bins2, [0.5, 0.9], lo=1.0,
+                               w=(1000.0 - 1.0) / 128).collect()}
+    assert out == out2
