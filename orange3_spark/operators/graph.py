@@ -33,8 +33,8 @@ TOTAL = 10**12
 
 def pagerank_frame(edges: DataFrame, *, src: str = "src",
                    dst: str = "dst", iterations: int = 3,
-                   damping_pct: int = 85,
-                   total: int = TOTAL) -> DataFrame:
+                   damping_pct: int = 85, total: int = TOTAL,
+                   persisted: list | None = None) -> DataFrame:
     """Lazy rank frame ``(node, rank)`` after ``iterations`` rounds.
 
     Exact-integer update (mirrored by the SQL oracle term for term)::
@@ -48,15 +48,27 @@ def pagerank_frame(edges: DataFrame, *, src: str = "src",
     Caller owns persistence of ``edges`` (see :func:`pagerank_topk`);
     the returned plan references it ``iterations`` times.
     ``n = |nodes|`` is fetched driver-side once (one count job)."""
+    from pyspark import StorageLevel
+
     e = edges.select(F.col(src).cast("string").alias("src"),
                      F.col(dst).cast("string").alias("dst"))
+    # static per-node tables, persisted ONCE — every iteration then
+    # scans rank-sized frames, never the upstream edge derivation
     nodes = (e.select(F.col("src").alias("node"))
-             .union(e.select(F.col("dst").alias("node"))).distinct())
+             .union(e.select(F.col("dst").alias("node"))).distinct()
+             .persist(StorageLevel.MEMORY_AND_DISK))
     n = nodes.count()
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    outdeg = (e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    dangling = (nodes.join(outdeg.select(F.col("src").alias("node")),
+                           "node", "left_anti")
+                .persist(StorageLevel.MEMORY_AND_DISK))
+    if persisted is not None:      # caller unpersists after its action
+        persisted.extend([nodes, outdeg, dangling])
     teleport = (total * (100 - damping_pct)) // 100 // n
     ranks = nodes.withColumn("rank", F.lit(total // n).cast("long"))
-    for _ in range(iterations):
+    prev = None
+    for it in range(iterations):
         retained = ranks.withColumn(
             "ret", F.expr(f"(rank * {damping_pct}) div 100"))
         contrib = (e.join(retained.select(F.col("node").alias("src"),
@@ -66,9 +78,10 @@ def pagerank_frame(edges: DataFrame, *, src: str = "src",
                            F.expr("ret div outdeg").alias("c"))
                    .groupBy("node")
                    .agg(F.sum("c").alias("contrib")))
-        # dangling mass: 1-row aggregate folded in lazily (no action)
-        dang = (retained.join(outdeg.select(F.col("src").alias("node")),
-                              "node", "left_anti")
+        # dangling mass: 1-row aggregate folded in lazily (no action);
+        # the dangling node SET is static, precomputed above
+        dang = (retained.join(dangling.select("node"), "node",
+                              "left_semi")
                 .agg(F.coalesce(F.sum("ret"), F.lit(0)).alias("dang")))
         ranks = (nodes.join(contrib, "node", "left")
                  .crossJoin(F.broadcast(dang))
@@ -77,6 +90,17 @@ def pagerank_frame(edges: DataFrame, *, src: str = "src",
                           + F.expr(f"dang div {n}")
                           + F.coalesce(F.col("contrib"), F.lit(0)))
                          .cast("long").alias("rank")))
+        # materialize each iteration (the Pregel loop shape): `retained`
+        # feeds BOTH the contrib and dangling branches, so a lazy chain
+        # re-executes every earlier iteration once per branch — 2^k
+        # recomputation — and unbounded lineage breaks at high k anyway
+        ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+        ranks.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
+    if persisted is not None and prev is not None:
+        persisted.append(prev)
     return ranks
 
 
@@ -94,13 +118,17 @@ def pagerank_topk(edges: DataFrame, *, k: int = 20, src: str = "src",
     e = (edges.select(F.col(src).cast("string").alias("src"),
                       F.col(dst).cast("string").alias("dst"))
          .persist(StorageLevel.MEMORY_AND_DISK))
+    handles: list = []
     try:
         ranks = pagerank_frame(e, iterations=iterations,
-                               damping_pct=damping_pct, total=total)
+                               damping_pct=damping_pct, total=total,
+                               persisted=handles)
         top = (ranks.orderBy(F.desc("rank"), F.asc("node"))
                .limit(k).collect())
     finally:
         e.unpersist()
+        for h in handles:
+            h.unpersist()
     return spark.createDataFrame(
         [(r["node"], int(r["rank"])) for r in top],
         "node string, rank long")

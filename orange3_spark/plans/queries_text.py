@@ -1400,3 +1400,259 @@ def q_sliding_chunks(spark, sf_dir):
                  F.countDistinct("chash").alias("n_distinct_chunks"),
                  F.sum("chash").alias("chash_sum"))
             .orderBy("source"))
+
+
+@query("q_boilerplate", """
+WITH tk AS (SELECT doc_id,
+                   list_filter(string_split(trim(text), ' '),
+                               x -> x <> '') AS t
+            FROM documents),
+pos AS (SELECT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                    || t[i+3] || ' ' || t[i+4] AS gram
+        FROM tk, unnest(generate_series(1, len(t) - 4)) s(i)
+        WHERE len(t) >= 5
+        UNION ALL
+        SELECT doc_id, array_to_string(t, ' ') FROM tk WHERE len(t) < 5),
+bp AS (SELECT gram FROM (
+           SELECT gram, count(DISTINCT doc_id) AS nd
+           FROM pos GROUP BY gram)
+       WHERE nd >= 3),
+per AS (SELECT p.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN bp.gram IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_boiler
+        FROM pos p LEFT JOIN bp ON p.gram = bp.gram
+        GROUP BY p.doc_id)
+SELECT doc_id, n_grams, n_boiler,
+       CAST(n_boiler AS DOUBLE) / CAST(n_grams AS DOUBLE) AS boiler_frac
+FROM per ORDER BY doc_id
+""")
+def q_boilerplate(spark, sf_dir):
+    """Cross-document boilerplate detection
+    (text/analysis.boilerplate_fraction): per-document fraction of word
+    5-gram positions that occur in >= 3 distinct documents — the
+    repeated-substring stripping stage of a web-corpus pipeline (Lee et
+    al. 2022).  One gram-key shuffle with map-side combine; the
+    thresholded boilerplate set joins back as a broadcast.  Counts are
+    exact integers; the fraction is one integer division."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (TA.boilerplate_fraction(docs, n=5, min_docs=3)
+            .orderBy("doc_id"))
+
+
+@query("q_url_canonicalize", """
+WITH raw AS (SELECT doc_id,
+                    'HTTPS://WWW.' || upper(source) || '.Example.CO.UK:443'
+                    || '/Docs/' || CAST(doc_id AS VARCHAR)
+                    || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+                    || '?z=' || CAST(doc_id % 7 AS VARCHAR)
+                    || '&utm_source=feed&a=2&gclid=abc#frag' AS url
+             FROM documents),
+c AS (SELECT doc_id, url,
+             regexp_replace(url, '#.*$', '') AS u
+      FROM raw),
+p AS (SELECT doc_id, url,
+             regexp_extract(u, '^([^?]*)', 1) AS base,
+             regexp_extract(u, '\\?(.*)$', 1) AS qs
+      FROM c),
+h AS (SELECT doc_id, url, qs,
+             regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)',
+                            1) AS head,
+             substr(base, length(regexp_extract(base,
+                 '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1)) + 1) AS path
+      FROM p),
+k AS (SELECT doc_id, url,
+             regexp_replace(lower(head), ':(80|443)$', '') AS h2,
+             regexp_replace(path, '/+$', '') AS p2,
+             list_sort(list_filter(string_split(qs, '&'),
+                 q -> q <> '' AND NOT regexp_matches(q,
+                     '^(utm_[^=]*|fbclid|gclid|ref)='))) AS kept
+      FROM h),
+canon AS (SELECT doc_id,
+                 h2 || p2 || CASE WHEN len(kept) > 0
+                                  THEN '?' || array_to_string(kept, '&')
+                                  ELSE '' END AS canon_url
+          FROM k),
+dom AS (SELECT doc_id, canon_url,
+               regexp_extract(lower(canon_url), '://([^/:?#]*)', 1) AS host
+        FROM canon)
+SELECT doc_id, canon_url,
+       CASE WHEN regexp_extract(host,
+                 '([^.]+\\.(?:co|com|org|net|ac|gov)\\.[a-z][a-z])$', 1)
+                 <> ''
+            THEN regexp_extract(host,
+                 '([^.]+\\.(?:co|com|org|net|ac|gov)\\.[a-z][a-z])$', 1)
+            ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+       END AS domain
+FROM dom ORDER BY doc_id
+""")
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization + registrable-domain extraction
+    (text/urls.py): urls DERIVED from document columns with every
+    canonicalization hazard present (uppercase scheme/host, default
+    port, trailing slash on every third doc, unsorted params, utm/gclid
+    tracking params, fragment).  Pure row-local string expressions —
+    whole-stage codegen, no shuffle — mirrored verbatim in SQL; the
+    domain rule exercises the two-level-suffix branch (example.co.uk)."""
+    from orange3_spark.text.urls import canonicalize_url, registrable_domain
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.concat(F.lit("HTTPS://WWW."), F.upper("source"),
+                 F.lit(".Example.CO.UK:443/Docs/"),
+                 F.col("doc_id").cast("string"),
+                 F.when(F.col("doc_id") % 3 == 0, F.lit("/"))
+                 .otherwise(F.lit("")),
+                 F.lit("?z="), (F.col("doc_id") % 7).cast("string"),
+                 F.lit("&utm_source=feed&a=2&gclid=abc#frag"))
+        .alias("url"))
+    return (raw.select("doc_id",
+                       canonicalize_url("url").alias("canon_url"),
+                       registrable_domain(
+                           canonicalize_url("url")).alias("domain"))
+            .orderBy("doc_id"))
+
+
+@query("q_embed_quantize", """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+x AS (SELECT vec_id, v[i] AS x, i
+      FROM e, unnest(generate_series(1, len(v))) g(i)),
+s AS (SELECT vec_id, max(abs(x)) AS scale FROM x GROUP BY vec_id),
+q AS (SELECT x.vec_id, x.i, s.scale,
+             CASE WHEN s.scale = 0 THEN 0
+                  ELSE CAST(greatest(-127, least(127,
+                       floor(x / s.scale * 127.0 + 0.5))) AS BIGINT)
+             END AS qi
+      FROM x JOIN s ON x.vec_id = s.vec_id)
+SELECT vec_id, scale,
+       CAST(sum(qi) AS BIGINT) AS sum_q,
+       CAST(sum(abs(qi)) AS BIGINT) AS sum_abs_q,
+       CAST(sum(qi * i) AS BIGINT) AS dot_pos
+FROM q GROUP BY vec_id, scale ORDER BY vec_id
+""")
+def q_embed_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 quantization
+    (similarity/quantize.py): the 4x embedding-store shrink stage of an
+    ANN pipeline, emitted as exact-integer per-vector checksums
+    (position-weighted dot pins element order).  FLOAT->DOUBLE is
+    exact, max(abs) is order-independent, and the single rounding is a
+    floor(v+0.5) IEEE tree mirrored verbatim in SQL."""
+    from orange3_spark.similarity.quantize import quantize_int8_summary
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return quantize_int8_summary(emb).orderBy("vec_id")
+
+
+@query("q_ann_recall", f"""
+WITH {lloyd_cte(8, 2)},
+cfm AS (SELECT cl, list(m ORDER BY i) AS cv FROM (
+         SELECT cl, i, floor(sum(qv[i]) / count(*) + 0.5) AS m
+         FROM wf, unnest(generate_series(1, len(qv))) g(i)
+         GROUP BY cl, i) s
+       GROUP BY cl),
+cf AS (SELECT prev.cl, coalesce(cfm.cv, prev.cv) AS cv
+       FROM c_1 prev LEFT JOIN cfm ON prev.cl = cfm.cl),
+q AS (SELECT vec_id AS qid, qv FROM pts WHERE vec_id < 5),
+pr AS (SELECT qid, qv, cl,
+              row_number() OVER (PARTITION BY qid
+                                 ORDER BY list_distance(qv, cv), cl) AS crn
+       FROM q CROSS JOIN cf),
+pa AS (SELECT qid, qv, cl FROM pr WHERE crn <= 2),
+ca AS (SELECT p.qid, w.vec_id AS id_b, list_distance(p.qv, w.qv) AS d
+       FROM pa p JOIN wf w ON w.cl = p.cl AND w.vec_id <> p.qid),
+ra AS (SELECT qid, id_b,
+              row_number() OVER (PARTITION BY qid ORDER BY d, id_b) AS r
+       FROM ca),
+ta AS (SELECT qid, id_b FROM ra WHERE r <= 10),
+cb AS (SELECT q.qid, w.vec_id AS id_b, list_distance(q.qv, w.qv) AS d
+       FROM q JOIN wf w ON w.vec_id <> q.qid),
+rb AS (SELECT qid, id_b,
+              row_number() OVER (PARTITION BY qid ORDER BY d, id_b) AS r
+       FROM cb),
+tb AS (SELECT qid, id_b FROM rb WHERE r <= 10),
+hits AS (SELECT t.qid, CAST(count(*) AS BIGINT) AS n_hits
+         FROM ta t JOIN tb b ON t.qid = b.qid AND t.id_b = b.id_b
+         GROUP BY t.qid)
+SELECT q.qid, COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10.0 AS recall_at_10
+FROM (SELECT DISTINCT qid FROM q) q
+LEFT JOIN hits h ON q.qid = h.qid
+ORDER BY q.qid
+""")
+def q_ann_recall(spark, sf_dir):
+    """ANN quality evaluation — recall@10 of the IVF index at nprobe=2
+    against EXACT search on the same integer distance grid (expressed as
+    the same index probing all 8 cells, which is exhaustive by
+    construction).  This is the eval loop an embedding-store operator
+    runs before dialing nprobe at 100 TB: both sides share one index
+    build, the exact side is a rank over the full candidate set, and
+    every distance/rank/tie-break is deterministic, so recall replays
+    bit-for-bit in SQL."""
+    from orange3_spark.similarity.knn import ivf_knn
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 5)
+    approx = (ivf_knn(emb, probes, k=10, n_cells=8, nprobe=2, n_iter=2)
+              .select("qid", "id_b"))
+    exact = (ivf_knn(emb, probes, k=10, n_cells=8, nprobe=8, n_iter=2)
+             .select("qid", "id_b"))
+    hits = (approx.join(exact, ["qid", "id_b"])
+            .groupBy("qid").agg(F.count(F.lit(1)).cast("long")
+                                .alias("n_hits")))
+    return (probes.select(F.col("vec_id").alias("qid"))
+            .join(hits, "qid", "left")
+            .select("qid",
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    (F.coalesce("n_hits", F.lit(0)).cast("double")
+                     / F.lit(10.0)).alias("recall_at_10"))
+            .orderBy("qid"))
+
+
+@query("q_line_dedup", """
+WITH d AS (SELECT doc_id,
+                  text || chr(10) || 'shared footer for ' || source
+                       || chr(10) || 'copyright 2026' AS t2
+           FROM documents),
+sp AS (SELECT doc_id, string_split(t2, chr(10)) AS s FROM d),
+l AS (SELECT doc_id, i AS pos, s[i] AS line
+      FROM sp, unnest(generate_series(1, len(s))) g(i)),
+k AS (SELECT doc_id, pos, line, lower(trim(line)) AS key FROM l),
+common AS (SELECT key FROM (
+               SELECT key, count(DISTINCT doc_id) AS nd
+               FROM k GROUP BY key)
+           WHERE nd >= 2),
+kept AS (SELECT k.doc_id, k.pos, k.line
+         FROM k LEFT JOIN common c ON k.key = c.key
+         WHERE c.key IS NULL),
+na AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+       FROM k GROUP BY doc_id),
+re AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+              array_to_string(list(line ORDER BY pos),
+                              chr(10)) AS clean_text
+       FROM kept GROUP BY doc_id)
+SELECT na.doc_id, na.n_lines,
+       CAST(COALESCE(re.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(re.clean_text, '') AS clean_text
+FROM na LEFT JOIN re ON na.doc_id = re.doc_id
+ORDER BY na.doc_id
+""")
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style cross-document line dedup (text/dedup.dedup_lines):
+    documents get a per-source footer and a global copyright line
+    appended (derived from table columns), then every line occurring in
+    >= 2 distinct documents is stripped corpus-wide and survivors are
+    reassembled in order — the paragraph-dedup stage that precedes
+    near-dup detection in web-corpus pipelines.  Duplicate body texts
+    (the documents table contains exact dups) are removed too, which
+    the oracle reproduces."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    multi = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit("\nshared footer for "),
+                 F.col("source"), F.lit("\ncopyright 2026"))
+        .alias("text"))
+    return TD.dedup_lines(multi, min_docs=2).orderBy("doc_id")

@@ -298,3 +298,74 @@ def distinctive_terms(docs: DataFrame, *, text_col: str = "text",
     return (scored.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= top_n)
             .select(group_col, "rnk", "term", "tf", "df", "score"))
+
+
+# ------------------------------------------------- cross-doc boilerplate
+
+def gram_positions(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", *, n: int = 5) -> DataFrame:
+    """Every n-gram POSITION per document (NOT deduplicated — the
+    per-position twin of ``dedup.shingle_table``): ``(id_col, gram)``
+    with one row per window.  Same codegen-friendly posexplode + window
+    ``lead`` formulation; short docs (< n tokens) contribute their whole
+    text as the single gram."""
+    from pyspark.sql.window import Window
+
+    toks = tokens(text_col)
+    tok = df.select(F.col(id_col), F.size(toks).alias("_ntok"),
+                    F.posexplode(toks).alias("_pos", "_tok"))
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    parts = [F.col("_tok")] + [F.lead("_tok", j).over(w)
+                               for j in range(1, n)]
+    grams = (tok.filter(F.col("_ntok") >= n)
+             .select(F.col(id_col),
+                     F.concat_ws(" ", *parts).alias("gram"),
+                     F.lead("_tok", n - 1).over(w).alias("_last"))
+             .filter(F.col("_last").isNotNull())
+             .drop("_last"))
+    short = (df.select(F.col(id_col), toks.alias("_t"))
+             .filter(F.size("_t") < n)
+             .select(F.col(id_col), F.array_join("_t", " ").alias("gram")))
+    return grams.unionByName(short)
+
+
+def boilerplate_ngrams(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", *, n: int = 5,
+                       min_docs: int = 3) -> DataFrame:
+    """Cross-document boilerplate n-grams → ``(gram, n_docs)``: word
+    n-grams occurring in ≥ ``min_docs`` DISTINCT documents (headers,
+    footers, license blocks, navigation chrome — the spans corpus
+    pipelines strip before training; cf. Lee et al. 2022's finding that
+    cross-document repeated substrings dominate web corpora).
+
+    One shuffle on the gram key with map-side combine (the (doc, gram)
+    dedup happens in ``shingle_table``), so hot grams don't skew —
+    partial counts merge associatively."""
+    from orange3_spark.text.dedup import shingle_table
+
+    sh = shingle_table(df, text_col, id_col, n=n)   # distinct (id, gram)
+    return (sh.groupBy(F.col("shingle").alias("gram"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .where(F.col("n_docs") >= min_docs))
+
+
+def boilerplate_fraction(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", *, n: int = 5,
+                         min_docs: int = 3) -> DataFrame:
+    """Per-document boilerplate load → ``(id_col, n_grams, n_boiler,
+    boiler_frac)``: the fraction of the document's n-gram positions
+    that are cross-document boilerplate.  The boilerplate set is small
+    by construction (thresholded), so the join back is a broadcast."""
+    pos = gram_positions(df, text_col, id_col, n=n)
+    bp = boilerplate_ngrams(df, text_col, id_col, n=n,
+                            min_docs=min_docs)
+    flagged = pos.join(F.broadcast(bp.select(F.col("gram"),
+                                             F.lit(1).alias("_bp"))),
+                       "gram", "left")
+    return (flagged.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
+                 F.sum(F.coalesce(F.col("_bp"), F.lit(0)))
+                 .cast("long").alias("n_boiler"))
+            .withColumn("boiler_frac",
+                        F.col("n_boiler").cast("double")
+                        / F.col("n_grams").cast("double")))

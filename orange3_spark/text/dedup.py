@@ -789,3 +789,55 @@ def cdc_chunk_stats(df: DataFrame, text_col: str = "text",
                    F.sum("n_tok").alias("n_tokens"),
                    F.sum(F.col("_dup") * F.col("n_tok"))
                    .alias("n_dup_tokens")))
+
+
+# ---------------------------------------------------------- line-level dedup
+
+def dedup_lines(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", *, sep: str = "\n",
+                min_docs: int = 2,
+                normalize: bool = True) -> DataFrame:
+    """CCNet-style cross-document LINE deduplication (Wenzek et al.
+    2020): a line occurring in ≥ ``min_docs`` distinct documents is
+    boilerplate (headers, footers, nav chrome, licence lines) and is
+    removed from EVERY document; survivors are reassembled in original
+    order.  Returns ``(id_col, n_lines, n_kept, clean_text)``.
+
+    Plan shape at 100 TB: posexplode → one distinct on (doc, key) →
+    groupBy(key) count (map-side combinable) → the common-line set
+    joins back as a plain equi-join on the line key (NOT broadcast —
+    the common set is data-dependent and can be huge on web corpora) →
+    groupBy(doc) reassembly.  Matching is on ``lower(trim(line))`` when
+    ``normalize`` (the CCNet choice); emitted text keeps the original
+    bytes."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep))
+        .alias("pos", "line"))
+    key = (F.lower(F.trim(F.col("line"))) if normalize
+           else F.col("line"))
+    lines = lines.withColumn("key", key)
+    common = (lines.select(id_col, "key").distinct()
+              .groupBy("key")
+              .agg(F.count(F.lit(1)).alias("nd"))
+              .where(F.col("nd") >= min_docs)
+              .select("key"))
+    kept = lines.join(common, "key", "left_anti")
+    n_all = (lines.groupBy(id_col)
+             .agg(F.count(F.lit(1)).cast("long").alias("n_lines")))
+    # order-preserving reassembly: sort the (pos, line) structs inside
+    # the group — row-local HOFs, fine off the hot path
+    reassembled = (kept.groupBy(id_col)
+                   .agg(F.count(F.lit(1)).cast("long").alias("n_kept"),
+                        F.array_join(
+                            F.transform(
+                                F.array_sort(F.collect_list(
+                                    F.struct("pos", "line"))),
+                                lambda x: x["line"]),
+                            sep).alias("clean_text")))
+    return (n_all.join(reassembled, id_col, "left")
+            .select(id_col, "n_lines",
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept"),
+                    F.coalesce("clean_text", F.lit(""))
+                    .alias("clean_text")))

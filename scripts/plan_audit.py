@@ -117,6 +117,45 @@ AUDITS = {
         ("scan prunes to id+text+source (no lang/n_chars)",
          r"ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
     ],
+    "q_sketch_hll": [
+        ("register aggregation is two-phase (map-side combine)",
+         r"HashAggregate"),
+        ("scan prunes to user_id+event_type",
+         r"ReadSchema: struct<user_id:bigint,event_type:string>"),
+    ],
+    "q_sketch_bloom": [
+        ("probe join against the bit set is broadcast",
+         r"BroadcastHashJoin"),
+    ],
+    "q_sketch_quantile": [
+        ("quantile recovery window is PARTITIONED by group",
+         r"windowspecdefinition\(g"),
+        ("scan prunes to price+returnflag",
+         r"ReadSchema: struct<l_extendedprice:double,"
+         r"l_returnflag:string>"),
+    ],
+    "q_boilerplate": [
+        ("gram counting is map-side-combined aggregation",
+         r"HashAggregate"),
+        ("thresholded boilerplate set joins back broadcast",
+         r"BroadcastHashJoin"),
+    ],
+    "q_url_canonicalize": [
+        ("canonicalization is pure row-local codegen",
+         r"(\*\(\d+\)|WholeStageCodegen)"),
+        ("scan prunes to doc_id+source",
+         r"ReadSchema: struct<doc_id:bigint,source:string>"),
+    ],
+    "q_embed_quantize": [
+        ("element explode is row-local codegen",
+         r"Generate posexplode"),
+        ("per-vector scale window is PARTITIONED by vec_id",
+         r"windowspecdefinition\(vec_id"),
+    ],
+    "q_line_dedup": [
+        ("common-line removal is an anti join on the line key "
+         "(scales past broadcast)", r"LeftAnti"),
+    ],
 }
 
 BAD_PATTERNS = [
@@ -152,6 +191,19 @@ JOB_BUDGETS = {
     # AQE stages + the final scoring aggregate (measured 13); a breach
     # means a per-iteration rescan leaked in
     "q_quality_classifier": 15,
+    # pagerank_topk (Pregel loop shape): node count + one materialize
+    # action per iteration (each = 2-4 AQE stage-jobs over the PERSISTED
+    # edge/rank frames — the raw input is read once into the edge
+    # persist) + the final top-k collect.  A breach means either an
+    # extra action leaked into the loop or lineage started re-executing
+    # across iterations again.  Measured 44 at sf0.01: AQE runs each
+    # exchange of the per-iteration join/agg/broadcast DAG as its own
+    # stage-job (~13/iteration), all over persisted rank-sized frames —
+    # the raw input is scanned exactly once.
+    "q_pagerank": 50,
+    # two ivf_knn builds (approx + exhaustive sides), each = Lloyd fit
+    # jobs + centroid refresh collect + the final compare aggregate
+    "q_ann_recall": 30,
 }
 
 

@@ -795,3 +795,89 @@ def test_sliding_chunks_geometry(spark):
     assert d1[0]["chash"] == int(
         hashlib.md5(want0.encode()).hexdigest()[:8], 16)
     assert by_doc[2][0]["n_tok"] == 3 and by_doc[2][0]["start_tok"] == 1
+
+
+def test_boilerplate_fraction_literal(spark):
+    from orange3_spark.text.analysis import boilerplate_fraction
+
+    footer = "all rights reserved by the site owner"
+    docs = spark.createDataFrame(
+        [(1, "unique words of doc one here ok " + footer),
+         (2, "totally different body text here now " + footer),
+         (3, "third doc some other words again yes " + footer),
+         (4, "nothing shared with anyone at all whatsoever")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           boilerplate_fraction(docs, n=5, min_docs=3).collect()}
+    # the 7-token footer contributes shared 5-grams to docs 1-3
+    assert out[1]["n_boiler"] >= 3 and out[2]["n_boiler"] >= 3
+    assert out[4]["n_boiler"] == 0
+    assert 0 < out[1]["boiler_frac"] < 1
+    # partition invariance
+    out2 = {r["doc_id"]: r["n_boiler"] for r in
+            boilerplate_fraction(docs.repartition(5), n=5,
+                                 min_docs=3).collect()}
+    assert out2 == {k: v["n_boiler"] for k, v in out.items()}
+
+
+def test_url_canonicalize_contract(spark):
+    from orange3_spark.text.urls import (canonicalize_url,
+                                         registrable_domain, url_host)
+
+    rows = [
+        ("HTTP://Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+         "http://example.com/a/b?a=1&b=2", "example.com"),
+        ("https://sub.shop.example.co.uk/x?ref=h&z=9",
+         "https://sub.shop.example.co.uk/x?z=9", "example.co.uk"),
+        ("https://plain.org/", "https://plain.org", "plain.org"),
+        ("https://a.net/p?gclid=1&fbclid=2", "https://a.net/p", "a.net"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in rows], "url string")
+    got = df.select(canonicalize_url("url").alias("c"),
+                    registrable_domain("url").alias("d"),
+                    url_host("url").alias("h")).collect()
+    for (url, want_c, want_d), r in zip(rows, got):
+        assert r["c"] == want_c, (url, r["c"])
+        assert r["d"] == want_d, (url, r["d"])
+
+
+def test_quantize_int8_properties(spark):
+    from orange3_spark.similarity.quantize import (quantize_int8_codes,
+                                                   quantize_int8_summary)
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0]),
+         (3, [127.0])], "vec_id long, embedding array<double>")
+    codes = {(r["vec_id"], r["pos"]): r["q"] for r in
+             quantize_int8_codes(df).collect()}
+    assert codes[(1, 2)] == -127            # max-|x| element saturates
+    assert codes[(1, 1)] == 64              # round-half-up(63.5)
+    assert codes[(2, 1)] == 0               # zero vector guard
+    assert codes[(3, 1)] == 127
+    s = {r["vec_id"]: r for r in quantize_int8_summary(df).collect()}
+    assert s[1]["sum_abs_q"] == 64 + 127 + 32
+    assert s[2]["sum_q"] == 0 and s[2]["scale"] == 0.0
+    s2 = {r["vec_id"]: r["dot_pos"] for r in
+          quantize_int8_summary(df.repartition(4)).collect()}
+    assert s2 == {k: v["dot_pos"] for k, v in s.items()}
+
+
+def test_dedup_lines_ccnet_semantics(spark):
+    from orange3_spark.text.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(1, "unique alpha\nShared Footer\ncopyright"),
+         (2, "unique beta\nshared footer \ncopyright"),
+         (3, "only me entirely")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_lines(docs, min_docs=2).collect()}
+    # normalized matching: 'Shared Footer' == 'shared footer ' -> both cut
+    assert out[1]["clean_text"] == "unique alpha"
+    assert out[2]["clean_text"] == "unique beta"
+    assert out[3]["clean_text"] == "only me entirely"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 1)
+    # all lines removed -> empty text, zero kept
+    docs2 = spark.createDataFrame(
+        [(1, "same\nsame2"), (2, "same\nsame2")], "doc_id long, text string")
+    o2 = {r["doc_id"]: r for r in dedup_lines(docs2, min_docs=2).collect()}
+    assert o2[1]["n_kept"] == 0 and o2[1]["clean_text"] == ""
