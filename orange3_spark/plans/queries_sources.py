@@ -777,3 +777,56 @@ def q_filter_hasclass(spark, sf_dir):
     out = HasClass(class_columns=["o_orderstatus"])(holey)
     return out.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"))
+
+
+@query("q_orc_roundtrip", """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(c_nationkey) AS BIGINT) AS sum_nation,
+       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+       min(c_name) AS lo_name, max(c_name) AS hi_name
+FROM customer
+""")
+def q_orc_roundtrip(spark, sf_dir):
+    """ORC round-trip — the columnar interchange format of the
+    Hive/Trino world, absent in the reference (its persisted form is
+    pickle, deliberately skipped) but mandatory for a warehouse-adjacent
+    engine.  Fully DISTRIBUTED on both legs (executor-parallel write and
+    read, unlike the driver-side small-data contracts of tab/csv/xlsx);
+    check values are exact integers/strings, so the oracle is the same
+    aggregate over the source parquet."""
+    from orange3_spark.sources.registry import read_table
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    path = os.path.join(_tmpdir(), "customer.orc")
+    customer.write.mode("overwrite").orc(path)
+    back = read_table(spark, path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_nationkey").cast("long").alias("sum_nation"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.min("c_name").alias("lo_name"),
+        F.max("c_name").alias("hi_name"))
+
+
+@query("q_jsonl_roundtrip", """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+FROM documents
+""")
+def q_jsonl_roundtrip(spark, sf_dir):
+    """JSON-Lines round-trip — THE corpus interchange format of LLM
+    training pipelines.  Distributed write and read; the read passes the
+    EXPLICIT schema (schema inference is a full extra scan of the data —
+    never pay it twice at 100 TB).  Exact-integer check values; oracle =
+    the same aggregate over the source parquet."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    path = os.path.join(_tmpdir(), "documents_jsonl")
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.schema(docs.schema).json(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.length("text")).cast("long").alias("sum_text_len"))

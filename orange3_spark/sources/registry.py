@@ -53,6 +53,12 @@ def _read_json(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.json(path)
 
 
+@reader(".orc")
+def _read_orc(spark: SparkSession, path: str) -> DataFrame:
+    # columnar interchange with the Hive/Trino world; fully distributed
+    return spark.read.orc(path)
+
+
 @reader(".xlsx")
 def _read_xlsx(spark: SparkSession, path: str) -> DataFrame:
     # driver-side: excel is small-data by construction (io.py:246-389);

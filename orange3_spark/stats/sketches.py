@@ -143,14 +143,20 @@ def hll_distinct(df: DataFrame, col: str, *, group_by: str,
     register — the textbook mergeable-sketch contract, which is also
     what makes it the right distinct counter over a 100 TB shuffle or
     an unbounded stream."""
+    return hll_estimate(hll_registers(df, col, group_by=group_by, p=p),
+                        group_by=group_by, p=p)
+
+
+def hll_registers(df: DataFrame, col: str, *, group_by: str,
+                  p: int = 8) -> DataFrame:
+    """The HLL register table ``(g, idx, mj)`` — ONE aggregation, so it
+    runs unchanged as a bounded streaming aggregation (m state-store
+    keys per group forever); :func:`hll_estimate` is the finishing
+    read-side step, exactly how a mergeable-sketch store deploys."""
     m = 1 << p
-    alpha = 0.7213 / (1.0 + 1.079 / m)
-    # exact-integer scaled constant folded driver-side; the /s division
-    # is the single float op on both engines
-    c = alpha * m * m * float(1 << 53)
     h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15),
                16, 10).cast("long")
-    regs = (df.select(F.col(group_by).cast("string").alias("g"),
+    return (df.select(F.col(group_by).cast("string").alias("g"),
                       h.alias("h"))
             # integer div, NOT `/`: h is 60-bit — a double round-trip
             # would round it to a multiple of 128 first
@@ -161,6 +167,17 @@ def hll_distinct(df: DataFrame, col: str, *, group_by: str,
                                F.lit(53) - F.length(F.bin(F.col("v"))))
                         .otherwise(F.lit(53)))
             .groupBy("g", "idx").agg(F.max("rho").alias("mj")))
+
+
+def hll_estimate(regs: DataFrame, *, group_by: str,
+                 p: int = 8) -> DataFrame:
+    """Estimates from a :func:`hll_registers` table (see
+    :func:`hll_distinct` for the determinism construction)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # exact-integer scaled constant folded driver-side; the /s division
+    # is the single float op on both engines
+    c = alpha * m * m * float(1 << 53)
     per_g = (regs.groupBy("g")
              .agg(F.count(F.lit(1)).alias("n_present"),
                   F.sum(F.expr("shiftleft(1L, 53 - mj)")).alias("s_present")))

@@ -258,3 +258,44 @@ def test_stream_quality_clf_gate_equals_batch(spark, sf_dir, tmp_path):
         "t_qclf_gate", output_mode="append")
     got = _canon(got_df, cols)
     assert got == want
+
+
+def test_stream_hll_equals_batch(spark, sf_dir, tmp_path):
+    """hll_registers is ONE bounded streaming aggregation (m register
+    keys per group forever, the state store IS the sketch); estimates
+    are the read-side finishing step — run the register stage on a
+    stream, finish in batch, and match the all-batch sketch exactly."""
+    from orange3_spark.stats.sketches import (hll_distinct, hll_estimate,
+                                              hll_registers)
+
+    schema, path = _events_schema_and_path(spark, sf_dir, tmp_path)
+    batch = spark.read.parquet(path).select("event_type", "user_id")
+    want = _canon(hll_distinct(batch, "user_id", group_by="event_type"),
+                  ["event_type", "n_zero", "s_scaled", "est_distinct"])
+    stream = (SW.stream_from_directory(spark, path, schema)
+              .select("event_type", "user_id"))
+    regs = SW.run_to_memory(
+        hll_registers(stream, "user_id", group_by="event_type"),
+        "t_hll_regs")
+    got = _canon(hll_estimate(regs, group_by="event_type"),
+                 ["event_type", "n_zero", "s_scaled", "est_distinct"])
+    assert got == want
+    assert regs.count() <= 5 * 256     # bounded state: m keys per group
+
+
+def test_stream_quantile_bins_equals_batch(spark, sf_dir, tmp_path):
+    """quantile_bins is a bounded streaming aggregation (≤ n_bins keys
+    per group); the streamed bin table equals the batch sketch."""
+    from orange3_spark.stats.sketches import quantile_bins
+
+    schema, path = _events_schema_and_path(spark, sf_dir, tmp_path)
+    batch = spark.read.parquet(path).select("event_type", "value")
+    want = _canon(quantile_bins(batch, "value", group_by="event_type",
+                                n_bins=64, lo=0.0, hi=1000.0),
+                  ["g", "bin", "n"])
+    stream = (SW.stream_from_directory(spark, path, schema)
+              .select("event_type", "value"))
+    got_df = SW.run_to_memory(
+        quantile_bins(stream, "value", group_by="event_type",
+                      n_bins=64, lo=0.0, hi=1000.0), "t_qbins")
+    assert _canon(got_df, ["g", "bin", "n"]) == want
