@@ -753,3 +753,89 @@ def som(df: DataFrame, cols: Sequence[str] = (), *,
     w = _win(*feats)
     return (df.withColumn(f"{prefix}_x", w.getField("x"))
               .withColumn(f"{prefix}_y", w.getField("y")))
+
+
+# ------------------------------------------------- correspondence analysis
+
+CA_QSCALE = 1_000_000_000.0
+
+
+def fit_ca_matrix(N, *, n_components: int = 2):
+    """Correspondence analysis of an integer contingency matrix —
+    reference math ``owcorrespondence.py:381-421`` (corr matrix,
+    expected E = r·cᵀ, generalized SVD of the residual under 1/r, 1/c
+    weights, principal coordinates F = D_r·U·D and G = D_c·Vᵀ·D), with
+    one addition the reference leaves to LAPACK chance: a deterministic
+    sign convention (each component's largest-|row-factor| entry is
+    made positive) so the factors are a pure function of the
+    contingency.  Returns ``(F, G, inertia)`` numpy arrays truncated to
+    ``n_components``."""
+    import numpy as np
+
+    A = np.asarray(N, dtype=np.float64)
+    total = A.sum()
+    corr = A / total if total > 0 else A
+    c = corr.sum(axis=0)
+    r = corr.sum(axis=1)
+    E = r[:, None] * c[None, :]
+    with np.errstate(divide="ignore"):
+        dr, dc = r ** -1, c ** -1
+    dr, dc = np.nan_to_num(dr), np.nan_to_num(dc)
+    wu, wv = np.sqrt(dr), np.sqrt(dc)
+    B = wu[:, None] * (corr - E) * wv[None, :]
+    Ub, D, Vb = np.linalg.svd(B, full_matrices=False)
+    with np.errstate(divide="ignore"):
+        U = np.nan_to_num(wu[:, None] ** -1) * Ub
+        V = (np.nan_to_num(wv[:, None] ** -1) * Vb.T).T
+    # reference: F = D_r·U·D, G = D_c·Vᵀ·D with D_r = 1/r, D_c = 1/c
+    Fm = np.nan_to_num(dr[:, None]) * U * D[None, :]
+    Gm = np.nan_to_num(dc[:, None]) * V.T * D[None, :]
+    k = min(n_components, len(D))
+    for j in range(k):
+        i_star = int(np.argmax(np.abs(Fm[:, j])))
+        if Fm[i_star, j] < 0:
+            Fm[:, j] = -Fm[:, j]
+            Gm[:, j] = -Gm[:, j]
+    inertia = D ** 2
+    return Fm[:, :k], Gm[:, :k], inertia[:k]
+
+
+def correspondence_analysis(df: DataFrame, col_a: str, col_b: str, *,
+                            n_components: int = 2,
+                            max_levels: int = 256) -> DataFrame:
+    """Correspondence Analysis of two discrete columns
+    (``owcorrespondence.py``): the contingency is ONE distributed
+    aggregation (exact integers); the gsvd runs on the driver over the
+    bounded levels×levels matrix — the same scale contract as the
+    reference's in-memory CA, with a loud cardinality guard instead of
+    a silent OOM.  Output: ``(kind, level, f1_q, f2_q)`` row/column
+    principal coordinates in fixed-point (×1e9) — a pure function of
+    the exact contingency, so the oracle replays it literally."""
+    import numpy as np
+
+    probe = df.agg(
+        F.approx_count_distinct(col_a).alias("a"),
+        F.approx_count_distinct(col_b).alias("b")).first()
+    if probe["a"] > max_levels or probe["b"] > max_levels:
+        raise ValueError(
+            f"CA contingency would be {probe['a']}x{probe['b']} "
+            f"(> {max_levels} levels); discretize or regroup first")
+    rows = (df.groupBy(col_a, col_b).count()
+            .dropna().collect())
+    a_levels = sorted({r[col_a] for r in rows})
+    b_levels = sorted({r[col_b] for r in rows})
+    ai = {v: i for i, v in enumerate(a_levels)}
+    bi = {v: i for i, v in enumerate(b_levels)}
+    N = np.zeros((len(a_levels), len(b_levels)), dtype=np.int64)
+    for r in rows:
+        N[ai[r[col_a]], bi[r[col_b]]] = int(r["count"])
+    Fm, Gm, _ = fit_ca_matrix(N, n_components=n_components)
+    q = lambda x: int(np.floor(x * CA_QSCALE + 0.5))  # noqa: E731
+    out = ([("row", str(v), q(Fm[i, 0]),
+             q(Fm[i, 1]) if Fm.shape[1] > 1 else 0)
+            for v, i in ai.items()]
+           + [("col", str(v), q(Gm[i, 0]),
+               q(Gm[i, 1]) if Gm.shape[1] > 1 else 0)
+              for v, i in bi.items()])
+    return df.sparkSession.createDataFrame(
+        out, "kind string, level string, f1_q long, f2_q long")

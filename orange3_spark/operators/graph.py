@@ -50,46 +50,63 @@ def pagerank_frame(edges: DataFrame, *, src: str = "src",
     ``n = |nodes|`` is fetched driver-side once (one count job)."""
     from pyspark import StorageLevel
 
-    e = edges.select(F.col(src).cast("string").alias("src"),
-                     F.col(dst).cast("string").alias("dst"))
-    # static per-node tables, persisted ONCE — every iteration then
-    # scans rank-sized frames, never the upstream edge derivation
-    nodes = (e.select(F.col("src").alias("node"))
-             .union(e.select(F.col("dst").alias("node"))).distinct()
+    raw = (edges.select(F.col(src).cast("string").alias("src"),
+                        F.col(dst).cast("string").alias("dst"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    outdeg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # message table (src, dst, outdeg), pre-partitioned by src and
+    # persisted: InMemoryRelation keeps the partitioning, so each
+    # iteration's join exchanges ONLY the rank table — the edge side
+    # (the 100 TB side) never moves again.  The raw edge derivation is
+    # scanned exactly once (into `raw`), then released.
+    e2 = (raw.join(outdeg, "src").repartition(F.col("src"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    # one scan of the (cached-on-first-use) message table derives nodes
+    nodes = (e2.select(F.explode(F.array("src", "dst")).alias("node"))
+             .distinct()
              .persist(StorageLevel.MEMORY_AND_DISK))
     n = nodes.count()
-    outdeg = (e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-              .persist(StorageLevel.MEMORY_AND_DISK))
-    dangling = (nodes.join(outdeg.select(F.col("src").alias("node")),
-                           "node", "left_anti")
-                .persist(StorageLevel.MEMORY_AND_DISK))
+    raw.unpersist()
+    dangling = nodes.join(e2.select(F.col("src").alias("node")),
+                          "node", "left_anti")
+    # static property probed ONCE: a symmetric/strongly-covering graph
+    # has no dangling nodes, and the per-iteration dangling aggregate
+    # (a semi-join + 1-row agg + broadcast) is pure overhead then
+    has_dangling = dangling.limit(1).count() > 0
+    if has_dangling:
+        dangling = dangling.persist(StorageLevel.MEMORY_AND_DISK)
     if persisted is not None:      # caller unpersists after its action
-        persisted.extend([nodes, outdeg, dangling])
+        persisted.extend([nodes, e2]
+                         + ([dangling] if has_dangling else []))
     teleport = (total * (100 - damping_pct)) // 100 // n
     ranks = nodes.withColumn("rank", F.lit(total // n).cast("long"))
     prev = None
     for it in range(iterations):
         retained = ranks.withColumn(
             "ret", F.expr(f"(rank * {damping_pct}) div 100"))
-        contrib = (e.join(retained.select(F.col("node").alias("src"),
-                                          "ret"), "src")
-                   .join(outdeg, "src")
+        contrib = (e2.join(retained.select(F.col("node").alias("src"),
+                                           "ret"), "src")
                    .select(F.col("dst").alias("node"),
                            F.expr("ret div outdeg").alias("c"))
                    .groupBy("node")
                    .agg(F.sum("c").alias("contrib")))
-        # dangling mass: 1-row aggregate folded in lazily (no action);
-        # the dangling node SET is static, precomputed above
-        dang = (retained.join(dangling.select("node"), "node",
-                              "left_semi")
-                .agg(F.coalesce(F.sum("ret"), F.lit(0)).alias("dang")))
-        ranks = (nodes.join(contrib, "node", "left")
-                 .crossJoin(F.broadcast(dang))
-                 .select("node",
-                         (F.lit(teleport)
-                          + F.expr(f"dang div {n}")
-                          + F.coalesce(F.col("contrib"), F.lit(0)))
-                         .cast("long").alias("rank")))
+        ranks = nodes.join(contrib, "node", "left")
+        if has_dangling:
+            # dangling mass: 1-row aggregate folded in lazily (no
+            # action); the dangling node SET is static, probed above
+            dang = (retained.join(dangling.select("node"), "node",
+                                  "left_semi")
+                    .agg(F.coalesce(F.sum("ret"), F.lit(0))
+                         .alias("dang")))
+            ranks = ranks.crossJoin(F.broadcast(dang))
+            dang_share = F.expr(f"dang div {n}")
+        else:
+            dang_share = F.lit(0)
+        ranks = ranks.select(
+            "node",
+            (F.lit(teleport) + dang_share
+             + F.coalesce(F.col("contrib"), F.lit(0)))
+            .cast("long").alias("rank"))
         # materialize each iteration (the Pregel loop shape): `retained`
         # feeds BOTH the contrib and dangling branches, so a lazy chain
         # re-executes every earlier iteration once per branch — 2^k
@@ -112,21 +129,16 @@ def pagerank_topk(edges: DataFrame, *, k: int = 20, src: str = "src",
     exact integers, so the cut is deterministic).  Persists the edge
     frame for the iteration loop and unpersists before returning a
     small literal frame."""
-    from pyspark import StorageLevel
-
     spark = edges.sparkSession
-    e = (edges.select(F.col(src).cast("string").alias("src"),
-                      F.col(dst).cast("string").alias("dst"))
-         .persist(StorageLevel.MEMORY_AND_DISK))
     handles: list = []
     try:
-        ranks = pagerank_frame(e, iterations=iterations,
+        ranks = pagerank_frame(edges, src=src, dst=dst,
+                               iterations=iterations,
                                damping_pct=damping_pct, total=total,
                                persisted=handles)
         top = (ranks.orderBy(F.desc("rank"), F.asc("node"))
                .limit(k).collect())
     finally:
-        e.unpersist()
         for h in handles:
             h.unpersist()
     return spark.createDataFrame(

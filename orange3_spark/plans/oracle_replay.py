@@ -991,3 +991,53 @@ SELECT source, CAST(count(*) AS BIGINT) AS n,
 FROM documents WHERE {conds}
 GROUP BY source ORDER BY source
 """
+
+
+# --------------------------------------------------- correspondence analysis
+
+@lazy
+def ca_oracle() -> str:
+    """q_ml_correspondence: the CA factors are a pure function of the
+    exact integer contingency (sorted level order, deterministic sign
+    convention — ml/projection.fit_ca_matrix); re-fetch the contingency
+    through DuckDB, run the identical gsvd, embed the quantized
+    principal coordinates.  The driver then grades the DISTRIBUTED
+    half: the contingency aggregation under arbitrary partitionings and
+    the fixed-point quantization."""
+    import duckdb
+    import numpy as np
+
+    from orange3_spark.ml.projection import CA_QSCALE, fit_ca_matrix
+
+    con = duckdb.connect()
+    try:
+        rows = con.execute(f"""
+            SELECT o_orderpriority, o_orderstatus, count(*) AS n
+            FROM '{_sf_dir()}/orders.parquet'
+            WHERE o_orderpriority IS NOT NULL
+              AND o_orderstatus IS NOT NULL
+            GROUP BY 1, 2""").fetchall()
+    finally:
+        con.close()
+    a_levels = sorted({r[0] for r in rows})
+    b_levels = sorted({r[1] for r in rows})
+    ai = {v: i for i, v in enumerate(a_levels)}
+    bi = {v: i for i, v in enumerate(b_levels)}
+    N = np.zeros((len(a_levels), len(b_levels)), dtype=np.int64)
+    for a, b, n in rows:
+        N[ai[a], bi[b]] = int(n)
+    Fm, Gm, _ = fit_ca_matrix(N, n_components=2)
+
+    def q(x: float) -> int:
+        return int(np.floor(x * CA_QSCALE + 0.5))
+
+    values = ",\n".join(
+        [f"('row', '{v}', {q(Fm[i, 0])}, "
+         f"{q(Fm[i, 1]) if Fm.shape[1] > 1 else 0})"
+         for v, i in ai.items()]
+        + [f"('col', '{v}', {q(Gm[i, 0])}, "
+           f"{q(Gm[i, 1]) if Gm.shape[1] > 1 else 0})"
+           for v, i in bi.items()])
+    return (f"SELECT kind, level, CAST(f1_q AS BIGINT) AS f1_q, "
+            f"CAST(f2_q AS BIGINT) AS f2_q "
+            f"FROM (VALUES\n{values}\n) v(kind, level, f1_q, f2_q)")

@@ -695,3 +695,42 @@ def q_json_extract(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(k).alias("k_sum"),
                  F.max(k).alias("k_max")))
+
+
+@query("q_venn", """
+WITH a AS (SELECT DISTINCT doc_id FROM documents WHERE lang = 'en'),
+b AS (SELECT DISTINCT doc_id FROM documents
+      WHERE source IN ('src0', 'src1')),
+c AS (SELECT DISTINCT doc_id FROM documents WHERE n_chars > 150),
+keys AS (SELECT doc_id FROM a UNION SELECT doc_id FROM b
+         UNION SELECT doc_id FROM c),
+m AS (SELECT k.doc_id,
+             k.doc_id IN (SELECT doc_id FROM a) AS in_en,
+             k.doc_id IN (SELECT doc_id FROM b) AS in_src01,
+             k.doc_id IN (SELECT doc_id FROM c) AS in_long
+      FROM keys k),
+r AS (SELECT concat_ws('∩',
+             CASE WHEN in_en THEN 'in_en' END,
+             CASE WHEN in_src01 THEN 'in_src01' END,
+             CASE WHEN in_long THEN 'in_long' END) AS region
+      FROM m)
+SELECT region, CAST(count(*) AS BIGINT) AS n_keys
+FROM r GROUP BY region ORDER BY region
+""")
+def q_venn(spark, sf_dir):
+    """Venn Diagram region counts (owvenndiagram.py — the widget's
+    intersection computation without the GUI): three document subsets
+    compared by doc_id through operators/setops.venn_counts — a cascade
+    of full outer joins on pre-deduplicated keys, one groupBy for the
+    region cardinalities.  Region labels are the widget's ∩-joined set
+    names."""
+    from orange3_spark.operators.setops import venn_counts
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    tables = {
+        "in_en": docs.where(F.col("lang") == "en").select("doc_id"),
+        "in_src01": docs.where(F.col("source").isin("src0", "src1"))
+                        .select("doc_id"),
+        "in_long": docs.where(F.col("n_chars") > 150).select("doc_id"),
+    }
+    return venn_counts(tables, "doc_id").orderBy("region")

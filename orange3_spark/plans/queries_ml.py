@@ -1512,3 +1512,22 @@ def q_ml_adaboost_reg(spark, sf_dir):
         .cast("long").alias("qpred_total"),
         F.sum(F.floor(err * F.lit(1000000.0) + F.lit(0.5)).cast("long"))
         .cast("long").alias("qerr_total"))
+
+
+@query("q_ml_correspondence", OR.ca_oracle)
+def q_ml_correspondence(spark, sf_dir):
+    """Correspondence Analysis (owcorrespondence.py:381-421): row and
+    column principal coordinates of the order-priority x order-status
+    contingency.  The contingency is ONE distributed exact-integer
+    aggregation; the gsvd runs driver-side on the bounded levels-square
+    matrix (cardinality-guarded), with a deterministic sign convention
+    the reference leaves to LAPACK.  The oracle
+    (plans/oracle_replay.ca_oracle) re-fetches the identical
+    contingency through DuckDB, re-runs the identical fit, and embeds
+    the quantized factors."""
+    from orange3_spark.ml.projection import correspondence_analysis
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (correspondence_analysis(orders, "o_orderpriority",
+                                    "o_orderstatus", n_components=2)
+            .orderBy("kind", "level"))

@@ -830,3 +830,28 @@ def q_jsonl_roundtrip(spark, sf_dir):
         F.sum("n_chars").cast("long").alias("sum_chars"),
         F.countDistinct("lang").alias("n_langs"),
         F.sum(F.length("text")).cast("long").alias("sum_text_len"))
+
+
+@query("q_partitioned_sink", """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem WHERE l_returnflag = 'R'
+""")
+def q_partitioned_sink(spark, sf_dir):
+    """Hive-partitioned parquet sink + PARTITION-PRUNED read-back: write
+    lineitem partitioned by l_returnflag, read one partition back
+    through a filter.  At 100 TB this is the difference between
+    scanning a third of the table and scanning all of it — the plan
+    audit pins `PartitionFilters` on the read (directory-level pruning,
+    stronger than row-group PushedFilters).  l_quantity is
+    integer-valued, so its double sum is exact and order-independent."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    path = os.path.join(_tmpdir(), "lineitem_by_flag")
+    (li.select("l_orderkey", "l_quantity", "l_returnflag")
+       .write.mode("overwrite").partitionBy("l_returnflag").parquet(path))
+    back = spark.read.parquet(path).where(F.col("l_returnflag") == "R")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.countDistinct("l_orderkey").alias("n_orders"))

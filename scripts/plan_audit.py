@@ -156,6 +156,15 @@ AUDITS = {
         ("common-line removal is an anti join on the line key "
          "(scales past broadcast)", r"LeftAnti"),
     ],
+    "q_partitioned_sink": [
+        ("read-back prunes PARTITION DIRECTORIES, not just row groups",
+         r"PartitionFilters: \[[^\]]*l_returnflag"),
+    ],
+    "q_venn": [
+        ("membership is key equi-joins over pre-deduplicated sets",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*FullOuter"
+         r"|FullOuter"),
+    ],
 }
 
 BAD_PATTERNS = [

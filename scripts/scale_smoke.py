@@ -76,6 +76,10 @@ def main() -> None:
         enc.pq_cache.unpersist()
         return n_
 
+    from orange3_spark.operators.graph import pagerank_topk
+    from orange3_spark.similarity.quantize import quantize_int8_summary
+    from orange3_spark.stats.sketches import hll_distinct, quantile_bins
+    from orange3_spark.text.analysis import boilerplate_fraction
     from orange3_spark.text.bpe import bpe_fit
     from orange3_spark.text.quality_clf import (quality_clf_fit,
                                                 quality_clf_score)
@@ -136,6 +140,34 @@ def main() -> None:
         # scoring scan — linear
         yield ("quality_clf", n,
                lambda: _qclf_count(d))
+        # HLL: linear scan into bounded register state
+        yield ("hll_distinct", n,
+               lambda: hll_distinct(d.select("source", "doc_id"),
+                                    "doc_id", group_by="source").count())
+        # quantile sketch: linear scan into <= n_bins keys per group
+        yield ("quantile_bins", n,
+               lambda: quantile_bins(ln, "l_extendedprice",
+                                     group_by="l_returnflag", n_bins=256,
+                                     lo=900.0, hi=105000.0).count())
+        # boilerplate: gram-key groupBy (map-side combine) + join back —
+        # linear in gram positions
+        yield ("boilerplate", n,
+               lambda: boilerplate_fraction(d, n=5, min_docs=3).count())
+        # line dedup: explode + distinct + anti join + reassembly — linear
+        yield ("line_dedup", n,
+               lambda: TD.dedup_lines(d, sep=" the ",
+                                      min_docs=3).count())
+        # int8 quantization: row-local explode + per-vector window — linear
+        yield ("quantize_int8", n,
+               lambda: quantize_int8_summary(e).count())
+        # pagerank: the edge-derivation scan is linear; the distinct edge
+        # set SATURATES under replication, so iterations are ~constant
+        yield ("pagerank", n,
+               lambda: pagerank_topk(
+                   ln.select(F.pmod(F.col("l_orderkey"),
+                                    F.lit(997)).cast("string").alias("src"),
+                             F.col("l_suppkey").cast("string").alias("dst")),
+                   k=10, iterations=2).count())
 
     def timed(fn):
         t0 = time.perf_counter()

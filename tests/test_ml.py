@@ -848,3 +848,38 @@ def test_logistic_irls_partition_independent(spark):
     t = b1[0] + X[:, 0] * b1[1] + X[:, 1] * b1[2]
     acc = ((t > 0) == (y > 0)).mean()
     assert acc >= max(y.mean(), 1 - y.mean())
+
+
+def test_correspondence_analysis_math_and_guard(spark):
+    import numpy as np
+
+    from orange3_spark.ml.projection import (correspondence_analysis,
+                                             fit_ca_matrix)
+
+    # perfect association: first axis separates the two levels, total
+    # inertia equals chi2/n = 1
+    Fm, Gm, inertia = fit_ca_matrix(np.array([[10, 0], [0, 10]]))
+    assert abs(inertia[0] - 1.0) < 1e-12
+    assert Fm[0, 0] * Fm[1, 0] < 0          # opposite sides
+    assert Fm[0, 0] * Gm[0, 0] > 0          # row level pairs its column
+    # total inertia == chi2/n on a generic table
+    N = np.array([[20, 5, 8], [3, 30, 7], [6, 2, 19]], dtype=float)
+    _, _, inertia = fit_ca_matrix(N, n_components=3)
+    n = N.sum()
+    E = N.sum(1)[:, None] * N.sum(0)[None, :] / n
+    chi2 = ((N - E) ** 2 / E).sum()
+    assert abs(inertia.sum() - chi2 / n) < 1e-9
+    # DataFrame path: deterministic under repartition
+    df = spark.createDataFrame(
+        [("a", "x")] * 7 + [("a", "y")] * 2 + [("b", "y")] * 9
+        + [("b", "x")] * 1, "u string, v string")
+    r1 = sorted(map(tuple, correspondence_analysis(df, "u", "v").collect()))
+    r2 = sorted(map(tuple, correspondence_analysis(
+        df.repartition(8), "u", "v").collect()))
+    assert r1 == r2
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="levels"):
+        big = spark.range(0, 2000).select(
+            F.col("id").cast("string").alias("u"),
+            F.lit("x").alias("v"))
+        correspondence_analysis(big, "u", "v", max_levels=100)

@@ -378,3 +378,27 @@ def test_pagerank_fixed_point_deterministic_and_dangling(spark):
     assert r == r2
     top = pagerank_topk(edges, k=2, iterations=3).collect()
     assert [t["node"] for t in top] == ["hub", "a"]  # tie a<b broken by id
+
+
+def test_venn_membership_and_counts(spark):
+    from orange3_spark.operators.setops import (annotate_membership,
+                                                venn_counts,
+                                                venn_membership)
+
+    A = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    B = spark.createDataFrame([(2,), (3,), (4,)], "k long")
+    C = spark.createDataFrame([(3,), (5,)], "k long")
+    m = {r["k"]: r["region"] for r in
+         venn_membership({"A": A, "B": B, "C": C}, "k").collect()}
+    assert m == {1: "A", 2: "A∩B", 3: "A∩B∩C", 4: "B", 5: "C"}
+    c = {r["region"]: r["n_keys"] for r in
+         venn_counts({"A": A, "B": B, "C": C}, "k").collect()}
+    assert c == {"A": 1, "A∩B": 1, "A∩B∩C": 1, "B": 1, "C": 1}
+    base = spark.createDataFrame([(1, "x"), (4, "y"), (9, "z")],
+                                 "k long, v string")
+    ann = {r["k"]: (r["A"], r["B"]) for r in
+           annotate_membership(base, {"A": A, "B": B}, "k").collect()}
+    assert ann == {1: (True, False), 4: (False, True), 9: (False, False)}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="1-5"):
+        venn_membership({}, "k")

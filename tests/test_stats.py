@@ -205,3 +205,26 @@ def test_quantile_sketch_brackets_exact_quantiles(spark):
             quantile_from_bins(bins2, [0.5, 0.9], lo=1.0,
                                w=(1000.0 - 1.0) / 128).collect()}
     assert out == out2
+
+
+def test_hll_registers_merge_by_max(spark):
+    """The mergeable-sketch contract: registers of a union equal the
+    per-part registers merged by MAX — so shards sketched independently
+    (different machines, days, or streams) combine exactly."""
+    from pyspark.sql import functions as F
+
+    from orange3_spark.stats.sketches import hll_estimate, hll_registers
+
+    a = spark.createDataFrame([("g", f"a{i}") for i in range(400)],
+                              "g string, v string")
+    b = spark.createDataFrame([("g", f"b{i}") for i in range(300)]
+                              + [("g", f"a{i}") for i in range(100)],
+                              "g string, v string")
+    direct = hll_registers(a.union(b), "v", group_by="g")
+    merged = (hll_registers(a, "v", group_by="g")
+              .unionByName(hll_registers(b, "v", group_by="g"))
+              .groupBy("g", "idx").agg(F.max("mj").alias("mj")))
+    est_d = hll_estimate(direct, group_by="g").collect()[0]
+    est_m = hll_estimate(merged, group_by="g").collect()[0]
+    assert est_d["est_distinct"] == est_m["est_distinct"]
+    assert est_d["s_scaled"] == est_m["s_scaled"]
