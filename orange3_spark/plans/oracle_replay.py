@@ -1041,3 +1041,45 @@ def ca_oracle() -> str:
     return (f"SELECT kind, level, CAST(f1_q AS BIGINT) AS f1_q, "
             f"CAST(f2_q AS BIGINT) AS f2_q "
             f"FROM (VALUES\n{values}\n) v(kind, level, f1_q, f2_q)")
+
+
+# -------------------------------------------------------- nomogram (NB)
+
+@lazy
+def nomogram_oracle() -> str:
+    """q_ml_nomogram: the NB log-odds-ratio table is a pure function of
+    the integer contingencies (ml/nomogram.nomogram_points_from_counts
+    — python math.log over exact ints, bit-identical on re-run);
+    re-fetch the identical counts through DuckDB, recompute, embed."""
+    import duckdb
+
+    from orange3_spark.ml.nomogram import nomogram_points_from_counts
+
+    con = duckdb.connect()
+    try:
+        cont = con.execute(f"""
+            WITH d AS (SELECT o_orderstatus AS cls, o_orderpriority AS pri,
+                              CAST(CAST(floor(o_totalprice / 50000.0)
+                                   AS BIGINT) AS VARCHAR) AS bucket
+                       FROM '{_sf_dir()}/orders.parquet'
+                       WHERE o_orderstatus IS NOT NULL)
+            SELECT attr, value, cls, count(*) AS n FROM (
+                SELECT cls, 'o_orderpriority' AS attr, pri AS value FROM d
+                WHERE pri IS NOT NULL
+                UNION ALL
+                SELECT cls, 'price_bucket', bucket FROM d
+                WHERE bucket IS NOT NULL)
+            GROUP BY 1, 2, 3""").fetchall()
+        freq = dict(con.execute(f"""
+            SELECT o_orderstatus, count(*)
+            FROM '{_sf_dir()}/orders.parquet'
+            WHERE o_orderstatus IS NOT NULL GROUP BY 1""").fetchall())
+    finally:
+        con.close()
+    rows = nomogram_points_from_counts(
+        [(a, v, c, n) for a, v, c, n in cont],
+        {str(c): int(n) for c, n in freq.items()})
+    values = ",\n".join(f"('{a}', '{v}', '{c}', {q})"
+                        for a, v, c, q in rows)
+    return (f"SELECT attr, value, cls, CAST(lor_q AS BIGINT) AS lor_q "
+            f"FROM (VALUES\n{values}\n) t(attr, value, cls, lor_q)")

@@ -1531,3 +1531,24 @@ def q_ml_correspondence(spark, sf_dir):
     return (correspondence_analysis(orders, "o_orderpriority",
                                     "o_orderstatus", n_components=2)
             .orderBy("kind", "level"))
+
+
+@query("q_ml_nomogram", OR.nomogram_oracle)
+def q_ml_nomogram(spark, sf_dir):
+    """Nomogram point table (ownomogram.py:934-951 over
+    naive_bayes.py:34-55): per-(attribute, value, class) Naive Bayes
+    log-odds ratios for order status from order priority and a derived
+    price bucket.  ONE explode+groupBy pass builds every attribute's
+    contingency (cardinality-guarded); the log table is a driver-side
+    pure function of the exact integer counts, which the oracle
+    (plans/oracle_replay.nomogram_oracle) recomputes bit-for-bit."""
+    from orange3_spark.ml.nomogram import nb_nomogram
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    d = orders.select(
+        F.col("o_orderstatus"), F.col("o_orderpriority"),
+        F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("long")
+        .cast("string").alias("price_bucket"))
+    return (nb_nomogram(d, ["o_orderpriority", "price_bucket"],
+                        "o_orderstatus")
+            .orderBy("attr", "value", "cls"))

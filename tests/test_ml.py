@@ -883,3 +883,30 @@ def test_correspondence_analysis_math_and_guard(spark):
             F.col("id").cast("string").alias("u"),
             F.lit("x").alias("v"))
         correspondence_analysis(big, "u", "v", max_levels=100)
+
+
+def test_nomogram_points_reference_semantics(spark):
+    import math
+
+    from orange3_spark.ml.nomogram import (nb_nomogram,
+                                           nomogram_points_from_counts)
+
+    # hand case: attr 'a' value 'x' seen 8/10 in class pos, 2/10 in neg
+    rows = nomogram_points_from_counts(
+        [("a", "x", "pos", 8), ("a", "x", "neg", 2)],
+        {"pos": 10, "neg": 10})
+    got = {(r[2]): r[3] for r in rows}
+    k, tot, n_val = 2, 20, 10
+    p_pos = (10 + 1) / (tot + k)
+    ca_pos = (8 + 1) / (n_val + k)
+    want = math.log((ca_pos / (1 - ca_pos)) / (p_pos / (1 - p_pos)))
+    assert got["pos"] == int(math.floor(want * 1e9 + 0.5))
+    assert got["pos"] > 0 > got["neg"]   # value x argues for pos
+    df = spark.createDataFrame(
+        [("x", "pos")] * 8 + [("x", "neg")] * 2
+        + [("y", "pos")] * 2 + [("y", "neg")] * 8, "a string, c string")
+    out = nb_nomogram(df, ["a"], "c").collect()
+    byv = {(r["value"], r["cls"]): r["lor_q"] for r in out}
+    assert byv[("x", "pos")] == got["pos"]          # same math end-to-end
+    out2 = nb_nomogram(df.repartition(6), ["a"], "c").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
