@@ -1,0 +1,123 @@
+"""Permutation importance — the Permutation Plot's computation, made
+deterministic and distributed.
+
+Reference: ``Orange/widgets/evaluate/owpermutationplot.py:61-93`` —
+shuffle the TARGET n times (``np.random.shuffle(data_perm.Y)``), refit,
+and compare the score against the un-shuffled fit; a model that scores
+as well on shuffled labels is fitting noise.
+
+Two deliberate departures, both required at scale:
+
+* **Deterministic permutation.** ``np.random.shuffle`` is
+  driver-bound and irreproducible across partitionings.  Here the
+  permutation is a pure function of the row id: rows are bucketed by an
+  md5 hash, and WITHIN each bucket the target column is reassigned from
+  id-order to md5-order (two partitioned ``row_number`` windows joined
+  on (bucket, rank)).  A within-bucket permutation breaks the X→y
+  association exactly as well, every engine reproduces it bit-for-bit,
+  and no window is global — buckets bound the sort.
+* **One-scan scoring.** The model is OLS on a quantized integer grid
+  (the cv_ols moment trick): every fit is one map-side-combined
+  aggregation of exact int64 moments, so n_perm+1 "fits" are n_perm+1
+  cheap aggregations — never 2(n_perm+1) table scans.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+PERM_QSCALE = 1_000_000_000.0
+
+
+def hash_permute_column(df: DataFrame, id_col: str, col: str, *,
+                        salt: str = "p", n_buckets: int = 64) -> DataFrame:
+    """``df`` with ``col`` deterministically permuted against the other
+    columns (within md5 buckets — see module docstring).  All other
+    columns ride with the original row."""
+    b = F.pmod(F.conv(F.substring(F.md5(F.col(id_col).cast("string")),
+                                  1, 8), 16, 10).cast("long"),
+               F.lit(n_buckets))
+    w_id = Window.partitionBy("_b").orderBy(F.col(id_col))
+    w_h = Window.partitionBy("_b").orderBy("_h", F.col(id_col))
+    base = (df.withColumn("_b", b)
+            .withColumn("_h", F.md5(F.concat(F.lit(salt),
+                                             F.col(id_col)
+                                             .cast("string")))))
+    left = (base.drop(col)
+            .withColumn("_rn", F.row_number().over(w_id)))
+    right = (base.select("_b", "_h", F.col(id_col), col)
+             .withColumn("_rn", F.row_number().over(w_h))
+             .select("_b", "_rn", col))
+    return (left.join(right, ["_b", "_rn"])
+            .drop("_b", "_rn", "_h"))
+
+
+def ols_r2_quantized(df: DataFrame, features: Sequence[str],
+                     target: str, *, scale: int = 100) -> float:
+    """R² of OLS on the ×``scale`` integer grid: ONE aggregation of
+    exact int64 moments (associative — partition-invariant), then a
+    driver-side normal-equation solve.  Caller must keep
+    ``scale²·max|x|²·n < 2⁶³`` (loud overflow check below)."""
+    import numpy as np
+
+    p = len(features)
+    z = [F.lit(1).cast("long")] + [
+        F.floor(F.col(c).cast("double") * scale + F.lit(0.5)).cast("long")
+        for c in features]
+    y = F.floor(F.col(target).cast("double") * scale
+                + F.lit(0.5)).cast("long")
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum(y * y).alias("yy"),
+            F.sum(y).alias("sy")]
+    for i in range(p + 1):
+        for j in range(i, p + 1):
+            aggs.append(F.sum(z[i] * z[j]).alias(f"m_{i}_{j}"))
+        aggs.append(F.sum(z[i] * y).alias(f"v_{i}"))
+    r = df.na.drop(subset=[*features, target]).agg(*aggs).first()
+    if abs(int(r["yy"])) >= (1 << 62) or abs(int(r[f"m_{p}_{p}"])) >= (1 << 62):
+        raise OverflowError("quantized moments near int64 range; "
+                            "lower `scale` or rescale features")
+    return r2_from_moments({k: r[k] for k in r.asDict()}, p)
+
+
+def r2_from_moments(r: dict, p: int) -> float:
+    """R² from exact integer moments — shared verbatim by the Spark
+    path and the replay oracle, so both sides run the IDENTICAL float
+    op sequence on identical integers."""
+    import numpy as np
+
+    M = np.zeros((p + 1, p + 1))
+    v = np.zeros(p + 1)
+    for i in range(p + 1):
+        for j in range(i, p + 1):
+            M[i, j] = M[j, i] = float(r[f"m_{i}_{j}"])
+        v[i] = float(r[f"v_{i}"])
+    beta = np.linalg.solve(M, v)
+    yy, sy, n = float(r["yy"]), float(r["sy"]), float(r["n"])
+    rss = yy - 2.0 * float(beta @ v) + float(beta @ M @ beta)
+    tss = yy - sy * sy / n
+    return 1.0 - rss / tss if tss > 0 else 0.0
+
+
+def permutation_importance_ols(df: DataFrame, id_col: str,
+                               features: Sequence[str], target: str, *,
+                               n_perm: int = 3,
+                               n_buckets: int = 64) -> list[tuple]:
+    """``[(label, r2_q)]``: the true fit's R² followed by ``n_perm``
+    target-permuted refits (labels ``perm1..``), each R² in fixed-point
+    ×1e9.  A healthy signal has ``true ≫ permᵢ``."""
+    import math
+
+    out = [("true", int(math.floor(
+        ols_r2_quantized(df, features, target) * PERM_QSCALE + 0.5)))]
+    for i in range(1, n_perm + 1):
+        shuffled = hash_permute_column(df, id_col, target,
+                                       salt=f"perm{i}",
+                                       n_buckets=n_buckets)
+        out.append((f"perm{i}", int(math.floor(
+            ols_r2_quantized(shuffled, features, target)
+            * PERM_QSCALE + 0.5))))
+    return out

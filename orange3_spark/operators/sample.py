@@ -92,6 +92,41 @@ def cv_folds(df: DataFrame, k: int, *, key: Optional[Sequence[str]] = None,
     return df.withColumn(fold_col, F.pmod(h, F.lit(k)).cast("int"))
 
 
+def cv_folds_stratified(df: DataFrame, k: int, *, strata_col: str,
+                        key: Optional[Sequence[str]] = None,
+                        salt: str = "", fold_col: str = "fold",
+                        max_strata: int = 1000) -> DataFrame:
+    """STRATIFIED k-fold assignment — the reference's default CV
+    (``Orange/evaluation/testing.py`` CrossValidation uses sklearn's
+    StratifiedKFold): within each class stratum, rows are ordered by
+    their content hash and folds assigned round-robin, so every fold
+    holds each class in proportion (fold sizes per stratum differ by at
+    most 1 — exactly sklearn's guarantee, which plain content-hash
+    folds only match in expectation).
+
+    Deterministic (pure function of row content) and distributed: ONE
+    window partitioned by stratum — no global sort; strata cardinality
+    is probe-guarded like the stratified sampler."""
+    from pyspark.sql.window import Window
+
+    probe = df.agg(F.approx_count_distinct(strata_col).alias("n")).first()
+    if probe["n"] > max_strata:
+        raise ValueError(
+            f"~{probe['n']} strata in {strata_col!r} (> {max_strata}); "
+            "stratified folds need a categorical stratum")
+    cols = list(key) if key else [c for c in df.columns
+                                  if c != strata_col]
+    # md5 (not xxhash64): the hash ORDER defines fold membership, so it
+    # must be engine-portable for the oracle to replay it
+    h = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols],
+                          F.lit(salt)))
+    w = Window.partitionBy(strata_col).orderBy(h, *[F.col(c)
+                                                    for c in cols])
+    return df.withColumn(
+        fold_col,
+        F.pmod(F.row_number().over(w) - 1, F.lit(k)).cast("int"))
+
+
 def random_split(df: DataFrame, weights: Sequence[float], *, seed: int = 42):
     return df.randomSplit(list(weights), seed=seed)
 

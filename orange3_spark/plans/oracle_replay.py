@@ -1083,3 +1083,91 @@ def nomogram_oracle() -> str:
                         for a, v, c, q in rows)
     return (f"SELECT attr, value, cls, CAST(lor_q AS BIGINT) AS lor_q "
             f"FROM (VALUES\n{values}\n) t(attr, value, cls, lor_q)")
+
+
+# ------------------------------------------------ permutation importance
+
+def _perm_moments_sql(perm_salt: str | None) -> str:
+    """Moment aggregation over lineitem (qty ~ disc + tax on the x100
+    integer grid), with the target column hash-permuted within md5
+    buckets when ``perm_salt`` is given — the exact SQL twin of
+    ml/permutation.hash_permute_column + ols_r2_quantized."""
+    base = """
+d AS (SELECT id,
+             CAST(floor(CAST(min(l_quantity) AS DOUBLE) * 100 + 0.5)
+                  AS BIGINT) AS qy,
+             CAST(floor(CAST(min(l_discount) AS DOUBLE) * 100 + 0.5)
+                  AS BIGINT) AS z1,
+             CAST(floor(CAST(min(l_tax) AS DOUBLE) * 100 + 0.5)
+                  AS BIGINT) AS z2
+      FROM (SELECT l_orderkey * 8 + l_linenumber AS id,
+                   l_quantity, l_discount, l_tax FROM lineitem)
+      GROUP BY id
+      HAVING min(l_quantity) IS NOT NULL AND min(l_discount) IS NOT NULL
+         AND min(l_tax) IS NOT NULL)"""
+    if perm_salt is None:
+        src = "SELECT z1, z2, qy FROM d"
+    else:
+        src = f"""
+SELECT l.z1, l.z2, r.qy FROM
+ (SELECT bk, z1, z2,
+         row_number() OVER (PARTITION BY bk ORDER BY id) AS rn
+  FROM (SELECT *, CAST(concat('0x', substring(
+            md5(CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS bk
+        FROM d)) l
+ JOIN
+ (SELECT bk, qy,
+         row_number() OVER (PARTITION BY bk ORDER BY h, id) AS rn
+  FROM (SELECT *, CAST(concat('0x', substring(
+            md5(CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS bk,
+            md5('{perm_salt}' || CAST(id AS VARCHAR)) AS h
+        FROM d)) r
+ USING (bk, rn)"""
+    return f"""
+WITH {base},
+j AS ({src})
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(qy * qy) AS BIGINT) AS yy,
+       CAST(sum(qy) AS BIGINT) AS sy,
+       CAST(count(*) AS BIGINT) AS m_0_0,
+       CAST(sum(z1) AS BIGINT) AS m_0_1,
+       CAST(sum(z2) AS BIGINT) AS m_0_2,
+       CAST(sum(qy) AS BIGINT) AS v_0,
+       CAST(sum(z1 * z1) AS BIGINT) AS m_1_1,
+       CAST(sum(z1 * z2) AS BIGINT) AS m_1_2,
+       CAST(sum(z1 * qy) AS BIGINT) AS v_1,
+       CAST(sum(z2 * z2) AS BIGINT) AS m_2_2,
+       CAST(sum(z2 * qy) AS BIGINT) AS v_2
+FROM j"""
+
+
+@lazy
+def permutation_oracle() -> str:
+    """q_permutation_importance: R² is a pure function of exact integer
+    moments (ml/permutation.r2_from_moments, shared verbatim); the
+    oracle re-aggregates the identical moments — including the
+    identical within-bucket hash permutations — through DuckDB and
+    embeds the quantized R² per label."""
+    import duckdb
+    import math
+
+    from orange3_spark.ml.permutation import PERM_QSCALE, r2_from_moments
+
+    con = duckdb.connect()
+    rows = []
+    try:
+        for label, salt in [("true", None), ("perm1", "perm1"),
+                            ("perm2", "perm2"), ("perm3", "perm3")]:
+            sql = _perm_moments_sql(salt).replace(
+                "FROM lineitem", f"FROM '{_sf_dir()}/lineitem.parquet'")
+            cur = con.execute(sql)
+            cols = [d[0] for d in cur.description]
+            r = dict(zip(cols, cur.fetchone()))
+            r2 = r2_from_moments(r, p=2)
+            rows.append((label,
+                         int(math.floor(r2 * PERM_QSCALE + 0.5))))
+    finally:
+        con.close()
+    values = ",\n".join(f"('{lb}', {q})" for lb, q in rows)
+    return (f"SELECT label, CAST(r2_q AS BIGINT) AS r2_q "
+            f"FROM (VALUES\n{values}\n) t(label, r2_q)")

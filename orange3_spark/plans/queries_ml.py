@@ -1552,3 +1552,35 @@ def q_ml_nomogram(spark, sf_dir):
     return (nb_nomogram(d, ["o_orderpriority", "price_bucket"],
                         "o_orderstatus")
             .orderBy("attr", "value", "cls"))
+
+
+@query("q_permutation_importance", OR.permutation_oracle)
+def q_permutation_importance(spark, sf_dir):
+    """Permutation importance (owpermutationplot.py:61-93 made
+    deterministic + distributed): OLS R² of quantity ~ discount + tax
+    on the x100 integer grid, then three DETERMINISTIC within-bucket
+    hash permutations of the target — each 'fit' is one exact-int64
+    moment aggregation, never a second table scan, and the permutation
+    is two partitioned row_number windows joined on (bucket, rank)
+    (no global sort).  A model fitting signal has true >> perm_i; the
+    oracle replays moments + permutations in SQL and the shared
+    r2_from_moments solve."""
+    from orange3_spark.ml.permutation import permutation_importance_ols
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    # the synthetic lineitem has duplicate (orderkey, linenumber) pairs;
+    # a permutation needs UNIQUE row identity, so aggregate to one row
+    # per id first (min is deterministic and engine-portable)
+    d = (li.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("id"),
+        "l_quantity", "l_discount", "l_tax")
+        .groupBy("id")
+        .agg(F.min("l_quantity").alias("l_quantity"),
+             F.min("l_discount").alias("l_discount"),
+             F.min("l_tax").alias("l_tax"))
+        # drop null rows BEFORE permuting (the oracle's HAVING) so the
+        # permutation domain matches exactly
+        .na.drop(subset=["l_quantity", "l_discount", "l_tax"]))
+    rows = permutation_importance_ols(
+        d, "id", ["l_discount", "l_tax"], "l_quantity", n_perm=3)
+    return spark.createDataFrame(rows, "label string, r2_q long")

@@ -618,3 +618,29 @@ def q_sketch_quantile(spark, sf_dir):
                              lo=lo, w=(hi - lo) / 512)
     return (out.select(F.col("g").alias("l_returnflag"), "p", "q_est")
             .orderBy("l_returnflag", "p"))
+
+
+@query("q_cv_stratified", """
+WITH f AS (SELECT c_mktsegment,
+                  CAST((row_number() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY md5(CAST(c_custkey AS VARCHAR) || '|s'),
+                                c_custkey) - 1) % 5 AS INT) AS fold
+           FROM customer)
+SELECT fold, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+FROM f GROUP BY fold, c_mktsegment ORDER BY fold, c_mktsegment
+""")
+def q_cv_stratified(spark, sf_dir):
+    """STRATIFIED k-fold assignment (the reference CV's default —
+    sklearn StratifiedKFold semantics: per-stratum fold sizes differ by
+    at most 1): rows hash-ordered within their class stratum, folds
+    round-robin — one PARTITIONED window, no global sort, pure function
+    of row content.  Output is the (fold, stratum) census the balance
+    guarantee is checked against."""
+    (cust,) = _t(spark, sf_dir, "customer")
+    folded = S.cv_folds_stratified(cust.select("c_custkey", "c_mktsegment"),
+                                   5, strata_col="c_mktsegment",
+                                   key=["c_custkey"], salt="s")
+    return (folded.groupBy("fold", "c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("fold", "c_mktsegment"))

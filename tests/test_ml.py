@@ -910,3 +910,19 @@ def test_nomogram_points_reference_semantics(spark):
     assert byv[("x", "pos")] == got["pos"]          # same math end-to-end
     out2 = nb_nomogram(df.repartition(6), ["a"], "c").collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_permutation_importance_signal_and_determinism(spark):
+    from orange3_spark.ml.permutation import permutation_importance_ols
+
+    # y strongly depends on x: true R2 must dwarf permuted R2
+    rows = [(i, float(i % 97), 3.0 * (i % 97) + (i % 5) * 0.1)
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = dict(permutation_importance_ols(df, "id", ["x"], "y",
+                                          n_perm=2))
+    assert out["true"] > 990_000_000          # R2 ~ 1.0 (x1e9)
+    assert abs(out["perm1"]) < 50_000_000     # shuffled: R2 ~ 0
+    out2 = dict(permutation_importance_ols(df.repartition(7), "id",
+                                           ["x"], "y", n_perm=2))
+    assert out == out2                        # partition-invariant

@@ -402,3 +402,24 @@ def test_venn_membership_and_counts(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="1-5"):
         venn_membership({}, "k")
+
+
+def test_cv_folds_stratified_balance(spark):
+    from orange3_spark.operators import sample as SA2
+
+    rows = ([(i, "a") for i in range(103)] + [(1000 + i, "b")
+                                              for i in range(57)])
+    df = spark.createDataFrame(rows, "id long, cls string")
+    out = SA2.cv_folds_stratified(df, 5, strata_col="cls", key=["id"])
+    per = {(r["cls"], r["fold"]): r["n"] for r in
+           out.groupBy("cls", "fold").agg(F.count(F.lit(1)).alias("n"))
+           .collect()}
+    for cls, total in [("a", 103), ("b", 57)]:
+        sizes = [per.get((cls, f), 0) for f in range(5)]
+        assert sum(sizes) == total
+        assert max(sizes) - min(sizes) <= 1   # sklearn's guarantee
+    out2 = SA2.cv_folds_stratified(df.repartition(9), 5,
+                                   strata_col="cls", key=["id"])
+    m1 = {r["id"]: r["fold"] for r in out.collect()}
+    m2 = {r["id"]: r["fold"] for r in out2.collect()}
+    assert m1 == m2
