@@ -1171,3 +1171,46 @@ def permutation_oracle() -> str:
     values = ",\n".join(f"('{lb}', {q})" for lb, q in rows)
     return (f"SELECT label, CAST(r2_q AS BIGINT) AS r2_q "
             f"FROM (VALUES\n{values}\n) t(label, r2_q)")
+
+
+# ----------------------------------------------------------- drift PSI
+
+@lazy
+def psi_oracle() -> str:
+    """q_drift_psi: exact integer bin counts through DuckDB, the same
+    pure-python smoothed ln-sum (stats/validation.psi_from_counts,
+    shared verbatim), all rows embedded as literals."""
+    import duckdb
+    import math
+
+    from orange3_spark.stats.validation import PSI_QSCALE, psi_from_counts
+
+    con = duckdb.connect()
+    try:
+        lo, hi = con.execute(
+            f"""SELECT CAST(min(o_totalprice) AS DOUBLE),
+                       CAST(max(o_totalprice) AS DOUBLE)
+                FROM '{_sf_dir()}/orders.parquet'""").fetchone()
+        rows = con.execute(f"""
+            SELECT CAST(least(floor((CAST(o_totalprice AS DOUBLE)
+                                     - {lo!r}) / (({hi!r} - {lo!r}) / 10)),
+                              9) AS BIGINT) AS bin,
+                   CAST(sum(CASE WHEN o_orderdate < DATE '1995-06-17'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(sum(CASE WHEN o_orderdate < DATE '1995-06-17'
+                            THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+            FROM '{_sf_dir()}/orders.parquet'
+            WHERE o_totalprice IS NOT NULL
+            GROUP BY 1""").fetchall()
+    finally:
+        con.close()
+    by_bin = {int(b): (int(a), int(c)) for b, a, c in rows}
+    ca = [by_bin.get(i, (0, 0))[0] for i in range(10)]
+    cb = [by_bin.get(i, (0, 0))[1] for i in range(10)]
+    psi_q = int(math.floor(psi_from_counts(ca, cb) * PSI_QSCALE + 0.5))
+    values = ",\n".join(f"({b}, {a}, {c}, {psi_q})"
+                        for b, (a, c) in sorted(by_bin.items()))
+    return (f"SELECT CAST(bin AS BIGINT) AS bin, "
+            f"CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, "
+            f"CAST(psi_q AS BIGINT) AS psi_q "
+            f"FROM (VALUES\n{values}\n) t(bin, n_a, n_b, psi_q)")

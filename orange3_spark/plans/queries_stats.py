@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from orange3_spark.operators import rowagg, sample as S, window as W
 from orange3_spark.operators.reshape import split_column, transpose
+from orange3_spark.plans import oracle_replay as OR2
 from orange3_spark.plans.registry import query
 from orange3_spark.session import load_tables
 from orange3_spark.stats.basic import pearson_pairs, spearman_pairs
@@ -644,3 +645,65 @@ def q_cv_stratified(spark, sf_dir):
     return (folded.groupBy("fold", "c_mktsegment")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy("fold", "c_mktsegment"))
+
+
+@query("q_data_validation", """
+SELECT * FROM (VALUES
+  ('quantity_in_range',
+   (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+   (SELECT CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+                    THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem)),
+  ('discount_below_tax_cap',
+   (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+   (SELECT CAST(sum(CASE WHEN l_discount <= 0.1 AND l_tax <= 0.08
+                    THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem)),
+  ('shipdate_not_null',
+   (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+   (SELECT CAST(sum(CASE WHEN l_shipdate IS NOT NULL
+                    THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem)),
+  ('returnflag_in_domain',
+   (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+   (SELECT CAST(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+                    THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem))
+) v(rule, n_rows, n_violations)
+ORDER BY rule
+""")
+def q_data_validation(spark, sf_dir):
+    """Expectation-suite validation (stats/validation.validate — the
+    data-quality gate a production pipeline runs per batch; the
+    reference's Feature Statistics widget only displays, never gates):
+    four named rules over lineitem evaluated in ONE aggregation pass —
+    each rule is a codegen CASE sum, so adding rules never adds scans.
+    NULL predicate results count as violations."""
+    from orange3_spark.stats.validation import validate
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    out = validate(li, {
+        "quantity_in_range": (F.col("l_quantity") >= 1)
+                             & (F.col("l_quantity") <= 50),
+        "discount_below_tax_cap": (F.col("l_discount") <= 0.1)
+                                  & (F.col("l_tax") <= 0.08),
+        "shipdate_not_null": F.col("l_shipdate").isNotNull(),
+        "returnflag_in_domain": F.col("l_returnflag").isin("A", "N", "R"),
+    })
+    return out.orderBy("rule")
+
+
+@query("q_drift_psi", OR2.psi_oracle)
+def q_drift_psi(spark, sf_dir):
+    """Population Stability Index drift monitor
+    (stats/validation.drift_psi): order totals binned 10-wide against
+    shared global bounds, early orders (before 1995-06-17) vs late —
+    the per-batch distribution-shift alarm of a feeding pipeline.
+    Exact integer bin counts (one grouped aggregation); the smoothed
+    ln-sum runs driver-side over ≤10 exact ints (pure python, shared
+    verbatim with the replay oracle — never engine libm)."""
+    from orange3_spark.stats.validation import drift_psi
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    tab, psi_q = drift_psi(
+        orders, "o_totalprice",
+        F.col("o_orderdate") < F.lit("1995-06-17").cast("date"),
+        n_bins=10)
+    return (tab.withColumn("psi_q", F.lit(psi_q).cast("long"))
+            .orderBy("bin"))

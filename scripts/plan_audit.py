@@ -165,6 +165,10 @@ AUDITS = {
          r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*FullOuter"
          r"|FullOuter"),
     ],
+    "q_cv_stratified": [
+        ("fold window is PARTITIONED by stratum (no global sort)",
+         r"windowspecdefinition\(c_mktsegment"),
+    ],
 }
 
 BAD_PATTERNS = [

@@ -228,3 +228,34 @@ def test_hll_registers_merge_by_max(spark):
     est_m = hll_estimate(merged, group_by="g").collect()[0]
     assert est_d["est_distinct"] == est_m["est_distinct"]
     assert est_d["s_scaled"] == est_m["s_scaled"]
+
+
+def test_validate_and_drift_psi(spark):
+    from pyspark.sql import functions as F
+
+    from orange3_spark.stats.validation import (drift_psi,
+                                                psi_from_counts,
+                                                validate)
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, None), (4, 200.0)], "id long, x double")
+    out = {r["rule"]: r["n_violations"] for r in validate(df, {
+        "x_not_null": F.col("x").isNotNull(),
+        "x_small": F.col("x") < 100,
+    }).collect()}
+    assert out["x_not_null"] == 1
+    assert out["x_small"] == 2            # NULL counts as violation
+    # identical populations -> PSI ~ 0; disjoint -> large
+    assert psi_from_counts([50, 50], [50, 50]) == 0.0
+    assert psi_from_counts([100, 0], [0, 100]) > 1.0
+    rows = [(i, float(i % 100), i < 500) for i in range(1000)]
+    d2 = spark.createDataFrame(rows, "id long, x double, early boolean")
+    tab, psi_q = drift_psi(d2, "x", F.col("early"), n_bins=10,
+                           lo=0.0, hi=99.0)
+    assert psi_q < 10_000_000             # same distribution: PSI ~ 0
+    _, psi_q2 = drift_psi(d2, "x", F.col("x") < 50.0, n_bins=10,
+                          lo=0.0, hi=99.0)
+    assert psi_q2 > 1_000_000_000         # disjoint halves: PSI >> 0.2
+    _, psi_q3 = drift_psi(d2.repartition(7), "x", F.col("early"),
+                          n_bins=10, lo=0.0, hi=99.0)
+    assert psi_q3 == psi_q                # partition-invariant
