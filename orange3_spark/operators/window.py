@@ -296,3 +296,36 @@ def cohort_retention(events: DataFrame, *, key: str = "user_id",
             .groupBy(F.col("_cohort").alias("cohort"), "age")
             .agg(F.countDistinct(key).alias("n_active"))
             .orderBy("cohort", "age"))
+
+
+def resample_ffill(df: DataFrame, *, ts_col: str, by: Sequence[str],
+                   value_col: str, step: str = "1 hour") -> DataFrame:
+    """Regular-grid resampling with forward fill — the time-series
+    gap-fill the reference lacks (its time support stops at parsing and
+    binning): per key, generate an hourly (``step``) grid from the
+    key's first observation hour to its last, and carry the most recent
+    observation forward onto each grid point (NULL before the first).
+
+    Spark-first shape: the grid is a row-local ``sequence`` explode off
+    one per-key bounds aggregate (never a driver loop); the fill is the
+    engine's as-of join — ONE ordered window per key, no inequality
+    join.  Observations sharing a timestamp are deduplicated with
+    ``max`` first (a deterministic tie rule; window ordering over true
+    duplicates would tie-break differently per engine/partitioning).
+
+    Returns ``(by..., ts_col, filled_<value_col>, src_ts)``."""
+    bounds = df.groupBy(*by).agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("_lo"),
+        F.max(ts_col).alias("_hi"))
+    grid = bounds.select(
+        *by,
+        F.explode(F.sequence("_lo", "_hi",
+                             F.expr(f"INTERVAL {step}"))).alias(ts_col))
+    dedup = (df.groupBy(*by, ts_col)
+             .agg(F.max(value_col).alias(value_col)))
+    out = asof_join(grid, dedup, on=ts_col, by=list(by),
+                    right_cols=[value_col])
+    return out.select(
+        *by, ts_col,
+        F.col(f"right_{value_col}").alias(f"filled_{value_col}"),
+        F.col(f"right_{ts_col}").alias("src_ts"))

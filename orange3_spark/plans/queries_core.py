@@ -734,3 +734,40 @@ def q_venn(spark, sf_dir):
         "in_long": docs.where(F.col("n_chars") > 150).select("doc_id"),
     }
     return venn_counts(tables, "doc_id").orderBy("region")
+
+
+@query("q_resample_ffill", """
+WITH e AS (SELECT user_id, ts, value FROM events
+           WHERE user_id < 20 AND event_type = 'click'),
+d AS (SELECT user_id, ts, max(value) AS value FROM e GROUP BY 1, 2),
+b AS (SELECT user_id, date_trunc('hour', min(ts)) AS lo, max(ts) AS hi
+      FROM e GROUP BY 1),
+g AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+             AS ts
+      FROM b)
+SELECT g.user_id, g.ts,
+       CAST(round(d.value, 6) AS DOUBLE) AS filled_value,
+       d.ts AS src_ts
+FROM g ASOF LEFT JOIN d ON g.user_id = d.user_id AND g.ts >= d.ts
+ORDER BY 1, 2
+""")
+def q_resample_ffill(spark, sf_dir):
+    """Time-series resample + forward fill
+    (operators/window.resample_ffill): twenty users' click values onto
+    an hourly grid, most recent observation carried forward — the
+    gap-fill primitive of monitoring/feature pipelines.  Grid = one
+    bounds aggregate + a row-local sequence explode; fill = the as-of
+    window (no inequality join); same-timestamp observations dedup by
+    max.  Oracle: generate_series grid + DuckDB's native ASOF JOIN."""
+    from orange3_spark.operators.window import resample_ffill
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    clicks = (ev.where((F.col("user_id") < 20)
+                       & (F.col("event_type") == "click"))
+              .select("user_id", "ts", "value"))
+    out = resample_ffill(clicks, ts_col="ts", by=["user_id"],
+                         value_col="value", step="1 hour")
+    return (out.select("user_id", "ts",
+                       F.round("filled_value", 6).alias("filled_value"),
+                       "src_ts")
+            .orderBy("user_id", "ts"))

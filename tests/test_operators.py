@@ -423,3 +423,29 @@ def test_cv_folds_stratified_balance(spark):
     m1 = {r["id"]: r["fold"] for r in out.collect()}
     m2 = {r["id"]: r["fold"] for r in out2.collect()}
     assert m1 == m2
+
+
+def test_resample_ffill_hand_case(spark):
+    import datetime as dt
+
+    from orange3_spark.operators.window import resample_ffill
+
+    T = dt.datetime
+    rows = [("u", T(2024, 1, 1, 0, 10), 1.0),
+            ("u", T(2024, 1, 1, 2, 30), 5.0),
+            ("u", T(2024, 1, 1, 2, 30), 3.0),   # same-ts dup -> max
+            ("v", T(2024, 1, 1, 5, 0), 9.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = {(r["k"], r["ts"].hour): r["filled_value"] for r in
+           resample_ffill(df, ts_col="ts", by=["k"],
+                          value_col="value").collect()}
+    # u grid: 00,01,02 (lo=trunc(00:10), hi=02:30)
+    assert out[("u", 0)] is None           # grid point before first obs
+    assert out[("u", 1)] == 1.0            # carried forward
+    assert out[("u", 2)] == 1.0            # 02:00 precedes the 02:30 obs
+    assert out[("v", 5)] == 9.0            # exact-hour observation
+    n = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    o2 = {(r["k"], r["ts"].hour): r["filled_value"] for r in
+          resample_ffill(n.repartition(5), ts_col="ts", by=["k"],
+                         value_col="value").collect()}
+    assert o2 == out
