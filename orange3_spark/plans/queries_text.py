@@ -1591,13 +1591,17 @@ def q_ann_recall(spark, sf_dir):
     build, the exact side is a rank over the full candidate set, and
     every distance/rank/tie-break is deterministic, so recall replays
     bit-for-bit in SQL."""
-    from orange3_spark.similarity.knn import ivf_knn
+    from orange3_spark.similarity.knn import ivf_fit, ivf_search
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < 5)
-    approx = (ivf_knn(emb, probes, k=10, n_cells=8, nprobe=2, n_iter=2)
+    # ONE index build shared by both nprobe settings (the whole point
+    # of the recall dial); the postings cache lives for the query, the
+    # harness clears caches between queries
+    assigned, cents = ivf_fit(emb, n_cells=8, n_iter=2)
+    approx = (ivf_search(assigned, cents, probes, k=10, nprobe=2)
               .select("qid", "id_b"))
-    exact = (ivf_knn(emb, probes, k=10, n_cells=8, nprobe=8, n_iter=2)
+    exact = (ivf_search(assigned, cents, probes, k=10, nprobe=8)
              .select("qid", "id_b"))
     hits = (approx.join(exact, ["qid", "id_b"])
             .groupBy("qid").agg(F.count(F.lit(1)).cast("long")

@@ -274,12 +274,26 @@ def ivf_knn(data: DataFrame, queries: DataFrame, k: int = 5, *,
     ``kmeans_lloyd_fit`` (exact int64 sums, one sqrt + one divide at the
     end), so ``dist`` is bit-identical across engines and partitionings.
     """
+    assigned, cents = ivf_fit(data, vec_col=vec_col, id_col=id_col,
+                              n_cells=n_cells, n_iter=n_iter)
+    out = ivf_search(assigned, cents, queries, k, vec_col=vec_col,
+                     id_col=id_col, query_id=query_id, nprobe=nprobe,
+                     exclude_self=exclude_self)
+    out.lloyd_cache = assigned     # release handle (the IVF postings list)
+    return out
+
+
+def ivf_fit(data: DataFrame, *, vec_col: str = "embedding",
+            id_col: str = "vec_id", n_cells: int = 8,
+            n_iter: int = 2):
+    """Build the IVF index once → ``(assigned, cents)``: the CACHED
+    postings list (id, quantized vector, cell) and the refreshed
+    centroid table.  Callers searching the same index at several
+    ``nprobe`` settings (e.g. the recall@k eval) share one build;
+    caller unpersists ``assigned``."""
     import math
 
-    from pyspark.sql.window import Window
-
-    from orange3_spark.ml.cluster import (LLOYD_SCALE, kmeans_lloyd_fit,
-                                          quantize_array)
+    from orange3_spark.ml.cluster import kmeans_lloyd_fit
 
     fitted, cents0 = kmeans_lloyd_fit(data, id_col, array_col=vec_col,
                                       k=n_cells, n_iter=n_iter)
@@ -304,6 +318,19 @@ def ivf_knn(data: DataFrame, queries: DataFrame, k: int = 5, *,
     cents = spark.createDataFrame(
         [(i, got.get(i, c)) for i, c in enumerate(cents0)],
         "cluster int, cvec array<bigint>")
+    return assigned, cents
+
+
+def ivf_search(assigned: DataFrame, cents: DataFrame,
+               queries: DataFrame, k: int = 5, *,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               query_id: str = "vec_id", nprobe: int = 2,
+               exclude_self: bool = True) -> DataFrame:
+    """Search an :func:`ivf_fit` index (see ``ivf_knn`` for the full
+    contract) → ``(qid, rank, id_b, dist)``."""
+    from pyspark.sql.window import Window
+
+    from orange3_spark.ml.cluster import LLOYD_SCALE, quantize_array
 
     def _d(a, b):
         # exact int64 squared distance → one sqrt, one rescale divide
@@ -326,11 +353,9 @@ def ivf_knn(data: DataFrame, queries: DataFrame, k: int = 5, *,
         cand = cand.where(F.col("qid") != F.col("id_b"))
     cand = cand.withColumn("dist", _d(F.col("qv"), F.col("vb")))
     wr = Window.partitionBy("qid").orderBy(F.col("dist"), F.col("id_b"))
-    out = (cand.withColumn("rank", F.row_number().over(wr))
-               .filter(F.col("rank") <= k)
-               .select("qid", "rank", "id_b", "dist"))
-    out.lloyd_cache = assigned     # release handle (the IVF postings list)
-    return out
+    return (cand.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "id_b", "dist"))
 
 
 def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
