@@ -104,20 +104,63 @@ def r2_from_moments(r: dict, p: int) -> float:
 
 def permutation_importance_ols(df: DataFrame, id_col: str,
                                features: Sequence[str], target: str, *,
-                               n_perm: int = 3,
-                               n_buckets: int = 64) -> list[tuple]:
+                               n_perm: int = 3, n_buckets: int = 64,
+                               scale: int = 100) -> list[tuple]:
     """``[(label, r2_q)]``: the true fit's R² followed by ``n_perm``
     target-permuted refits (labels ``perm1..``), each R² in fixed-point
-    ×1e9.  A healthy signal has ``true ≫ permᵢ``."""
+    ×1e9.  A healthy signal has ``true ≫ permᵢ``.
+
+    FUSED plan: the true pairing and every permutation are stacked into
+    one (label, bucket, rank, y) frame (the label's rank column selects
+    which hash order pairs y back to its x row), so all n_perm+1 "fits"
+    are ONE join + ONE grouped moment aggregation — per-label work
+    never becomes per-label jobs."""
     import math
 
-    out = [("true", int(math.floor(
-        ols_r2_quantized(df, features, target) * PERM_QSCALE + 0.5)))]
-    for i in range(1, n_perm + 1):
-        shuffled = hash_permute_column(df, id_col, target,
-                                       salt=f"perm{i}",
-                                       n_buckets=n_buckets)
-        out.append((f"perm{i}", int(math.floor(
-            ols_r2_quantized(shuffled, features, target)
-            * PERM_QSCALE + 0.5))))
+    p = len(features)
+    b = F.pmod(F.conv(F.substring(F.md5(F.col(id_col).cast("string")),
+                                  1, 8), 16, 10).cast("long"),
+               F.lit(n_buckets))
+    base = df.na.drop(subset=[*features, target]).withColumn("_b", b)
+    w_id = Window.partitionBy("_b").orderBy(F.col(id_col))
+    base = base.withColumn("_rn", F.row_number().over(w_id))
+    labels = ["true"] + [f"perm{i}" for i in range(1, n_perm + 1)]
+    ranked = base
+    for lb in labels[1:]:
+        h = F.md5(F.concat(F.lit(lb), F.col(id_col).cast("string")))
+        ranked = ranked.withColumn(
+            f"_rn_{lb}",
+            F.row_number().over(
+                Window.partitionBy("_b").orderBy(h, F.col(id_col))))
+    rn_of = {"true": "_rn", **{lb: f"_rn_{lb}" for lb in labels[1:]}}
+    stacked = (ranked.select(
+        "_b", F.col(target).alias("_y"),
+        F.explode(F.array(*[
+            F.struct(F.lit(lb).alias("label"),
+                     F.col(rn_of[lb]).alias("_rn"))
+            for lb in labels])).alias("_s"))
+        .select("_b", "_y", F.col("_s.label").alias("label"),
+                F.col("_s._rn").alias("_rn")))
+    joined = base.drop(target).join(stacked, ["_b", "_rn"])
+    z = [F.lit(1).cast("long")] + [
+        F.floor(F.col(c).cast("double") * scale + F.lit(0.5)).cast("long")
+        for c in features]
+    y = F.floor(F.col("_y").cast("double") * scale
+                + F.lit(0.5)).cast("long")
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum(y * y).alias("yy"),
+            F.sum(y).alias("sy")]
+    for i in range(p + 1):
+        for j in range(i, p + 1):
+            aggs.append(F.sum(z[i] * z[j]).alias(f"m_{i}_{j}"))
+        aggs.append(F.sum(z[i] * y).alias(f"v_{i}"))
+    rows = {r["label"]: r for r in
+            joined.groupBy("label").agg(*aggs).collect()}
+    out = []
+    for lb in labels:
+        r = rows[lb]
+        if abs(int(r["yy"])) >= (1 << 62):
+            raise OverflowError("quantized moments near int64 range; "
+                                "lower `scale` or rescale features")
+        r2 = r2_from_moments({k: r[k] for k in r.asDict()}, p)
+        out.append((lb, int(math.floor(r2 * PERM_QSCALE + 0.5))))
     return out

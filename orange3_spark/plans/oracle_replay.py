@@ -1104,7 +1104,8 @@ d AS (SELECT id,
                    l_quantity, l_discount, l_tax FROM lineitem)
       GROUP BY id
       HAVING min(l_quantity) IS NOT NULL AND min(l_discount) IS NOT NULL
-         AND min(l_tax) IS NOT NULL)"""
+         AND min(l_tax) IS NOT NULL
+         AND substring(md5(CAST(id AS VARCHAR)), 1, 8) < '66666666')"""
     if perm_salt is None:
         src = "SELECT z1, z2, qy FROM d"
     else:

@@ -1580,7 +1580,12 @@ def q_permutation_importance(spark, sf_dir):
              F.min("l_tax").alias("l_tax"))
         # drop null rows BEFORE permuting (the oracle's HAVING) so the
         # permutation domain matches exactly
-        .na.drop(subset=["l_quantity", "l_discount", "l_tax"]))
+        .na.drop(subset=["l_quantity", "l_discount", "l_tax"])
+        # deterministic 40% id-hash slice: a permutation TEST needs a
+        # representative sample, not the corpus — each permutation costs
+        # two windows + a join over the domain
+        .where(F.substring(F.md5(F.col("id").cast("string")), 1, 8)
+               < F.lit("66666666")))
     rows = permutation_importance_ols(
         d, "id", ["l_discount", "l_tax"], "l_quantity", n_perm=3)
     return spark.createDataFrame(rows, "label string, r2_q long")
