@@ -108,3 +108,41 @@ def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame
 def anti_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
     """Select-by-Data-Index remove case."""
     return left.join(right.select(*on).dropDuplicates(), on=list(on), how="left_anti")
+
+
+def salted_join(left: DataFrame, right: DataFrame,
+                on: Sequence[str], *, n_salts: int = 16,
+                how: str = "inner",
+                salt_on: Optional[Sequence[str]] = None) -> DataFrame:
+    """Skew-resilient equi-join: the companion of
+    ``groupby.salted_aggregate`` for the JOIN side of the skew toolbox.
+
+    A plain shuffle join hashes every row of a hot key to ONE reducer
+    pair; AQE's skew-join only splits after a partition is observed
+    oversized and cannot help when one KEY (not partition) is hot.
+    Here the fat side carries a deterministic content-hash salt
+    (``xxhash64(salt_on) % n_salts``, never ``rand()`` — retries and
+    replans reproduce it), and the other side is EXPLODED to all
+    ``n_salts`` values, so the hot key's rows spread over ``n_salts``
+    reducers at the cost of replicating the smaller side ``n_salts``
+    times — the standard trade when the small side is modest but too
+    big to broadcast.
+
+    Join result is EXACTLY the plain join's (the salt is a refinement
+    of the key partition), verified by oracle and property test.
+    ``how`` supports inner/left (the salted side is ``left``)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt_src = list(salt_on) if salt_on else \
+        [c for c in left.columns if c not in on]
+    if not salt_src:
+        raise ValueError("salted_join needs a non-key left column to "
+                         "salt on")
+    l = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]),
+                         F.lit(n_salts)).cast("int"))
+    r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(s).cast("int")
+                                      for s in range(n_salts)])))
+    out = l.join(r, [*on, "__salt"], how)
+    return out.drop("__salt")

@@ -771,3 +771,40 @@ def q_resample_ffill(spark, sf_dir):
                        F.round("filled_value", 6).alias("filled_value"),
                        "src_ts")
             .orderBy("user_id", "ts"))
+
+
+@query("q_join_salted", """
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents_total
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+""")
+def q_join_salted(spark, sf_dir):
+    """Skew-resilient salted join (operators/merge.salted_join — the
+    JOIN half of the skew toolbox next to salted_aggregate): the
+    orders->customer join runs with a 16-way content-hash salt on the
+    fat side and the customer side exploded across salts, spreading a
+    hot key over 16 reducers.  The salt refines the key partition, so
+    the result is EXACTLY the plain join's — which is precisely what
+    the oracle checks."""
+    from orange3_spark.operators.merge import salted_join
+
+    orders, customer, nation = _t(spark, sf_dir, "orders", "customer",
+                                  "nation")
+    j = salted_join(orders.select("o_custkey", "o_totalprice"),
+                    customer.select(F.col("c_custkey").alias("o_custkey"),
+                                    "c_nationkey"),
+                    ["o_custkey"], n_salts=16)
+    out = (j.join(F.broadcast(nation),
+                  j.c_nationkey == nation.n_nationkey)
+           .groupBy("n_name")
+           .agg(F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                      .cast("long")).cast("long").alias("cents_total"))
+           .orderBy("n_name"))
+    return out

@@ -141,3 +141,70 @@ def cusum_batch(df: DataFrame, key_col: str = "user_id",
         F.col(key_col).alias("key"),
         F.round(s, 6).alias("cusum"),
         (s > F.lit(float(threshold))).alias("drifted"))
+
+
+# ------------------------------------------------- stateful sessionizer
+
+# ts travels as epoch NANOSECONDS: the state-ful kernel's output path
+# round-trips pandas datetimes through a µs-epoch conversion that
+# misreads ns — integers are unambiguous; the wrapper rebuilds the
+# timestamp with exact integer µs
+SESSION_SCHEMA = T.StructType([
+    T.StructField("key", T.LongType()),
+    T.StructField("ts_ns", T.LongType()),
+    T.StructField("session_id", T.LongType()),
+])
+_SESSION_STATE = T.StructType([
+    T.StructField("last_ns", T.LongType()),
+    T.StructField("sid", T.LongType()),
+])
+
+
+def make_session_fn(gap_seconds: float):
+    """Per-key kernel: continue session numbering across micro-batches —
+    the state carries (last event time, current session ordinal), so a
+    session spanning a batch boundary keeps its id and a quiet gap
+    between batches opens a new one.  Matches operators/window.sessionize
+    numbering exactly (first session = 0)."""
+    gap_ns = int(gap_seconds * 1_000_000_000)
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+        last_ns, sid = state.get if state.exists else (None, -1)
+        pdf = pd.concat(list(pdf_iter)).sort_values("ts")
+        ns = pdf["ts"].astype("int64").tolist()
+        sids = []
+        for t in ns:
+            if last_ns is None or t - last_ns > gap_ns:
+                sid += 1
+            last_ns = t
+            sids.append(sid)
+        state.update((last_ns, sid))
+        yield pd.DataFrame({"key": key[0], "ts_ns": ns,
+                            "session_id": sids})
+    return fn
+
+
+def sessionize_stream(df: DataFrame, key_col: str = "user_id",
+                      time_col: str = "ts", gap_seconds: float = 1800.0,
+                      timeout: str = "NoTimeout") -> DataFrame:
+    """Streaming EVENT-LEVEL sessionization (the stateful twin of
+    operators/window.sessionize — the built-in ``session_window``
+    collapses rows, this labels every event): per-key GroupState holds
+    (last seen time, session ordinal), bounded by key cardinality.
+
+    Caveat the batch twin doesn't have: correctness across batches
+    assumes per-key event-time order across micro-batches (a file/kafka
+    source replaying history in order); late events need the
+    watermarked ``session_window`` aggregate instead."""
+    from pyspark.sql import functions as F
+
+    renamed = df.select(F.col(key_col).alias("key"),
+                        F.col(time_col).alias("ts"))
+    out = (renamed.groupBy("key")
+           .applyInPandasWithState(make_session_fn(gap_seconds),
+                                   SESSION_SCHEMA, _SESSION_STATE,
+                                   "append", timeout))
+    return out.select("key",
+                      F.expr("timestamp_micros(ts_ns div 1000)")
+                      .alias("ts"), "session_id")

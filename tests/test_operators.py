@@ -449,3 +449,21 @@ def test_resample_ffill_hand_case(spark):
           resample_ffill(n.repartition(5), ts_col="ts", by=["k"],
                          value_col="value").collect()}
     assert o2 == out
+
+
+def test_salted_join_equals_plain_join(spark):
+    from orange3_spark.operators.merge import salted_join
+
+    # skewed: key 1 holds 90% of left rows
+    left = spark.createDataFrame(
+        [(1, f"v{i}") for i in range(900)]
+        + [(k, f"w{k}") for k in range(2, 102)], "k long, v string")
+    right = spark.createDataFrame(
+        [(k, k * 10) for k in range(0, 150)], "k long, r long")
+    plain = left.join(right, "k").collect()
+    salted = salted_join(left, right, ["k"], n_salts=8).collect()
+    assert sorted(map(tuple, salted)) == sorted(map(tuple, plain))
+    lp = left.join(right, "k", "left").collect()
+    ls = salted_join(left, right, ["k"], n_salts=8, how="left").collect()
+    assert sorted(map(tuple, ls), key=repr) == sorted(map(tuple, lp),
+                                                      key=repr)

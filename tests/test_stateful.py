@@ -93,3 +93,47 @@ def test_cusum_batch_matches_recursion(spark):
     s2 = recur([10, 10, 0, 0])
     assert got[1] == (round(s1, 6), s1 > 5.0)
     assert got[2] == (round(s2, 6), s2 > 5.0)
+
+
+def test_sessionize_stream_continues_across_microbatches(spark, tmp_path):
+    import datetime as dt
+
+    from orange3_spark.operators.window import sessionize
+
+    d = tmp_path / "in_sess"
+    d.mkdir()
+    T = dt.datetime
+    # batch 1: key 1 has two sessions (gap > 30s between 00:00 and 01:00),
+    # ending at 01:00:05; batch 2 continues session 1 (01:00:20, within
+    # gap) then opens session 2 (02:00)
+    b1 = pd.DataFrame({"user_id": [1, 1, 1, 2],
+                       "ts": [T(2024, 1, 1, 0, 0, 0),
+                              T(2024, 1, 1, 0, 0, 10),
+                              T(2024, 1, 1, 1, 0, 5),
+                              T(2024, 1, 1, 0, 0, 0)]})
+    b2 = pd.DataFrame({"user_id": [1, 1],
+                       "ts": [T(2024, 1, 1, 1, 0, 20),
+                              T(2024, 1, 1, 2, 0, 0)]})
+    # µs precision: Spark misreads pandas' default ns-precision parquet
+    # timestamps (instantToMicros overflow)
+    b1.astype({"ts": "datetime64[us]"}).to_parquet(d / "0.parquet")
+    b2.astype({"ts": "datetime64[us]"}).to_parquet(d / "1.parquet")
+    schema = spark.read.parquet(str(d / "0.parquet")).schema
+    stream = SW.stream_from_directory(spark, str(d), schema,
+                                      max_files_per_trigger=1)
+    out = ST.sessionize_stream(stream, gap_seconds=30.0)
+    q = (out.writeStream.format("memory").queryName("s_sess")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.key, r.ts): r.session_id
+           for r in spark.table("s_sess").collect()}
+    # cross-batch continuation: 01:00:20 stays in session 1
+    assert got[(1, T(2024, 1, 1, 1, 0, 20))] == 1
+    assert got[(1, T(2024, 1, 1, 2, 0, 0))] == 2
+    assert got[(2, T(2024, 1, 1, 0, 0, 0))] == 0
+    # equality with the batch sessionizer over the full input
+    batch = spark.read.parquet(str(d))
+    want = {(r.user_id, r.ts): r.session_id
+            for r in sessionize(batch, key="user_id", time_col="ts",
+                                gap="30 seconds").collect()}
+    assert got == want
