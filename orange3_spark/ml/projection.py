@@ -839,3 +839,74 @@ def correspondence_analysis(df: DataFrame, col_a: str, col_b: str, *,
               for v, i in bi.items()])
     return df.sparkSession.createDataFrame(
         out, "kind string, level string, f1_q long, f2_q long")
+
+
+# --------------------------------------------------------------- isomap
+
+def fit_isomap_matrix(X, *, n_neighbors: int = 8, n_components: int = 2):
+    """Isomap (Tenenbaum et al. 2000) on matrix ``X`` — pure
+    deterministic numpy shared verbatim with the replay oracle: k-NN
+    graph (euclidean, symmetrized), geodesics by Floyd–Warshall
+    (bounded n — sample-then-embed is the contract, as t-SNE/MDS), then
+    classical MDS on the geodesic matrix with the engine's sign
+    convention.  A disconnected graph gets its +inf geodesics replaced
+    by 2× the largest finite one (deterministic; sklearn errors out —
+    documented divergence)."""
+    import numpy as np
+
+    n = X.shape[0]
+    sq = ((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+    D = np.sqrt(np.maximum(sq, 0.0))
+    # k-NN graph: keep each row's k smallest (excluding self), symmetrize
+    G = np.full((n, n), np.inf)
+    np.fill_diagonal(G, 0.0)
+    order = np.argsort(D, axis=1, kind="stable")
+    for i in range(n):
+        for j in order[i, 1:n_neighbors + 1]:
+            G[i, j] = D[i, j]
+            G[j, i] = D[i, j]
+    for k in range(n):                      # Floyd–Warshall
+        G = np.minimum(G, G[:, k][:, None] + G[k, :][None, :])
+    finite = G[np.isfinite(G)]
+    if np.isinf(G).any():
+        G[np.isinf(G)] = 2.0 * finite.max()
+    # classical MDS on geodesics
+    G2 = G ** 2
+    J = np.eye(n) - np.full((n, n), 1.0 / n)
+    B = -0.5 * (J @ G2 @ J)
+    w, v = np.linalg.eigh(B)
+    idx = np.argsort(w)[::-1][:n_components]
+    lam = np.maximum(w[idx], 0.0)
+    Y = v[:, idx] * np.sqrt(lam)[None, :]
+    for j in range(Y.shape[1]):             # deterministic signs
+        i_star = int(np.argmax(np.abs(Y[:, j])))
+        if Y[i_star, j] < 0:
+            Y[:, j] = -Y[:, j]
+    return Y
+
+
+def isomap(df: DataFrame, id_col: str, *, array_col: str,
+           n_neighbors: int = 8, n_components: int = 2,
+           max_rows: int = MAX_TSNE_POINTS) -> DataFrame:
+    """Isomap of a bounded table (the reference's Manifold Learning
+    widget wraps sklearn.Isomap, driver-side in-memory too —
+    ``Orange/widgets/unsupervised/owmanifoldlearning.py``).  O(n²)
+    geodesics → sample upstream, embed the sample; id-sorted collection
+    makes the embedding a pure function of the data (replayable)."""
+    import numpy as np
+
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(f"isomap is O(n^2)-O(n^3); n={n} > {max_rows}. "
+                         "Sample first and embed the sample.")
+    rows = sorted(df.select(id_col, array_col).dropna().collect(),
+                  key=lambda r: r[0])
+    ids = [r[0] for r in rows]
+    X = np.array([[float(x) for x in r[1]] for r in rows])
+    Y = fit_isomap_matrix(X, n_neighbors=n_neighbors,
+                          n_components=n_components)
+    dt = df.schema[id_col].dataType.simpleString()
+    return df.sparkSession.createDataFrame(
+        [(i, *[float(y) for y in row]) for i, row in zip(ids, Y)],
+        f"{id_col} {dt}, " + ", ".join(
+            f"iso_{j} double" for j in range(n_components)))

@@ -1215,3 +1215,43 @@ def psi_oracle() -> str:
             f"CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, "
             f"CAST(psi_q AS BIGINT) AS psi_q "
             f"FROM (VALUES\n{values}\n) t(bin, n_a, n_b, psi_q)")
+
+
+# ----------------------------------------------------------------- isomap
+
+ISOMAP_PARAMS = dict(fraction=0.12, n_neighbors=8)
+ISOMAP_QSCALE = 10_000.0
+
+
+@lazy
+def isomap_oracle() -> str:
+    """q_ml_isomap: the embedding is a pure function of the id-SORTED
+    hash sample (ml/projection.isomap); re-fetch the identical sample
+    through DuckDB, run the identical fit_isomap_matrix, embed the
+    quantized coordinates."""
+    import duckdb
+    import numpy as np
+
+    from orange3_spark.ml.projection import fit_isomap_matrix
+
+    P = ISOMAP_PARAMS
+    thr = format(int(P["fraction"] * 0xFFFFFFFF), "08x")
+    con = duckdb.connect()
+    try:
+        rows = con.execute(f"""
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM '{_sf_dir()}/embeddings.parquet'
+            WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) < '{thr}'
+              AND embedding IS NOT NULL
+            ORDER BY vec_id""").fetchall()
+    finally:
+        con.close()
+    ids = [r[0] for r in rows]
+    X = np.array([[float(x) for x in r[1]] for r in rows])
+    Y = fit_isomap_matrix(X, n_neighbors=P["n_neighbors"])
+    q = np.floor(Y * ISOMAP_QSCALE + 0.5).astype(np.int64)
+    values = ",\n".join(f"({i}, {qx}, {qy})"
+                        for i, (qx, qy) in zip(ids, q))
+    return (f"SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+            f"CAST(qx AS BIGINT) AS qx, CAST(qy AS BIGINT) AS qy "
+            f"FROM (VALUES\n{values}\n) v(vec_id, qx, qy)")

@@ -855,3 +855,29 @@ def q_partitioned_sink(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("l_quantity").cast("long").alias("sum_qty"),
         F.countDistinct("l_orderkey").alias("n_orders"))
+
+
+@query("q_ml_isomap", OR2.isomap_oracle)
+def q_ml_isomap(spark, sf_dir):
+    """Isomap (owmanifoldlearning.py — the reference's Manifold Learning
+    widget wraps sklearn.Isomap; this closes the last manifold row):
+    k-NN graph -> Floyd-Warshall geodesics -> classical MDS, all
+    deterministic numpy over the id-sorted hash sample, with the
+    engine's sign convention.  Sample-then-embed is the contract (the
+    reference is in-memory too); the oracle
+    (plans/oracle_replay.isomap_oracle) re-fetches the identical sample
+    and replays the identical fit."""
+    from orange3_spark.ml.projection import isomap
+    from orange3_spark.operators.sample import sample_hash
+
+    P = OR2.ISOMAP_PARAMS
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    sampled = sample_hash(emb, "vec_id", P["fraction"])
+    out = isomap(sampled, "vec_id", array_col="embedding",
+                 n_neighbors=P["n_neighbors"])
+    return out.select(
+        "vec_id",
+        F.floor(F.col("iso_0") * F.lit(OR2.ISOMAP_QSCALE) + F.lit(0.5))
+        .cast("long").alias("qx"),
+        F.floor(F.col("iso_1") * F.lit(OR2.ISOMAP_QSCALE) + F.lit(0.5))
+        .cast("long").alias("qy"))

@@ -1660,3 +1660,39 @@ def q_line_dedup(spark, sf_dir):
                  F.col("source"), F.lit("\ncopyright 2026"))
         .alias("text"))
     return TD.dedup_lines(multi, min_docs=2).orderBy("doc_id")
+
+
+def _rp_values() -> str:
+    from orange3_spark.similarity.quantize import rp_matrix
+    return ",\n".join(f"({i},{j},{w})"
+                      for i, j, w in rp_matrix(64, 8, seed=42))
+
+
+@query("q_random_projection", f"""
+WITH w(i, j, wq) AS (SELECT * FROM (VALUES
+{{vals}}
+) v),
+x AS (SELECT vec_id, i - 1 AS i,
+             CAST(floor(CAST(e[i] AS DOUBLE) * 1048576.0 + 0.5)
+                  AS BIGINT) AS xq
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings),
+           unnest(generate_series(1, len(e))) g(i))
+SELECT x.vec_id, w.j, CAST(sum(x.xq * w.wq) AS BIGINT) AS yq
+FROM x JOIN w ON x.i = w.i
+GROUP BY x.vec_id, w.j
+ORDER BY x.vec_id, w.j
+""".replace("{vals}", _rp_values()))
+def q_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection
+    (similarity/quantize.random_projection): 64-dim embeddings to 8
+    dims through a seeded, fixed-point Gaussian matrix — the
+    shuffle-width shrink before ANN indexing.  Inputs and weights are
+    x2^20 int64, so the projection is EXACT integer arithmetic —
+    associative, partition-invariant, and the oracle replays it with
+    the identical weight table embedded as literals."""
+    from orange3_spark.similarity.quantize import random_projection
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return (random_projection(emb, out_dim=8, seed=42, in_dim=64)
+            .orderBy("vec_id", "j"))

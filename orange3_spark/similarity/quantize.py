@@ -54,3 +54,51 @@ def quantize_int8_summary(df: DataFrame, *, id_col: str = "vec_id",
                  F.sum(F.col("q") * F.col("pos")).cast("long")
                  .alias("dot_pos"))
             .select(id_col, "scale", "sum_q", "sum_abs_q", "dot_pos"))
+
+
+# ------------------------------------------------ JL random projection
+
+RP_SCALE = 1 << 20   # 2^20 fixed-point for inputs AND weights
+
+
+def rp_matrix(in_dim: int, out_dim: int, *, seed: int = 42):
+    """Deterministic quantized Gaussian projection matrix
+    ``[(i, j, wq)]`` (Johnson–Lindenstrauss): seeded numpy, scaled by
+    1/sqrt(out_dim), then fixed-point ×2^20 integers — so the
+    projection below is EXACT integer arithmetic (associative under any
+    partitioning, replayable as SQL literals)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    W = rng.standard_normal((in_dim, out_dim)) / np.sqrt(out_dim)
+    Wq = np.floor(W * RP_SCALE + 0.5).astype(np.int64)
+    return [(i, j, int(Wq[i, j]))
+            for i in range(in_dim) for j in range(out_dim)]
+
+
+def random_projection(df: DataFrame, *, id_col: str = "vec_id",
+                      array_col: str = "embedding", out_dim: int = 16,
+                      seed: int = 42, in_dim: int | None = None) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction → long-form
+    ``(id_col, j, yq)`` with ``yq = Σ round(x_i·2^20)·wq_ij`` — the 4×+
+    shuffle-width shrink before ANN indexing, as exact int64 sums
+    (|x|≲2⁷, |w|≲2³ ⇒ |term|≲2^47·dim < 2^63).
+
+    Plan: row-local posexplode → broadcast join with the (in_dim ×
+    out_dim) weight table → one map-side-combined groupBy.  Recover the
+    float projection as ``yq / 2^40``."""
+    if in_dim is None:
+        first = df.select(F.size(array_col).alias("n")).first()
+        in_dim = int(first["n"])
+    spark = df.sparkSession
+    W = spark.createDataFrame(rp_matrix(in_dim, out_dim, seed=seed),
+                              "i int, j int, wq long")
+    x = (df.select(F.col(id_col),
+                   F.posexplode(F.col(array_col).cast("array<double>"))
+                   .alias("i", "xv"))
+         .withColumn("xq", F.floor(F.col("xv") * F.lit(float(RP_SCALE))
+                                   + F.lit(0.5)).cast("long"))
+         .drop("xv"))
+    return (x.join(F.broadcast(W), "i")
+            .groupBy(id_col, "j")
+            .agg(F.sum(F.col("xq") * F.col("wq")).alias("yq")))

@@ -926,3 +926,23 @@ def test_permutation_importance_signal_and_determinism(spark):
     out2 = dict(permutation_importance_ols(df.repartition(7), "id",
                                            ["x"], "y", n_perm=2))
     assert out == out2                        # partition-invariant
+
+
+def test_isomap_unrolls_swiss_strip(spark):
+    import numpy as np
+
+    from orange3_spark.ml.projection import fit_isomap_matrix
+
+    # points on a tight spiral: euclidean distance between ends is small,
+    # geodesic (along the curve) is large — isomap's first axis must
+    # order points by arc length, which plain MDS on euclidean cannot
+    t = np.linspace(0, 3 * np.pi, 60)
+    # widely separated loops so the 3-NN graph follows the curve and
+    # never shortcuts across turns
+    X = np.c_[np.cos(t) * (1 + 0.8 * t), np.sin(t) * (1 + 0.8 * t)]
+    Y = fit_isomap_matrix(X, n_neighbors=3)
+    first = Y[:, 0]
+    # arc-length order: first coordinate is monotone along t up to noise
+    assert abs(np.corrcoef(first, t)[0, 1]) > 0.97
+    Y2 = fit_isomap_matrix(X, n_neighbors=3)
+    assert np.array_equal(Y, Y2)            # deterministic

@@ -146,3 +146,31 @@ def test_ivfpq_recall_and_partition_stability(spark):
                       m=2, k=8, topn=10).collect()
     assert [(r["vec_id"], r["adist"]) for r in got] == \
            [(r["vec_id"], r["adist"]) for r in got2]
+
+
+def test_random_projection_preserves_distances(spark):
+    import numpy as np
+
+    from orange3_spark.similarity.quantize import (RP_SCALE,
+                                                   random_projection,
+                                                   rp_matrix)
+
+    rng = np.random.RandomState(7)
+    X = rng.standard_normal((40, 64))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>")
+    out = random_projection(df, out_dim=16, seed=42, in_dim=64).collect()
+    Y = np.zeros((40, 16))
+    for r in out:
+        Y[r["vec_id"], r["j"]] = r["yq"] / float(RP_SCALE) ** 2
+    # JL property: pairwise distance ratios concentrate around 1
+    d_x = np.linalg.norm(X[:20] - X[20:], axis=1)
+    d_y = np.linalg.norm(Y[:20] - Y[20:], axis=1)
+    ratios = d_y / d_x
+    assert 0.5 < ratios.min() and ratios.max() < 1.6
+    # exact integer arithmetic: partition-invariant
+    out2 = random_projection(df.repartition(9), out_dim=16, seed=42,
+                             in_dim=64).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    assert len(rp_matrix(4, 2)) == 8
