@@ -169,6 +169,22 @@ AUDITS = {
         ("fold window is PARTITIONED by stratum (no global sort)",
          r"windowspecdefinition\(c_mktsegment"),
     ],
+    "q_join_salted": [
+        ("salted equi-join (salt refines the key partition)",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+    ],
+    "q_random_projection": [
+        ("weight table joins broadcast",
+         r"BroadcastHashJoin"),
+        ("projection sum is map-side-combined",
+         r"HashAggregate"),
+    ],
+    "q_resample_ffill": [
+        ("grid is a row-local sequence explode",
+         r"Generate explode"),
+        ("forward fill is a PARTITIONED as-of window",
+         r"windowspecdefinition\(user_id"),
+    ],
 }
 
 BAD_PATTERNS = [
