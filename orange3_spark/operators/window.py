@@ -329,3 +329,48 @@ def resample_ffill(df: DataFrame, *, ts_col: str, by: Sequence[str],
         *by, ts_col,
         F.col(f"right_{value_col}").alias(f"filled_{value_col}"),
         F.col(f"right_{ts_col}").alias("src_ts"))
+
+
+def ewma_weights_q(alpha: float, n: int, *, scale: int = 1 << 20):
+    """Fixed-point EWMA weight table ``[wq_0..wq_{n-1}]`` (oldest
+    first): ``w_k = α(1−α)^{n−1−k}``, normalized over the window, then
+    ×2^20 integers — computed ONCE driver-side so the windowed dot
+    product below is exact integer arithmetic (engine-portable;
+    ``pow`` is libm and drifts across engines)."""
+    raw = [alpha * (1 - alpha) ** (n - 1 - k) for k in range(n)]
+    tot = sum(raw)
+    return [int((w / tot) * scale + 0.5) for w in raw]
+
+
+def ewma(df: DataFrame, *, value_col: str, ts_col: str, by: Sequence[str],
+         order_tiebreak: Sequence[str] = (), alpha: float = 0.4,
+         window: int = 8, out_col: str = "ewma_q") -> DataFrame:
+    """Exponentially-weighted moving average over the last ``window``
+    observations per key — the time-decay feature/monitoring smoother.
+    Emitted as fixed-point int64 (``Σ round(x·2^20)·wq`` with the
+    deepest ``window`` weights, suffix-aligned so the newest row always
+    gets the largest weight): exact integer arithmetic, deterministic
+    under any partitioning and bit-replayable in SQL.
+
+    Shape: one PARTITIONED window collect of ≤ ``window`` quantized
+    values (bounded state per row), then a row-local weighted fold —
+    no self-join, no global sort."""
+    from pyspark.sql.window import Window
+
+    wq = ewma_weights_q(alpha, window)
+    order = [F.col(ts_col), *[F.col(c) for c in order_tiebreak]]
+    w = (Window.partitionBy(*by).orderBy(*order)
+         .rowsBetween(-(window - 1), 0))
+    xq = F.floor(F.col(value_col).cast("double") * F.lit(float(1 << 20))
+                 + F.lit(0.5)).cast("long")
+    arr = F.collect_list(xq).over(w)
+    # suffix-align: element i of a k-long frame uses weight
+    # wq[window-k+i]  (newest row -> last weight)
+    weights = F.lit(wq)
+    k = F.size(arr)
+    dotted = F.aggregate(
+        F.zip_with(arr,
+                   F.slice(weights, F.lit(len(wq)) - k + 1, k),
+                   lambda x, g: x * g),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return df.withColumn(out_col, dotted)

@@ -808,3 +808,46 @@ def q_join_salted(spark, sf_dir):
                       .cast("long")).cast("long").alias("cents_total"))
            .orderBy("n_name"))
     return out
+
+
+def _ewma_w() -> str:
+    from orange3_spark.operators.window import ewma_weights_q
+    return "[" + ", ".join(str(w) for w in ewma_weights_q(0.4, 8)) + "]"
+
+
+@query("q_ewma", """
+WITH e AS (SELECT user_id, ts, event_id,
+                  CAST(floor(CAST(value AS DOUBLE) * 1048576.0 + 0.5)
+                       AS BIGINT) AS xq
+           FROM events WHERE user_id < 30),
+a AS (SELECT user_id, ts, event_id,
+             list(xq) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+                 AS arr
+      FROM e),
+b AS (SELECT user_id, ts, event_id, len(arr) AS k, arr[i] AS x, i
+      FROM a, unnest(generate_series(1, len(arr))) g(i))
+SELECT user_id, ts, event_id,
+       CAST(sum(x * ({w})[8 - k + i]) AS BIGINT) AS ewma_q
+FROM b GROUP BY user_id, ts, event_id
+ORDER BY user_id, ts, event_id
+""".replace("{w}", _ewma_w()))
+def q_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average
+    (operators/window.ewma): per-user EWMA of event values over the
+    last 8 observations — the time-decay smoother of monitoring/feature
+    pipelines.  Weights are a driver-computed fixed-point table (pow is
+    libm and drifts across engines), inputs quantize to x2^20 ints, so
+    the windowed dot product is EXACT integer arithmetic — one
+    partitioned window collect + a row-local fold, bit-replayable in
+    SQL.  Warm-up rows use the suffix of the weight table (newest row
+    always gets the largest weight)."""
+    from orange3_spark.operators.window import ewma
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = ev.where(F.col("user_id") < 30).select("user_id", "ts",
+                                               "event_id", "value")
+    out = ewma(d, value_col="value", ts_col="ts", by=["user_id"],
+               order_tiebreak=["event_id"], alpha=0.4, window=8)
+    return (out.select("user_id", "ts", "event_id", "ewma_q")
+            .orderBy("user_id", "ts", "event_id"))

@@ -467,3 +467,30 @@ def test_salted_join_equals_plain_join(spark):
     ls = salted_join(left, right, ["k"], n_salts=8, how="left").collect()
     assert sorted(map(tuple, ls), key=repr) == sorted(map(tuple, lp),
                                                       key=repr)
+
+
+def test_ewma_literal_and_partition_invariance(spark):
+    import datetime as dt
+
+    from orange3_spark.operators.window import ewma, ewma_weights_q
+
+    wq = ewma_weights_q(0.4, 8)
+    assert wq[-1] > wq[0] and len(wq) == 8     # newest weight largest
+    assert abs(sum(wq) - (1 << 20)) <= 8       # ~normalized (rounding)
+    T = dt.datetime
+    rows = [("u", T(2024, 1, 1, 0, 0, i), i, float(i)) for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, eid long, value double")
+    out = {r["eid"]: r["ewma_q"] for r in
+           ewma(df, value_col="value", ts_col="ts", by=["k"],
+                order_tiebreak=["eid"]).collect()}
+    # literal check for the first (warm-up, single-element) row:
+    # frame = [x0=0] -> 0 * last weight = 0
+    assert out[0] == 0
+    # second row: frame [0,1] with the LAST two weights; ewma_q is in
+    # 2^40 fixed-point (xq x wq)
+    assert out[1] == 0 * wq[-2] + (1 << 20) * wq[-1]
+    o2 = {r["eid"]: r["ewma_q"] for r in
+          ewma(df.repartition(7), value_col="value", ts_col="ts",
+               by=["k"], order_tiebreak=["eid"]).collect()}
+    assert o2 == out
