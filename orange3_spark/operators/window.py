@@ -374,3 +374,23 @@ def ewma(df: DataFrame, *, value_col: str, ts_col: str, by: Sequence[str],
                    lambda x, g: x * g),
         F.lit(0).cast("long"), lambda acc, v: acc + v)
     return df.withColumn(out_col, dotted)
+
+
+def zorder_key(a, b, *, bits: int = 16):
+    """Morton/Z-order interleave of two non-negative integer bucket
+    columns — the multi-dimensional data-layout key: writing a table
+    sorted by ``zorder_key(bucket(x), bucket(y))`` clusters BOTH
+    dimensions, so min/max row-group stats prune 2-D predicates that a
+    row-major sort can only prune on its leading column.  Pure integer
+    bit arithmetic (one codegen expression, engine-portable), ``bits``
+    per dimension (≤ 31)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    z = F.lit(0).cast("long")
+    for k in range(bits):
+        z = (z
+             + F.shiftleft(F.shiftright(a.cast("long"), k)
+                           .bitwiseAND(F.lit(1)), 2 * k)
+             + F.shiftleft(F.shiftright(b.cast("long"), k)
+                           .bitwiseAND(F.lit(1)), 2 * k + 1))
+    return z

@@ -851,3 +851,45 @@ def q_ewma(spark, sf_dir):
                order_tiebreak=["event_id"], alpha=0.4, window=8)
     return (out.select("user_id", "ts", "event_id", "ewma_q")
             .orderBy("user_id", "ts", "event_id"))
+
+
+def _zorder_sql(a: str, b: str, bits: int = 8) -> str:
+    terms = []
+    for k in range(bits):
+        terms.append(f"((({a} >> {k}) & 1) << {2 * k})")
+        terms.append(f"((({b} >> {k}) & 1) << {2 * k + 1})")
+    return " + ".join(terms)
+
+
+@query("q_zorder", """
+WITH d AS (SELECT CAST(l_quantity AS BIGINT) AS qa,
+                  CAST(floor(CAST(l_extendedprice AS DOUBLE) / 2000.0)
+                       AS BIGINT) AS qb
+           FROM lineitem),
+z AS (SELECT qa, qb, CAST({expr} AS BIGINT) AS zkey FROM d)
+SELECT CAST(zkey // 256 AS BIGINT) AS zblock,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(qa) AS BIGINT) AS qa_min, CAST(max(qa) AS BIGINT) AS qa_max,
+       CAST(min(qb) AS BIGINT) AS qb_min, CAST(max(qb) AS BIGINT) AS qb_max
+FROM z GROUP BY 1 ORDER BY 1
+""".replace("{expr}", _zorder_sql("qa", "qb", 8)))
+def q_zorder(spark, sf_dir):
+    """Z-order (Morton) clustering key (operators/window.zorder_key):
+    interleave quantity and a price bucket, then summarize per
+    256-key z-block — the per-block (min, max) spans of BOTH dimensions
+    are what parquet row-group stats would carry after a z-sorted
+    write, i.e. the 2-D pruning story made inspectable.  Pure integer
+    bit arithmetic, mirrored term for term in SQL."""
+    from orange3_spark.operators.window import zorder_key
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.col("l_quantity").cast("long").alias("qa"),
+        F.floor(F.col("l_extendedprice").cast("double") / F.lit(2000.0))
+        .cast("long").alias("qb"))
+    z = d.withColumn("zkey", zorder_key("qa", "qb", bits=8))
+    return (z.groupBy(F.expr("zkey div 256").alias("zblock"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("qa").alias("qa_min"), F.max("qa").alias("qa_max"),
+                 F.min("qb").alias("qb_min"), F.max("qb").alias("qb_max"))
+            .orderBy("zblock"))

@@ -494,3 +494,22 @@ def test_ewma_literal_and_partition_invariance(spark):
           ewma(df.repartition(7), value_col="value", ts_col="ts",
                by=["k"], order_tiebreak=["eid"]).collect()}
     assert o2 == out
+
+
+def test_zorder_interleave_matches_reference(spark):
+    from orange3_spark.operators.window import zorder_key
+
+    def ref(a, b, bits=16):
+        z = 0
+        for k in range(bits):
+            z |= ((a >> k) & 1) << (2 * k)
+            z |= ((b >> k) & 1) << (2 * k + 1)
+        return z
+
+    rows = [(a, b) for a in (0, 1, 5, 255, 1000) for b in (0, 3, 7, 512)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {(r["a"], r["b"]): r["z"] for r in
+           df.select("a", "b", zorder_key("a", "b").alias("z")).collect()}
+    assert got == {(a, b): ref(a, b) for a, b in rows}
+    # locality: points close in BOTH dims land in the same z-block
+    assert abs(ref(10, 10) - ref(11, 11)) < abs(ref(10, 10) - ref(10, 200))
