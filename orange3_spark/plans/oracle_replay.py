@@ -1255,3 +1255,41 @@ def isomap_oracle() -> str:
     return (f"SELECT CAST(vec_id AS BIGINT) AS vec_id, "
             f"CAST(qx AS BIGINT) AS qx, CAST(qy AS BIGINT) AS qy "
             f"FROM (VALUES\n{values}\n) v(vec_id, qx, qy)")
+
+
+# ------------------------------------------------------ categorical chi2
+
+@lazy
+def chi2_oracle() -> str:
+    """q_drift_chi2: exact integer level counts through DuckDB, the
+    identical python χ² (stats/validation.chi2_from_counts), all rows
+    embedded as literals."""
+    import duckdb
+    import math
+
+    from orange3_spark.stats.validation import (PSI_QSCALE,
+                                                chi2_from_counts)
+
+    con = duckdb.connect()
+    try:
+        rows = con.execute(f"""
+            SELECT event_type,
+                   CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                            THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+            FROM '{_sf_dir()}/events.parquet'
+            WHERE event_type IS NOT NULL
+            GROUP BY 1 ORDER BY 1""").fetchall()
+    finally:
+        con.close()
+    ca = [int(r[1]) for r in rows]
+    cb = [int(r[2]) for r in rows]
+    chi2_q = int(math.floor(chi2_from_counts(ca, cb)
+                            * PSI_QSCALE + 0.5))
+    values = ",\n".join(f"('{lv}', {a}, {b}, {chi2_q})"
+                        for lv, a, b in rows)
+    return (f"SELECT level, CAST(n_a AS BIGINT) AS n_a, "
+            f"CAST(n_b AS BIGINT) AS n_b, "
+            f"CAST(chi2_q AS BIGINT) AS chi2_q "
+            f"FROM (VALUES\n{values}\n) t(level, n_a, n_b, chi2_q)")

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from orange3_spark.plans import oracle_replay as OR3
 from orange3_spark.plans.registry import query
 from orange3_spark.session import load_tables
 from orange3_spark.stats import distance as D
@@ -527,3 +528,45 @@ def q_pagerank(spark, sf_dir):
             F.concat(F.lit("S"), F.col("l_suppkey").cast("string")),
             F.concat(F.lit("C"), F.col("o_custkey").cast("string")))))
     return pagerank_topk(edges, k=20, iterations=3)
+
+
+@query("q_distance_transform", f"""
+WITH f AS ({_NATION_SQL}),
+d AS (SELECT a.n_nationkey AS id_a, b.n_nationkey AS id_b,
+             sqrt(power(a.n_orders - b.n_orders, 2)
+                  + power(a.avg_price - b.avg_price, 2)) AS dist
+      FROM f a JOIN f b ON a.n_nationkey < b.n_nationkey),
+m AS (SELECT max(dist) AS mx FROM d)
+SELECT id_a, id_b,
+       CASE WHEN mx > 0 THEN 1.0 - dist / mx ELSE 1.0 END AS dist
+FROM d, m
+""")
+def q_distance_transform(spark, sf_dir):
+    """Distance Transformation (owdistancetransformation.py): normalize
+    the nation-feature distance table by its max and invert to a
+    similarity — one lazily-folded max aggregate (broadcast scalar, no
+    driver action) + a row-local map, mirrored in SQL."""
+    from orange3_spark.stats.distance import distance_transform
+
+    feats = _nation_features(spark, sf_dir)
+    dist = D.row_distances(feats, "n_nationkey",
+                           ["n_orders", "avg_price"], metric="euclidean")
+    return (distance_transform(dist, normalize=True, invert=True)
+            .select("id_a", "id_b", "dist"))
+
+
+@query("q_drift_chi2", OR3.chi2_oracle)
+def q_drift_chi2(spark, sf_dir):
+    """Categorical drift monitor (the χ² companion of q_drift_psi):
+    event-type distribution of early vs late events as an exact integer
+    contingency; the χ² statistic is a driver-side pure function of
+    those counts (shared verbatim with the replay oracle) — the
+    per-batch alarm for categorical schema/mix shift."""
+    from orange3_spark.stats.validation import drift_chi2
+
+    (ev,) = _t(spark, sf_dir, "events")
+    tab, chi2_q = drift_chi2(
+        ev, "event_type",
+        F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+    return (tab.withColumn("chi2_q", F.lit(chi2_q).cast("long"))
+            .orderBy("level"))

@@ -228,3 +228,25 @@ def spearman_column_distances(df: DataFrame, cols: Sequence[str], *,
                  F.col(f"`{c}`").alias("dist")) for c in row.columns])
     return (row.select(F.explode(pairs).alias("p"))
                .select("p.col_a", "p.col_b", "p.dist"))
+
+
+def distance_transform(dist: DataFrame, *, dist_col: str = "dist",
+                       normalize: bool = True,
+                       invert: bool = False) -> DataFrame:
+    """Distance Transformation widget
+    (``Orange/widgets/unsupervised/owdistancetransformation.py``):
+    normalize a long-form distance table to [0, 1] by its maximum
+    and/or invert similarities (``max − d`` after normalization:
+    ``1 − d``).  One max aggregate folded in lazily (broadcast scalar
+    frame — no driver action), then a row-local map; the max of exact
+    pair distances is order-independent, so the transform replays
+    exactly."""
+    mx = dist.agg(F.max(dist_col).alias("_mx"))
+    out = dist.crossJoin(F.broadcast(mx))
+    d = F.col(dist_col)
+    if normalize:
+        d = F.when(F.col("_mx") > 0, d / F.col("_mx")).otherwise(F.lit(0.0))
+    if invert:
+        top = F.lit(1.0) if normalize else F.col("_mx")
+        d = top - d
+    return out.withColumn(dist_col, d).drop("_mx")

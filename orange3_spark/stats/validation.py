@@ -87,3 +87,50 @@ def drift_psi(df: DataFrame, col: str, split: Column, *,
     cb = [rows.get(i, (0, 0))[1] for i in range(n_bins)]
     psi_q = int(math.floor(psi_from_counts(ca, cb) * PSI_QSCALE + 0.5))
     return tab, psi_q
+
+
+def chi2_from_counts(counts_a: list[int], counts_b: list[int]) -> float:
+    """Two-sample χ² homogeneity statistic from aligned integer level
+    counts — pure python on exact ints, shared verbatim with the replay
+    oracle."""
+    n_a, n_b = sum(counts_a), sum(counts_b)
+    n = n_a + n_b
+    chi2 = 0.0
+    for ca, cb in zip(counts_a, counts_b):
+        tot = ca + cb
+        if tot == 0:
+            continue
+        ea = tot * n_a / n
+        eb = tot * n_b / n
+        chi2 += (ca - ea) ** 2 / ea + (cb - eb) ** 2 / eb
+    return chi2
+
+
+def drift_chi2(df: DataFrame, col: str, split: Column, *,
+               max_levels: int = 1000) -> tuple[DataFrame, int]:
+    """Categorical drift: level table ``(level, n_a, n_b)`` (rows where
+    ``split`` is true are population A) and the fixed-point χ²
+    statistic (×1e9) — one grouped exact-integer aggregation
+    (cardinality-guarded), χ² computed driver-side over the bounded
+    level counts."""
+    import math
+
+    probe = df.agg(F.approx_count_distinct(col).alias("n")).first()
+    if probe["n"] > max_levels:
+        raise ValueError(f"~{probe['n']} levels in {col!r} "
+                         f"(> {max_levels}); χ² drift needs a "
+                         "categorical column")
+    tab = (df.where(F.col(col).isNotNull())
+           .select(F.col(col).cast("string").alias("level"),
+                   split.cast("int").alias("_a"))
+           .groupBy("level")
+           .agg(F.sum("_a").cast("long").alias("n_a"),
+                F.sum(1 - F.col("_a")).cast("long").alias("n_b"))
+           .orderBy("level"))
+    rows = sorted((r["level"], int(r["n_a"]), int(r["n_b"]))
+                  for r in tab.collect())
+    ca = [r[1] for r in rows]
+    cb = [r[2] for r in rows]
+    chi2_q = int(math.floor(chi2_from_counts(ca, cb)
+                            * PSI_QSCALE + 0.5))
+    return tab, chi2_q

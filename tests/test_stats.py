@@ -259,3 +259,28 @@ def test_validate_and_drift_psi(spark):
     _, psi_q3 = drift_psi(d2.repartition(7), "x", F.col("early"),
                           n_bins=10, lo=0.0, hi=99.0)
     assert psi_q3 == psi_q                # partition-invariant
+
+
+def test_chi2_and_distance_transform(spark):
+    from pyspark.sql import functions as F
+
+    from orange3_spark.stats.distance import distance_transform
+    from orange3_spark.stats.validation import chi2_from_counts, drift_chi2
+
+    assert chi2_from_counts([50, 50], [50, 50]) == 0.0
+    assert chi2_from_counts([100, 0], [0, 100]) > 100.0
+    rows = ([("x", True)] * 50 + [("y", True)] * 50
+            + [("x", False)] * 50 + [("y", False)] * 50)
+    df = spark.createDataFrame(rows, "v string, early boolean")
+    _, q = drift_chi2(df, "v", F.col("early"))
+    assert q == 0                              # identical mixes
+    rows2 = [("x", True)] * 90 + [("y", True)] * 10 \
+        + [("x", False)] * 10 + [("y", False)] * 90
+    _, q2 = drift_chi2(spark.createDataFrame(rows2, "v string, early boolean"),
+                       "v", F.col("early"))
+    assert q2 > 50 * 10**9                     # massive shift
+    d = spark.createDataFrame([(1, 2, 4.0), (1, 3, 8.0), (2, 3, 0.0)],
+                              "id_a long, id_b long, dist double")
+    out = {(r["id_a"], r["id_b"]): r["dist"] for r in
+           distance_transform(d, normalize=True, invert=True).collect()}
+    assert out == {(1, 2): 0.5, (1, 3): 0.0, (2, 3): 1.0}
