@@ -299,3 +299,31 @@ def test_stream_quantile_bins_equals_batch(spark, sf_dir, tmp_path):
         quantile_bins(stream, "value", group_by="event_type",
                       n_bins=64, lo=0.0, hi=1000.0), "t_qbins")
     assert _canon(got_df, ["g", "bin", "n"]) == want
+
+
+def test_stream_drift_level_table_equals_batch(spark, sf_dir, tmp_path):
+    """drift_chi2's level table is ONE bounded streaming aggregation
+    (≤ levels keys in the state store); stream the table, finish the χ²
+    driver-side, and match the all-batch monitor exactly — the
+    continuous drift-alarm deployment shape."""
+    from orange3_spark.stats.validation import chi2_from_counts, drift_chi2
+
+    schema, path = _events_schema_and_path(spark, sf_dir, tmp_path)
+    batch = spark.read.parquet(path)
+    split = F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp")
+    want_tab, want_q = drift_chi2(batch, "event_type", split)
+    want = sorted(map(tuple, want_tab.collect()))
+    stream = SW.stream_from_directory(spark, path, schema)
+    tab = (stream.where(F.col("event_type").isNotNull())
+           .select(F.col("event_type").alias("level"),
+                   split.cast("int").alias("_a"))
+           .groupBy("level")
+           .agg(F.sum("_a").cast("long").alias("n_a"),
+                F.sum(1 - F.col("_a")).cast("long").alias("n_b")))
+    got_df = SW.run_to_memory(tab, "t_drift")
+    rows = sorted((r["level"], r["n_a"], r["n_b"])
+                  for r in got_df.collect())
+    assert rows == want
+    got_q = int(__import__("math").floor(chi2_from_counts(
+        [r[1] for r in rows], [r[2] for r in rows]) * 1e9 + 0.5))
+    assert got_q == want_q
