@@ -146,3 +146,31 @@ def salted_join(left: DataFrame, right: DataFrame,
                                       for s in range(n_salts)])))
     out = l.join(r, [*on, "__salt"], how)
     return out.drop("__salt")
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: Sequence[str],
+                  *, compare: Optional[Sequence[str]] = None) -> DataFrame:
+    """CDC-style snapshot diff: classify every key as ``added`` (only in
+    ``new``), ``removed`` (only in ``old``), ``changed`` (present in
+    both, any compared column differs — NULL-safe), or ``unchanged``.
+    The per-batch reconciliation report of an incremental pipeline
+    (what a MERGE INTO would do, as an inspectable table).
+
+    One full outer join on the key; comparison is NULL-safe equality
+    (``<=>``) over ``compare`` (default: all shared non-key columns).
+    Returns ``(keys..., change)``; aggregate for the census."""
+    compare = list(compare) if compare is not None else [
+        c for c in old.columns if c in set(new.columns) and c not in keys]
+    o = old.select(*keys, *[F.col(c).alias(f"_o_{c}") for c in compare],
+                   F.lit(1).alias("_in_o"))
+    n = new.select(*keys, *[F.col(c).alias(f"_n_{c}") for c in compare],
+                   F.lit(1).alias("_in_n"))
+    j = o.join(n, list(keys), "full_outer")
+    same = F.lit(True)
+    for c in compare:
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    change = (F.when(F.col("_in_o").isNull(), F.lit("added"))
+              .when(F.col("_in_n").isNull(), F.lit("removed"))
+              .when(same, F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return j.select(*keys, change.alias("change"))

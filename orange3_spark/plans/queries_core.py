@@ -893,3 +893,42 @@ def q_zorder(spark, sf_dir):
                  F.min("qa").alias("qa_min"), F.max("qa").alias("qa_max"),
                  F.min("qb").alias("qb_min"), F.max("qb").alias("qb_max"))
             .orderBy("zblock"))
+
+
+@query("q_snapshot_diff", """
+WITH old AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+             WHERE o_orderkey % 10 < 7),
+new AS (SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 6 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 10 BETWEEN 3 AND 9),
+j AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                   AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                  THEN 'unchanged' ELSE 'changed' END AS change
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+SELECT change, CAST(count(*) AS BIGINT) AS n
+FROM j GROUP BY change ORDER BY change
+""")
+def q_snapshot_diff(spark, sf_dir):
+    """CDC snapshot diff (operators/merge.snapshot_diff): two derived
+    order snapshots (keys % 10 < 7 vs 3..9, with status mutated on the
+    %10=6 slice) classified added/removed/changed/unchanged by one
+    NULL-safe full outer join — the reconciliation census a MERGE INTO
+    pipeline alerts on."""
+    from orange3_spark.operators.merge import snapshot_diff
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    old = base.where(F.col("o_orderkey") % 10 < 7)
+    new = (base.where((F.col("o_orderkey") % 10 >= 3)
+                      & (F.col("o_orderkey") % 10 <= 9))
+           .withColumn("o_orderstatus",
+                       F.when(F.col("o_orderkey") % 10 == 6, F.lit("X"))
+                       .otherwise(F.col("o_orderstatus"))))
+    d = snapshot_diff(old, new, ["o_orderkey"])
+    return (d.groupBy("change").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("change"))

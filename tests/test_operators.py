@@ -513,3 +513,22 @@ def test_zorder_interleave_matches_reference(spark):
     assert got == {(a, b): ref(a, b) for a, b in rows}
     # locality: points close in BOTH dims land in the same z-block
     assert abs(ref(10, 10) - ref(11, 11)) < abs(ref(10, 10) - ref(10, 200))
+
+
+def test_snapshot_diff_classification(spark):
+    from orange3_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0)],
+        "k long, s string, v double")
+    new = spark.createDataFrame(
+        [(2, "b", None), (3, "CHANGED", 3.0), (4, "d", 4.0)],
+        "k long, s string, v double")
+    got = {r["k"]: r["change"] for r in
+           snapshot_diff(old, new, ["k"]).collect()}
+    # NULL-safe: k=2's NULL v compares equal to NULL v
+    assert got == {1: "removed", 2: "unchanged", 3: "changed",
+                   4: "added"}
+    sub = {r["k"]: r["change"] for r in
+           snapshot_diff(old, new, ["k"], compare=["v"]).collect()}
+    assert sub[3] == "unchanged"           # v alone didn't change
