@@ -185,6 +185,21 @@ AUDITS = {
         ("forward fill is a PARTITIONED as-of window",
          r"windowspecdefinition\(user_id"),
     ],
+    "q_ewma": [
+        ("EWMA window is PARTITIONED by key (bounded frame)",
+         r"windowspecdefinition\(user_id"),
+    ],
+    "q_snapshot_diff": [
+        ("diff is one NULL-safe full outer join",
+         r"FullOuter"),
+    ],
+    "q_zorder": [
+        ("interleave is pure row-local codegen",
+         r"(\*\(\d+\)|WholeStageCodegen)"),
+        ("scan prunes to the two bucketed columns",
+         r"ReadSchema: struct<l_quantity:double,"
+         r"l_extendedprice:double>"),
+    ],
 }
 
 BAD_PATTERNS = [
