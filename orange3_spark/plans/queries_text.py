@@ -1696,3 +1696,37 @@ def q_random_projection(spark, sf_dir):
     (emb,) = _t(spark, sf_dir, "embeddings")
     return (random_projection(emb, out_dim=8, seed=42, in_dim=64)
             .orderBy("vec_id", "j"))
+
+
+@query("q_cooccurrence", """
+WITH tok AS (SELECT DISTINCT doc_id AS d,
+                    unnest(list_filter(string_split(trim(text), ' '),
+                           x -> x <> '')) AS t
+             FROM documents),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+tf AS (SELECT t, CAST(count(*) AS BIGINT) AS n_t FROM tok GROUP BY t),
+kept AS (SELECT * FROM tf WHERE n_t >= 5 AND n_t <= 10000),
+tk AS (SELECT tok.d, tok.t FROM tok JOIN kept ON tok.t = kept.t),
+pairs AS (SELECT a.t AS t_a, b.t AS t_b,
+                 CAST(count(*) AS BIGINT) AS n_ab
+          FROM tk a JOIN tk b ON a.d = b.d AND a.t < b.t
+          GROUP BY 1, 2 HAVING count(*) >= 5),
+lifted AS (SELECT p.t_a, p.t_b, p.n_ab, ka.n_t AS n_a, kb.n_t AS n_b,
+                  (p.n_ab * nd.n * 1000000) // (ka.n_t * kb.n_t) AS lift_q
+           FROM pairs p
+           JOIN kept ka ON p.t_a = ka.t
+           JOIN kept kb ON p.t_b = kb.t
+           CROSS JOIN nd)
+SELECT t_a, t_b, n_ab, n_a, n_b, CAST(lift_q AS BIGINT) AS lift_q
+FROM lifted ORDER BY lift_q DESC, t_a, t_b LIMIT 20
+""")
+def q_cooccurrence(spark, sf_dir):
+    """Token co-occurrence lift (text/analysis.cooccurrence_lift — the
+    association-mining primitive; the reference core ships only the
+    BasketReader, mining lives in the orange3-associate add-on): top-20
+    token pairs by exact-integer lift (the monotone PMI transform that
+    needs no libm log), document-blocked pair join with df caps so hot
+    tokens can't explode quadratically."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return TA.cooccurrence_lift(docs, min_count=5, max_df=10_000,
+                                top_k=20)

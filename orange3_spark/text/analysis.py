@@ -369,3 +369,48 @@ def boilerplate_fraction(df: DataFrame, text_col: str = "text",
             .withColumn("boiler_frac",
                         F.col("n_boiler").cast("double")
                         / F.col("n_grams").cast("double")))
+
+
+# --------------------------------------------------- co-occurrence lift
+
+def cooccurrence_lift(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", *, min_count: int = 5,
+                      max_df: int = 10_000, top_k: int = 20) -> DataFrame:
+    """Token-pair co-occurrence with exact-integer LIFT — the
+    association-mining primitive (the reference ships market-basket
+    mining only as the orange3-associate add-on; the BasketReader is in
+    core).  Lift = P(a,b)/(P(a)P(b)) emitted as the integer
+    ``n_ab·N·10⁶ DIV (n_a·n_b)`` — a monotone transform computed without
+    libm ``log`` (PMI = log(lift)), so ranking and values replay
+    bit-for-bit.
+
+    Scale shape: distinct (doc, token) → self-join per doc with
+    ``t_a < t_b`` — the same blocked-pair shape as shingle Jaccard,
+    with a ``max_df`` cap so stopword-grade tokens can't quadratically
+    explode a document's pair list.  Overflow bound: n_ab·N·10⁶ ≤
+    docs²·10⁶ must stay < 2⁶³ (fine to ~3·10⁶ docs; shard or rescale
+    beyond)."""
+    tok = (df.select(F.col(id_col).alias("d"),
+                     F.explode(tokens(text_col)).alias("t"))
+           .distinct())
+    n_docs = df.select(id_col).distinct().count()
+    tf = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
+    kept = tf.where((F.col("n_t") >= min_count)
+                    & (F.col("n_t") <= max_df))
+    tok = tok.join(kept.select("t"), "t")
+    a = tok.select("d", F.col("t").alias("t_a"))
+    b = tok.select("d", F.col("t").alias("t_b"))
+    pairs = (a.join(b, "d").where(F.col("t_a") < F.col("t_b"))
+             .groupBy("t_a", "t_b")
+             .agg(F.count(F.lit(1)).alias("n_ab"))
+             .where(F.col("n_ab") >= min_count))
+    out = (pairs
+           .join(kept.select(F.col("t").alias("t_a"),
+                             F.col("n_t").alias("n_a")), "t_a")
+           .join(kept.select(F.col("t").alias("t_b"),
+                             F.col("n_t").alias("n_b")), "t_b")
+           .withColumn("lift_q",
+                       F.expr(f"(n_ab * {n_docs} * 1000000) "
+                              f"div (n_a * n_b)")))
+    return (out.orderBy(F.desc("lift_q"), "t_a", "t_b").limit(top_k)
+            .select("t_a", "t_b", "n_ab", "n_a", "n_b", "lift_q"))

@@ -881,3 +881,25 @@ def test_dedup_lines_ccnet_semantics(spark):
         [(1, "same\nsame2"), (2, "same\nsame2")], "doc_id long, text string")
     o2 = {r["doc_id"]: r for r in dedup_lines(docs2, min_docs=2).collect()}
     assert o2[1]["n_kept"] == 0 and o2[1]["clean_text"] == ""
+
+
+def test_cooccurrence_lift_literal(spark):
+    from orange3_spark.text.analysis import cooccurrence_lift
+
+    # 'a b' always together (10 docs), 'c' independent in half of them
+    docs = ([(i, "a b filler%d" % i) for i in range(10)]
+            + [(100 + i, "c other%d" % i) for i in range(10)]
+            + [(200 + i, "a b c joint") for i in range(5)])
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {(r["t_a"], r["t_b"]): r for r in
+           cooccurrence_lift(df, min_count=5, top_k=10).collect()}
+    ab = out[("a", "b")]
+    n = 25
+    assert ab["n_ab"] == 15 and ab["n_a"] == 15 and ab["n_b"] == 15
+    assert ab["lift_q"] == (15 * n * 1000000) // (15 * 15)  # lift 5/3
+    # a-c co-occur only in the 5 joint docs: lift < ab's
+    assert out[("a", "c")]["lift_q"] < ab["lift_q"]
+    out2 = {(r["t_a"], r["t_b"]): r["lift_q"] for r in
+            cooccurrence_lift(df.repartition(7), min_count=5,
+                              top_k=10).collect()}
+    assert out2 == {k: v["lift_q"] for k, v in out.items()}
