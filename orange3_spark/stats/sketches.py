@@ -255,6 +255,12 @@ def quantile_bins(df: DataFrame, col: str, *, group_by: str,
         lo_hi = df.agg(F.min(col).alias("lo"),
                        F.max(col).alias("hi")).first()
         lo, hi = float(lo_hi["lo"]), float(lo_hi["hi"])
+    if hi <= lo:
+        # constant (or empty-range) column: every value lands in bin 0,
+        # never a divide-by-zero NaN bin
+        return (df.select(F.col(group_by).alias("g"),
+                          F.lit(0).cast("long").alias("bin"))
+                .groupBy("g", "bin").agg(F.count(F.lit(1)).alias("n")))
     w = (hi - lo) / n_bins
     b = F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(w))
     return (df.select(F.col(group_by).alias("g"),

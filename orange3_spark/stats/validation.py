@@ -72,9 +72,13 @@ def drift_psi(df: DataFrame, col: str, split: Column, *,
     if lo is None or hi is None:
         b = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
         lo, hi = float(b["lo"]), float(b["hi"])
-    w = (hi - lo) / n_bins
-    binc = F.least(F.floor((F.col(col).cast("double") - F.lit(lo))
-                           / F.lit(w)), F.lit(n_bins - 1)).cast("long")
+    if hi <= lo:
+        # constant column: one bin, PSI trivially 0 — not a NaN bin
+        binc = F.lit(0).cast("long")
+    else:
+        w = (hi - lo) / n_bins
+        binc = F.least(F.floor((F.col(col).cast("double") - F.lit(lo))
+                               / F.lit(w)), F.lit(n_bins - 1)).cast("long")
     tab = (df.where(F.col(col).isNotNull())
            .select(binc.alias("bin"), split.cast("int").alias("_a"))
            .groupBy("bin")

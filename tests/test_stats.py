@@ -284,3 +284,19 @@ def test_chi2_and_distance_transform(spark):
     out = {(r["id_a"], r["id_b"]): r["dist"] for r in
            distance_transform(d, normalize=True, invert=True).collect()}
     assert out == {(1, 2): 0.5, (1, 3): 0.0, (2, 3): 1.0}
+
+
+def test_binned_sketches_constant_column_guard(spark):
+    from pyspark.sql import functions as F
+
+    from orange3_spark.stats.sketches import quantile_bins
+    from orange3_spark.stats.validation import drift_psi
+
+    df = spark.createDataFrame([("g", 7.0, i < 3) for i in range(6)],
+                               "g string, x double, early boolean")
+    bins = quantile_bins(df, "x", group_by="g", n_bins=16,
+                         lo=7.0, hi=7.0).collect()
+    assert [(r["bin"], r["n"]) for r in bins] == [(0, 6)]
+    _, psi_q = drift_psi(df, "x", F.col("early"), n_bins=16,
+                         lo=7.0, hi=7.0)
+    assert psi_q == 0
