@@ -67,6 +67,8 @@ def pagerank_frame(edges: DataFrame, *, src: str = "src",
              .persist(StorageLevel.MEMORY_AND_DISK))
     n = nodes.count()
     raw.unpersist()
+    if n == 0:
+        raise ValueError("pagerank on an empty edge set (0 nodes)")
     dangling = nodes.join(e2.select(F.col("src").alias("node")),
                           "node", "left_anti")
     # static property probed ONCE: a symmetric/strongly-covering graph

@@ -532,3 +532,12 @@ def test_snapshot_diff_classification(spark):
     sub = {r["k"]: r["change"] for r in
            snapshot_diff(old, new, ["k"], compare=["v"]).collect()}
     assert sub[3] == "unchanged"           # v alone didn't change
+
+
+def test_pagerank_empty_graph_raises(spark):
+    from orange3_spark.operators.graph import pagerank_frame
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="empty edge set"):
+        pagerank_frame(empty)
