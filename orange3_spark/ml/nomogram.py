@@ -36,13 +36,11 @@ def nb_contingencies(df: DataFrame, attrs: Sequence[str],
     explode + groupBy pass (one shuffle regardless of attribute count);
     rows with a missing attribute value or class are dropped, like the
     reference's contingency computation."""
-    probe = df.agg(*[F.approx_count_distinct(a).alias(a)
-                     for a in attrs]).first()
-    too_big = [a for a in attrs if probe[a] > max_levels]
-    if too_big:
-        raise ValueError(f"attributes {too_big} exceed {max_levels} "
-                         "levels; discretize first (the reference's NB "
-                         "preprocessor does the same)")
+    from orange3_spark.guards import check_max_levels
+
+    check_max_levels(df, attrs, max_levels,
+                     "discretize first (the reference's NB "
+                     "preprocessor does the same)")
     pairs = F.array(*[
         F.struct(F.lit(a).alias("attr"),
                  F.col(a).cast("string").alias("value"))

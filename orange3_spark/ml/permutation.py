@@ -77,10 +77,18 @@ def ols_r2_quantized(df: DataFrame, features: Sequence[str],
             aggs.append(F.sum(z[i] * z[j]).alias(f"m_{i}_{j}"))
         aggs.append(F.sum(z[i] * y).alias(f"v_{i}"))
     r = df.na.drop(subset=[*features, target]).agg(*aggs).first()
-    if abs(int(r["yy"])) >= (1 << 62) or abs(int(r[f"m_{p}_{p}"])) >= (1 << 62):
+    _check_moment_overflow(r, p)
+    return r2_from_moments({k: r[k] for k in r.asDict()}, p)
+
+
+def _check_moment_overflow(r, p: int) -> None:
+    """Spark's non-ANSI sum(long) wraps silently; raise loudly if any
+    diagonal moment (the largest-magnitude sums) nears int64 range."""
+    hot = [abs(int(r["yy"]))] + [abs(int(r[f"m_{i}_{i}"]))
+                                 for i in range(1, p + 1)]
+    if max(hot) >= (1 << 62):
         raise OverflowError("quantized moments near int64 range; "
                             "lower `scale` or rescale features")
-    return r2_from_moments({k: r[k] for k in r.asDict()}, p)
 
 
 def r2_from_moments(r: dict, p: int) -> float:
@@ -158,9 +166,7 @@ def permutation_importance_ols(df: DataFrame, id_col: str,
     out = []
     for lb in labels:
         r = rows[lb]
-        if abs(int(r["yy"])) >= (1 << 62):
-            raise OverflowError("quantized moments near int64 range; "
-                                "lower `scale` or rescale features")
+        _check_moment_overflow(r, p)
         r2 = r2_from_moments({k: r[k] for k in r.asDict()}, p)
         out.append((lb, int(math.floor(r2 * PERM_QSCALE + 0.5))))
     return out

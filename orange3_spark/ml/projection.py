@@ -813,13 +813,11 @@ def correspondence_analysis(df: DataFrame, col_a: str, col_b: str, *,
     the exact contingency, so the oracle replays it literally."""
     import numpy as np
 
-    probe = df.agg(
-        F.approx_count_distinct(col_a).alias("a"),
-        F.approx_count_distinct(col_b).alias("b")).first()
-    if probe["a"] > max_levels or probe["b"] > max_levels:
-        raise ValueError(
-            f"CA contingency would be {probe['a']}x{probe['b']} "
-            f"(> {max_levels} levels); discretize or regroup first")
+    from orange3_spark.guards import check_max_levels
+
+    check_max_levels(df, [col_a, col_b], max_levels,
+                     "CA contingency bounded by max_levels² — "
+                     "discretize or regroup first")
     rows = (df.groupBy(col_a, col_b).count()
             .dropna().collect())
     a_levels = sorted({r[col_a] for r in rows})

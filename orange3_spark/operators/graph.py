@@ -47,7 +47,15 @@ def pagerank_frame(edges: DataFrame, *, src: str = "src",
 
     Caller owns persistence of ``edges`` (see :func:`pagerank_topk`);
     the returned plan references it ``iterations`` times.
-    ``n = |nodes|`` is fetched driver-side once (one count job)."""
+    ``n = |nodes|`` is fetched driver-side once (one count job).
+
+    Cache ownership: with ``persisted`` supplied, every frame this
+    function persists is appended to it and the caller unpersists after
+    its action.  With ``persisted=None`` (direct calls, e.g. tests) the
+    intermediates (nodes / message table / dangling set) are released
+    here once the final ranks are materialized; only the returned frame
+    stays cached, exposed as ``result.pagerank_cache`` — unpersist it
+    when done (mirrors the ``bpe_cache`` convention in text/bpe.py)."""
     from pyspark import StorageLevel
 
     raw = (edges.select(F.col(src).cast("string").alias("src"),
@@ -118,8 +126,18 @@ def pagerank_frame(edges: DataFrame, *, src: str = "src",
         if prev is not None:
             prev.unpersist()
         prev = ranks
-    if persisted is not None and prev is not None:
-        persisted.append(prev)
+    if persisted is not None:
+        if prev is not None:
+            persisted.append(prev)
+    else:
+        # direct call: the loop has materialized `ranks`, so the
+        # upstream caches are no longer needed — release them here
+        # instead of leaking them for the life of the session
+        e2.unpersist()
+        nodes.unpersist()
+        if has_dangling:
+            dangling.unpersist()
+        ranks.pagerank_cache = prev
     return ranks
 
 

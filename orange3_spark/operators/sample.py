@@ -109,11 +109,10 @@ def cv_folds_stratified(df: DataFrame, k: int, *, strata_col: str,
     is probe-guarded like the stratified sampler."""
     from pyspark.sql.window import Window
 
-    probe = df.agg(F.approx_count_distinct(strata_col).alias("n")).first()
-    if probe["n"] > max_strata:
-        raise ValueError(
-            f"~{probe['n']} strata in {strata_col!r} (> {max_strata}); "
-            "stratified folds need a categorical stratum")
+    from orange3_spark.guards import check_max_levels
+
+    check_max_levels(df, [strata_col], max_strata,
+                     "stratified folds need a categorical stratum")
     cols = list(key) if key else [c for c in df.columns
                                   if c != strata_col]
     # md5 (not xxhash64): the hash ORDER defines fold membership, so it

@@ -354,7 +354,12 @@ def ewma(df: DataFrame, *, value_col: str, ts_col: str, by: Sequence[str],
 
     Shape: one PARTITIONED window collect of ≤ ``window`` quantized
     values (bounded state per row), then a row-local weighted fold —
-    no self-join, no global sort."""
+    no self-join, no global sort.
+
+    Precondition: ``(by…, ts_col, order_tiebreak…)`` must uniquely
+    identify rows — window ordering over true duplicates tie-breaks
+    differently per engine/partitioning.  Dedupe with groupBy-max
+    first (as resample_ffill does) when uniqueness isn't guaranteed."""
     from pyspark.sql.window import Window
 
     wq = ewma_weights_q(alpha, window)

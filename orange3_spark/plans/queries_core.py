@@ -817,9 +817,10 @@ def _ewma_w() -> str:
 
 @query("q_ewma", """
 WITH e AS (SELECT user_id, ts, event_id,
-                  CAST(floor(CAST(value AS DOUBLE) * 1048576.0 + 0.5)
+                  CAST(floor(CAST(max(value) AS DOUBLE) * 1048576.0 + 0.5)
                        AS BIGINT) AS xq
-           FROM events WHERE user_id < 30),
+           FROM events WHERE user_id < 30
+           GROUP BY user_id, ts, event_id),
 a AS (SELECT user_id, ts, event_id,
              list(xq) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
@@ -841,12 +842,16 @@ def q_ewma(spark, sf_dir):
     the windowed dot product is EXACT integer arithmetic — one
     partitioned window collect + a row-local fold, bit-replayable in
     SQL.  Warm-up rows use the suffix of the weight table (newest row
-    always gets the largest weight)."""
+    always gets the largest weight).  The (user_id, ts, event_id)
+    identity is deduped with groupBy-max FIRST (the resample_ffill tie
+    rule), so parity never rests on an unasserted uniqueness of the
+    events table."""
     from orange3_spark.operators.window import ewma
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    d = ev.where(F.col("user_id") < 30).select("user_id", "ts",
-                                               "event_id", "value")
+    d = (ev.where(F.col("user_id") < 30)
+         .groupBy("user_id", "ts", "event_id")
+         .agg(F.max("value").alias("value")))
     out = ewma(d, value_col="value", ts_col="ts", by=["user_id"],
                order_tiebreak=["event_id"], alpha=0.4, window=8)
     return (out.select("user_id", "ts", "event_id", "ewma_q")

@@ -211,9 +211,13 @@ def neardup_cosine_matmul(df: DataFrame, threshold: float = 0.95, *,
 def neardup_cosine(df: DataFrame, threshold: float = 0.95, *,
                    vec_col: str = "embedding", id_col: str = "vec_id",
                    n_planes: int = 8, n_tables: int = 1, seed: int = 42,
-                   brute_force: bool = False) -> DataFrame:
+                   brute_force: bool = False,
+                   max_brute_rows: int = 100_000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.  LSH-bucketed by default;
-    ``brute_force=True`` compares all pairs (correctness baseline).
+    ``brute_force=True`` compares all pairs (correctness baseline) and
+    is guarded: >``max_brute_rows`` rows raises instead of launching an
+    O(n²) crossJoin nobody should ship by accident (the same loud-bound
+    contract as :func:`neardup_cosine_matmul` / :func:`hard_negatives`).
 
     ``n_tables`` independent hash tables (plane sets) are unioned — the
     standard recall knob: a pair is compared if it collides in ANY table."""
@@ -221,6 +225,12 @@ def neardup_cosine(df: DataFrame, threshold: float = 0.95, *,
     base = df.select(F.col(id_col).alias("_id"), v.alias("_v")) \
              .withColumn("_n", norm(F.col("_v")))
     if brute_force:
+        # capped probe: one scan of ≤ max_brute_rows+1 rows, no full count
+        if base.limit(max_brute_rows + 1).count() > max_brute_rows:
+            raise ValueError(
+                f"brute_force over >{max_brute_rows} rows is O(n²); "
+                "use the LSH path (default) or raise max_brute_rows "
+                "only for a deliberate baseline run")
         a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"),
                         F.col("_n").alias("na"))
         b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"),

@@ -40,26 +40,33 @@ def basket_to_sparse_vectors(long_df: DataFrame, dim: int | None = None,
                              keys: list[str] | None = None) -> DataFrame:
     """``(row_id, features: SparseVector)`` for the MLlib boundary.
 
-    The heavy part (grouping the long rows) is a JVM collect_list; only the
-    final SparseVector construction is a per-row pickle UDF — Arrow can't
-    carry VectorUDT, and this runs once per ML hand-off, not per operator.
+    Everything heavy is JVM-side: the key→index mapping is a broadcast
+    join (unknown keys drop, like the reference's basket vocabulary),
+    the per-row (index, value) list is a ``sort_array(collect_list)``,
+    and only the final ``SparseVector(dim, indices, values)`` wrap is
+    Python — an Arrow-batched UDF (``useArrow=True``; the plain
+    pandas_udf path can't carry VectorUDT through Arrow, the
+    Arrow-optimized scalar UDF can), zero row-at-a-time pickling.
     """
     from pyspark.ml.linalg import SparseVector, VectorUDT
 
     if keys is None:
         keys = [r[0] for r in
                 long_df.select("key").distinct().orderBy("key").collect()]
-    index = {k: i for i, k in enumerate(keys)}
     dim = dim or len(keys)
-    b_index = long_df.sparkSession.sparkContext.broadcast(index)
+    spark = long_df.sparkSession
+    idx_df = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(keys)], "key string, _idx int")
+    agg = (long_df.join(F.broadcast(idx_df), "key")
+           .groupBy("row_id")
+           .agg(F.sort_array(
+               F.collect_list(F.struct("_idx", "value"))).alias("_kv"))
+           .select("row_id",
+                   F.col("_kv._idx").alias("_idx"),
+                   F.col("_kv.value").cast("array<double>").alias("_val")))
 
-    @F.udf(returnType=VectorUDT())
-    def assemble(pairs):
-        idx = b_index.value
-        kv = sorted((idx[p["key"]], float(p["value"]))
-                    for p in pairs if p["key"] in idx)
-        return SparseVector(dim, [i for i, _ in kv], [v for _, v in kv])
+    @F.udf(returnType=VectorUDT(), useArrow=True)
+    def assemble(indices, values):
+        return SparseVector(dim, list(indices), list(values))
 
-    agg = (long_df.groupBy("row_id")
-           .agg(F.collect_list(F.struct("key", "value")).alias("_pairs")))
-    return agg.select("row_id", assemble("_pairs").alias("features"))
+    return agg.select("row_id", assemble("_idx", "_val").alias("features"))

@@ -119,11 +119,10 @@ def drift_chi2(df: DataFrame, col: str, split: Column, *,
     level counts."""
     import math
 
-    probe = df.agg(F.approx_count_distinct(col).alias("n")).first()
-    if probe["n"] > max_levels:
-        raise ValueError(f"~{probe['n']} levels in {col!r} "
-                         f"(> {max_levels}); χ² drift needs a "
-                         "categorical column")
+    from orange3_spark.guards import check_max_levels
+
+    check_max_levels(df, [col], max_levels,
+                     "χ² drift needs a categorical column")
     tab = (df.where(F.col(col).isNotNull())
            .select(F.col(col).cast("string").alias("level"),
                    split.cast("int").alias("_a"))

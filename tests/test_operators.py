@@ -365,17 +365,22 @@ def test_pagerank_fixed_point_deterministic_and_dangling(spark):
     edges = spark.createDataFrame(
         [("hub", "a"), ("hub", "b"), ("hub", "c"),
          ("a", "hub"), ("b", "hub")], "src string, dst string")
-    r = {x["node"]: x["rank"] for x in
-         pagerank_frame(edges, iterations=3).collect()}
+    ranks1 = pagerank_frame(edges, iterations=3)
+    r = {x["node"]: x["rank"] for x in ranks1.collect()}
     assert set(r) == {"hub", "a", "b", "c"}
     assert r["hub"] > r["a"] == r["b"] > 0
     # incoming mass is symmetric for a/b/c (rank ignores own out-edges;
     # c's dangling retained mass is redistributed to everyone equally)
     assert r["c"] == r["a"]
     # exact integer determinism under repartition
-    r2 = {x["node"]: x["rank"] for x in
-          pagerank_frame(edges.repartition(7), iterations=3).collect()}
+    ranks2 = pagerank_frame(edges.repartition(7), iterations=3)
+    r2 = {x["node"]: x["rank"] for x in ranks2.collect()}
     assert r == r2
+    # direct calls self-clean intermediates; the result cache is the
+    # caller's to release via the documented handle
+    for rk in (ranks1, ranks2):
+        assert rk.pagerank_cache is not None
+        rk.pagerank_cache.unpersist()
     top = pagerank_topk(edges, k=2, iterations=3).collect()
     assert [t["node"] for t in top] == ["hub", "a"]  # tie a<b broken by id
 

@@ -300,3 +300,23 @@ def test_binned_sketches_constant_column_guard(spark):
     _, psi_q = drift_psi(df, "x", F.col("early"), n_bins=16,
                          lo=7.0, hi=7.0)
     assert psi_q == 0
+
+
+def test_check_max_levels_exact_at_boundary(spark):
+    import pytest
+
+    from orange3_spark.guards import check_max_levels
+
+    # 10 distinct values: HLL estimate sits well inside the band around
+    # max_levels=10, so the guard must settle it with the exact capped
+    # probe — at the boundary, exactly max_levels levels must PASS...
+    df = spark.createDataFrame([(i % 10, i % 3) for i in range(100)],
+                               "a int, b int")
+    check_max_levels(df, ["a", "b"], 10, "test")
+    # ...and max_levels-1 must reject (HLL alone could swing either way)
+    with pytest.raises(ValueError, match=r"\['a'\] exceed 9 levels"):
+        check_max_levels(df, ["a", "b"], 9, "test")
+    # far above the band: rejected by the HLL probe alone
+    wide = spark.range(5000).select(F.col("id").alias("a"))
+    with pytest.raises(ValueError, match="exceed 100 levels"):
+        check_max_levels(wide, ["a"], 100, "test")

@@ -182,6 +182,16 @@ def test_neardup_cosine_lsh_recall(spark, sf_dir):
         assert len(approx) / len(exact) >= 0.5  # 8-table recall
 
 
+def test_neardup_brute_force_row_guard(spark, sf_dir):
+    import pytest
+
+    from orange3_spark.session import load_tables
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    with pytest.raises(ValueError, match="O\\(n²\\)"):
+        K.neardup_cosine(emb, 0.45, brute_force=True,
+                         max_brute_rows=5).count()
+
+
 def test_dup_clusters_components(spark):
     from orange3_spark.text.dedup import dup_clusters
 
