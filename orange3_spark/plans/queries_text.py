@@ -305,7 +305,7 @@ def q_redact(spark, sf_dir):
     return docs.select("doc_id", F.md5(TA.redact("text")).alias("fp"))
 
 
-@query("q_dup_clusters", """
+_DUP_CLUSTERS_SQL = """
 WITH RECURSIVE
 toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
 sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
@@ -325,14 +325,30 @@ walk (id, lbl) AS (
   UNION
   SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.id)
 SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id
-""")
+"""
+
+
+@query("q_dup_clusters", _DUP_CLUSTERS_SQL)
 def q_dup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS: connected components over the Jaccard pair graph
-    via iterative min-label propagation (one join+groupBy per round,
-    converges in O(component diameter)); the oracle is a recursive CTE."""
+    (driver union-find under DRIVER_CC_MAX_EDGES — the path this data
+    size takes); the oracle is a recursive CTE."""
     (docs,) = _t(spark, sf_dir, "documents")
     pairs = TD.jaccard_pairs(docs, n=3, threshold=0.2)
     return TD.dup_clusters(pairs)
+
+
+@query("q_dup_clusters_distributed", _DUP_CLUSTERS_SQL)
+def q_dup_clusters_distributed(spark, sf_dir):
+    """Same clusters, but FORCING the distributed min-label-propagation
+    loop with pointer jumping (text/dedup.py:dup_clusters,
+    driver_max_edges=0) — the branch that actually runs past 2M edges
+    at 100 TB, hash-graded against the same recursive-CTE oracle so the
+    scale path has first-class correctness evidence, not just the
+    driver union-find shortcut."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = TD.jaccard_pairs(docs, n=3, threshold=0.2)
+    return TD.dup_clusters(pairs, driver_max_edges=0)
 
 
 @query("q_leakage_safe_split", """

@@ -349,17 +349,25 @@ def dedup_minhash(df: DataFrame, text_col: str = "text",
 DRIVER_CC_MAX_EDGES = 2_000_000
 
 
-def dup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
+def dup_clusters(pairs: DataFrame, *, max_iters: int = 20,
+                 driver_max_edges: int | None = None) -> DataFrame:
     """Connected components over near-dup pairs → ``(doc_id, cluster_id)``
     with cluster_id = min id in the component (the survivor each duplicate
     group keeps).
 
-    Iterative min-label propagation: each round every node adopts the
-    smallest label among itself and its neighbors; converges in O(diameter)
-    rounds ≤ O(log n) for typical dup clusters (they're near-cliques, so
-    usually 2-3 rounds).  Each round is one join + one groupBy — the
-    standard way to run small-fixpoint graph algorithms without a graph
-    library.  Input: (id_a, id_b) pairs from any dedup operator.
+    ≤ ``driver_max_edges`` (default :data:`DRIVER_CC_MAX_EDGES`; pass 0
+    to force the distributed path, as the scale tests do) runs driver
+    union-find — the edge list is O(pairs) scalars.  Above it: iterative
+    min-label propagation WITH pointer jumping — each round every node
+    adopts the smallest label among itself and its neighbors, then
+    adopts its label's label (path halving), so convergence is
+    O(log diameter) rounds, not O(diameter) — on a 100 TB pair graph a
+    single chain-shaped component would otherwise dominate the round
+    count.  Each round is two joins + one groupBy — the standard way to
+    run small-fixpoint graph algorithms without a graph library.
+    Raises ``RuntimeError`` if the fixpoint is not reached in
+    ``max_iters`` (never returns silently-partial clusters).
+    Input: (id_a, id_b) pairs from any dedup operator.
     """
     # materialize the pair list ONCE before any branching: both the
     # src→dst and dst→src directions (and every propagation round) derive
@@ -369,8 +377,10 @@ def dup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
     p2 = pairs.select(F.col("id_a").alias("src"),
                       F.col("id_b").alias("dst")).cache()
     n_edges = 2 * p2.count()
+    cutover = (DRIVER_CC_MAX_EDGES if driver_max_edges is None
+               else driver_max_edges)
 
-    if n_edges <= DRIVER_CC_MAX_EDGES:
+    if n_edges <= cutover:
         # the edge list is O(pairs) *scalars* — union-find on the driver
         # beats a multi-round distributed fixpoint by orders of magnitude
         # in job overhead; the distributed loop below is the >2M-edge path
@@ -409,19 +419,31 @@ def dup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
     labels = (edges.select(F.col("src").alias("id"))
               .distinct()
               .withColumn("cluster_id", F.col("id")))
+    converged = False
     for it in range(max_iters):
         neighbor_min = (edges.join(labels, edges.dst == labels.id)
                         .groupBy("src")
                         .agg(F.min("cluster_id").alias("nmin")))
-        updated = (labels.join(neighbor_min, labels.id == neighbor_min.src,
+        stepped = (labels.join(neighbor_min, labels.id == neighbor_min.src,
                                "left")
                    .select(F.col("id"),
+                           F.col("cluster_id").alias("_old"),
                            F.least(F.col("cluster_id"),
                                    F.coalesce(F.col("nmin"),
                                               F.col("cluster_id")))
-                           .alias("cluster_id"),
-                           (F.coalesce(F.col("nmin"), F.col("cluster_id"))
-                            < F.col("cluster_id")).cast("int")
+                           .alias("_mid")))
+        # pointer jumping (path halving): adopt my label's label — every
+        # label value IS a node id, so `stepped` has its row; labels only
+        # decrease, so the composition stays within the component and
+        # collapses chain-shaped components in O(log diameter) rounds
+        par = stepped.select(F.col("id").alias("_pid"),
+                             F.col("_mid").alias("_plbl"))
+        new_lbl = F.least(F.col("_mid"),
+                          F.coalesce(F.col("_plbl"), F.col("_mid")))
+        updated = (stepped.join(par, stepped["_mid"] == par["_pid"],
+                                "left")
+                   .select(F.col("id"), new_lbl.alias("cluster_id"),
+                           (new_lbl < F.col("_old")).cast("int")
                            .alias("__changed")))
         # materialize the round, then probe convergence with ONE cheap agg
         # over the already-materialized partitions (no extra join replay)
@@ -429,9 +451,14 @@ def dup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
         changed = updated.agg(F.sum("__changed")).first()[0] or 0
         labels = updated.drop("__changed")
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
     p2.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iters} rounds "
+            "(component diameter > 2^max_iters); raise max_iters")
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
 
 

@@ -212,6 +212,29 @@ def test_dup_clusters_long_chain(spark):
     assert set(got.values()) == {0} and len(got) == 13
 
 
+def test_dup_clusters_distributed_branch(spark):
+    """Force the min-label-propagation loop (the path that runs at 100 TB)
+    and pin it to the union-find result on a long chain + ≥2 components."""
+    import pytest
+
+    from orange3_spark.text.dedup import dup_clusters
+
+    # 40-edge path (diameter 40 — pointer jumping must collapse it well
+    # inside max_iters=20) + a clique-ish second component + an offset pair
+    edges = ([(i, i + 1) for i in range(40)]
+             + [(100, 101), (101, 102), (100, 102)] + [(200, 250)])
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    want = {r.doc_id: r.cluster_id
+            for r in dup_clusters(pairs).collect()}           # union-find
+    got = {r.doc_id: r.cluster_id
+           for r in dup_clusters(pairs, driver_max_edges=0).collect()}
+    assert got == want
+    assert set(got.values()) == {0, 100, 200} and len(got) == 46
+    # non-convergence raises loudly instead of returning partial clusters
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(pairs, driver_max_edges=0, max_iters=2)
+
+
 def test_redact(spark):
     from orange3_spark.text.analysis import redact
 
