@@ -800,6 +800,50 @@ def q_hard_negatives(spark, sf_dir):
     return K.hard_negatives(emb, k=3)
 
 
+@query("q_hard_negatives_blocked", f"""
+WITH {lloyd_cte(8, 2, label=True)},
+cfm AS (SELECT cl, list(m ORDER BY i) AS cv FROM (
+         SELECT cl, i, floor(sum(qv[i]) / count(*) + 0.5) AS m
+         FROM wf, unnest(generate_series(1, len(qv))) g(i)
+         GROUP BY cl, i) s
+       GROUP BY cl),
+cf AS (SELECT prev.cl, coalesce(cfm.cv, prev.cv) AS cv
+       FROM c_1 prev LEFT JOIN cfm ON prev.cl = cfm.cl),
+q AS (SELECT vec_id AS qid, label AS lab_q, qv,
+             list_inner_product(qv, qv) AS na2 FROM wf),
+pr AS (SELECT qid, lab_q, qv, na2, cl,
+              row_number() OVER (PARTITION BY qid
+                                 ORDER BY list_distance(qv, cv), cl) AS crn
+       FROM q CROSS JOIN cf),
+probes AS (SELECT qid, lab_q, qv, na2, cl FROM pr WHERE crn <= 2),
+cand AS (SELECT p.qid, w.vec_id AS neg_id,
+                list_inner_product(p.qv, w.qv)
+                / (sqrt(p.na2)
+                   * sqrt(list_inner_product(w.qv, w.qv))) AS score
+         FROM probes p JOIN wf w ON w.cl = p.cl
+         WHERE w.label <> p.lab_q),
+rk AS (SELECT qid, neg_id, score,
+              row_number() OVER (PARTITION BY qid
+                                 ORDER BY score DESC, neg_id) AS rn
+       FROM cand)
+SELECT qid AS vec_id, neg_id, score FROM rk WHERE rn <= 3
+ORDER BY vec_id, neg_id
+""")
+def q_hard_negatives_blocked(spark, sf_dir):
+    """Hard-negative mining, IVF-BLOCKED scale path
+    (similarity/knn.hard_negatives_blocked — what hard_negatives falls
+    back to past its broadcast bound): the deterministic-Lloyd coarse
+    quantizer blocks candidates, each query scores only its 2 nearest
+    of 8 cells, cosines run on the integer grid (exact int64 dot/norms,
+    one divide over two sqrts), so the approximate pipeline is
+    nonetheless bit-replayable — the oracle re-runs fit, centroid
+    refresh, probe selection, and scoring in SQL."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    out = K.hard_negatives_blocked(emb, k=3, n_cells=8, nprobe=2,
+                                   n_iter=2)
+    return out.orderBy("vec_id", "neg_id")
+
+
 @query("q_lm_score", """
 WITH tk AS (SELECT doc_id, lang,
                    list_filter(string_split(trim(text), ' '),

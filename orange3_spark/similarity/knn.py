@@ -436,6 +436,78 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
     return out
 
 
+def hard_negatives_blocked(df: DataFrame, *, id_col: str = "vec_id",
+                           array_col: str = "embedding",
+                           label_col: str = "label", k: int = 5,
+                           n_cells: int = 8, nprobe: int = 2,
+                           n_iter: int = 2) -> DataFrame:
+    """Scale path of :func:`hard_negatives`: IVF-block the candidate
+    side (the :func:`ivf_fit` coarse quantizer is the blocking
+    function), so each query scores only the vectors in its ``nprobe``
+    nearest of ``n_cells`` cells — Σ probed-cell sizes of work instead
+    of n² or an n×dim broadcast.  APPROXIMATE by construction (a
+    negative hiding in an unprobed cell is missed — the standard ANN
+    trade; raise ``nprobe`` toward ``n_cells`` for recall).
+
+    Exactness of what IS computed: cosines run on the Lloyd integer
+    grid — dot and both squared norms are exact int64 sums, the score
+    is one divide over two sqrts (correctly-rounded IEEE ops on exact
+    integers), so results are bit-identical across engines and
+    partitionings and the SQL oracle replays the whole pipeline
+    (``q_hard_negatives_blocked``).
+
+    Returns ``(id_col, neg_id, score)``, ≤ k rows per id (score desc,
+    neg_id asc).  The IVF postings cache is exposed as
+    ``out.ivf_cache`` — unpersist when consumed."""
+    from pyspark.sql.window import Window
+
+    from orange3_spark.ml.cluster import quantize_array
+
+    base = (df.select(id_col, label_col, array_col)
+            .filter(F.col(array_col).isNotNull()
+                    & F.col(label_col).isNotNull()))
+    assigned, cents = ivf_fit(base, vec_col=array_col, id_col=id_col,
+                              n_cells=n_cells, n_iter=n_iter)
+
+    def _sq(a):
+        return F.aggregate(F.transform(a, lambda x: x * x),
+                           F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+    d2 = lambda a, b: F.aggregate(  # noqa: E731 — shared int64 metric
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    q = base.select(F.col(id_col).alias("qid"),
+                    F.col(label_col).alias("_lab_q"),
+                    quantize_array(F.col(array_col)).alias("qv")) \
+            .withColumn("_na2", _sq(F.col("qv")))
+    wp = Window.partitionBy("qid").orderBy(F.col("cdist"), F.col("cluster"))
+    probes = (q.crossJoin(F.broadcast(cents))
+               .withColumn("cdist", d2(F.col("qv"), F.col("cvec")))
+               .withColumn("crn", F.row_number().over(wp))
+               .filter(F.col("crn") <= nprobe)
+               .select("qid", "_lab_q", "qv", "_na2", "cluster"))
+    side = assigned.select(F.col(id_col).alias("neg_id"),
+                           F.col(label_col).alias("_lab_b"),
+                           F.col("_q").alias("vb"), "cluster") \
+                   .withColumn("_nb2", _sq(F.col("vb")))
+    dot = F.aggregate(F.zip_with(F.col("qv"), F.col("vb"),
+                                 lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda acc, v: acc + v)
+    cand = (probes.join(side, "cluster")
+            .where(F.col("_lab_q") != F.col("_lab_b"))
+            .withColumn("score",
+                        dot.cast("double")
+                        / (F.sqrt(F.col("_na2").cast("double"))
+                           * F.sqrt(F.col("_nb2").cast("double")))))
+    wr = Window.partitionBy("qid").orderBy(F.desc("score"),
+                                           F.asc("neg_id"))
+    out = (cand.withColumn("rn", F.row_number().over(wr))
+           .filter(F.col("rn") <= k)
+           .select(F.col("qid").alias(id_col), "neg_id", "score"))
+    out.ivf_cache = assigned
+    return out
+
+
 def hard_negatives(df: DataFrame, *, id_col: str = "vec_id",
                    array_col: str = "embedding", label_col: str = "label",
                    k: int = 5,
@@ -449,22 +521,29 @@ def hard_negatives(df: DataFrame, *, id_col: str = "vec_id",
     and score each probe row with ONE fixed-shape matvec against the
     whole matrix — per-row work, so scores are batch-size-independent
     and the top-k (score desc, id asc) selection is deterministic under
-    any partitioning.  Past ``max_broadcast_cells`` raise with the
-    documented recipe (IVF/LSH-bucket the candidate side first —
-    ``ivf_knn`` / ``lsh_bucket_knn`` are the scale path; hard negatives
-    only need APPROXIMATE nearest there).
+    any partitioning.  Past ``max_broadcast_cells`` (probed with a
+    count BEFORE any driver collect) the call falls back to
+    :func:`hard_negatives_blocked` — the IVF-bucketed scale path, which
+    is APPROXIMATE (documented there); release its ``out.ivf_cache``.
     Returns ``(id, neg_id, score)``, k rows per id."""
     import numpy as np
     from pyspark.sql import types as T
 
-    rows = (df.select(id_col, label_col, array_col)
+    base = (df.select(id_col, label_col, array_col)
             .filter(F.col(array_col).isNotNull()
-                    & F.col(label_col).isNotNull()).collect())
+                    & F.col(label_col).isNotNull()))
+    first = base.select(array_col).first()
+    if first is None:
+        dt = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} {dt}, neg_id {dt}, score double")
+    dim = len(first[0])
+    if base.count() * dim > max_broadcast_cells:
+        return hard_negatives_blocked(df, id_col=id_col,
+                                      array_col=array_col,
+                                      label_col=label_col, k=k)
+    rows = base.collect()
     X = np.array([[float(v) for v in r[array_col]] for r in rows])
-    if X.size > max_broadcast_cells:
-        raise ValueError(
-            f"hard_negatives: {X.size} cells exceed the broadcast bound; "
-            "block candidates with ivf_knn/lsh_bucket_knn first")
     ids = np.array([int(r[id_col]) for r in rows], dtype=np.int64)
     labels = np.array([r[label_col] for r in rows])
     norms = np.sqrt((X * X).sum(axis=1))

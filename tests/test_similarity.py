@@ -63,6 +63,41 @@ def test_hard_negatives_excludes_same_label(spark):
     assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
 
 
+def test_hard_negatives_blocked_fallback(spark):
+    """Past the broadcast bound, hard_negatives runs the IVF-blocked
+    composition instead of raising; the blocked path keeps the label
+    exclusion / ranking contract and stays partitioning-stable."""
+    import numpy as np
+
+    from orange3_spark.similarity.knn import (hard_negatives,
+                                              hard_negatives_blocked)
+
+    rng = np.random.default_rng(11)
+    # 3 tight blobs, labels orthogonal to blobs so every cell holds
+    # several different-label candidates
+    rows = [(i, [float(x + 4.0 * (i % 3)) for x in rng.normal(
+        scale=0.05, size=8)], int(i % 2)) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, "
+                                     "label int")
+    out = hard_negatives(df, k=3, max_broadcast_cells=10)  # force fallback
+    got = out.collect()
+    out.ivf_cache.unpersist()
+    lab = {i: i % 2 for i in range(60)}
+    per = {}
+    for r in got:
+        assert lab[r["vec_id"]] != lab[r["neg_id"]]
+        assert r["vec_id"] != r["neg_id"]
+        per.setdefault(r["vec_id"], []).append(r["score"])
+    assert set(per) == set(range(60))
+    assert all(len(v) == 3 and v == sorted(v, reverse=True)
+               for v in per.values())
+    # partitioning-stable (integer-grid arithmetic end to end)
+    out2 = hard_negatives_blocked(df.repartition(7), k=3)
+    got2 = out2.collect()
+    out2.ivf_cache.unpersist()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
+
+
 def test_pq_codes_are_argmin_and_partition_stable(spark):
     """Every emitted code is the argmin sub-centroid (numpy replay), and
     the whole encoding is invariant to repartitioning."""
