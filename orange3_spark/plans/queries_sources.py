@@ -881,3 +881,41 @@ def q_ml_isomap(spark, sf_dir):
         .cast("long").alias("qx"),
         F.floor(F.col("iso_1") * F.lit(OR2.ISOMAP_QSCALE) + F.lit(0.5))
         .cast("long").alias("qy"))
+
+
+@query("q_dst_roundtrip", """
+WITH s AS (SELECT s_suppkey, CAST(s_acctbal AS DOUBLE) AS a,
+                  CAST(s_nationkey AS DOUBLE) AS b
+           FROM supplier WHERE s_suppkey < 40),
+idx AS (SELECT s_suppkey, a, b,
+               row_number() OVER (ORDER BY s_suppkey) - 1 AS i
+        FROM s)
+SELECT CAST(x.i AS INTEGER) AS i, CAST(y.i AS INTEGER) AS j,
+       CAST(x.s_suppkey AS VARCHAR) AS row_label,
+       CASE WHEN x.i = y.i THEN 0.0
+            ELSE sqrt((x.a - y.a) * (x.a - y.a)
+                      + (x.b - y.b) * (x.b - y.b)) END AS dist
+FROM idx x CROSS JOIN idx y
+ORDER BY i, j
+""")
+def q_dst_roundtrip(spark, sf_dir):
+    """.dst distance-matrix interchange round-trip
+    (``Orange/misc/distmatrix.py:113-245,359-388``; widgets
+    owdistancefile / owsavedistances): supplier slice → long-form
+    euclidean distances (stats/distance.row_distances) → write_dst
+    (header + row labels + lower triangle) → read_dst (flag parse,
+    symmetric mirror, zero diagonal) → the full logical square.  The
+    oracle recomputes every cell from the parquet directly, so any loss
+    in the format layer (label mapping, triangle mirroring, float
+    round-trip via repr) breaks the hash."""
+    from orange3_spark.sources.dst import read_dst, write_dst
+    from orange3_spark.stats.distance import row_distances
+
+    (sup,) = _t(spark, sf_dir, "supplier")
+    d = (sup.where(F.col("s_suppkey") < 40)
+         .select("s_suppkey", "s_acctbal", "s_nationkey"))
+    pairs = row_distances(d, "s_suppkey", ["s_acctbal", "s_nationkey"])
+    path = os.path.join(_tmpdir(), "suppliers.dst")
+    write_dst(pairs, path, id_a="id_a", id_b="id_b", dist_col="dist")
+    back = read_dst(spark, path)
+    return back.select("i", "j", "row_label", "dist").orderBy("i", "j")

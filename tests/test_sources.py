@@ -307,3 +307,64 @@ def test_csv_import_options(spark, tmp_path):
     assert rows[2.0]["name"] == "Bé"                # latin-1 decoded
     assert rows[1.0]["code"] == "007"               # forced string: no cast
     assert rows[3.0]["code"] is None                # custom NA token
+
+
+def test_dst_write_read_roundtrip(spark, tmp_path):
+    from orange3_spark.sources.dst import read_dst, write_dst
+
+    pairs = spark.createDataFrame(
+        [(10, 20, 1.5), (10, 30, 2.5), (20, 30, 0.25)],
+        "id_a long, id_b long, dist double")
+    p = tmp_path / "m.dst"
+    write_dst(pairs, str(p))
+    txt = p.read_text().splitlines()
+    assert txt[0] == "3\taxis=1\trow_labels"
+    assert txt[1].split("\t") == ["10", "0.0"]          # lower triangle
+    assert txt[3].split("\t") == ["30", "2.5", "0.25", "0.0"]
+    back = read_dst(spark, str(p))
+    assert back.dst_meta == {"n": 3, "axis": 1, "symmetric": True}
+    got = {(r["i"], r["j"]): (r["row_label"], r["dist"])
+           for r in back.collect()}
+    assert len(got) == 9                                 # full square
+    assert got[(0, 1)] == ("10", 1.5) == (got[(1, 0)][0].replace("20", "10"),
+                                          got[(1, 0)][1])  # mirrored
+    assert got[(2, 2)] == ("30", 0.0)                    # zero diagonal
+
+
+def test_dst_reader_reference_format_rules(spark, tmp_path):
+    import pytest
+
+    from orange3_spark.sources.dst import read_dst
+
+    # asymmetric + col_labels + axis flag; short rows zero-pad
+    p = tmp_path / "a.dst"
+    p.write_text("3\taxis=0\tasymmetric\tcol_labels\trow_labels\n"
+                 "c1\tc2\tc3\n"
+                 "r1\t1.0\t2.0\t3.0\n"
+                 "r2\t4.0\n"
+                 "r3\t5.0\t6.0\t7.0\n")
+    back = read_dst(spark, str(p))
+    assert back.dst_meta == {"n": 3, "axis": 0, "symmetric": False}
+    got = {(r["i"], r["j"]): r["dist"] for r in back.collect()}
+    assert got[(0, 2)] == 3.0 and got[(2, 0)] == 5.0     # no mirroring
+    assert got[(1, 1)] == 0.0                            # zero-padded
+    labs = {(r["i"], r["j"]): (r["row_label"], r["col_label"])
+            for r in back.collect()}
+    assert labs[(1, 1)] == ("r2", "c2") and labs[(0, 2)] == ("r1", "c3")
+    # symmetric: data above the diagonal is ignored, mirror wins
+    q = tmp_path / "s.dst"
+    q.write_text("2\n1.0\t9.0\n3.0\t1.0\n")
+    got2 = {(r["i"], r["j"]): r["dist"]
+            for r in read_dst(spark, str(q)).collect()}
+    assert got2[(0, 1)] == 3.0 and got2[(1, 0)] == 3.0
+    # error surface mirrors the reference
+    bad = tmp_path / "bad.dst"
+    bad.write_text("x 3\n")
+    with pytest.raises(ValueError, match="begin with dimension"):
+        read_dst(spark, str(bad))
+    bad.write_text("2\tweird_flag\n")
+    with pytest.raises(ValueError, match="invalid flag"):
+        read_dst(spark, str(bad))
+    bad.write_text("1\n1.0\n2.0\n")
+    with pytest.raises(ValueError, match="too many rows"):
+        read_dst(spark, str(bad))
