@@ -65,6 +65,19 @@ def linkage_from_pairs(pairs: DataFrame, *, method: str = "average",
     for r in rows:
         i, j = pos[r[0]], pos[r[1]]
         D[i, j] = D[j, i] = r[2]
+    return ids, linkage_matrix(D, method=method)
+
+
+def linkage_matrix(D, *, method: str = "average"):
+    """Lance-Williams agglomeration of a dense distance matrix (driver
+    side, bounded by the callers) → scipy-style linkage ``Z``.  Shared
+    by :func:`linkage_from_pairs` and the grading-time replay oracles,
+    so both sides run the identical float op sequence."""
+    import numpy as np
+
+    D = np.array(D, dtype=np.float64)
+    n = D.shape[0]
+    np.fill_diagonal(D, np.inf)
     if method == "ward":
         # Ward's Lance-Williams recurrence is stated on SQUARED distances;
         # heights are reported back on the original scale.
@@ -100,7 +113,55 @@ def linkage_from_pairs(pairs: DataFrame, *, method: str = "average",
         size[i] += size[j]
         label[i] = n + step
         D[j, :] = D[:, j] = np.inf
-    return ids, Z
+    return Z
+
+
+def leaf_order(ids: Sequence, Z) -> list:
+    """Dendrogram leaf order (scipy ``leaves_list`` convention:
+    depth-first from the root, left branch first) — the row/column
+    seriation the reference's heat map applies before display
+    (``owheatmap.py``; tree built by
+    ``Orange/clustering/hierarchical.py:tree_from_linkage``)."""
+    n = len(ids)
+    if n == 1:
+        return [ids[0]]
+    order = []
+    stack = [2 * n - 2]
+    while stack:
+        node = stack.pop()
+        if node < n:
+            order.append(ids[node])
+        else:
+            left, right = Z[node - n][0], Z[node - n][1]
+            stack.append(int(right))
+            stack.append(int(left))
+    return order
+
+
+def heatmap_order(df: DataFrame, id_col: str, cols: Sequence[str], *,
+                  method: str = "average", metric: str = "euclidean",
+                  normalize: bool = False) -> DataFrame:
+    """Clustered-heatmap seriation: ``(id_col, leaf_pos)`` where
+    ``leaf_pos`` is the row's position in the dendrogram leaf order —
+    what ``owheatmap.py`` computes to order rows before rendering.
+    Column seriation is the same call on the transposed frame
+    (``operators/reshape.transpose``).
+
+    Shape: the O(n²) distance pass is distributed
+    (``stats/distance.row_distances``); only the pair scalars reach the
+    driver (``MAX_POINTS``-guarded), where linkage + leaf traversal are
+    O(model) work — identical contract to
+    :func:`hierarchical_clustering`."""
+    from orange3_spark.stats.distance import row_distances
+
+    pairs = row_distances(df, id_col, cols, metric=metric,
+                          normalize=normalize)
+    ids, Z = linkage_from_pairs(pairs, method=method)
+    order = leaf_order(ids, Z)
+    dt = df.schema[id_col].dataType.simpleString()
+    return df.sparkSession.createDataFrame(
+        [(v, k) for k, v in enumerate(order)],
+        f"{id_col} {dt}, leaf_pos int")
 
 
 def cut(ids: Sequence, Z, k: int) -> dict:

@@ -1293,3 +1293,64 @@ def chi2_oracle() -> str:
             f"CAST(n_b AS BIGINT) AS n_b, "
             f"CAST(chi2_q AS BIGINT) AS chi2_q "
             f"FROM (VALUES\n{values}\n) t(level, n_a, n_b, chi2_q)")
+
+
+# ------------------------------------------------------ heatmap seriation
+
+#: exact-integer-derived heatmap features: count and cents-sum are exact
+#: int64 in BOTH engines, the /1e5 rescale is one correctly-rounded
+#: divide — so every distance is bit-identical by construction and the
+#: argmin-based leaf order can never flip on last-bit drift (unlike the
+#: float-avg standardized features, which are fine for threshold cuts
+#: but not for discrete argmin outputs).
+HEATMAP_FEATURES_SQL = """
+SELECT n.n_nationkey AS id,
+       CAST(count(*) AS DOUBLE) AS x,
+       CAST(CAST(sum(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                          AS BIGINT)) AS BIGINT) AS DOUBLE)
+           / 100000.0 AS y
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1"""
+
+
+@lazy
+def heatmap_order_oracle() -> str:
+    """q_heatmap_order: leaf order is a pure function of the pair
+    distances; re-fetch the identical exact-integer-derived nation
+    features through DuckDB, rebuild the distance matrix with the
+    engine's exact float op tree (sqrt((0.0 + dx*dx) + dy*dy)), and run
+    the ENGINE'S OWN linkage_matrix + leaf_order on the driver — both
+    sides execute one shared float sequence, so the emitted
+    (id, leaf_pos) literals are the unique correct answer."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    from orange3_spark.ml.hierarchical import leaf_order, linkage_matrix
+
+    con = duckdb.connect()
+    try:
+        for t in ("orders", "customer", "nation"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"'{_sf_dir()}/{t}.parquet'")
+        rows = con.execute(
+            f"{HEATMAP_FEATURES_SQL} ORDER BY 1").fetchall()
+    finally:
+        con.close()
+    ids = [int(r[0]) for r in rows]
+    n = len(ids)
+    D = np.full((n, n), np.inf)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = rows[i][1] - rows[j][1]
+            dy = rows[i][2] - rows[j][2]
+            D[i, j] = D[j, i] = math.sqrt((0.0 + dx * dx) + dy * dy)
+    Z = linkage_matrix(D, method="average")
+    order = leaf_order(ids, Z)
+    values = ",\n".join(f"({v}, {k})" for k, v in enumerate(order))
+    return (f"SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, "
+            f"CAST(leaf_pos AS INTEGER) AS leaf_pos "
+            f"FROM (VALUES\n{values}\n) t(n_nationkey, leaf_pos) "
+            f"ORDER BY leaf_pos")

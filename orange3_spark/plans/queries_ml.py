@@ -1589,3 +1589,32 @@ def q_permutation_importance(spark, sf_dir):
     rows = permutation_importance_ols(
         d, "id", ["l_discount", "l_tax"], "l_quantity", n_perm=3)
     return spark.createDataFrame(rows, "label string, r2_q long")
+
+
+@query("q_heatmap_order", OR.heatmap_order_oracle)
+def q_heatmap_order(spark, sf_dir):
+    """Clustered-heatmap row seriation (``owheatmap.py`` orders
+    rows/columns by dendrogram leaf order before display;
+    ml/hierarchical.heatmap_order): nation features → distributed pair
+    distances → driver average-linkage → depth-first leaf traversal →
+    ``(n_nationkey, leaf_pos)``.  Features are exact-integer-derived
+    (count + cents-sum / 1e5) so the argmin-driven discrete output is
+    bit-stable across engines; the replay oracle runs the engine's own
+    linkage + traversal on DuckDB-fetched identical inputs
+    (plans/oracle_replay.heatmap_order_oracle)."""
+    from orange3_spark.ml.hierarchical import heatmap_order
+
+    nation, customer, orders = _t(spark, sf_dir,
+                                  "nation", "customer", "orders")
+    feats = (orders.join(customer, orders.o_custkey == customer.c_custkey)
+             .join(nation, customer.c_nationkey == nation.n_nationkey)
+             .groupBy("n_nationkey")
+             .agg(F.count(F.lit(1)).cast("double").alias("n_orders"),
+                  (F.sum(F.floor(F.col("o_totalprice").cast("double")
+                                 * 100 + F.lit(0.5)).cast("long"))
+                   .cast("double") / F.lit(100000.0)).alias("price_k")))
+    return (heatmap_order(feats, "n_nationkey", ["n_orders", "price_k"],
+                          method="average")
+            .select(F.col("n_nationkey").cast("long").alias("n_nationkey"),
+                    "leaf_pos")
+            .orderBy("leaf_pos"))

@@ -186,3 +186,23 @@ def test_louvain_distributed_path(spark):
     assert len({labels[i] for i in range(5)}) == 1
     assert len({labels[i] for i in range(5, 10)}) == 1
     assert labels[0] != labels[5]
+
+
+def test_leaf_order_and_heatmap_seriation(spark):
+    """Leaf order follows the dendrogram depth-first, left branch first
+    (scipy leaves_list convention) — hand-checkable 1-D case where the
+    seriation is a non-trivial permutation of the sorted ids."""
+    df = spark.createDataFrame(
+        [(10, 0.0), (20, 100.0), (30, 1.5), (40, 102.0)],
+        "id long, x double")
+    pairs = row_distances(df, "id", ["x"])
+    ids, Z = H.linkage_from_pairs(pairs, method="single")
+    assert ids == [10, 20, 30, 40]
+    # merges: (10,30) h=1.5 -> c4; (20,40) h=2 -> c5; (c4,c5) h=98.5
+    assert [list(r[:2]) for r in Z] == [[0, 2], [1, 3], [4, 5]]
+    assert H.leaf_order(ids, Z) == [10, 30, 20, 40]
+    out = H.heatmap_order(df, "id", ["x"], method="single")
+    got = {r["id"]: r["leaf_pos"] for r in out.collect()}
+    assert got == {10: 0, 30: 1, 20: 2, 40: 3}
+    # singleton degenerate case
+    assert H.leaf_order([7], []) == [7]
