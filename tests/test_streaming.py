@@ -327,3 +327,119 @@ def test_stream_drift_level_table_equals_batch(spark, sf_dir, tmp_path):
     got_q = int(__import__("math").floor(chi2_from_counts(
         [r[1] for r in rows], [r[2] for r in rows]) * 1e9 + 0.5))
     assert got_q == want_q
+
+
+def _dropped_by_watermark(query) -> int:
+    """Sum numRowsDroppedByWatermark over every micro-batch of a finished
+    streaming query — the engine's own count of late-row evictions."""
+    return sum(op.get("numRowsDroppedByWatermark", 0)
+               for p in query.recentProgress
+               for op in p.get("stateOperators", []))
+
+
+def test_tumbling_late_rows_evicted_count(spark, tmp_path):
+    """Pin EXACTLY what the watermark drops: two late rows arriving in a
+    later micro-batch are counted by numRowsDroppedByWatermark and never
+    reach any window — the first semantics a production pipeline debugs."""
+    import os
+
+    import pandas as pd
+
+    d = tmp_path / "late_in"
+    d.mkdir()
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def _write(name, hours_vals, mtime):
+        pdf = pd.DataFrame({
+            "ts": [t0 + pd.Timedelta(hours=h) for h, _ in hours_vals],
+            "v": [v for _, v in hours_vals]})
+        p = d / name
+        pdf.astype({"ts": "datetime64[us]"}).to_parquet(p)
+        os.utime(p, (mtime, mtime))
+
+    # batch 0 advances the watermark to 6:00 - 1h = 5:00
+    _write("b1.parquet", [(0, 1.0), (1, 2.0), (6, 3.0)], 1_700_000_000)
+    # batch 1: on-time row; at its end every window ending <= 5:00 is
+    # finalized + emitted (watermark filtering guards FINALIZED results,
+    # so a row late by less than one batch of lag can still merge — the
+    # one-batch lag below is the behavior a pipeline debugs first)
+    _write("b2.parquet", [(6.5, 4.0)], 1_700_000_100)
+    # batch 2: rows at 1:30 / 2:15 target already-emitted windows ->
+    # evicted and COUNTED; the 7:00 row is on time
+    _write("b3.parquet", [(1.5, 100.0), (2.25, 100.0), (7.0, 5.0)],
+           1_700_000_200)
+
+    schema = spark.read.parquet(str(d / "b1.parquet")).schema
+    stream = (SW.stream_from_directory(spark, str(d), schema,
+                                       max_files_per_trigger=1)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    agg = SW.tumbling(stream, "ts", "1 hour", [],
+                      [F.sum("v").alias("total")], watermark="1 hour")
+    q = (agg.writeStream.format("memory").queryName("t_evict")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    assert _dropped_by_watermark(q) == 2
+    rows = {r.window_start.hour: r.total
+            for r in spark.table("t_evict").collect()}
+    assert rows.get(1) == 2.0          # late +100 never merged into hour 1
+    assert 2 not in rows               # dropped row opened no new window
+    assert rows.get(0) == 1.0
+
+
+def test_interval_join_late_rows_evicted_count(spark, tmp_path):
+    """Stream-stream interval join: a right-side row behind the global
+    watermark is evicted (counted by the join's state operator) and its
+    would-be match never appears in the output."""
+    import os
+
+    import pandas as pd
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def _write(dirname, name, rows, mtime):
+        dd = tmp_path / dirname
+        dd.mkdir(exist_ok=True)
+        pdf = pd.DataFrame({
+            "k": [k for k, _ in rows],
+            "ts": [t0 + pd.Timedelta(hours=h) for _, h in rows]})
+        p = dd / name
+        pdf.astype({"ts": "datetime64[us]"}).to_parquet(p)
+        os.utime(p, (mtime, mtime))
+        return str(dd)
+
+    lpath = _write("jl", "b1.parquet", [("k1", 0.0), ("kW", 6.0)],
+                   1_700_000_000)
+    rpath = _write("jr", "b1.parquet", [("k1", 0.25), ("kW", 6.0)],
+                   1_700_000_000)
+    # right batch 1: on time, in [6:00, 7:00) of kW's left row; also lets
+    # the 5:00 global watermark take effect before the late row arrives
+    _write("jr", "b2.parquet", [("kW", 6.5)], 1_700_000_100)
+    # right batch 2: 0:20 is behind the global watermark (6:00 - 1h =
+    # 5:00 after batch 0) -> evicted and counted
+    _write("jr", "b3.parquet", [("k1", 1.0 / 3)], 1_700_000_200)
+
+    schema = spark.read.parquet(f"{lpath}/b1.parquet").schema
+    left = (SW.stream_from_directory(spark, lpath, schema,
+                                     max_files_per_trigger=1)
+            .withColumn("ts", F.col("ts").cast("timestamp")))
+    right = (SW.stream_from_directory(spark, rpath, schema,
+                                      max_files_per_trigger=1)
+             .withColumn("ts", F.col("ts").cast("timestamp")))
+    joined = SW.interval_join(
+        left, right.withColumnRenamed("ts", "rts"), "k",
+        left_time="ts", right_time="rts",
+        lower="0 seconds", upper="1 hour",
+        left_watermark="1 hour", right_watermark="1 hour")
+    q = (joined.writeStream.format("memory").queryName("t_join_evict")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    assert _dropped_by_watermark(q) == 1
+    got = {(r["k"], r["ts"].hour, r["r_rts"].isoformat())
+           for r in spark.table("t_join_evict").collect()}
+    # on-time matches present, the late right row's match absent
+    assert ("k1", 0, "2024-01-01T00:15:00") in got
+    assert ("kW", 6, "2024-01-01T06:00:00") in got
+    assert ("kW", 6, "2024-01-01T06:30:00") in got
+    assert not any(r[2] == "2024-01-01T00:20:00" for r in got)
