@@ -1354,3 +1354,104 @@ def heatmap_order_oracle() -> str:
             f"CAST(leaf_pos AS INTEGER) AS leaf_pos "
             f"FROM (VALUES\n{values}\n) t(n_nationkey, leaf_pos) "
             f"ORDER BY leaf_pos")
+
+
+# ------------------------------------------------------ CN2 depth-2 beam
+
+CN2_D2 = {"max_rules": 3, "beam_width": 2, "max_selectors": 2}
+
+
+@lazy
+def cn2_depth2_oracle() -> str:
+    """q_ml_cn2_depth2: CN2's multi-selector beam search is a pure
+    function of the (attr…, cls) contingency CUBE — sequential covering
+    only ever filters by attr=value selectors, so the cube IS the
+    sufficient statistic.  Fetch the cube through DuckDB, replay the
+    ENGINE'S beam loop (same _score, same (-q, -tot, str(sels)) beam
+    ordering, same strict-improvement + stopping semantics as
+    ml/rules.cn2_induce), and emit the rule list as literals — an exact
+    depth-2/width-2 oracle, not a depth-1 simplification."""
+    import duckdb
+
+    from orange3_spark.ml.rules import _score
+
+    attrs = ["l_linestatus", "ship_year"]
+    con = duckdb.connect()
+    try:
+        cube = con.execute(f"""
+            SELECT l_linestatus,
+                   CAST(year(l_shipdate) AS VARCHAR) AS ship_year,
+                   l_returnflag AS cls, count(*) AS n
+            FROM '{_sf_dir()}/lineitem.parquet'
+            GROUP BY 1, 2, 3""").fetchall()
+    finally:
+        con.close()
+    cells = [({"l_linestatus": r[0], "ship_year": r[1]}, r[2], int(r[3]))
+             for r in cube]
+    n_classes = len({cls for _v, cls, _n in cells})
+
+    def match(vals, sels):
+        return all(vals[a] == v for a, v in sels)
+
+    remaining = cells
+    rules = []
+    for _ in range(CN2_D2["max_rules"]):
+        base: dict = {}
+        for vals, cls, n in remaining:
+            base[cls] = base.get(cls, 0) + n
+        if not base:
+            break
+        q0, cls0, tot0, top0 = _score(base, n_classes)
+        best = (q0, [], cls0, tot0, top0)
+        beam = [best]
+        for _depth in range(CN2_D2["max_selectors"]):
+            nxt = []
+            for _q, sels, _c, _t, _p in beam:
+                used = {a for a, _v in sels}
+                free = [a for a in attrs if a not in used]
+                if not free:
+                    continue
+                by_sel: dict = {}
+                for vals, cls, n in remaining:
+                    if not match(vals, sels):
+                        continue
+                    for a in free:
+                        if vals[a] is None:
+                            continue
+                        d = by_sel.setdefault((a, vals[a]), {})
+                        d[cls] = d.get(cls, 0) + n
+                for (a, v), dist in by_sel.items():
+                    q, cls, tot, top = _score(dist, n_classes)
+                    if tot >= 1:
+                        nxt.append((q, sels + [(a, v)], cls, tot, top))
+            if not nxt:
+                break
+            nxt.sort(key=lambda t: (-t[0], -t[3], str(t[1])))
+            beam = nxt[:CN2_D2["beam_width"]]
+            if beam[0][0] > best[0]:
+                best = beam[0]
+        quality, sels, cls, tot, top = best
+        if not sels:
+            break
+        rules.append((sels, cls, quality, tot, top))
+        remaining = [(vals, c, n) for vals, c, n in remaining
+                     if not match(vals, sels)]
+    left: dict = {}
+    for vals, cls, n in remaining:
+        left[cls] = left.get(cls, 0) + n
+    if left:
+        q, cls, tot, top = _score(left, n_classes)
+        rules.append(([], cls, q, tot, top))
+
+    values = ",\n".join(
+        "({i}, '{cond}', '{pred}', {q}, {tot}, {top})".format(
+            i=i,
+            cond=(" AND ".join(f"{a}={v}" for a, v in sels) or "TRUE"),
+            pred=cls, q=repr(float(q)), tot=int(tot), top=int(top))
+        for i, (sels, cls, q, tot, top) in enumerate(rules))
+    return (f"SELECT CAST(rule_idx AS INTEGER) AS rule_idx, conditions, "
+            f"prediction, CAST(laplace AS DOUBLE) AS laplace, "
+            f"CAST(covered AS BIGINT) AS covered, "
+            f"CAST(correct AS BIGINT) AS correct "
+            f"FROM (VALUES\n{values}\n) t(rule_idx, conditions, "
+            f"prediction, laplace, covered, correct) ORDER BY rule_idx")

@@ -1618,3 +1618,27 @@ def q_heatmap_order(spark, sf_dir):
             .select(F.col("n_nationkey").cast("long").alias("n_nationkey"),
                     "leaf_pos")
             .orderBy("leaf_pos"))
+
+
+@query("q_ml_cn2_depth2", OR.cn2_depth2_oracle)
+def q_ml_cn2_depth2(spark, sf_dir):
+    """CN2 with TWO-selector conjunctions and beam width 2 — the beam
+    search path q_ml_cn2's depth-1 oracle never exercised.  Each depth
+    scores every refinement of every beam member with one stack-unpivot
+    aggregation; the replay oracle re-runs the identical beam loop
+    (shared _score, ordering, stopping rules) on the DuckDB-fetched
+    contingency cube (plans/oracle_replay.cn2_depth2_oracle), so rule
+    selection, Laplace qualities, and coverage all hash-match."""
+    from orange3_spark.ml.rules import cn2_induce, rules_to_dataframe
+    from orange3_spark.plans.oracle_replay import CN2_D2
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        "l_linestatus",
+        F.year("l_shipdate").cast("string").alias("ship_year"),
+        F.col("l_returnflag").alias("cls"))
+    rules = cn2_induce(d, ["l_linestatus", "ship_year"], "cls",
+                       max_rules=CN2_D2["max_rules"],
+                       beam_width=CN2_D2["beam_width"],
+                       max_selectors=CN2_D2["max_selectors"])
+    return rules_to_dataframe(spark, rules)
