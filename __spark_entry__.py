@@ -33,107 +33,69 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness harness grades entries in dict order with a ~50-query
-# budget per round.  Round-6 priority (194+ registered, ALL
-# oracle-paired): (1) q_adaptive_normalize — the single r5 driver
-# hash-fail, re-engineered from round(…,6) near-zero aggregates (signed
-# zero drift across machines) to lattice-safe integer bucket counts;
-# (2) the nine queries registered at the very end of round 5 that the
-# r5 grading budget never reached; (3) queries added this round (auto
-# bucket below); (4) greens whose engine code materially changed this
-# round; (5) the cumulative greens.
-_FIXED_R6 = [
-    "q_adaptive_normalize",
+# budget per round.  Round-7 ordering is COMPUTED, not hand-rotated:
+# (1) queries whose engine paths materially changed this round (their
+# old verdicts cover code that no longer exists); (2) never-graded /
+# last-graded-red queries, oracle-paired first; (3) the greens, OLDEST
+# driver grade first — so the ~50-query window provably cycles through
+# every registered query within ~5 rounds and staleness stays bounded
+# without hand-curated lists.
+_CHANGED_THIS_ROUND = [
+    # r7: guards rewritten (exact cardinality probe), ewma identity
+    # dedup, dup_clusters pointer jumping, hard_negatives fallback,
+    # basket Arrow UDF, permutation overflow guard
+    "q_ewma", "q_dup_clusters", "q_hard_negatives", "q_ml_nomogram",
+    "q_ml_correspondence", "q_drift_chi2", "q_cv_stratified",
+    "q_basket_read", "q_permutation_importance",
 ]
-_NEVER_GRADED_R5_TAIL = [
-    "q_stream_interval_join", "q_sessionize", "q_funnel",
-    "q_cohort_retention", "q_text_bm25", "q_mix_sources",
-    "q_pack_sequences", "q_repeated_spans", "q_hard_negatives",
-]
-_REBASED_GREEN: list[str] = [
-    # green in earlier rounds but their engine paths changed this round —
-    # the old verdicts cover code that no longer exists
-]
-_VERIFIED_GREEN = [
-    # cumulative greens from CORRECTNESS_r01-r03 — graded last
-    "q_discretize_equal_freq", "q_discretize_equal_width", "q_discretize_nice",
-    "q_discretize_timewidth", "q_entropy_mdl_bins", "q_continuize_indicators",
-    "q_impute_mean", "q_normalize_standardize", "q_scale_median_span",
-    "q_corr_pearson", "q_corr_spearman",
-    "q_sample_hash", "q_sample_stratified", "q_cv_folds",
-    "q_transpose", "q_hstack", "q_rowwise_agg",
-    "q_weighted_distribution", "q_rolling_mean", "q_feature_constructor",
-    "q_ml_cur", "q_ml_mds", "q_ml_lda", "q_ml_radviz",
-    "q_ml_calibration_curve", "q_sql_passthrough",
-    "q_media_frames", "q_ml_logreg_cv", "q_randomize",
-    "q_tab_roundtrip", "q_csv_roundtrip", "q_url_read", "q_basket_read",
-    "q_infer_types", "q_editdomain", "q_purge_domain",
-    "q_filter_samevalue", "q_filter_regex", "q_filter_stringlist",
-    "q_transform_kernels", "q_impute_model", "q_time_parse",
-    "q_select_best", "q_impute_asvalue", "q_sample_fixed",
-    "q_sample_bernoulli", "q_filter_hasclass",
-    "q_outlier_iqr", "q_maha_outliers", "q_groupby_matrix", "q_window_lag",
-    "q_window_cumsum", "q_media_bytes", "q_ml_dbscan", "q_ml_pca",
-    "q_ml_hierarchical", "q_distance_spearman_rows",
-    "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",
-    "q_dedup_incremental", "q_dup_clusters", "q_leakage_safe_split",
-    "q_knn_cosine", "q_neardup_cosine",
-    "q_fingerprint", "q_fingerprint_winnow", "q_text_stats", "q_text_quality",
-    "q_lang_id", "q_top_ngrams", "q_redact",
-    "q_window_tumbling", "q_window_sliding", "q_window_session",
-    "q_stream_dedup", "q_stream_enrich", "q_time_rollup",
-    "q_udaf_geomean", "q_asof_join", "q_python_script", "q_range_join",
-    "q_groupby_weighted", "q_groupby_salted", "q_ml_cv_ols",
-    "q_ml_metrics", "q_ml_shuffle_split", "q_feature_scores",
-    "q_ml_communities", "q_ml_cn2", "q_ml_pls", "q_ml_curvefit",
-    "q_ml_threshold",
-    "q_distance_rows", "q_distance_columns", "q_boxplot", "q_sieve_chi2",
-    "q3_shipping_priority", "q6_forecast_revenue", "q10_returned_items",
-    "q_time_bins", "q_distance_pearson_rows", "q_distance_bhattacharyya",
-    "q_distance_spearman_cols", "q_outlier_lof", "q1_filter_groupby",
-    "q_filter_values_tree", "q_filter_string", "q_filter_isdefined",
-    "q_join_inner", "q_join_left_agg", "q5_region_revenue", "q_semi_join",
-    "q_anti_join", "q_concatenate_agg", "q_pivot", "q_pivot_cube_totals",
-    "q_melt", "q_unique_first", "q_topk_per_group", "q_distribution",
-    "q_contingency", "q_histogram", "q_basic_stats", "q_concat_source",
-    "q_create_class", "q_media_metadata", "q_media_dedup",
-    "q_ml_majority_ca", "q_ml_ols", "q_ml_knn_ca",
-    # r4-driver-verified greens
-    "q_split_onehot", "q_split_tokens", "q_feature_statistics",
-    "q_stream_cusum", "q_stream_totals", "q_text_repetition",
-    "q_decontaminate",
-    # r5-driver-verified greens — most recent verdicts, re-grade last
-    "q_quality_classifier", "q_cluster_curation", "q_cdc_chunks",
-    "q_bpe_vocab", "q_bpe_tokenize", "q_mix_temperature",
-    "q_tfidf_terms", "q_sliding_chunks",
-    "q_lm_score", "q_pq_codes", "q_pq_adc", "q_ivfpq",
-    "q_sketch_kmv", "q_sketch_cms", "q_corpus_report",
-    "q_ml_adaboost_reg",
-    "q_outlier_ocsvm", "q_ml_tsne", "q_ml_som", "q_ml_freeviz",
-    "q_outlier_iforest", "q_outlier_envelope", "q_ml_svr",
-    "q_scoring_sheet",
-    "q_ml_adaboost", "q_ml_stack", "q_ml_svm", "q_ml_knn_reg",
-    "q_ml_mlp_reg", "q_ml_roc_curve", "q_ml_ari",
-    "q_dup_clusters", "q_leakage_safe_split", "q_training_pipeline",
-    "q_ml_silhouette", "q_ml_kmeans", "q_dedup_semantic", "q_knn_ivf",
-    "q_csv_import_options", "q_excel_roundtrip",
-    "q_json_extract", "q_media_decode", "q_media_audio",
-    "q_ml_auc", "q_ml_scores_table", "q_ml_logreg_irls",
-    "q_feature_scores_relieff",
-]
+
+
+def _grade_history() -> dict:
+    """last-grade info per query from the driver's CORRECTNESS_r*.json
+    artifacts: {name: (round, was_green)}."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict = {}
+    for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        mt = re.search(r"r(\d+)", os.path.basename(p))
+        if not mt:
+            continue
+        rnd = int(mt.group(1))
+        try:
+            with open(p) as fh:
+                data = json.load(fh)
+        except Exception:
+            continue
+        for q, rec in data.items():
+            if not isinstance(rec, dict):
+                continue
+            ok = (rec.get("err") is None
+                  and rec.get("rows_match") is not False
+                  and rec.get("hash_match") is not False)
+            last[q] = (rnd, bool(ok))
+    return last
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    head = [q for q in (_FIXED_R6 + _NEVER_GRADED_R5_TAIL
-                        + _REBASED_GREEN)
-            if q in QUERIES]
-    green = [q for q in _VERIFIED_GREEN if q in QUERIES]
-    placed = set(head) | set(green)
-    # queries registered this round land here automatically; oracle-paired
-    # ones grade before rows-only (a hash verdict is the stronger signal
-    # if the driver's budget runs out mid-bucket)
-    new = sorted((q for q in QUERIES if q not in placed),
-                 key=lambda q: (q not in ORACLE, list(QUERIES).index(q)))
-    return {q: QUERIES[q] for q in head + new + green}
+    last = _grade_history()
+    reg = list(QUERIES)
+    head = [q for q in _CHANGED_THIS_ROUND if q in QUERIES]
+
+    def key(q):
+        rnd, ok = last.get(q, (0, False))
+        if not ok:
+            # never graded / last grade red: grade first, oracle-paired
+            # before rows-only (a hash verdict is the stronger signal if
+            # the driver's budget runs out mid-bucket)
+            return (0, 0, q not in ORACLE, reg.index(q))
+        return (1, rnd, q not in ORACLE, reg.index(q))  # oldest green first
+
+    tail = sorted((q for q in reg if q not in head), key=key)
+    return {q: QUERIES[q] for q in head + tail}
 
 
 def oracle_sql() -> dict[str, str]:

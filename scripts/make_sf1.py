@@ -1,0 +1,83 @@
+"""Materialize an sf1.0 corpus (10x the sf0.1 driver fixtures) under
+.localdata/sf1 for the scale evidence runs (scale_smoke --growth and the
+sf1 oracle sweep).
+
+Replication keeps referential integrity: every *key column is offset by
+replica * 10_000_000 (the same convention scale_smoke uses in memory),
+dimension tables (region/nation) stay fixed like TPC-H SF scaling, and
+documents get BOTH exact-copy and near-dup pressure (odd replicas append
+a unique token, mirroring scale_smoke.replicate_docs) so the dedup
+family sees realistic duplicate structure at 10x.  Embeddings shift by
+replica * 0.001 per element (distinct but near vectors).
+
+DuckDB does the generation — the output parquet uses plain µs
+timestamps, which both engines read directly.  Deterministic: pure SQL
+over the fixtures, no randomness.
+
+Usage: python scripts/make_sf1.py [n_replicas] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC = "/root/testdata/sf0.1"
+OFF = 10_000_000
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        HERE, ".localdata", "sf1")
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW reps AS SELECT r FROM range({n}) t(r)")
+
+    fixed = ("region", "nation")
+    scaled = {
+        "customer": "c_custkey + r*{o} AS c_custkey, c_name, c_nationkey, "
+                    "c_acctbal, c_mktsegment",
+        "supplier": "s_suppkey + r*{o} AS s_suppkey, s_name, s_nationkey, "
+                    "s_acctbal",
+        "part": "p_partkey + r*{o} AS p_partkey, p_name, p_brand, p_type, "
+                "p_size, p_retailprice",
+        "orders": "o_orderkey + r*{o} AS o_orderkey, "
+                  "o_custkey + r*{o} AS o_custkey, o_orderstatus, "
+                  "o_totalprice, o_orderdate, o_orderpriority",
+        "lineitem": "l_orderkey + r*{o} AS l_orderkey, "
+                    "l_partkey + r*{o} AS l_partkey, "
+                    "l_suppkey + r*{o} AS l_suppkey, l_linenumber, "
+                    "l_quantity, l_extendedprice, l_discount, l_tax, "
+                    "l_returnflag, l_linestatus, l_shipdate",
+        "events": "event_id + r*{o} AS event_id, ts, "
+                  "user_id + r*{o} AS user_id, event_type, value, props",
+        "documents": "doc_id + r*{o} AS doc_id, "
+                     "CASE WHEN r % 2 = 1 THEN text || ' u' || "
+                     "CAST(r AS VARCHAR) ELSE text END AS text, "
+                     "lang, source, "
+                     "CASE WHEN r % 2 = 1 THEN length(text || ' u' || "
+                     "CAST(r AS VARCHAR)) ELSE n_chars END AS n_chars",
+        "embeddings": "vec_id + r*{o} AS vec_id, "
+                      "CAST(list_transform(CAST(embedding AS DOUBLE[]), "
+                      "x -> x + r * 0.001) AS FLOAT[]) AS embedding, label",
+    }
+    for t in fixed:
+        con.execute(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') "
+                    f"TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+        print(f"{t}: copied", flush=True)
+    for t, sel in scaled.items():
+        con.execute(
+            f"COPY (SELECT {sel.format(o=OFF)} "
+            f"FROM '{SRC}/{t}.parquet', reps ORDER BY 1) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+        c = con.execute(
+            f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
+        print(f"{t}: {c} rows", flush=True)
+
+
+if __name__ == "__main__":
+    main()

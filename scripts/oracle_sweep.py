@@ -1,5 +1,10 @@
 """Local mirror of the driver's t2 correctness gate: run every queries()
-entry against its DuckDB oracle at sf0.01, write correctness_local.json."""
+entry against its DuckDB oracle at sf0.01, write correctness_local.json.
+
+Usage: python scripts/oracle_sweep.py [sf_dir [query ...]]
+Optional query names restrict the sweep (the sf1 scale sweep runs the
+heavy family only); non-sf0.01 dirs write
+correctness_local_<dirname>.json so the default artifact is untouched."""
 import importlib.util
 import json
 import os
@@ -34,6 +39,12 @@ for t in ("region nation customer supplier part orders lineitem events "
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 qs, osql = m.queries(), m.oracle_sql()
+if len(sys.argv) > 2:
+    subset = sys.argv[2:]
+    missing = [q for q in subset if q not in qs]
+    if missing:
+        sys.exit(f"unknown queries: {missing}")
+    qs = {q: qs[q] for q in subset}
 out = {}
 n_ok = 0
 for name, fn in qs.items():
@@ -52,7 +63,10 @@ for name, fn in qs.items():
         print(f"FAIL {name}: {str(ex)[:200]}", flush=True)
     spark.catalog.clearCache()
 
-with open(os.path.join(HERE, "correctness_local.json"), "w") as fh:
+base = os.path.basename(os.path.normpath(sf))
+name = ("correctness_local.json" if base == "sf0.01"
+        else f"correctness_local_{base}.json")
+with open(os.path.join(HERE, name), "w") as fh:
     json.dump({"sf_dir": sf, "n": len(out), "n_ok": n_ok,
                "results": out}, fh, indent=1)
 print(f"\n{n_ok}/{len(out)} green")

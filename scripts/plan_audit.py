@@ -200,6 +200,13 @@ AUDITS = {
          r"ReadSchema: struct<l_quantity:double,"
          r"l_extendedprice:double>"),
     ],
+    "q_hard_negatives_blocked": [
+        ("candidates join on CELL id (equi-join; the only cross join is "
+         "query x n_cells centroids, broadcast)",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("per-query top-k window is PARTITIONED by qid",
+         r"windowspecdefinition\(qid"),
+    ],
 }
 
 BAD_PATTERNS = [
@@ -248,6 +255,16 @@ JOB_BUDGETS = {
     # two ivf_knn builds (approx + exhaustive sides), each = Lloyd fit
     # jobs + centroid refresh collect + the final compare aggregate
     "q_ann_recall": 30,
+    # forced min-label-propagation loop: pair materialize + per-round
+    # localCheckpoint + convergence agg (2 propagation rounds + 1
+    # no-change round on this data; each round = a handful of AQE
+    # stage-jobs over the CACHED edge frame — the upstream jaccard
+    # self-join runs exactly once).  Measured 47 at sf0.01; a breach
+    # means a round started re-executing the pair derivation.
+    "q_dup_clusters_distributed": 55,
+    # IVF fit jobs (Lloyd rounds + refresh collect) + the blocked
+    # scoring pass (measured 14)
+    "q_hard_negatives_blocked": 18,
 }
 
 

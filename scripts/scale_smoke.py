@@ -198,5 +198,79 @@ def main() -> None:
     sys.exit(0 if all_ok else 1)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--growth" not in sys.argv:
     main()
+
+
+# --------------------------------------------------------- growth exponents
+
+#: the bench's heaviest family — the queries whose scale behavior decides
+#: whether the engine survives 100x (VERDICT r6 "next round" item 1)
+HEAVY = [
+    "q_pagerank", "q_training_pipeline", "q_dedup_minhash",
+    "q_dedup_incremental", "q_ivfpq", "q_ann_recall",
+    "q_quality_classifier", "q_bpe_vocab", "q_cluster_curation",
+    "q_line_dedup", "q_boilerplate", "q_dup_clusters_distributed",
+    "q_hard_negatives_blocked",
+]
+
+
+def growth(dirs: list[str], out_path: str) -> None:
+    """Run the heavy registered queries END TO END at each sf dir (1x /
+    10x / 100x of sf0.01 by default), fit growth exponents, and write a
+    JSON artifact.  exp = log(t_hi/t_lo) / log(scale) — a linear
+    operator sits near/below 1 (fixed overhead pulls it down), a
+    quadratic one near 2.  Evidence artifact behind the "plans you'd
+    want at 100x" claim: measured, not read off the plan."""
+    import importlib.util
+    import math
+
+    spec = importlib.util.spec_from_file_location(
+        "e", os.path.join(HERE, "__spark_entry__.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    qs = m.queries()
+    spark = get_spark("scale-growth")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed(fn, d):
+        t0 = time.perf_counter()
+        fn(spark, d).count()
+        return round(time.perf_counter() - t0, 3)
+
+    results = {}
+    all_ok = True
+    for q in HEAVY:
+        fn = qs[q]
+        timed(fn, dirs[0])                      # warm codegen/readers once
+        ts = []
+        for d in dirs:
+            ts.append(min(timed(fn, d), timed(fn, d)))   # min-of-2
+            spark.catalog.clearCache()
+        scale_hi = 10.0 ** (len(dirs) - 1)
+        exp_overall = (math.log(ts[-1] / ts[0]) / math.log(scale_hi)
+                       if ts[0] > 0 else float("inf"))
+        exp_tail = (math.log(ts[-1] / ts[-2]) / math.log(10.0)
+                    if ts[-2] > 0 else float("inf"))
+        # gate: sub-quadratic on the last decade (tail exponent is the
+        # honest one — fixed overhead no longer masks the growth law)
+        ok = exp_tail < 1.8
+        all_ok &= ok
+        rec = {"q": q, "t": ts, "exp_overall": round(exp_overall, 3),
+               "exp_10x_100x": round(exp_tail, 3), "ok": ok}
+        results[q] = rec
+        print(json.dumps(rec), flush=True)
+    artifact = {"dirs": dirs, "queries": results, "ok": all_ok,
+                "gate": "exp_10x_100x < 1.8"}
+    with open(out_path, "w") as fh:
+        json.dump(artifact, fh, indent=1)
+    print(json.dumps({"op": "GROWTH_SUMMARY", "ok": all_ok,
+                      "artifact": out_path}))
+    sys.exit(0 if all_ok else 1)
+
+
+if __name__ == "__main__" and "--growth" in sys.argv:
+    args = [a for a in sys.argv[1:] if a != "--growth"]
+    dirs = args or ["/root/testdata/sf0.01", "/root/testdata/sf0.1",
+                    os.path.join(HERE, ".localdata", "sf1")]
+    growth(dirs, os.path.join(HERE, "SCALE_r07.json"))
