@@ -139,3 +139,155 @@ def write_dst(pairs: DataFrame, path: str, *, id_a: str = "id_a",
             lab = labels[v] if labels is not None else str(v)
             fh.write(str(lab) + "\t"
                      + "\t".join(repr(x) for x in tri[i]) + "\n")
+
+
+def read_dst_xlsx(spark: SparkSession, path: str, *,
+                  sheet: str | int | None = None,
+                  symmetricize: bool = True,
+                  max_cells: int = 4_000_000) -> DataFrame:
+    """Distance matrix from an .xlsx sheet — the reference's second
+    matrix format (``Orange/misc/_distmatrix_xlsx.py:read_matrix``):
+    trim empty border rows/columns, detect row/column labels (a border
+    vector is labels iff any entry past the first fails float()), blank
+    cells are missing.  ``symmetricize`` then applies the widget's
+    ``auto_symmetricized`` rule (``distmatrix.py:227-281``): when
+    exactly one triangle is populated and the shape is square or off by
+    one, mirror it (padding the short axis, zeroing a missing diagonal).
+
+    Returns the same long form as :func:`read_dst` (missing cells →
+    NULL dist); numeric-looking labels are inherently ambiguous in this
+    format (no header flags) — same contract as the reference."""
+    import numpy as np
+
+    from orange3_spark.sources.xlsx import read_grid
+
+    grid = read_grid(path, sheet)
+    width = max((max(r) + 1 for r in grid if r), default=0)
+    cells = [[r.get(j) for j in range(width)] for r in grid]
+    keep_r = [i for i, row in enumerate(cells)
+              if any(v is not None for v in row)]
+    if not keep_r:
+        raise ValueError("empty sheet")
+    cells = cells[keep_r[0]:keep_r[-1] + 1]
+    keep_c = [j for j in range(width)
+              if any(row[j] is not None for row in cells)]
+    cells = [row[keep_c[0]:keep_c[-1] + 1] for row in cells]
+
+    def get_labels(vec):
+        try:
+            for v in vec[1:]:
+                v is None or float(v)
+        except ValueError:
+            return ["?" if v is None else str(v) for v in vec]
+        return None
+
+    col_labels = get_labels(cells[0])
+    row_labels = get_labels([row[0] for row in cells])
+    if col_labels and row_labels:
+        col_labels, row_labels = col_labels[1:], row_labels[1:]
+    body = cells[int(bool(col_labels)):]
+    body = [row[int(bool(row_labels)):] for row in body]
+    h, w = len(body), len(body[0]) if body else 0
+    if h * w > max_cells:
+        raise ValueError(
+            f".dst xlsx reader is driver-side; {h}x{w} > {max_cells} "
+            "cells. Store large matrices long-form in parquet.")
+    M = np.full((h, w), np.nan)
+    for i, row in enumerate(body):
+        for j, v in enumerate(row):
+            if v is None or (isinstance(v, str) and not v.strip()):
+                continue
+            try:
+                M[i, j] = float(v)
+            except ValueError as exc:
+                raise ValueError(
+                    f"invalid data in cell row {i + 1}, "
+                    f"column {j + 1}") from exc
+
+    did_sym = False
+    if symmetricize and abs(h - w) <= 1:
+        nans = np.isnan(M)
+        low = np.tril_indices(h, -1)
+        high = np.triu_indices(w, 1)
+        low_empty = bool(np.all(nans[tuple(
+            ix[(low[0] < h) & (low[1] < w)] for ix in low)])) \
+            if h and w else True
+        high_empty = bool(np.all(nans[tuple(
+            ix[(high[0] < h) & (high[1] < w)] for ix in high)])) \
+            if h and w else True
+        if low_empty != high_empty:
+            if h < w:      # upper triangle stored, one row short: pad
+                row_pad = np.concatenate([M[:, -1], [0.0]])
+                M = np.vstack([M, row_pad[None, :w]])
+            elif w < h:    # lower triangle stored, one col short: pad
+                col_pad = np.concatenate([M[-1, :], [0.0]])
+                M = np.hstack([M, col_pad[:h, None]])
+            if h != w:     # a padded matrix may lack its diagonal
+                d = np.diag_indices(M.shape[0])
+                M[d] = np.nan_to_num(M[d])
+                h = w = M.shape[0]
+            idx = np.tril_indices(h, -1) if low_empty \
+                else np.triu_indices(h, 1)
+            M[idx] = M.T[idx]
+            did_sym = True
+
+    n_rows, n_cols = M.shape
+    cols, schema = ["i", "j"], "i int, j int"
+    if row_labels is not None:
+        schema += ", row_label string"
+    if col_labels is not None:
+        schema += ", col_label string"
+    schema += ", dist double"
+    rows = []
+    for i in range(n_rows):
+        for j in range(n_cols):
+            r: list = [i, j]
+            if row_labels is not None:
+                r.append(row_labels[i] if i < len(row_labels) else None)
+            if col_labels is not None:
+                r.append(col_labels[j] if j < len(col_labels) else None)
+            v = M[i, j]
+            r.append(None if np.isnan(v) else float(v))
+            rows.append(tuple(r))
+    out = spark.createDataFrame(rows, schema)
+    out.dst_meta = {"n_rows": int(n_rows), "n_cols": int(n_cols),
+                    "symmetricized": did_sym}
+    return out
+
+
+def write_dst_xlsx(pairs: DataFrame, path: str, *, id_a: str = "id_a",
+                   id_b: str = "id_b", dist_col: str = "dist",
+                   labels: dict | None = None,
+                   max_pairs: int = 2_000_000) -> None:
+    """Write a symmetric long-form distance frame to .xlsx in the
+    reference's layout (``_distmatrix_xlsx.py:write_matrix``): row
+    labels in column A, strict lower triangle (no diagonal when it is
+    all zeros — ours always is), numeric cells.  Driver-side, bounded.
+
+    Numeric ids make ambiguous labels on read-back (this format has no
+    header flags — reference contract); pass ``labels`` mapping ids to
+    non-numeric strings when round-tripping matters."""
+    from pyspark.sql import functions as F
+
+    from orange3_spark.sources.xlsx import write_grid
+
+    sel = pairs.select(F.col(id_a).alias("_a"), F.col(id_b).alias("_b"),
+                       F.col(dist_col).cast("double").alias("_d"))
+    if sel.limit(max_pairs + 1).count() > max_pairs:
+        raise ValueError(f".dst xlsx writer is driver-side; > {max_pairs} "
+                         "pairs. Use parquet for large matrices.")
+    rows = sel.collect()
+    ids = sorted({r["_a"] for r in rows} | {r["_b"] for r in rows})
+    pos = {v: k for k, v in enumerate(ids)}
+    tri = [[None] * i for i in range(len(ids))]   # strict lower triangle
+    for r in rows:
+        i, j = pos[r["_a"]], pos[r["_b"]]
+        if i < j:
+            i, j = j, i
+        if i != j:
+            tri[i][j] = float(r["_d"]) if r["_d"] is not None else 0.0
+    grid = []
+    for i, v in enumerate(ids):
+        lab = labels[v] if labels is not None else str(v)
+        grid.append([str(lab)] + tri[i])
+    write_grid(path, grid)

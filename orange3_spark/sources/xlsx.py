@@ -64,36 +64,28 @@ def _col_letter(idx: int) -> str:
     return out
 
 
-def write_xlsx(df: DataFrame, path: str, *, sheet: str = "Sheet1",
-               max_rows: int = 1_000_000) -> None:
-    """Write a DataFrame as a single-sheet .xlsx (header row + data).
-    Driver-side with an explicit bound, mirroring ``write_tab``."""
-    n = df.count()
-    if n > max_rows:
-        raise ValueError(f".xlsx writer is driver-side; {n} rows > "
-                         f"{max_rows}. Persist as parquet instead.")
-    cols = df.columns
-    rows = df.collect()
+def _cell_xml(ref: str, v) -> str:
+    if v is None or (isinstance(v, float) and v != v):
+        return ""                     # NULL/NaN → blank cell
+    if isinstance(v, bool):
+        return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+    if isinstance(v, (int, float)):
+        return f'<c r="{ref}"><v>{v!r}</v></c>'
+    return (f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
+            f"{escape(str(v))}</t></is></c>")
 
-    def cell(ref: str, v) -> str:
-        if v is None or (isinstance(v, float) and v != v):
-            return ""                     # NULL/NaN → blank cell
-        if isinstance(v, bool):
-            return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
-        if isinstance(v, (int, float)):
-            return f'<c r="{ref}"><v>{v!r}</v></c>'
-        return (f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
-                f"{escape(str(v))}</t></is></c>")
 
+def write_grid(path: str, grid, *, sheet: str = "Sheet1") -> None:
+    """Write a list-of-rows cell grid as a single-sheet .xlsx (numbers →
+    native numeric cells via repr — round-trip exact; None/NaN → blank).
+    Shared by the Table writer below and sources/dst.py."""
     body = ['<?xml version="1.0" encoding="UTF-8" standalone="yes"?>',
             '<worksheet xmlns="http://schemas.openxmlformats.org/'
             'spreadsheetml/2006/main"><sheetData>']
-    hdr = "".join(cell(f"{_col_letter(j)}1", c) for j, c in enumerate(cols))
-    body.append(f'<row r="1">{hdr}</row>')
-    for i, r in enumerate(rows):
-        cs = "".join(cell(f"{_col_letter(j)}{i + 2}", r[j])
-                     for j in range(len(cols)))
-        body.append(f'<row r="{i + 2}">{cs}</row>')
+    for i, r in enumerate(grid):
+        cs = "".join(_cell_xml(f"{_col_letter(j)}{i + 1}", v)
+                     for j, v in enumerate(r))
+        body.append(f'<row r="{i + 1}">{cs}</row>')
     body.append("</sheetData></worksheet>")
 
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
@@ -102,6 +94,18 @@ def write_xlsx(df: DataFrame, path: str, *, sheet: str = "Sheet1",
         z.writestr("xl/workbook.xml", _WORKBOOK.format(name=escape(sheet)))
         z.writestr("xl/_rels/workbook.xml.rels", _WORKBOOK_RELS)
         z.writestr("xl/worksheets/sheet1.xml", "\n".join(body))
+
+
+def write_xlsx(df: DataFrame, path: str, *, sheet: str = "Sheet1",
+               max_rows: int = 1_000_000) -> None:
+    """Write a DataFrame as a single-sheet .xlsx (header row + data).
+    Driver-side with an explicit bound, mirroring ``write_tab``."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(f".xlsx writer is driver-side; {n} rows > "
+                         f"{max_rows}. Persist as parquet instead.")
+    write_grid(path, [list(df.columns)] + [list(r) for r in df.collect()],
+               sheet=sheet)
 
 
 def _sheet_path(z: zipfile.ZipFile, sheet: str | int | None) -> str:
@@ -139,13 +143,12 @@ def _col_index(ref: str) -> int:
     return idx - 1
 
 
-def read_xlsx(spark: SparkSession, path: str, *,
-              sheet: str | int | None = None) -> DataFrame:
-    """Read an .xlsx worksheet: header row → column names, then Orange
-    type inference per column (discrete probe → float → time → string,
-    ``sources/infer.py``) exactly like the csv reader."""
-    from orange3_spark.sources.csv import infer_and_type
-
+def read_grid(path: str, sheet: str | int | None = None
+              ) -> list[dict[int, str | None]]:
+    """Raw cell grid of a worksheet: one ``{col_index: text}`` dict per
+    row (shared-string / inline-string / numeric / bool cells resolved
+    to their text).  Shared by the Table reader below and the .dst
+    distance-matrix reader (sources/dst.py)."""
     with zipfile.ZipFile(path) as z:
         shared = []
         if "xl/sharedStrings.xml" in z.namelist():
@@ -180,6 +183,17 @@ def read_xlsx(spark: SparkSession, path: str, *,
                     else:
                         cells[j] = raw
             grid.append(cells)
+    return grid
+
+
+def read_xlsx(spark: SparkSession, path: str, *,
+              sheet: str | int | None = None) -> DataFrame:
+    """Read an .xlsx worksheet: header row → column names, then Orange
+    type inference per column (discrete probe → float → time → string,
+    ``sources/infer.py``) exactly like the csv reader."""
+    from orange3_spark.sources.csv import infer_and_type
+
+    grid = read_grid(path, sheet)
     if not grid:
         raise ValueError(f"{path}: empty worksheet")
     width = max(max(r, default=-1) for r in grid) + 1

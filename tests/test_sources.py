@@ -368,3 +368,46 @@ def test_dst_reader_reference_format_rules(spark, tmp_path):
     bad.write_text("1\n1.0\n2.0\n")
     with pytest.raises(ValueError, match="too many rows"):
         read_dst(spark, str(bad))
+
+
+def test_dst_xlsx_roundtrip_and_symmetricize(spark, tmp_path):
+    from orange3_spark.sources.dst import read_dst_xlsx, write_dst_xlsx
+
+    pairs = spark.createDataFrame(
+        [("a", "b", 1.5), ("a", "c", 2.5), ("b", "c", 0.25)],
+        "id_a string, id_b string, dist double")
+    p = tmp_path / "m.xlsx"
+    write_dst_xlsx(pairs, str(p))
+    back = read_dst_xlsx(spark, str(p))
+    assert back.dst_meta == {"n_rows": 3, "n_cols": 3,
+                             "symmetricized": True}
+    got = {(r["i"], r["j"]): (r["row_label"], r["dist"])
+           for r in back.collect()}
+    assert len(got) == 9
+    assert got[(1, 0)] == ("b", 1.5)            # stored lower triangle
+    assert got[(0, 1)] == ("a", 1.5)            # mirrored upper
+    assert got[(2, 2)] == ("c", 0.0)            # padded zero diagonal
+    assert got[(2, 0)][1] == 2.5 and got[(0, 2)][1] == 2.5
+
+
+def test_dst_xlsx_label_detection_and_no_symmetricize(spark, tmp_path):
+    from orange3_spark.sources.dst import read_dst_xlsx
+    from orange3_spark.sources.xlsx import write_grid
+
+    p = tmp_path / "full.xlsx"
+    # col labels + row labels + FULL square: nothing to symmetricize
+    write_grid(str(p), [[None, "x", "y"],
+                        ["x", 0.0, 3.0],
+                        ["y", 7.0, 0.0]])
+    back = read_dst_xlsx(spark, str(p))
+    assert back.dst_meta["symmetricized"] is False
+    got = {(r["i"], r["j"]): (r["row_label"], r["col_label"], r["dist"])
+           for r in back.collect()}
+    assert got[(0, 1)] == ("x", "y", 3.0)
+    assert got[(1, 0)] == ("y", "x", 7.0)       # kept asymmetric
+    # all-numeric grid: NO labels detected (reference contract)
+    q = tmp_path / "plain.xlsx"
+    write_grid(str(q), [[0.0, 1.0], [1.0, 0.0]])
+    back2 = read_dst_xlsx(spark, str(q))
+    assert "row_label" not in back2.columns
+    assert back2.count() == 4
