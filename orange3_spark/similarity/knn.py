@@ -450,15 +450,26 @@ def hard_negatives_blocked(df: DataFrame, *, id_col: str = "vec_id",
     trade; raise ``nprobe`` toward ``n_cells`` for recall).
 
     Exactness of what IS computed: cosines run on the Lloyd integer
-    grid — dot and both squared norms are exact int64 sums, the score
-    is one divide over two sqrts (correctly-rounded IEEE ops on exact
-    integers), so results are bit-identical across engines and
-    partitionings and the SQL oracle replays the whole pipeline
-    (``q_hard_negatives_blocked``).
+    grid — dot and both squared norms are exact int64 sums (the
+    per-cell BLAS matmul over integer-valued float64 is exact
+    regardless of summation order, the semantic_dedup lesson:
+    per-pair ``F.aggregate`` folds run interpreted and measured ~20×
+    slower here), the score is one divide over two sqrts
+    (correctly-rounded IEEE ops on exact integers) — so results are
+    bit-identical across engines and partitionings and the SQL oracle
+    replays the whole pipeline (``q_hard_negatives_blocked``).
+
+    Shape: per-cell top-k first (each query's global top-k is a subset
+    of its per-probed-cell top-ks), so the final ranking window sees
+    ≤ nprobe·k rows per query, never the raw candidate set.  At real
+    scale ``n_cells`` must grow with the corpus (≈√n) to keep cells —
+    the shuffle key and the per-task matmul — bounded.
 
     Returns ``(id_col, neg_id, score)``, ≤ k rows per id (score desc,
     neg_id asc).  The IVF postings cache is exposed as
     ``out.ivf_cache`` — unpersist when consumed."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql.window import Window
 
     from orange3_spark.ml.cluster import quantize_array
@@ -469,39 +480,73 @@ def hard_negatives_blocked(df: DataFrame, *, id_col: str = "vec_id",
     assigned, cents = ivf_fit(base, vec_col=array_col, id_col=id_col,
                               n_cells=n_cells, n_iter=n_iter)
 
-    def _sq(a):
-        return F.aggregate(F.transform(a, lambda x: x * x),
-                           F.lit(0).cast("long"), lambda acc, v: acc + v)
-
-    d2 = lambda a, b: F.aggregate(  # noqa: E731 — shared int64 metric
+    d2 = lambda a, b: F.aggregate(  # noqa: E731 — int64 centroid metric
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"), lambda acc, v: acc + v)
     q = base.select(F.col(id_col).alias("qid"),
                     F.col(label_col).alias("_lab_q"),
-                    quantize_array(F.col(array_col)).alias("qv")) \
-            .withColumn("_na2", _sq(F.col("qv")))
+                    quantize_array(F.col(array_col)).alias("qv"))
     wp = Window.partitionBy("qid").orderBy(F.col("cdist"), F.col("cluster"))
     probes = (q.crossJoin(F.broadcast(cents))
                .withColumn("cdist", d2(F.col("qv"), F.col("cvec")))
                .withColumn("crn", F.row_number().over(wp))
                .filter(F.col("crn") <= nprobe)
-               .select("qid", "_lab_q", "qv", "_na2", "cluster"))
-    side = assigned.select(F.col(id_col).alias("neg_id"),
-                           F.col(label_col).alias("_lab_b"),
-                           F.col("_q").alias("vb"), "cluster") \
-                   .withColumn("_nb2", _sq(F.col("vb")))
-    dot = F.aggregate(F.zip_with(F.col("qv"), F.col("vb"),
-                                 lambda x, y: x * y),
-                      F.lit(0).cast("long"), lambda acc, v: acc + v)
-    cand = (probes.join(side, "cluster")
-            .where(F.col("_lab_q") != F.col("_lab_b"))
-            .withColumn("score",
-                        dot.cast("double")
-                        / (F.sqrt(F.col("_na2").cast("double"))
-                           * F.sqrt(F.col("_nb2").cast("double")))))
+               .select("cluster", F.lit(1).alias("_isq"),
+                       F.col("qid").alias("_id"),
+                       F.col("_lab_q").alias("_lab"),
+                       F.col("qv").alias("_v")))
+    members = assigned.select("cluster", F.lit(0).alias("_isq"),
+                              F.col(id_col).alias("_id"),
+                              F.col(label_col).alias("_lab"),
+                              F.col("_q").alias("_v"))
+
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"qid": pd.Series([], dtype="int64"),
+                              "neg_id": pd.Series([], dtype="int64"),
+                              "score": pd.Series([], dtype="float64")})
+        qs = pdf[pdf["_isq"] == 1]
+        ms = pdf[pdf["_isq"] == 0]
+        if qs.empty or ms.empty:
+            return empty
+        # float64 holds the quantized ints exactly; matmul stays exact
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in ms["_v"]])
+        m_ids = ms["_id"].to_numpy(dtype=np.int64)
+        m_lab = ms["_lab"].to_numpy()
+        nb = np.sqrt((M * M).sum(axis=1))          # one rounded sqrt each
+        nb[nb == 0] = 1.0
+        out_q, out_n, out_s = [], [], []
+        # chunk queries so the score block stays bounded per task
+        for lo in range(0, len(qs), 1024):
+            ch = qs.iloc[lo:lo + 1024]
+            Q = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in ch["_v"]])
+            na = np.sqrt((Q * Q).sum(axis=1))
+            na[na == 0] = 1.0
+            S = (Q @ M.T) / (na[:, None] * nb[None, :])
+            q_ids = ch["_id"].to_numpy(dtype=np.int64)
+            q_lab = ch["_lab"].to_numpy()
+            for r in range(len(ch)):
+                cand = np.nonzero((m_lab != q_lab[r])
+                                  & (m_ids != q_ids[r]))[0]
+                if cand.size == 0:
+                    continue
+                s = S[r, cand]
+                take = cand[np.lexsort((m_ids[cand], -s))[:k]]
+                out_q += [q_ids[r]] * len(take)
+                out_n += list(m_ids[take])
+                out_s += list(S[r, take])
+        return pd.DataFrame({"qid": np.array(out_q, dtype=np.int64),
+                             "neg_id": np.array(out_n, dtype=np.int64),
+                             "score": np.array(out_s,
+                                               dtype=np.float64)})
+
+    cell_winners = (probes.unionByName(members)
+                    .groupBy("cluster")
+                    .applyInPandas(cell_topk,
+                                   "qid long, neg_id long, score double"))
     wr = Window.partitionBy("qid").orderBy(F.desc("score"),
                                            F.asc("neg_id"))
-    out = (cand.withColumn("rn", F.row_number().over(wr))
+    out = (cell_winners.withColumn("rn", F.row_number().over(wr))
            .filter(F.col("rn") <= k)
            .select(F.col("qid").alias(id_col), "neg_id", "score"))
     out.ivf_cache = assigned
