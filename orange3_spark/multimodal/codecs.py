@@ -1,11 +1,13 @@
-"""Pure-Python image codecs: uncompressed 24-bit BMP and binary PPM (P6).
+"""Pure-Python image codecs: uncompressed 24-bit BMP, binary PPM (P6),
+and 8-bit PNG (stdlib zlib inflate + RFC 2083 row unfiltering).
 
 The container has no Pillow/libjpeg, so the decode stage of the multimodal
 pipeline would otherwise never produce a checked pixel.  BMP and PPM are
 fully specified, compression-free formats decodable with stdlib ``struct``
 + numpy — enough to make ``decode_image`` REAL end-to-end (header parse,
-row padding, bottom-up row order, BGR→RGB) while JPEG/PNG stay behind the
-Pillow gate.  No counterpart in the reference (tabular only); formats per
+row padding, bottom-up row order, BGR→RGB, zlib inflate, Paeth
+unfiltering, palette application) while JPEG stays behind the Pillow
+gate (entropy decode needs a real codec).  No counterpart in the reference (tabular only); formats per
 the public BMP file format (BITMAPINFOHEADER) and netpbm P6 specs.
 """
 
@@ -16,7 +18,7 @@ import struct
 import numpy as np
 
 __all__ = ["decode_bmp", "encode_bmp", "decode_ppm", "encode_ppm",
-           "decode_any"]
+           "decode_png", "encode_png", "decode_any"]
 
 
 def encode_bmp(px: np.ndarray) -> bytes:
@@ -105,4 +107,118 @@ def decode_any(blob: bytes) -> np.ndarray:
         return decode_bmp(blob)
     if blob[:2] == b"P6":
         return decode_ppm(blob)
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(blob)
     raise ValueError("no pure-Python decoder for this format")
+
+
+# ---------------------------------------------------------------- PNG
+
+def encode_png(px: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → PNG bytes (8-bit truecolor, filter 0 rows,
+    one zlib IDAT).  Stdlib zlib/struct only — the PNG container is
+    fully specified (RFC 2083) and needs no codec library."""
+    h, w, c = px.shape
+    if c != 3:
+        raise ValueError("encode_png expects (H, W, 3) RGB")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        import zlib
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    import zlib
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b""))
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int,
+                  bpp: int) -> np.ndarray:
+    """Undo PNG per-row filters (0 None, 1 Sub, 2 Up, 3 Average,
+    4 Paeth; RFC 2083 §6).  Sub/Average/Paeth carry a left-pixel
+    dependency, so those rows run a per-pixel loop; None/Up rows stay
+    vectorized — real corpora are mostly filter 0/2."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    rowlen = stride + 1
+    for y in range(h):
+        f = int(raw[y * rowlen])
+        row = raw[y * rowlen + 1:(y + 1) * rowlen].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(
+            stride, dtype=np.int32)
+        if f == 0:
+            cur = row
+        elif f == 2:
+            cur = (row + prev) & 0xFF
+        else:
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if f == 1:
+                    val = row[x] + a
+                elif f == 3:
+                    val = row[x] + ((a + b) >> 1)
+                elif f == 4:
+                    cc = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if pa <= pb and pa <= pc else \
+                        b if pb <= pc else cc
+                    val = row[x] + pred
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+                cur[x] = val & 0xFF
+        out[y] = cur.astype(np.uint8)
+    return out
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """PNG → (H, W, 3) uint8 RGB.  Supports 8-bit gray / RGB / palette /
+    gray+alpha / RGBA, non-interlaced (alpha dropped, palette applied);
+    16-bit and Adam7 raise with a clear message — gate, not fake."""
+    import zlib
+
+    if blob[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat, plte = 8, None, bytearray(), None
+    while pos < len(blob):
+        ln, tag = struct.unpack_from(">I4s", blob, pos)
+        data = blob[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
+    if interlace:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    if comp or filt:
+        raise ValueError("non-standard PNG compression/filter method")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * channels
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return np.ascontiguousarray(plte[px[:, :, 0]])
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(px[:, :, :3])   # RGB / RGBA

@@ -94,14 +94,15 @@ def decode_image(df: DataFrame, binary_col: str = "content",
     * ``"stub"`` (default): a deterministic fake — pixels are a seeded
       function of the blob bytes, so tests are exact and the plumbing
       (batching, schema, memory shape) matches the real decode.
-    * ``"native"``: REAL pure-Python decode of uncompressed BMP / binary
-      PPM (``multimodal/codecs.py`` — header parse, row padding,
-      bottom-up order, BGR→RGB all exercised; no optional deps), with
+    * ``"native"``: REAL pure-Python decode of uncompressed BMP, binary
+      PPM, and 8-bit PNG (``multimodal/codecs.py`` — header parse, row
+      padding, bottom-up order, BGR→RGB, zlib inflate, Paeth
+      unfiltering, palette application; no optional deps), with
       deterministic nearest-neighbor resize to ``width×height``.
-    * ``"pillow"``: Pillow for JPEG/PNG/etc; without Pillow this raises
+    * ``"pillow"``: Pillow for JPEG/etc; without Pillow this raises
       NotImplementedError up front — an honest gate, not a silent fake.
-    * ``"auto"``: native for BMP/PPM magic bytes, Pillow otherwise (the
-      gate applies only if a non-native format actually appears).
+    * ``"auto"``: native for BMP/PPM/PNG magic bytes, Pillow otherwise
+      (the gate applies only if a non-native format actually appears).
     """
     if decoder is None:
         decoder = "stub" if stub else "pillow"
@@ -112,8 +113,8 @@ def decode_image(df: DataFrame, binary_col: str = "content",
             import PIL.Image  # noqa: F401
         except ImportError as exc:
             raise NotImplementedError(
-                "JPEG/PNG decoding needs Pillow/libjpeg — not installed "
-                "in this container; decoder='native' handles BMP/PPM, "
+                "JPEG decoding needs Pillow/libjpeg — not installed in "
+                "this container; decoder='native' handles BMP/PPM/PNG, "
                 "decoder='stub' is the deterministic fake") from exc
 
     def run(pdf_iter):
@@ -135,7 +136,7 @@ def decode_image(df: DataFrame, binary_col: str = "content",
                 from PIL import Image
             except ImportError as exc:
                 raise NotImplementedError(
-                    "blob is not BMP/PPM and Pillow is unavailable") from exc
+                    "blob is not BMP/PPM/PNG and Pillow is unavailable") from exc
             img = Image.open(io.BytesIO(blob)).convert("RGB")
             return np.asarray(img, dtype=np.uint8)
 

@@ -123,6 +123,56 @@ def q_media_decode(spark, sf_dir):
         lsum(ints).alias("sum_val"),
         lsum(weighted).alias("checksum"))
 
+@query("q_media_decode_png", """
+WITH px AS (SELECT doc_id, (doc_id * 47 + i) % 256 AS v, i
+            FROM documents, unnest(generate_series(0, 89)) g(i))
+SELECT doc_id AS media_id,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(v) AS BIGINT) AS sum_val,
+       CAST(sum(v * (i + 1)) AS BIGINT) AS checksum
+FROM px GROUP BY doc_id
+""")
+def q_media_decode_png(spark, sf_dir):
+    """REAL PNG decode, oracle-checked to the pixel (round 7: the PNG
+    gate is gone — multimodal/codecs.decode_png inflates IDAT with
+    stdlib zlib and undoes the RFC 2083 row filters; JPEG alone stays
+    behind the Pillow gate).  Per document a 6x5 8-bit truecolor PNG is
+    synthesized whose raster is (doc_id*47 + idx) mod 256, decoded via
+    decode_image(decoder='native'), and reduced to exact integer sums +
+    a position-weighted checksum; the oracle recomputes the bytes from
+    doc_id, so the zlib + unfilter path must be lossless to match.
+    Filters 1-4, grayscale, and palette PNGs are pytest-pinned
+    (tests/test_multimodal.py)."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"] \
+        .select("doc_id")
+    H, W = 6, 5
+
+    def mk(pdf_iter):
+        from orange3_spark.multimodal.codecs import encode_png
+        for pdf in pdf_iter:
+            out = []
+            for did in pdf["doc_id"]:
+                idx = np.arange(H * W * 3, dtype=np.int64)
+                vals = ((int(did) * 47 + idx) % 256).astype(np.uint8)
+                out.append((int(did), encode_png(vals.reshape(H, W, 3))))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    blobs = docs.mapInPandas(mk, "media_id long, content binary")
+    dec = M.decode_image(blobs, height=H, width=W, decoder="native")
+    ints = F.transform(F.col("pixels"),
+                       lambda x: F.round(x * 255).cast("long"))
+    weighted = F.transform(ints, lambda v, i: v * (i.cast("long") + 1))
+    lsum = (lambda arr: F.aggregate(arr, F.lit(0).cast("long"),
+                                    lambda a, v: a + v))
+    return dec.select(
+        "media_id",
+        F.size("pixels").cast("long").alias("n_px"),
+        lsum(ints).alias("sum_val"),
+        lsum(weighted).alias("checksum"))
+
 
 @query("q_media_frames", """
 WITH b AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n

@@ -213,3 +213,122 @@ def test_wav_decode_rejects_stereo():
         w.writeframes(np.zeros(64, dtype="<i2").tobytes())
     with pytest.raises(ValueError, match="mono"):
         decode_wav(buf.getvalue())
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def test_png_roundtrip_and_unfiltering():
+    """encode_png→decode_png is lossless; filters 1-4 (Sub/Up/Avg/Paeth)
+    unfilter to a reference-encoded raster; gray + palette map to RGB."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from orange3_spark.multimodal.codecs import (decode_any, decode_png,
+                                                 encode_png)
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (13, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+    assert np.array_equal(decode_any(encode_png(px)), px)
+
+    # hand-encode one row per filter type 1-4 (RFC 2083 reference logic)
+    w, h = 5, 4
+    rows = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out = bytearray()
+    prev = np.zeros(w * 3, dtype=np.int32)
+    for y, f in zip(range(h), (1, 2, 3, 4)):
+        cur = rows[y].reshape(-1).astype(np.int32)
+        enc = np.zeros(w * 3, dtype=np.int32)
+        for x in range(w * 3):
+            a = cur[x - 3] if x >= 3 else 0
+            b = prev[x]
+            c = prev[x - 3] if x >= 3 else 0
+            if f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+            enc[x] = (cur[x] - pred) & 0xFF
+        out += bytes([f]) + bytes(enc.astype(np.uint8))
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+           + _png_chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png), rows)
+
+    g = rng.integers(0, 256, (3, 4, 1), dtype=np.uint8)
+    raw = b"".join(b"\x00" + g[y].tobytes() for y in range(3))
+    png_g = (b"\x89PNG\r\n\x1a\n"
+             + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 0,
+                                               0, 0, 0))
+             + _png_chunk(b"IDAT", zlib.compress(raw))
+             + _png_chunk(b"IEND", b""))
+    dg = decode_png(png_g)
+    assert dg.shape == (3, 4, 3) and np.array_equal(dg[:, :, 0],
+                                                    g[:, :, 0])
+
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, (2, 3, 1), dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    png_p = (b"\x89PNG\r\n\x1a\n"
+             + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3,
+                                               0, 0, 0))
+             + _png_chunk(b"PLTE", pal.tobytes())
+             + _png_chunk(b"IDAT", zlib.compress(raw))
+             + _png_chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png_p), pal[idx[:, :, 0]])
+
+
+def test_png_unsupported_shapes_raise():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from orange3_spark.multimodal.codecs import decode_png
+
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(b"\x89PNG\r\n\x1a\n"
+                   + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1,
+                                                     16, 2, 0, 0, 0)))
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(b"\x89PNG\r\n\x1a\n"
+                   + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1,
+                                                     8, 2, 0, 0, 1)))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"JFIF....")
+
+
+def test_decode_image_native_png(spark):
+    """decode_image(decoder='native') handles PNG blobs end to end,
+    including the deterministic nearest-neighbor resize."""
+    import numpy as np
+    import pandas as pd
+
+    from orange3_spark.multimodal.codecs import encode_png
+    from orange3_spark.multimodal.media import decode_image
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    blob = encode_png(px)
+    df = spark.createDataFrame(pd.DataFrame(
+        {"media_id": [1], "content": [blob]}))
+    out = decode_image(df, height=4, width=4, decoder="native").first()
+    assert (out["height"], out["width"], out["channels"]) == (4, 4, 3)
+    want = px[(np.arange(4) * 8) // 4][:, (np.arange(4) * 8) // 4]
+    got = np.array(out["pixels"], dtype=np.float32).reshape(4, 4, 3)
+    assert np.allclose(got, want.astype(np.float32) / 255.0)
