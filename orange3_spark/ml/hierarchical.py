@@ -138,26 +138,131 @@ def leaf_order(ids: Sequence, Z) -> list:
     return order
 
 
+#: OLO is an O(n³) driver DP — bound it tighter than the linkage itself
+OLO_MAX_POINTS = 400
+
+
+def optimal_leaf_order(ids: Sequence, Z, D) -> list:
+    """Bar-Joseph et al. 2001 optimal leaf ordering: flip subtrees (the
+    only permitted move) to MINIMIZE the sum of distances between
+    adjacent leaves.  The reference exposes scipy's implementation
+    (``Orange/clustering/hierarchical.py:410``); this is the same DP,
+    driver-side over the bounded linkage:
+
+    ``M[v][u, w]`` = best cost of an ordering of ``v``'s leaves with
+    ``u`` leftmost and ``w`` rightmost; for ``v = merge(L, R)``::
+
+        M[v][u, w] = min over (m ∈ L, k ∈ R) of
+                     M[L][u, m] + D[m, k] + M[R][k, w]
+
+    computed as two min-plus matrix products per node (numpy); the
+    overall order is reconstructed top-down by re-finding each node's
+    argmin junction.  Ties break on the first index in leaf-enumeration
+    order — deterministic, and the replay oracle runs THIS function.
+
+    ``D`` is the dense distance matrix over ``ids`` (same order)."""
+    import numpy as np
+
+    n = len(ids)
+    if n > OLO_MAX_POINTS:
+        raise ValueError(f"{n} points exceeds OLO_MAX_POINTS="
+                         f"{OLO_MAX_POINTS}; the O(n³) ordering DP is "
+                         "driver-side — seriate a cluster summary")
+    if n == 1:
+        return [ids[0]]
+    D = np.asarray(D, dtype=np.float64)
+    leaves: dict = {i: [i] for i in range(n)}
+    M: dict = {i: np.zeros((1, 1)) for i in range(n)}
+    kids: dict = {}
+    for step, row in enumerate(Z):
+        left, right = int(row[0]), int(row[1])
+        v = n + step
+        ll, rl = leaves[left], leaves[right]
+        ML, MR = M[left], M[right]
+        Dlr = D[np.ix_(ll, rl)]
+        # T[m, w] = min_k D[m, k] + MR[k, w];  C[u, w] = min_m ML[u,m]+T
+        T = (Dlr[:, :, None] + MR[None, :, :]).min(axis=1)
+        C = (ML[:, :, None] + T[None, :, :]).min(axis=1)
+        leaves[v] = ll + rl
+        kids[v] = (left, right)
+        # store M[v] over leaves[v] x leaves[v]: cost symmetric (a full
+        # reversal is free), infinite for same-side (u, w) pairs — those
+        # can never be the two ends of an ordering of v
+        full = np.full((len(ll) + len(rl),) * 2, np.inf)
+        full[:len(ll), len(ll):] = C
+        full[len(ll):, :len(ll)] = C.T
+        M[v] = full
+
+    root = n + len(Z) - 1
+
+    def rebuild(v, gu, gw) -> list:
+        """Order of v's leaves (GLOBAL leaf indices) with leftmost gu,
+        rightmost gw."""
+        if v < n:
+            return [v]
+        left, right = kids[v]
+        ll, rl = leaves[left], leaves[right]
+        rpos = {x: i for i, x in enumerate(rl)}
+        if gu in rpos:              # reversed orientation: flip and undo
+            return rebuild(v, gw, gu)[::-1]
+        lpos = {x: i for i, x in enumerate(ll)}
+        ML, MR = M[left], M[right]
+        Dlr = D[np.ix_(ll, rl)]
+        iu, iw = lpos[gu], rpos[gw]
+        J = ML[iu][:, None] + Dlr + MR[:, iw][None, :]
+        m, k = np.unravel_index(np.argmin(J), J.shape)
+        return (rebuild(left, gu, ll[int(m)])
+                + rebuild(right, rl[int(k)], gw))
+
+    u, w = np.unravel_index(np.argmin(M[root]), M[root].shape)
+    order = rebuild(root, leaves[root][int(u)], leaves[root][int(w)])
+    return [ids[g] for g in order]
+
+
 def heatmap_order(df: DataFrame, id_col: str, cols: Sequence[str], *,
                   method: str = "average", metric: str = "euclidean",
-                  normalize: bool = False) -> DataFrame:
+                  normalize: bool = False, olo: bool = False) -> DataFrame:
     """Clustered-heatmap seriation: ``(id_col, leaf_pos)`` where
     ``leaf_pos`` is the row's position in the dendrogram leaf order —
     what ``owheatmap.py`` computes to order rows before rendering.
     Column seriation is the same call on the transposed frame
     (``operators/reshape.transpose``).
 
+    ``olo=True`` refines the plain dendrogram order with Bar-Joseph
+    optimal leaf ordering (:func:`optimal_leaf_order` —
+    ``owheatmap.py``'s "optimal ordering" option, tighter-bounded).
+
     Shape: the O(n²) distance pass is distributed
     (``stats/distance.row_distances``); only the pair scalars reach the
     driver (``MAX_POINTS``-guarded), where linkage + leaf traversal are
     O(model) work — identical contract to
     :func:`hierarchical_clustering`."""
+    import numpy as np
+
     from orange3_spark.stats.distance import row_distances
 
     pairs = row_distances(df, id_col, cols, metric=metric,
                           normalize=normalize)
-    ids, Z = linkage_from_pairs(pairs, method=method)
-    order = leaf_order(ids, Z)
+    if olo:
+        # guard BEFORE collecting (same contract as linkage_from_pairs)
+        cap = OLO_MAX_POINTS * (OLO_MAX_POINTS - 1) // 2
+        if pairs.limit(cap + 1).count() > cap:
+            raise ValueError(f"pair frame implies more than "
+                             f"OLO_MAX_POINTS={OLO_MAX_POINTS} points; "
+                             "seriate a cluster summary instead")
+        rows = pairs.collect()
+        ids = sorted({r[0] for r in rows} | {r[1] for r in rows})
+        pos = {v: i for i, v in enumerate(ids)}
+        D = np.zeros((len(ids), len(ids)))
+        for r in rows:
+            D[pos[r[0]], pos[r[1]]] = D[pos[r[1]], pos[r[0]]] = r[2]
+        Dinf = D.copy()
+        np.fill_diagonal(Dinf, np.inf)
+        Z = linkage_matrix(Dinf, method=method)
+        order = optimal_leaf_order(ids, Z, D)
+    else:
+        ids, Z = linkage_from_pairs(pairs, method=method)
+        order = leaf_order(ids, Z)
     dt = df.schema[id_col].dataType.simpleString()
     return df.sparkSession.createDataFrame(
         [(v, k) for k, v in enumerate(order)],

@@ -1455,3 +1455,47 @@ def cn2_depth2_oracle() -> str:
             f"CAST(correct AS BIGINT) AS correct "
             f"FROM (VALUES\n{values}\n) t(rule_idx, conditions, "
             f"prediction, laplace, covered, correct) ORDER BY rule_idx")
+
+
+@lazy
+def heatmap_order_olo_oracle() -> str:
+    """q_heatmap_order_olo: same exact-integer-derived features as
+    heatmap_order_oracle, but the order is Bar-Joseph OPTIMAL leaf
+    ordering — the oracle runs the engine's own linkage_matrix +
+    optimal_leaf_order (one shared float sequence incl. the DP's
+    first-index tie-breaks) on DuckDB-fetched inputs and emits the
+    (id, leaf_pos) literals."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    from orange3_spark.ml.hierarchical import (linkage_matrix,
+                                               optimal_leaf_order)
+
+    con = duckdb.connect()
+    try:
+        for t in ("orders", "customer", "nation"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"'{_sf_dir()}/{t}.parquet'")
+        rows = con.execute(
+            f"{HEATMAP_FEATURES_SQL} ORDER BY 1").fetchall()
+    finally:
+        con.close()
+    ids = [int(r[0]) for r in rows]
+    n = len(ids)
+    D = np.zeros((n, n))
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = rows[i][1] - rows[j][1]
+            dy = rows[i][2] - rows[j][2]
+            D[i, j] = D[j, i] = math.sqrt((0.0 + dx * dx) + dy * dy)
+    Dinf = D.copy()
+    np.fill_diagonal(Dinf, np.inf)
+    Z = linkage_matrix(Dinf, method="average")
+    order = optimal_leaf_order(ids, Z, D)
+    values = ",\n".join(f"({v}, {k})" for k, v in enumerate(order))
+    return (f"SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, "
+            f"CAST(leaf_pos AS INTEGER) AS leaf_pos "
+            f"FROM (VALUES\n{values}\n) t(n_nationkey, leaf_pos) "
+            f"ORDER BY leaf_pos")

@@ -1642,3 +1642,31 @@ def q_ml_cn2_depth2(spark, sf_dir):
                        beam_width=CN2_D2["beam_width"],
                        max_selectors=CN2_D2["max_selectors"])
     return rules_to_dataframe(spark, rules)
+
+
+@query("q_heatmap_order_olo", OR.heatmap_order_olo_oracle)
+def q_heatmap_order_olo(spark, sf_dir):
+    """Heatmap seriation with Bar-Joseph OPTIMAL leaf ordering
+    (ml/hierarchical.optimal_leaf_order — the reference wraps scipy's,
+    Orange/clustering/hierarchical.py:410): subtree flips chosen by a
+    min-plus DP to minimize the summed distance between adjacent rows.
+    Same exact-integer-derived features as q_heatmap_order so the
+    discrete output is bit-stable; the replay oracle runs the engine's
+    own DP on DuckDB-fetched inputs.  Pytest proves DP optimality
+    against exhaustive flip enumeration."""
+    from orange3_spark.ml.hierarchical import heatmap_order
+
+    nation, customer, orders = _t(spark, sf_dir,
+                                  "nation", "customer", "orders")
+    feats = (orders.join(customer, orders.o_custkey == customer.c_custkey)
+             .join(nation, customer.c_nationkey == nation.n_nationkey)
+             .groupBy("n_nationkey")
+             .agg(F.count(F.lit(1)).cast("double").alias("n_orders"),
+                  (F.sum(F.floor(F.col("o_totalprice").cast("double")
+                                 * 100 + F.lit(0.5)).cast("long"))
+                   .cast("double") / F.lit(100000.0)).alias("price_k")))
+    return (heatmap_order(feats, "n_nationkey", ["n_orders", "price_k"],
+                          method="average", olo=True)
+            .select(F.col("n_nationkey").cast("long").alias("n_nationkey"),
+                    "leaf_pos")
+            .orderBy("leaf_pos"))

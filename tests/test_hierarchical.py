@@ -206,3 +206,54 @@ def test_leaf_order_and_heatmap_seriation(spark):
     assert got == {10: 0, 30: 1, 20: 2, 40: 3}
     # singleton degenerate case
     assert H.leaf_order([7], []) == [7]
+
+
+def test_optimal_leaf_order_matches_exhaustive_flips(spark):
+    """Bar-Joseph OLO: cost(sum of adjacent-leaf distances) equals the
+    exhaustive minimum over ALL subtree-flip combinations (2^(n-1))."""
+    from itertools import product
+
+    rng = np.random.default_rng(7)
+    n = 7
+    pts = rng.random((n, 2)) * 10
+    D = np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1))
+    Dinf = D.copy()
+    np.fill_diagonal(Dinf, np.inf)
+    ids = list(range(n))
+    Z = H.linkage_matrix(Dinf, method="average")
+
+    def order_with_flips(flips):
+        def walk(v):
+            if v < n:
+                return [v]
+            l, r = int(Z[v - n][0]), int(Z[v - n][1])
+            a, b = walk(l), walk(r)
+            return b + a if flips[v - n] else a + b
+        return walk(n + len(Z) - 1)
+
+    def cost(o):
+        return sum(D[o[i], o[i + 1]] for i in range(len(o) - 1))
+
+    best = min(cost(order_with_flips(f))
+               for f in product([0, 1], repeat=n - 1))
+    got = H.optimal_leaf_order(ids, Z, D)
+    assert sorted(got) == ids                 # a permutation of the leaves
+    assert abs(cost(got) - best) < 1e-12      # and an OPTIMAL one
+    # no worse than (usually better than) the plain dendrogram order
+    assert cost(got) <= cost([ids.index(x) for x in H.leaf_order(ids, Z)])
+    # deterministic
+    assert got == H.optimal_leaf_order(ids, Z, D)
+
+
+def test_heatmap_order_olo_end_to_end(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, 9.0), (3, 1.0), (4, 10.0), (5, 0.5)],
+        "id long, x double")
+    out = {r["id"]: r["leaf_pos"]
+           for r in H.heatmap_order(df, "id", ["x"], olo=True).collect()}
+    assert sorted(out) == [1, 2, 3, 4, 5]
+    # 1-D optimal adjacency order is monotone in x (or its reverse)
+    by_pos = [k for k, _ in sorted(out.items(), key=lambda kv: kv[1])]
+    xs = {1: 0.0, 2: 9.0, 3: 1.0, 4: 10.0, 5: 0.5}
+    seq = [xs[k] for k in by_pos]
+    assert seq == sorted(seq) or seq == sorted(seq, reverse=True)
