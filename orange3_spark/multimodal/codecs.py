@@ -1,13 +1,16 @@
 """Pure-Python image codecs: uncompressed 24-bit BMP, binary PPM (P6),
-and 8-bit PNG (stdlib zlib inflate + RFC 2083 row unfiltering).
+8-bit PNG (stdlib zlib inflate + RFC 2083 row unfiltering), and baseline
+JPEG (multimodal/jpeg.py — huffman entropy decode, dequant, IDCT).
 
 The container has no Pillow/libjpeg, so the decode stage of the multimodal
 pipeline would otherwise never produce a checked pixel.  BMP and PPM are
 fully specified, compression-free formats decodable with stdlib ``struct``
-+ numpy — enough to make ``decode_image`` REAL end-to-end (header parse,
-row padding, bottom-up row order, BGR→RGB, zlib inflate, Paeth
-unfiltering, palette application) while JPEG stays behind the Pillow
-gate (entropy decode needs a real codec).  No counterpart in the reference (tabular only); formats per
++ numpy — enough to make ``decode_image`` REAL end-to-end for every
+common training-corpus image format (header parse, row padding,
+bottom-up row order, BGR→RGB, zlib inflate, Paeth unfiltering, palette
+application, huffman entropy decode, dequantization, IDCT); only
+exotic shapes (progressive JPEG, subsampled chroma, GIF/TIFF/WebP)
+still route to the Pillow gate.  No counterpart in the reference (tabular only); formats per
 the public BMP file format (BITMAPINFOHEADER) and netpbm P6 specs.
 """
 
@@ -109,6 +112,9 @@ def decode_any(blob: bytes) -> np.ndarray:
         return decode_ppm(blob)
     if blob[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(blob)
+    if blob[:3] == b"\xff\xd8\xff":
+        from orange3_spark.multimodal.jpeg import decode_jpeg
+        return decode_jpeg(blob)
     raise ValueError("no pure-Python decoder for this format")
 
 

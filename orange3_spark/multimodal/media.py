@@ -95,14 +95,18 @@ def decode_image(df: DataFrame, binary_col: str = "content",
       function of the blob bytes, so tests are exact and the plumbing
       (batching, schema, memory shape) matches the real decode.
     * ``"native"``: REAL pure-Python decode of uncompressed BMP, binary
-      PPM, and 8-bit PNG (``multimodal/codecs.py`` — header parse, row
-      padding, bottom-up order, BGR→RGB, zlib inflate, Paeth
-      unfiltering, palette application; no optional deps), with
-      deterministic nearest-neighbor resize to ``width×height``.
-    * ``"pillow"``: Pillow for JPEG/etc; without Pillow this raises
+      PPM, 8-bit PNG, and baseline JPEG (``multimodal/codecs.py`` +
+      ``multimodal/jpeg.py`` — header parse, row padding, bottom-up
+      order, BGR→RGB, zlib inflate, Paeth unfiltering, palette
+      application, huffman entropy decode, dequant, IDCT; no optional
+      deps), with deterministic nearest-neighbor resize to
+      ``width×height``.
+    * ``"pillow"``: Pillow for the exotic rest (progressive JPEG,
+      subsampled chroma, GIF/TIFF/WebP); without Pillow this raises
       NotImplementedError up front — an honest gate, not a silent fake.
-    * ``"auto"``: native for BMP/PPM/PNG magic bytes, Pillow otherwise
-      (the gate applies only if a non-native format actually appears).
+    * ``"auto"``: native for BMP/PPM/PNG/JPEG magic bytes, Pillow
+      otherwise (the gate applies only if a non-native format actually
+      appears).
     """
     if decoder is None:
         decoder = "stub" if stub else "pillow"
@@ -113,9 +117,11 @@ def decode_image(df: DataFrame, binary_col: str = "content",
             import PIL.Image  # noqa: F401
         except ImportError as exc:
             raise NotImplementedError(
-                "JPEG decoding needs Pillow/libjpeg — not installed in "
-                "this container; decoder='native' handles BMP/PPM/PNG, "
-                "decoder='stub' is the deterministic fake") from exc
+                "exotic formats (progressive JPEG, subsampled chroma, "
+                "GIF/TIFF/WebP) need Pillow — not installed in this "
+                "container; decoder='native' handles BMP/PPM/PNG and "
+                "baseline JPEG, decoder='stub' is the deterministic "
+                "fake") from exc
 
     def run(pdf_iter):
         import numpy as np
@@ -136,7 +142,8 @@ def decode_image(df: DataFrame, binary_col: str = "content",
                 from PIL import Image
             except ImportError as exc:
                 raise NotImplementedError(
-                    "blob is not BMP/PPM/PNG and Pillow is unavailable") from exc
+                    "blob is not BMP/PPM/PNG/baseline-JPEG and Pillow is "
+                    "unavailable") from exc
             img = Image.open(io.BytesIO(blob)).convert("RGB")
             return np.asarray(img, dtype=np.uint8)
 

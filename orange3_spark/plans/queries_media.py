@@ -173,6 +173,67 @@ def q_media_decode_png(spark, sf_dir):
         lsum(ints).alias("sum_val"),
         lsum(weighted).alias("checksum"))
 
+@query("q_media_decode_jpeg", """
+WITH px AS (SELECT doc_id,
+                   2 * ((doc_id * 13 + 7 * (2 * (y // 8) + (x // 8)))
+                        % 60 - 30) + 128 AS v,
+                   (y * 16 + x) * 3 + c AS i
+            FROM documents,
+                 unnest(generate_series(0, 15)) gy(y),
+                 unnest(generate_series(0, 15)) gx(x),
+                 unnest(generate_series(0, 2)) gc(c))
+SELECT doc_id AS media_id,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(v) AS BIGINT) AS sum_val,
+       CAST(sum(v * (i + 1)) AS BIGINT) AS checksum
+FROM px GROUP BY doc_id
+""")
+def q_media_decode_jpeg(spark, sf_dir):
+    """REAL baseline-JPEG decode, oracle-checked to the pixel (round 7:
+    multimodal/jpeg.py — huffman entropy decode, dequantization, IDCT,
+    all pure Python/numpy; only exotic shapes stay behind the Pillow
+    gate).  Exactness construction: per document a 16x16 grayscale JPEG
+    of four DC-ONLY blocks (quantized DC = (doc_id*13 + 7*blk) % 60-30
+    at quality 50, q0 = 16), so each block decodes to the mathematically
+    flat value 2*DC + 128 — an exact integer the SQL oracle recomputes
+    from doc_id alone.  Any slip in marker parse, huffman tables, DC
+    prediction, dequant, zigzag, or the IDCT's flat case shifts the
+    position-weighted checksum.  Lossy-path fidelity (AC coefficients,
+    color, 4:4:4) is pytest-pinned (tests/test_multimodal.py)."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"] \
+        .select("doc_id")
+    H = W = 16
+
+    def mk(pdf_iter):
+        from orange3_spark.multimodal.jpeg import encode_jpeg
+        for pdf in pdf_iter:
+            out = []
+            for did in pdf["doc_id"]:
+                coeffs = np.zeros((2, 2, 8, 8), dtype=np.int64)
+                for by in range(2):
+                    for bx in range(2):
+                        coeffs[by, bx, 0, 0] = \
+                            (int(did) * 13 + 7 * (2 * by + bx)) % 60 - 30
+                out.append((int(did),
+                            encode_jpeg(None, quality=50, coeffs=coeffs)))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    blobs = docs.mapInPandas(mk, "media_id long, content binary")
+    dec = M.decode_image(blobs, height=H, width=W, decoder="native")
+    ints = F.transform(F.col("pixels"),
+                       lambda x: F.round(x * 255).cast("long"))
+    weighted = F.transform(ints, lambda v, i: v * (i.cast("long") + 1))
+    lsum = (lambda arr: F.aggregate(arr, F.lit(0).cast("long"),
+                                    lambda a, v: a + v))
+    return dec.select(
+        "media_id",
+        F.size("pixels").cast("long").alias("n_px"),
+        lsum(ints).alias("sum_val"),
+        lsum(weighted).alias("checksum"))
+
 
 @query("q_media_frames", """
 WITH b AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n

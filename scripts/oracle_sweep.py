@@ -9,6 +9,7 @@ import importlib.util
 import json
 import os
 import sys
+import tempfile
 import time
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -32,6 +33,11 @@ os.environ["SPARK_GRAFT_SF_DIR"] = sf
 spark = get_spark("oracle-sweep")
 spark.sparkContext.setLogLevel("ERROR")
 con = duckdb.connect()
+# the sweep process hosts BOTH the Spark JVM (32g heap) and DuckDB;
+# DuckDB's default memory_limit (80% of RAM) ignores the JVM and
+# bad_allocs on the big sf1 oracles — cap it and give it a spill dir
+con.execute("SET memory_limit='48GB'")
+con.execute(f"SET temp_directory='{tempfile.mkdtemp(prefix='ddb_spill_')}'")
 for t in ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split():
     p = os.path.join(sf, f"{t}.parquet")

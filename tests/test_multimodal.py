@@ -332,3 +332,71 @@ def test_decode_image_native_png(spark):
     want = px[(np.arange(4) * 8) // 4][:, (np.arange(4) * 8) // 4]
     got = np.array(out["pixels"], dtype=np.float32).reshape(4, 4, 3)
     assert np.allclose(got, want.astype(np.float32) / 255.0)
+
+
+def test_jpeg_roundtrip_fidelity_and_gates():
+    """Baseline JPEG: smooth images round-trip within quantization
+    tolerance at q95 (color AND grayscale), DC-only blocks decode to
+    EXACT flat integers, and non-baseline shapes raise clearly."""
+    import numpy as np
+    import pytest
+
+    from orange3_spark.multimodal.jpeg import (QUANT_LUM, _scaled_quant,
+                                               decode_jpeg, encode_jpeg)
+
+    yy, xx = np.mgrid[0:24, 0:16]
+    px = np.stack([(np.sin(yy / 5.0) * 60 + 120),
+                   (np.cos(xx / 7.0) * 60 + 120),
+                   ((yy + xx) % 97 + 60)], axis=-1).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(px, quality=95))
+    assert dec.shape == (24, 16, 3)
+    assert int(np.abs(dec.astype(int) - px.astype(int)).max()) <= 6
+
+    decg = decode_jpeg(encode_jpeg(px, quality=95, grayscale=True))
+    lum = (0.299 * px[..., 0] + 0.587 * px[..., 1]
+           + 0.114 * px[..., 2])
+    assert int(np.abs(decg[:, :, 0].astype(int)
+                      - np.round(lum).astype(int)).max()) <= 4
+    assert np.array_equal(decg[:, :, 0], decg[:, :, 1])
+
+    # DC-only exactness (the q_media_decode_jpeg construction)
+    q0 = int(_scaled_quant(QUANT_LUM, 50)[0])
+    assert q0 == 16
+    coeffs = np.zeros((2, 3, 8, 8), dtype=np.int64)
+    vals = [[5, -3, 10], [0, 7, -8]]
+    for y in range(2):
+        for x in range(3):
+            coeffs[y, x, 0, 0] = vals[y][x]
+    dec2 = decode_jpeg(encode_jpeg(None, quality=50, coeffs=coeffs))
+    for y in range(2):
+        for x in range(3):
+            expect = vals[y][x] * q0 // 8 + 128
+            assert (dec2[y * 8:(y + 1) * 8, x * 8:(x + 1) * 8]
+                    == expect).all()
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG1234")
+    # progressive (SOF2) gate: flip the SOF0 marker of a real blob
+    blob = bytearray(encode_jpeg(px, quality=80))
+    blob[blob.find(b"\xFF\xC0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(blob))
+
+
+def test_decode_image_native_jpeg(spark):
+    """decode_image(decoder='native') handles baseline JPEG end to end
+    — magic-byte dispatch through decode_any."""
+    import numpy as np
+    import pandas as pd
+
+    from orange3_spark.multimodal.jpeg import encode_jpeg
+    from orange3_spark.multimodal.media import decode_image
+
+    yy = np.mgrid[0:8, 0:8][0]
+    px = (yy * 8 + 64).astype(np.uint8)[:, :, None].repeat(3, 2)
+    df = spark.createDataFrame(pd.DataFrame(
+        {"media_id": [1], "content": [encode_jpeg(px, quality=95)]}))
+    out = decode_image(df, height=8, width=8, decoder="native").first()
+    assert (out["height"], out["width"], out["channels"]) == (8, 8, 3)
+    got = np.round(np.array(out["pixels"]) * 255).reshape(8, 8, 3)
+    assert int(np.abs(got - px).max()) <= 6
