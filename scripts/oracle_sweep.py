@@ -45,6 +45,20 @@ for t in ("region nation customer supplier part orders lineitem events "
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 qs, osql = m.queries(), m.oracle_sql()
+
+
+def _materialize_ctes(sql: str) -> str:
+    """DuckDB INLINES non-recursive CTEs, re-executing a chain once per
+    reference — the deep replay oracles (lloyd/PQ chains) then blow past
+    any memory limit at sf1.  Force `AS MATERIALIZED` on plain CTEs
+    (identical semantics); recursive CTEs (written with a column list,
+    `walk (id, lbl) AS (`) are left untouched."""
+    import re
+    return re.sub(r"(\bWITH\s+|,\s*\n?)(\w+)(\s+)AS\s*\(",
+                  r"\1\2\3AS MATERIALIZED (", sql)
+
+
+osql = {k: _materialize_ctes(v) for k, v in osql.items()}
 if len(sys.argv) > 2:
     subset = sys.argv[2:]
     missing = [q for q in subset if q not in qs]
