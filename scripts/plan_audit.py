@@ -201,9 +201,11 @@ AUDITS = {
          r"l_extendedprice:double>"),
     ],
     "q_hard_negatives_blocked": [
-        ("candidates join on CELL id (equi-join; the only cross join is "
-         "query x n_cells centroids, broadcast)",
-         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("scoring is ONE Arrow-grouped exact-BLAS pass per cell "
+         "(shuffle key = cluster id, never a data-side cross join)",
+         r"FlatMapGroupsInPandas"),
+        ("cell grouping is a hash exchange on cluster",
+         r"Exchange hashpartitioning\(cluster"),
         ("per-query top-k window is PARTITIONED by qid",
          r"windowspecdefinition\(qid"),
     ],
