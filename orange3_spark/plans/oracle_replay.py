@@ -1499,3 +1499,52 @@ def heatmap_order_olo_oracle() -> str:
             f"CAST(leaf_pos AS INTEGER) AS leaf_pos "
             f"FROM (VALUES\n{values}\n) t(n_nationkey, leaf_pos) "
             f"ORDER BY leaf_pos")
+
+
+# ----------------------------------------------------- compression ratio
+
+def compression_ratio_of(text: str) -> int:
+    """×1e6 fixed-point zlib-deflate ratio — ONE function shared by the
+    engine UDF (text/analysis.compression_ratio mirrors it) and this
+    oracle, so both sides ask the same zlib the same question."""
+    import zlib
+
+    b = text.encode("utf-8")
+    if not b:
+        return 0
+    return (len(zlib.compress(b, 6)) * 1_000_000) // len(b)
+
+
+@lazy
+def compression_ratio_oracle() -> str:
+    """q_compression_ratio: per-source aggregate of per-doc zlib
+    ratios.  DEFLATE isn't SQL-expressible; the ratio is a pure
+    row-local function of the text, so fetch the corpus through DuckDB,
+    compute the identical integers in python, aggregate, and emit
+    literals — every per-doc ratio is pinned through the exact sums."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"SELECT source, text FROM "
+            f"'{_sf_dir()}/documents.parquet' "
+            f"WHERE text IS NOT NULL ORDER BY source").fetchall()
+    finally:
+        con.close()
+    agg: dict = {}
+    for src, text in rows:
+        r = compression_ratio_of(text)
+        n, s, lo, hi = agg.get(src, (0, 0, None, None))
+        agg[src] = (n + 1, s + r,
+                    r if lo is None else min(lo, r),
+                    r if hi is None else max(hi, r))
+    values = ",\n".join(
+        f"('{src}', {n}, {s}, {lo}, {hi})"
+        for src, (n, s, lo, hi) in sorted(agg.items()))
+    return (f"SELECT source, CAST(n_docs AS BIGINT) AS n_docs, "
+            f"CAST(sum_ratio_q AS BIGINT) AS sum_ratio_q, "
+            f"CAST(min_ratio_q AS BIGINT) AS min_ratio_q, "
+            f"CAST(max_ratio_q AS BIGINT) AS max_ratio_q "
+            f"FROM (VALUES\n{values}\n) t(source, n_docs, sum_ratio_q, "
+            f"min_ratio_q, max_ratio_q) ORDER BY source")

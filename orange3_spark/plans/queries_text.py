@@ -1790,3 +1790,24 @@ def q_cooccurrence(spark, sf_dir):
     (docs,) = _t(spark, sf_dir, "documents")
     return TA.cooccurrence_lift(docs, min_count=5, max_df=10_000,
                                 top_k=20)
+
+
+@query("q_compression_ratio", OR2.compression_ratio_oracle)
+def q_compression_ratio(spark, sf_dir):
+    """Per-document zlib compression ratio (text/analysis.
+    compression_ratio — the CCNet/Gopher-family redundancy signal:
+    compressible = boilerplate, incompressible = junk), aggregated per
+    source.  DEFLATE isn't SQL-expressible, so the replay oracle
+    computes the identical fixed-point integers in python over the
+    DuckDB-fetched corpus and embeds the per-source exact sums
+    (plans/oracle_replay.compression_ratio_oracle)."""
+    from orange3_spark.text.analysis import compression_ratio
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    out = compression_ratio(docs.where(F.col("text").isNotNull()))
+    return (out.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("ratio_q").cast("long").alias("sum_ratio_q"),
+                 F.min("ratio_q").alias("min_ratio_q"),
+                 F.max("ratio_q").alias("max_ratio_q"))
+            .orderBy("source"))

@@ -936,3 +936,24 @@ def test_cooccurrence_lift_literal(spark):
             cooccurrence_lift(df.repartition(7), min_count=5,
                               top_k=10).collect()}
     assert out2 == {k: v["lift_q"] for k, v in out.items()}
+
+
+def test_compression_ratio_signal(spark):
+    from orange3_spark.plans.oracle_replay import compression_ratio_of
+    from orange3_spark.text.analysis import compression_ratio
+
+    rows = [(1, "spam spam spam spam spam spam spam spam spam spam"),
+            (2, "The quick brown fox jumps over the lazy dog today."),
+            (3, "qZ7#kP2@mX9!vB4$nC6%wD8^eF1&gH3*jK5(lM0)pR")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["ratio_q"]
+           for r in compression_ratio(df).collect()}
+    # repetitive << prose < noise, and each matches the shared function
+    assert got[1] < got[2] < got[3]
+    for i, t in rows:
+        assert got[i] == compression_ratio_of(t)
+    # empty and NULL contracts
+    edge = spark.createDataFrame([(1, ""), (2, None)],
+                                 "doc_id long, text string")
+    e = {r["doc_id"]: r["ratio_q"] for r in compression_ratio(edge).collect()}
+    assert e == {1: 0, 2: None}
