@@ -202,3 +202,32 @@ def time_rollup(df: DataFrame, time_col: str, aggs: Sequence[Column],
                  if not c.startswith("__") and c not in ks]
     return out.select(gran.alias("granularity"), *ks,
                       bucket.alias("bucket_ts"), *agg_names)
+
+
+def idempotent_parquet_sink(stream_df: DataFrame, base_dir: str, *,
+                            checkpoint_dir: str,
+                            timeout_s: int = 120):
+    """Exactly-once-per-batch parquet sink — the production pattern for
+    "stream this pipeline's output to a lake path".
+
+    Structured Streaming's offset log commits AFTER the sink write, so
+    a restart inside that window REPLAYS the last micro-batch
+    (at-least-once).  ``foreachBatch`` + write-by-batch-id makes the
+    replay idempotent: batch ``i`` always lands in ``batch_id=i/`` with
+    ``overwrite``, so re-running it overwrites its own output instead
+    of appending duplicates; readers see the union via partition
+    discovery (``spark.read.parquet(base_dir)``), and ``batch_id`` is a
+    partition column they can prune on.  The checkpoint directory is
+    REQUIRED — it is the source of batch-id stability across restarts.
+
+    Drives the currently-available input (availableNow) and returns the
+    finished query (inspect ``.recentProgress`` for per-batch rows)."""
+    def _write(bdf, batch_id: int) -> None:
+        bdf.write.mode("overwrite").parquet(
+            f"{base_dir}/batch_id={batch_id}")
+
+    q = (stream_df.writeStream.foreachBatch(_write)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout_s)
+    return q

@@ -443,3 +443,48 @@ def test_interval_join_late_rows_evicted_count(spark, tmp_path):
     assert ("kW", 6, "2024-01-01T06:00:00") in got
     assert ("kW", 6, "2024-01-01T06:30:00") in got
     assert not any(r[2] == "2024-01-01T00:20:00" for r in got)
+
+
+def test_idempotent_parquet_sink_replay_safe(spark, tmp_path):
+    """foreachBatch sink: batch replay (the restart-between-write-and-
+    commit window) overwrites its own batch_id partition — row counts
+    are stable under replay, and new files become new batches."""
+    import os
+
+    import pandas as pd
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def _write(name, n, mtime):
+        pdf = pd.DataFrame({"ts": [t0] * n, "v": list(range(n))})
+        p = src / name
+        pdf.astype({"ts": "datetime64[us]"}).to_parquet(p)
+        os.utime(p, (mtime, mtime))
+
+    _write("b1.parquet", 3, 1_700_000_000)
+    schema = spark.read.parquet(str(src / "b1.parquet")).schema
+    stream = SW.stream_from_directory(spark, str(src), schema,
+                                      max_files_per_trigger=1)
+    SW.idempotent_parquet_sink(stream, out, checkpoint_dir=ckpt)
+    assert spark.read.parquet(out).count() == 3
+    assert "batch_id" in spark.read.parquet(out).columns
+
+    # simulate the at-least-once replay: re-write batch 0 the way a
+    # restarted query would (same batch_id, same source data)
+    replay = spark.createDataFrame(
+        spark.read.parquet(f"{out}/batch_id=0").drop("batch_id").collect())
+    replay.write.mode("overwrite").parquet(f"{out}/batch_id=0")
+    assert spark.read.parquet(out).count() == 3        # no duplicates
+
+    # new input becomes a NEW batch (checkpoint remembers offsets)
+    _write("b2.parquet", 2, 1_700_000_100)
+    stream2 = SW.stream_from_directory(spark, str(src), schema,
+                                       max_files_per_trigger=1)
+    SW.idempotent_parquet_sink(stream2, out, checkpoint_dir=ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 5
+    assert got.select("batch_id").distinct().count() == 2
