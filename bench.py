@@ -59,17 +59,31 @@ def main() -> None:
         t: dict[str, float] = {}
         for name, fn in qs.items():
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
+            try:
+                fn(spark, sf_dir).count()
+            except Exception:
+                # driver-facing default: fail loudly (a broken query must
+                # break the bench).  SPARK_GRAFT_BENCH_TOLERANT=1 is for
+                # off-SF runs (e.g. the sf1 scale bench), where a
+                # data-scale guard legitimately firing on one query
+                # (relieff's fixed n_samples under-samples a rare class
+                # at 10x) shouldn't void the other 230 measurements.
+                if not os.environ.get("SPARK_GRAFT_BENCH_TOLERANT"):
+                    raise
+                errors.append(name)
+                isolate()
+                continue
             t[name] = round(time.perf_counter() - t0, 4)
             isolate()
         return t
 
+    errors: list = []
     cold = run_pass()
     second = run_pass()
     # min of the two real end-to-end runs: one-off session stalls (full-GC
     # inheritance, cleaner pauses) land on random queries in EITHER pass;
     # the minimum is the reproducible per-query cost.
-    timings = {q: min(cold[q], second[q]) for q in second}
+    timings = {q: min(cold[q], second[q]) for q in second if q in cold}
     total = round(sum(timings.values()), 4)
 
     result = {
@@ -81,6 +95,8 @@ def main() -> None:
         "cold_queries": cold,
         "sf": sf,
     }
+    if errors:
+        result["errors"] = sorted(set(errors))
     # Full per-query record to a file: the driver keeps only a ~2 KB stdout
     # tail, which truncated the 115-query line in rounds 1-2 (BENCH_r0*.json
     # "parsed": null).  stdout gets the full line for humans, then a LAST
