@@ -43,10 +43,12 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHANGED_THIS_ROUND = [
     # r7: guards rewritten (exact cardinality probe), ewma identity
     # dedup, dup_clusters pointer jumping, hard_negatives fallback,
-    # basket Arrow UDF, permutation overflow guard
+    # basket Arrow UDF, permutation overflow guard, CN2 fused beam
+    # scoring, neardup brute guard
     "q_ewma", "q_dup_clusters", "q_hard_negatives", "q_ml_nomogram",
     "q_ml_correspondence", "q_drift_chi2", "q_cv_stratified",
-    "q_basket_read", "q_permutation_importance",
+    "q_basket_read", "q_permutation_importance", "q_ml_cn2",
+    "q_neardup_cosine",
 ]
 
 

