@@ -125,7 +125,7 @@ def main():
             print("  " + rec["err"].strip().splitlines()[-1], flush=True)
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "..", "correctness_local.json"), "w") as f:
+                           "..", "correctness_check.json"), "w") as f:
         json.dump(report, f, indent=1)
     print(f"\n{n_pass} pass / {n_fail} fail of {len(queries)}")
     return 0 if n_fail == 0 else 1
