@@ -62,11 +62,18 @@ def _grade_history() -> dict:
 
     here = os.path.dirname(os.path.abspath(__file__))
     last: dict = {}
-    for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    def _round_of(p):
         mt = re.search(r"r(\d+)", os.path.basename(p))
-        if not mt:
+        return int(mt.group(1)) if mt else -1
+
+    # sort by PARSED round number, not lexicographically — a non-padded
+    # r9.json would otherwise sort after r10.json and stale grades win
+    paths = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")),
+                   key=_round_of)
+    for p in paths:
+        rnd = _round_of(p)
+        if rnd < 0:
             continue
-        rnd = int(mt.group(1))
         try:
             with open(p) as fh:
                 data = json.load(fh)

@@ -46,8 +46,14 @@ def check_max_levels(df: DataFrame, cols: Sequence[str],
         if e > hi:
             too_big.append(c)
         elif e >= lo:
-            # inside the HLL error band: settle it exactly, capped
-            n = (df.select(f"`{c}`").distinct()
+            # inside the HLL error band: settle it exactly, capped.
+            # NULLs are excluded to match both the HLL estimate above
+            # (approx_count_distinct ignores NULL) and every caller,
+            # which drops missing values downstream — otherwise a
+            # column with exactly max_levels non-null levels plus any
+            # NULLs would be falsely rejected at the boundary.
+            n = (df.select(F.col(f"`{c}`").alias("_v"))
+                 .where(F.col("_v").isNotNull()).distinct()
                  .limit(max_levels + 1).count())
             if n > max_levels:
                 too_big.append(c)

@@ -147,6 +147,22 @@ def sample_hash(df: DataFrame, key: str, fraction: float, *,
     return df.filter(F.substring(h, 1, 8) < F.lit(threshold))
 
 
+def sample_fixed_hash(df: DataFrame, key: str, n: int, *,
+                      salt: str = "") -> DataFrame:
+    """The ``n`` rows with the smallest ``md5(key)``: a fixed-SIZE
+    deterministic sample.  Unlike the hash-FRACTION Bernoulli sample
+    (:func:`sample_hash`) its size does not grow with the corpus, so
+    downstream bounded-n contracts (isomap/MDS/t-SNE embed guards,
+    driver-side fits) hold at ANY scale — the same call that works at
+    sf0.1 still works at sf100.  Deterministic across engines (an SQL
+    oracle replays it as ``ORDER BY md5(CAST(key AS VARCHAR)) LIMIT n``)
+    as long as ``key`` values are unique.  Physically a distributed
+    top-k (TakeOrderedAndProject): per-partition heap of n, driver
+    merge of n per partition — no global sort, no shuffle."""
+    h = F.md5(F.concat(F.col(key).cast("string"), F.lit(salt)))
+    return df.orderBy(h.asc()).limit(n)
+
+
 def sample_hash_stratified(df: DataFrame, key: str, stratify_by: str,
                            fractions: Mapping[str, float], *,
                            salt: str = "") -> DataFrame:

@@ -1219,30 +1219,33 @@ def psi_oracle() -> str:
 
 # ----------------------------------------------------------------- isomap
 
-ISOMAP_PARAMS = dict(fraction=0.12, n_neighbors=8)
+ISOMAP_PARAMS = dict(n=96, n_neighbors=8)
 ISOMAP_QSCALE = 10_000.0
 
 
 @lazy
 def isomap_oracle() -> str:
     """q_ml_isomap: the embedding is a pure function of the id-SORTED
-    hash sample (ml/projection.isomap); re-fetch the identical sample
-    through DuckDB, run the identical fit_isomap_matrix, embed the
-    quantized coordinates."""
+    FIXED-SIZE hash sample (ml/projection.isomap over
+    operators.sample.sample_fixed_hash — fixed n, not a fraction, so
+    the bounded-n embed guard holds at any corpus scale); re-fetch the
+    identical sample through DuckDB, run the identical
+    fit_isomap_matrix, embed the quantized coordinates."""
     import duckdb
     import numpy as np
 
     from orange3_spark.ml.projection import fit_isomap_matrix
 
     P = ISOMAP_PARAMS
-    thr = format(int(P["fraction"] * 0xFFFFFFFF), "08x")
     con = duckdb.connect()
     try:
         rows = con.execute(f"""
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-            FROM '{_sf_dir()}/embeddings.parquet'
-            WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) < '{thr}'
-              AND embedding IS NOT NULL
+            FROM (SELECT vec_id, embedding
+                  FROM '{_sf_dir()}/embeddings.parquet'
+                  WHERE embedding IS NOT NULL
+                  ORDER BY md5(CAST(vec_id AS VARCHAR))
+                  LIMIT {P["n"]})
             ORDER BY vec_id""").fetchall()
     finally:
         con.close()

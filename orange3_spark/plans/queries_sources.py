@@ -660,7 +660,12 @@ def q_ml_freeviz(spark, sf_dir):
 
 
 @query("q_feature_scores_relieff", """
-WITH pool AS (
+WITH raw AS (
+  SELECT DISTINCT l_quantity, l_discount, l_tax, l_returnflag
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        AND l_tax IS NOT NULL AND l_returnflag IS NOT NULL),
+pool AS (
   SELECT CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS q1,
          CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS q2,
          CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT) AS q3,
@@ -668,9 +673,7 @@ WITH pool AS (
          md5(CAST(l_quantity AS VARCHAR) || '|'
              || CAST(l_discount AS VARCHAR) || '|'
              || CAST(l_tax AS VARCHAR) || '|' || l_returnflag) AS h
-  FROM lineitem
-  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
-        AND l_tax IS NOT NULL AND l_returnflag IS NOT NULL),
+  FROM raw),
 samp AS (SELECT q1, q2, q3, y, row_number() OVER (ORDER BY h) AS rid
          FROM (SELECT * FROM pool ORDER BY h LIMIT 150) s),
 spans AS (SELECT greatest(max(q1) - min(q1), 1) AS s1,
@@ -862,17 +865,21 @@ def q_ml_isomap(spark, sf_dir):
     """Isomap (owmanifoldlearning.py — the reference's Manifold Learning
     widget wraps sklearn.Isomap; this closes the last manifold row):
     k-NN graph -> Floyd-Warshall geodesics -> classical MDS, all
-    deterministic numpy over the id-sorted hash sample, with the
-    engine's sign convention.  Sample-then-embed is the contract (the
-    reference is in-memory too); the oracle
-    (plans/oracle_replay.isomap_oracle) re-fetches the identical sample
-    and replays the identical fit."""
+    deterministic numpy over the id-sorted FIXED-SIZE hash sample, with
+    the engine's sign convention.  Sample-then-embed is the contract
+    (the reference is in-memory too); the sample is fixed-SIZE
+    (sample_fixed_hash: top-n by md5, a distributed top-k) rather than
+    a hash fraction, so the bounded-n embed guard holds at any corpus
+    scale — a fraction sample grew with the corpus and tripped its own
+    guard at sf1.  The oracle (plans/oracle_replay.isomap_oracle)
+    re-fetches the identical sample and replays the identical fit."""
     from orange3_spark.ml.projection import isomap
-    from orange3_spark.operators.sample import sample_hash
+    from orange3_spark.operators.sample import sample_fixed_hash
 
     P = OR2.ISOMAP_PARAMS
     (emb,) = _t(spark, sf_dir, "embeddings")
-    sampled = sample_hash(emb, "vec_id", P["fraction"])
+    sampled = sample_fixed_hash(emb.where(F.col("embedding").isNotNull()),
+                                "vec_id", P["n"])
     out = isomap(sampled, "vec_id", array_col="embedding",
                  n_neighbors=P["n_neighbors"])
     return out.select(

@@ -255,6 +255,12 @@ def relieff(df: DataFrame, features: Sequence[str], class_col: str, *,
     The sample key hashes features AND class: rows with identical features
     but different classes would otherwise tie with unspecified order, so
     the sampled (X, y) multiset would not be a pure function of the data.
+    The pool is deduped to DISTINCT (features, class) tuples before the
+    fixed-size cut: on a corpus with heavy exact duplication the
+    md5-ordered top-n would otherwise collapse onto a handful of distinct
+    rows (the smallest hashes replicated), starving classes below k
+    neighbors — dedup makes the sample (and the score) invariant under
+    row replication, which is also the right estimator semantics.
 
     ``quantize`` (e.g. 100 for 2-decimal data) switches to the
     order-independent exact path: values are fixed-pointed to int64,
@@ -272,6 +278,7 @@ def relieff(df: DataFrame, features: Sequence[str], class_col: str, *,
     key = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols],
                             F.col(class_col).cast("string")))
     sampled = (df.na.drop(subset=[*cols, class_col])
+                 .select(*cols, class_col).distinct()
                  .orderBy(key)
                  .limit(n_samples).collect())
     if len(sampled) < 2:
@@ -349,8 +356,11 @@ def rrelieff(df: DataFrame, features: Sequence[str], target_col: str, *,
 
     cols = list(features)
     sampled = (df.na.drop(subset=[*cols, target_col])
+                 .select(*cols, target_col).distinct()
                  .orderBy(F.md5(F.concat_ws("|", *[F.col(c).cast("string")
-                                                   for c in cols])))
+                                                   for c in cols],
+                                            F.col(target_col)
+                                            .cast("string"))))
                  .limit(n_samples).collect())
     if len(sampled) < 2:
         return {c: 0.0 for c in cols}

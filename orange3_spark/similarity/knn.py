@@ -583,10 +583,25 @@ def hard_negatives(df: DataFrame, *, id_col: str = "vec_id",
         return df.sparkSession.createDataFrame(
             [], f"{id_col} {dt}, neg_id {dt}, score double")
     dim = len(first[0])
-    if base.count() * dim > max_broadcast_cells:
+    n = base.count()
+    if n * dim > max_broadcast_cells:
+        # APPROXIMATE fallback (documented on hard_negatives_blocked):
+        # warn loudly, and scale n_cells ~sqrt(n) so per-cell pandas
+        # frames stay bounded as the corpus grows — a fixed n_cells=8
+        # would materialize ~n/8 of the corpus per applyInPandas group
+        # exactly when n is large enough to trigger this branch.
+        import math
+        import warnings
+        cells = max(8, int(math.sqrt(n)))
+        warnings.warn(
+            f"hard_negatives: {n}x{dim} exceeds max_broadcast_cells="
+            f"{max_broadcast_cells}; falling back to the APPROXIMATE "
+            f"IVF-blocked path (n_cells={cells}, nprobe=2) — negatives "
+            "hiding in unprobed cells are missed", stacklevel=2)
         return hard_negatives_blocked(df, id_col=id_col,
                                       array_col=array_col,
-                                      label_col=label_col, k=k)
+                                      label_col=label_col, k=k,
+                                      n_cells=cells, nprobe=2)
     rows = base.collect()
     X = np.array([[float(v) for v in r[array_col]] for r in rows])
     ids = np.array([int(r[id_col]) for r in rows], dtype=np.int64)

@@ -64,6 +64,16 @@ def basket_to_sparse_vectors(long_df: DataFrame, dim: int | None = None,
            .select("row_id",
                    F.col("_kv._idx").alias("_idx"),
                    F.col("_kv.value").cast("array<double>").alias("_val")))
+    # a row whose keys are ALL outside the vocabulary must still appear
+    # (as an all-zero vector) — the inner join above would drop it and
+    # the row would silently vanish at the MLlib hand-off
+    agg = (long_df.select("row_id").distinct()
+           .join(agg, "row_id", "left")
+           .select("row_id",
+                   F.coalesce("_idx", F.array().cast("array<int>"))
+                   .alias("_idx"),
+                   F.coalesce("_val", F.array().cast("array<double>"))
+                   .alias("_val")))
 
     @F.udf(returnType=VectorUDT(), useArrow=True)
     def assemble(indices, values):

@@ -229,5 +229,13 @@ def idempotent_parquet_sink(stream_df: DataFrame, base_dir: str, *,
     q = (stream_df.writeStream.foreachBatch(_write)
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True).start())
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        # honor the "returns the FINISHED query" contract — a caller
+        # reading base_dir after a silent timeout would see a partial
+        # batch set with no error
+        q.stop()
+        raise TimeoutError(
+            f"idempotent_parquet_sink: availableNow run did not finish "
+            f"within {timeout_s}s; stream stopped, {base_dir} is partial "
+            "(restart from the same checkpoint to resume exactly-once)")
     return q

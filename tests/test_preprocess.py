@@ -359,7 +359,10 @@ def test_relieff_quantized_matches_float_ranking(spark):
 
     from orange3_spark.preprocess.score import relieff
 
-    rows = [(float(i % 10), float((i * 7) % 5), "a" if i % 10 < 5 else "b")
+    # sub-quantum jitter keeps every raw tuple DISTINCT (the sample pool
+    # is deduped by feature vector) without moving any quantized value
+    rows = [(float(i % 10) + i * 1e-5, float((i * 7) % 5) + i * 1e-5,
+             "a" if i % 10 < 5 else "b")
             for i in range(120)]
     df = spark.createDataFrame(rows, "inf double, noise double, cls string")
     wq = relieff(df, ["inf", "noise"], "cls", n_samples=100, quantize=100.0)
