@@ -41,14 +41,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # every registered query within ~5 rounds and staleness stays bounded
 # without hand-curated lists.
 _CHANGED_THIS_ROUND = [
-    # r7: guards rewritten (exact cardinality probe), ewma identity
-    # dedup, dup_clusters pointer jumping, hard_negatives fallback,
-    # basket Arrow UDF, permutation overflow guard, CN2 fused beam
-    # scoring, neardup brute guard
-    "q_ewma", "q_dup_clusters", "q_hard_negatives", "q_ml_nomogram",
-    "q_ml_correspondence", "q_drift_chi2", "q_cv_stratified",
-    "q_basket_read", "q_permutation_importance", "q_ml_cn2",
-    "q_neardup_cosine",
+    # r8: guards NULL-exact probe, hard_negatives sqrt-n fallback,
+    # basket empty-vector rows, isomap fixed-SIZE sample, relieff
+    # distinct-pool sample, CN2 unordered + SD variants (new)
+    "q_ml_cn2_unordered", "q_ml_cn2_sd", "q_ml_isomap",
+    "q_feature_scores_relieff", "q_basket_read", "q_hard_negatives",
+    "q_ml_nomogram", "q_drift_chi2", "q_cv_stratified",
+    "q_ml_correspondence",
 ]
 
 

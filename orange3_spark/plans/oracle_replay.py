@@ -1362,6 +1362,91 @@ def heatmap_order_oracle() -> str:
 # ------------------------------------------------------ CN2 depth-2 beam
 
 CN2_D2 = {"max_rules": 3, "beam_width": 2, "max_selectors": 2}
+CN2_UNORD = {"max_rules_per_class": 2, "beam_width": 2, "max_selectors": 2}
+CN2_SD = {"max_rules": 4, "beam_width": 2, "max_selectors": 2}
+
+
+def _cn2_cube_duckdb() -> list:
+    """The (l_linestatus, ship_year, cls, n) contingency cube the CN2
+    family induces from, fetched through DuckDB — the cube is the
+    sufficient statistic (cells are covered all-or-nothing by
+    equality-selector rules), so replaying the engine's own pure
+    induction on it reproduces every rule, quality and coverage."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        cube = con.execute(f"""
+            SELECT l_linestatus,
+                   CAST(year(l_shipdate) AS VARCHAR) AS ship_year,
+                   l_returnflag AS cls, count(*) AS n
+            FROM '{_sf_dir()}/lineitem.parquet'
+            WHERE l_returnflag IS NOT NULL
+            GROUP BY 1, 2, 3""").fetchall()
+    finally:
+        con.close()
+    return [({"l_linestatus": r[0], "ship_year": r[1]}, r[2], int(r[3]))
+            for r in cube]
+
+
+@lazy
+def cn2_unordered_oracle() -> str:
+    """q_ml_cn2_unordered: replay induce_unordered_from_cube (per-class
+    Laplace-k2 beam + positive-only exclusive covering,
+    ``Orange/classification/rules.py:1317,1069``) on the DuckDB cube and
+    emit the rule list as literals."""
+    from orange3_spark.ml.rules import induce_unordered_from_cube
+
+    rules = induce_unordered_from_cube(
+        _cn2_cube_duckdb(), ["l_linestatus", "ship_year"], **CN2_UNORD)
+    values = ",\n".join(
+        "({i}, '{cond}', '{pred}', {q}, {tot}, {top})".format(
+            i=i,
+            cond=(" AND ".join(f"{a}={v}" for a, v in r.selectors)
+                  or "TRUE"),
+            pred=r.prediction, q=repr(float(r.quality)),
+            tot=int(r.covered), top=int(r.correct))
+        for i, r in enumerate(rules))
+    return (f"SELECT CAST(rule_idx AS INTEGER) AS rule_idx, conditions, "
+            f"prediction, CAST(laplace AS DOUBLE) AS laplace, "
+            f"CAST(covered AS BIGINT) AS covered, "
+            f"CAST(correct AS BIGINT) AS correct "
+            f"FROM (VALUES\n{values}\n) t(rule_idx, conditions, "
+            f"prediction, laplace, covered, correct) ORDER BY rule_idx")
+
+
+@lazy
+def cn2_sd_oracle() -> str:
+    """q_ml_cn2_sd: replay induce_sd_from_cube (WRAcc + gamma=7/10
+    weighted covering, ``rules.py:1377,1095``; exact Fractions) on the
+    DuckDB cube; quantities are integer fixed-point so the literals are
+    bit-stable."""
+    import math
+    from fractions import Fraction
+
+    from orange3_spark.ml.rules import (SD_WEIGHT_QSCALE, SD_WRACC_QSCALE,
+                                        induce_sd_from_cube)
+
+    sd = induce_sd_from_cube(
+        _cn2_cube_duckdb(), ["l_linestatus", "ship_year"], **CN2_SD)
+    half = Fraction(1, 2)
+    values = ",\n".join(
+        "({i}, '{cond}', '{pred}', {q}, {tot}, {top})".format(
+            i=i,
+            cond=(" AND ".join(f"{a}={v}" for a, v in sels) or "TRUE"),
+            pred=cls,
+            q=int(math.floor(q * SD_WRACC_QSCALE + half)),
+            tot=int(math.floor(Fraction(tot) * SD_WEIGHT_QSCALE + half)),
+            top=int(math.floor(Fraction(top) * SD_WEIGHT_QSCALE + half)))
+        for i, (sels, cls, q, tot, top) in enumerate(sd))
+    return (f"SELECT CAST(rule_idx AS INTEGER) AS rule_idx, conditions, "
+            f"prediction, CAST(wracc_q AS BIGINT) AS wracc_q, "
+            f"CAST(wcovered_q AS BIGINT) AS wcovered_q, "
+            f"CAST(wcorrect_q AS BIGINT) AS wcorrect_q "
+            f"FROM (VALUES\n{values}\n) t(rule_idx, conditions, "
+            f"prediction, wracc_q, wcovered_q, wcorrect_q) "
+            f"ORDER BY rule_idx")
+
 
 
 @lazy

@@ -1644,6 +1644,62 @@ def q_ml_cn2_depth2(spark, sf_dir):
     return rules_to_dataframe(spark, rules)
 
 
+@query("q_ml_cn2_unordered", OR.cn2_unordered_oracle)
+def q_ml_cn2_unordered(spark, sf_dir):
+    """CN2Unordered (``Orange/classification/rules.py:1317``): rules are
+    induced PER CLASS with the target-class Laplace ``(n_tc+1)/(n+2)``
+    and covering removes only covered examples OF THAT CLASS
+    (``exclusive_cover_and_remove`` with target, ``rules.py:1069``); a
+    majority default rule closes the set.  Spark shape: unordered
+    covering never shrinks the data (each class's pass sees all rows),
+    so instead of the ordered learner's scan-per-rule this builds the
+    (attrs, class) contingency CUBE with ONE distributed groupBy — the
+    sufficient statistic, since equality-selector rules cover cells
+    all-or-nothing — and runs the whole per-class covering loop on
+    driver-side cells (ml/rules.induce_unordered_from_cube).  The
+    oracle replays the identical pure function on the DuckDB-fetched
+    cube."""
+    from orange3_spark.ml.rules import (cn2_unordered_induce,
+                                        unordered_rules_to_dataframe)
+    from orange3_spark.plans.oracle_replay import CN2_UNORD
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        "l_linestatus",
+        F.year("l_shipdate").cast("string").alias("ship_year"),
+        F.col("l_returnflag").alias("cls"))
+    rules = cn2_unordered_induce(d, ["l_linestatus", "ship_year"], "cls",
+                                 **CN2_UNORD)
+    return unordered_rules_to_dataframe(spark, rules)
+
+
+@query("q_ml_cn2_sd", OR.cn2_sd_oracle)
+def q_ml_cn2_sd(spark, sf_dir):
+    """CN2-SD subgroup discovery (``rules.py:1377``; Lavrac et al., JMLR
+    5 (2004)): weighted relative accuracy scores how interesting a
+    subgroup is vs the class prior, and WEIGHTED covering decays covered
+    examples by gamma=0.7 instead of removing them, so successive rules
+    describe overlapping-but-novel subgroups.  Weights are exact
+    Fractions (gamma**m) over contingency-cube cells — rows never carry
+    individual weights because equality-selector rules cover cells
+    all-or-nothing — so every WRAcc comparison is exact rational
+    arithmetic and the emitted fixed-point int64s are bit-stable.  ONE
+    distributed groupBy builds the cube; the oracle replays the
+    identical induce_sd_from_cube on the DuckDB cube.  The per-class
+    variant (``CN2SDUnorderedLearner``, rules.py:1453) is the same
+    function with per_class=True, pytest-covered."""
+    from orange3_spark.ml.rules import cn2_sd_induce, sd_rules_to_dataframe
+    from orange3_spark.plans.oracle_replay import CN2_SD
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        "l_linestatus",
+        F.year("l_shipdate").cast("string").alias("ship_year"),
+        F.col("l_returnflag").alias("cls"))
+    sd = cn2_sd_induce(d, ["l_linestatus", "ship_year"], "cls", **CN2_SD)
+    return sd_rules_to_dataframe(spark, sd)
+
+
 @query("q_heatmap_order_olo", OR.heatmap_order_olo_oracle)
 def q_heatmap_order_olo(spark, sf_dir):
     """Heatmap seriation with Bar-Joseph OPTIMAL leaf ordering

@@ -946,3 +946,83 @@ def test_isomap_unrolls_swiss_strip(spark):
     assert abs(np.corrcoef(first, t)[0, 1]) > 0.97
     Y2 = fit_isomap_matrix(X, n_neighbors=3)
     assert np.array_equal(Y, Y2)            # deterministic
+
+
+def test_cn2_unordered_per_class_covering(spark):
+    """Unordered induction (rules.py:1317): rules are learned per class
+    against ALL data, and covering removes only the covered rows of the
+    target class — so class-a induction is unaffected by class-b rules,
+    and a cell shared by two classes can anchor a rule for each."""
+    from orange3_spark.ml.rules import (cn2_unordered_induce,
+                                        induce_unordered_from_cube)
+
+    rows = ([("red", "a")] * 8 + [("red", "b")] * 2
+            + [("blue", "b")] * 9 + [("blue", "a")] * 1
+            + [("green", "a")] * 5)
+    df = spark.createDataFrame(rows, "color string, cls string")
+    rules = cn2_unordered_induce(df, ["color"], "cls",
+                                 max_rules_per_class=3)
+    # per-class rules: class a gets red AND green; class b gets blue
+    a_rules = [r for r in rules if r.prediction == "a" and r.selectors]
+    b_rules = [r for r in rules if r.prediction == "b" and r.selectors]
+    a_sel = {tuple(r.selectors) for r in a_rules}
+    assert (("color", "red"),) in a_sel
+    assert (("color", "green"),) in a_sel
+    # blue is b's first rule; a weaker red->b rule ((2+1)/(10+2)=0.25 vs
+    # the post-covering empty rule's (2+1)/(16+2)) legitimately follows,
+    # exactly as the reference's per-class covering would induce it
+    assert b_rules[0].selectors == [("color", "blue")]
+    # target-class Laplace k=2: red->a is (8+1)/(10+2)
+    red = next(r for r in a_rules if r.selectors == [("color", "red")])
+    assert abs(red.quality - 9 / 12) < 1e-12
+    assert red.covered == 10 and red.correct == 8
+    # default rule last, majority over FULL data (a: 14 of 25)
+    assert rules[-1].selectors == [] and rules[-1].prediction == "a"
+    assert rules[-1].covered == 25 and rules[-1].correct == 14
+    # pure function == distributed entry
+    cells = [({"color": c}, y, n) for (c, y), n in
+             __import__("collections").Counter(rows).items()]
+    replay = induce_unordered_from_cube(cells, ["color"],
+                                        max_rules_per_class=3)
+    assert [(r.selectors, r.prediction, r.quality) for r in replay] == \
+           [(r.selectors, r.prediction, r.quality) for r in rules]
+
+
+def test_cn2_sd_weighted_covering(spark):
+    """CN2-SD (rules.py:1377): WRAcc picks the dominant subgroup first;
+    weighted covering (gamma=0.7) decays it instead of removing it, so
+    the next-best OVERLAPPING subgroup can still surface, and exact
+    Fraction weights make coverage quantities exact rationals."""
+    from fractions import Fraction
+
+    from orange3_spark.ml.rules import cn2_sd_induce, induce_sd_from_cube
+
+    rows = ([("x", "p", "a")] * 40 + [("x", "p", "b")] * 5
+            + [("x", "q", "a")] * 10 + [("x", "q", "b")] * 20
+            + [("y", "p", "a")] * 5 + [("y", "p", "b")] * 30
+            + [("y", "q", "a")] * 2 + [("y", "q", "b")] * 40)
+    df = spark.createDataFrame(rows, "a1 string, a2 string, cls string")
+    sd = cn2_sd_induce(df, ["a1", "a2"], "cls", max_rules=5)
+    sels = [tuple(s) for s, *_ in sd]
+    # the pure a1=x,a2=p subgroup wins first; a1=y is the best b-subgroup
+    assert sels[0] == (("a1", "x"), ("a2", "p"))
+    assert (("a1", "y"),) in sels
+    # weighted covering: after rule 0 decays x,p cells by 7/10, the
+    # x-only subgroup's weighted coverage is 30 + 45*0.7 = 61.5 exactly
+    x_rule = next(t for t in sd if tuple(t[0]) == (("a1", "x"),))
+    assert x_rule[3] == Fraction(123, 2)
+    # default rule: WRAcc 0 by construction, full initial weight
+    assert sd[-1][0] == [] and sd[-1][2] == 0 and sd[-1][3] == 152
+    # all qualities are exact rationals, ordered rules strictly positive
+    assert all(isinstance(t[2], Fraction) or t[2] == 0 for t in sd)
+    assert all(t[2] > 0 for t in sd[:-1])
+    # per-class variant never repeats a conjunction within a class and
+    # every per-class rule predicts its target class
+    cells = [({"a1": v1, "a2": v2}, y, n) for (v1, v2, y), n in
+             __import__("collections").Counter(rows).items()]
+    sdu = induce_sd_from_cube(cells, ["a1", "a2"], per_class=True,
+                              max_rules=3)
+    by_cls: dict = {}
+    for s, cls, *_ in sdu[:-1]:
+        assert frozenset(s) not in by_cls.get(cls, set())
+        by_cls.setdefault(cls, set()).add(frozenset(s))
