@@ -1260,6 +1260,69 @@ def isomap_oracle() -> str:
             f"FROM (VALUES\n{values}\n) v(vec_id, qx, qy)")
 
 
+NEARDUP_SCALED = {"n_tables": 2, "k": 20, "seed": 42}
+NEARDUP_QSCALE = 10 ** 6
+
+
+@lazy
+def neardup_scaled_oracle() -> str:
+    """q_neardup_cosine_scaled: the LSH plane set is a pure function of
+    (corpus count, dim, seed) — auto_n_planes derives the plane count
+    from a DuckDB count exactly like the engine derives it from a Spark
+    count, the deterministic hash-based hyperplanes are embedded as
+    literals, and the whole candidate pipeline (per-table sign
+    signatures -> bucket self-join -> distinct pairs -> exact cosine,
+    mirrored op tree: dot/(sqrt(dot)*sqrt(dot)) -> fixed-point top-k)
+    replays in SQL."""
+    import duckdb
+
+    from orange3_spark.similarity.knn import auto_n_planes, hyperplanes
+
+    P = NEARDUP_SCALED
+    con = duckdb.connect()
+    try:
+        n, dim = con.execute(f"""
+            SELECT count(*), max(len(embedding))
+            FROM '{_sf_dir()}/embeddings.parquet'
+            WHERE embedding IS NOT NULL""").fetchone()
+    finally:
+        con.close()
+    n_planes = auto_n_planes(int(n))
+    e = "CAST(embedding AS DOUBLE[])"
+    tables = []
+    for t in range(P["n_tables"]):
+        planes = hyperplanes(int(dim), n_planes, P["seed"] + 7919 * t)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product({e}, "
+            f"[{', '.join(repr(float(x)) for x in plane)}]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes))
+        tables.append(
+            f"SELECT vec_id, {e} AS v, "
+            f"'{t}:' || CAST(({bits}) AS VARCHAR) AS bucket "
+            f"FROM '{_sf_dir()}/embeddings.parquet' "
+            f"WHERE embedding IS NOT NULL")
+    tagged = " UNION ALL ".join(tables)
+    return f"""
+WITH tagged AS ({tagged}),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM tagged a JOIN tagged b
+           ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+scored AS (SELECT id_a, id_b,
+                  CAST(floor(list_dot_product(x.v, y.v)
+                       / (sqrt(list_dot_product(x.v, x.v))
+                          * sqrt(list_dot_product(y.v, y.v)))
+                       * {NEARDUP_QSCALE}.0 + 0.5) AS BIGINT) AS score_q
+           FROM cand
+           JOIN (SELECT DISTINCT vec_id, v FROM tagged) x
+             ON x.vec_id = cand.id_a
+           JOIN (SELECT DISTINCT vec_id, v FROM tagged) y
+             ON y.vec_id = cand.id_b)
+SELECT id_a, id_b, score_q FROM scored
+ORDER BY score_q DESC, id_a, id_b LIMIT {P["k"]}
+"""
+
+
 # ------------------------------------------------------ categorical chi2
 
 @lazy

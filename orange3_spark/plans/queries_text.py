@@ -276,6 +276,33 @@ def q_neardup_cosine(spark, sf_dir):
     return K.neardup_cosine_matmul(emb, threshold=0.4)
 
 
+@query("q_neardup_cosine_scaled", OR2.neardup_scaled_oracle)
+def q_neardup_cosine_scaled(spark, sf_dir):
+    """The SCALE path of embedding near-dup: auto-scaled hyperplane LSH
+    (similarity/knn.neardup_cosine with n_planes="auto" — plane count
+    grows log2(n) so expected bucket size, and with it the candidate
+    pair volume, stays bounded as the corpus grows; the fixed-plane
+    variant measured sf1 exponent 1.73, this is the registered cure).
+    Two hash tables unioned for recall; emits the top-20 colliding
+    pairs by exact cosine (fixed-point) so the output is non-empty and
+    deterministic at every SF.  The oracle derives the identical plane
+    set from a DuckDB count and replays signatures, bucket join, and
+    the mirrored cosine op tree in SQL."""
+    from orange3_spark.plans.oracle_replay import (NEARDUP_QSCALE,
+                                                   NEARDUP_SCALED)
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    P = NEARDUP_SCALED
+    pairs = K.neardup_cosine(emb.where(F.col("embedding").isNotNull()),
+                             threshold=-1.0, n_planes="auto",
+                             n_tables=P["n_tables"], seed=P["seed"])
+    return (pairs.select(
+                "id_a", "id_b",
+                F.floor(F.col("score") * F.lit(float(NEARDUP_QSCALE))
+                        + F.lit(0.5)).cast("long").alias("score_q"))
+            .orderBy(F.desc("score_q"), "id_a", "id_b").limit(P["k"]))
+
+
 @query("q_top_ngrams", """
 WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
 sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+1], ' ') AS shingle

@@ -165,22 +165,33 @@ def neardup_cosine_matmul(df: DataFrame, threshold: float = 0.95, *,
     threshold come back).  Data movement O(n·d), compute O(n²·d) in BLAS —
     versus the expression-tree formulation whose per-pair array folds run on
     Spark's interpreted evaluator (~100× slower; see text/dedup.py for the
-    same lesson).  Beyond ``max_broadcast_cells`` use LSH (``neardup_cosine``
-    with ``brute_force=False``) — at that size brute force is the wrong
-    algorithm anyway.
+    same lesson).  Beyond ``max_broadcast_cells`` (probed with a COUNT
+    before any driver collect) the call warns loudly and falls back to
+    the APPROXIMATE LSH path (:func:`neardup_cosine` with auto-scaled
+    planes and 4 tables) — at that size brute force is the wrong
+    algorithm anyway, and the bound is the hard physical broadcast
+    limit, not a tuning knob.
     """
     import numpy as np
     from pyspark.sql import types as T
 
-    rows = df.select(id_col, vec_col).collect()
-    n = len(rows)
-    if not n:
+    first = df.select(vec_col).first()
+    if first is None:
         return df.sparkSession.createDataFrame(
             [], "id_a long, id_b long, score double")
-    dim = len(rows[0][1])
+    dim = len(first[0])
+    n = df.count()
     if n * dim > max_broadcast_cells:
-        raise ValueError(
-            f"{n}×{dim} exceeds broadcast bound; use the LSH path")
+        import warnings
+        warnings.warn(
+            f"neardup_cosine_matmul: {n}x{dim} exceeds "
+            f"max_broadcast_cells={max_broadcast_cells}; falling back to "
+            "the APPROXIMATE LSH path (auto-scaled planes, 4 tables) — "
+            "pairs that never collide in any table are missed",
+            stacklevel=2)
+        return neardup_cosine(df, threshold, vec_col=vec_col,
+                              id_col=id_col, n_planes="auto", n_tables=4)
+    rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
@@ -208,9 +219,24 @@ def neardup_cosine_matmul(df: DataFrame, threshold: float = 0.95, *,
     return df.select(id_col, vec_col).mapInPandas(block, schema=schema)
 
 
+def auto_n_planes(n_rows: int, *, target_bucket_rows: int = 64,
+                  lo: int = 4, hi: int = 20) -> int:
+    """Scale the LSH hyperplane count with the corpus so EXPECTED bucket
+    size stays ~``target_bucket_rows``: planes = ceil(log2(n/target)),
+    clamped to [lo, hi].  A FIXED plane count is the measured
+    scale-killer (sf1 exponent 1.73 for the fixed-8-planes path):
+    2^planes buckets is a constant, so per-bucket candidate pairs grow
+    quadratically with the corpus; growing planes ∝ log2(n) keeps the
+    candidate volume ~linear.  Pure function of the count, so an SQL
+    oracle derives the identical plane set."""
+    import math
+    return min(hi, max(lo, math.ceil(math.log2(max(n_rows, 1)
+                                               / target_bucket_rows))))
+
+
 def neardup_cosine(df: DataFrame, threshold: float = 0.95, *,
                    vec_col: str = "embedding", id_col: str = "vec_id",
-                   n_planes: int = 8, n_tables: int = 1, seed: int = 42,
+                   n_planes="auto", n_tables: int = 1, seed: int = 42,
                    brute_force: bool = False,
                    max_brute_rows: int = 100_000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.  LSH-bucketed by default;
@@ -219,6 +245,9 @@ def neardup_cosine(df: DataFrame, threshold: float = 0.95, *,
     O(n²) crossJoin nobody should ship by accident (the same loud-bound
     contract as :func:`neardup_cosine_matmul` / :func:`hard_negatives`).
 
+    ``n_planes="auto"`` (default) derives the plane count from a corpus
+    count via :func:`auto_n_planes`, so bucket sizes — and the candidate
+    pair volume — stay bounded as the corpus grows; pass an int to pin.
     ``n_tables`` independent hash tables (plane sets) are unioned — the
     standard recall knob: a pair is compared if it collides in ANY table."""
     v = _as_double(F.col(vec_col))
@@ -238,6 +267,8 @@ def neardup_cosine(df: DataFrame, threshold: float = 0.95, *,
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:
         dim = len(df.select(vec_col).first()[0])
+        if n_planes == "auto":
+            n_planes = auto_n_planes(base.count())
         sigs = F.array(*[
             lsh_signature("_v", hyperplanes(dim, n_planes, seed + 7919 * t))
             for t in range(n_tables)])

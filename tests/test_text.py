@@ -957,3 +957,35 @@ def test_compression_ratio_signal(spark):
                                  "doc_id long, text string")
     e = {r["doc_id"]: r["ratio_q"] for r in compression_ratio(edge).collect()}
     assert e == {1: 0, 2: None}
+
+
+def test_auto_n_planes_scaling():
+    """Plane count grows log2(n) so expected bucket size stays bounded —
+    the cure for the fixed-plane quadratic candidate growth."""
+    from orange3_spark.similarity.knn import auto_n_planes
+    assert auto_n_planes(100) == 4          # clamped low
+    assert auto_n_planes(64 * 2 ** 5) == 5
+    assert auto_n_planes(64 * 2 ** 9) == 9
+    assert auto_n_planes(10 ** 12) == 20    # clamped high
+    # expected bucket size n / 2^planes stays <= 64 inside the clamp band
+    for n in (10_000, 100_000, 10_000_000):
+        assert n / 2 ** auto_n_planes(n) <= 64
+
+
+def test_neardup_matmul_falls_back_to_lsh(spark, sf_dir):
+    """Past the broadcast bound the exact matmul routes to the LSH path
+    with a loud warning instead of collecting the corpus (the
+    hard_negatives auto-routing pattern)."""
+    import warnings
+
+    from orange3_spark.session import load_tables
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = K.neardup_cosine_matmul(emb, threshold=0.99,
+                                      max_broadcast_cells=10)
+        rows = out.collect()
+    assert any("APPROXIMATE" in str(x.message) for x in w)
+    exact = {(r["id_a"], r["id_b"])
+             for r in K.neardup_cosine_matmul(emb, threshold=0.99).collect()}
+    assert {(r["id_a"], r["id_b"]) for r in rows} <= exact
