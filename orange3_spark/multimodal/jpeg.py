@@ -467,3 +467,34 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     if len(planes) != 3:
         raise ValueError(f"{len(planes)}-component JPEG unsupported")
     return _ycbcr_to_rgb(*planes)
+
+
+def jpeg_sof(blob: bytes):
+    """Frame type of a JPEG: walk the marker segments (the same walk
+    :func:`decode_jpeg` does, without entropy decode) and return the
+    first SOFn's ``n`` — 0 = baseline sequential (natively decodable
+    here), 2 = progressive (Pillow-gated), other values = the remaining
+    T.81 frame types.  ``None`` when the blob is not a JPEG or carries
+    no SOF before SOS/EOI — callers treat that as undecodable."""
+    b = bytes(blob)
+    if len(b) < 4 or b[0:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 3 < len(b):
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker == 0xD9:                       # EOI: no frame seen
+            return None
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2                               # standalone markers
+            continue
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return marker - 0xC0                 # SOFn (C4/C8/CC aren't)
+        if marker == 0xDA:                       # SOS before any SOF
+            return None
+        seglen = (b[i + 2] << 8) | b[i + 3]
+        if seglen < 2:
+            return None
+        i += 2 + seglen
+    return None

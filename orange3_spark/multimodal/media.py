@@ -265,3 +265,50 @@ def resize_image(decoded: DataFrame, out_height: int, out_width: int,
 
     return decoded.select(id_col, "height", "width", "channels", "pixels") \
                   .mapInPandas(run, schema=IMAGE_SCHEMA)
+
+
+def classify_decodability(df: DataFrame, binary_col: str = "content",
+                          id_col: str = "media_id") -> DataFrame:
+    """Per-blob decode-path classification — the measurement behind the
+    Pillow gate (media.py decode_image): which fraction of a corpus the
+    native codecs (BMP/PPM/PNG/baseline-JPEG) handle vs what needs the
+    gated exotic path (progressive/extended JPEG, GIF/TIFF/WebP).  On a
+    real web-crawl image corpus progressive JPEG is common, so this is
+    the query a user runs BEFORE relying on decoder='native'.
+
+    JPEG frame typing needs a marker-segment walk (the SOF position
+    varies), which is not expressible as a fixed-offset prefix compare —
+    one Arrow-batched mapInPandas, never per-row Python.  Returns
+    ``(id, format, decode_path)`` with decode_path in
+    {'native', 'pillow-gated', 'unknown'}."""
+    import pandas as pd
+
+    from orange3_spark.multimodal.jpeg import jpeg_sof
+
+    def run(pdf_iter):
+        magic = [(n, bytes(m)) for n, m in MAGIC]
+        for pdf in pdf_iter:
+            fmts, paths = [], []
+            for blob in pdf[binary_col]:
+                b = bytes(blob)
+                fmt = next((n for n, m in magic if b.startswith(m)),
+                           "unknown")
+                if fmt == "jpeg":
+                    sof = jpeg_sof(b)
+                    path = ("native" if sof == 0 else
+                            "pillow-gated" if sof is not None else
+                            "unknown")
+                elif fmt in ("bmp", "ppm", "png"):
+                    path = "native"
+                elif fmt in ("gif", "tiff", "webp"):
+                    path = "pillow-gated"
+                else:
+                    path = "unknown"
+                fmts.append(fmt)
+                paths.append(path)
+            yield pd.DataFrame({id_col: pdf[id_col], "format": fmts,
+                                "decode_path": paths})
+
+    return (df.select(id_col, binary_col)
+            .mapInPandas(run, f"{id_col} long, format string, "
+                              "decode_path string"))

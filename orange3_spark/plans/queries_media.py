@@ -307,3 +307,72 @@ def q_media_audio(spark, sf_dir):
     media = docs.select("doc_id").mapInPandas(
         mk, "doc_id long, content binary")
     return audio_feature_table(media, "content", "doc_id")
+
+
+@query("q_media_gate_fraction", """
+WITH d AS (SELECT doc_id % 5 AS m FROM documents),
+c AS (SELECT CASE WHEN m = 1 THEN 'gif'
+                  WHEN m = 2 THEN 'ppm' ELSE 'jpeg' END AS format,
+             CASE WHEN m = 0 OR m = 1 THEN 'pillow-gated'
+                  ELSE 'native' END AS decode_path,
+             count(*) AS n_docs
+      FROM d GROUP BY 1, 2),
+t AS (SELECT sum(n_docs) AS total FROM c)
+SELECT format, decode_path, n_docs,
+       CAST(n_docs * 1000000 // total AS BIGINT) AS pct_q
+FROM c, t ORDER BY format, decode_path
+""")
+def q_media_gate_fraction(spark, sf_dir):
+    """The Pillow-gate MEASUREMENT (r7 verdict #7): before relying on
+    decoder='native' on a crawl corpus, measure what fraction of blobs
+    the native codecs cover vs what stays gated (progressive JPEG is
+    common on the web).  The corpus mixes four classes keyed on doc_id:
+    progressive-JPEG headers (SOF2), GIFs, PPMs, and real baseline
+    JPEGs (multimodal/jpeg.encode_jpeg); classify_decodability walks
+    the JPEG marker segments (multimodal/jpeg.jpeg_sof) in ONE
+    Arrow-batched mapInPandas — a misread marker, frame type, or
+    segment length shifts a class count and breaks the hash, since the
+    oracle recomputes the fractions from doc_id arithmetic alone."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"] \
+        .select("doc_id")
+
+    def mk(pdf_iter):
+        from orange3_spark.multimodal.jpeg import encode_jpeg
+
+        # progressive header: SOI + SOF2 (1 component, 16x16) + EOI —
+        # a valid marker walk up to the frame type, which is all the
+        # classifier needs
+        prog = bytes([0xFF, 0xD8, 0xFF, 0xC2, 0x00, 0x0B,
+                      8, 0, 16, 0, 16, 1, 1, 0x11, 0, 0xFF, 0xD9])
+        gif = b"GIF87a" + bytes(10)
+        ppm = b"P6\n2 2\n255\n" + bytes(12)
+        for pdf in pdf_iter:
+            out = []
+            for did in pdf["doc_id"]:
+                m = int(did) % 5
+                if m == 0:
+                    blob = prog
+                elif m == 1:
+                    blob = gif
+                elif m == 2:
+                    blob = ppm
+                else:
+                    coeffs = np.zeros((1, 1, 8, 8), dtype=np.int64)
+                    coeffs[0, 0, 0, 0] = int(did) % 40 - 20
+                    blob = encode_jpeg(None, quality=50, coeffs=coeffs)
+                out.append((int(did), blob))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    blobs = docs.mapInPandas(mk, "media_id long, content binary")
+    cls = M.classify_decodability(blobs)
+    counts = (cls.groupBy("format", "decode_path")
+              .agg(F.count(F.lit(1)).alias("n_docs")))
+    from pyspark.sql.window import Window
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return (counts.withColumn("total", total)
+            .withColumn("pct_q",
+                        F.expr("(n_docs * 1000000) div total"))
+            .select("format", "decode_path", "n_docs", "pct_q"))

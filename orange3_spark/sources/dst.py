@@ -82,6 +82,11 @@ def read_dst(spark: SparkSession, path: str,
                                      f"{i + 1}, column {j + 1}") from exc
                 if symmetric:
                     matrix[j][i] = matrix[i][j]
+        if row_labels is not None and len(row_labels) < n:
+            # missing trailing rows are implicit zeros (the reference's
+            # padding rule); their labels are blank — without this the
+            # square emission below would index past the labels read
+            row_labels += [""] * (n - len(row_labels))
 
     cols, schema = ["i", "j"], "i int, j int"
     if row_labels is not None:
@@ -136,8 +141,18 @@ def write_dst(pairs: DataFrame, path: str, *, id_a: str = "id_a",
     with open(path, "w", encoding="utf-8") as fh:
         fh.write(f"{n}\taxis={axis}\trow_labels\n")
         for i, v in enumerate(ids):
-            lab = labels[v] if labels is not None else str(v)
-            fh.write(str(lab) + "\t"
+            lab = str(labels[v] if labels is not None else v)
+            # .dst cannot represent blank or whitespace-padded labels:
+            # readers (reference distmatrix.py:222 and ours alike) strip
+            # each line BEFORE splitting on tabs, so a leading-blank
+            # label swallows the tab and shifts every cell one column
+            # left.  Refuse to write a file that cannot round-trip.
+            if not lab or lab != lab.strip() or "\t" in lab or "\n" in lab:
+                raise ValueError(
+                    f"label {lab!r} for id {v!r} is not representable in "
+                    ".dst (must be non-empty, tab/newline-free, and "
+                    "carry no leading/trailing whitespace)")
+            fh.write(lab + "\t"
                      + "\t".join(repr(x) for x in tri[i]) + "\n")
 
 

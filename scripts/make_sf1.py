@@ -14,7 +14,12 @@ DuckDB does the generation — the output parquet uses plain µs
 timestamps, which both engines read directly.  Deterministic: pure SQL
 over the fixtures, no randomness.
 
-Usage: python scripts/make_sf1.py [n_replicas] [out_dir]
+Usage: python scripts/make_sf1.py [n_replicas] [out_dir] [tables...]
+
+With explicit ``tables`` only those are materialized — e.g.
+``python scripts/make_sf1.py 100 .localdata/sf10 documents`` builds the
+sf10 documents corpus for the pair-heavy dedup growth runs without
+paying for a 60M-row lineitem nobody reads.
 """
 
 from __future__ import annotations
@@ -65,6 +70,10 @@ def main() -> None:
                       "CAST(list_transform(CAST(embedding AS DOUBLE[]), "
                       "x -> x + r * 0.001) AS FLOAT[]) AS embedding, label",
     }
+    only = set(sys.argv[3:])
+    if only:
+        fixed = tuple(t for t in fixed if t in only)
+        scaled = {t: s for t, s in scaled.items() if t in only}
     for t in fixed:
         con.execute(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') "
                     f"TO '{out}/{t}.parquet' (FORMAT PARQUET)")

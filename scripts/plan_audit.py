@@ -211,6 +211,25 @@ AUDITS = {
     ],
 }
 
+AUDITS.update({
+    "q_media_decode_jpeg": [
+        ("decode is Arrow-batched (mapInPandas), never per-row Python",
+         r"MapInPandas|ArrowEvalPython"),
+    ],
+    "q_compression_ratio": [
+        ("zlib pass is Arrow-batched (mapInPandas)",
+         r"MapInPandas|ArrowEvalPython"),
+        ("per-source aggregation shuffles once",
+         r"Exchange hashpartitioning"),
+    ],
+    "q_neardup_cosine_scaled": [
+        ("LSH candidates via bucket equi-join, not cross join",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("top-k is distributed TakeOrdered, no global sort",
+         r"TakeOrderedAndProject"),
+    ],
+})
+
 BAD_PATTERNS = [
     ("CartesianProduct", r"CartesianProduct"),
     ("row-at-a-time Python UDF (BatchEvalPython)", r"BatchEvalPython"),
@@ -267,6 +286,21 @@ JOB_BUDGETS = {
     # IVF fit jobs (Lloyd rounds + refresh collect) + the blocked
     # scoring pass (measured 14)
     "q_hard_negatives_blocked": 18,
+    # driver-looped beam with one FILTERED (pushdown) scan per beam
+    # member per depth — the count must stay flat as rules grow
+    # (r7 verdict ask); measured 28 at sf0.01
+    "q_ml_cn2_depth2": 34,
+    # cube-once design: ONE distributed groupBy(+limit probe) feeds the
+    # whole per-class / weighted covering loop — a breach means the
+    # induction started re-scanning per rule
+    "q_ml_cn2_unordered": 6,
+    "q_ml_cn2_sd": 6,
+    # interchange round-trip: distance pair collect + writer bound probe
+    # + reader createDataFrame — bounded small-matrix IO, no data jobs
+    "q_dst_roundtrip": 10,
+    # fixed-SIZE hash sample (one distributed top-k) + the driver-side
+    # embed + literal frame; a breach means the sample re-scans
+    "q_ml_isomap": 8,
 }
 
 

@@ -198,7 +198,8 @@ def main() -> None:
     sys.exit(0 if all_ok else 1)
 
 
-if __name__ == "__main__" and "--growth" not in sys.argv:
+if (__name__ == "__main__" and "--growth" not in sys.argv
+        and "--growth-dedup" not in sys.argv):
     main()
 
 
@@ -274,3 +275,95 @@ if __name__ == "__main__" and "--growth" in sys.argv:
     dirs = args or ["/root/testdata/sf0.01", "/root/testdata/sf0.1",
                     os.path.join(HERE, ".localdata", "sf1")]
     growth(dirs, os.path.join(HERE, "SCALE_r07.json"))
+
+
+def growth_dedup(dirs: list, out_path: str) -> None:
+    """Four-point growth law for the PAIR-HEAVY dedup family (r7 verdict
+    #8: q_dedup_minhash's 0.95 tail exponent was the honest worst —
+    prove it holds through another decade).  Runs the three
+    document-table queries over ``dirs`` (each step 10× the last) and
+    records, alongside wall clocks and per-decade exponents, the
+    MEASURED candidate-pair volume per banding step — sum over
+    (band, bucket) of C(size, 2) — so "pair volume stays ~linear under
+    banding" is a number in the artifact, not a claim."""
+    import importlib.util
+    import math
+
+    spec = importlib.util.spec_from_file_location(
+        "e", os.path.join(HERE, "__spark_entry__.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    qs = m.queries()
+    spark = get_spark("scale-growth-dedup")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from orange3_spark.plans.queries_text import _MH_BANDS, _MH_K
+    from orange3_spark.text.dedup import minhash_band_table
+
+    def timed(fn, d):
+        t0 = time.perf_counter()
+        fn(spark, d).count()
+        return round(time.perf_counter() - t0, 3)
+
+    def cand_pairs(d):
+        docs = load_tables(spark, d, ("documents",))["documents"]
+        bands = minhash_band_table(docs, "text", "doc_id",
+                                   n=3, num_hashes=_MH_K, bands=_MH_BANDS,
+                                   seed=0, hash_family="md5")
+        row = (bands.groupBy("band", "bucket")
+               .agg(F.count(F.lit(1)).alias("sz"))
+               .agg(F.sum(F.expr("sz * (sz - 1) / 2")).alias("p"))
+               .first())
+        return int(row["p"] or 0)
+
+    queries = ["q_dedup_minhash", "q_dup_clusters_distributed",
+               "q_line_dedup"]
+    sel = os.environ.get("SPARK_GRAFT_GROWTH_QUERIES")
+    if sel:
+        # per-query invocation so each run fits a CI/timeout budget; the
+        # artifact merges across runs (read-modify-write below)
+        queries = [q for q in sel.split(",") if q in queries]
+    results = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as fh:
+                results = json.load(fh).get("queries", {})
+        except Exception:
+            results = {}
+    all_ok = True
+    for q in queries:
+        fn = qs[q]
+        timed(fn, dirs[0])                       # warm codegen/readers
+        ts = []
+        for d in dirs:
+            ts.append(min(timed(fn, d), timed(fn, d)))
+            spark.catalog.clearCache()
+        exps = [round(math.log(ts[i + 1] / ts[i]) / math.log(10.0), 3)
+                for i in range(len(ts) - 1)]
+        ok = exps[-1] < 1.4          # the r7 verdict's weak-bar
+        all_ok &= ok
+        rec = {"q": q, "t": ts, "exp_per_decade": exps, "ok": ok}
+        if q == "q_dedup_minhash":
+            rec["candidate_pairs"] = [cand_pairs(d) for d in dirs]
+            cp = rec["candidate_pairs"]
+            rec["cand_exp_per_decade"] = [
+                round(math.log(cp[i + 1] / cp[i]) / math.log(10.0), 3)
+                if cp[i] else None for i in range(len(cp) - 1)]
+        results[q] = rec
+        print(json.dumps(rec), flush=True)
+    all_ok = all(r.get("ok") for r in results.values())
+    artifact = {"dirs": dirs, "queries": results, "ok": all_ok,
+                "gate": "last-decade exponent < 1.4"}
+    with open(out_path, "w") as fh:
+        json.dump(artifact, fh, indent=1)
+    print(json.dumps({"op": "GROWTH_DEDUP_SUMMARY", "ok": all_ok,
+                      "artifact": out_path}))
+    sys.exit(0 if all_ok else 1)
+
+
+if __name__ == "__main__" and "--growth-dedup" in sys.argv:
+    _args = [a for a in sys.argv[1:] if a != "--growth-dedup"]
+    _dirs = _args or ["/root/testdata/sf0.01", "/root/testdata/sf0.1",
+                      os.path.join(HERE, ".localdata", "sf1"),
+                      os.path.join(HERE, ".localdata", "sf10")]
+    growth_dedup(_dirs, os.path.join(HERE, "SCALE_DEDUP_r08.json"))

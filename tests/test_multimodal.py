@@ -400,3 +400,48 @@ def test_decode_image_native_jpeg(spark):
     assert (out["height"], out["width"], out["channels"]) == (8, 8, 3)
     got = np.round(np.array(out["pixels"]) * 255).reshape(8, 8, 3)
     assert int(np.abs(got - px).max()) <= 6
+
+
+def test_jpeg_sof_marker_walk():
+    """Frame typing walks segments, never pattern-matches raw bytes: a
+    0xFFC2 byte pair INSIDE a segment payload must not read as SOF2."""
+    from orange3_spark.multimodal.jpeg import jpeg_sof
+
+    def seg(marker, payload):
+        ln = len(payload) + 2
+        return bytes([0xFF, marker, ln >> 8, ln & 0xFF]) + payload
+
+    sof0 = seg(0xC0, bytes([8, 0, 16, 0, 16, 1, 1, 0x11, 0]))
+    sof2 = seg(0xC2, bytes([8, 0, 16, 0, 16, 1, 1, 0x11, 0]))
+    soi, eoi = b"\xff\xd8", b"\xff\xd9"
+    # payload containing a fake SOF2 marker byte-pair
+    trap = seg(0xE0, b"\xff\xc2junk")
+    assert jpeg_sof(soi + trap + sof0 + eoi) == 0
+    assert jpeg_sof(soi + trap + sof2 + eoi) == 2
+    assert jpeg_sof(soi + seg(0xC7, bytes(9)) + eoi) == 7
+    assert jpeg_sof(soi + eoi) is None                 # no frame
+    assert jpeg_sof(b"GIF87a") is None                 # not a JPEG
+    assert jpeg_sof(soi + seg(0xDA, bytes(4))) is None  # SOS before SOF
+    # standalone RST/TEM markers are skipped without a length field
+    assert jpeg_sof(soi + b"\xff\x01" + b"\xff\xd0" + sof0 + eoi) == 0
+    # real encoder output is baseline
+    import numpy as np
+    from orange3_spark.multimodal.jpeg import encode_jpeg
+    coeffs = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    assert jpeg_sof(encode_jpeg(None, quality=50, coeffs=coeffs)) == 0
+
+
+def test_classify_decodability_paths(spark):
+    from orange3_spark.multimodal.media import classify_decodability
+
+    prog = bytes([0xFF, 0xD8, 0xFF, 0xC2, 0x00, 0x0B,
+                  8, 0, 16, 0, 16, 1, 1, 0x11, 0, 0xFF, 0xD9])
+    rows = [(0, prog), (1, b"GIF87a" + bytes(4)),
+            (2, b"P6\n1 1\n255\n" + bytes(3)), (3, b"\x00junk")]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: (r["format"], r["decode_path"])
+           for r in classify_decodability(df).collect()}
+    assert got[0] == ("jpeg", "pillow-gated")
+    assert got[1] == ("gif", "pillow-gated")
+    assert got[2] == ("ppm", "native")
+    assert got[3] == ("unknown", "unknown")

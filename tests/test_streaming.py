@@ -488,3 +488,64 @@ def test_idempotent_parquet_sink_replay_safe(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 5
     assert got.select("batch_id").distinct().count() == 2
+
+
+def test_checkpoint_kill_and_resume_exactly_once(spark, tmp_path):
+    """Crash-recovery for the exactly-once sink (verdict r7 ask): a fault
+    injected in the at-least-once window — AFTER the batch's parquet
+    write, BEFORE the checkpoint commits its offsets — kills the stream
+    mid-run; restarting from the same checkpoint must REPLAY that batch
+    under the same batch_id (overwrite, not append) and finish the rest,
+    so batch ids are gapless-unique and the final rows equal the batch
+    twin with no duplicates or holes."""
+    import os
+
+    import pandas as pd
+    import pytest
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows_per = 5
+    for i in range(4):
+        pdf = pd.DataFrame({"ts": [t0] * rows_per,
+                            "v": [i * rows_per + j for j in range(rows_per)]})
+        p = src / f"f{i}.parquet"
+        pdf.astype({"ts": "datetime64[us]"}).to_parquet(p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    schema = spark.read.parquet(str(src / "f0.parquet")).schema
+
+    def _crashy(bdf, batch_id: int) -> None:
+        bdf.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+        if batch_id == 2:
+            raise RuntimeError("injected crash between write and commit")
+
+    stream = SW.stream_from_directory(spark, str(src), schema,
+                                      max_files_per_trigger=1)
+    q = (stream.writeStream.foreachBatch(_crashy)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+
+    # mid-run state: batches 0..2 written, batch 2 UNcommitted, batch 3
+    # never ran — the reader sees a partial batch set
+    partial = spark.read.parquet(out)
+    assert partial.count() == 3 * rows_per
+    assert partial.select("batch_id").distinct().count() == 3
+
+    # restart from the SAME checkpoint with the production sink: batch 2
+    # replays under its own id (overwrite - no dupes), batch 3 completes
+    stream2 = SW.stream_from_directory(spark, str(src), schema,
+                                       max_files_per_trigger=1)
+    SW.idempotent_parquet_sink(stream2, out, checkpoint_dir=ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 4 * rows_per
+    assert (sorted(r[0] for r in
+                   got.select("batch_id").distinct().collect())
+            == [0, 1, 2, 3])
+    # value-level exactly-once: equals the batch twin, no dup/missing rows
+    assert (sorted(r[0] for r in got.select("v").collect())
+            == list(range(4 * rows_per)))
