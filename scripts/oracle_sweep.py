@@ -86,7 +86,19 @@ for name, fn in qs.items():
 base = os.path.basename(os.path.normpath(sf))
 name = ("correctness_local.json" if base == "sf0.01"
         else f"correctness_local_{base}.json")
-with open(os.path.join(HERE, name), "w") as fh:
+path = os.path.join(HERE, name)
+if len(sys.argv) > 2 and os.path.exists(path):
+    # subset run: MERGE into the existing artifact instead of clobbering
+    # the full sweep's results with a 2-query file
+    try:
+        with open(path) as fh:
+            prev = json.load(fh).get("results", {})
+    except Exception:
+        prev = {}
+    prev.update(out)
+    out = prev
+    n_ok = sum(1 for r in out.values() if r.get("ok"))
+with open(path, "w") as fh:
     json.dump({"sf_dir": sf, "n": len(out), "n_ok": n_ok,
                "results": out}, fh, indent=1)
 print(f"\n{n_ok}/{len(out)} green")

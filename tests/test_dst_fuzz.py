@@ -91,12 +91,16 @@ def test_dst_roundtrip_symmetric_with_nans(spark, tmp_path_factory, tri):
                     min_size=2, max_size=8),
        labels=st.lists(label, min_size=8, max_size=8),
        flag=st.sampled_from(["row_labels", "labeled", "labelled"]),
-       pad=st.booleans(), junk=st.booleans())
+       mode=st.sampled_from(["plain", "pad", "junk"]))
 def test_dst_reader_quirks(spark, tmp_path_factory, tri, labels, flag,
-                           pad, junk):
+                           mode):
     """Hand-written .dst files exercising the documented quirks: obsolete
     label-flag aliases, blank/spacey labels, short (zero-padded) lines,
     ignored above-diagonal junk, and missing trailing rows."""
+    # pad and junk are exercised separately: a zero-padded SHORT row has
+    # no above-diagonal slot, so junk appended to it would land on the
+    # diagonal — a real cell, not ignorable junk
+    pad, junk = mode == "pad", mode == "junk"
     n = len(tri)
     m = _sym([row[:n] for row in tri])
     labels = (labels[:n] + [f"r{k}" for k in range(n)])[:n]
@@ -134,12 +138,18 @@ def test_dst_reader_quirks(spark, tmp_path_factory, tri, labels, flag,
             assert _eq(v, expect)
 
 
+finite_cell = st.floats(min_value=-1e6, max_value=1e6,
+                        allow_nan=False, allow_infinity=False)
+
+
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
-@given(tri=st.lists(st.lists(cell, min_size=6, max_size=6),
+@given(tri=st.lists(st.lists(finite_cell, min_size=6, max_size=6),
                     min_size=2, max_size=6))
 def test_dst_xlsx_roundtrip(spark, tmp_path_factory, tri):
-    """The .dst xlsx variant round-trips the same symmetric matrices."""
+    """The .dst xlsx variant round-trips symmetric matrices exactly.
+    Finite cells only: xlsx has no NaN literal, so a NaN cell reads
+    back as None by contract (test_dst_xlsx_nan_reads_none)."""
     n = len(tri)
     m = _sym([row[:n] for row in tri])
     rows = [(i, j, m[i][j]) for i in range(n) for j in range(i)]
@@ -147,7 +157,11 @@ def test_dst_xlsx_roundtrip(spark, tmp_path_factory, tri):
         rows = [(0, 1, 0.0)]
     path = str(tmp_path_factory.mktemp("dstx") / "m.xlsx")
     pairs = spark.createDataFrame(rows, "id_a int, id_b int, dist double")
-    write_dst_xlsx(pairs, path)
+    # xlsx has no header flags, so NUMERIC row labels are ambiguous with
+    # data on read-back (documented write_dst_xlsx contract): round-trips
+    # must pass non-numeric labels
+    ids_all = sorted({a for a, _b, _d in rows} | {b for _a, b, _d in rows})
+    write_dst_xlsx(pairs, path, labels={v: f"r{v}" for v in ids_all})
     back = read_dst_xlsx(spark, path)
     got = {(r["i"], r["j"]): r["dist"] for r in back.collect()}
     ids = sorted({a for a, _b, _d in rows} | {b for _a, b, _d in rows})
@@ -171,3 +185,18 @@ def test_dst_writer_rejects_unrepresentable_labels(spark, tmp_path):
         with pytest.raises(ValueError, match="not representable"):
             write_dst(pairs, str(tmp_path / "bad.dst"),
                       labels={0: bad, 1: "ok"})
+
+
+def test_dst_xlsx_nan_reads_none(spark, tmp_path):
+    """xlsx has no NaN numeric literal: a NaN distance round-trips to
+    None (missing cell), mirroring the reference's empty-cell -> nan
+    convention (_distmatrix_xlsx.py:83,127) in reverse."""
+    pairs = spark.createDataFrame(
+        [(0, 1, float("nan")), (0, 2, 3.5), (1, 2, 1.25)],
+        "id_a int, id_b int, dist double")
+    path = str(tmp_path / "m.xlsx")
+    write_dst_xlsx(pairs, path, labels={0: "a", 1: "b", 2: "c"})
+    back = {(r["i"], r["j"]): r["dist"]
+            for r in read_dst_xlsx(spark, path).collect()}
+    assert back[(1, 0)] is None
+    assert back[(2, 0)] == 3.5 and back[(2, 1)] == 1.25
