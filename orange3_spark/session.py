@@ -31,10 +31,36 @@ TPCH_TABLES = (
 )
 
 
+def _reap_stale_scratch(root: str, max_age_s: int = 6 * 3600) -> None:
+    """Remove shuffle/blockmgr scratch left behind by DEAD sessions.
+
+    tmpfs scratch is RAM: a killed JVM never runs its shutdown hook, so
+    each crashed/timed-out session strands its spark-*/blockmgr-* dirs
+    and the debris silently eats the machine (observed: 92 GB of shm
+    from one day's sessions starving a live run to death).  Age-gated so
+    concurrent live sessions are never touched — Spark re-touches its
+    scratch constantly, only long-dead trees pass the mtime check."""
+    import shutil
+    import time
+
+    try:
+        now = time.time()
+        for name in os.listdir(root):
+            p = os.path.join(root, name)
+            try:
+                if now - os.path.getmtime(p) > max_age_s:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                continue
+    except OSError:
+        pass
+
+
 def _default_local_dir(min_free_bytes: int = 8 << 30) -> str:
     """Prefer tmpfs for shuffle files only when it actually has room
     (containers often cap /dev/shm at 64 MB); otherwise /tmp."""
     try:
+        _reap_stale_scratch("/dev/shm/spark-local")
         st = os.statvfs("/dev/shm")
         if st.f_bavail * st.f_frsize >= min_free_bytes:
             return "/dev/shm/spark-local"
