@@ -48,6 +48,12 @@ _CHANGED_THIS_ROUND = [
     "q_feature_scores_relieff", "q_basket_read", "q_hard_negatives",
     "q_ml_nomogram", "q_drift_chi2", "q_cv_stratified",
     "q_ml_correspondence",
+    # r8 late: jpeg.py rewritten (progressive/subsampled/restart native)
+    # — re-grade the baseline-JPEG query on the new decoder; the three
+    # new/changed media queries are never-graded and sort first anyway
+    "q_media_decode_jpeg", "q_media_decode_jpeg_prog",
+    "q_media_decode_jpeg420", "q_media_gate_fraction",
+    "q_media_decode_gif",
 ]
 
 

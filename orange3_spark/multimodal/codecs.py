@@ -1,6 +1,9 @@
 """Pure-Python image codecs: uncompressed 24-bit BMP, binary PPM (P6),
-8-bit PNG (stdlib zlib inflate + RFC 2083 row unfiltering), and baseline
-JPEG (multimodal/jpeg.py — huffman entropy decode, dequant, IDCT).
+8-bit PNG (stdlib zlib inflate + RFC 2083 row unfiltering), 8-bit
+huffman JPEG — baseline, progressive, subsampled, restart markers
+(multimodal/jpeg.py — entropy decode incl. Annex G, dequant, IDCT),
+and GIF87a/89a first frames (multimodal/gif.py — variable-width LZW,
+palettes, interlacing).
 
 The container has no Pillow/libjpeg, so the decode stage of the multimodal
 pipeline would otherwise never produce a checked pixel.  BMP and PPM are
@@ -9,9 +12,10 @@ fully specified, compression-free formats decodable with stdlib ``struct``
 common training-corpus image format (header parse, row padding,
 bottom-up row order, BGR→RGB, zlib inflate, Paeth unfiltering, palette
 application, huffman entropy decode, dequantization, IDCT); only
-exotic shapes (progressive JPEG, subsampled chroma, GIF/TIFF/WebP)
-still route to the Pillow gate.  No counterpart in the reference (tabular only); formats per
-the public BMP file format (BITMAPINFOHEADER) and netpbm P6 specs.
+genuinely exotic shapes (arithmetic-coded / 12-bit / lossless JPEG,
+CMYK, TIFF/WebP) still route to the Pillow gate.  No counterpart
+in the reference (tabular only); formats per the public BMP file
+format (BITMAPINFOHEADER) and netpbm P6 specs.
 """
 
 from __future__ import annotations
@@ -104,8 +108,9 @@ def decode_ppm(blob: bytes) -> np.ndarray:
 
 
 def decode_any(blob: bytes) -> np.ndarray:
-    """Dispatch on magic bytes: BMP and PPM decode here; anything else
-    raises (callers fall back to Pillow or the honest gate)."""
+    """Dispatch on magic bytes: BMP/PPM/PNG/JPEG/GIF decode natively;
+    anything else raises (callers fall back to Pillow or the honest
+    gate)."""
     if blob[:2] == b"BM":
         return decode_bmp(blob)
     if blob[:2] == b"P6":
@@ -115,6 +120,9 @@ def decode_any(blob: bytes) -> np.ndarray:
     if blob[:3] == b"\xff\xd8\xff":
         from orange3_spark.multimodal.jpeg import decode_jpeg
         return decode_jpeg(blob)
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        from orange3_spark.multimodal.gif import decode_gif
+        return decode_gif(blob)
     raise ValueError("no pure-Python decoder for this format")
 
 

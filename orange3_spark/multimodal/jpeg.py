@@ -1,22 +1,46 @@
-"""Pure-Python baseline JPEG codec (stdlib + numpy — no libjpeg/Pillow).
+"""Pure-Python JPEG codec (stdlib + numpy — no libjpeg/Pillow).
 
-Scope: baseline sequential DCT (SOF0), huffman entropy coding, 8-bit
-samples, grayscale or 4:4:4 YCbCr (no chroma subsampling), no restart
-markers, no progressive scans — unsupported shapes raise with a clear
-message (a gate, never a silent fake).  That scope is exactly what the
-:mod:`multimodal.codecs` encoder below emits, so the training-pipeline
-plumbing (decode → feature → resize) runs REAL JPEG entropy decode,
-dequantization, and IDCT end to end in this container.
+Decode scope (round 8 — the r7 "baseline-only" gate is gone): 8-bit
+huffman DCT JPEG in ALL its common shapes — baseline/extended
+sequential (SOF0/SOF1) and PROGRESSIVE (SOF2) scans, any integer
+chroma sampling factors (4:4:4, 4:2:2, 4:2:0, 4:1:1 ...), restart
+intervals, spectral selection + successive approximation per T.81
+Annex G.  What stays gated (loud ValueError, never a silent fake):
+12-bit samples, arithmetic coding, lossless and hierarchical frames,
+CMYK (4-component) — genuinely exotic in web corpora, unlike
+progressive/4:2:0 which dominate real crawls.
 
-Public spec: ITU-T T.81 (the JPEG standard) — quantization/huffman
-tables from Annex K, the libjpeg quality→scale convention for tables,
-JFIF YCbCr equations.  No counterpart in the reference (tabular only).
+Encode scope: grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0
+subsampling, baseline or progressive (the standard 4-kind scan
+script: DC first, per-component AC first, DC refine, AC refine),
+optional restart intervals.  The encoder exists so the decoder is
+testable WITHOUT Pillow in this container: progressive encode of the
+same quantized coefficients must decode bit-identically to the
+baseline encode (pytest-pinned coefficient round-trips), and the
+DC-only exactness constructions below make decoded pixels integers a
+SQL oracle recomputes from ids alone.
 
-Exactness note for the oracle-checked query (q_media_decode_jpeg):
-encoding is lossy in general, but a block whose ONLY nonzero frequency
-is DC decodes to a mathematically flat block — pixel = DC·q₀/8 + 128 —
-so synthesizing DC-only blocks with DC·q₀ divisible by 8 makes decoded
-pixels exact integers the SQL oracle recomputes from the id alone.
+Public spec: ITU-T T.81 — quantization/huffman tables from Annex K,
+progressive coding procedures from Annex G (the successive-
+approximation control flow mirrors the spec's flowcharts, which
+libjpeg also implements), the libjpeg quality→scale convention for
+tables, JFIF YCbCr equations.  Chroma upsampling is pixel
+replication (nearest), the JFIF default.  No counterpart in the
+reference (tabular only).
+
+Exactness notes for the oracle-checked queries:
+
+* q_media_decode_jpeg (baseline, gray): a block whose ONLY nonzero
+  frequency is DC decodes to a mathematically flat block —
+  pixel = DC·q₀/8 + 128 — an exact integer when DC·q₀ ≡ 0 (mod 8).
+* q_media_decode_jpeg_prog: the same DC-only coefficients shipped
+  through the full progressive scan script (DC Al=1 first scan +
+  refine, AC scans as pure EOB runs) must land on the same integers.
+* q_media_decode_jpeg420: at quality 76 both Annex-K q₀ scale to
+  exactly 8, so a gray image flat per 8×8 block survives
+  RGB→YCbCr→box-downsample→DCT→quantize→decode EXACTLY (chroma DC
+  quantizes to 0, luma DC to v−128), pinning MCU interleave order,
+  per-component DC prediction, restart resets, and 2×2 upsampling.
 """
 
 from __future__ import annotations
@@ -25,7 +49,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_jpeg", "decode_jpeg"]
+__all__ = ["encode_jpeg", "decode_jpeg", "jpeg_sof"]
 
 # ---------------------------------------------------------- constant tables
 
@@ -85,6 +109,21 @@ AC_CHROM = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+#: AC huffman table for progressive scans: Annex K's sequential tables
+#: lack the EOBn symbols (r<<4, r=1..14) Annex G scans emit, so the
+#: encoder ships a complete flat table — all 176 possible progressive
+#: AC symbols at 8 bits (Kraft sum 176/256 < 1, a valid canonical
+#: code).  Bigger output than an optimized table, but decode-exact.
+PROG_AC = ([0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+           [(r << 4) | s for r in range(16) for s in range(11)])
+
+_SUBSAMPLING = {            # name -> (Y_h, Y_v); chroma is always 1x1
+    "444": (1, 1),
+    "422": (2, 1),
+    "420": (2, 2),
+    "411": (4, 1),
+}
 
 
 def _dct_matrix() -> np.ndarray:
@@ -154,6 +193,13 @@ class _BitWriter:
             if b == 0xFF:                      # byte stuffing
                 self.out.append(0x00)
 
+    def restart(self, m: int) -> None:
+        """1-pad to a byte boundary, then an unstuffed RSTm marker."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (m & 7)])
+
     def flush(self) -> bytes:
         if self.nbits:
             pad = 8 - self.nbits
@@ -183,8 +229,8 @@ class _BitReader:
                     self.pos += 1              # unstuff
                 else:
                     raise ValueError(
-                        f"unexpected marker 0xFF{nxt:02X} in entropy "
-                        "stream (restart markers unsupported)")
+                        f"unexpected marker 0xFF{nxt:02X} inside an "
+                        "entropy chunk")
             self.acc = (self.acc << 8) | b
             self.nbits += 8
 
@@ -195,10 +241,12 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
 
 def _magnitude(v: int):
@@ -234,26 +282,287 @@ def _ycbcr_to_rgb(y, cb, cr) -> np.ndarray:
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
+# ------------------------------------------------------------------ geometry
+
+def _geometry(h: int, w: int, factors):
+    """MCU/block geometry for components with sampling ``factors``
+    [(hi, vi), ...]: full (MCU-padded) block grid and the USED block
+    grid non-interleaved scans cover (T.81 A.2.2/A.2.3)."""
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    for hi, vi in factors:
+        if hmax % hi or vmax % vi:
+            raise ValueError(
+                f"non-integer sampling ratio {hi}x{vi} vs {hmax}x{vmax} "
+                "unsupported")
+    mx = -(-w // (8 * hmax))
+    my = -(-h // (8 * vmax))
+    comps = []
+    for hi, vi in factors:
+        cw = -(-(w * hi) // hmax)          # used pixel dims of this plane
+        ch = -(-(h * vi) // vmax)
+        comps.append({"h": hi, "v": vi, "bw": mx * hi, "bh": my * vi,
+                      "ubw": -(-cw // 8), "ubh": -(-ch // 8),
+                      "cw": cw, "ch": ch})
+    return hmax, vmax, mx, my, comps
+
+
+def _split_entropy(blob: bytes, pos: int):
+    """Entropy-coded bytes from ``pos`` split at RSTn markers.
+    Returns (chunks, offset-of-next-true-marker)."""
+    chunks, start, i, n = [], pos, pos, len(blob)
+    while i < n:
+        if blob[i] != 0xFF:
+            i += 1
+            continue
+        nxt = blob[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:
+            i += 2                         # stuffed data byte
+        elif 0xD0 <= nxt <= 0xD7:
+            chunks.append(blob[start:i])   # restart boundary
+            i += 2
+            start = i
+        else:
+            break                          # a real marker ends the scan
+    chunks.append(blob[start:i])
+    return chunks, i
+
+
+# ------------------------------------------------------------------- encoder
+
+class _SeqWriter:
+    """Baseline sequential block writer (DC diff + AC run-length)."""
+
+    def __init__(self, bw, dc_codes, ac_codes):
+        self.bw, self.dc, self.ac = bw, dc_codes, ac_codes
+
+    def block(self, zz, tid: int, pred: int) -> int:
+        bw = self.bw
+        diff = int(zz[0]) - pred
+        size, raw = _magnitude(diff)
+        code, ln = self.dc[tid][size]
+        bw.write(code, ln)
+        if size:
+            bw.write(raw, size)
+        run = 0
+        for i in range(1, 64):
+            v = int(zz[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = self.ac[tid][0xF0]                 # ZRL
+                bw.write(code, ln)
+                run -= 16
+            size, raw = _magnitude(v)
+            code, ln = self.ac[tid][(run << 4) | size]
+            bw.write(code, ln)
+            bw.write(raw, size)
+            run = 0
+        if run:
+            code, ln = self.ac[tid][0x00]                     # EOB
+            bw.write(code, ln)
+        return int(zz[0])
+
+
+class _ACFirstWriter:
+    """Progressive AC first scan (Ah=0) with EOB-run coding
+    (T.81 G.1.2.2)."""
+
+    def __init__(self, bw, codes, ss, se, al):
+        self.bw, self.codes = bw, codes
+        self.ss, self.se, self.al = ss, se, al
+        self.eobrun = 0
+
+    def _sym(self, s):
+        code, ln = self.codes[s]
+        self.bw.write(code, ln)
+
+    def _flush_eobrun(self):
+        if self.eobrun:
+            nb = self.eobrun.bit_length() - 1
+            self._sym(nb << 4)
+            if nb:
+                self.bw.write(self.eobrun & ((1 << nb) - 1), nb)
+            self.eobrun = 0
+
+    def block(self, zz):
+        r = 0
+        for k in range(self.ss, self.se + 1):
+            v = int(zz[k])
+            a = abs(v) >> self.al
+            if a == 0:
+                r += 1
+                continue
+            while r > 15:
+                self._flush_eobrun()
+                self._sym(0xF0)                               # ZRL
+                r -= 16
+            self._flush_eobrun()
+            size, raw = _magnitude(a if v > 0 else -a)
+            self._sym((r << 4) | size)
+            self.bw.write(raw, size)
+            r = 0
+        if r:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self._flush_eobrun()
+
+    def finish(self):
+        self._flush_eobrun()
+
+
+class _ACRefineWriter:
+    """Progressive AC refinement scan (Ah=Al+1) — newly-significant
+    coefficients run-length coded, history coefficients as buffered
+    correction bits that ride with the pending EOB run
+    (T.81 G.1.2.3)."""
+
+    def __init__(self, bw, codes, ss, se, al):
+        self.bw, self.codes = bw, codes
+        self.ss, self.se, self.al = ss, se, al
+        self.eobrun = 0
+        self.be_bits: list = []            # correction bits of the EOB run
+
+    def _sym(self, s):
+        code, ln = self.codes[s]
+        self.bw.write(code, ln)
+
+    def _drain(self, bits):
+        for b in bits:
+            self.bw.write(b, 1)
+        bits.clear()
+
+    def _flush_eobrun(self):
+        if self.eobrun:
+            nb = self.eobrun.bit_length() - 1
+            self._sym(nb << 4)
+            if nb:
+                self.bw.write(self.eobrun & ((1 << nb) - 1), nb)
+            self.eobrun = 0
+        self._drain(self.be_bits)
+
+    def block(self, zz):
+        ss, se, al = self.ss, self.se, self.al
+        vals = [int(zz[k]) for k in range(ss, se + 1)]
+        absv = [abs(v) >> al for v in vals]
+        eob = -1                           # last newly-significant index
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i
+        r = 0
+        br: list = []                      # this block's correction bits
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                self._flush_eobrun()
+                self._sym(0xF0)                               # ZRL
+                r -= 16
+                self._drain(br)
+            if t > 1:                      # history coefficient
+                br.append(t & 1)
+                continue
+            self._flush_eobrun()           # newly significant
+            self._sym((r << 4) | 1)
+            self.bw.write(0 if vals[i] < 0 else 1, 1)
+            self._drain(br)
+            r = 0
+        if r > 0 or br:
+            self.eobrun += 1
+            self.be_bits.extend(br)
+            if self.eobrun == 0x7FFF or len(self.be_bits) > 900:
+                self._flush_eobrun()
+
+    def finish(self):
+        self._flush_eobrun()
+
+
+def _planes_to_zz(planes, qts, geom):
+    """Pad each plane to its full block grid, batched DCT + quantize,
+    return per-component zigzag-ordered int32 (bh, bw, 64) arrays."""
+    _, _, _, _, comps = geom
+    out = []
+    for plane, qt, c in zip(planes, qts, comps):
+        ph, pw = c["bh"] * 8, c["bw"] * 8
+        p = np.pad(plane, ((0, ph - plane.shape[0]),
+                           (0, pw - plane.shape[1])), mode="edge")
+        b = p.reshape(c["bh"], 8, c["bw"], 8).transpose(0, 2, 1, 3) - 128.0
+        Fq = np.einsum("ab,yxbc,cd->yxad", _C, b, _C.T)
+        q = np.round(Fq / qt.reshape(8, 8)).astype(np.int32)
+        out.append(q.reshape(c["bh"], c["bw"], 64)[..., ZIGZAG])
+    return out
+
+
+def _box_down(plane: np.ndarray, fx: int, fy: int) -> np.ndarray:
+    """fx×fy box-mean downsample with edge padding to full boxes."""
+    if fx == 1 and fy == 1:
+        return plane
+    h, w = plane.shape
+    H2, W2 = -(-h // fy) * fy, -(-w // fx) * fx
+    p = np.pad(plane, ((0, H2 - h), (0, W2 - w)), mode="edge")
+    return p.reshape(H2 // fy, fy, W2 // fx, fx).mean(axis=(1, 3))
+
+
 def encode_jpeg(px: np.ndarray, quality: int = 90, *,
                 grayscale: bool = False,
-                coeffs: "np.ndarray | None" = None) -> bytes:
-    """(H, W, 3) uint8 RGB → baseline JFIF bytes (4:4:4, no subsampling).
+                coeffs: "np.ndarray | None" = None,
+                subsampling: str = "444",
+                progressive: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """(H, W, 3) uint8 RGB → JFIF bytes.
 
-    ``grayscale=True`` encodes one luminance component.  ``coeffs``
+    ``grayscale=True`` encodes one luminance component.
+    ``subsampling`` is one of 444/422/420/411 (chroma box-mean
+    downsample; ignored for grayscale).  ``progressive=True`` emits a
+    SOF2 frame with the standard successive-approximation scan script
+    (DC first Al=1 → per-component AC first Al=1 → DC refine → AC
+    refine), exercising every Annex-G scan kind.  ``restart_interval``
+    inserts RSTn markers every n MCUs (baseline only).  ``coeffs``
     (test/oracle hook) bypasses the forward DCT: an (n_blocks_y,
     n_blocks_x, 8, 8) int array of ALREADY-QUANTIZED luminance
     coefficients to entropy-code directly (grayscale only) — this is
-    how the DC-only exactness construction of q_media_decode_jpeg
-    builds blobs whose decode is integer-predictable."""
+    how the DC-only exactness constructions of q_media_decode_jpeg and
+    q_media_decode_jpeg_prog build blobs whose decode is
+    integer-predictable."""
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(f"unknown subsampling {subsampling!r}")
+    if progressive and restart_interval:
+        raise ValueError("restart intervals supported for baseline "
+                         "encode only")
+    qlum = _scaled_quant(QUANT_LUM, quality)
+    qchrom = _scaled_quant(QUANT_CHROM, quality)
+
     if coeffs is not None:
         grayscale = True
         by, bx = coeffs.shape[:2]
         h, w = by * 8, bx * 8
+        factors = [(1, 1)]
+        geom = _geometry(h, w, factors)
+        raster = coeffs.reshape(by, bx, 64)
+        zzs = [raster[..., ZIGZAG].astype(np.int32)]
     else:
         h, w = px.shape[:2]
-    qlum = _scaled_quant(QUANT_LUM, quality)
-    qchrom = _scaled_quant(QUANT_CHROM, quality)
-    ncomp = 1 if grayscale else 3
+        if grayscale:
+            factors = [(1, 1)]
+        else:
+            yh, yv = _SUBSAMPLING[subsampling]
+            factors = [(yh, yv), (1, 1), (1, 1)]
+        geom = _geometry(h, w, factors)
+        ycc = _rgb_to_ycbcr(px)
+        if grayscale:
+            planes = [ycc[..., 0]]
+            qts = [qlum]
+        else:
+            yh, yv = factors[0]
+            planes = [ycc[..., 0],
+                      _box_down(ycc[..., 1], yh, yv),
+                      _box_down(ycc[..., 2], yh, yv)]
+            qts = [qlum, qchrom, qchrom]
+        zzs = _planes_to_zz(planes, qts, geom)
+    ncomp = len(factors)
+    hmax, vmax, mx, my, comps = geom
 
     out = bytearray(b"\xFF\xD8")                              # SOI
     out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00" \
@@ -265,87 +574,231 @@ def encode_jpeg(px: np.ndarray, quality: int = 90, *,
             + bytes(int(qchrom[z]) for z in ZIGZAG)           # DQT 1
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
-    out += b"\xFF\xC0" + struct.pack(">H", len(sof) + 2) + sof
-    for cls, tid, (bits, vals) in ((0, 0, DC_LUM), (1, 0, AC_LUM),
-                                   (0, 1, DC_CHROM), (1, 1, AC_CHROM)):
-        if ncomp == 1 and tid == 1:
-            continue
+        hv = (factors[ci][0] << 4) | factors[ci][1]
+        sof += bytes([ci + 1, hv, 0 if ci == 0 else 1])
+    out += (b"\xFF\xC2" if progressive else b"\xFF\xC0") \
+        + struct.pack(">H", len(sof) + 2) + sof
+    tables = [(0, 0, DC_LUM), (1, 0, AC_LUM)]
+    if ncomp == 3:
+        tables += [(0, 1, DC_CHROM), (1, 1, AC_CHROM)]
+    if progressive:
+        tables.append((1, 2, PROG_AC))     # EOBn-capable AC table
+    for cls, tid, (bits, vals) in tables:
         seg = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
         out += b"\xFF\xC4" + struct.pack(">H", len(seg) + 2) + seg
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    sos += bytes([0, 63, 0])
-    out += b"\xFF\xDA" + struct.pack(">H", len(sos) + 2) + sos
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
 
     dc_codes = [_build_huffman(*DC_LUM), _build_huffman(*DC_CHROM)]
     ac_codes = [_build_huffman(*AC_LUM), _build_huffman(*AC_CHROM)]
-    bw = _BitWriter()
+    tid_of = [0 if ci == 0 else 1 for ci in range(ncomp)]
 
-    def write_block(q: np.ndarray, tid: int, pred: int) -> int:
-        zz = q.reshape(64)[ZIGZAG]
-        diff = int(zz[0]) - pred
-        size, raw = _magnitude(diff)
-        code, ln = dc_codes[tid][size]
-        bw.write(code, ln)
-        if size:
-            bw.write(raw, size)
-        run = 0
-        for i in range(1, 64):
-            v = int(zz[i])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, ln = ac_codes[tid][0xF0]                # ZRL
-                bw.write(code, ln)
-                run -= 16
-            size, raw = _magnitude(v)
-            code, ln = ac_codes[tid][(run << 4) | size]
-            bw.write(code, ln)
-            bw.write(raw, size)
-            run = 0
-        if run:
-            code, ln = ac_codes[tid][0x00]                    # EOB
-            bw.write(code, ln)
-        return int(zz[0])
+    def sos(members, ss, se, ah, al):
+        seg = bytes([len(members)])
+        for ci in members:
+            td = tid_of[ci] if (ss == 0 and ah == 0) else 0
+            ta = (2 if progressive else tid_of[ci]) if se > 0 else 0
+            seg += bytes([ci + 1, (td << 4) | ta])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return b"\xFF\xDA" + struct.pack(">H", len(seg) + 2) + seg
 
-    by, bx = (h + 7) // 8, (w + 7) // 8
-    if coeffs is not None:
-        pred = 0
-        for y in range(by):
-            for x in range(bx):
-                pred = write_block(coeffs[y, x], 0, pred)
-    else:
-        ycc = _rgb_to_ycbcr(px)
-        planes = ([ycc[..., 0]] if grayscale
-                  else list(np.moveaxis(ycc, -1, 0)))
-        qt = [qlum] + [qchrom] * 2
-        # edge-replicate to full blocks (the common padding convention)
-        pady, padx = by * 8 - h, bx * 8 - w
-        planes = [np.pad(p, ((0, pady), (0, padx)), mode="edge")
-                  for p in planes]
+    if not progressive:
+        out += sos(list(range(ncomp)), 0, 63, 0, 0)
+        bw = _BitWriter()
+        seq = _SeqWriter(bw, dc_codes, ac_codes)
         preds = [0] * ncomp
-        for y in range(by):
-            for x in range(bx):
-                for ci in range(ncomp):
-                    blk = planes[ci][y * 8:y * 8 + 8,
-                                     x * 8:x * 8 + 8] - 128.0
-                    F = _C @ blk @ _C.T
-                    q = np.round(F / qt[ci].reshape(8, 8)
-                                 ).astype(np.int32)
-                    tid = 0 if ci == 0 else 1
-                    preds[ci] = write_block(q, tid, preds[ci])
+        rst = 0
+        mcu = 0
+        for myi in range(my):
+            for mxi in range(mx):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    bw.restart(rst)
+                    rst = (rst + 1) & 7
+                    preds = [0] * ncomp
+                for ci, c in enumerate(comps):
+                    for byi in range(c["v"]):
+                        for bxi in range(c["h"]):
+                            zz = zzs[ci][myi * c["v"] + byi,
+                                         mxi * c["h"] + bxi]
+                            preds[ci] = seq.block(zz, tid_of[ci], preds[ci])
+                mcu += 1
+        out += bw.flush()
+        out += b"\xFF\xD9"                                    # EOI
+        return bytes(out)
+
+    # ---- progressive scan script --------------------------------------
+    prog_ac = _build_huffman(*PROG_AC)
+    AL = 1                                   # one successive-approx level
+    # 1) DC first scan, interleaved
+    out += sos(list(range(ncomp)), 0, 0, 0, AL)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for myi in range(my):
+        for mxi in range(mx):
+            for ci, c in enumerate(comps):
+                for byi in range(c["v"]):
+                    for bxi in range(c["h"]):
+                        dc = int(zzs[ci][myi * c["v"] + byi,
+                                         mxi * c["h"] + bxi, 0]) >> AL
+                        size, raw = _magnitude(dc - preds[ci])
+                        code, ln = dc_codes[tid_of[ci]][size]
+                        bw.write(code, ln)
+                        if size:
+                            bw.write(raw, size)
+                        preds[ci] = dc
     out += bw.flush()
+    # 2) AC first scans, one component each
+    for ci, c in enumerate(comps):
+        out += sos([ci], 1, 63, 0, AL)
+        bw = _BitWriter()
+        acw = _ACFirstWriter(bw, prog_ac, 1, 63, AL)
+        for byi in range(c["ubh"]):
+            for bxi in range(c["ubw"]):
+                acw.block(zzs[ci][byi, bxi])
+        acw.finish()
+        out += bw.flush()
+    # 3) DC refinement scan, interleaved (raw bits, no huffman)
+    out += sos(list(range(ncomp)), 0, 0, AL, 0)
+    bw = _BitWriter()
+    for myi in range(my):
+        for mxi in range(mx):
+            for ci, c in enumerate(comps):
+                for byi in range(c["v"]):
+                    for bxi in range(c["h"]):
+                        dc = int(zzs[ci][myi * c["v"] + byi,
+                                         mxi * c["h"] + bxi, 0])
+                        bw.write(dc & 1, 1)
+    out += bw.flush()
+    # 4) AC refinement scans, one component each
+    for ci, c in enumerate(comps):
+        out += sos([ci], 1, 63, AL, 0)
+        bw = _BitWriter()
+        acw = _ACRefineWriter(bw, prog_ac, 1, 63, 0)
+        for byi in range(c["ubh"]):
+            for bxi in range(c["ubw"]):
+                acw.block(zzs[ci][byi, bxi])
+        acw.finish()
+        out += bw.flush()
     out += b"\xFF\xD9"                                        # EOI
     return bytes(out)
 
 
+# ------------------------------------------------------------------- decoder
+
+def _huff(br: _BitReader, tables) -> int:
+    mincode, maxcode, valptr, vals = tables
+    code = br.bit()
+    ln = 1
+    while code > maxcode[ln]:
+        if ln >= 16:
+            raise ValueError("corrupt huffman stream")
+        code = (code << 1) | br.bit()
+        ln += 1
+    return vals[valptr[ln] + code - mincode[ln]]
+
+
+def _block_first(br, blk, dcd, acd, ss, se, al, pred, eobrun):
+    """First-pass block decode (T.81 F.2.2 / G.2): baseline is the
+    ss=0, se=63, al=0 special case; progressive DC-first is se=0;
+    progressive AC-first is ss>0 with EOB-run coding."""
+    k = ss
+    if ss == 0:
+        size = _huff(br, dcd)
+        diff = _extend(br.bits(size), size) if size else 0
+        pred += diff
+        blk[0] = pred << al
+        k = 1
+    if se < k:
+        return pred, eobrun
+    if eobrun:
+        return pred, eobrun - 1
+    while k <= se:
+        rs = _huff(br, acd)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:                                       # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1                             # EOBn
+            if r:
+                eobrun += br.bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC index overrun")
+        blk[k] = _extend(br.bits(s), s) << al
+        k += 1
+    return pred, eobrun
+
+
+def _block_refine(br, blk, acd, ss, se, al, eobrun):
+    """Successive-approximation refinement (T.81 G.2, the control flow
+    every conformant decoder shares): DC refine is one raw bit;
+    AC refine run-length codes newly-significant coefficients over
+    ZERO-history positions while reading one correction bit per
+    nonzero-history coefficient passed, including inside EOB runs."""
+    p1 = 1 << al
+    m1 = -1 << al
+    if ss == 0:
+        if br.bit():
+            blk[0] = int(blk[0]) | p1
+        return eobrun
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff(br, acd)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                s = 0                                         # ZRL
+            else:
+                if s != 1:
+                    raise ValueError("corrupt AC refinement scan")
+                s = p1 if br.bit() else m1
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if br.bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if s:
+                blk[k] = s
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(blk[k])
+            if c != 0:
+                if br.bit() and (c & p1) == 0:
+                    blk[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def decode_jpeg(blob: bytes) -> np.ndarray:
-    """Baseline JFIF → (H, W, 3) uint8 RGB (grayscale replicated).
-    Progressive scans, chroma subsampling, 12-bit samples, arithmetic
-    coding, and restart intervals raise with a clear message."""
+    """8-bit huffman JPEG → (H, W, 3) uint8 RGB (grayscale replicated).
+    Handles baseline/extended sequential and progressive frames, any
+    integer sampling factors, and restart intervals.  12-bit samples,
+    arithmetic coding, lossless/hierarchical frames, and 4-component
+    (CMYK) images raise with a clear message."""
+    frame, geom, coefs, qtables = _parse_jpeg(blob)
+    return _reconstruct(frame, geom, coefs, qtables)
+
+
+def _parse_jpeg(blob: bytes):
+    """Marker walk + entropy decode → (frame, geom, per-component
+    zigzag coefficient arrays, quant tables).  Exposed separately so
+    tests can pin the ENTROPY layer exactly: progressive and baseline
+    encodes of the same quantized coefficients must parse back to
+    identical arrays (the lossless part of JPEG)."""
     if blob[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -353,14 +806,19 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     dc_dec: dict = {}
     ac_dec: dict = {}
     frame = None
-    scan = None
-    while pos < len(blob):
+    ri = 0
+    coefs: dict = {}            # cid -> (bh, bw, 64) int32 zigzag coeffs
+    geom = None
+    n = len(blob)
+    while pos + 1 < n:
         if blob[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
         marker = blob[pos + 1]
         pos += 2
-        if marker in (0xD8, 0xD9):
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue
+        if marker == 0xD9:                                    # EOI
+            break
         ln = struct.unpack_from(">H", blob, pos)[0]
         seg = blob[pos + 2:pos + ln]
         pos += ln
@@ -385,97 +843,139 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 (dc_dec if cls == 0 else ac_dec)[tid] = \
                     _build_decoder(bits, vals)
                 s += 17 + nv
-        elif marker == 0xC0:                                  # SOF0
-            prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), \
-                seg[5]
+        elif marker in (0xC0, 0xC1, 0xC2):        # SOF0/1 (seq), SOF2 (prog)
+            prec, h, w = seg[0], *struct.unpack_from(">HH", seg, 1)
+            nc = seg[5]
             if prec != 8:
                 raise ValueError(f"{prec}-bit JPEG unsupported")
+            if nc not in (1, 3):
+                raise ValueError(f"{nc}-component JPEG unsupported "
+                                 "(CMYK etc.)")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
-                if hv != 0x11:
-                    raise ValueError(
-                        "chroma-subsampled JPEG unsupported (4:4:4 or "
-                        "grayscale only)")
-                comps.append((cid, tq))
-            frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            geom = _geometry(h, w, [(hi, vi) for _, hi, vi, _ in comps])
+            frame = (h, w, comps, marker == 0xC2)
+            for (cid, _, _, _), c in zip(comps, geom[4]):
+                coefs[cid] = np.zeros((c["bh"], c["bw"], 64),
+                                      dtype=np.int32)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            kind = ("arithmetic-coded" if marker >= 0xC9 else
+                    "lossless/hierarchical")
             raise ValueError(
-                f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported")
+                f"{kind} JPEG (SOF{marker - 0xC0}) unsupported")
         elif marker == 0xDD:                                  # DRI
-            if struct.unpack(">H", seg)[0]:
-                raise ValueError("restart intervals unsupported")
+            ri = struct.unpack(">H", seg)[0]
         elif marker == 0xDA:                                  # SOS
-            ns = seg[0]
-            scan = [(seg[1 + 2 * i], seg[2 + 2 * i] >> 4,
-                     seg[2 + 2 * i] & 0xF) for i in range(ns)]
-            break                       # entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            chunks, pos = _split_entropy(blob, pos)
+            _decode_scan(seg, chunks, frame, geom, coefs,
+                         dc_dec, ac_dec, ri)
         # APPn/COM and others: skipped
-    if frame is None or scan is None:
-        raise ValueError("JPEG missing SOF0/SOS")
-    h, w, comps = frame
-    data_end = blob.rfind(b"\xFF\xD9")
-    br = _BitReader(blob[pos:data_end if data_end > 0 else len(blob)])
+    if frame is None:
+        raise ValueError("JPEG missing SOF")
+    return frame, geom, coefs, qtables
 
-    def huff_decode(tables) -> int:
-        mincode, maxcode, valptr, vals = tables
-        code = br.bit()
-        ln = 1
-        while code > maxcode[ln]:
-            if ln >= 16:
-                raise ValueError("corrupt huffman stream")
-            code = (code << 1) | br.bit()
-            ln += 1
-        return vals[valptr[ln] + code - mincode[ln]]
 
-    by, bx = (h + 7) // 8, (w + 7) // 8
-    planes = [np.zeros((by * 8, bx * 8)) for _ in comps]
-    tq_of = {cid: tq for cid, tq in comps}
-    preds = {cid: 0 for cid, _ in comps}
-    for y in range(by):
-        for x in range(bx):
-            for cid, td, ta in scan:
-                size = huff_decode(dc_dec[td])
-                diff = _extend(br.bits(size), size)
-                preds[cid] += diff
-                zz = np.zeros(64, dtype=np.int64)
-                zz[0] = preds[cid]
-                i = 1
-                while i < 64:
-                    rs = huff_decode(ac_dec[ta])
-                    run, size = rs >> 4, rs & 0xF
-                    if rs == 0x00:                            # EOB
-                        break
-                    if rs == 0xF0:                            # ZRL
-                        i += 16
-                        continue
-                    i += run
-                    if i > 63:
-                        raise ValueError("AC index overrun")
-                    zz[i] = _extend(br.bits(size), size)
-                    i += 1
-                F = np.zeros(64)
-                F[ZIGZAG] = zz * qtables[tq_of[cid]][ZIGZAG]
-                blk = _C.T @ F.reshape(8, 8) @ _C + 128.0
-                ci = [c for c, _ in comps].index(cid)
-                planes[ci][y * 8:y * 8 + 8, x * 8:x * 8 + 8] = blk
-    planes = [p[:h, :w] for p in planes]
+def _decode_scan(seg, chunks, frame, geom, coefs, dc_dec, ac_dec, ri):
+    h, w, fcomps, progressive = frame
+    hmax, vmax, mx, my, gcomps = geom
+    ns = seg[0]
+    scan = []
+    order = [cid for cid, _, _, _ in fcomps]
+    for i in range(ns):
+        cid = seg[1 + 2 * i]
+        td, ta = seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0xF
+        scan.append((cid, td, ta, gcomps[order.index(cid)]))
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
+    if not progressive:
+        ss, se, ah, al = 0, 63, 0, 0
+    if progressive and ss > 0 and ns != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    if len(chunks) > 1 and not ri:
+        raise ValueError("restart markers without a DRI interval")
+
+    interleaved = ns > 1
+    if interleaved:
+        total = mx * my
+    else:
+        c = scan[0][3]
+        total = c["ubw"] * c["ubh"]
+    preds = {cid: 0 for cid, _, _, _ in scan}
+    eobrun = 0
+    br = _BitReader(chunks[0])
+    chunk_i = 0
+    for m in range(total):
+        if ri and m and m % ri == 0:
+            chunk_i += 1
+            if chunk_i >= len(chunks):
+                raise ValueError("missing restart chunk")
+            br = _BitReader(chunks[chunk_i])
+            preds = {cid: 0 for cid in preds}
+            eobrun = 0
+        if interleaved:
+            myi, mxi = divmod(m, mx)
+            for cid, td, ta, c in scan:
+                arr = coefs[cid]
+                for byi in range(c["v"]):
+                    for bxi in range(c["h"]):
+                        blk = arr[myi * c["v"] + byi, mxi * c["h"] + bxi]
+                        if ah == 0:
+                            preds[cid], eobrun = _block_first(
+                                br, blk, dc_dec.get(td), ac_dec.get(ta),
+                                ss, se, al, preds[cid], eobrun)
+                        else:
+                            eobrun = _block_refine(
+                                br, blk, ac_dec.get(ta), ss, se, al,
+                                eobrun)
+        else:
+            cid, td, ta, c = scan[0]
+            byi, bxi = divmod(m, c["ubw"])
+            blk = coefs[cid][byi, bxi]
+            if ah == 0:
+                preds[cid], eobrun = _block_first(
+                    br, blk, dc_dec.get(td), ac_dec.get(ta),
+                    ss, se, al, preds[cid], eobrun)
+            else:
+                eobrun = _block_refine(
+                    br, blk, ac_dec.get(ta), ss, se, al, eobrun)
+
+
+def _reconstruct(frame, geom, coefs, qtables):
+    h, w, fcomps, _ = frame
+    hmax, vmax, _, _, gcomps = geom
+    planes = []
+    for (cid, hi, vi, tq), c in zip(fcomps, gcomps):
+        zz = coefs[cid].reshape(-1, 64).astype(np.float64)
+        qz = qtables[tq][ZIGZAG].astype(np.float64)
+        Fr = np.zeros_like(zz)
+        Fr[:, ZIGZAG] = zz * qz
+        blocks = Fr.reshape(c["bh"], c["bw"], 8, 8)
+        px = np.einsum("ab,yxbc,cd->yxad", _C.T, blocks, _C) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(c["bh"] * 8, c["bw"] * 8)
+        plane = plane[:c["ch"], :c["cw"]]
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1 or fx > 1:                # nearest (replicate) upsample
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
+        planes.append(plane[:h, :w])
     if len(planes) == 1:
         g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)
-    if len(planes) != 3:
-        raise ValueError(f"{len(planes)}-component JPEG unsupported")
     return _ycbcr_to_rgb(*planes)
 
 
 def jpeg_sof(blob: bytes):
     """Frame type of a JPEG: walk the marker segments (the same walk
     :func:`decode_jpeg` does, without entropy decode) and return the
-    first SOFn's ``n`` — 0 = baseline sequential (natively decodable
-    here), 2 = progressive (Pillow-gated), other values = the remaining
-    T.81 frame types.  ``None`` when the blob is not a JPEG or carries
-    no SOF before SOS/EOI — callers treat that as undecodable."""
+    first SOFn's ``n`` — 0/1/2 = sequential or progressive huffman DCT
+    (natively decodable here), other values = the remaining T.81 frame
+    types (arithmetic/lossless/hierarchical — Pillow-gated).  ``None``
+    when the blob is not a JPEG or carries no SOF before SOS/EOI —
+    callers treat that as undecodable."""
     b = bytes(blob)
     if len(b) < 4 or b[0:2] != b"\xff\xd8":
         return None

@@ -36,6 +36,8 @@ MAGIC = (
     ("png", bytes([0x89, 0x50, 0x4E, 0x47])),
     ("jpeg", bytes([0xFF, 0xD8, 0xFF])),
     ("gif", b"GIF8"),
+    ("tiff", b"II*\x00"),
+    ("tiff", b"MM\x00*"),
     ("bmp", b"BM"),
     ("ppm", b"P6"),
     ("wav", b"RIFF"),
@@ -95,16 +97,20 @@ def decode_image(df: DataFrame, binary_col: str = "content",
       function of the blob bytes, so tests are exact and the plumbing
       (batching, schema, memory shape) matches the real decode.
     * ``"native"``: REAL pure-Python decode of uncompressed BMP, binary
-      PPM, 8-bit PNG, and baseline JPEG (``multimodal/codecs.py`` +
+      PPM, 8-bit PNG, GIF87a/89a first frames (variable-width LZW,
+      interlacing), and 8-bit huffman JPEG in all its common shapes —
+      baseline/extended sequential AND progressive scans, any chroma
+      subsampling, restart intervals (``multimodal/codecs.py`` +
       ``multimodal/jpeg.py`` — header parse, row padding, bottom-up
       order, BGR→RGB, zlib inflate, Paeth unfiltering, palette
-      application, huffman entropy decode, dequant, IDCT; no optional
-      deps), with deterministic nearest-neighbor resize to
-      ``width×height``.
-    * ``"pillow"``: Pillow for the exotic rest (progressive JPEG,
-      subsampled chroma, GIF/TIFF/WebP); without Pillow this raises
-      NotImplementedError up front — an honest gate, not a silent fake.
-    * ``"auto"``: native for BMP/PPM/PNG/JPEG magic bytes, Pillow
+      application, huffman entropy decode incl. T.81 Annex G
+      successive approximation, dequant, IDCT; no optional deps), with
+      deterministic nearest-neighbor resize to ``width×height``.
+    * ``"pillow"``: Pillow for the exotic rest (arithmetic-coded /
+      12-bit / lossless JPEG, CMYK, TIFF/WebP); without Pillow this
+      raises NotImplementedError up front — an honest gate, not a
+      silent fake.
+    * ``"auto"``: native for BMP/PPM/PNG/GIF/JPEG magic bytes, Pillow
       otherwise (the gate applies only if a non-native format actually
       appears).
     """
@@ -117,10 +123,11 @@ def decode_image(df: DataFrame, binary_col: str = "content",
             import PIL.Image  # noqa: F401
         except ImportError as exc:
             raise NotImplementedError(
-                "exotic formats (progressive JPEG, subsampled chroma, "
-                "GIF/TIFF/WebP) need Pillow — not installed in this "
-                "container; decoder='native' handles BMP/PPM/PNG and "
-                "baseline JPEG, decoder='stub' is the deterministic "
+                "exotic formats (arithmetic/12-bit/lossless JPEG, CMYK, "
+                "TIFF/WebP) need Pillow — not installed in this "
+                "container; decoder='native' handles BMP/PPM/PNG/GIF and "
+                "8-bit huffman JPEG (baseline, progressive, subsampled, "
+                "restart markers), decoder='stub' is the deterministic "
                 "fake") from exc
 
     def run(pdf_iter):
@@ -142,7 +149,7 @@ def decode_image(df: DataFrame, binary_col: str = "content",
                 from PIL import Image
             except ImportError as exc:
                 raise NotImplementedError(
-                    "blob is not BMP/PPM/PNG/baseline-JPEG and Pillow is "
+                    "blob is not BMP/PPM/PNG/huffman-JPEG and Pillow is "
                     "unavailable") from exc
             img = Image.open(io.BytesIO(blob)).convert("RGB")
             return np.asarray(img, dtype=np.uint8)
@@ -271,10 +278,10 @@ def classify_decodability(df: DataFrame, binary_col: str = "content",
                           id_col: str = "media_id") -> DataFrame:
     """Per-blob decode-path classification — the measurement behind the
     Pillow gate (media.py decode_image): which fraction of a corpus the
-    native codecs (BMP/PPM/PNG/baseline-JPEG) handle vs what needs the
-    gated exotic path (progressive/extended JPEG, GIF/TIFF/WebP).  On a
-    real web-crawl image corpus progressive JPEG is common, so this is
-    the query a user runs BEFORE relying on decoder='native'.
+    native codecs handle vs what needs the gated exotic path.  Round 8:
+    baseline/extended sequential AND progressive huffman JPEG (SOF0/1/2)
+    and GIF are all native now — the gate covers only arithmetic-coded,
+    lossless, and hierarchical frames (SOF3+) plus TIFF/WebP.
 
     JPEG frame typing needs a marker-segment walk (the SOF position
     varies), which is not expressible as a fixed-offset prefix compare —
@@ -295,12 +302,12 @@ def classify_decodability(df: DataFrame, binary_col: str = "content",
                            "unknown")
                 if fmt == "jpeg":
                     sof = jpeg_sof(b)
-                    path = ("native" if sof == 0 else
+                    path = ("native" if sof in (0, 1, 2) else
                             "pillow-gated" if sof is not None else
                             "unknown")
-                elif fmt in ("bmp", "ppm", "png"):
+                elif fmt in ("bmp", "ppm", "png", "gif"):
                     path = "native"
-                elif fmt in ("gif", "tiff", "webp"):
+                elif fmt in ("tiff", "webp"):
                     path = "pillow-gated"
                 else:
                     path = "unknown"

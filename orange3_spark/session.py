@@ -37,9 +37,13 @@ def _reap_stale_scratch(root: str, max_age_s: int = 6 * 3600) -> None:
     tmpfs scratch is RAM: a killed JVM never runs its shutdown hook, so
     each crashed/timed-out session strands its spark-*/blockmgr-* dirs
     and the debris silently eats the machine (observed: 92 GB of shm
-    from one day's sessions starving a live run to death).  Age-gated so
-    concurrent live sessions are never touched — Spark re-touches its
-    scratch constantly, only long-dead trees pass the mtime check."""
+    from one day's sessions starving a live run to OOM death).  Each
+    session now writes under ``<root>/<pid>``, so liveness is EXACT —
+    a numeric-named tree is reaped the moment its owning process is
+    gone, however fresh (the r8 OOM loop was crash debris minutes old
+    that a pure age gate kept protecting).  Non-numeric entries are
+    legacy flat-layout scratch, still age-gated so a concurrent live
+    session that predates this layout is never touched."""
     import shutil
     import time
 
@@ -48,7 +52,10 @@ def _reap_stale_scratch(root: str, max_age_s: int = 6 * 3600) -> None:
         for name in os.listdir(root):
             p = os.path.join(root, name)
             try:
-                if now - os.path.getmtime(p) > max_age_s:
+                if name.isdigit():
+                    if not os.path.exists(f"/proc/{name}"):
+                        shutil.rmtree(p, ignore_errors=True)
+                elif now - os.path.getmtime(p) > max_age_s:
                     shutil.rmtree(p, ignore_errors=True)
             except OSError:
                 continue
@@ -58,12 +65,16 @@ def _reap_stale_scratch(root: str, max_age_s: int = 6 * 3600) -> None:
 
 def _default_local_dir(min_free_bytes: int = 8 << 30) -> str:
     """Prefer tmpfs for shuffle files only when it actually has room
-    (containers often cap /dev/shm at 64 MB); otherwise /tmp."""
+    (containers often cap /dev/shm at 64 MB); otherwise /tmp.  The
+    session gets a per-PID subdir so the reaper can tell live scratch
+    from crash debris exactly.  Shuffle-heavy SCALE runs (sf1+) should
+    set SPARK_GRAFT_LOCAL_DIR=/tmp explicitly: tmpfs shuffle is RAM,
+    and a 10x-corpus shuffle plus the JVM heap can exceed the machine."""
     try:
         _reap_stale_scratch("/dev/shm/spark-local")
         st = os.statvfs("/dev/shm")
         if st.f_bavail * st.f_frsize >= min_free_bytes:
-            return "/dev/shm/spark-local"
+            return f"/dev/shm/spark-local/{os.getpid()}"
     except OSError:
         pass
     return "/tmp"

@@ -228,6 +228,27 @@ AUDITS.update({
         ("top-k is distributed TakeOrdered, no global sort",
          r"TakeOrderedAndProject"),
     ],
+    "q_media_decode_jpeg_prog": [
+        ("progressive decode is Arrow-batched (mapInPandas), never "
+         "per-row Python",
+         r"MapInPandas|ArrowEvalPython"),
+    ],
+    "q_media_decode_jpeg420": [
+        ("subsampled decode is Arrow-batched (mapInPandas), never "
+         "per-row Python",
+         r"MapInPandas|ArrowEvalPython"),
+    ],
+    "q_media_decode_gif": [
+        ("GIF decode is Arrow-batched (mapInPandas), never per-row "
+         "Python",
+         r"MapInPandas|ArrowEvalPython"),
+    ],
+    "q_media_gate_fraction": [
+        ("classification is ONE Arrow-batched pass",
+         r"MapInPandas|ArrowEvalPython"),
+        ("fraction denominator is a window aggregate, not a second scan",
+         r"windowspecdefinition"),
+    ],
 })
 
 BAD_PATTERNS = [

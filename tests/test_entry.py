@@ -25,3 +25,19 @@ def test_query_vs_oracle(spark, ddb, sf_dir, name):
         assert df.count() >= 0  # rows-only check, like the driver's
     else:
         assert_matches_oracle(df, ddb, sql)
+
+
+def test_reap_scratch_pid_liveness(tmp_path):
+    """Per-PID scratch reaping is exact: dead-pid trees go however
+    fresh they are (the r8 OOM loop was minutes-old crash debris a pure
+    age gate protected), live-pid and fresh legacy trees stay."""
+    import os
+
+    from orange3_spark.session import _reap_stale_scratch
+
+    (tmp_path / "999999").mkdir()            # no such pid
+    (tmp_path / str(os.getpid())).mkdir()    # this process: alive
+    (tmp_path / "spark-legacy").mkdir()      # legacy layout, fresh
+    _reap_stale_scratch(str(tmp_path))
+    left = sorted(p.name for p in tmp_path.iterdir())
+    assert left == sorted([str(os.getpid()), "spark-legacy"])

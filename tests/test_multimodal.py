@@ -376,10 +376,19 @@ def test_jpeg_roundtrip_fidelity_and_gates():
 
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG1234")
-    # progressive (SOF2) gate: flip the SOF0 marker of a real blob
+    # gates that REMAIN after round 8 (progressive/subsampling are
+    # native now): arithmetic coding, lossless frames, 12-bit samples
     blob = bytearray(encode_jpeg(px, quality=80))
-    blob[blob.find(b"\xFF\xC0") + 1] = 0xC2
-    with pytest.raises(ValueError, match="non-baseline"):
+    sof = blob.find(b"\xFF\xC0")
+    blob[sof + 1] = 0xC9                      # SOF9: arithmetic
+    with pytest.raises(ValueError, match="arithmetic"):
+        decode_jpeg(bytes(blob))
+    blob[sof + 1] = 0xC3                      # SOF3: lossless
+    with pytest.raises(ValueError, match="lossless"):
+        decode_jpeg(bytes(blob))
+    blob[sof + 1] = 0xC0
+    blob[sof + 4] = 12                        # precision byte
+    with pytest.raises(ValueError, match="12-bit"):
         decode_jpeg(bytes(blob))
 
 
@@ -434,14 +443,216 @@ def test_jpeg_sof_marker_walk():
 def test_classify_decodability_paths(spark):
     from orange3_spark.multimodal.media import classify_decodability
 
+    # progressive (SOF2) classifies NATIVE since round 8; the gated
+    # JPEG class is arithmetic-coded (SOF9)
     prog = bytes([0xFF, 0xD8, 0xFF, 0xC2, 0x00, 0x0B,
                   8, 0, 16, 0, 16, 1, 1, 0x11, 0, 0xFF, 0xD9])
+    arith = bytes([0xFF, 0xD8, 0xFF, 0xC9, 0x00, 0x0B,
+                   8, 0, 16, 0, 16, 1, 1, 0x11, 0, 0xFF, 0xD9])
     rows = [(0, prog), (1, b"GIF87a" + bytes(4)),
-            (2, b"P6\n1 1\n255\n" + bytes(3)), (3, b"\x00junk")]
+            (2, b"P6\n1 1\n255\n" + bytes(3)), (3, b"\x00junk"),
+            (4, arith), (5, b"II*\x00" + bytes(8)),
+            (6, b"MM\x00*" + bytes(8))]
     df = spark.createDataFrame(rows, "media_id long, content binary")
     got = {r["media_id"]: (r["format"], r["decode_path"])
            for r in classify_decodability(df).collect()}
-    assert got[0] == ("jpeg", "pillow-gated")
-    assert got[1] == ("gif", "pillow-gated")
+    assert got[0] == ("jpeg", "native")
+    assert got[4] == ("jpeg", "pillow-gated")
+    assert got[1] == ("gif", "native")
     assert got[2] == ("ppm", "native")
     assert got[3] == ("unknown", "unknown")
+    assert got[5] == ("tiff", "pillow-gated")
+    assert got[6] == ("tiff", "pillow-gated")
+
+
+def test_jpeg_subsampled_decode_matches_reference_pipeline():
+    """4:2:0 / 4:2:2 / 4:1:1 decode equals an INDEPENDENTLY composed
+    numpy reference of the documented pipeline (RGB→YCbCr → box-mean
+    chroma downsample → per-block DCT/quantize → dequantize/IDCT →
+    replicate-upsample → YCbCr→RGB), with nonzero chroma and AC
+    energy — pinning MCU interleave, plane geometry, and upsampling
+    beyond what the flat-block oracle query can see."""
+    import numpy as np
+
+    from orange3_spark.multimodal.jpeg import (QUANT_CHROM, QUANT_LUM, _C,
+                                               _SUBSAMPLING, _box_down,
+                                               _rgb_to_ycbcr, _scaled_quant,
+                                               _ycbcr_to_rgb, decode_jpeg,
+                                               encode_jpeg)
+
+    yy, xx = np.mgrid[0:24, 0:21]
+    img = np.stack([(yy * 9 + 30) % 200 + 20, (xx * 13 + 60) % 200 + 20,
+                    ((yy * xx) % 130 + 60)], axis=-1).astype(np.uint8)
+
+    def ref_plane(plane, qt, h_used, w_used, bh8, bw8):
+        p = np.pad(plane, ((0, bh8 - plane.shape[0]),
+                           (0, bw8 - plane.shape[1])), mode="edge")
+        b = p.reshape(bh8 // 8, 8, bw8 // 8, 8).transpose(0, 2, 1, 3) - 128.0
+        Fq = np.einsum("ab,yxbc,cd->yxad", _C, b, _C.T)
+        q = np.round(Fq / qt.reshape(8, 8))
+        Fd = q * qt.reshape(8, 8)
+        r = np.einsum("ab,yxbc,cd->yxad", _C.T, Fd, _C) + 128.0
+        out = r.transpose(0, 2, 1, 3).reshape(bh8, bw8)
+        return out[:h_used, :w_used]
+
+    h, w = img.shape[:2]
+    for sub in ("420", "422", "411"):
+        fx, fy = _SUBSAMPLING[sub]
+        q = 85
+        qlum = _scaled_quant(QUANT_LUM, q).astype(float)
+        qch = _scaled_quant(QUANT_CHROM, q).astype(float)
+        mx = -(-w // (8 * fx))
+        my = -(-h // (8 * fy))
+        ycc = _rgb_to_ycbcr(img)
+        ypl = ref_plane(ycc[..., 0], qlum, h, w, my * fy * 8, mx * fx * 8)
+        ch, cw = -(-h // fy), -(-w // fx)
+        planes = [ypl]
+        for c in (1, 2):
+            d = _box_down(ycc[..., c], fx, fy)
+            r = ref_plane(d, qch, ch, cw, my * 8, mx * 8)
+            up = np.repeat(np.repeat(r, fy, axis=0), fx, axis=1)[:h, :w]
+            planes.append(up)
+        want = _ycbcr_to_rgb(*planes)
+        got = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+        assert np.array_equal(got, want), f"{sub} mismatch"
+        # and it is a faithful lossy round-trip, not a scramble (the
+        # test image is deliberately chroma-hostile; a block/channel
+        # scramble lands near 60, honest subsampling loss near 15)
+        err = np.abs(got.astype(int) - img.astype(int)).mean()
+        assert err < 25.0, f"{sub} mean abs err {err}"
+
+
+def test_jpeg_progressive_equals_baseline():
+    """Progressive encode of the same image must decode to EXACTLY the
+    pixels of the baseline encode (the quantized coefficients are
+    identical; only the entropy layout differs) — grayscale, 4:4:4, and
+    4:2:0, including odd (non-MCU-aligned) dimensions."""
+    import numpy as np
+
+    from orange3_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:19, 0:26]
+    img = np.stack([(yy * 11 + 3) % 256, (xx * 7 + 90) % 256,
+                    ((yy + 2 * xx) * 5) % 256], axis=-1).astype(np.uint8)
+    for kw in ({"grayscale": True}, {"subsampling": "444"},
+               {"subsampling": "420"}):
+        b0 = encode_jpeg(img, quality=88, **kw)
+        b2 = encode_jpeg(img, quality=88, progressive=True, **kw)
+        assert np.array_equal(decode_jpeg(b0), decode_jpeg(b2)), kw
+
+
+def test_jpeg_restart_intervals():
+    """RSTn markers: decode equals the no-restart encode (predictor
+    resets and byte alignment are invisible in pixels), for several
+    interval lengths including one that divides the MCU count and one
+    that doesn't."""
+    import numpy as np
+
+    from orange3_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:32, 0:40]
+    img = np.stack([(yy * 6) % 256, (xx * 6) % 256, ((yy ^ xx) * 3) % 256],
+                   axis=-1).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=90, subsampling="420"))
+    for ri in (1, 2, 3):
+        blob = encode_jpeg(img, quality=90, subsampling="420",
+                           restart_interval=ri)
+        assert np.array_equal(decode_jpeg(blob), base), f"ri={ri}"
+
+
+def test_jpeg_progressive_coefficient_roundtrip_stress():
+    """The entropy layer is lossless: random quantized coefficient
+    arrays (dense and sparse, negatives, magnitudes to ±255) encoded
+    progressively must parse back EXACTLY — this is the pin on the
+    Annex-G successive-approximation algebra (AC refinement correction
+    bits, EOB-run buffering, ZRL-in-refine), which the flat-block
+    oracle query cannot reach."""
+    import numpy as np
+
+    from orange3_spark.multimodal.jpeg import ZIGZAG, _parse_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    for trial in range(25):
+        by, bx = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        c = np.zeros((by, bx, 8, 8), dtype=np.int64)
+        density = rng.choice([0.05, 0.4, 0.95])
+        mask = rng.random((by, bx, 8, 8)) < density
+        c[mask] = rng.integers(-255, 256, size=int(mask.sum()))
+        for prog in (False, True):
+            blob = encode_jpeg(None, quality=50, coeffs=c, progressive=prog)
+            _, _, coefs, _ = _parse_jpeg(blob)
+            zz = coefs[1]
+            raster = np.zeros((by, bx, 64), dtype=np.int64)
+            raster[..., ZIGZAG] = zz
+            assert np.array_equal(raster.reshape(by, bx, 8, 8), c), \
+                (trial, prog)
+
+
+def test_gif_roundtrip_lzw_and_interlace():
+    """GIF is lossless over palette indices: round-trips are
+    pixel-exact — tiny 2-color, full 256-color with LZW width growth,
+    noise that forces dictionary CLEAR resets at 4096 entries, and the
+    4-pass interlace layout; >256-color input raises."""
+    import numpy as np
+    import pytest
+
+    from orange3_spark.multimodal.gif import decode_gif, encode_gif
+
+    img = np.zeros((5, 7, 3), dtype=np.uint8)
+    img[::2, ::3] = 255
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+    yy, xx = np.mgrid[0:60, 0:90]
+    v = ((yy * 31 + xx * 17) % 256).astype(np.uint8)
+    img = np.stack([v, (v * 2) % 256, (v * 3 + 7) % 256],
+                   axis=-1).astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+    assert np.array_equal(decode_gif(encode_gif(img, interlace=True)), img)
+
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 256, size=(130, 130), dtype=np.uint8)
+    noise = np.stack([g, g, g], axis=-1)
+    blob = encode_gif(np.ascontiguousarray(noise))
+    assert np.array_equal(decode_gif(blob), noise)
+
+    # GIF87a signature accepted; junk rejected
+    b = bytearray(encode_gif(img))
+    b[4] = ord("7")
+    assert np.array_equal(decode_gif(bytes(b)), img)
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"NOTAGIF")
+    with pytest.raises(ValueError, match="palette"):
+        encode_gif(rng.integers(0, 256, size=(40, 40, 3)).astype(np.uint8))
+
+
+def test_gif_extension_blocks_and_subrect():
+    """GIF89a extension blocks (graphic control etc.) are skipped, and
+    a frame smaller than the logical screen composites onto the
+    background color."""
+    import struct
+
+    import numpy as np
+
+    from orange3_spark.multimodal.gif import decode_gif, encode_gif
+
+    img = np.full((4, 4, 3), 200, dtype=np.uint8)
+    blob = bytearray(encode_gif(img))
+    # splice a graphic-control extension right before the image block
+    at = blob.index(0x2C, 13)
+    gce = bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+    blob[at:at] = gce
+    assert np.array_equal(decode_gif(bytes(blob)), img)
+
+    # hand-build a 4x4 screen with a 2x2 frame at (1,1): palette
+    # {0: black (background), 1: white}
+    hdr = b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0x80, 0, 0)
+    pal = bytes([0, 0, 0, 255, 255, 255])
+    desc = b"\x2C" + struct.pack("<HHHHB", 1, 1, 2, 2, 0)
+    # LZW: min code 2, codes: CLEAR(4) 1 1 1 1 EOI(5), width 3
+    from orange3_spark.multimodal.gif import _lzw_encode
+    data = _lzw_encode(np.array([1, 1, 1, 1], dtype=np.uint8), 2)
+    body = bytes([2]) + bytes([len(data)]) + data + b"\x00\x3B"
+    out = decode_gif(hdr + pal + desc + body)
+    want = np.zeros((4, 4, 3), dtype=np.uint8)
+    want[1:3, 1:3] = 255
+    assert np.array_equal(out, want)
