@@ -2,8 +2,9 @@
 8-bit PNG (stdlib zlib inflate + RFC 2083 row unfiltering), 8-bit
 huffman JPEG — baseline, progressive, subsampled, restart markers
 (multimodal/jpeg.py — entropy decode incl. Annex G, dequant, IDCT),
-and GIF87a/89a first frames (multimodal/gif.py — variable-width LZW,
-palettes, interlacing).
+GIF87a/89a first frames (multimodal/gif.py — variable-width LZW,
+palettes, interlacing), and baseline TIFF (multimodal/tiff.py —
+none/LZW/PackBits strips, horizontal predictor, both byte orders).
 
 The container has no Pillow/libjpeg, so the decode stage of the multimodal
 pipeline would otherwise never produce a checked pixel.  BMP and PPM are
@@ -13,7 +14,7 @@ common training-corpus image format (header parse, row padding,
 bottom-up row order, BGR→RGB, zlib inflate, Paeth unfiltering, palette
 application, huffman entropy decode, dequantization, IDCT); only
 genuinely exotic shapes (arithmetic-coded / 12-bit / lossless JPEG,
-CMYK, TIFF/WebP) still route to the Pillow gate.  No counterpart
+CMYK, WebP, tiled/16-bit TIFF) still route to the Pillow gate.  No counterpart
 in the reference (tabular only); formats per the public BMP file
 format (BITMAPINFOHEADER) and netpbm P6 specs.
 """
@@ -25,7 +26,7 @@ import struct
 import numpy as np
 
 __all__ = ["decode_bmp", "encode_bmp", "decode_ppm", "encode_ppm",
-           "decode_png", "encode_png", "decode_any"]
+           "decode_png", "encode_png", "decode_any"]  # + jpeg/gif/tiff modules
 
 
 def encode_bmp(px: np.ndarray) -> bytes:
@@ -123,6 +124,9 @@ def decode_any(blob: bytes) -> np.ndarray:
     if blob[:6] in (b"GIF87a", b"GIF89a"):
         from orange3_spark.multimodal.gif import decode_gif
         return decode_gif(blob)
+    if blob[:4] in (b"II*\x00", b"MM\x00*"):
+        from orange3_spark.multimodal.tiff import decode_tiff
+        return decode_tiff(blob)
     raise ValueError("no pure-Python decoder for this format")
 
 

@@ -31,27 +31,35 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# (format, magic-bytes hex prefix) — sniffed via startswith on the binary col
+# (format, ((offset, magic-bytes), ...)) — sniffed via substring compares
+# on the binary col.  RIFF is a CONTAINER: WAV and WebP share the RIFF
+# prefix and split on the form type at offset 8.
 MAGIC = (
-    ("png", bytes([0x89, 0x50, 0x4E, 0x47])),
-    ("jpeg", bytes([0xFF, 0xD8, 0xFF])),
-    ("gif", b"GIF8"),
-    ("tiff", b"II*\x00"),
-    ("tiff", b"MM\x00*"),
-    ("bmp", b"BM"),
-    ("ppm", b"P6"),
-    ("wav", b"RIFF"),
-    ("mp3", b"ID3"),
-    ("pdf", b"%PDF"),
+    ("png", ((0, bytes([0x89, 0x50, 0x4E, 0x47])),)),
+    ("jpeg", ((0, bytes([0xFF, 0xD8, 0xFF])),)),
+    ("gif", ((0, b"GIF8"),)),
+    ("tiff", ((0, b"II*\x00"),)),
+    ("tiff", ((0, b"MM\x00*"),)),
+    ("bmp", ((0, b"BM"),)),
+    ("ppm", ((0, b"P6"),)),
+    ("webp", ((0, b"RIFF"), (8, b"WEBP"))),
+    ("wav", ((0, b"RIFF"),)),
+    ("mp3", ((0, b"ID3"),)),
+    ("pdf", ((0, b"%PDF"),)),
 )
 
 
 def sniff_format(col: Column) -> Column:
-    """Container format from magic bytes — a chain of codegen'd prefix
-    compares, no UDF."""
+    """Container format from magic bytes — a chain of codegen'd
+    substring compares, no UDF.  Multi-part rules (RIFF form types)
+    AND their compares; order matters (webp before the bare-RIFF wav
+    fallback)."""
     expr = None
-    for name, magic in MAGIC:
-        cond = F.substring(col, 1, len(magic)) == F.lit(bytearray(magic))
+    for name, parts in MAGIC:
+        cond = None
+        for off, magic in parts:
+            c = F.substring(col, off + 1, len(magic)) == F.lit(bytearray(magic))
+            cond = c if cond is None else cond & c
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     return expr.otherwise(F.lit("unknown"))
 
@@ -98,7 +106,8 @@ def decode_image(df: DataFrame, binary_col: str = "content",
       (batching, schema, memory shape) matches the real decode.
     * ``"native"``: REAL pure-Python decode of uncompressed BMP, binary
       PPM, 8-bit PNG, GIF87a/89a first frames (variable-width LZW,
-      interlacing), and 8-bit huffman JPEG in all its common shapes —
+      interlacing), baseline TIFF (none/LZW/PackBits strips, predictor,
+      both byte orders), and 8-bit huffman JPEG in all its common shapes —
       baseline/extended sequential AND progressive scans, any chroma
       subsampling, restart intervals (``multimodal/codecs.py`` +
       ``multimodal/jpeg.py`` — header parse, row padding, bottom-up
@@ -107,10 +116,11 @@ def decode_image(df: DataFrame, binary_col: str = "content",
       successive approximation, dequant, IDCT; no optional deps), with
       deterministic nearest-neighbor resize to ``width×height``.
     * ``"pillow"``: Pillow for the exotic rest (arithmetic-coded /
-      12-bit / lossless JPEG, CMYK, TIFF/WebP); without Pillow this
+      12-bit / lossless JPEG, CMYK, WebP, tiled/16-bit TIFF); without
+      Pillow this
       raises NotImplementedError up front — an honest gate, not a
       silent fake.
-    * ``"auto"``: native for BMP/PPM/PNG/GIF/JPEG magic bytes, Pillow
+    * ``"auto"``: native for BMP/PPM/PNG/GIF/TIFF/JPEG magic bytes, Pillow
       otherwise (the gate applies only if a non-native format actually
       appears).
     """
@@ -124,8 +134,9 @@ def decode_image(df: DataFrame, binary_col: str = "content",
         except ImportError as exc:
             raise NotImplementedError(
                 "exotic formats (arithmetic/12-bit/lossless JPEG, CMYK, "
-                "TIFF/WebP) need Pillow — not installed in this "
-                "container; decoder='native' handles BMP/PPM/PNG/GIF and "
+                "WebP, tiled/16-bit TIFF) need Pillow — not installed in "
+                "this container; decoder='native' handles "
+                "BMP/PPM/PNG/GIF/TIFF and "
                 "8-bit huffman JPEG (baseline, progressive, subsampled, "
                 "restart markers), decoder='stub' is the deterministic "
                 "fake") from exc
@@ -280,8 +291,9 @@ def classify_decodability(df: DataFrame, binary_col: str = "content",
     Pillow gate (media.py decode_image): which fraction of a corpus the
     native codecs handle vs what needs the gated exotic path.  Round 8:
     baseline/extended sequential AND progressive huffman JPEG (SOF0/1/2)
-    and GIF are all native now — the gate covers only arithmetic-coded,
-    lossless, and hierarchical frames (SOF3+) plus TIFF/WebP.
+    GIF, and baseline TIFF are all native now — the gate covers only
+    arithmetic-coded, lossless, and hierarchical JPEG frames (SOF3+)
+    plus WebP.
 
     JPEG frame typing needs a marker-segment walk (the SOF position
     varies), which is not expressible as a fixed-offset prefix compare —
@@ -293,21 +305,22 @@ def classify_decodability(df: DataFrame, binary_col: str = "content",
     from orange3_spark.multimodal.jpeg import jpeg_sof
 
     def run(pdf_iter):
-        magic = [(n, bytes(m)) for n, m in MAGIC]
         for pdf in pdf_iter:
             fmts, paths = [], []
             for blob in pdf[binary_col]:
                 b = bytes(blob)
-                fmt = next((n for n, m in magic if b.startswith(m)),
-                           "unknown")
+                fmt = next(
+                    (n for n, parts in MAGIC
+                     if all(b[off:off + len(mg)] == mg for off, mg in parts)),
+                    "unknown")
                 if fmt == "jpeg":
                     sof = jpeg_sof(b)
                     path = ("native" if sof in (0, 1, 2) else
                             "pillow-gated" if sof is not None else
                             "unknown")
-                elif fmt in ("bmp", "ppm", "png", "gif"):
+                elif fmt in ("bmp", "ppm", "png", "gif", "tiff"):
                     path = "native"
-                elif fmt in ("tiff", "webp"):
+                elif fmt == "webp":
                     path = "pillow-gated"
                 else:
                     path = "unknown"

@@ -311,7 +311,7 @@ def q_media_audio(spark, sf_dir):
 
 @query("q_media_gate_fraction", """
 WITH d AS (SELECT doc_id % 5 AS m FROM documents),
-c AS (SELECT CASE WHEN m = 1 THEN 'tiff'
+c AS (SELECT CASE WHEN m = 1 THEN 'webp'
                   WHEN m = 2 THEN 'gif' ELSE 'jpeg' END AS format,
              CASE WHEN m = 0 OR m = 1 THEN 'pillow-gated'
                   ELSE 'native' END AS decode_path,
@@ -326,9 +326,9 @@ def q_media_gate_fraction(spark, sf_dir):
     """The Pillow-gate MEASUREMENT (r7 verdict #7): before relying on
     decoder='native' on a crawl corpus, measure what fraction of blobs
     the native codecs cover vs what stays gated.  Round 8: progressive
-    JPEG (SOF2) and GIF decode natively, so the gated classes in this
-    mix are an ARITHMETIC-coded frame header (SOF9) and TIFF — the
-    corpus mixes
+    JPEG (SOF2), GIF, and baseline TIFF decode natively, so the gated
+    classes in this mix are an ARITHMETIC-coded frame header (SOF9)
+    and WebP — the corpus mixes
     SOF9 headers, GIFs, PPMs, real PROGRESSIVE JPEGs
     (multimodal/jpeg.encode_jpeg(progressive=True)), and baseline
     JPEGs, keyed on doc_id; classify_decodability walks the JPEG
@@ -351,7 +351,7 @@ def q_media_gate_fraction(spark, sf_dir):
         # gated JPEG exemplar moved one frame type up)
         arith = bytes([0xFF, 0xD8, 0xFF, 0xC9, 0x00, 0x0B,
                        8, 0, 16, 0, 16, 1, 1, 0x11, 0, 0xFF, 0xD9])
-        tiff = b"II*\x00" + bytes(12)
+        webp = b"RIFF" + bytes(4) + b"WEBPVP8 " + bytes(4)
         import numpy as _np
 
         from orange3_spark.multimodal.gif import encode_gif
@@ -365,7 +365,7 @@ def q_media_gate_fraction(spark, sf_dir):
                 if m == 0:
                     blob = arith
                 elif m == 1:
-                    blob = tiff
+                    blob = webp
                 elif m == 2:
                     blob = gif
                 else:
@@ -573,6 +573,67 @@ def q_media_decode_gif(spark, sf_dir):
                                axis=-1).astype(np.uint8).reshape(H, W, 3)
                 out.append((int(did),
                             encode_gif(img, interlace=bool(did % 2))))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    blobs = docs.mapInPandas(mk, "media_id long, content binary")
+    dec = M.decode_image(blobs, height=H, width=W, decoder="native")
+    ints = F.transform(F.col("pixels"),
+                       lambda x: F.round(x * 255).cast("long"))
+    weighted = F.transform(ints, lambda v, i: v * (i.cast("long") + 1))
+    lsum = (lambda arr: F.aggregate(arr, F.lit(0).cast("long"),
+                                    lambda a, v: a + v))
+    return dec.select(
+        "media_id",
+        F.size("pixels").cast("long").alias("n_px"),
+        lsum(ints).alias("sum_val"),
+        lsum(weighted).alias("checksum"))
+
+
+@query("q_media_decode_tiff", """
+WITH px AS (SELECT doc_id, (doc_id * 59 + i) % 256 AS v, i
+            FROM documents, unnest(generate_series(0, 104)) g(i))
+SELECT doc_id AS media_id,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(v) AS BIGINT) AS sum_val,
+       CAST(sum(v * (i + 1)) AS BIGINT) AS checksum
+FROM px GROUP BY doc_id
+""")
+def q_media_decode_tiff(spark, sf_dir):
+    """REAL baseline-TIFF decode, oracle-checked to the pixel (round 8:
+    multimodal/tiff.py — IFD walk, strip assembly, TIFF-LZW with the
+    spec's early code-width change, PackBits, horizontal-differencing
+    predictor, both byte orders; the Pillow gate is down to WebP +
+    exotic JPEG frame types).  Per document a 7x5 RGB TIFF is
+    synthesized whose raster is (doc_id*59 + idx) mod 256, cycling
+    doc_id through the codec matrix — byte order II/MM x compression
+    none/LZW/PackBits x predictor on/off x single/multi-strip — and
+    decoded via decode_image(decoder='native').  TIFF is lossless, so
+    the oracle recomputes the raster from doc_id alone; any slip in
+    IFD offsets, strip math, LZW widths, RLE, or the predictor
+    cumulative sum shifts the position-weighted checksum."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"] \
+        .select("doc_id")
+    H, W = 7, 5
+
+    def mk(pdf_iter):
+        from orange3_spark.multimodal.tiff import encode_tiff
+        for pdf in pdf_iter:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                idx = np.arange(H * W * 3, dtype=np.int64)
+                img = ((did * 59 + idx) % 256).astype(
+                    np.uint8).reshape(H, W, 3)
+                blob = encode_tiff(
+                    img,
+                    byte_order="MM" if did % 2 else "II",
+                    compression=("none", "lzw", "packbits")[did % 3],
+                    predictor=bool(did % 5 % 2),
+                    rows_per_strip=3 if did % 7 < 3 else None)
+                out.append((did, blob))
             yield pd.DataFrame(out, columns=["media_id", "content"])
 
     blobs = docs.mapInPandas(mk, "media_id long, content binary")

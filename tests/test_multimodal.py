@@ -452,7 +452,9 @@ def test_classify_decodability_paths(spark):
     rows = [(0, prog), (1, b"GIF87a" + bytes(4)),
             (2, b"P6\n1 1\n255\n" + bytes(3)), (3, b"\x00junk"),
             (4, arith), (5, b"II*\x00" + bytes(8)),
-            (6, b"MM\x00*" + bytes(8))]
+            (6, b"MM\x00*" + bytes(8)),
+            (7, b"RIFF" + bytes(4) + b"WEBPVP8 "),
+            (8, b"RIFF" + bytes(4) + b"WAVEfmt ")]
     df = spark.createDataFrame(rows, "media_id long, content binary")
     got = {r["media_id"]: (r["format"], r["decode_path"])
            for r in classify_decodability(df).collect()}
@@ -461,8 +463,10 @@ def test_classify_decodability_paths(spark):
     assert got[1] == ("gif", "native")
     assert got[2] == ("ppm", "native")
     assert got[3] == ("unknown", "unknown")
-    assert got[5] == ("tiff", "pillow-gated")
-    assert got[6] == ("tiff", "pillow-gated")
+    assert got[5] == ("tiff", "native")
+    assert got[6] == ("tiff", "native")
+    assert got[7] == ("webp", "pillow-gated")
+    assert got[8] == ("wav", "unknown")
 
 
 def test_jpeg_subsampled_decode_matches_reference_pipeline():
@@ -656,3 +660,52 @@ def test_gif_extension_blocks_and_subrect():
     want = np.zeros((4, 4, 3), dtype=np.uint8)
     want[1:3, 1:3] = 255
     assert np.array_equal(out, want)
+
+
+def test_tiff_roundtrip_matrix():
+    """TIFF is lossless: the full codec matrix — byte order II/MM x
+    none/LZW/PackBits x predictor x single/multi-strip — round-trips
+    pixel-exact on structured AND random rasters; LZW crosses the
+    12-bit ceiling with CLEAR resets on a large random image; the
+    early code-width change is pinned by any of these (an off-by-one
+    desynchronizes widths and corrupts immediately)."""
+    import numpy as np
+    import pytest
+
+    from orange3_spark.multimodal.tiff import decode_tiff, encode_tiff
+
+    yy, xx = np.mgrid[0:21, 0:17]
+    img = np.stack([(yy * 13 + 5) % 256, (xx * 7 + 99) % 256,
+                    ((yy ^ xx) * 11) % 256], axis=-1).astype(np.uint8)
+    rng = np.random.default_rng(5)
+    noise = rng.integers(0, 256, size=(30, 25, 3), dtype=np.uint8)
+    for bo in ("II", "MM"):
+        for comp in ("none", "lzw", "packbits"):
+            for pred in (False, True):
+                for rps in (None, 4):
+                    for im in (img, noise):
+                        blob = encode_tiff(im, compression=comp,
+                                           byte_order=bo, predictor=pred,
+                                           rows_per_strip=rps)
+                        assert np.array_equal(decode_tiff(blob), im), \
+                            (bo, comp, pred, rps)
+    big = rng.integers(0, 256, size=(200, 300, 3), dtype=np.uint8)
+    assert np.array_equal(decode_tiff(encode_tiff(big, compression="lzw")),
+                          big)
+    # grayscale photometric + predictor
+    g = encode_tiff(img, compression="lzw", grayscale=True, predictor=True)
+    d = decode_tiff(g)
+    lum = np.round(0.299 * img[..., 0] + 0.587 * img[..., 1]
+                   + 0.114 * img[..., 2]).astype(np.uint8)
+    assert np.array_equal(d[:, :, 0], lum)
+    assert np.array_equal(d[:, :, 0], d[:, :, 1])
+    # gates
+    with pytest.raises(ValueError, match="byte-order"):
+        decode_tiff(b"XX\x2a\x00junk")
+    with pytest.raises(ValueError, match="BigTIFF"):
+        decode_tiff(b"II\x2b\x00\x08\x00\x00\x00")
+    b = bytearray(encode_tiff(img))
+    i = bytes(b).find(bytes([8, 0, 8, 0, 8, 0]))
+    b[i:i + 2] = bytes([16, 0])
+    with pytest.raises(ValueError, match="8-bit only"):
+        decode_tiff(bytes(b))
