@@ -60,12 +60,25 @@ def main() -> None:
                     "l_returnflag, l_linestatus, l_shipdate",
         "events": "event_id + r*{o} AS event_id, ts, "
                   "user_id + r*{o} AS user_id, event_type, value, props",
-        "documents": "doc_id + r*{o} AS doc_id, "
-                     "CASE WHEN r % 2 = 1 THEN text || ' u' || "
-                     "CAST(r AS VARCHAR) ELSE text END AS text, "
-                     "lang, source, "
-                     "CASE WHEN r % 2 = 1 THEN length(text || ' u' || "
-                     "CAST(r AS VARCHAR)) ELSE n_chars END AS n_chars",
+        # Near-dup structure is GROUP-BOUNDED: replicas come in groups
+        # of 10 (g = r // 10); within a group the original duplicate
+        # pressure applies (even r: exact copy, odd r: one appended
+        # token), while each group g > 0 rewrites ~3/4 of the words
+        # (hash-selected, deterministic) so cross-group Jaccard drops
+        # below any dedup threshold (word-level ~0.14, 3-gram shingle
+        # ~0.005).  Without this, every replica of a document
+        # is a mutual near-dup and the TRUE pair count grows
+        # quadratically in the replica count — a 100-replica sf10 then
+        # measures output blow-up, not algorithm scaling.  A realistic
+        # 10x corpus has 10x more dup GROUPS of the same size.  g = 0
+        # leaves text untouched, so sf1 (n=10) is byte-identical to the
+        # pre-group construction and its committed artifacts.
+        "documents": (
+            "doc_id + r*{o} AS doc_id, "
+            "CASE WHEN r % 2 = 1 THEN mut || ' u' || CAST(r AS VARCHAR) "
+            "ELSE mut END AS text, lang, source, "
+            "CASE WHEN r % 2 = 1 THEN length(mut || ' u' || "
+            "CAST(r AS VARCHAR)) ELSE length(mut) END AS n_chars"),
         "embeddings": "vec_id + r*{o} AS vec_id, "
                       "CAST(list_transform(CAST(embedding AS DOUBLE[]), "
                       "x -> x + r * 0.001) AS FLOAT[]) AS embedding, label",
@@ -79,9 +92,19 @@ def main() -> None:
                     f"TO '{out}/{t}.parquet' (FORMAT PARQUET)")
         print(f"{t}: copied", flush=True)
     for t, sel in scaled.items():
+        src = f"'{SRC}/{t}.parquet', reps"
+        if t == "documents":
+            # mut: group-g word rewrite (see the documents comment above)
+            src = (f"(SELECT d.*, r, CASE WHEN r // 10 = 0 THEN text "
+                   f"ELSE array_to_string(list_transform("
+                   f"string_split(text, ' '), w -> CASE WHEN "
+                   f"hash(w || 'g' || CAST(r // 10 AS VARCHAR)) % 4 != 3 "
+                   f"THEN w || '_g' || CAST(r // 10 AS VARCHAR) "
+                   f"ELSE w END), ' ') END AS mut "
+                   f"FROM '{SRC}/documents.parquet' d, reps)")
         con.execute(
             f"COPY (SELECT {sel.format(o=OFF)} "
-            f"FROM '{SRC}/{t}.parquet', reps ORDER BY 1) "
+            f"FROM {src} ORDER BY 1) "
             f"TO '{out}/{t}.parquet' (FORMAT PARQUET)")
         c = con.execute(
             f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
