@@ -53,7 +53,7 @@ _CHANGED_THIS_ROUND = [
     # new/changed media queries are never-graded and sort first anyway
     "q_media_decode_jpeg", "q_media_decode_jpeg_prog",
     "q_media_decode_jpeg420", "q_media_gate_fraction",
-    "q_media_decode_gif", "q_media_decode_tiff",
+    "q_media_decode_gif", "q_media_decode_tiff", "q_media_decode_webp",
 ]
 
 

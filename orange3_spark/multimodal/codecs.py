@@ -3,8 +3,11 @@
 huffman JPEG — baseline, progressive, subsampled, restart markers
 (multimodal/jpeg.py — entropy decode incl. Annex G, dequant, IDCT),
 GIF87a/89a first frames (multimodal/gif.py — variable-width LZW,
-palettes, interlacing), and baseline TIFF (multimodal/tiff.py —
-none/LZW/PackBits strips, horizontal predictor, both byte orders).
+palettes, interlacing), baseline TIFF (multimodal/tiff.py —
+none/LZW/PackBits strips, horizontal predictor, both byte orders),
+and lossless WebP (multimodal/webp.py — the full VP8L bitstream:
+prefix codes, color cache, LZ77 with the 2-D distance map, all four
+transforms).
 
 The container has no Pillow/libjpeg, so the decode stage of the multimodal
 pipeline would otherwise never produce a checked pixel.  BMP and PPM are
@@ -14,7 +17,8 @@ common training-corpus image format (header parse, row padding,
 bottom-up row order, BGR→RGB, zlib inflate, Paeth unfiltering, palette
 application, huffman entropy decode, dequantization, IDCT); only
 genuinely exotic shapes (arithmetic-coded / 12-bit / lossless JPEG,
-CMYK, WebP, tiled/16-bit TIFF) still route to the Pillow gate.  No counterpart
+CMYK, LOSSY WebP — a VP8 video-codec port is out of scope — and
+tiled/16-bit TIFF) still route to the Pillow gate.  No counterpart
 in the reference (tabular only); formats per the public BMP file
 format (BITMAPINFOHEADER) and netpbm P6 specs.
 """
@@ -127,6 +131,9 @@ def decode_any(blob: bytes) -> np.ndarray:
     if blob[:4] in (b"II*\x00", b"MM\x00*"):
         from orange3_spark.multimodal.tiff import decode_tiff
         return decode_tiff(blob)
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        from orange3_spark.multimodal.webp import decode_webp
+        return decode_webp(blob)
     raise ValueError("no pure-Python decoder for this format")
 
 

@@ -107,7 +107,8 @@ def decode_image(df: DataFrame, binary_col: str = "content",
     * ``"native"``: REAL pure-Python decode of uncompressed BMP, binary
       PPM, 8-bit PNG, GIF87a/89a first frames (variable-width LZW,
       interlacing), baseline TIFF (none/LZW/PackBits strips, predictor,
-      both byte orders), and 8-bit huffman JPEG in all its common shapes —
+      both byte orders), lossless WebP (the full VP8L bitstream), and
+      8-bit huffman JPEG in all its common shapes —
       baseline/extended sequential AND progressive scans, any chroma
       subsampling, restart intervals (``multimodal/codecs.py`` +
       ``multimodal/jpeg.py`` — header parse, row padding, bottom-up
@@ -116,8 +117,8 @@ def decode_image(df: DataFrame, binary_col: str = "content",
       successive approximation, dequant, IDCT; no optional deps), with
       deterministic nearest-neighbor resize to ``width×height``.
     * ``"pillow"``: Pillow for the exotic rest (arithmetic-coded /
-      12-bit / lossless JPEG, CMYK, WebP, tiled/16-bit TIFF); without
-      Pillow this
+      12-bit / lossless JPEG, CMYK, lossy VP8 WebP, tiled/16-bit
+      TIFF); without Pillow this
       raises NotImplementedError up front — an honest gate, not a
       silent fake.
     * ``"auto"``: native for BMP/PPM/PNG/GIF/TIFF/JPEG magic bytes, Pillow
@@ -134,9 +135,9 @@ def decode_image(df: DataFrame, binary_col: str = "content",
         except ImportError as exc:
             raise NotImplementedError(
                 "exotic formats (arithmetic/12-bit/lossless JPEG, CMYK, "
-                "WebP, tiled/16-bit TIFF) need Pillow — not installed in "
-                "this container; decoder='native' handles "
-                "BMP/PPM/PNG/GIF/TIFF and "
+                "lossy VP8 WebP, tiled/16-bit TIFF) need Pillow — not "
+                "installed in this container; decoder='native' handles "
+                "BMP/PPM/PNG/GIF/TIFF/VP8L-WebP and "
                 "8-bit huffman JPEG (baseline, progressive, subsampled, "
                 "restart markers), decoder='stub' is the deterministic "
                 "fake") from exc
@@ -291,9 +292,9 @@ def classify_decodability(df: DataFrame, binary_col: str = "content",
     Pillow gate (media.py decode_image): which fraction of a corpus the
     native codecs handle vs what needs the gated exotic path.  Round 8:
     baseline/extended sequential AND progressive huffman JPEG (SOF0/1/2)
-    GIF, and baseline TIFF are all native now — the gate covers only
-    arithmetic-coded, lossless, and hierarchical JPEG frames (SOF3+)
-    plus WebP.
+    GIF, baseline TIFF, and LOSSLESS WebP (VP8L) are all native now —
+    the gate covers only arithmetic/lossless/hierarchical JPEG frames
+    (SOF3+) and lossy (VP8) WebP.
 
     JPEG frame typing needs a marker-segment walk (the SOF position
     varies), which is not expressible as a fixed-offset prefix compare —
@@ -303,6 +304,7 @@ def classify_decodability(df: DataFrame, binary_col: str = "content",
     import pandas as pd
 
     from orange3_spark.multimodal.jpeg import jpeg_sof
+    from orange3_spark.multimodal.webp import webp_kind
 
     def run(pdf_iter):
         for pdf in pdf_iter:
@@ -321,7 +323,10 @@ def classify_decodability(df: DataFrame, binary_col: str = "content",
                 elif fmt in ("bmp", "ppm", "png", "gif", "tiff"):
                     path = "native"
                 elif fmt == "webp":
-                    path = "pillow-gated"
+                    kind = webp_kind(b)
+                    path = ("native" if kind == "lossless" else
+                            "pillow-gated" if kind == "lossy" else
+                            "unknown")
                 else:
                     path = "unknown"
                 fmts.append(fmt)

@@ -11,6 +11,17 @@ from orange3_spark.plans.registry import query
 from orange3_spark.session import load_tables
 
 
+def _ids_partitioned(spark, sf_dir):
+    """doc_id frame spread across the session's parallelism: the sf
+    fixtures are a single parquet row-group, so WITHOUT this every
+    synthesized-blob decode below would run in ONE task — a harness
+    artifact, not an engine property (real blob tables arrive in many
+    files/row-groups).  Shuffling 1 long column is negligible."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    par = spark.sparkContext.defaultParallelism
+    return docs.select("doc_id").repartition(par)
+
+
 def _docs_as_media(spark, sf_dir):
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return docs.select(F.col("doc_id").alias("media_id"),
@@ -95,8 +106,7 @@ def q_media_decode(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"] \
-        .select("doc_id")
+    docs = _ids_partitioned(spark, sf_dir)
     H, W = 8, 7
 
     def mk(pdf_iter):
@@ -146,8 +156,7 @@ def q_media_decode_png(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"] \
-        .select("doc_id")
+    docs = _ids_partitioned(spark, sf_dir)
     H, W = 6, 5
 
     def mk(pdf_iter):
@@ -203,8 +212,7 @@ def q_media_decode_jpeg(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"] \
-        .select("doc_id")
+    docs = _ids_partitioned(spark, sf_dir)
     H = W = 16
 
     def mk(pdf_iter):
@@ -339,8 +347,7 @@ def q_media_gate_fraction(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"] \
-        .select("doc_id")
+    docs = _ids_partitioned(spark, sf_dir)
 
     def mk(pdf_iter):
         from orange3_spark.multimodal.jpeg import encode_jpeg
@@ -423,8 +430,7 @@ def q_media_decode_jpeg_prog(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"] \
-        .select("doc_id")
+    docs = _ids_partitioned(spark, sf_dir)
     H = W = 16
 
     def mk(pdf_iter):
@@ -490,8 +496,7 @@ def q_media_decode_jpeg420(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"] \
-        .select("doc_id")
+    docs = _ids_partitioned(spark, sf_dir)
     H, W = 16, 32
 
     def mk(pdf_iter):
@@ -558,8 +563,7 @@ def q_media_decode_gif(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"] \
-        .select("doc_id")
+    docs = _ids_partitioned(spark, sf_dir)
     H, W = 6, 5
 
     def mk(pdf_iter):
@@ -614,8 +618,7 @@ def q_media_decode_tiff(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"] \
-        .select("doc_id")
+    docs = _ids_partitioned(spark, sf_dir)
     H, W = 7, 5
 
     def mk(pdf_iter):
@@ -633,6 +636,70 @@ def q_media_decode_tiff(spark, sf_dir):
                     compression=("none", "lzw", "packbits")[did % 3],
                     predictor=bool(did % 5 % 2),
                     rows_per_strip=3 if did % 7 < 3 else None)
+                out.append((did, blob))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    blobs = docs.mapInPandas(mk, "media_id long, content binary")
+    dec = M.decode_image(blobs, height=H, width=W, decoder="native")
+    ints = F.transform(F.col("pixels"),
+                       lambda x: F.round(x * 255).cast("long"))
+    weighted = F.transform(ints, lambda v, i: v * (i.cast("long") + 1))
+    lsum = (lambda arr: F.aggregate(arr, F.lit(0).cast("long"),
+                                    lambda a, v: a + v))
+    return dec.select(
+        "media_id",
+        F.size("pixels").cast("long").alias("n_px"),
+        lsum(ints).alias("sum_val"),
+        lsum(weighted).alias("checksum"))
+
+
+@query("q_media_decode_webp", """
+WITH px AS (SELECT doc_id, (doc_id * 61 + i) % 256 AS v, i
+            FROM documents, unnest(generate_series(0, 131)) g(i))
+SELECT doc_id AS media_id,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(v) AS BIGINT) AS sum_val,
+       CAST(sum(v * (i + 1)) AS BIGINT) AS checksum
+FROM px GROUP BY doc_id
+""")
+def q_media_decode_webp(spark, sf_dir):
+    """REAL lossless-WebP (VP8L) decode, oracle-checked to the pixel
+    (round 8: multimodal/webp.py — LSB-first prefix codes, color
+    cache, LZ77 with the 2-D distance map, predictor / color /
+    subtract-green transforms; the Pillow gate for images is now ONLY
+    lossy VP8 WebP + arithmetic/lossless JPEG + tiled/16-bit TIFF).
+    Per document an 11x4 RGB image with raster (doc_id*61 + idx) mod
+    256 is VP8L-encoded with feature flags drawn from doc_id's low
+    bits — color cache, LZ77 run references, subtract-green, the
+    14-mode predictor transform, and the cross-channel color transform
+    all rotate through the corpus — and decoded via
+    decode_image(decoder='native').  VP8L is lossless, so the oracle
+    recomputes the raster from doc_id alone; any slip in canonical
+    code construction, cache hashing, distance mapping, or transform
+    algebra shifts the position-weighted checksum.  Palette packing is
+    pytest-pinned (tests/test_multimodal.py)."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _ids_partitioned(spark, sf_dir)
+    H, W = 11, 4
+
+    def mk(pdf_iter):
+        from orange3_spark.multimodal.webp import encode_webp_lossless
+        for pdf in pdf_iter:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                idx = np.arange(H * W * 3, dtype=np.int64)
+                img = ((did * 61 + idx) % 256).astype(
+                    np.uint8).reshape(H, W, 3)
+                blob = encode_webp_lossless(
+                    img,
+                    use_cache=bool(did & 1),
+                    use_lz77=bool(did & 2),
+                    subtract_green=bool(did & 4),
+                    predictor=bool(did & 8),
+                    color_transform=bool(did & 16))
                 out.append((did, blob))
             yield pd.DataFrame(out, columns=["media_id", "content"])
 

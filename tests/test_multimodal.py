@@ -465,7 +465,14 @@ def test_classify_decodability_paths(spark):
     assert got[3] == ("unknown", "unknown")
     assert got[5] == ("tiff", "native")
     assert got[6] == ("tiff", "native")
-    assert got[7] == ("webp", "pillow-gated")
+    assert got[7] == ("webp", "pillow-gated")   # lossy VP8
+    # a real VP8L webp classifies native
+    import numpy as np
+    from orange3_spark.multimodal.webp import encode_webp_lossless
+    vp8l = encode_webp_lossless(np.zeros((2, 2, 3), dtype=np.uint8))
+    df2 = spark.createDataFrame([(9, vp8l)], "media_id long, content binary")
+    r9 = classify_decodability(df2).collect()[0]
+    assert (r9["format"], r9["decode_path"]) == ("webp", "native")
     assert got[8] == ("wav", "unknown")
 
 
@@ -709,3 +716,48 @@ def test_tiff_roundtrip_matrix():
     b[i:i + 2] = bytes([16, 0])
     with pytest.raises(ValueError, match="8-bit only"):
         decode_tiff(bytes(b))
+
+
+def test_webp_vp8l_roundtrip_matrix():
+    """VP8L is lossless: every decoder path round-trips pixel-exact —
+    the 32-combo feature matrix (color cache x LZ77 x subtract-green x
+    14-mode predictor x color transform) on structured, random, and
+    run-heavy images, plus palette color-indexing at all three packing
+    widths.  Validation is by construction (no libwebp/Pillow in this
+    container) — the bit format follows the public VP8L specification;
+    the caveat is documented in the module docstring."""
+    from itertools import product
+
+    import numpy as np
+    import pytest
+
+    from orange3_spark.multimodal.webp import (decode_webp,
+                                               encode_webp_lossless)
+
+    yy, xx = np.mgrid[0:21, 0:17]
+    img = np.stack([(yy * 13 + 5) % 256, (xx * 7 + 99) % 256,
+                    ((yy ^ xx) * 11) % 256], axis=-1).astype(np.uint8)
+    rng = np.random.default_rng(9)
+    noise = rng.integers(0, 256, size=(19, 23, 3), dtype=np.uint8)
+    runs = img.copy()
+    runs[5:12] = 77
+    for cache, lz, sg, pred, ct in product((False, True), repeat=5):
+        for im in (img, noise, runs):
+            blob = encode_webp_lossless(
+                im, use_cache=cache, use_lz77=lz, subtract_green=sg,
+                predictor=pred, color_transform=ct)
+            assert np.array_equal(decode_webp(blob), im), \
+                (cache, lz, sg, pred, ct)
+    for ncol, shape in ((2, (13, 29)), (4, (10, 18)), (13, (9, 33))):
+        vals = (np.arange(ncol) * 17 + 30).astype(np.uint8)
+        pidx = rng.integers(0, ncol, size=shape)
+        im = np.stack([vals[pidx], vals[pidx] // 2, 255 - vals[pidx]],
+                      axis=-1).astype(np.uint8)
+        for cache, lz in product((False, True), repeat=2):
+            blob = encode_webp_lossless(im, palette=True,
+                                        use_cache=cache, use_lz77=lz)
+            assert np.array_equal(decode_webp(blob), im), (ncol, cache, lz)
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_webp(b"RIFX" + bytes(20))
+    with pytest.raises(ValueError, match="lossy"):
+        decode_webp(b"RIFF" + bytes(4) + b"WEBP" + b"VP8 " + bytes(8))
