@@ -54,6 +54,7 @@ _CHANGED_THIS_ROUND = [
     "q_media_decode_jpeg", "q_media_decode_jpeg_prog",
     "q_media_decode_jpeg420", "q_media_gate_fraction",
     "q_media_decode_gif", "q_media_decode_tiff", "q_media_decode_webp",
+    "q_media_frames_gif",
 ]
 
 

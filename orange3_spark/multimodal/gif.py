@@ -1,18 +1,19 @@
 """Pure-Python GIF codec (stdlib + numpy — no Pillow/giflib).
 
-Decode scope: GIF87a/GIF89a still images and the FIRST frame of
-animations — logical screen descriptor, global/local color tables,
-variable-width LZW decompression (clear/EOI codes, dictionary growth
-to 12 bits), 4-pass interlacing, GIF89a extension blocks (skipped;
-the graphic-control transparent index renders as its palette color —
-the pipeline's pixel schema has no alpha).  Later animation frames
-are ignored by design (training pipelines treat a GIF as one image);
-a malformed stream raises ValueError, never a silent fake.
+Decode scope: GIF87a/GIF89a — ``decode_gif`` returns the first frame
+(training pipelines treat a GIF as one image), ``decode_gif_frames``
+returns COMPOSITED animation frames with GIF89a graphic-control
+semantics (transparency masking, disposal modes 0-3), bounded by
+``max_frames``.  Logical screen descriptor, global/local color
+tables, variable-width LZW decompression (clear/EOI codes, dictionary
+growth to 12 bits), 4-pass interlacing.  A malformed stream raises
+ValueError, never a silent fake.
 
-Encode scope: single-frame GIF89a with a power-of-two palette built
-from the image (≤256 distinct colors required — the encoder is a test
-harness for the decoder, not a quantizer), real LZW compression,
-optional interlacing.
+Encode scope: single-frame GIF89a (``encode_gif``, power-of-two
+palette built from the image, ≤256 distinct colors, optional
+interlacing) and multi-frame animations (``encode_gif_animation``,
+sub-rectangle patches + transparency + disposal — the test harness
+for the frame decoder), real LZW compression.
 
 Public spec: the GIF89a specification (CompuServe, 1990) and the
 standard LZW variable-code-width procedure it defines.  No
@@ -33,7 +34,8 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_gif", "decode_gif"]
+__all__ = ["encode_gif", "decode_gif", "decode_gif_frames",
+           "encode_gif_animation"]
 
 
 # ------------------------------------------------------------------- decoder
@@ -252,4 +254,145 @@ def encode_gif(px: np.ndarray, *, interlace: bool = False) -> bytes:
         chunk = data[i:i + 255]
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3B"
+    return bytes(out)
+
+
+def decode_gif_frames(blob: bytes, max_frames: int = 64):
+    """GIF87a/89a animation → list of composited (H, W, 3) uint8 RGB
+    frames (GIF89a §23: graphic-control disposal + transparency).
+
+    Compositing semantics per frame: the image block's rectangle is
+    drawn onto the current canvas, skipping pixels equal to the GCE's
+    transparent index; after a frame is EMITTED, disposal runs —
+    0/1 leave the canvas, 2 restores the frame rectangle to the
+    background color, 3 restores the canvas as it was before the
+    frame.  Frames beyond ``max_frames`` are ignored (bounded work —
+    animations can carry thousands)."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    sw, sh, flags, bg, _ = struct.unpack_from("<HHBBB", blob, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(blob[pos:pos + 3 * n],
+                            dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    bg_rgb = (gct[min(bg, len(gct) - 1)] if gct is not None
+              else np.zeros(3, dtype=np.uint8))
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    frames = []
+    transparent = None
+    disposal = 0
+    while pos < len(blob):
+        b = blob[pos]
+        pos += 1
+        if b == 0x3B:                             # trailer
+            break
+        if b == 0x21:                             # extension
+            label = blob[pos]
+            pos += 1
+            if label == 0xF9:                     # graphic control
+                sz = blob[pos]
+                gflags = blob[pos + 1]
+                disposal = (gflags >> 2) & 0x7
+                transparent = blob[pos + 4] if gflags & 1 else None
+                pos += 1 + sz
+            else:
+                while blob[pos]:
+                    pos += 1 + blob[pos]
+            pos += 1                              # terminator
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02X}")
+        left, top, w, h, iflags = struct.unpack_from("<HHHHB", blob, pos)
+        pos += 9
+        ct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            ct = np.frombuffer(blob[pos:pos + 3 * n],
+                               dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF image without any color table")
+        min_code = blob[pos]
+        pos += 1
+        chunks = []
+        while blob[pos]:
+            ln = blob[pos]
+            chunks.append(blob[pos + 1:pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        if len(frames) >= max_frames:
+            transparent, disposal = None, 0
+            continue                              # walk on, don't decode
+        idx = _lzw_decode(b"".join(chunks), min_code, h * w)
+        img = (_deinterlace(idx, h, w) if iflags & 0x40
+               else idx.reshape(h, w))
+        if int(img.max()) >= len(ct):
+            raise ValueError("palette index out of range")
+        before = canvas[top:top + h, left:left + w].copy()
+        region = ct[img]
+        if transparent is not None:
+            keep = img == transparent
+            region = np.where(keep[:, :, None], before, region)
+        canvas[top:top + h, left:left + w] = region
+        frames.append(canvas.copy())
+        if disposal == 2:                         # restore background
+            canvas[top:top + h, left:left + w] = bg_rgb
+        elif disposal == 3:                       # restore previous
+            canvas[top:top + h, left:left + w] = before
+        transparent, disposal = None, 0
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames
+
+
+def encode_gif_animation(frames, *, rects=None, transparents=None,
+                         disposals=None) -> bytes:
+    """Full-canvas first frame + optional sub-rect update frames →
+    GIF89a animation bytes (test harness for decode_gif_frames).
+
+    ``frames``: list of (H, W, 3) arrays — frame 0 sets the canvas
+    size; later entries may be smaller patches placed via ``rects``
+    [(left, top), ...].  ``transparents``: per-frame palette VALUE
+    (an (r, g, b) tuple) to mark transparent, or None.  All frames
+    share one global palette built from every pixel plus the
+    background."""
+    base = frames[0]
+    sh, sw = base.shape[:2]
+    allpx = np.concatenate([f.reshape(-1, 3) for f in frames])
+    colors, _ = np.unique(allpx, axis=0, return_inverse=True)
+    if len(colors) > 255:
+        raise ValueError("animation needs a ≤255-color global palette")
+    lut = {tuple(int(x) for x in c): i for i, c in enumerate(colors)}
+    depth = max(1, int(len(colors)).bit_length())  # reserve one extra slot
+    n_pal = 1 << depth
+    pal = np.zeros((n_pal, 3), dtype=np.uint8)
+    pal[:len(colors)] = colors
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | (depth - 1), 0, 0)
+    out += pal.tobytes()
+    min_code = max(2, depth)
+    for fi, f in enumerate(frames):
+        left, top = (0, 0) if rects is None or rects[fi] is None \
+            else rects[fi]
+        h, w = f.shape[:2]
+        tr = None if transparents is None else transparents[fi]
+        disp = 0 if disposals is None else disposals[fi]
+        if tr is not None or disp:
+            t_idx = lut[tuple(int(x) for x in tr)] if tr is not None else 0
+            gflags = (disp & 0x7) << 2 | (1 if tr is not None else 0)
+            out += bytes([0x21, 0xF9, 4, gflags, 0, 0, t_idx, 0])
+        out += b"\x2C" + struct.pack("<HHHHB", left, top, w, h, 0)
+        out += bytes([min_code])
+        idx = np.vectorize(lambda r, g, b: lut[(int(r), int(g), int(b))],
+                           otypes=[np.uint8])(f[..., 0], f[..., 1],
+                                              f[..., 2])
+        data = _lzw_encode(idx.reshape(-1), min_code)
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3B"
     return bytes(out)

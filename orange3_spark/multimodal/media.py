@@ -337,3 +337,45 @@ def classify_decodability(df: DataFrame, binary_col: str = "content",
     return (df.select(id_col, binary_col)
             .mapInPandas(run, f"{id_col} long, format string, "
                               "decode_path string"))
+
+
+def sample_gif_frames(df: DataFrame, binary_col: str = "content",
+                      id_col: str = "media_id", *,
+                      max_frames: int = 16) -> DataFrame:
+    """REAL animation frame sampling for GIF blobs (round 8 — the
+    byte-offset ``sample_frames`` stub stays for formats without a
+    native decoder): decodes up to ``max_frames`` COMPOSITED frames
+    per blob (GIF89a disposal + transparency semantics,
+    multimodal/gif.decode_gif_frames) in one Arrow-batched
+    mapInPandas, long-form ``(id, frame_no, height, width, pixels)``
+    matching decode_image's pixel convention so downstream resize /
+    stats compose."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("pixels", T.ArrayType(T.FloatType())),
+    ])
+
+    def run(pdf_iter):
+        import numpy as np
+        import pandas as pd
+
+        from orange3_spark.multimodal.gif import decode_gif_frames
+
+        for pdf in pdf_iter:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                frames = decode_gif_frames(bytes(blob),
+                                           max_frames=max_frames)
+                for fno, f in enumerate(frames):
+                    out.append((int(mid), fno, f.shape[0], f.shape[1],
+                                (f.astype(np.float32) / 255.0)
+                                .ravel().tolist()))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_no", "height", "width",
+                              "pixels"])
+
+    return df.select(F.col(id_col), F.col(binary_col)) \
+             .mapInPandas(run, schema=schema)

@@ -715,3 +715,81 @@ def q_media_decode_webp(spark, sf_dir):
         F.size("pixels").cast("long").alias("n_px"),
         lsum(ints).alias("sum_val"),
         lsum(weighted).alias("checksum"))
+
+
+@query("q_media_frames_gif", """
+WITH px AS (
+  SELECT doc_id, f, y, x, c,
+         (doc_id * 19) % 64 + 20 AS v0,
+         (doc_id * 23) % 64 + 100 AS v1,
+         (doc_id * 29) % 64 + 180 AS v2
+  FROM documents,
+       unnest(generate_series(0, 2)) gf(f),
+       unnest(generate_series(0, 5)) gy(y),
+       unnest(generate_series(0, 7)) gx(x),
+       unnest(generate_series(0, 2)) gc(c)),
+v AS (
+  SELECT doc_id, f, (y * 8 + x) * 3 + c AS i,
+         CASE
+           WHEN f >= 2 AND y = 2 AND x BETWEEN 1 AND 3 THEN v2
+           WHEN f >= 1 AND y BETWEEN 2 AND 3
+                AND x BETWEEN 1 AND 3 THEN v1
+           ELSE v0 END AS v
+  FROM px)
+SELECT doc_id AS media_id, CAST(f AS INT) AS frame_no,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(v) AS BIGINT) AS sum_val,
+       CAST(sum(v * (i + 1)) AS BIGINT) AS checksum
+FROM v GROUP BY doc_id, f
+""")
+def q_media_frames_gif(spark, sf_dir):
+    """REAL animation keyframe extraction, oracle-checked to the pixel
+    (round 8: sample_gif_frames decodes composited GIF frames — the
+    byte-slice sample_frames stub now stands in only for formats with
+    no native decoder).  Per document a 3-frame 6x8 GIF89a animation:
+    base canvas v0, a 2x3 patch of v1 at (1,2), then a third frame
+    whose patch REDRAWS only its first row as v2 and marks the second
+    row transparent — so frame 2's second patch row must show v1
+    (compositing), not v0 (redraw) or v2.  v0/v1/v2 live in disjoint
+    ranges, so any slip in GCE parsing, transparency masking, patch
+    placement, or frame accumulation shifts a frame's
+    position-weighted checksum; the oracle recomputes all three
+    composited frames from doc_id alone.  Disposal modes 2/3 are
+    pytest-pinned (tests/test_multimodal.py)."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _ids_partitioned(spark, sf_dir)
+    H, W = 6, 8
+
+    def mk(pdf_iter):
+        from orange3_spark.multimodal.gif import encode_gif_animation
+        for pdf in pdf_iter:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                v0 = (did * 19) % 64 + 20
+                v1 = (did * 23) % 64 + 100
+                v2 = (did * 29) % 64 + 180
+                base = np.full((H, W, 3), v0, dtype=np.uint8)
+                p1 = np.full((2, 3, 3), v1, dtype=np.uint8)
+                p2 = np.full((2, 3, 3), v0, dtype=np.uint8)
+                p2[0] = v2                      # row 1 stays transparent
+                blob = encode_gif_animation(
+                    [base, p1, p2], rects=[None, (1, 2), (1, 2)],
+                    transparents=[None, None, (v0, v0, v0)])
+                out.append((did, blob))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    blobs = docs.mapInPandas(mk, "media_id long, content binary")
+    fr = M.sample_gif_frames(blobs)
+    ints = F.transform(F.col("pixels"),
+                       lambda x: F.round(x * 255).cast("long"))
+    weighted = F.transform(ints, lambda v, i: v * (i.cast("long") + 1))
+    lsum = (lambda arr: F.aggregate(arr, F.lit(0).cast("long"),
+                                    lambda a, v: a + v))
+    return fr.select(
+        "media_id", "frame_no",
+        F.size("pixels").cast("long").alias("n_px"),
+        lsum(ints).alias("sum_val"),
+        lsum(weighted).alias("checksum"))

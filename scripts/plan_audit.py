@@ -238,6 +238,11 @@ AUDITS.update({
          "per-row Python",
          r"MapInPandas|ArrowEvalPython"),
     ],
+    "q_media_frames_gif": [
+        ("frame extraction is Arrow-batched (mapInPandas), never "
+         "per-row Python",
+         r"MapInPandas|ArrowEvalPython"),
+    ],
     "q_media_decode_webp": [
         ("VP8L decode is Arrow-batched (mapInPandas), never per-row "
          "Python",

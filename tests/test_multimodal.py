@@ -761,3 +761,63 @@ def test_webp_vp8l_roundtrip_matrix():
         decode_webp(b"RIFX" + bytes(20))
     with pytest.raises(ValueError, match="lossy"):
         decode_webp(b"RIFF" + bytes(4) + b"WEBP" + b"VP8 " + bytes(8))
+
+
+def test_gif_animation_frames_compositing():
+    """Multi-frame GIF decode: composited frames honor transparency
+    (a transparent patch row shows the PREVIOUS frame's pixels) and
+    disposal modes 2 (restore background) and 3 (restore previous);
+    max_frames bounds work."""
+    import numpy as np
+
+    from orange3_spark.multimodal.gif import (decode_gif_frames,
+                                              encode_gif_animation)
+
+    base = np.full((6, 8, 3), 10, dtype=np.uint8)
+    p1 = np.full((2, 3, 3), 10, dtype=np.uint8)
+    p1[0] = 99
+    p2 = np.full((2, 2, 3), 200, dtype=np.uint8)
+    blob = encode_gif_animation(
+        [base, p1, p2], rects=[None, (1, 2), (5, 0)],
+        transparents=[None, (10, 10, 10), None])
+    f0, f1, f2 = decode_gif_frames(blob)
+    assert (f0 == 10).all()
+    exp1 = f0.copy()
+    exp1[2, 1:4] = 99                      # drawn row; transparent row kept
+    assert np.array_equal(f1, exp1)
+    exp2 = exp1.copy()
+    exp2[0:2, 5:7] = 200
+    assert np.array_equal(f2, exp2)
+
+    blob = encode_gif_animation(
+        [base, p2, p2, p2], rects=[None, (0, 0), (3, 2), (6, 0)],
+        disposals=[0, 2, 3, 0])
+    fr = decode_gif_frames(blob)
+    assert len(fr) == 4
+    assert (fr[1][0:2, 0:2, 0] == 200).all()
+    # disposal 2 wiped frame-1's rect back to background before frame 2
+    assert (fr[2][0:2, 0:2, 0] == 10).all()
+    assert (fr[2][2:4, 3:5, 0] == 200).all()
+    # disposal 3 restored frame-2's rect before frame 3
+    assert (fr[3][2:4, 3:5, 0] == 10).all()
+    assert (fr[3][0:2, 6:8, 0] == 200).all()
+    # frame cap
+    assert len(decode_gif_frames(blob, max_frames=2)) == 2
+
+
+def test_sample_gif_frames_distributed(spark):
+    """sample_gif_frames: Arrow-batched long-form frames with the
+    decode_image pixel convention."""
+    import numpy as np
+
+    from orange3_spark.multimodal.gif import encode_gif_animation
+    from orange3_spark.multimodal.media import sample_gif_frames
+
+    base = np.full((4, 4, 3), 30, dtype=np.uint8)
+    p = np.full((2, 2, 3), 90, dtype=np.uint8)
+    blob = encode_gif_animation([base, p], rects=[None, (1, 1)])
+    df = spark.createDataFrame([(7, blob)], "media_id long, content binary")
+    rows = {r["frame_no"]: r for r in sample_gif_frames(df).collect()}
+    assert sorted(rows) == [0, 1]
+    f1 = np.round(np.array(rows[1]["pixels"]) * 255).reshape(4, 4, 3)
+    assert (f1[1:3, 1:3] == 90).all() and f1[0, 0, 0] == 30
