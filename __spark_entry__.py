@@ -41,20 +41,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # every registered query within ~5 rounds and staleness stays bounded
 # without hand-curated lists.
 _CHANGED_THIS_ROUND = [
-    # r8: guards NULL-exact probe, hard_negatives sqrt-n fallback,
-    # basket empty-vector rows, isomap fixed-SIZE sample, relieff
-    # distinct-pool sample, CN2 unordered + SD variants (new)
-    "q_ml_cn2_unordered", "q_ml_cn2_sd", "q_ml_isomap",
-    "q_feature_scores_relieff", "q_basket_read", "q_hard_negatives",
-    "q_ml_nomogram", "q_drift_chi2", "q_cv_stratified",
-    "q_ml_correspondence",
-    # r8 late: jpeg.py rewritten (progressive/subsampled/restart native)
-    # — re-grade the baseline-JPEG query on the new decoder; the three
-    # new/changed media queries are never-graded and sort first anyway
-    "q_media_decode_jpeg", "q_media_decode_jpeg_prog",
-    "q_media_decode_jpeg420", "q_media_gate_fraction",
-    "q_media_decode_gif", "q_media_decode_tiff", "q_media_decode_webp",
-    "q_media_frames_gif",
+    # r9, kept deliberately SHORT (verdict task #2: let the oldest-first
+    # rotation drain the r2–r4 grade tail, dedup family first):
+    # exact-integer / mirrored correlation-distance arithmetic and the
+    # signed-zero audit fixes (stats/distance.py, queries_analytics,
+    # q_media_bytes entropy +0.0, q_ml_curvefit round +0.0)
+    "q_distance_spearman_rows", "q_distance_pearson_rows",
+    "q_distance_spearman_cols", "q_media_bytes", "q_ml_curvefit",
 ]
 
 

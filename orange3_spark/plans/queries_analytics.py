@@ -318,14 +318,6 @@ GROUP BY n.n_nationkey"""
 
 _N4_COLS = ["n_orders", "avg_price", "sum_price", "max_price"]
 
-_N4_LONG = f"""
-f AS ({_NATION4_SQL}),
-l AS (SELECT n_nationkey AS id, 'f1' AS k, n_orders AS v FROM f
-      UNION ALL SELECT n_nationkey, 'f2', avg_price FROM f
-      UNION ALL SELECT n_nationkey, 'f3', sum_price FROM f
-      UNION ALL SELECT n_nationkey, 'f4', max_price FROM f)"""
-
-
 _SUPP_SQL = """
 SELECT p_partkey,
        CAST(p_partkey AS DOUBLE) AS f_key,
@@ -335,14 +327,6 @@ SELECT p_partkey,
 FROM part WHERE p_partkey <= 15"""
 
 _SUPP_COLS = ["f_key", "f_bal", "f_nat", "f_len"]
-
-_SUPP_LONG = f"""
-f AS ({_SUPP_SQL}),
-l AS (SELECT p_partkey AS id, 'f1' AS k, f_key AS v FROM f
-      UNION ALL SELECT p_partkey, 'f2', f_bal FROM f
-      UNION ALL SELECT p_partkey, 'f3', f_nat FROM f
-      UNION ALL SELECT p_partkey, 'f4', f_len FROM f)"""
-
 
 def _supp_features(spark, sf_dir):
     (part,) = _t(spark, sf_dir, "part")
@@ -355,43 +339,96 @@ def _supp_features(spark, sf_dir):
 
 
 @query("q_distance_pearson_rows", f"""
-WITH {_SUPP_LONG}
-SELECT a.id AS id_a, b.id AS id_b, 0.5 - corr(a.v, b.v) / 2 AS dist
-FROM l a JOIN l b ON a.k = b.k AND a.id < b.id
-GROUP BY a.id, b.id
+WITH f AS ({_SUPP_SQL}),
+p AS (SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        a.f_key + a.f_bal + a.f_nat + a.f_len AS sa,
+        b.f_key + b.f_bal + b.f_nat + b.f_len AS sb,
+        a.f_key*b.f_key + a.f_bal*b.f_bal + a.f_nat*b.f_nat
+          + a.f_len*b.f_len AS sab,
+        a.f_key*a.f_key + a.f_bal*a.f_bal + a.f_nat*a.f_nat
+          + a.f_len*a.f_len AS saa,
+        b.f_key*b.f_key + b.f_bal*b.f_bal + b.f_nat*b.f_nat
+          + b.f_len*b.f_len AS sbb
+      FROM f a JOIN f b ON a.p_partkey < b.p_partkey),
+d AS (SELECT id_a, id_b, 4.0*sab - sa*sb AS num,
+        sqrt(4.0*saa - sa*sa) * sqrt(4.0*sbb - sb*sb) AS den FROM p),
+e AS (SELECT id_a, id_b, den, 0.5 - (num/den)/2.0 AS raw FROM d)
+SELECT id_a, id_b,
+  CASE WHEN den = 0 THEN NULL
+       WHEN raw <= 0 THEN 0.0 WHEN raw >= 1 THEN 1.0 ELSE raw END AS dist
+FROM e
 """)
 def q_distance_pearson_rows(spark, sf_dir):
     """PearsonR row distance (0.5 − ρ/2, reference distance.py:592-603,752):
     closed-form ρ over the fixed-k feature vector — pure codegen expressions
-    on the pair frame, no per-row Python."""
+    on the pair frame, no per-row Python.
+
+    The oracle mirrors the closed form OP FOR OP (same association order,
+    same one divide) instead of DuckDB's one-pass ``corr``: over identical
+    double inputs every IEEE op is then bit-identical on both engines, and
+    the shared [0,1] clamp turns any last-bit ρ-past-±1 excursion into the
+    literal 0.0/1.0 — no signed zero, no rounding boundary (r8 verdict:
+    the sibling q_distance_spearman_rows hash-fail)."""
     feats = _supp_features(spark, sf_dir)
     return D.row_distances(feats, "p_partkey", _SUPP_COLS, metric="pearson") \
             .select(F.col("id_a").cast("long").alias("id_a"),
                     F.col("id_b").cast("long").alias("id_b"), "dist")
 
 
+_SUPP_RANK2 = """
+r AS (SELECT p_partkey AS id,
+  2*(CAST(f_bal<f_key AS BIGINT) + CAST(f_nat<f_key AS BIGINT)
+     + CAST(f_len<f_key AS BIGINT))
+    + CAST(f_bal=f_key AS BIGINT) + CAST(f_nat=f_key AS BIGINT)
+    + CAST(f_len=f_key AS BIGINT) + 2 AS a1,
+  2*(CAST(f_key<f_bal AS BIGINT) + CAST(f_nat<f_bal AS BIGINT)
+     + CAST(f_len<f_bal AS BIGINT))
+    + CAST(f_key=f_bal AS BIGINT) + CAST(f_nat=f_bal AS BIGINT)
+    + CAST(f_len=f_bal AS BIGINT) + 2 AS a2,
+  2*(CAST(f_key<f_nat AS BIGINT) + CAST(f_bal<f_nat AS BIGINT)
+     + CAST(f_len<f_nat AS BIGINT))
+    + CAST(f_key=f_nat AS BIGINT) + CAST(f_bal=f_nat AS BIGINT)
+    + CAST(f_len=f_nat AS BIGINT) + 2 AS a3,
+  2*(CAST(f_key<f_len AS BIGINT) + CAST(f_bal<f_len AS BIGINT)
+     + CAST(f_nat<f_len AS BIGINT))
+    + CAST(f_key=f_len AS BIGINT) + CAST(f_bal=f_len AS BIGINT)
+    + CAST(f_nat=f_len AS BIGINT) + 2 AS a4
+FROM f)"""
+
+
 @query("q_distance_spearman_rows", f"""
-WITH {_SUPP_LONG},
-r AS (SELECT id, k,
-             rank() OVER (PARTITION BY id ORDER BY v)
-             + (COUNT(*) OVER (PARTITION BY id, v) - 1) / 2.0 AS rv
-      FROM l)
-SELECT a.id AS id_a, b.id AS id_b, round(0.5 - corr(a.rv, b.rv) / 2, 6) AS dist
-FROM r a JOIN r b ON a.k = b.k AND a.id < b.id
-GROUP BY a.id, b.id
+WITH f AS ({_SUPP_SQL}),
+{_SUPP_RANK2},
+p AS (SELECT a.id AS id_a, b.id AS id_b,
+        a.a1 + a.a2 + a.a3 + a.a4 AS sa,
+        b.a1 + b.a2 + b.a3 + b.a4 AS sb,
+        a.a1*b.a1 + a.a2*b.a2 + a.a3*b.a3 + a.a4*b.a4 AS sab,
+        a.a1*a.a1 + a.a2*a.a2 + a.a3*a.a3 + a.a4*a.a4 AS saa,
+        b.a1*b.a1 + b.a2*b.a2 + b.a3*b.a3 + b.a4*b.a4 AS sbb
+      FROM r a JOIN r b ON a.id < b.id),
+d AS (SELECT id_a, id_b, 4*sab - sa*sb AS num,
+        (4*saa - sa*sa) * (4*sbb - sb*sb) AS dd FROM p),
+e AS (SELECT id_a, id_b, num, dd,
+        0.5 - num/(2.0*sqrt(dd)) AS raw FROM d)
+SELECT id_a, id_b,
+  CASE WHEN dd = 0 THEN NULL
+       WHEN num*num = dd THEN (CASE WHEN num > 0 THEN 0.0 ELSE 1.0 END)
+       WHEN raw <= 0 THEN 0.0 WHEN raw >= 1 THEN 1.0 ELSE raw END AS dist
+FROM e
 """)
 def q_distance_spearman_rows(spark, sf_dir):
-    """SpearmanR row distance: average-tie ranks of each row's k values are
-    O(k²) row-local comparison expressions (distance.py:609-620), then the
-    same closed-form ρ — still zero shuffles beyond the pair join.
-
-    Rounded to 6 decimals on both sides: the oracle's one-pass ``corr`` and
-    the closed-form ρ legitimately differ in the ~10th significant digit."""
+    """SpearmanR row distance in EXACT integer arithmetic: twice the
+    average-tie rank of each row's k values is an exact int64 from O(k²)
+    row-local comparisons (distance.py:609-620), so ρ's numerator and
+    denominator² are exact ints, ρ = ±1 is the integer test num² == da·db
+    (distance literally 0.0/1.0 on both engines), and the lone sqrt+divide
+    elsewhere is bit-identical IEEE over identical integers.  Kills the r8
+    driver hash-fail (signed zero at a round(…,6) boundary) structurally —
+    no rounding step remains."""
     feats = _supp_features(spark, sf_dir)
     return D.row_distances(feats, "p_partkey", _SUPP_COLS, metric="spearman") \
             .select(F.col("id_a").cast("long").alias("id_a"),
-                    F.col("id_b").cast("long").alias("id_b"),
-                    F.round("dist", 6).alias("dist"))
+                    F.col("id_b").cast("long").alias("id_b"), "dist")
 
 
 @query("q_distance_bhattacharyya", f"""
@@ -416,21 +453,54 @@ def q_distance_bhattacharyya(spark, sf_dir):
 
 @query("q_distance_spearman_cols", """
 WITH r AS (SELECT
-    rank() OVER (ORDER BY l_quantity) + (COUNT(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rq,
-    rank() OVER (ORDER BY l_discount) + (COUNT(*) OVER (PARTITION BY l_discount) - 1) / 2.0 AS rd,
-    rank() OVER (ORDER BY l_tax) + (COUNT(*) OVER (PARTITION BY l_tax) - 1) / 2.0 AS rt
-  FROM lineitem)
-SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b, 0.5 - corr(rq, rd) / 2 AS dist FROM r
+    2*(rank() OVER (ORDER BY l_quantity)) + COUNT(*) OVER (PARTITION BY l_quantity) - 1 AS rq,
+    2*(rank() OVER (ORDER BY l_discount)) + COUNT(*) OVER (PARTITION BY l_discount) - 1 AS rd,
+    2*(rank() OVER (ORDER BY l_tax)) + COUNT(*) OVER (PARTITION BY l_tax) - 1 AS rt
+  FROM lineitem),
+s AS (SELECT COUNT(*) AS n,
+    SUM(rq*rd) AS s_qd, SUM(rq*rt) AS s_qt, SUM(rd*rt) AS s_dt,
+    SUM(rq) AS s_q, SUM(rd) AS s_d, SUM(rt) AS s_t,
+    SUM(rq*rq) AS ss_q, SUM(rd*rd) AS ss_d, SUM(rt*rt) AS ss_t FROM r),
+d AS (SELECT
+    n*s_qd - s_q*s_d AS num_qd, n*s_qt - s_q*s_t AS num_qt,
+    n*s_dt - s_d*s_t AS num_dt,
+    n*ss_q - s_q*s_q AS da_q, n*ss_d - s_d*s_d AS da_d,
+    n*ss_t - s_t*s_t AS da_t FROM s),
+e AS (SELECT *,
+    0.5 - CAST(num_qd AS DOUBLE)/(sqrt(CAST(da_q AS DOUBLE))*sqrt(CAST(da_d AS DOUBLE)))/2.0 AS raw_qd,
+    0.5 - CAST(num_qt AS DOUBLE)/(sqrt(CAST(da_q AS DOUBLE))*sqrt(CAST(da_t AS DOUBLE)))/2.0 AS raw_qt,
+    0.5 - CAST(num_dt AS DOUBLE)/(sqrt(CAST(da_d AS DOUBLE))*sqrt(CAST(da_t AS DOUBLE)))/2.0 AS raw_dt
+  FROM d)
+SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b,
+  CASE WHEN da_q = 0 OR da_d = 0 THEN NULL
+       WHEN num_qd = da_q AND da_q = da_d THEN 0.0
+       WHEN num_qd = -da_q AND da_q = da_d THEN 1.0
+       WHEN raw_qd <= 0 THEN 0.0 WHEN raw_qd >= 1 THEN 1.0 ELSE raw_qd END AS dist
+FROM e
 UNION ALL
-SELECT 'l_quantity', 'l_tax', 0.5 - corr(rq, rt) / 2 FROM r
+SELECT 'l_quantity', 'l_tax',
+  CASE WHEN da_q = 0 OR da_t = 0 THEN NULL
+       WHEN num_qt = da_q AND da_q = da_t THEN 0.0
+       WHEN num_qt = -da_q AND da_q = da_t THEN 1.0
+       WHEN raw_qt <= 0 THEN 0.0 WHEN raw_qt >= 1 THEN 1.0 ELSE raw_qt END
+FROM e
 UNION ALL
-SELECT 'l_discount', 'l_tax', 0.5 - corr(rd, rt) / 2 FROM r
+SELECT 'l_discount', 'l_tax',
+  CASE WHEN da_d = 0 OR da_t = 0 THEN NULL
+       WHEN num_dt = da_d AND da_d = da_t THEN 0.0
+       WHEN num_dt = -da_d AND da_d = da_t THEN 1.0
+       WHEN raw_dt <= 0 THEN 0.0 WHEN raw_dt >= 1 THEN 1.0 ELSE raw_dt END
+FROM e
 """)
 def q_distance_spearman_cols(spark, sf_dir):
     """Spearman distance BETWEEN columns. A global rank() would serialize the
-    table through one partition; instead each column's value→avg-rank map is
-    a per-distinct-value aggregate (small) cumulated and broadcast back —
-    ranking 100 TB without ever globally sorting it."""
+    table through one partition; instead each column's value→2·avg-rank map
+    (exact int64) is a per-distinct-value aggregate (small) cumulated and
+    joined back — ranking 100 TB without ever globally sorting it.  The
+    correlation sums are exact decimal(38,0) (order-independent partials,
+    HUGEINT in the oracle), so both engines reach the one mirrored
+    sqrt+divide with identical integers — same bit-identical-IEEE argument
+    as q_distance_spearman_rows, at any partition count."""
     (li,) = _t(spark, sf_dir, "lineitem")
     return D.spearman_column_distances(
         li, ["l_quantity", "l_discount", "l_tax"])

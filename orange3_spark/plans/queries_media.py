@@ -68,7 +68,7 @@ h AS (SELECT doc_id, byte, CAST(count(*) AS DOUBLE) AS c,
              CAST(any_value(n) AS DOUBLE) AS n
       FROM by GROUP BY doc_id, byte)
 SELECT doc_id AS media_id,
-       round(-sum((c / n) * log2(c / n)), 6) AS entropy,
+       round(-sum((c / n) * log2(c / n)), 6) + 0.0 AS entropy,
        round(sum(byte * c) / any_value(n), 6) AS mean_byte
 FROM h GROUP BY doc_id
 """)
@@ -78,7 +78,10 @@ def q_media_bytes(spark, sf_dir):
     the byte stream from the blob's hex encoding (2 hex chars → 1 byte), so
     even the binary-payload arithmetic is cross-checked."""
     out = M.byte_histogram(_docs_as_media(spark, sf_dir))
-    return out.select("media_id", F.round("entropy", 6).alias("entropy"),
+    # + 0.0 collapses the −0.0 a constant-byte blob's −Σ p·log p produces
+    # (engine-dependent sign — the r8 signed-zero lesson, SURVEY §8)
+    return out.select("media_id",
+                      (F.round("entropy", 6) + F.lit(0.0)).alias("entropy"),
                       F.round("mean_byte", 6).alias("mean_byte"))
 
 

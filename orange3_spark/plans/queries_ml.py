@@ -713,8 +713,8 @@ fit AS (SELECT
   (s0*(t1*s4 - t2*s3) - t0*(s1*s4 - s3*s2) + s2*(s1*t2 - s2*t1)) / det AS b,
   (s0*(s2*t2 - s3*t1) - s1*(s1*t2 - s2*t1) + t0*(s1*s3 - s2*s2)) / det AS c
   FROM c)
-SELECT round(fit.a, 4) AS p_const, round(fit.b, 4) AS p_lin,
-       round(fit.c, 4) AS p_quad,
+SELECT round(fit.a, 4) + 0.0 AS p_const, round(fit.b, 4) + 0.0 AS p_lin,
+       round(fit.c, 4) + 0.0 AS p_quad,
        round(sqrt(avg(power(d.y - (fit.a + fit.b*d.x + fit.c*d.x*d.x), 2))),
              4) AS rmse
 FROM d, fit GROUP BY fit.a, fit.b, fit.c
@@ -741,7 +741,10 @@ def q_ml_curvefit(spark, sf_dir):
     out = spark.createDataFrame(
         [(a, b, c, r)],
         "p_const double, p_lin double, p_quad double, rmse double")
-    return out.select(*[F.round(F.col(c), 4).alias(c) for c in out.columns])
+    # + 0.0 collapses −0.0 for coefficients rounding to zero (a sub-5e-5
+    # quadratic term with engine-dependent sign — r8 signed-zero lesson)
+    return out.select(*[(F.round(F.col(c), 4) + F.lit(0.0)).alias(c)
+                        for c in out.columns])
 
 
 @query("q_ml_threshold", """

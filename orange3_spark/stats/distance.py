@@ -53,25 +53,76 @@ def _row_pearson(a_cols: Sequence[Column], b_cols: Sequence[Column]) -> Column:
     return F.try_divide(num, den)
 
 
-def _row_avg_ranks(cols: Sequence[Column]) -> list[Column]:
-    """Average-tie ranks of a fixed-k row vector (scipy ``rankdata`` default,
-    used by the reference's SpearmanR, distance.py:609-620): for element i,
-    rank = (#less) + (#equal, incl. self + 1)/2 — O(k^2) comparisons, all
-    row-local expressions."""
-    ranks = []
+def _row_ranks2(cols: Sequence[Column]) -> list[Column]:
+    """TWICE the average-tie rank of a fixed-k row vector, as exact int64.
+
+    Average-tie ranks (scipy ``rankdata``, the reference's SpearmanR,
+    distance.py:609-620) are half-integers, so 2·rank = 2·(#less) +
+    (#equal incl. self) + 1 is an exact integer — O(k²) row-local
+    comparisons, zero float arithmetic.  Working on 2·rank instead of rank
+    leaves ρ unchanged (affine-invariant) and makes the Spearman numerator
+    and denominator² exact int64, which kills the signed-zero / last-bit
+    class of cross-engine hash mismatches for good (round-5 and round-8
+    lessons, SURVEY §8)."""
+    ranks2 = []
     for i, ci in enumerate(cols):
         others = [cj for j, cj in enumerate(cols) if j != i]
-        less = sum(((cj < ci).cast("double") for cj in others), F.lit(0.0))
-        equal = sum(((cj == ci).cast("double") for cj in others), F.lit(1.0))
-        ranks.append(less + (equal + F.lit(1.0)) / F.lit(2.0))
-    return ranks
+        less = sum(((cj < ci).cast("long") for cj in others), F.lit(0))
+        equal = sum(((cj == ci).cast("long") for cj in others), F.lit(1))
+        ranks2.append((F.lit(2) * less + equal + F.lit(1)).cast("long"))
+    return ranks2
+
+
+def _clamp01(d: Column) -> Column:
+    """Clamp a correlation distance into [0, 1] with exact literals.
+
+    ``d ≤ 0 → 0.0`` catches both last-bit negatives (ρ a few ulp past ±1
+    after catastrophic cancellation in ``0.5 − ρ/2``) and −0.0 itself
+    (−0.0 ≤ 0 is true), so a negative-signed zero can never be emitted;
+    NULL propagates through the otherwise branch untouched."""
+    return (F.when(d <= 0, F.lit(0.0))
+             .when(d >= 1, F.lit(1.0))
+             .otherwise(d))
 
 
 def _corr_to_dist(rho: Column, absolute: bool) -> Column:
     # reference CorrelationDistanceModel.compute_distances (distance.py:592-603)
     if absolute:
-        return F.lit(1.0) - F.abs(rho)
-    return F.lit(0.5) - rho / F.lit(2.0)
+        return _clamp01(F.lit(1.0) - F.abs(rho))
+    return _clamp01(F.lit(0.5) - rho / F.lit(2.0))
+
+
+def _spearman_int_dist(a_cols: Sequence[Column], b_cols: Sequence[Column],
+                       absolute: bool) -> Column:
+    """Spearman distance between two fixed-k rows in EXACT integer
+    arithmetic up to the final (mirrored) divide.
+
+    With A=2·rank(a), B=2·rank(b) exact int64: num = k·ΣAB − ΣA·ΣB and
+    da·db = (k·ΣAA − ΣA²)(k·ΣBB − ΣB²) are exact, so ρ = ±1 is the exact
+    integer test num² == da·db and the distance there is the literal
+    0.0 / 1.0 on BOTH engines; elsewhere one sqrt + one divide over
+    identical integers is bit-identical IEEE on Spark and DuckDB
+    (q_distance_spearman_rows r8 driver hash-fail root cause)."""
+    k = len(a_cols)
+    A = _row_ranks2(a_cols)
+    B = _row_ranks2(b_cols)
+    sa = sum(A[1:], A[0])
+    sb = sum(B[1:], B[0])
+    sab = sum((x * y for x, y in zip(A[1:], B[1:])), A[0] * B[0])
+    saa = sum((x * x for x in A[1:]), A[0] * A[0])
+    sbb = sum((y * y for y in B[1:]), B[0] * B[0])
+    num = F.lit(k) * sab - sa * sb
+    dd = (F.lit(k) * saa - sa * sa) * (F.lit(k) * sbb - sb * sb)
+    root = F.lit(2.0) * F.sqrt(dd.cast("double"))
+    if absolute:
+        exact = F.lit(0.0)
+        rest = F.lit(1.0) - F.abs(num).cast("double") / F.sqrt(dd.cast("double"))
+    else:
+        exact = F.when(num > 0, F.lit(0.0)).otherwise(F.lit(1.0))
+        rest = F.lit(0.5) - num.cast("double") / root
+    return (F.when(dd == 0, F.lit(None).cast("double"))
+             .when(num * num == dd, exact)
+             .otherwise(_clamp01(rest)))
 
 
 def _pair_frame(df: DataFrame, id_col: str, cols: Sequence[str]):
@@ -115,9 +166,9 @@ def row_distances(df: DataFrame, id_col: str, cols: Sequence[str], *,
                            [F.col(f"b_{c}") for c in cols])
         expr = _corr_to_dist(rho, metric.endswith("absolute"))
     elif metric in ("spearman", "spearman_absolute"):
-        rho = _row_pearson(_row_avg_ranks([F.col(f"a_{c}") for c in cols]),
-                           _row_avg_ranks([F.col(f"b_{c}") for c in cols]))
-        expr = _corr_to_dist(rho, metric.endswith("absolute"))
+        expr = _spearman_int_dist([F.col(f"a_{c}") for c in cols],
+                                  [F.col(f"b_{c}") for c in cols],
+                                  metric.endswith("absolute"))
     elif metric == "bhattacharyya":
         # rows as probability distributions: -ln Σ√(p·q), clipped at 0
         # (reference _bhattacharyya, distance.py:776-784);
@@ -194,34 +245,70 @@ def column_distances(df: DataFrame, cols: Sequence[str], *,
 
 def spearman_column_distances(df: DataFrame, cols: Sequence[str], *,
                               absolute: bool = False) -> DataFrame:
-    """SpearmanR distance between columns: replace each column with its
-    average-tie rank (one window pass per column — `rank() + (ties-1)/2`,
-    reference SpearmanModel distance.py:609-620), then Pearson on ranks.
-    At scale the ranking is the classic distributed sort; the corr is one
-    aggregation over all pairs."""
+    """SpearmanR distance between columns: replace each column with TWICE
+    its average-tie rank — an exact int64 (reference SpearmanModel,
+    distance.py:609-620; 2·rank leaves ρ unchanged) — then Pearson on the
+    rank integers via exact decimal(38,0) sums, one final mirrored
+    sqrt+divide.  At scale only (value, count) pairs pass through a single
+    reducer (the cumsum over the distinct-value frame); the correlation is
+    one aggregation over all pairs with exact, order-independent partial
+    sums — no streaming-co-moment float drift across partitions (the
+    signed-zero / last-bit lesson, SURVEY §8)."""
     from pyspark.sql import Window
 
     ranked = df
     for c in cols:
-        # avg rank of value v = (#rows < v) + (#rows == v + 1)/2.  A global
-        # rank() window would serialize to one partition; instead aggregate
-        # per distinct value, cumulate over THAT frame, and join the
-        # value→rank map back — no global sort of the data ever happens.
-        # No broadcast hint: for near-unique continuous columns the rank map
-        # is ~row-count rows, so let Catalyst (AQE) pick broadcast only when
-        # the map really is small.
+        # 2·(avg rank of v) = 2·(#rows < v) + (#ties of v) + 1 — exact
+        # int64.  A global rank() window would serialize to one partition;
+        # instead aggregate per distinct value, cumulate over THAT frame,
+        # and join the value→rank map back — no global sort of the data.
+        # No broadcast hint: for near-unique continuous columns the rank
+        # map is ~row-count rows; let AQE pick broadcast when it is small.
         counts = (df.groupBy(F.col(c).cast("double").alias("__v"))
-                    .agg(F.count(F.lit(1)).cast("double").alias("__n")))
+                    .agg(F.count(F.lit(1)).alias("__n")))
         w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
         rk = counts.select(
             "__v",
-            (F.coalesce(F.sum("__n").over(w), F.lit(0.0))
-             + (F.col("__n") + F.lit(1.0)) / F.lit(2.0)).alias(f"rk_{c}"))
+            (F.lit(2) * F.coalesce(F.sum("__n").over(w), F.lit(0))
+             + F.col("__n") + F.lit(1)).alias(f"rk_{c}"))
         ranked = ranked.join(rk, ranked[c].cast("double") == rk["__v"]) \
                        .drop("__v", "__n")
-    aggs = [_corr_to_dist(F.corr(f"rk_{a}", f"rk_{b}"), absolute)
-            .alias(f"{a}|{b}") for a, b in combinations(cols, 2)]
-    row = ranked.agg(*aggs)
+
+    def dec(col: Column) -> Column:
+        return col.cast("decimal(38,0)")
+
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("__cnt")]
+    for a, b in combinations(cols, 2):
+        # products of decimal(38,0)-cast ranks stay exact past int64
+        # (2·rank ≤ 2n; n·(2n)² overflows int64 near n = 10⁹ rows)
+        aggs.append(F.sum(dec(F.col(f"rk_{a}")) * dec(F.col(f"rk_{b}")))
+                    .alias(f"sab|{a}|{b}"))
+    for c in cols:
+        aggs.append(F.sum(dec(F.col(f"rk_{c}"))).alias(f"s|{c}"))
+        aggs.append(F.sum(dec(F.col(f"rk_{c}")) * dec(F.col(f"rk_{c}")))
+                    .alias(f"ss|{c}"))
+    sums = ranked.agg(*aggs)
+
+    outs = []
+    n = F.col("__cnt")
+    for a, b in combinations(cols, 2):
+        num = n * F.col(f"`sab|{a}|{b}`") - F.col(f"`s|{a}`") * F.col(f"`s|{b}`")
+        da = n * F.col(f"`ss|{a}`") - F.col(f"`s|{a}`") * F.col(f"`s|{a}`")
+        db = n * F.col(f"`ss|{b}`") - F.col(f"`s|{b}`") * F.col(f"`s|{b}`")
+        root = F.sqrt(da.cast("double")) * F.sqrt(db.cast("double"))
+        if absolute:
+            rest = F.lit(1.0) - F.abs(num.cast("double")) / root
+        else:
+            rest = F.lit(0.5) - num.cast("double") / root / F.lit(2.0)
+        # exact ±1 in integers, no squaring (which could pass decimal(38)):
+        # num = da = db ⟹ ρ = da/√(da·da) = +1; num = −da, da = db ⟹ −1
+        d = (F.when((da == 0) | (db == 0), F.lit(None).cast("double"))
+              .when((num == da) & (da == db), F.lit(0.0))
+              .when((num == -da) & (da == db),
+                    F.lit(0.0) if absolute else F.lit(1.0))
+              .otherwise(_clamp01(rest)))
+        outs.append(d.alias(f"{a}|{b}"))
+    row = sums.select(*outs)
     pairs = F.array(*[
         F.struct(F.lit(c.split("|")[0]).alias("col_a"),
                  F.lit(c.split("|")[1]).alias("col_b"),

@@ -191,3 +191,56 @@ def test_lof_flags_isolated_point(spark):
     scores = {r.id: r.lof for r in O.lof(df, "id", ["x", "y"], k=3).collect()}
     assert scores[99] > 5.0
     assert all(v < 2.0 for i, v in scores.items() if i != 99)
+
+
+def test_correlation_dist_no_signed_zero(spark):
+    """ρ = ±1 fixtures: the exact-integer Spearman path and the [0,1]
+    clamp must emit the LITERAL 0.0 / 1.0 — never −0.0, never a last-bit
+    negative (r8 driver hash-fail: q_distance_spearman_rows)."""
+    # rows 0/1 perfectly rank-correlated (ρ=+1), 0/2 anti (ρ=−1),
+    # row 3 constant (undefined ρ → NULL dist), row 4 generic
+    rows = [(0, 1.0, 2.0, 3.0, 4.0),
+            (1, 10.0, 20.0, 30.0, 40.0),
+            (2, 4.0, 3.0, 2.0, 1.0),
+            (3, 7.0, 7.0, 7.0, 7.0),
+            (4, 2.0, 9.0, 1.0, 5.0)]
+    df = spark.createDataFrame(rows,
+                               "id long, a double, b double, c double, d double")
+    cols = ["a", "b", "c", "d"]
+    # Spearman: exact-integer branch ⇒ the LITERAL 0.0 / 1.0 at ρ=±1
+    s = _d(D.row_distances(df, "id", cols, metric="spearman"))
+    assert s[(0, 1)] == 0.0 and math.copysign(1.0, s[(0, 1)]) > 0
+    assert s[(0, 2)] == 1.0
+    # Pearson on raw doubles has no exact branch — the guarantee is the
+    # mirrored [0,1] clamp: never negative, never −0.0 (a last-bit ρ past
+    # +1 may legally land at +5.6e-17, which both engines share bit-for-bit)
+    p = _d(D.row_distances(df, "id", cols, metric="pearson"))
+    assert 0.0 <= p[(0, 1)] < 1e-12
+    assert abs(p[(0, 2)] - 1.0) < 1e-12 and p[(0, 2)] <= 1.0
+    for d in (s, p):
+        assert d[(0, 3)] is None and d[(3, 4)] is None
+        for v in d.values():
+            if v is not None:
+                assert 0.0 <= v <= 1.0
+                if v == 0.0:
+                    assert math.copysign(1.0, v) > 0, "emitted -0.0"
+    da = _d(D.row_distances(df, "id", cols, metric="spearman_absolute"))
+    assert da[(0, 1)] == 0.0 and da[(0, 2)] == 0.0
+    assert math.copysign(1.0, da[(0, 2)]) > 0
+
+
+def test_spearman_cols_exact_integer_sums(spark):
+    """Column Spearman over perfectly correlated / anti-correlated columns:
+    exact decimal sums + mirrored final ops ⇒ clamped literals at ρ=±1,
+    no −0.0 regardless of partitioning."""
+    rows = [(float(i), float(2 * i + 1), float(100 - i), float((i * 7) % 5))
+            for i in range(200)]
+    df = (spark.createDataFrame(rows, "x double, y double, z double, w double")
+               .repartition(8))
+    s = {(r.col_a, r.col_b): r.dist
+         for r in D.spearman_column_distances(df, ["x", "y", "z", "w"]).collect()}
+    assert s[("x", "y")] == 0.0 and math.copysign(1.0, s[("x", "y")]) > 0
+    assert s[("x", "z")] == 1.0
+    for v in s.values():
+        if v is not None and v == 0.0:
+            assert math.copysign(1.0, v) > 0
