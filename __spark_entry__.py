@@ -48,6 +48,9 @@ _CHANGED_THIS_ROUND = [
     # q_media_bytes entropy +0.0, q_ml_curvefit round +0.0)
     "q_distance_spearman_rows", "q_distance_pearson_rows",
     "q_distance_spearman_cols", "q_media_bytes", "q_ml_curvefit",
+    # r9 advisor fixes: VP8L ClampAddSubtractHalf C-truncation, GIF
+    # first-frame transparency, JPEG 0xFF fill-byte marker walk
+    "q_media_decode_webp", "q_media_decode_gif", "q_media_decode_jpeg",
 ]
 
 

@@ -22,6 +22,7 @@ never lands inside another query's measurement."""
 from __future__ import annotations
 
 import gc
+import hashlib
 import json
 import os
 import sys
@@ -126,9 +127,10 @@ def main() -> None:
     # line compact enough to survive the tail window and parse.
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "bench_result.json")
+    payload = json.dumps(result)
     with open(out_path, "w") as fh:
-        json.dump(result, fh)
-    print(json.dumps(result))
+        fh.write(payload)
+    print(payload)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:15])
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -140,6 +142,10 @@ def main() -> None:
         "variance_band": band,
         "queries": slowest,
         "queries_file": "bench_result.json",
+        # sha256 of the bench_result.json BYTES this run wrote: the
+        # driver-parsed compact line can be checked byte-for-byte against
+        # the committed artifact (r8 verdict task #9)
+        "queries_sha256": hashlib.sha256(payload.encode()).hexdigest(),
     }))
 
 

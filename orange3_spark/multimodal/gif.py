@@ -128,13 +128,21 @@ def decode_gif(blob: bytes) -> np.ndarray:
         gct = np.frombuffer(blob[pos:pos + 3 * n],
                             dtype=np.uint8).reshape(n, 3)
         pos += 3 * n
+    transparent = None
     while pos < len(blob):
         b = blob[pos]
         pos += 1
         if b == 0x3B:                             # trailer
             break
-        if b == 0x21:                             # extension: skip
-            pos += 1                              # label
+        if b == 0x21:                             # extension
+            label = blob[pos]
+            pos += 1
+            # graphic control: honor the transparent index so the first
+            # frame matches decode_gif_frames (and Pillow) on real
+            # transparent GIFs instead of rendering the palette color
+            if label == 0xF9 and blob[pos] >= 4:
+                gflags = blob[pos + 1]
+                transparent = blob[pos + 4] if gflags & 1 else None
             while blob[pos]:
                 pos += 1 + blob[pos]              # sub-blocks
             pos += 1                              # terminator
@@ -165,10 +173,13 @@ def decode_gif(blob: bytes) -> np.ndarray:
         if int(img.max()) >= len(ct):
             raise ValueError("palette index out of range")
         frame = ct[img]                           # (h, w, 3)
+        bg_rgb = ct[min(bg, len(ct) - 1)]
+        if transparent is not None:
+            frame = frame.copy()
+            frame[img == transparent] = bg_rgb    # composite onto background
         if (left, top, w, h) == (0, 0, sw, sh):
             return frame
-        screen = np.broadcast_to(
-            ct[min(bg, len(ct) - 1)], (sh, sw, 3)).copy()
+        screen = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
         screen[top:top + h, left:left + w] = frame
         return screen
     raise ValueError("GIF contains no image data")

@@ -814,6 +814,9 @@ def _parse_jpeg(blob: bytes):
         if blob[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
         marker = blob[pos + 1]
+        if marker == 0xFF:          # fill byte before a marker (T.81
+            pos += 1                # B.1.1.2 allows any number of 0xFF)
+            continue
         pos += 2
         if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue

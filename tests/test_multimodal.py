@@ -821,3 +821,87 @@ def test_sample_gif_frames_distributed(spark):
     assert sorted(rows) == [0, 1]
     f1 = np.round(np.array(rows[1]["pixels"]) * 255).reshape(4, 4, 3)
     assert (f1[1:3, 1:3] == 90).all() and f1[0, 0, 0] == 30
+
+
+def test_clamp_add_sub_half_truncates_toward_zero():
+    """libwebp's AddSubtractComponentHalf uses C `/ 2` (truncation toward
+    zero); Python floor division diverges by 1 whenever a < b with odd
+    difference — real libwebp files hit that under predictor mode 13."""
+    from orange3_spark.multimodal.webp import _clamp_add_sub_half
+
+    assert _clamp_add_sub_half(10, 15) == 8     # floor semantics gave 7
+    assert _clamp_add_sub_half(15, 10) == 17
+    assert _clamp_add_sub_half(0, 255) == 0
+    assert _clamp_add_sub_half(255, 0) == 255
+    for a in range(0, 256, 7):
+        for b in range(0, 256, 5):
+            d = a - b
+            want = max(0, min(255, a + (abs(d) // 2 if d >= 0 else
+                                        -(abs(d) // 2))))
+            assert _clamp_add_sub_half(a, b) == want, (a, b)
+
+
+def test_webp_color_transform_numpy2_safe():
+    """The color-transform coefficient bytes must not go through an
+    out-of-range np.int8(...) literal conversion (OverflowError under
+    NumPy >= 2, DeprecationWarning on 1.26)."""
+    import warnings
+
+    import numpy as np
+
+    from orange3_spark.multimodal.webp import (decode_webp,
+                                               encode_webp_lossless)
+
+    yy, xx = np.mgrid[0:9, 0:11]
+    img = np.stack([(yy * 31) % 256, (xx * 53) % 256,
+                    ((yy + xx) * 29) % 256], axis=-1).astype(np.uint8)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", DeprecationWarning)
+        blob = encode_webp_lossless(img, color_transform=True)
+    assert np.array_equal(decode_webp(blob), img)
+
+
+def test_gif_first_frame_transparency_matches_frames_decoder():
+    """A GIF89a graphic-control transparent index on the FIRST frame:
+    decode_gif (single-frame entry point) must composite onto the
+    background exactly like decode_gif_frames — the two native entry
+    points previously disagreed on the same real-world file."""
+    import numpy as np
+
+    from orange3_spark.multimodal.gif import (decode_gif,
+                                              decode_gif_frames,
+                                              encode_gif_animation)
+
+    f0 = np.full((6, 8, 3), 40, dtype=np.uint8)
+    f0[2:4, 3:6] = (200, 10, 10)          # the transparent marker color
+    blob = encode_gif_animation([f0], transparents=[(200, 10, 10)])
+    single = decode_gif(blob)
+    framed = decode_gif_frames(blob)[0]
+    assert np.array_equal(single, framed)
+    # the transparent rectangle shows the background, not the palette color
+    assert not np.array_equal(single[2, 3], np.array([200, 10, 10]))
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: a marker may be preceded by any number of 0xFF fill
+    bytes — both in the header segment walk and at the end of an entropy
+    scan.  Decode of a padded file must be byte-identical to the clean
+    decode."""
+    import numpy as np
+
+    from orange3_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:24, 0:17]
+    img = np.stack([(yy * 11) % 256, (xx * 7) % 256,
+                    ((yy * xx) % 251)], axis=-1).astype(np.uint8)
+    blob = encode_jpeg(img, quality=85)
+    want = decode_jpeg(blob)
+
+    # pad the DQT marker (header walk) and the EOI marker (entropy end)
+    padded = bytearray(blob)
+    assert padded[-2:] == b"\xFF\xD9"
+    padded[-2:-2] = b"\xFF\xFF\xFF"        # fills before EOI
+    at = bytes(padded).index(b"\xFF\xDB")  # first DQT
+    padded[at:at] = b"\xFF"                # fill before DQT
+    got = decode_jpeg(bytes(padded))
+    assert np.array_equal(got, want)

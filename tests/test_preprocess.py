@@ -370,3 +370,20 @@ def test_relieff_quantized_matches_float_ranking(spark):
     tiny = spark.createDataFrame(rows[:8], "inf double, noise double, cls string")
     with pytest.raises(ValueError, match="<= k"):
         relieff(tiny, ["inf", "noise"], "cls", n_samples=8, quantize=100.0)
+
+
+def test_select_random_features_seeded():
+    """SelectRandomFeatures (fss.py:106-132): deterministic seeded draw,
+    original column order preserved, float k = proportion."""
+    from orange3_spark.preprocess.score import select_random_features
+
+    cols = ["a", "b", "c", "d", "e", "f"]
+    k3 = select_random_features(cols, 3, seed=1)
+    assert k3 == select_random_features(cols, 3, seed=1)  # replayable
+    assert len(k3) == 3 and [c for c in cols if c in k3] == k3
+    assert select_random_features(cols, 0.5, seed=1) == k3
+    assert select_random_features(cols, 99, seed=1) == cols
+    assert select_random_features(cols, 0, seed=1) == []
+    # a different seed eventually draws a different subset
+    assert any(select_random_features(cols, 3, seed=s) != k3
+               for s in range(2, 12))
