@@ -51,6 +51,8 @@ _CHANGED_THIS_ROUND = [
     # r9 advisor fixes: VP8L ClampAddSubtractHalf C-truncation, GIF
     # first-frame transparency, JPEG 0xFF fill-byte marker walk
     "q_media_decode_webp", "q_media_decode_gif", "q_media_decode_jpeg",
+    # r9 new: q_select_random / q_media_frames_vid are never-graded and
+    # sort first automatically
 ]
 
 

@@ -43,6 +43,7 @@ MAGIC = (
     ("bmp", ((0, b"BM"),)),
     ("ppm", ((0, b"P6"),)),
     ("webp", ((0, b"RIFF"), (8, b"WEBP"))),
+    ("avi", ((0, b"RIFF"), (8, b"AVI "))),
     ("wav", ((0, b"RIFF"),)),
     ("mp3", ((0, b"ID3"),)),
     ("pdf", ((0, b"%PDF"),)),
@@ -238,9 +239,13 @@ def byte_histogram(df: DataFrame, binary_col: str = "content",
 def sample_frames(df: DataFrame, binary_col: str = "content",
                   id_col: str = "media_id", *, every_n_bytes: int = 1024,
                   frame_bytes: int = 64, max_frames: int = 16) -> DataFrame:
-    """Frame sampling plumbing for video blobs: deterministic byte-offset
-    slices standing in for keyframe extraction (real ffmpeg call replaces
-    the slice).  Output is long-form (media_id, frame_no, frame_bytes)."""
+    """Byte-offset frame-sampling PLUMBING — retired (round 9) to blobs
+    whose container has no native path: AVI/MJPEG goes through
+    :func:`sample_video_frames` and GIF through :func:`sample_gif_frames`,
+    both decoding REAL frames; this deterministic slice remains only as
+    the schema-stable stand-in for containers this environment cannot
+    decode (MP4/WebM — no ffmpeg here).  Output is long-form
+    (media_id, frame_no, frame_bytes)."""
     offsets = F.sequence(
         F.lit(0),
         F.least(F.lit(max_frames - 1),
@@ -369,6 +374,59 @@ def sample_gif_frames(df: DataFrame, binary_col: str = "content",
             for mid, blob in zip(pdf[id_col], pdf[binary_col]):
                 frames = decode_gif_frames(bytes(blob),
                                            max_frames=max_frames)
+                for fno, f in enumerate(frames):
+                    out.append((int(mid), fno, f.shape[0], f.shape[1],
+                                (f.astype(np.float32) / 255.0)
+                                .ravel().tolist()))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_no", "height", "width",
+                              "pixels"])
+
+    return df.select(F.col(id_col), F.col(binary_col)) \
+             .mapInPandas(run, schema=schema)
+
+
+def sample_video_frames(df: DataFrame, binary_col: str = "content",
+                        id_col: str = "media_id", *,
+                        max_frames: int = 16) -> DataFrame:
+    """REAL video keyframe extraction (round 9): MJPEG-in-AVI blobs are
+    parsed natively (multimodal/avi.py — idx1 AVIIF_KEYFRAME selection,
+    each I-frame decoded by the round-8 JPEG decoder) and GIF blobs go
+    through the composited-animation decoder; one Arrow-batched
+    mapInPandas, long-form ``(id, frame_no, height, width, pixels)``
+    matching decode_image's convention so resize / stats compose.
+    ``frame_no`` numbers the SELECTED keyframes — delta frames a
+    container marks non-key are skipped, never decoded.  Unknown
+    containers raise loudly (the byte-slice ``sample_frames`` stub is
+    the schema-stable stand-in for those)."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("pixels", T.ArrayType(T.FloatType())),
+    ])
+
+    def run(pdf_iter):
+        import numpy as np
+        import pandas as pd
+
+        from orange3_spark.multimodal.avi import decode_avi_mjpeg_frames
+        from orange3_spark.multimodal.gif import decode_gif_frames
+
+        for pdf in pdf_iter:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                blob = bytes(blob)
+                if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+                    frames = decode_avi_mjpeg_frames(blob,
+                                                     max_frames=max_frames)
+                elif blob[:6] in (b"GIF87a", b"GIF89a"):
+                    frames = decode_gif_frames(blob, max_frames=max_frames)
+                else:
+                    raise ValueError(
+                        "no native keyframe decoder for this container "
+                        "(use sample_frames for the byte-slice stand-in)")
                 for fno, f in enumerate(frames):
                     out.append((int(mid), fno, f.shape[0], f.shape[1],
                                 (f.astype(np.float32) / 255.0)

@@ -796,3 +796,79 @@ def q_media_frames_gif(spark, sf_dir):
         F.size("pixels").cast("long").alias("n_px"),
         lsum(ints).alias("sum_val"),
         lsum(weighted).alias("checksum"))
+
+
+@query("q_media_frames_vid", """
+WITH px AS (
+  SELECT doc_id, f,
+         2 * ((doc_id * 13 + 11 * f + 7 * (2 * (y // 8) + (x // 8)))
+              % 60 - 30) + 128 AS v,
+         (y * 16 + x) * 3 + c AS i
+  FROM documents,
+       unnest([0, 2]) gf(f),
+       unnest(generate_series(0, 15)) gy(y),
+       unnest(generate_series(0, 15)) gx(x),
+       unnest(generate_series(0, 2)) gc(c)),
+sel AS (SELECT doc_id, CASE WHEN f = 0 THEN 0 ELSE 1 END AS frame_no,
+               v, i FROM px)
+SELECT doc_id AS media_id, CAST(frame_no AS INT) AS frame_no,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(v) AS BIGINT) AS sum_val,
+       CAST(sum(v * (i + 1)) AS BIGINT) AS checksum
+FROM sel GROUP BY doc_id, frame_no
+""")
+def q_media_frames_vid(spark, sf_dir):
+    """REAL video keyframe extraction, oracle-checked to the pixel
+    (round 9: multimodal/avi.py parses the MJPEG-in-AVI container and
+    the r8 JPEG decoder handles each I-frame — the byte-slice
+    sample_frames stub is retired to containers with no native path).
+    Per document a 3-frame AVI whose idx1 marks frames 0 and 2 as
+    keyframes and frame 1 as a delta frame: the reader must SELECT
+    exactly the keyframes, skip the delta frame entirely, and decode
+    each to the flat DC-only values pinned by construction
+    (2·DC + 128, the q_media_decode_jpeg exactness trick with a
+    per-frame term).  Any slip in RIFF chunk walking, idx1 flag
+    handling, offset-convention disambiguation, or the JPEG decode
+    shifts the position-weighted checksum; the oracle recomputes both
+    selected frames from doc_id alone."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _ids_partitioned(spark, sf_dir)
+    H = W = 16
+
+    def mk(pdf_iter):
+        from orange3_spark.multimodal.avi import encode_avi_mjpeg
+        from orange3_spark.multimodal.jpeg import encode_jpeg
+
+        def dc_frame(did, f):
+            coeffs = np.zeros((2, 2, 8, 8), dtype=np.int64)
+            for by in range(2):
+                for bx in range(2):
+                    coeffs[by, bx, 0, 0] = \
+                        (did * 13 + 11 * f + 7 * (2 * by + bx)) % 60 - 30
+            return encode_jpeg(None, quality=50, coeffs=coeffs)
+
+        for pdf in pdf_iter:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                blob = encode_avi_mjpeg(
+                    jpegs=[dc_frame(did, f) for f in range(3)],
+                    size=(H, W),
+                    keyframe_flags=[True, False, True])
+                out.append((did, blob))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    blobs = docs.mapInPandas(mk, "media_id long, content binary")
+    fr = M.sample_video_frames(blobs)
+    ints = F.transform(F.col("pixels"),
+                       lambda x: F.round(x * 255).cast("long"))
+    weighted = F.transform(ints, lambda v, i: v * (i.cast("long") + 1))
+    lsum = (lambda arr: F.aggregate(arr, F.lit(0).cast("long"),
+                                    lambda a, v: a + v))
+    return fr.select(
+        "media_id", "frame_no",
+        F.size("pixels").cast("long").alias("n_px"),
+        lsum(ints).alias("sum_val"),
+        lsum(weighted).alias("checksum"))

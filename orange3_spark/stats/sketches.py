@@ -25,7 +25,7 @@ Scale shape:
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -167,6 +167,41 @@ def hll_registers(df: DataFrame, col: str, *, group_by: str,
                                F.lit(53) - F.length(F.bin(F.col("v"))))
                         .otherwise(F.lit(53)))
             .groupBy("g", "idx").agg(F.max("rho").alias("mj")))
+
+
+def hll_registers_windowed(df: DataFrame, col: str, *, group_by: str,
+                           time_col: str = "ts", duration: str = "1 hour",
+                           watermark: Optional[str] = None,
+                           p: int = 8) -> DataFrame:
+    """Time-windowed HLL register table ``(window_start, g, idx, mj)`` —
+    the per-window sketch a streaming deployment actually stores.
+
+    Same register construction as :func:`hll_registers`, keyed by a
+    tumbling window: state is bounded in KEYS (m registers per group per
+    window) and, with a ``watermark``, in TIME — closed windows are
+    finalized and evicted, and rows arriving behind the watermark are
+    dropped and COUNTED by the engine's ``numRowsDroppedByWatermark``
+    (exact drop count pinned in tests/test_streaming.py).  Runs
+    unchanged in batch (window is an ordinary group key), which is the
+    twin the oracle checks."""
+    m = 1 << p
+    src = df
+    if watermark:
+        src = src.withWatermark(time_col, watermark)
+    h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15),
+               16, 10).cast("long")
+    return (src.select(F.window(time_col, duration).alias("w"),
+                       F.col(group_by).cast("string").alias("g"),
+                       h.alias("h"))
+            .select("w", "g", F.pmod(F.col("h"), F.lit(m)).alias("idx"),
+                    F.expr(f"h div {m}").alias("v"))
+            .withColumn("rho",
+                        F.when(F.col("v") > 0,
+                               F.lit(53) - F.length(F.bin(F.col("v"))))
+                        .otherwise(F.lit(53)))
+            .groupBy("w", "g", "idx").agg(F.max("rho").alias("mj"))
+            .select(F.col("w.start").alias("window_start"),
+                    "g", "idx", "mj"))
 
 
 def hll_estimate(regs: DataFrame, *, group_by: str,

@@ -264,6 +264,11 @@ AUDITS.update({
         ("fraction denominator is a window aggregate, not a second scan",
          r"windowspecdefinition"),
     ],
+    "q_media_frames_vid": [
+        ("AVI keyframe extraction is Arrow-batched (mapInPandas), "
+         "never per-row Python",
+         r"MapInPandas|ArrowEvalPython"),
+    ],
     "q_select_random": [
         ("scan reads ONLY the 3 selected columns (seeded draw costs no "
          "data pass)",

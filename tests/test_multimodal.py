@@ -905,3 +905,77 @@ def test_jpeg_fill_bytes_before_markers():
     padded[at:at] = b"\xFF"                # fill before DQT
     got = decode_jpeg(bytes(padded))
     assert np.array_equal(got, want)
+
+
+def test_avi_mjpeg_keyframe_roundtrip():
+    """MJPEG-in-AVI: container round-trip, idx1 keyframe selection (a
+    delta-marked frame is skipped, never decoded), offset-convention
+    tolerance, and exact DC-only pixel values through the r8 JPEG
+    decoder."""
+    import numpy as np
+    import pytest
+
+    from orange3_spark.multimodal.avi import (decode_avi_mjpeg_frames,
+                                              encode_avi_mjpeg)
+    from orange3_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    def dc_jpeg(dcvals):
+        coeffs = np.zeros((2, 2, 8, 8), dtype=np.int64)
+        for by in range(2):
+            for bx in range(2):
+                coeffs[by, bx, 0, 0] = dcvals[2 * by + bx]
+        return encode_jpeg(None, quality=50, coeffs=coeffs)
+
+    jp = [dc_jpeg([1, 2, 3, 4]), dc_jpeg([9, 9, 9, 9]),
+          dc_jpeg([-5, 0, 5, 10])]
+    blob = encode_avi_mjpeg(jpegs=jp, size=(16, 16),
+                            keyframe_flags=[True, False, True])
+    fr = decode_avi_mjpeg_frames(blob)
+    assert len(fr) == 2                       # delta frame skipped
+    assert np.array_equal(fr[0], decode_jpeg(jp[0]))
+    assert np.array_equal(fr[1], decode_jpeg(jp[2]))
+    assert int(fr[0][0, 0, 0]) == 2 * 1 + 128      # flat DC-only value
+    assert int(fr[1][15, 15, 0]) == 2 * 10 + 128
+    assert len(decode_avi_mjpeg_frames(blob, keyframes_only=False)) == 3
+    assert len(decode_avi_mjpeg_frames(blob, max_frames=1)) == 1
+
+    # pixel-frame encode path: lossy but shape/count exact
+    rng = np.random.default_rng(3)
+    f = rng.integers(0, 256, (24, 32, 3)).astype(np.uint8)
+    fr2 = decode_avi_mjpeg_frames(encode_avi_mjpeg([f, f], quality=85))
+    assert len(fr2) == 2 and fr2[0].shape == (24, 32, 3)
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_avi_mjpeg_frames(b"RIFX" + bytes(32))
+    with pytest.raises(ValueError, match="keyframes"):
+        # all frames delta-marked: keyframe sampling finds nothing
+        decode_avi_mjpeg_frames(encode_avi_mjpeg(
+            jpegs=jp, size=(16, 16),
+            keyframe_flags=[False, False, False]))
+
+
+def test_sample_video_frames_dispatch(spark):
+    """sample_video_frames: AVI goes through the native MJPEG keyframe
+    path, GIF through the animation decoder, unknown containers raise."""
+    import numpy as np
+
+    from orange3_spark.multimodal.avi import encode_avi_mjpeg
+    from orange3_spark.multimodal.gif import encode_gif_animation
+
+    f0 = np.full((6, 8, 3), 30, dtype=np.uint8)
+    f1 = np.full((6, 8, 3), 200, dtype=np.uint8)
+    avi = encode_avi_mjpeg([f0, f1], quality=95)
+    gif = encode_gif_animation([f0, f1])
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(gif))],
+        "media_id long, content binary")
+    rows = M.sample_video_frames(df).collect()
+    got = {(r.media_id, r.frame_no): (r.height, r.width) for r in rows}
+    assert set(got) == {(1, 0), (1, 1), (2, 0), (2, 1)}
+    assert all(v == (6, 8) for v in got.values())
+
+    bad = spark.createDataFrame([(3, bytearray(b"\x00" * 64))],
+                                "media_id long, content binary")
+    import pytest
+    with pytest.raises(Exception, match="native keyframe"):
+        M.sample_video_frames(bad).collect()

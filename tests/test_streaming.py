@@ -549,3 +549,68 @@ def test_checkpoint_kill_and_resume_exactly_once(spark, tmp_path):
     # value-level exactly-once: equals the batch twin, no dup/missing rows
     assert (sorted(r[0] for r in got.select("v").collect())
             == list(range(4 * rows_per)))
+
+
+def test_hll_sketch_late_rows_evicted_count(spark, tmp_path):
+    """Windowed-HLL sketch stream: late rows behind the watermark are
+    dropped AND counted (numRowsDroppedByWatermark), closed windows'
+    register state is evicted, and the emitted registers equal the batch
+    twin computed over the on-time rows only — the level-table
+    watermark pin the r8 verdict asked for on the sketch family."""
+    import os
+
+    import pandas as pd
+
+    from orange3_spark.stats.sketches import hll_registers_windowed
+
+    d = tmp_path / "hll_in"
+    d.mkdir()
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def _write(name, rows, mtime):
+        pdf = pd.DataFrame({
+            "ts": [t0 + pd.Timedelta(hours=h) for h, _, _ in rows],
+            "g": [g for _, g, _ in rows],
+            "uid": [u for _, _, u in rows]})
+        p = d / name
+        pdf.astype({"ts": "datetime64[us]"}).to_parquet(p)
+        os.utime(p, (mtime, mtime))
+
+    # batch 0: hours 0/1 populated; the 6:00 row advances the
+    # watermark to 5:00 at the end of the batch
+    _write("b1.parquet", [(0, "a", 1), (0, "a", 2), (1, "a", 3),
+                          (0.5, "b", 9), (6, "a", 4)], 1_700_000_000)
+    # batch 1: on-time row -> windows ending <= 5:00 finalize + emit
+    _write("b2.parquet", [(6.5, "a", 5)], 1_700_000_100)
+    # batch 2: two rows target already-finalized windows -> evicted and
+    # COUNTED; the 7:00 row is on time
+    _write("b3.parquet", [(0.25, "a", 77), (1.75, "a", 78), (7, "a", 6)],
+           1_700_000_200)
+
+    schema = spark.read.parquet(str(d / "b1.parquet")).schema
+    stream = (SW.stream_from_directory(spark, str(d), schema,
+                                       max_files_per_trigger=1)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    regs = hll_registers_windowed(stream, "uid", group_by="g",
+                                  time_col="ts", duration="1 hour",
+                                  watermark="1 hour")
+    q = (regs.writeStream.format("memory").queryName("t_hll_evict")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    assert _dropped_by_watermark(q) == 2
+
+    got = sorted(tuple(r) for r in spark.table("t_hll_evict")
+                 .filter(F.hour("window_start").isin(0, 1)).collect())
+    # batch twin over the ON-TIME rows only: the late uids 77/78 must
+    # not have perturbed any register of hours 0-1
+    batch = spark.createDataFrame(
+        [((t0 + pd.Timedelta(hours=h)).to_pydatetime(), g, u)
+         for h, g, u in [(0, "a", 1), (0, "a", 2), (1, "a", 3),
+                         (0.5, "b", 9)]],
+        "ts timestamp, g string, uid long")
+    want = sorted(tuple(r) for r in
+                  hll_registers_windowed(batch, "uid", group_by="g",
+                                         time_col="ts",
+                                         duration="1 hour").collect())
+    assert got == want and len(want) == 4
