@@ -437,3 +437,43 @@ def sample_video_frames(df: DataFrame, binary_col: str = "content",
 
     return df.select(F.col(id_col), F.col(binary_col)) \
              .mapInPandas(run, schema=schema)
+
+
+def vp8_metadata(df: DataFrame, binary_col: str = "content",
+                 id_col: str = "media_id") -> DataFrame:
+    """Lossy-VP8 header metadata per blob (round 9): dimensions, loop
+    filter level, quantizer index, token partition count — parsed
+    natively from the uniform-probability boolean header layer
+    (multimodal/webp.vp8_frame_header), no pixel decode, no Pillow.
+    This is the corpus-triage surface for the one image format whose
+    PIXELS stay behind the gate (see webp.py's round-9 decision note):
+    resolution/quality histograms over 100 TB of crawl WebPs without
+    decoding one macroblock.  One Arrow-batched mapInPandas."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("filter_level", T.IntegerType()),
+        T.StructField("y_ac_qi", T.IntegerType()),
+        T.StructField("n_token_partitions", T.IntegerType()),
+    ])
+
+    def run(pdf_iter):
+        import pandas as pd
+
+        from orange3_spark.multimodal.webp import vp8_frame_header
+
+        for pdf in pdf_iter:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                h = vp8_frame_header(bytes(blob))
+                out.append((int(mid), h.get("width", -1),
+                            h.get("height", -1), h["filter_level"],
+                            h["y_ac_qi"], h["n_token_partitions"]))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height",
+                              "filter_level", "y_ac_qi",
+                              "n_token_partitions"])
+
+    return df.select(F.col(id_col), F.col(binary_col)) \
+             .mapInPandas(run, schema=schema)

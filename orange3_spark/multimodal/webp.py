@@ -8,8 +8,11 @@ prefix (entropy) images, LZ77 backward references with the 120-entry
 2-D distance map, and all four transforms in inverse (predictor with
 its 14 modes, color transform, subtract-green, color indexing with
 sub-byte pixel packing).  Alpha is decoded and dropped (the pipeline's
-pixel schema is RGB).  Lossy WebP (VP8 chunks) raises with a clear
-message — a VP8 decoder is a video-codec port, firmly out of scope.
+pixel schema is RGB).  Lossy WebP (VP8 chunks): the FRAME-HEADER layer
+parses natively (``vp8_frame_header`` — dimensions, filter level,
+quantizer; uniform-probability boolean coding, exact for real files);
+PIXEL decode raises toward the Pillow gate — see the round-9 decision
+note at the "lossy VP8 header" section for why that is deliberate.
 
 Encode scope: a test harness proving the decoder without Pillow or
 libwebp in this container — writes valid VP8L with selectable feature
@@ -938,3 +941,231 @@ def webp_kind(blob: bytes):
         ln = struct.unpack_from("<I", b, pos + 4)[0]
         pos += 8 + ln + (ln & 1)
     return None
+
+
+# ----------------------------------------------------------- lossy VP8 header
+#
+# Pixel decode of lossy VP8 stays behind the Pillow gate ON PURPOSE
+# (round-9 decision): VP8 entropy decoding is defined against the spec's
+# hardcoded default probability tables (RFC 6386 §13: ~1056 coefficient
+# probs, keyframe mode trees), which are not available in this offline
+# container and cannot be reconstructed from memory — an implementation
+# with invented tables would parse real libwebp files WITHOUT ERROR and
+# emit silently wrong pixels, the exact dishonest-decode failure mode the
+# gate exists to prevent.  (JPEG carries its tables in-stream and VP8L
+# carries its prefix-code lengths in-stream, which is why those decoders
+# could be built and proven here; VP8 cannot.)
+#
+# What IS exactly specified without any table is the boolean coder itself
+# and the frame-header layer that uses it with uniform probability 128:
+# everything a 100 TB corpus triage needs from a lossy WebP — dimensions,
+# keyframe/version flags, loop-filter level, quantizer index — parses
+# natively below, so the gate applies to pixels only, not metadata.
+
+
+class _VP8BoolReader:
+    """RFC 6386 §7 boolean decoder (the header layer only uses it with
+    probability 128, i.e. uniform literals)."""
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 2
+        self.value = (buf[0] << 8) | buf[1] if len(buf) >= 2 else 0
+        self.range = 255
+        self.bit_count = 0
+
+    def read_bool(self, prob: int = 128) -> int:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        bigsplit = split << 8
+        if self.value >= bigsplit:
+            bit = 1
+            self.range -= split
+            self.value -= bigsplit
+        else:
+            bit = 0
+            self.range = split
+        while self.range < 128:
+            self.value <<= 1
+            self.range <<= 1
+            self.bit_count += 1
+            if self.bit_count == 8:
+                self.bit_count = 0
+                nxt = self.buf[self.pos] if self.pos < len(self.buf) else 0
+                self.value |= nxt
+                self.pos += 1
+        self.value &= 0xFFFF
+        return bit
+
+    def read_literal(self, bits: int) -> int:
+        v = 0
+        for _ in range(bits):
+            v = (v << 1) | self.read_bool(128)
+        return v
+
+    def read_signed(self, bits: int) -> int:
+        v = self.read_literal(bits)
+        return -v if self.read_bool(128) else v
+
+
+class _VP8BoolWriter:
+    """Matching boolean encoder (uniform-prob literals) — exists so tests
+    and corpora can synthesize headers whose fields round-trip; it makes
+    no claim of producing decodable COEFFICIENT data."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.range = 255
+        self.bottom = 0
+        self.bit_count = 24
+
+    def _carry(self):
+        i = len(self.out) - 1
+        while i >= 0 and self.out[i] == 0xFF:
+            self.out[i] = 0
+            i -= 1
+        if i >= 0:
+            self.out[i] += 1
+
+    def write_bool(self, bit: int, prob: int = 128) -> None:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        if bit:
+            self.bottom += split
+            self.range -= split
+        else:
+            self.range = split
+        while self.range < 128:
+            if self.bottom & (1 << 31):
+                self._carry()
+            self.bottom <<= 1
+            self.bottom &= 0xFFFFFFFF
+            self.range <<= 1
+            self.bit_count -= 1
+            if self.bit_count == 0:
+                self.out.append((self.bottom >> 24) & 0xFF)
+                self.bottom &= 0xFFFFFF
+                self.bit_count = 8
+
+    def write_literal(self, v: int, bits: int) -> None:
+        for b in range(bits - 1, -1, -1):
+            self.write_bool((v >> b) & 1)
+
+    def write_signed(self, v: int, bits: int) -> None:
+        self.write_literal(abs(v), bits)
+        self.write_bool(1 if v < 0 else 0)
+
+    def finish(self) -> bytes:
+        for _ in range(32):
+            self.write_bool(0)
+        return bytes(self.out)
+
+
+def vp8_frame_header(blob: bytes) -> dict:
+    """Parse the lossy-VP8 frame header out of a WebP container (or a
+    bare VP8 payload): the uncompressed frame tag + start code + size
+    (RFC 6386 §9.1) and the leading boolean-coded fields through the
+    quantizer indices (§9.2-9.6) — all coded with uniform probability,
+    so no default-probability table is involved and every field below is
+    exact for real libwebp/libvpx files."""
+    b = bytes(blob)
+    payload = None
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        pos = 12
+        while pos + 8 <= len(b):
+            tag = b[pos:pos + 4]
+            ln = struct.unpack_from("<I", b, pos + 4)[0]
+            if tag == b"VP8 ":
+                payload = b[pos + 8:pos + 8 + ln]
+                break
+            pos += 8 + ln + (ln & 1)
+        if payload is None:
+            raise ValueError("container has no lossy VP8 chunk")
+    else:
+        payload = b
+    if len(payload) < 10:
+        raise ValueError("VP8 payload too short")
+    tag = payload[0] | (payload[1] << 8) | (payload[2] << 16)
+    hdr = {
+        "keyframe": (tag & 1) == 0,
+        "version": (tag >> 1) & 7,
+        "show_frame": (tag >> 4) & 1,
+        "first_part_size": tag >> 5,
+    }
+    pos = 3
+    if hdr["keyframe"]:
+        if payload[3:6] != b"\x9d\x01\x2a":
+            raise ValueError("bad VP8 keyframe start code")
+        w = payload[6] | (payload[7] << 8)
+        h = payload[8] | (payload[9] << 8)
+        hdr.update(width=w & 0x3FFF, width_scale=w >> 14,
+                   height=h & 0x3FFF, height_scale=h >> 14)
+        pos = 10
+    br = _VP8BoolReader(payload[pos:pos + hdr["first_part_size"]])
+    if hdr["keyframe"]:
+        hdr["color_space"] = br.read_bool()
+        hdr["clamping_type"] = br.read_bool()
+    hdr["segmentation_enabled"] = seg = br.read_bool()
+    if seg:
+        update_map = br.read_bool()
+        update_data = br.read_bool()
+        if update_data:
+            br.read_bool()                    # abs/delta
+            for _ in range(4):                # quantizer segment deltas
+                if br.read_bool():
+                    br.read_signed(7)
+            for _ in range(4):                # loop filter segment deltas
+                if br.read_bool():
+                    br.read_signed(6)
+        if update_map:
+            for _ in range(3):                # segment tree probs
+                if br.read_bool():
+                    br.read_literal(8)
+    hdr["filter_type"] = br.read_bool()       # 0 normal, 1 simple
+    hdr["filter_level"] = br.read_literal(6)
+    hdr["sharpness"] = br.read_literal(3)
+    if br.read_bool():                        # loop filter adj enabled
+        if br.read_bool():                    # mode_ref_lf_delta_update
+            for _ in range(8):
+                if br.read_bool():
+                    br.read_signed(6)
+    hdr["n_token_partitions"] = 1 << br.read_literal(2)
+    hdr["y_ac_qi"] = br.read_literal(7)
+    for name in ("y_dc_delta", "y2_dc_delta", "y2_ac_delta",
+                 "uv_dc_delta", "uv_ac_delta"):
+        hdr[name] = br.read_signed(4) if br.read_bool() else 0
+    return hdr
+
+
+def encode_vp8_header_stub(*, width: int, height: int, filter_level: int = 0,
+                           sharpness: int = 0, y_ac_qi: int = 20,
+                           n_token_partitions: int = 1,
+                           version: int = 0) -> bytes:
+    """Synthesize a WebP container holding a VP8 keyframe whose HEADER
+    fields are exactly as given — the corpus/test harness for
+    :func:`vp8_frame_header`.  The coefficient partitions are empty:
+    this is explicitly a header-layer stub (see the module note on why
+    lossy-VP8 pixel decode stays gated), not a pixel encoder."""
+    bw = _VP8BoolWriter()
+    bw.write_bool(0)                          # color space
+    bw.write_bool(0)                          # clamping
+    bw.write_bool(0)                          # segmentation off
+    bw.write_bool(0)                          # filter type normal
+    bw.write_literal(filter_level, 6)
+    bw.write_literal(sharpness, 3)
+    bw.write_bool(0)                          # no loop filter adjustments
+    bw.write_literal({1: 0, 2: 1, 4: 2, 8: 3}[n_token_partitions], 2)
+    bw.write_literal(y_ac_qi, 7)
+    for _ in range(5):
+        bw.write_bool(0)                      # no quant deltas
+    # refresh entropy probs + no prob updates would follow in a real
+    # stream; the parser above stops at the quant indices, so the
+    # remaining first-partition bytes may be arbitrary
+    part0 = bw.finish()
+    tag = (0) | (version << 1) | (1 << 4) | (len(part0) << 5)
+    payload = (bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+               + b"\x9d\x01\x2a"
+               + struct.pack("<HH", width & 0x3FFF, height & 0x3FFF)
+               + part0)
+    if len(payload) & 1:
+        payload += b"\x00"
+    riff = b"WEBP" + b"VP8 " + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff

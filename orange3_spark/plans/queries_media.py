@@ -872,3 +872,47 @@ def q_media_frames_vid(spark, sf_dir):
         F.size("pixels").cast("long").alias("n_px"),
         lsum(ints).alias("sum_val"),
         lsum(weighted).alias("checksum"))
+
+
+@query("q_media_vp8_meta", """
+SELECT doc_id AS media_id,
+       CAST(16 + (doc_id % 1009) AS INT) AS width,
+       CAST(16 + ((doc_id * 7) % 737) AS INT) AS height,
+       CAST((doc_id * 11) % 64 AS INT) AS filter_level,
+       CAST((doc_id * 13) % 128 AS INT) AS y_ac_qi,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                 WHEN doc_id % 3 = 1 THEN 2 ELSE 8 END AS INT)
+         AS n_token_partitions
+FROM documents
+""")
+def q_media_vp8_meta(spark, sf_dir):
+    """Lossy-VP8 header metadata at corpus scale (round 9,
+    multimodal/webp.vp8_frame_header): the boolean-coded frame header —
+    dimensions, loop-filter level, quantizer index, partition count —
+    parses natively with uniform probabilities (exact for real libvpx
+    files), so the ONE gated format is triage-able without decoding a
+    macroblock.  Per document a VP8 keyframe header is synthesized with
+    fields derived from doc_id; the oracle recomputes every field from
+    doc_id alone, so any slip in the boolean decoder, tag unpack, or
+    field order shifts a value."""
+    import pandas as pd
+
+    docs = _ids_partitioned(spark, sf_dir)
+
+    def mk(pdf_iter):
+        from orange3_spark.multimodal.webp import encode_vp8_header_stub
+        for pdf in pdf_iter:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                blob = encode_vp8_header_stub(
+                    width=16 + did % 1009,
+                    height=16 + (did * 7) % 737,
+                    filter_level=(did * 11) % 64,
+                    y_ac_qi=(did * 13) % 128,
+                    n_token_partitions={0: 1, 1: 2, 2: 8}[did % 3])
+                out.append((did, blob))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    blobs = docs.mapInPandas(mk, "media_id long, content binary")
+    return M.vp8_metadata(blobs)

@@ -264,6 +264,11 @@ AUDITS.update({
         ("fraction denominator is a window aggregate, not a second scan",
          r"windowspecdefinition"),
     ],
+    "q_media_vp8_meta": [
+        ("VP8 header triage is Arrow-batched (mapInPandas), no pixel "
+         "decode",
+         r"MapInPandas|ArrowEvalPython"),
+    ],
     "q_media_frames_vid": [
         ("AVI keyframe extraction is Arrow-batched (mapInPandas), "
          "never per-row Python",

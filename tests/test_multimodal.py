@@ -979,3 +979,74 @@ def test_sample_video_frames_dispatch(spark):
     import pytest
     with pytest.raises(Exception, match="native keyframe"):
         M.sample_video_frames(bad).collect()
+
+
+def test_vp8_header_layer():
+    """Lossy-VP8 frame-header parsing (pixels stay gated — round-9
+    decision note in webp.py): header stub round-trip, segmentation /
+    loop-filter-adjustment skipping, non-keyframe tag, truncation."""
+    import pytest
+
+    from orange3_spark.multimodal.webp import (_VP8BoolWriter,
+                                               encode_vp8_header_stub,
+                                               vp8_frame_header, webp_kind)
+
+    blob = encode_vp8_header_stub(width=640, height=360, filter_level=23,
+                                  sharpness=2, y_ac_qi=61,
+                                  n_token_partitions=4)
+    assert webp_kind(blob) == "lossy"
+    h = vp8_frame_header(blob)
+    assert h["keyframe"] and h["show_frame"] == 1
+    assert (h["width"], h["height"]) == (640, 360)
+    assert h["filter_level"] == 23 and h["sharpness"] == 2
+    assert h["y_ac_qi"] == 61 and h["n_token_partitions"] == 4
+    assert h["y_dc_delta"] == 0 and h["uv_ac_delta"] == 0
+
+    # hand-build a header WITH segmentation + filter adjustments + quant
+    # deltas so the parser's skip paths are exercised
+    bw = _VP8BoolWriter()
+    bw.write_bool(0); bw.write_bool(0)            # colorspace, clamping
+    bw.write_bool(1)                              # segmentation on
+    bw.write_bool(1)                              # update map
+    bw.write_bool(1)                              # update data
+    bw.write_bool(0)                              # delta mode
+    for i in range(4):                            # quantizer seg deltas
+        bw.write_bool(1); bw.write_signed(5 + i, 7)
+    for _ in range(4):                            # lf seg deltas absent
+        bw.write_bool(0)
+    for _ in range(3):                            # segment tree probs
+        bw.write_bool(1); bw.write_literal(200, 8)
+    bw.write_bool(1)                              # filter type simple
+    bw.write_literal(11, 6); bw.write_literal(7, 3)
+    bw.write_bool(1)                              # lf adjustments enabled
+    bw.write_bool(1)                              # delta update
+    for i in range(8):
+        bw.write_bool(1); bw.write_signed(-3, 6)
+    bw.write_literal(1, 2)                        # 2 token partitions
+    bw.write_literal(99, 7)                       # y_ac_qi
+    bw.write_bool(1); bw.write_signed(-7, 4)      # y_dc_delta
+    for _ in range(4):
+        bw.write_bool(0)
+    part0 = bw.finish()
+    tag = (0) | (1 << 4) | (len(part0) << 5)
+    payload = (bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+               + b"\x9d\x01\x2a" + b"\x40\x01\xf0\x00" + part0)  # 320x240
+    h2 = vp8_frame_header(payload)                # bare payload path
+    assert h2["segmentation_enabled"] == 1
+    assert h2["filter_type"] == 1 and h2["filter_level"] == 11
+    assert h2["sharpness"] == 7
+    assert h2["n_token_partitions"] == 2
+    assert h2["y_ac_qi"] == 99 and h2["y_dc_delta"] == -7
+    assert (h2["width"], h2["height"]) == (320, 240)
+
+    # non-keyframe: tag bit 0 set — no start code / dimensions
+    nk_tag = 1 | (1 << 4) | (8 << 5)
+    nk = bytes([nk_tag & 0xFF, (nk_tag >> 8) & 0xFF,
+                (nk_tag >> 16) & 0xFF]) + bytes(16)
+    h3 = vp8_frame_header(nk)
+    assert not h3["keyframe"] and "width" not in h3
+
+    with pytest.raises(ValueError, match="start code"):
+        vp8_frame_header(bytes([0, 0, 0]) + b"XXX" + bytes(8))
+    with pytest.raises(ValueError, match="too short"):
+        vp8_frame_header(b"\x00\x00")
