@@ -61,6 +61,39 @@ def quantize_array(col, scale: float = LLOYD_SCALE):
                        lambda x: F.floor(x * F.lit(scale) + F.lit(0.5)))
 
 
+def exact_sq_dists(X, C):
+    """Pairwise squared distances between int-valued rows of ``X`` (n×d)
+    and ``C`` (k×d), exact, via the BLAS identity
+    ``|x|² + |c|² − 2·x·c`` in float64.
+
+    Every intermediate is an integer: products ≤ maxq², row sums ≤
+    d·maxq² — as long as ``d·maxq² < 2⁵³`` each float64 add/mul is exact
+    regardless of BLAS summation order, so the result equals the int64
+    computation bit-for-bit while the n×k×d broadcast-difference tensor
+    (2.3 GB per 10k-row Arrow batch at k=447, dim=64 — the √n cell counts
+    real IVF uses) never materializes.  Out of bounds → int64 fallback,
+    blocked over rows to cap the tensor."""
+    import numpy as np
+
+    Xf = np.asarray(X, dtype=np.float64)
+    Cf = np.asarray(C, dtype=np.float64)
+    d = Xf.shape[1]
+    maxq = max(float(np.abs(Xf).max(initial=0.0)),
+               float(np.abs(Cf).max(initial=0.0)))
+    if d * maxq * maxq < 2.0 ** 53:
+        xx = (Xf * Xf).sum(axis=1)
+        cc = (Cf * Cf).sum(axis=1)
+        return xx[:, None] + cc[None, :] - 2.0 * (Xf @ Cf.T)
+    Xi = np.asarray(X, dtype=np.int64)
+    Ci = np.asarray(C, dtype=np.int64)
+    out = np.empty((Xi.shape[0], Ci.shape[0]), dtype=np.int64)
+    step = max(1, 1_000_000 // max(1, Ci.shape[0] * d))
+    for i in range(0, Xi.shape[0], step):
+        blk = Xi[i:i + step]
+        out[i:i + step] = ((blk[:, None, :] - Ci[None, :, :]) ** 2).sum(2)
+    return out
+
+
 def rightsize_persist(qdf: DataFrame, *, rows_per_task: int = 50_000):
     """Shared fit-scaffold for the Lloyd family (k-means, PQ): count the
     input, coalesce a small frame so per-round jobs don't pay pure
@@ -205,9 +238,10 @@ def kmeans_lloyd_fit(df: DataFrame, id_col: str, *, array_col: str,
             if not len(s):
                 return pd.Series(np.zeros(0, dtype="int32"))
             X = np.stack([np.asarray(v, dtype=np.int64) for v in s])
-            # exact int64 squared distances; np.argmin breaks ties toward
-            # the lower index, same as the oracle's ORDER BY dist, cl
-            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # exact squared distances (BLAS identity, int64 fallback);
+            # np.argmin breaks ties toward the lower index, same as the
+            # oracle's ORDER BY dist, cl
+            d = exact_sq_dists(X, C)
             return pd.Series(np.argmin(d, axis=1).astype("int32"))
 
         return frame.withColumn("cluster", _nearest(F.col("_q")))
