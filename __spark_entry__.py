@@ -51,6 +51,11 @@ _CHANGED_THIS_ROUND = [
     # r9 advisor fixes: VP8L ClampAddSubtractHalf C-truncation, GIF
     # first-frame transparency, JPEG 0xFF fill-byte marker walk
     "q_media_decode_webp", "q_media_decode_gif", "q_media_decode_jpeg",
+    # r9 exact-BLAS Lloyd assignment + Arrow probe selection +
+    # empty-partition suff-stats fix (representatives of the four
+    # touched paths; the other 6 cluster-family consumers re-passed the
+    # local oracle sweep)
+    "q_ml_kmeans", "q_knn_ivf", "q_hard_negatives_blocked", "q_ivfpq",
     # r9 new: q_select_random / q_media_frames_vid are never-graded and
     # sort first automatically
 ]

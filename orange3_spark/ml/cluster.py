@@ -154,7 +154,12 @@ def _cluster_suff_stats(assigned: DataFrame, *, q_col: str = "_q",
             rows["n"].append(n)
             rows["s"].append(s.tolist())
             rows["ss"].append(str(ss))
-        yield pd.DataFrame(rows)
+        # an EMPTY partition must yield nothing: pd.DataFrame({"s": []})
+        # types the list column float64 and Arrow refuses the cast to
+        # array<long> (NumPyConverter has no list path) — latent until a
+        # coalesced fit left a task with zero rows
+        if rows["cl"]:
+            yield pd.DataFrame(rows)
 
     parts = (assigned.select(q_col, cluster_col)
              .mapInPandas(_suff, "cl long, n long, s array<long>, "

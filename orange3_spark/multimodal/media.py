@@ -45,6 +45,7 @@ MAGIC = (
     ("webp", ((0, b"RIFF"), (8, b"WEBP"))),
     ("avi", ((0, b"RIFF"), (8, b"AVI "))),
     ("wav", ((0, b"RIFF"),)),
+    ("mp4", ((4, b"ftyp"),)),
     ("mp3", ((0, b"ID3"),)),
     ("pdf", ((0, b"%PDF"),)),
 )
@@ -390,8 +391,11 @@ def sample_video_frames(df: DataFrame, binary_col: str = "content",
                         id_col: str = "media_id", *,
                         max_frames: int = 16) -> DataFrame:
     """REAL video keyframe extraction (round 9): MJPEG-in-AVI blobs are
-    parsed natively (multimodal/avi.py — idx1 AVIIF_KEYFRAME selection,
-    each I-frame decoded by the round-8 JPEG decoder) and GIF blobs go
+    parsed natively (multimodal/avi.py — idx1 AVIIF_KEYFRAME selection),
+    MP4 blobs through the ISO-BMFF sample tables (multimodal/mp4.py —
+    stss sync-sample selection; JPEG-coded tracks only, inter-coded
+    codecs raise to the gate), each I-frame decoded by the round-8 JPEG
+    decoder, and GIF blobs go
     through the composited-animation decoder; one Arrow-batched
     mapInPandas, long-form ``(id, frame_no, height, width, pixels)``
     matching decode_image's convention so resize / stats compose.
@@ -413,6 +417,7 @@ def sample_video_frames(df: DataFrame, binary_col: str = "content",
 
         from orange3_spark.multimodal.avi import decode_avi_mjpeg_frames
         from orange3_spark.multimodal.gif import decode_gif_frames
+        from orange3_spark.multimodal.mp4 import decode_mp4_mjpeg_frames
 
         for pdf in pdf_iter:
             out = []
@@ -420,6 +425,9 @@ def sample_video_frames(df: DataFrame, binary_col: str = "content",
                 blob = bytes(blob)
                 if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
                     frames = decode_avi_mjpeg_frames(blob,
+                                                     max_frames=max_frames)
+                elif blob[4:8] == b"ftyp":
+                    frames = decode_mp4_mjpeg_frames(blob,
                                                      max_frames=max_frames)
                 elif blob[:6] in (b"GIF87a", b"GIF89a"):
                     frames = decode_gif_frames(blob, max_frames=max_frames)
@@ -474,6 +482,49 @@ def vp8_metadata(df: DataFrame, binary_col: str = "content",
                 out, columns=["media_id", "width", "height",
                               "filter_level", "y_ac_qi",
                               "n_token_partitions"])
+
+    return df.select(F.col(id_col), F.col(binary_col)) \
+             .mapInPandas(run, schema=schema)
+
+
+def mp4_metadata(df: DataFrame, binary_col: str = "content",
+                 id_col: str = "media_id") -> DataFrame:
+    """ISO-BMFF track metadata per blob (round 9, multimodal/mp4.py):
+    brand, video codec fourcc, dimensions, movie duration (media
+    timescale units), sample and sync-sample counts — parsed from the
+    box/sample tables with no pixel decode.  The corpus-triage surface
+    for inter-coded MP4s (avc1 & co), the video analogue of
+    :func:`vp8_metadata`: duration/resolution/codec histograms over
+    100 TB of crawl video without decoding one frame.  One
+    Arrow-batched mapInPandas."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("brand", T.StringType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("n_sync", T.IntegerType()),
+    ])
+
+    def run(pdf_iter):
+        import pandas as pd
+
+        from orange3_spark.multimodal.mp4 import parse_mp4
+
+        for pdf in pdf_iter:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                m = parse_mp4(bytes(blob))
+                out.append((int(mid), m["brand"], m["codec"] or "????",
+                            m["width"] or -1, m["height"] or -1,
+                            int(m["duration"] or -1), m["n_samples"],
+                            m["n_sync"]))
+            yield pd.DataFrame(
+                out, columns=["media_id", "brand", "codec", "width",
+                              "height", "duration", "n_samples",
+                              "n_sync"])
 
     return df.select(F.col(id_col), F.col(binary_col)) \
              .mapInPandas(run, schema=schema)

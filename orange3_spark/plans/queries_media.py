@@ -916,3 +916,124 @@ def q_media_vp8_meta(spark, sf_dir):
 
     blobs = docs.mapInPandas(mk, "media_id long, content binary")
     return M.vp8_metadata(blobs)
+
+
+@query("q_media_frames_mp4", """
+WITH px AS (
+  SELECT doc_id, f,
+         2 * ((doc_id * 17 + 5 * f + 3 * (2 * (y // 8) + (x // 8)))
+              % 60 - 30) + 128 AS v,
+         (y * 16 + x) * 3 + c AS i
+  FROM documents,
+       unnest([0, 2]) gf(f),
+       unnest(generate_series(0, 15)) gy(y),
+       unnest(generate_series(0, 15)) gx(x),
+       unnest(generate_series(0, 2)) gc(c)),
+sel AS (SELECT doc_id, CASE WHEN f = 0 THEN 0 ELSE 1 END AS frame_no,
+               v, i FROM px)
+SELECT doc_id AS media_id, CAST(frame_no AS INT) AS frame_no,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(v) AS BIGINT) AS sum_val,
+       CAST(sum(v * (i + 1)) AS BIGINT) AS checksum
+FROM sel GROUP BY doc_id, frame_no
+""")
+def q_media_frames_mp4(spark, sf_dir):
+    """ISO-BMFF keyframe extraction, oracle-checked to the pixel
+    (round 9, multimodal/mp4.py — the container real corpora use; the
+    r8 verdict's "a real corpus is MP4/WebM").  Per document a 3-sample
+    MP4 whose ``stss`` marks samples 1 and 3 sync: the reader must walk
+    the nested box tree, expand the stsc/stco/stsz chunk run-map into
+    absolute sample ranges, SELECT exactly the stss samples, and decode
+    each JPEG payload to the flat DC-only values pinned by construction
+    (2·DC + 128, the q_media_decode_jpeg exactness trick with per-frame
+    terms).  Any slip in box walking, the sample-table expansion, sync
+    selection, or the JPEG decode shifts the position-weighted checksum;
+    the oracle recomputes both selected frames from doc_id alone."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _ids_partitioned(spark, sf_dir)
+    H = W = 16
+
+    def mk(pdf_iter):
+        from orange3_spark.multimodal.jpeg import encode_jpeg
+        from orange3_spark.multimodal.mp4 import encode_mp4_mjpeg
+
+        def dc_frame(did, f):
+            coeffs = np.zeros((2, 2, 8, 8), dtype=np.int64)
+            for by in range(2):
+                for bx in range(2):
+                    coeffs[by, bx, 0, 0] = \
+                        (did * 17 + 5 * f + 3 * (2 * by + bx)) % 60 - 30
+            return encode_jpeg(None, quality=50, coeffs=coeffs)
+
+        for pdf in pdf_iter:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                blob = encode_mp4_mjpeg(
+                    [dc_frame(did, f) for f in range(3)], (H, W),
+                    sync_flags=[True, False, True])
+                out.append((did, blob))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    blobs = docs.mapInPandas(mk, "media_id long, content binary")
+    fr = M.sample_video_frames(blobs)
+    ints = F.transform(F.col("pixels"),
+                       lambda x: F.round(x * 255).cast("long"))
+    weighted = F.transform(ints, lambda v, i: v * (i.cast("long") + 1))
+    lsum = (lambda arr: F.aggregate(arr, F.lit(0).cast("long"),
+                                    lambda a, v: a + v))
+    return fr.select(
+        "media_id", "frame_no",
+        F.size("pixels").cast("long").alias("n_px"),
+        lsum(ints).alias("sum_val"),
+        lsum(weighted).alias("checksum"))
+
+
+@query("q_media_mp4_meta", """
+SELECT doc_id AS media_id,
+       'isom' AS brand,
+       CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'avc1' END AS codec,
+       CAST(16 + (doc_id % 640) AS INT) AS width,
+       CAST(16 + ((doc_id * 3) % 480) AS INT) AS height,
+       CAST((1 + doc_id % 4) * 100 AS BIGINT) AS duration,
+       CAST(1 + doc_id % 4 AS INT) AS n_samples,
+       CAST(1 + (doc_id % 4) // 2 AS INT) AS n_sync
+FROM documents
+""")
+def q_media_mp4_meta(spark, sf_dir):
+    """MP4 track metadata at corpus scale (round 9,
+    multimodal/mp4.parse_mp4): brand, codec fourcc, declared
+    dimensions, duration, sample and sync counts — the triage surface
+    for inter-coded video (avc1 & co) whose pixels stay gated, the
+    video analogue of q_media_vp8_meta.  Per document an MP4 with
+    1 + doc_id%4 samples, alternating sync flags (sample 1 always
+    sync), jpeg/avc1 codec by parity, and dimensions derived from
+    doc_id; the oracle recomputes every field from doc_id alone —
+    n_sync = 1 + (n_samples-1)//2 pins stss writing AND the absent-stss
+    "all sync" spec default (n=1 writes no stss)."""
+    import pandas as pd
+
+    docs = _ids_partitioned(spark, sf_dir)
+
+    def mk(pdf_iter):
+        from orange3_spark.multimodal.mp4 import encode_mp4_mjpeg
+        for pdf in pdf_iter:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 1 + did % 4
+                # payloads are opaque for metadata (no decode) — tiny
+                # distinct stand-ins keep the sample table honest
+                samples = [b"\xFF\xD8" + bytes([i]) * (3 + i)
+                           for i in range(n)]
+                blob = encode_mp4_mjpeg(
+                    samples, (16 + (did * 3) % 480, 16 + did % 640),
+                    sync_flags=[i % 2 == 0 for i in range(n)],
+                    codec=b"jpeg" if did % 2 == 0 else b"avc1")
+                out.append((did, blob))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    blobs = docs.mapInPandas(mk, "media_id long, content binary")
+    return M.mp4_metadata(blobs)

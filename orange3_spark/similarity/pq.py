@@ -119,7 +119,10 @@ def pq_fit(df: DataFrame, id_col: str, *, array_col: str,
                 rows["cl"].append(c)
                 rows["n"].append(n)
                 rows["s"].append(s.tolist())
-            yield pd.DataFrame(rows)
+            # empty partition → yield nothing: an all-empty dict frame
+            # types "s" float64 and Arrow refuses the array<long> cast
+            if rows["j"]:
+                yield pd.DataFrame(rows)
 
         parts = (coded.select("_q", "codes")
                  .mapInPandas(_suff, "j int, cl int, n long, s array<long>")

@@ -274,6 +274,16 @@ AUDITS.update({
          "never per-row Python",
          r"MapInPandas|ArrowEvalPython"),
     ],
+    "q_media_frames_mp4": [
+        ("MP4 sample-table keyframe extraction is Arrow-batched "
+         "(mapInPandas), never per-row Python",
+         r"MapInPandas|ArrowEvalPython"),
+    ],
+    "q_media_mp4_meta": [
+        ("box/sample-table metadata parse is Arrow-batched "
+         "(mapInPandas), no pixel decode, no per-row Python",
+         r"MapInPandas|ArrowEvalPython"),
+    ],
     "q_select_random": [
         ("scan reads ONLY the 3 selected columns (seeded draw costs no "
          "data pass)",

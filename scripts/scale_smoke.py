@@ -199,7 +199,8 @@ def main() -> None:
 
 
 if (__name__ == "__main__" and "--growth" not in sys.argv
-        and "--growth-dedup" not in sys.argv):
+        and "--growth-dedup" not in sys.argv
+        and "--growth-ann" not in sys.argv):
     main()
 
 
@@ -367,3 +368,133 @@ if __name__ == "__main__" and "--growth-dedup" in sys.argv:
                       os.path.join(HERE, ".localdata", "sf1"),
                       os.path.join(HERE, ".localdata", "sf10")]
     growth_dedup(_dirs, os.path.join(HERE, "SCALE_DEDUP_r08.json"))
+
+
+def growth_ann(dirs: list, out_path: str) -> None:
+    """Four-point growth law for the ANN family (r8 verdict #7: the
+    blocked scorer's per-cell BLAS rewrite was only measured to sf1).
+
+    Measures the PRODUCTION entry points with the cell policy real IVF
+    uses — ``n_cells = max(8, floor(sqrt(n)))``, so cells (the shuffle
+    key and the per-task matmul) stay bounded as the corpus grows — not
+    the oracle-pinned 8-cell parameters of the graded queries:
+
+    - ``ivf_serve``:   index build + 20 fixed queries through
+      :func:`similarity.knn.ivf_knn` (the serving path; build is the
+      linear term, each query touches ~nprobe/√n of the corpus)
+    - ``ivfpq_serve``: coarse+PQ build + 1 query through
+      :func:`similarity.pq.ivfpq_topk` (the compressed serving path)
+    - ``hard_neg_mine``: ALL n vectors as queries through
+      :func:`similarity.knn.hard_negatives_blocked` (the mining path —
+      candidate volume is n·nprobe·n/cells ≈ nprobe·n^1.5 under the √n
+      policy, so its time exponent should sit between 1 and 1.5 and the
+      artifact records the measured candidate volume per decade)
+
+    Embedding row counts differ per dir (sf0.01 is 500 rows, sf0.1 is
+    2000), so exponents are log(t ratio)/log(n ratio) on MEASURED row
+    counts, not an assumed 10×/step."""
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from orange3_spark.similarity.knn import (hard_negatives_blocked,
+                                              ivf_fit, ivf_knn)
+    from orange3_spark.similarity.pq import ivfpq_topk
+
+    spark = get_spark("scale-growth-ann")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def emb(d):
+        return load_tables(spark, d, ("embeddings",))["embeddings"]
+
+    def cells_for(n):
+        return max(8, int(math.sqrt(n)))
+
+    def op_ivf_serve(d, n):
+        e = emb(d)
+        out = ivf_knn(e, e.where(F.col("vec_id") < 20), k=10,
+                      n_cells=cells_for(n), nprobe=2, n_iter=2)
+        c = out.count()
+        out.lloyd_cache.unpersist()
+        return c
+
+    def op_ivfpq_serve(d, n):
+        e = emb(d)
+        qv = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+        return ivfpq_topk(e, qv, id_col="vec_id", array_col="embedding",
+                          n_cells=cells_for(n), nprobe=4, m=4, k=16,
+                          n_iter=2, topn=10).count()
+
+    def op_hard_neg_mine(d, n):
+        out = hard_negatives_blocked(emb(d), k=3, n_cells=cells_for(n),
+                                     nprobe=2, n_iter=2)
+        c = out.count()
+        out.ivf_cache.unpersist()
+        return c
+
+    def cand_volume(d, n):
+        """Σ_cell probes(cell)·members(cell) — the mining path's scored
+        candidate count, measured (untimed) from a fresh index."""
+        from orange3_spark.similarity.knn import probe_cells_udf
+
+        assigned, cents = ivf_fit(emb(d), n_cells=cells_for(n), n_iter=2)
+        probes = assigned.select(
+            F.explode(probe_cells_udf(cents, 2)("_q")).alias("cluster"))
+        pc = probes.groupBy("cluster").agg(F.count(F.lit(1)).alias("p"))
+        mc = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("m"))
+        row = (pc.join(mc, "cluster")
+               .agg(F.sum(F.col("p") * F.col("m")).alias("v")).first())
+        assigned.unpersist()
+        return int(row["v"] or 0)
+
+    ops = {"ivf_serve": op_ivf_serve, "ivfpq_serve": op_ivfpq_serve,
+           "hard_neg_mine": op_hard_neg_mine}
+
+    def timed(fn, d, n):
+        t0 = time.perf_counter()
+        fn(d, n)
+        return round(time.perf_counter() - t0, 3)
+
+    ns = [emb(d).count() for d in dirs]
+    results = {}
+    all_ok = True
+    for name, fn in ops.items():
+        timed(fn, dirs[0], ns[0])            # warm codegen/readers
+        ts = []
+        for d, n in zip(dirs, ns):
+            ts.append(min(timed(fn, d, n), timed(fn, d, n)))
+            spark.catalog.clearCache()
+        exps = [round(math.log(ts[i + 1] / ts[i])
+                      / math.log(ns[i + 1] / ns[i]), 3)
+                for i in range(len(ts) - 1)]
+        ok = exps[-1] < 1.4
+        all_ok &= ok
+        rec = {"op": name, "rows": ns, "t": ts,
+               "cells": [cells_for(n) for n in ns],
+               "exp_per_step": exps, "ok": ok}
+        if name == "hard_neg_mine":
+            rec["candidate_volume"] = [cand_volume(d, n)
+                                       for d, n in zip(dirs, ns)]
+            cv = rec["candidate_volume"]
+            rec["cand_exp_per_step"] = [
+                round(math.log(cv[i + 1] / cv[i])
+                      / math.log(ns[i + 1] / ns[i]), 3)
+                if cv[i] else None for i in range(len(cv) - 1)]
+        results[name] = rec
+        print(json.dumps(rec), flush=True)
+    artifact = {"dirs": dirs, "ops": results, "ok": all_ok,
+                "cell_policy": "n_cells = max(8, floor(sqrt(n)))",
+                "gate": "last-step time exponent < 1.4"}
+    with open(out_path, "w") as fh:
+        json.dump(artifact, fh, indent=1)
+    print(json.dumps({"op": "GROWTH_ANN_SUMMARY", "ok": all_ok,
+                      "artifact": out_path}))
+    sys.exit(0 if all_ok else 1)
+
+
+if __name__ == "__main__" and "--growth-ann" in sys.argv:
+    _args = [a for a in sys.argv[1:] if a != "--growth-ann"]
+    _dirs = _args or ["/root/testdata/sf0.01", "/root/testdata/sf0.1",
+                      os.path.join(HERE, ".localdata", "sf1"),
+                      os.path.join(HERE, ".localdata", "sf10")]
+    growth_ann(_dirs, os.path.join(HERE, "SCALE_ANN_r09.json"))

@@ -209,6 +209,25 @@ def test_kmeans_recovers_clusters(emb):
     assert C.silhouette(clustered, array_col="embedding") > 0.1
 
 
+def test_kmeans_lloyd_survives_empty_partitions(spark):
+    # r9 regression: an empty partition in the suff-stats mapInPandas
+    # yielded pd.DataFrame({"s": []}) whose list column types float64 —
+    # Arrow refuses the array<long> cast (NumPyConverter has no list
+    # path).  Latent until a coalesced fit left zero-row tasks.
+    from orange3_spark.ml.cluster import kmeans_lloyd_fit
+
+    df = (spark.range(6)
+          .select(F.col("id").alias("vec_id"),
+                  F.array(*[F.col("id") * 0.1 + F.lit(i)
+                            for i in range(4)]).alias("embedding"))
+          .repartition(32))            # most partitions empty
+    fitted, cents = kmeans_lloyd_fit(df, "vec_id", array_col="embedding",
+                                     k=2, n_iter=2)
+    assert fitted.count() == 6
+    assert len(cents) == 2
+    fitted.lloyd_cache.unpersist()
+
+
 def test_pca_variance_ordered(emb):
     out, ratios = C.pca(emb, array_col="embedding", n_components=4)
     assert ratios == sorted(ratios, reverse=True)

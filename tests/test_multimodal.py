@@ -956,22 +956,27 @@ def test_avi_mjpeg_keyframe_roundtrip():
 
 def test_sample_video_frames_dispatch(spark):
     """sample_video_frames: AVI goes through the native MJPEG keyframe
-    path, GIF through the animation decoder, unknown containers raise."""
+    path, MP4 through the ISO-BMFF sample tables, GIF through the
+    animation decoder, unknown containers raise."""
     import numpy as np
 
     from orange3_spark.multimodal.avi import encode_avi_mjpeg
     from orange3_spark.multimodal.gif import encode_gif_animation
+    from orange3_spark.multimodal.jpeg import encode_jpeg
+    from orange3_spark.multimodal.mp4 import encode_mp4_mjpeg
 
     f0 = np.full((6, 8, 3), 30, dtype=np.uint8)
     f1 = np.full((6, 8, 3), 200, dtype=np.uint8)
     avi = encode_avi_mjpeg([f0, f1], quality=95)
     gif = encode_gif_animation([f0, f1])
+    mp4 = encode_mp4_mjpeg([encode_jpeg(f, quality=95) for f in (f0, f1)],
+                           (6, 8))
     df = spark.createDataFrame(
-        [(1, bytearray(avi)), (2, bytearray(gif))],
+        [(1, bytearray(avi)), (2, bytearray(gif)), (4, bytearray(mp4))],
         "media_id long, content binary")
     rows = M.sample_video_frames(df).collect()
     got = {(r.media_id, r.frame_no): (r.height, r.width) for r in rows}
-    assert set(got) == {(1, 0), (1, 1), (2, 0), (2, 1)}
+    assert set(got) == {(1, 0), (1, 1), (2, 0), (2, 1), (4, 0), (4, 1)}
     assert all(v == (6, 8) for v in got.values())
 
     bad = spark.createDataFrame([(3, bytearray(b"\x00" * 64))],
@@ -1050,3 +1055,109 @@ def test_vp8_header_layer():
         vp8_frame_header(bytes([0, 0, 0]) + b"XXX" + bytes(8))
     with pytest.raises(ValueError, match="too short"):
         vp8_frame_header(b"\x00\x00")
+
+
+def test_mp4_mjpeg_keyframe_roundtrip():
+    """ISO-BMFF: box-tree walk, stss sync selection (a non-sync sample
+    is skipped, never decoded), the absent-stss "all sync" spec
+    default, metadata parse, and exact DC-only pixels through the r8
+    JPEG decoder."""
+    import numpy as np
+    import pytest
+
+    from orange3_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+    from orange3_spark.multimodal.mp4 import (decode_mp4_mjpeg_frames,
+                                              encode_mp4_mjpeg,
+                                              extract_mp4_keyframes,
+                                              parse_mp4)
+
+    def dc_jpeg(dcvals):
+        coeffs = np.zeros((2, 2, 8, 8), dtype=np.int64)
+        for by in range(2):
+            for bx in range(2):
+                coeffs[by, bx, 0, 0] = dcvals[2 * by + bx]
+        return encode_jpeg(None, quality=50, coeffs=coeffs)
+
+    jp = [dc_jpeg([1, 2, 3, 4]), dc_jpeg([9, 9, 9, 9]),
+          dc_jpeg([-5, 0, 5, 10])]
+    blob = encode_mp4_mjpeg(jp, (16, 16), sync_flags=[True, False, True])
+    m = parse_mp4(blob)
+    assert (m["brand"], m["codec"]) == ("isom", "jpeg")
+    assert (m["width"], m["height"]) == (16, 16)
+    assert (m["n_samples"], m["n_sync"]) == (3, 2)
+
+    fr = decode_mp4_mjpeg_frames(blob)
+    assert len(fr) == 2                       # non-sync sample skipped
+    assert np.array_equal(fr[0], decode_jpeg(jp[0]))
+    assert np.array_equal(fr[1], decode_jpeg(jp[2]))
+    assert int(fr[0][0, 0, 0]) == 2 * 1 + 128
+    assert int(fr[1][15, 15, 0]) == 2 * 10 + 128
+
+    # no stss box written when every sample is sync — and the reader's
+    # spec default then selects ALL samples
+    allsync = encode_mp4_mjpeg(jp, (16, 16))
+    assert b"stss" not in allsync
+    assert parse_mp4(allsync)["n_sync"] == 3
+    assert len(decode_mp4_mjpeg_frames(allsync)) == 3
+    assert len(decode_mp4_mjpeg_frames(allsync, max_frames=1)) == 1
+
+    # inter-coded fourcc: metadata parses, pixel decode gates loudly
+    gated = encode_mp4_mjpeg(jp, (16, 16), codec=b"avc1")
+    assert parse_mp4(gated)["codec"] == "avc1"
+    with pytest.raises(ValueError, match="no native pixel decoder"):
+        decode_mp4_mjpeg_frames(gated)
+
+    with pytest.raises(ValueError, match="ftyp"):
+        parse_mp4(b"\x00\x00\x00\x08free" + bytes(16))
+
+
+def test_mp4_sample_table_runmap_and_co64():
+    """The sample-table paths the harness encoder doesn't produce:
+    a multi-entry stsc run-map (3 chunks holding 2+2+1 samples) and
+    64-bit co64 chunk offsets — hand-built stbl, decoded through the
+    public reader."""
+    import struct
+
+    from orange3_spark.multimodal.mp4 import (_box, _full,
+                                              extract_mp4_keyframes)
+
+    payloads = [bytes([0xFF, 0xD8, i]) + bytes(4 + i) for i in range(5)]
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom")
+    mdat = _box(b"mdat", b"".join(payloads))
+    base = len(ftyp) + 8
+    sizes = [len(p) for p in payloads]
+    # chunks: [s0 s1] [s2 s3] [s4]  — stsc runs (1,2,1) then (3,1,1)
+    chunk_offs = [base,
+                  base + sizes[0] + sizes[1],
+                  base + sum(sizes[:4])]
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1)
+                 + struct.pack(">I", 86) + b"jpeg" + b"\x00" * 6
+                 + struct.pack(">H", 1) + b"\x00" * 16
+                 + struct.pack(">HH", 8, 8) + b"\x00" * 46)
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, 5, 100))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">I", 2)
+                 + struct.pack(">III", 1, 2, 1)
+                 + struct.pack(">III", 3, 1, 1))
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, 5)
+                 + b"".join(struct.pack(">I", s) for s in sizes))
+    co64 = _full(b"co64", 0, 0, struct.pack(">I", 3)
+                 + b"".join(struct.pack(">Q", o) for o in chunk_offs))
+    stss = _full(b"stss", 0, 0, struct.pack(">II", 2, 2)
+                 + struct.pack(">I", 5))          # samples 2 and 5 sync
+    stbl = _box(b"stbl", stsd + stts + stss + stsc + stsz + co64)
+    hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12
+                 + b"h\x00")
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, 1000, 500,
+                                            0x55C4, 0))
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    mvhd = _full(b"mvhd", 0, 0, struct.pack(">IIII", 0, 0, 1000, 500)
+                 + bytes(80))
+    moov = _box(b"moov", mvhd + _box(b"trak", mdia))
+    blob = ftyp + mdat + moov
+
+    codec, picks = extract_mp4_keyframes(blob)
+    assert codec == b"jpeg"
+    assert picks == [payloads[1], payloads[4]]    # run-map + co64 exact
+    _, allp = extract_mp4_keyframes(blob, keyframes_only=False)
+    assert allp == payloads
