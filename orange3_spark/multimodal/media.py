@@ -46,6 +46,7 @@ MAGIC = (
     ("avi", ((0, b"RIFF"), (8, b"AVI "))),
     ("wav", ((0, b"RIFF"),)),
     ("mp4", ((4, b"ftyp"),)),
+    ("webm", ((0, bytes([0x1A, 0x45, 0xDF, 0xA3])),)),
     ("mp3", ((0, b"ID3"),)),
     ("pdf", ((0, b"%PDF"),)),
 )
@@ -525,6 +526,59 @@ def mp4_metadata(df: DataFrame, binary_col: str = "content",
                 out, columns=["media_id", "brand", "codec", "width",
                               "height", "duration", "n_samples",
                               "n_sync"])
+
+    return df.select(F.col(id_col), F.col(binary_col)) \
+             .mapInPandas(run, schema=schema)
+
+
+def webm_metadata(df: DataFrame, binary_col: str = "content",
+                  id_col: str = "media_id") -> DataFrame:
+    """WebM/Matroska metadata per blob (round 9, multimodal/webm.py):
+    doctype, video codec id, declared dimensions, duration, block and
+    keyframe counts from the EBML tree — PLUS the first extracted VP8
+    keyframe's own header fields (width/filter level/quantizer) via
+    ``webp.vp8_frame_header``, the two native layers composed.  No
+    macroblock is decoded; the VP8/VP9 pixel gate stands (decision
+    note in webp.py).  One Arrow-batched mapInPandas."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("doctype", T.StringType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_blocks", T.IntegerType()),
+        T.StructField("n_key", T.IntegerType()),
+        T.StructField("kf_filter_level", T.IntegerType()),
+        T.StructField("kf_y_ac_qi", T.IntegerType()),
+    ])
+
+    def run(pdf_iter):
+        import pandas as pd
+
+        from orange3_spark.multimodal.webm import (extract_webm_keyframes,
+                                                   parse_webm)
+        from orange3_spark.multimodal.webp import vp8_frame_header
+
+        for pdf in pdf_iter:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                blob = bytes(blob)
+                m = parse_webm(blob)
+                fl = qi = -1
+                if m["codec"] == "V_VP8" and m["n_key"]:
+                    _, kf = extract_webm_keyframes(blob, max_frames=1)
+                    if kf:
+                        h = vp8_frame_header(kf[0])
+                        fl = h.get("filter_level", -1)
+                        qi = h.get("y_ac_qi", -1)
+                out.append((int(mid), m["doctype"] or "?",
+                            m["codec"] or "?", m["width"] or -1,
+                            m["height"] or -1, m["n_blocks"],
+                            m["n_key"], fl, qi))
+            yield pd.DataFrame(
+                out, columns=["media_id", "doctype", "codec", "width",
+                              "height", "n_blocks", "n_key",
+                              "kf_filter_level", "kf_y_ac_qi"])
 
     return df.select(F.col(id_col), F.col(binary_col)) \
              .mapInPandas(run, schema=schema)

@@ -1037,3 +1037,53 @@ def q_media_mp4_meta(spark, sf_dir):
 
     blobs = docs.mapInPandas(mk, "media_id long, content binary")
     return M.mp4_metadata(blobs)
+
+
+@query("q_media_webm_meta", """
+SELECT doc_id AS media_id,
+       'webm' AS doctype,
+       'V_VP8' AS codec,
+       CAST(16 + (doc_id % 1009) AS INT) AS width,
+       CAST(16 + ((doc_id * 7) % 737) AS INT) AS height,
+       CAST(1 + doc_id % 3 AS INT) AS n_blocks,
+       CAST(1 + (doc_id % 3) // 2 AS INT) AS n_key,
+       CAST((doc_id * 11) % 64 AS INT) AS kf_filter_level,
+       CAST((doc_id * 13) % 128 AS INT) AS kf_y_ac_qi
+FROM documents
+""")
+def q_media_webm_meta(spark, sf_dir):
+    """WebM/EBML metadata at corpus scale (round 9, multimodal/webm.py)
+    with the VP8 header layer COMPOSED on top: per document a WebM
+    whose 1 + doc_id%3 SimpleBlocks alternate keyframe flags (block 1
+    always key) and whose VP8 keyframe payloads are header stubs with
+    doc_id-derived fields — the oracle recomputes doctype, codec,
+    container dimensions, block/key counts, AND the first keyframe's
+    own filter level + quantizer from doc_id alone.  Pins the EBML
+    vint/element walk, SimpleBlock flag parsing, keyframe payload
+    extraction, and the vp8_frame_header compose in one hash."""
+    import pandas as pd
+
+    docs = _ids_partitioned(spark, sf_dir)
+
+    def mk(pdf_iter):
+        from orange3_spark.multimodal.webm import encode_webm_vp8
+        from orange3_spark.multimodal.webp import encode_vp8_header_stub
+        for pdf in pdf_iter:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 16 + did % 1009, 16 + (did * 7) % 737
+                stub = encode_vp8_header_stub(
+                    width=w, height=h,
+                    filter_level=(did * 11) % 64,
+                    y_ac_qi=(did * 13) % 128,
+                    n_token_partitions=1)
+                n = 1 + did % 3
+                blob = encode_webm_vp8(
+                    [stub] * n, w, h,
+                    keyframe_flags=[i % 2 == 0 for i in range(n)])
+                out.append((did, blob))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    blobs = docs.mapInPandas(mk, "media_id long, content binary")
+    return M.webm_metadata(blobs)

@@ -284,6 +284,11 @@ AUDITS.update({
          "(mapInPandas), no pixel decode, no per-row Python",
          r"MapInPandas|ArrowEvalPython"),
     ],
+    "q_media_webm_meta": [
+        ("EBML walk + VP8-header compose is Arrow-batched "
+         "(mapInPandas), no macroblock decode, no per-row Python",
+         r"MapInPandas|ArrowEvalPython"),
+    ],
     "q_select_random": [
         ("scan reads ONLY the 3 selected columns (seeded draw costs no "
          "data pass)",

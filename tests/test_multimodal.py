@@ -1161,3 +1161,57 @@ def test_mp4_sample_table_runmap_and_co64():
     assert picks == [payloads[1], payloads[4]]    # run-map + co64 exact
     _, allp = extract_mp4_keyframes(blob, keyframes_only=False)
     assert allp == payloads
+
+
+def test_webm_ebml_parse_and_keyframe_extraction():
+    """WebM/EBML: vint/element walk, doctype + track metadata, keyframe
+    flag selection, payload extraction bit-exactness, and the compose
+    with the VP8 header layer; unknown-size Segment tolerated."""
+    import pytest
+
+    from orange3_spark.multimodal.webm import (SEGMENT, _read_vint,
+                                               _vint, encode_webm_vp8,
+                                               extract_webm_keyframes,
+                                               parse_webm)
+    from orange3_spark.multimodal.webp import (encode_vp8_header_stub,
+                                               vp8_frame_header)
+
+    # vint round-trip across length boundaries
+    for n in (0, 1, 126, 127, 128, 16382, 16383, 16384, 2 ** 35):
+        enc = _vint(n)
+        val, ln, unk = _read_vint(enc, 0)
+        assert (val, ln, unk) == (n, len(enc), False)
+
+    stubs = [encode_vp8_header_stub(width=320, height=240,
+                                    filter_level=f, y_ac_qi=9 + f,
+                                    n_token_partitions=1)
+             for f in range(3)]
+    blob = encode_webm_vp8(stubs, 320, 240,
+                           keyframe_flags=[True, False, True])
+    m = parse_webm(blob)
+    assert (m["doctype"], m["codec"]) == ("webm", "V_VP8")
+    assert (m["width"], m["height"]) == (320, 240)
+    assert (m["n_blocks"], m["n_key"]) == (3, 2)
+    assert m["duration_ms"] == 1000.0
+
+    codec, kf = extract_webm_keyframes(blob)
+    assert codec == "V_VP8" and len(kf) == 2
+    assert kf[0] == stubs[0] and kf[1] == stubs[2]      # bit-exact
+    h = vp8_frame_header(kf[1])
+    assert (h["width"], h["filter_level"], h["y_ac_qi"]) == (320, 2, 11)
+
+    # non-VP8 codec id and matroska doctype surface verbatim
+    mkv = encode_webm_vp8(stubs[:1], 64, 48, codec=b"V_VP9",
+                          doctype=b"matroska")
+    m2 = parse_webm(mkv)
+    assert (m2["doctype"], m2["codec"]) == ("matroska", "V_VP9")
+
+    # unknown-size Segment (live-stream muxing) still walks
+    i = blob.index(SEGMENT) + len(SEGMENT)
+    val, ln, unk = _read_vint(blob, i)
+    assert not unk
+    hacked = blob[:i] + b"\xff" + blob[i + ln:]
+    assert parse_webm(hacked)["n_key"] == 2
+
+    with pytest.raises(ValueError, match="EBML"):
+        parse_webm(b"\x00\x00\x00\x00" + bytes(16))
