@@ -437,7 +437,8 @@ def ivf_search(assigned: DataFrame, cents: DataFrame,
 
 def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding", *, k: int = 8,
-                   n_iter: int = 2, threshold: float = 0.95) -> DataFrame:
+                   n_iter: int = 2, threshold: float = 0.95,
+                   max_cluster_rows: Optional[int] = None) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
     arXiv:2303.09540): k-means the embedding space, then compare vectors
     only WITHIN each cluster.
@@ -472,6 +473,28 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
                                     k=k, n_iter=n_iter)
     side = clustered.select(F.col(id_col).alias("_id"),
                             F.col("_q").alias("_v"), "cluster")
+    if max_cluster_rows is not None:
+        # skew valve — the docstring's "degenerate cluster should be
+        # capped like minhash max_bucket", now real: a cluster of
+        # near-identical embeddings makes one task O(cluster²).  Cap by
+        # deterministic hash draw; pairs inside the dropped tail are
+        # missed (loud), everything kept is still exact.
+        import warnings
+
+        from pyspark.sql.window import Window as _W
+
+        big = (side.groupBy("cluster").count()
+               .where(F.col("count") > max_cluster_rows).count())
+        if big:
+            warnings.warn(
+                f"semantic_dedup: {big} cluster(s) exceed "
+                f"max_cluster_rows={max_cluster_rows}; subsampled by "
+                "deterministic hash — pairs in the dropped tail are "
+                "missed", stacklevel=2)
+            wcap = _W.partitionBy("cluster").orderBy(
+                F.xxhash64(F.col("_id")), F.col("_id"))
+            side = (side.withColumn("_rn", F.row_number().over(wcap))
+                    .where(F.col("_rn") <= max_cluster_rows).drop("_rn"))
 
     def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["_id"].to_numpy()
@@ -507,7 +530,8 @@ def hard_negatives_blocked(df: DataFrame, *, id_col: str = "vec_id",
                            array_col: str = "embedding",
                            label_col: str = "label", k: int = 5,
                            n_cells: int = 8, nprobe: int = 2,
-                           n_iter: int = 2) -> DataFrame:
+                           n_iter: int = 2,
+                           max_cell_rows: Optional[int] = None) -> DataFrame:
     """Scale path of :func:`hard_negatives`: IVF-block the candidate
     side (the :func:`ivf_fit` coarse quantizer is the blocking
     function), so each query scores only the vectors in its ``nprobe``
@@ -564,6 +588,30 @@ def hard_negatives_blocked(df: DataFrame, *, id_col: str = "vec_id",
                               F.col(id_col).alias("_id"),
                               F.col(label_col).alias("_lab"),
                               F.col("_q").alias("_v"))
+    if max_cell_rows is not None:
+        # skew valve (the minhash max_bucket lesson, SCALE_ANN_r09's
+        # measured hazard): a degenerate cell — crawl corpora are full
+        # of near-identical embeddings — makes ONE task O(cell²).  Cap
+        # the CANDIDATE side per cell by a deterministic hash draw
+        # (stable under partitioning, unbiased by id order); queries are
+        # never dropped, so every vector still gets negatives, mined
+        # from a uniform subsample of its oversized cells.  Loud: count
+        # the capped cells before committing to the approximation.
+        import warnings
+
+        sizes = (members.groupBy("cluster").count()
+                 .where(F.col("count") > max_cell_rows).count())
+        if sizes:
+            warnings.warn(
+                f"hard_negatives_blocked: {sizes} cell(s) exceed "
+                f"max_cell_rows={max_cell_rows}; candidate side "
+                "subsampled by deterministic hash — negatives in the "
+                "dropped tail are missed", stacklevel=2)
+            wcap = Window.partitionBy("cluster").orderBy(
+                F.xxhash64(F.col("_id")), F.col("_id"))
+            members = (members.withColumn("_rn", F.row_number().over(wcap))
+                       .where(F.col("_rn") <= max_cell_rows)
+                       .drop("_rn"))
 
     def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"qid": pd.Series([], dtype="int64"),
@@ -658,15 +706,18 @@ def hard_negatives(df: DataFrame, *, id_col: str = "vec_id",
         import math
         import warnings
         cells = max(8, int(math.sqrt(n)))
+        cap = 8 * (n // cells + 1)     # 8× the mean cell bounds a task
         warnings.warn(
             f"hard_negatives: {n}x{dim} exceeds max_broadcast_cells="
             f"{max_broadcast_cells}; falling back to the APPROXIMATE "
-            f"IVF-blocked path (n_cells={cells}, nprobe=2) — negatives "
-            "hiding in unprobed cells are missed", stacklevel=2)
+            f"IVF-blocked path (n_cells={cells}, nprobe=2, "
+            f"max_cell_rows={cap}) — negatives hiding in unprobed cells "
+            "or a capped cell's dropped tail are missed", stacklevel=2)
         return hard_negatives_blocked(df, id_col=id_col,
                                       array_col=array_col,
                                       label_col=label_col, k=k,
-                                      n_cells=cells, nprobe=2)
+                                      n_cells=cells, nprobe=2,
+                                      max_cell_rows=cap)
     rows = base.collect()
     X = np.array([[float(v) for v in r[array_col]] for r in rows])
     ids = np.array([int(r[id_col]) for r in rows], dtype=np.int64)

@@ -209,3 +209,55 @@ def test_random_projection_preserves_distances(spark):
                              in_dim=64).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
     assert len(rp_matrix(4, 2)) == 8
+
+
+def test_degenerate_cell_cap_is_loud_and_bounded(spark):
+    """r9 skew valve: a degenerate cell (near-identical embeddings —
+    the SCALE_ANN_r09 measured hazard) is capped by a deterministic
+    hash draw with a loud warning; queries are never dropped, the
+    default (no cap) semantics are unchanged."""
+    import warnings
+
+    import pyspark.sql.functions as F
+
+    from orange3_spark.similarity.knn import (hard_negatives_blocked,
+                                              semantic_dedup)
+
+    # 40 near-identical vectors + 8 spread ones, two labels
+    rows = [(i, [1.0 + i * 1e-4, 2.0, 3.0, 4.0], i % 2)
+            for i in range(40)]
+    rows += [(100 + i, [float(10 * i), -5.0, float(i), 0.5], i % 2)
+             for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = hard_negatives_blocked(df, k=2, n_cells=4, nprobe=2,
+                                     n_iter=2, max_cell_rows=10)
+        got = out.collect()
+        out.ivf_cache.unpersist()
+    assert any("max_cell_rows" in str(x.message) for x in w)
+    # every query still gets negatives (queries never dropped), and
+    # negatives come from the capped candidate pool
+    qids = {r["vec_id"] for r in got}
+    assert len(qids) == 48
+    assert all(r["neg_id"] != r["vec_id"] for r in got)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pairs = semantic_dedup(df, k=4, n_iter=2, threshold=0.99,
+                               max_cluster_rows=10)
+        n_capped = pairs.count()
+        pairs.lloyd_cache.unpersist()
+    assert any("max_cluster_rows" in str(x.message) for x in w)
+    # capped cluster: ≤ C(10,2) pairs from the 40-dup cluster
+    assert n_capped <= 45 + 28
+    # no cap → full pair set, no warning
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        full = semantic_dedup(df, k=4, n_iter=2, threshold=0.99)
+        n_full = full.count()
+        full.lloyd_cache.unpersist()
+    assert not any("max_cluster_rows" in str(x.message) for x in w)
+    assert n_full >= n_capped
