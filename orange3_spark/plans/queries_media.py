@@ -1087,3 +1087,53 @@ def q_media_webm_meta(spark, sf_dir):
 
     blobs = docs.mapInPandas(mk, "media_id long, content binary")
     return M.webm_metadata(blobs)
+
+
+@query("q_media_ts_meta", """
+WITH p AS (SELECT doc_id,
+                  5 + doc_id % 7 AS nv,
+                  1 + doc_id % 3 AS na,
+                  1 + doc_id % 4 AS re
+           FROM documents)
+SELECT doc_id AS media_id,
+       CAST(2 + nv + na AS INT) AS n_packets,
+       CAST(4 AS INT) AS n_pids,
+       CAST(257 AS INT) AS video_pid,
+       CASE WHEN doc_id % 2 = 0 THEN 'h264' ELSE 'hevc' END
+           AS video_codec,
+       CAST(nv AS INT) AS n_video_packets,
+       CAST(1 + (nv - 1) // re AS INT) AS n_rai,
+       CAST(0 AS INT) AS continuity_errors
+FROM p
+""")
+def q_media_ts_meta(spark, sf_dir):
+    """MPEG-TS triage at corpus scale (round 9, multimodal/ts.py):
+    packet demux, PAT→PMT stream-type resolution, and random-access
+    point counting — the transport-layer keyframe signal — with no
+    elementary-stream decode (H.264/HEVC pixels stay gated).  Per
+    document a TS with 5+doc_id%7 video packets (h264/hevc by parity),
+    1+doc_id%3 audio packets, and a RAI every 1+doc_id%4 video packets;
+    the oracle recomputes packet/PID/RAI counts and the codec name from
+    doc_id alone — any slip in sync walk, PID masking, PSI section
+    offsets, or adaptation-field flag parsing shifts a count."""
+    import pandas as pd
+
+    docs = _ids_partitioned(spark, sf_dir)
+
+    def mk(pdf_iter):
+        from orange3_spark.multimodal.ts import encode_ts
+        for pdf in pdf_iter:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                vt = 0x1B if did % 2 == 0 else 0x24
+                blob = encode_ts(
+                    {0x101: vt, 0x102: 0x0F},
+                    n_packets_per_pid={0x101: 5 + did % 7,
+                                       0x102: 1 + did % 3},
+                    rai_every=1 + did % 4)
+                out.append((did, blob))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    blobs = docs.mapInPandas(mk, "media_id long, content binary")
+    return M.ts_metadata(blobs)

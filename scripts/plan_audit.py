@@ -289,6 +289,11 @@ AUDITS.update({
          "(mapInPandas), no macroblock decode, no per-row Python",
          r"MapInPandas|ArrowEvalPython"),
     ],
+    "q_media_ts_meta": [
+        ("TS packet/PSI walk is Arrow-batched (mapInPandas), no "
+         "elementary-stream decode, no per-row Python",
+         r"MapInPandas|ArrowEvalPython"),
+    ],
     "q_select_random": [
         ("scan reads ONLY the 3 selected columns (seeded draw costs no "
          "data pass)",

@@ -1215,3 +1215,46 @@ def test_webm_ebml_parse_and_keyframe_extraction():
 
     with pytest.raises(ValueError, match="EBML"):
         parse_webm(b"\x00\x00\x00\x00" + bytes(16))
+
+
+def test_mpegts_parse_and_rai_counting():
+    """MPEG-TS: sync walk, PAT->PMT stream-type resolution, adaptation
+    field RAI counting, continuity tracking, garbage resync, truncated
+    tail tolerance."""
+    import pytest
+
+    from orange3_spark.multimodal.ts import TS_PACKET, encode_ts, parse_ts
+
+    blob = encode_ts({0x101: 0x1B, 0x102: 0x0F},
+                     n_packets_per_pid={0x101: 10, 0x102: 4},
+                     rai_every=3)
+    m = parse_ts(blob)
+    assert m["n_packets"] == 2 + 10 + 4
+    assert m["programs"] == {0x101: "h264", 0x102: "aac"}
+    assert (m["video_pid"], m["n_video_packets"]) == (0x101, 10)
+    assert m["n_rai"] == 4                       # i = 0, 3, 6, 9
+    assert m["continuity_errors"] == 0
+    assert m["n_pids"] == 4                      # PAT, PMT, two ES pids
+    assert len(blob) % TS_PACKET == 0
+
+    # leading garbage resyncs; a truncated final packet is ignored
+    noisy = b"\x00garbage\x47more" + blob + blob[:97]
+    m2 = parse_ts(noisy)
+    assert m2["n_packets"] == m["n_packets"]
+    assert m2["n_rai"] == 4
+
+    # a dropped video packet shows as exactly one continuity error
+    pkts = [blob[i:i + TS_PACKET] for i in range(0, len(blob), TS_PACKET)]
+    vid = [i for i, p in enumerate(pkts)
+           if ((p[1] & 0x1F) << 8 | p[2]) == 0x101]
+    dropped = b"".join(p for i, p in enumerate(pkts) if i != vid[4])
+    assert parse_ts(dropped)["continuity_errors"] == 1
+
+    # hevc stream type resolves; unknown types surface as hex
+    m3 = parse_ts(encode_ts({0x200: 0x24, 0x201: 0x42},
+                            n_packets_per_pid={0x200: 2, 0x201: 1}))
+    assert m3["programs"][0x200] == "hevc"
+    assert m3["programs"][0x201] == "0x42"
+
+    with pytest.raises(ValueError, match="sync"):
+        parse_ts(b"\x00" * 400)
