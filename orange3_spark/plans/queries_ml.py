@@ -22,7 +22,8 @@ def _t(spark, sf_dir, *names):
 _SPLIT = "substring(md5(CAST(o_orderkey AS VARCHAR)),1,8) < '3fffffff'"  # 25% test
 
 
-def lloyd_cte(k: int, n_iter: int, *, label: bool = False) -> str:
+def lloyd_cte(k: int, n_iter: int, *, label: bool = False,
+              where: str = "") -> str:
     """DuckDB CTE chain replaying ``ml/cluster.kmeans_lloyd_fit`` exactly:
     quantize → first-k init → (assign → integer-mean update) × (n_iter−1)
     → final assignment as ``wf(vec_id[, label], qv, cl)``.
@@ -35,10 +36,11 @@ def lloyd_cte(k: int, n_iter: int, *, label: bool = False) -> str:
     q_ml_silhouette so the fit replay is written once."""
     lbl = ", label" if label else ""
     plbl = ", p.label" if label else ""
+    wh = f" WHERE {where}" if where else ""
     parts = [f"""pts AS (SELECT vec_id{lbl},
     list_transform(CAST(embedding AS DOUBLE[]),
                    x -> floor(x * 1000000.0 + 0.5)) AS qv
-  FROM embeddings),
+  FROM embeddings{wh}),
 c_0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, qv AS cv
   FROM pts ORDER BY vec_id LIMIT {k})"""]
     for r in range(1, n_iter):

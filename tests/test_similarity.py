@@ -261,3 +261,41 @@ def test_degenerate_cell_cap_is_loud_and_bounded(spark):
         full.lloyd_cache.unpersist()
     assert not any("max_cluster_rows" in str(x.message) for x in w)
     assert n_full >= n_capped
+
+
+def test_probe_cells_paths_agree_and_append_matches_fit(spark):
+    """r9: probe_cells' two physical paths (JVM crossJoin at small
+    centroid tables, Arrow exact-BLAS at scale) must pick identical
+    cells; and ivf_append must assign a new vector exactly where the
+    fit-time rule would."""
+    import pyspark.sql.functions as F
+
+    from orange3_spark.ml.cluster import quantize_array
+    from orange3_spark.similarity.knn import (ivf_append, ivf_fit,
+                                              probe_cells)
+
+    rows = [(i, [float((i * 37) % 11), float((i * 53) % 7),
+                 float(i % 5), 1.0]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = df.where(F.col("vec_id") % 4 != 0)
+    new = df.where(F.col("vec_id") % 4 == 0)
+    assigned, cents = ivf_fit(base, n_cells=6, n_iter=2)
+
+    q = new.select("vec_id", quantize_array(F.col("embedding")).alias("qv"))
+    a = probe_cells(q, cents, 2, id_col="vec_id",
+                    jvm_max_cells_dim=10 ** 9)     # force JVM path
+    b = probe_cells(q, cents, 2, id_col="vec_id",
+                    jvm_max_cells_dim=0)           # force Arrow path
+    pa = sorted((r["vec_id"], r["cluster"]) for r in a.collect())
+    pb = sorted((r["vec_id"], r["cluster"]) for r in b.collect())
+    assert pa == pb and len(pa) == new.count() * 2
+
+    # append: nearest single cell == the nprobe=1 probe of either path
+    combined = ivf_append(assigned, cents, new)
+    got = {r["vec_id"]: r["cluster"]
+           for r in combined.join(new.select("vec_id"), "vec_id").collect()}
+    one = probe_cells(q, cents, 1, id_col="vec_id")
+    want = {r["vec_id"]: r["cluster"] for r in one.collect()}
+    assert got == want
+    assert combined.count() == 60
+    assigned.unpersist()
