@@ -67,9 +67,13 @@ def exact_sq_dists(X, C):
     ``|x|² + |c|² − 2·x·c`` in float64.
 
     Every intermediate is an integer: products ≤ maxq², row sums ≤
-    d·maxq² — as long as ``d·maxq² < 2⁵³`` each float64 add/mul is exact
-    regardless of BLAS summation order, so the result equals the int64
-    computation bit-for-bit while the n×k×d broadcast-difference tensor
+    d·maxq², the ``xx+cc`` sum ≤ 2·d·maxq² and the final squared
+    distance ≤ 4·d·maxq² — so the guard is ``4·d·maxq² < 2⁵³`` (not
+    just ``d·maxq²``; r9 advisor: the looser bound let intermediates in
+    [2⁵¹, 2⁵³) round by 1 and flip argmin tie-breaks).  Under it each
+    float64 add/mul is exact regardless of BLAS summation order, so the
+    result equals the int64 computation bit-for-bit while the n×k×d
+    broadcast-difference tensor
     (2.3 GB per 10k-row Arrow batch at k=447, dim=64 — the √n cell counts
     real IVF uses) never materializes.  Out of bounds → int64 fallback,
     blocked over rows to cap the tensor."""
@@ -80,7 +84,7 @@ def exact_sq_dists(X, C):
     d = Xf.shape[1]
     maxq = max(float(np.abs(Xf).max(initial=0.0)),
                float(np.abs(Cf).max(initial=0.0)))
-    if d * maxq * maxq < 2.0 ** 53:
+    if 4.0 * d * maxq * maxq < 2.0 ** 53:
         xx = (Xf * Xf).sum(axis=1)
         cc = (Cf * Cf).sum(axis=1)
         return xx[:, None] + cc[None, :] - 2.0 * (Xf @ Cf.T)

@@ -145,9 +145,20 @@ def parse_ts(blob: bytes) -> dict:
 
         if has_payload and pid != 0x1FFF:
             prev = last_cc.get(pid)
-            if prev is not None and (prev + 1) & 0x0F != cc:
-                out["continuity_errors"] += 1
-            last_cc[pid] = cc
+            if prev is None:
+                last_cc[pid] = (cc, False)
+            elif cc == prev[0] and not prev[1]:
+                # one repetition of the same packet is LEGAL per ISO
+                # 13818-1 §2.4.3.3 — broadcast captures duplicate
+                # packets routinely; only a SECOND repetition (or any
+                # other non-increment) is a continuity error (r9
+                # advisor: counting legal dups inflated the triage
+                # signal on real captures).
+                last_cc[pid] = (cc, True)
+            else:
+                if (prev[0] + 1) & 0x0F != cc:
+                    out["continuity_errors"] += 1
+                last_cc[pid] = (cc, False)
 
         if pid == 0 and pusi and has_payload and off < TS_PACKET:
             body = pkt[off:]

@@ -121,10 +121,14 @@ def _u(buf, b, e) -> int:
 def encode_webm_vp8(frames, width: int, height: int, *,
                     keyframe_flags=None, codec: bytes = b"V_VP8",
                     doctype: bytes = b"webm",
-                    duration_ms: float = 1000.0) -> bytes:
+                    duration_ms: float = 1000.0,
+                    audio_frames=None) -> bytes:
     """Frame payloads → WebM bytes (test harness): one video track,
     one cluster, one SimpleBlock per frame (no lacing), keyframe bit
-    from ``keyframe_flags`` (default all-key)."""
+    from ``keyframe_flags`` (default all-key).  ``audio_frames`` adds
+    an audio TrackEntry (track 2, A_VORBIS) whose SimpleBlocks carry
+    the keyframe bit ALWAYS SET — the real-world shape that forced the
+    per-track block filter in :func:`parse_webm`."""
     if not frames:
         raise ValueError("need at least one frame")
     if keyframe_flags is None:
@@ -145,14 +149,26 @@ def encode_webm_vp8(frames, width: int, height: int, *,
                   + _elem(b"\x73\xc5", b"\x01")              # TrackUID
                   + _elem(TRACK_TYPE, b"\x01")               # video
                   + _elem(CODEC_ID, codec) + video)
+    tracks = track
+    if audio_frames:
+        tracks += _elem(TRACK_ENTRY, _elem(TRACK_NUMBER, b"\x02")
+                        + _elem(b"\x73\xc5", b"\x02")        # TrackUID
+                        + _elem(TRACK_TYPE, b"\x02")         # audio
+                        + _elem(CODEC_ID, b"A_VORBIS"))
     blocks = b""
     for i, (fr, kf) in enumerate(zip(frames, keyframe_flags)):
         head = (_vint(1)                                     # track number
                 + struct.pack(">h", i * 33)                  # rel. timestamp
                 + bytes([0x80 if kf else 0x00]))             # flags
         blocks += _elem(SIMPLE_BLOCK, head + fr)
+        # interleave audio after each video block, muxer-style
+        if audio_frames and i < len(audio_frames):
+            ahead = (_vint(2)
+                     + struct.pack(">h", i * 33 + 10)
+                     + bytes([0x80]))        # audio blocks: key bit SET
+            blocks += _elem(SIMPLE_BLOCK, ahead + audio_frames[i])
     cluster = _elem(CLUSTER, _elem(CLUSTER_TS, _uint(0)) + blocks)
-    return header + _elem(SEGMENT, info + _elem(TRACKS, track) + cluster)
+    return header + _elem(SEGMENT, info + _elem(TRACKS, tracks) + cluster)
 
 
 def parse_webm(blob: bytes) -> dict:
@@ -164,7 +180,7 @@ def parse_webm(blob: bytes) -> dict:
         raise ValueError("not an EBML/WebM file")
     out = {"doctype": None, "timescale": 1_000_000, "duration_ms": None,
            "codec": None, "width": None, "height": None,
-           "n_blocks": 0, "n_key": 0}
+           "video_track": None, "n_blocks": 0, "n_key": 0}
     segment = None
     for eid, b, e in _walk(blob, 0, len(blob)):
         if eid == EBML:
@@ -175,6 +191,11 @@ def parse_webm(blob: bytes) -> dict:
             segment = (b, e)
     if segment is None:
         raise ValueError("webm: no Segment element")
+    # Two passes over the Segment: Tracks must be resolved BEFORE block
+    # counting so n_blocks/n_key cover ONLY the selected video track —
+    # on a multi-track file (audio+video) audio SimpleBlocks always set
+    # the keyframe bit and would otherwise inflate both counts (r9
+    # advisor finding).
     for eid, b, e in _walk(blob, *segment):
         if eid == INFO:
             ts = _child(blob, b, e, TIMESTAMP_SCALE)
@@ -194,6 +215,9 @@ def parse_webm(blob: bytes) -> dict:
                 tt = _child(blob, tb, te, TRACK_TYPE)
                 if tt is None or _u(blob, *tt) != 1:
                     continue
+                tn = _child(blob, tb, te, TRACK_NUMBER)
+                if tn:
+                    out["video_track"] = _u(blob, *tn)
                 ci = _child(blob, tb, te, CODEC_ID)
                 if ci:
                     out["codec"] = blob[ci[0]:ci[1]].decode("latin-1")
@@ -204,14 +228,19 @@ def parse_webm(blob: bytes) -> dict:
                     out["width"] = _u(blob, *pw) if pw else None
                     out["height"] = _u(blob, *ph) if ph else None
                 break
-        elif eid == CLUSTER:
-            for cid, cb, ce in _walk(blob, b, e):
-                if cid != SIMPLE_BLOCK:
-                    continue
-                out["n_blocks"] += 1
-                _tn, ln, _unk = _read_vint(blob, cb)
-                if blob[cb + ln + 2] & 0x80:
-                    out["n_key"] += 1
+    vtrack = out["video_track"]
+    for eid, b, e in _walk(blob, *segment):
+        if eid != CLUSTER:
+            continue
+        for cid, cb, ce in _walk(blob, b, e):
+            if cid != SIMPLE_BLOCK:
+                continue
+            tn, ln, _unk = _read_vint(blob, cb)
+            if vtrack is not None and tn != vtrack:
+                continue                     # audio / other-track block
+            out["n_blocks"] += 1
+            if blob[cb + ln + 2] & 0x80:
+                out["n_key"] += 1
     return out
 
 
@@ -220,8 +249,9 @@ def extract_webm_keyframes(blob: bytes, max_frames: int = 16):
     SimpleBlocks on the first video track (no-lacing blocks; laced
     blocks are skipped — the harness never produces them and real
     intra frames are not laced in practice)."""
-    meta_needed = parse_webm(blob)          # validates + finds codec
+    meta_needed = parse_webm(blob)          # validates + finds codec/track
     codec = meta_needed["codec"] or "?"
+    vtrack = meta_needed["video_track"]
     segment = None
     for eid, b, e in _walk(blob, 0, len(blob)):
         if eid == SEGMENT:
@@ -233,7 +263,9 @@ def extract_webm_keyframes(blob: bytes, max_frames: int = 16):
         for cid, cb, ce in _walk(blob, b, e):
             if cid != SIMPLE_BLOCK or len(picks) >= max_frames:
                 continue
-            _tn, ln, _unk = _read_vint(blob, cb)
+            tn, ln, _unk = _read_vint(blob, cb)
+            if vtrack is not None and tn != vtrack:
+                continue    # never hand an audio payload to the VP8 parser
             flags = blob[cb + ln + 2]
             if flags & 0x80 and not flags & 0x06:     # key, not laced
                 picks.append(blob[cb + ln + 3:ce])

@@ -14,11 +14,22 @@ vector + a single scan; the Neighbors widget (``owneighbors.py``) is exactly
 
 from __future__ import annotations
 
+import weakref
 from typing import Optional, Sequence
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Driver-local centroid rows for centroid tables ivf_fit built from
+# driver data, keyed WEAKLY by the DataFrame object — a side table, not
+# a monkey-patched attribute (r9 advisor: private attributes silently
+# vanish on transformation/persistence and future DataFrame proxies may
+# reject them).  A table this cache misses (externally built, or a
+# transformed descendant) falls back to one collect in _cent_rows —
+# correct either way, the cache only saves the job.
+_CENT_ROWS_CACHE: "weakref.WeakKeyDictionary[DataFrame, list]" = (
+    weakref.WeakKeyDictionary())
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -359,10 +370,10 @@ def ivf_fit(data: DataFrame, *, vec_col: str = "embedding",
     spark = data.sparkSession
     local = [(i, got.get(i, c)) for i, c in enumerate(cents0)]
     cents = spark.createDataFrame(local, "cluster int, cvec array<bigint>")
-    # the table was built from driver-local data — carry it so
+    # the table was built from driver-local data — register it so
     # probe_cells never pays a collect job to read back what the
     # driver already holds (k×dim ints, the same bound broadcast has)
-    cents._local_rows = local
+    _CENT_ROWS_CACHE[cents] = local
     return assigned, cents
 
 
@@ -387,9 +398,9 @@ def probe_cells_udf(cents: DataFrame, nprobe: int):
 
 def _cent_rows(cents: DataFrame):
     """(cluster, cvec) tuples sorted by cluster — from the
-    ``_local_rows`` the fit attached (zero Spark jobs) or one collect
-    for externally-built centroid tables."""
-    local = getattr(cents, "_local_rows", None)
+    ``_CENT_ROWS_CACHE`` entry the fit registered (zero Spark jobs) or
+    one collect for externally-built centroid tables."""
+    local = _CENT_ROWS_CACHE.get(cents)
     if local is not None:
         return sorted((int(c), list(v)) for c, v in local)
     return sorted((int(r["cluster"]), list(r["cvec"]))

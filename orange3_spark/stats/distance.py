@@ -243,8 +243,82 @@ def column_distances(df: DataFrame, cols: Sequence[str], *,
                .select("p.col_a", "p.col_b", "p.dist"))
 
 
+def _spearman_cols_driver(spark, rows, cols, absolute: bool) -> DataFrame:
+    """Driver-side exact finish of :func:`spearman_column_distances`
+    for a capped joint (value-tuple, count) frame.
+
+    Mirrors the distributed plan term for term: rows with a NULL key
+    are dropped (the inner rank-map joins drop them), NaN groups with
+    itself and ranks greater than every double (Spark's
+    normalizenanandzero join keys + NaN-last sort order), all sums are
+    arbitrary-precision Python ints (superset of the decimal(38,0)
+    path), and the one int->float64 conversion per term is correctly
+    rounded on every engine — so the emitted doubles are bit-identical
+    to the distributed plan and the SQL oracle."""
+    import math
+
+    k = len(cols)
+    groups = []
+    for r in rows:
+        key = []
+        for c in cols:
+            v = r[f"v_{c}"]
+            if v is None:
+                key = None
+                break
+            key.append(None if math.isnan(v) else float(v))
+        if key is not None:
+            groups.append((key, int(r["__n"])))
+
+    rk_maps = []
+    for j in range(k):
+        cnt: dict = {}
+        for key, n in groups:
+            cnt[key[j]] = cnt.get(key[j], 0) + n
+        below, rk = 0, {}
+        for v in sorted(cnt, key=lambda x: (x is None, x if x is not None
+                                            else 0.0)):
+            rk[v] = 2 * below + cnt[v] + 1      # 2·avg-tie rank, exact int
+            below += cnt[v]
+        rk_maps.append(rk)
+
+    tot, s, ss = 0, [0] * k, [0] * k
+    sab = {p: 0 for p in combinations(range(k), 2)}
+    for key, n in groups:
+        rks = [rk_maps[j][key[j]] for j in range(k)]
+        tot += n
+        for j in range(k):
+            s[j] += n * rks[j]
+            ss[j] += n * rks[j] * rks[j]
+        for ia, ib in sab:
+            sab[(ia, ib)] += n * rks[ia] * rks[ib]
+
+    out_rows = []
+    for ia, ib in combinations(range(k), 2):
+        num = tot * sab[(ia, ib)] - s[ia] * s[ib]
+        da = tot * ss[ia] - s[ia] * s[ia]
+        db = tot * ss[ib] - s[ib] * s[ib]
+        if da == 0 or db == 0:
+            d = None
+        elif num == da and da == db:            # exact rho = +1
+            d = 0.0
+        elif num == -da and da == db:           # exact rho = -1
+            d = 0.0 if absolute else 1.0
+        else:
+            root = math.sqrt(float(da)) * math.sqrt(float(db))
+            if absolute:
+                rest = 1.0 - abs(float(num)) / root
+            else:
+                rest = 0.5 - float(num) / root / 2.0
+            d = 0.0 if rest <= 0.0 else (1.0 if rest >= 1.0 else rest)
+        out_rows.append((cols[ia], cols[ib], d))
+    return spark.createDataFrame(
+        out_rows, "col_a string, col_b string, dist double")
+
+
 def spearman_column_distances(df: DataFrame, cols: Sequence[str], *,
-                              absolute: bool = False) -> DataFrame:
+                              absolute: bool = False,
+                              driver_cap: int = 100_000) -> DataFrame:
     """SpearmanR distance between columns: replace each column with TWICE
     its average-tie rank — an exact int64 (reference SpearmanModel,
     distance.py:609-620; 2·rank leaves ρ unchanged) — then Pearson on the
@@ -253,39 +327,79 @@ def spearman_column_distances(df: DataFrame, cols: Sequence[str], *,
     reducer (the cumsum over the distinct-value frame); the correlation is
     one aggregation over all pairs with exact, order-independent partial
     sums — no streaming-co-moment float drift across partitions (the
-    signed-zero / last-bit lesson, SURVEY §8)."""
+    signed-zero / last-bit lesson, SURVEY §8).
+
+    Physical shape (r10, the r9 2.4x regression fix): ONE scan of the
+    data into a joint ``(v_c1..v_ck) -> count`` frame; everything after
+    is a re-aggregation of THAT frame.  When the joint frame is small
+    (a capped ``take``, the same bounded-probe pattern as
+    ``_cent_rows``) the ranks and exact integer sums are computed on
+    the driver in arbitrary-precision Python ints — one shuffle, one
+    probe job, zero windows/joins (measured 1.4 s -> ~0.5 s at sf0.1);
+    the final ``num / (sqrt(da)·sqrt(db))`` is the identical
+    correctly-rounded int->float64 conversion on every engine, so the
+    result is bit-for-bit the distributed plan's.  Past the cap (a
+    near-unique column at cluster scale) the distributed path runs:
+    per-column marginal rank maps cumulated over single-reducer
+    (value, count) frames and joined back — the joint frame is
+    persisted because each marginal branch prunes the joint aggregate
+    to its own 2 columns, so the exchanges canonicalize differently
+    and AQE would re-run the scan per branch (measured: 4 parquet
+    scans unpersisted, 1 persisted)."""
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    ranked = df
+    joint = (df.groupBy(*[F.col(c).cast("double").alias(f"v_{c}")
+                          for c in cols])
+               .agg(F.count(F.lit(1)).alias("__n")))
+    # listwise deletion, BEFORE ranking: a NULL-keyed group would sort
+    # first in the marginal cumsum window and silently shift every rank
+    # by 2·(null count) while the inner joins later drop those rows
+    # anyway — rank over exactly the rows that participate
+    for c in cols:
+        joint = joint.where(F.col(f"v_{c}").isNotNull())
+    joint = joint.persist(StorageLevel.MEMORY_AND_DISK)
+
+    probe = joint.take(driver_cap + 1) if driver_cap > 0 else []
+    if driver_cap > 0 and len(probe) <= driver_cap:
+        out = _spearman_cols_driver(df.sparkSession, probe, list(cols),
+                                    absolute)
+        joint.unpersist()
+        return out
+    ranked = joint
     for c in cols:
         # 2·(avg rank of v) = 2·(#rows < v) + (#ties of v) + 1 — exact
         # int64.  A global rank() window would serialize to one partition;
-        # instead aggregate per distinct value, cumulate over THAT frame,
-        # and join the value→rank map back — no global sort of the data.
+        # instead the marginal (value, count) frame — derived from the
+        # joint frame, no rescan of the data — is cumulated over and the
+        # value→rank map joined back onto the joint frame.
         # No broadcast hint: for near-unique continuous columns the rank
         # map is ~row-count rows; let AQE pick broadcast when it is small.
-        counts = (df.groupBy(F.col(c).cast("double").alias("__v"))
-                    .agg(F.count(F.lit(1)).alias("__n")))
+        marg = (joint.groupBy(F.col(f"v_{c}").alias("__v"))
+                     .agg(F.sum("__n").alias("__cn")))
         w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
-        rk = counts.select(
+        rk = marg.select(
             "__v",
-            (F.lit(2) * F.coalesce(F.sum("__n").over(w), F.lit(0))
-             + F.col("__n") + F.lit(1)).alias(f"rk_{c}"))
-        ranked = ranked.join(rk, ranked[c].cast("double") == rk["__v"]) \
-                       .drop("__v", "__n")
+            (F.lit(2) * F.coalesce(F.sum("__cn").over(w), F.lit(0))
+             + F.col("__cn") + F.lit(1)).alias(f"rk_{c}"))
+        ranked = ranked.join(rk, ranked[f"v_{c}"] == rk["__v"]) \
+                       .drop("__v", "__cn")
 
     def dec(col: Column) -> Column:
         return col.cast("decimal(38,0)")
 
-    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("__cnt")]
+    n_ = dec(F.col("__n"))
+    aggs = [F.sum(n_).alias("__cnt")]
     for a, b in combinations(cols, 2):
         # products of decimal(38,0)-cast ranks stay exact past int64
-        # (2·rank ≤ 2n; n·(2n)² overflows int64 near n = 10⁹ rows)
-        aggs.append(F.sum(dec(F.col(f"rk_{a}")) * dec(F.col(f"rk_{b}")))
+        # (2·rank ≤ 2n; n·(2n)² overflows int64 near n = 10⁹ rows);
+        # weighting by the group count n keeps the sums identical to the
+        # per-row aggregation, term for term
+        aggs.append(F.sum(n_ * dec(F.col(f"rk_{a}")) * dec(F.col(f"rk_{b}")))
                     .alias(f"sab|{a}|{b}"))
     for c in cols:
-        aggs.append(F.sum(dec(F.col(f"rk_{c}"))).alias(f"s|{c}"))
-        aggs.append(F.sum(dec(F.col(f"rk_{c}")) * dec(F.col(f"rk_{c}")))
+        aggs.append(F.sum(n_ * dec(F.col(f"rk_{c}"))).alias(f"s|{c}"))
+        aggs.append(F.sum(n_ * dec(F.col(f"rk_{c}")) * dec(F.col(f"rk_{c}")))
                     .alias(f"ss|{c}"))
     sums = ranked.agg(*aggs)
 

@@ -244,3 +244,43 @@ def test_spearman_cols_exact_integer_sums(spark):
     for v in s.values():
         if v is not None and v == 0.0:
             assert math.copysign(1.0, v) > 0
+
+
+def test_spearman_cols_driver_path_equals_distributed(spark):
+    """The capped driver fast path (r10) must emit BIT-IDENTICAL doubles
+    to the distributed rank-map plan — including ties, NaN grouping
+    (NaN ranks greater than every double, as in Spark's normalized join
+    keys and sort order), NULL-row dropping, and the exact ±1 branch."""
+    import math
+
+    rows = []
+    for i in range(120):
+        x = float(i % 7)                     # heavy ties
+        y = float((i * 13) % 11)
+        z = float(i) if i % 9 else float("nan")   # NaN group
+        rows.append((x, y, z))
+    rows.append((None, 1.0, 2.0))            # dropped by both paths
+    df = (spark.createDataFrame(rows, "x double, y double, z double")
+               .repartition(5))
+    cols = ["x", "y", "z"]
+    fast = {(r.col_a, r.col_b): r.dist
+            for r in D.spearman_column_distances(df, cols).collect()}
+    dist = {(r.col_a, r.col_b): r.dist
+            for r in D.spearman_column_distances(
+                df, cols, driver_cap=0).collect()}
+    assert set(fast) == set(dist)
+    for k in fast:
+        if fast[k] is None or dist[k] is None:
+            assert fast[k] is None and dist[k] is None
+        else:
+            assert fast[k] == dist[k], (k, fast[k], dist[k])
+            assert math.copysign(1.0, fast[k]) == math.copysign(1.0, dist[k])
+
+    # absolute variant too
+    fa = {(r.col_a, r.col_b): r.dist
+          for r in D.spearman_column_distances(
+              df, cols, absolute=True).collect()}
+    da = {(r.col_a, r.col_b): r.dist
+          for r in D.spearman_column_distances(
+              df, cols, absolute=True, driver_cap=0).collect()}
+    assert fa == da

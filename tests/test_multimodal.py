@@ -1258,3 +1258,68 @@ def test_mpegts_parse_and_rai_counting():
 
     with pytest.raises(ValueError, match="sync"):
         parse_ts(b"\x00" * 400)
+
+
+def test_webm_multitrack_counts_only_video_blocks():
+    """r9 advisor: on an audio+video WebM, block/keyframe counts and
+    keyframe extraction must cover ONLY the selected video track —
+    audio SimpleBlocks always set the keyframe bit and must never be
+    handed to the VP8 header parser."""
+    from orange3_spark.multimodal.webm import (encode_webm_vp8,
+                                               extract_webm_keyframes,
+                                               parse_webm)
+    from orange3_spark.multimodal.webp import (encode_vp8_header_stub,
+                                               vp8_frame_header)
+
+    stubs = [encode_vp8_header_stub(width=160, height=120,
+                                    filter_level=1, y_ac_qi=10,
+                                    n_token_partitions=1)
+             for _ in range(3)]
+    # audio payloads are NOT valid VP8 frames — if the walk ever picks
+    # one, vp8_frame_header raises and the compose breaks
+    audio = [b"\x01vorbis-ish" + bytes([i]) * 20 for i in range(3)]
+    blob = encode_webm_vp8(stubs, 160, 120,
+                           keyframe_flags=[True, False, True],
+                           audio_frames=audio)
+    m = parse_webm(blob)
+    assert m["video_track"] == 1
+    # 3 video + 3 audio SimpleBlocks in the cluster; counts see video only
+    assert (m["n_blocks"], m["n_key"]) == (3, 2)
+
+    codec, kf = extract_webm_keyframes(blob)
+    assert codec == "V_VP8" and len(kf) == 2
+    assert kf[0] == stubs[0] and kf[1] == stubs[2]
+    h = vp8_frame_header(kf[0])
+    assert (h["width"], h["height"]) == (160, 120)
+
+
+def test_mpegts_duplicate_packet_is_legal():
+    """ISO 13818-1 §2.4.3.3: ONE repetition of a packet (same
+    continuity counter) is legal and must not count as a continuity
+    error; a second repetition or any other non-increment still does."""
+    from orange3_spark.multimodal.ts import TS_PACKET, encode_ts, parse_ts
+
+    blob = encode_ts({0x101: 0x1B}, n_packets_per_pid={0x101: 6})
+    pkts = [blob[i:i + TS_PACKET] for i in range(0, len(blob), TS_PACKET)]
+    vid = [i for i, p in enumerate(pkts)
+           if ((p[1] & 0x1F) << 8 | p[2]) == 0x101]
+
+    # duplicate one video packet once: legal, zero errors
+    dup_once = pkts[:]
+    dup_once.insert(vid[2] + 1, pkts[vid[2]])
+    m = parse_ts(b"".join(dup_once))
+    assert m["continuity_errors"] == 0
+    assert m["n_packets"] == len(pkts) + 1
+
+    # the SAME packet three times in a row: the second repetition is
+    # the error
+    dup_twice = pkts[:]
+    dup_twice.insert(vid[2] + 1, pkts[vid[2]])
+    dup_twice.insert(vid[2] + 2, pkts[vid[2]])
+    assert parse_ts(b"".join(dup_twice))["continuity_errors"] == 1
+
+    # a dup followed by a dropped packet is still exactly one error
+    drop_after_dup = pkts[:]
+    drop_after_dup.insert(vid[2] + 1, pkts[vid[2]])
+    del drop_after_dup[vid[3] + 1]          # drops original vid[3]
+    assert parse_ts(b"".join(drop_after_dup))["continuity_errors"] == 1

@@ -299,3 +299,37 @@ def test_probe_cells_paths_agree_and_append_matches_fit(spark):
     assert got == want
     assert combined.count() == 60
     assigned.unpersist()
+
+
+def test_exact_sq_dists_guard_boundary():
+    """r9 advisor: the float64 fast path must stay bit-exact for ALL
+    intermediates — the final squared distance reaches 4·d·maxq², so
+    the guard is 4·d·maxq² < 2⁵³.  At magnitudes where d·maxq² passes
+    the OLD loose guard but 4·d·maxq² does not, the BLAS result can
+    round; the int64 path must be taken and match exact arithmetic."""
+    import numpy as np
+
+    from orange3_spark.ml.cluster import exact_sq_dists
+
+    # small magnitudes: fast path, equals int64 arithmetic exactly
+    rng = np.random.RandomState(7)
+    X = rng.randint(-1000, 1000, size=(40, 16)).astype(np.int64)
+    C = rng.randint(-1000, 1000, size=(5, 16)).astype(np.int64)
+    d_fast = exact_sq_dists(X, C)
+    d_ref = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2)
+    assert np.array_equal(np.asarray(d_fast, dtype=np.int64), d_ref)
+
+    # boundary magnitudes: d·maxq² ≈ 2^52 (old guard passes, new one
+    # must NOT) — antipodal vectors make |x−c|² = 4·d·maxq² which
+    # overflows exact float64 representation
+    d = 4
+    maxq = int(np.floor(np.sqrt(2.0 ** 52 / d)))   # d·maxq² just under 2^53
+    assert d * maxq * maxq < 2 ** 53 <= 4 * d * maxq * maxq
+    Xb = np.full((3, d), maxq, dtype=np.int64)
+    Xb[1, 0] -= 1                                   # break ties
+    Cb = np.stack([np.full(d, -maxq, dtype=np.int64),
+                   np.full(d, maxq - 3, dtype=np.int64)])
+    d_exact = ((Xb[:, None, :] - Cb[None, :, :]) ** 2).sum(2)
+    got = exact_sq_dists(Xb, Cb)
+    assert got.dtype == np.int64                    # int64 fallback taken
+    assert np.array_equal(got, d_exact)
