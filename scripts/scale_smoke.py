@@ -433,19 +433,48 @@ def growth_ann(dirs: list, out_path: str) -> None:
         return c
 
     def cand_volume(d, n):
-        """Σ_cell probes(cell)·members(cell) — the mining path's scored
-        candidate count, measured (untimed) from a fresh index."""
-        from orange3_spark.similarity.knn import probe_cells_udf
+        """(uncapped, capped) Σ_cell probes(cell)·members(cell) — the
+        mining path's scored candidate count, measured (untimed) from a
+        fresh index; the capped figure applies the r10 auto-valve rule
+        (cap = _MINE_SKEW_FACTOR × lower-median cell size, only when
+        the max cell exceeds it) to the member side."""
+        from orange3_spark.similarity.knn import (_MINE_SKEW_FACTOR,
+                                                  probe_cells_udf)
 
         assigned, cents = ivf_fit(emb(d), n_cells=cells_for(n), n_iter=2)
         probes = assigned.select(
             F.explode(probe_cells_udf(cents, 2)("_q")).alias("cluster"))
         pc = probes.groupBy("cluster").agg(F.count(F.lit(1)).alias("p"))
         mc = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("m"))
-        row = (pc.join(mc, "cluster")
-               .agg(F.sum(F.col("p") * F.col("m")).alias("v")).first())
+        rows = pc.join(mc, "cluster").collect()
         assigned.unpersist()
-        return int(row["v"] or 0)
+        sizes = sorted(int(r["m"]) for r in rows)
+        med = sizes[(len(sizes) - 1) // 2] if sizes else 0
+        cap = (_MINE_SKEW_FACTOR * med
+               if med and sizes[-1] > _MINE_SKEW_FACTOR * med else None)
+        v = sum(int(r["p"]) * int(r["m"]) for r in rows)
+        vc = sum(int(r["p"]) * min(int(r["m"]), cap or int(r["m"]))
+                 for r in rows)
+        return v, vc, cap
+
+    def mining_recall_delta(d, n):
+        """Capped (auto valve) vs uncapped mining at the LARGEST scale:
+        the fraction of the uncapped top-k pairs the capped run keeps —
+        the quantified recall price of the r10 candidate valve."""
+        base = hard_negatives_blocked(emb(d), k=3, n_cells=cells_for(n),
+                                      nprobe=2, n_iter=2,
+                                      max_cell_rows=None)
+        pairs_u = base.select("vec_id", "neg_id")
+        capped = hard_negatives_blocked(emb(d), k=3, n_cells=cells_for(n),
+                                        nprobe=2, n_iter=2)
+        pairs_c = capped.select("vec_id", "neg_id")
+        n_u = pairs_u.count()
+        kept = pairs_u.join(pairs_c, ["vec_id", "neg_id"], "left_semi") \
+                      .count()
+        base.ivf_cache.unpersist()
+        capped.ivf_cache.unpersist()
+        return {"rows": n, "uncapped_pairs": n_u, "kept_pairs": kept,
+                "recall_vs_uncapped": round(kept / max(n_u, 1), 4)}
 
     ops = {"ivf_serve": op_ivf_serve, "ivfpq_serve": op_ivfpq_serve,
            "hard_neg_mine": op_hard_neg_mine}
@@ -473,15 +502,107 @@ def growth_ann(dirs: list, out_path: str) -> None:
                "cells": [cells_for(n) for n in ns],
                "exp_per_step": exps, "ok": ok}
         if name == "hard_neg_mine":
-            rec["candidate_volume"] = [cand_volume(d, n)
-                                       for d, n in zip(dirs, ns)]
-            cv = rec["candidate_volume"]
-            rec["cand_exp_per_step"] = [
-                round(math.log(cv[i + 1] / cv[i])
-                      / math.log(ns[i + 1] / ns[i]), 3)
-                if cv[i] else None for i in range(len(cv) - 1)]
+            vols = [cand_volume(d, n) for d, n in zip(dirs, ns)]
+            rec["candidate_volume"] = [v[0] for v in vols]
+            rec["candidate_volume_capped"] = [v[1] for v in vols]
+            rec["auto_cap"] = [v[2] for v in vols]
+            for key, cv in (("cand_exp_per_step",
+                             rec["candidate_volume"]),
+                            ("cand_capped_exp_per_step",
+                             rec["candidate_volume_capped"])):
+                rec[key] = [
+                    round(math.log(cv[i + 1] / cv[i])
+                          / math.log(ns[i + 1] / ns[i]), 3)
+                    if cv[i] else None for i in range(len(cv) - 1)]
+            rec["recall_check"] = mining_recall_delta(dirs[-1], ns[-1])
         results[name] = rec
         print(json.dumps(rec), flush=True)
+
+    # --- incremental ingest growth (r9 verdict task #7): append one
+    # FIXED batch to a growing corpus.  The claim under test: append
+    # cost scales with the BATCH, never a corpus refit.  ivf_append's
+    # inherent factor is the √n centroid table each batch row probes
+    # (BLAS k×dim per row), so its gate is exp ≤ 0.7; banding a new LSH
+    # batch is corpus-independent (gate ≤ 0.3); the LSH probe join
+    # streams the persisted index once per probe (recorded, ungated —
+    # at 100 TB the index is storage-bucketed on (band, bucket) and
+    # bucket pruning removes that pass; in-session cache can't prune).
+    from orange3_spark.similarity.knn import ivf_append
+    from orange3_spark.text.dedup import lsh_probe, minhash_band_table
+
+    def docs_tbl(d):
+        return load_tables(spark, d, ("documents",))["documents"]
+
+    vec_batch = emb(dirs[0]).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(10 ** 9))
+    doc_batch = (docs_tbl(dirs[0]).where(F.col("doc_id") % 5 == 0)
+                 .withColumn("doc_id", F.col("doc_id") + F.lit(10 ** 9)))
+    batch_n = vec_batch.count()
+
+    def op_ivf_append(d, n):
+        assigned, cents = ivf_fit(emb(d), n_cells=cells_for(n), n_iter=2)
+
+        def one():
+            t0 = time.perf_counter()
+            (ivf_append(assigned, cents, vec_batch)
+             .where(F.col("vec_id") >= 10 ** 9).count())
+            return time.perf_counter() - t0
+
+        one()                                    # warm
+        t = min(one(), one())
+        assigned.unpersist()
+        return t
+
+    def op_lsh_batch(d, n):
+        ib = minhash_band_table(docs_tbl(d), num_hashes=8, bands=4,
+                                seed=0).persist()
+        ib.count()                               # index pre-built, untimed
+
+        def band_only():
+            t0 = time.perf_counter()
+            minhash_band_table(doc_batch, num_hashes=8, bands=4,
+                               seed=0).count()
+            return time.perf_counter() - t0
+
+        def probe():
+            t0 = time.perf_counter()
+            nb = minhash_band_table(doc_batch, num_hashes=8, bands=4,
+                                    seed=0)
+            lsh_probe(nb, ib).count()
+            return time.perf_counter() - t0
+
+        band_only()                              # warm
+        tb = min(band_only(), band_only())
+        tp = min(probe(), probe())
+        ib.unpersist()
+        return tb, tp
+
+    app_t, band_t, probe_t = [], [], []
+    for d, n in zip(dirs, ns):
+        app_t.append(round(op_ivf_append(d, n), 3))
+        tb, tp = op_lsh_batch(d, n)
+        band_t.append(round(tb, 3))
+        probe_t.append(round(tp, 3))
+        spark.catalog.clearCache()
+
+    def exps_of(ts):
+        return [round(math.log(ts[i + 1] / ts[i])
+                      / math.log(ns[i + 1] / ns[i]), 3)
+                for i in range(len(ts) - 1)]
+
+    inc = {"batch_rows": batch_n, "corpus_rows": ns,
+           "ivf_append_t": app_t, "ivf_append_exp": exps_of(app_t),
+           "lsh_band_batch_t": band_t,
+           "lsh_band_batch_exp": exps_of(band_t),
+           "lsh_probe_t": probe_t, "lsh_probe_exp": exps_of(probe_t),
+           "gates": {"ivf_append": 0.7, "lsh_band_batch": 0.3,
+                     "lsh_probe": None}}
+    inc["ok"] = (inc["ivf_append_exp"][-1] <= 0.7
+                 and inc["lsh_band_batch_exp"][-1] <= 0.3)
+    all_ok &= inc["ok"]
+    results["incremental_append"] = inc
+    print(json.dumps({"op": "incremental_append", **inc}), flush=True)
+
     artifact = {"dirs": dirs, "ops": results, "ok": all_ok,
                 "cell_policy": "n_cells = max(8, floor(sqrt(n)))",
                 "gate": "last-step time exponent < 1.4"}
@@ -497,4 +618,4 @@ if __name__ == "__main__" and "--growth-ann" in sys.argv:
     _dirs = _args or ["/root/testdata/sf0.01", "/root/testdata/sf0.1",
                       os.path.join(HERE, ".localdata", "sf1"),
                       os.path.join(HERE, ".localdata", "sf10")]
-    growth_ann(_dirs, os.path.join(HERE, "SCALE_ANN_r09.json"))
+    growth_ann(_dirs, os.path.join(HERE, "SCALE_ANN_r10.json"))

@@ -333,3 +333,51 @@ def test_exact_sq_dists_guard_boundary():
     got = exact_sq_dists(Xb, Cb)
     assert got.dtype == np.int64                    # int64 fallback taken
     assert np.array_equal(got, d_exact)
+
+
+def test_hard_negatives_auto_valve(spark):
+    """r10 candidate-volume valve: max_cell_rows='auto' must (a) leave
+    a uniform index untouched — results identical to the valve-off run,
+    no warning — and (b) engage on a degenerate cell past the skew
+    threshold, loudly."""
+    import warnings
+
+    from orange3_spark.similarity.knn import hard_negatives_blocked
+
+    # (a) near-uniform cells: auto == off, bit for bit
+    rows = [(i, [float((i * 7 + j * 3) % 50), float((i * 11) % 50),
+                 float(i % 13), float(j)], i % 3)
+            for i in range(48) for j in (0,)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        auto = hard_negatives_blocked(df, k=2, n_cells=4, nprobe=2,
+                                      n_iter=2)
+        got_auto = sorted(map(tuple, auto.collect()))
+        auto.ivf_cache.unpersist()
+    assert not any("max_cell_rows" in str(x.message) for x in w)
+    off = hard_negatives_blocked(df, k=2, n_cells=4, nprobe=2,
+                                 n_iter=2, max_cell_rows=None)
+    got_off = sorted(map(tuple, off.collect()))
+    off.ivf_cache.unpersist()
+    assert got_auto == got_off
+
+    # (b) one degenerate blob (many near-identical vectors) + a few
+    # scattered points: the blob cell exceeds 8x the mean and the
+    # valve engages with the loud warning
+    blob = [(i, [100.0, 100.0, 0.0, 0.0], i % 2)
+            for i in range(400)]
+    spread = [(1000 + i, [float(i * 31 % 97), float(i * 17 % 89),
+                          50.0, 1.0], i % 2) for i in range(10)]
+    skew = spark.createDataFrame(
+        blob + spread, "vec_id long, embedding array<double>, label int")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        capped = hard_negatives_blocked(skew, k=2, n_cells=4, nprobe=2,
+                                        n_iter=2)
+        got = capped.collect()
+        capped.ivf_cache.unpersist()
+    assert any("max_cell_rows" in str(x.message) for x in w)
+    # queries are never dropped: every vector still gets negatives
+    assert len({r["vec_id"] for r in got}) == 410
