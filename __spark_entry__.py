@@ -53,6 +53,9 @@ _CHANGED_THIS_ROUND = [
     # r9-advisor multimodal fixes: per-video-track WebM block counting,
     # legal duplicate-packet continuity in MPEG-TS
     "q_media_webm_meta", "q_media_ts_meta",
+    # r10 TIFF widening: tiled storage, 16-bit samples, Deflate — the
+    # encode matrix rotates through the new paths, same pixel oracle
+    "q_media_decode_tiff",
 ]
 
 

@@ -1,14 +1,17 @@
 """Pure-Python JPEG codec (stdlib + numpy — no libjpeg/Pillow).
 
-Decode scope (round 8 — the r7 "baseline-only" gate is gone): 8-bit
-huffman DCT JPEG in ALL its common shapes — baseline/extended
-sequential (SOF0/SOF1) and PROGRESSIVE (SOF2) scans, any integer
-chroma sampling factors (4:4:4, 4:2:2, 4:2:0, 4:1:1 ...), restart
-intervals, spectral selection + successive approximation per T.81
-Annex G.  What stays gated (loud ValueError, never a silent fake):
-12-bit samples, arithmetic coding, lossless and hierarchical frames,
-CMYK (4-component) — genuinely exotic in web corpora, unlike
-progressive/4:2:0 which dominate real crawls.
+Decode scope (round 8 — the r7 "baseline-only" gate is gone; round 10
+adds LOSSLESS): 8-bit huffman DCT JPEG in ALL its common shapes —
+baseline/extended sequential (SOF0/SOF1) and PROGRESSIVE (SOF2) scans,
+any integer chroma sampling factors (4:4:4, 4:2:2, 4:2:0, 4:1:1 ...),
+restart intervals, spectral selection + successive approximation per
+T.81 Annex G — plus LOSSLESS (SOF3) frames per Annex H: huffman-coded
+prediction differences, all seven predictors, point transform, 2-16
+bit precision (the DNG/medical-imaging shape).  What stays gated
+(loud ValueError, never a silent fake): 12-bit DCT samples,
+arithmetic coding, hierarchical frames, CMYK (4-component) —
+genuinely exotic in web corpora, unlike progressive/4:2:0 which
+dominate real crawls.
 
 Encode scope: grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0
 subsampling, baseline or progressive (the standard 4-kind scan
@@ -784,11 +787,14 @@ def _block_refine(br, blk, acd, ss, se, al, eobrun):
 
 
 def decode_jpeg(blob: bytes) -> np.ndarray:
-    """8-bit huffman JPEG → (H, W, 3) uint8 RGB (grayscale replicated).
-    Handles baseline/extended sequential and progressive frames, any
-    integer sampling factors, and restart intervals.  12-bit samples,
-    arithmetic coding, lossless/hierarchical frames, and 4-component
-    (CMYK) images raise with a clear message."""
+    """Huffman JPEG → (H, W, 3) uint8 RGB (grayscale replicated).
+    Handles baseline/extended sequential and progressive DCT frames
+    (any integer sampling factors, restart intervals) AND lossless
+    SOF3 frames (predictors 1..7, point transform, 2-16 bit).  12-bit
+    DCT samples, arithmetic coding, hierarchical frames, and
+    4-component (CMYK) images raise with a clear message."""
+    if jpeg_sof(blob) == 3:
+        return _decode_lossless(blob)
     frame, geom, coefs, qtables = _parse_jpeg(blob)
     return _reconstruct(frame, geom, coefs, qtables)
 
@@ -863,10 +869,13 @@ def _parse_jpeg(blob: bytes):
             for (cid, _, _, _), c in zip(comps, geom[4]):
                 coefs[cid] = np.zeros((c["bh"], c["bw"], 64),
                                       dtype=np.int32)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC3:       # decode_jpeg dispatches SOF3 earlier
+            raise ValueError("lossless JPEG reached the DCT parser — "
+                             "use decode_jpeg (it dispatches SOF3)")
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             kind = ("arithmetic-coded" if marker >= 0xC9 else
-                    "lossless/hierarchical")
+                    "hierarchical/differential")
             raise ValueError(
                 f"{kind} JPEG (SOF{marker - 0xC0}) unsupported")
         elif marker == 0xDD:                                  # DRI
@@ -971,12 +980,234 @@ def _reconstruct(frame, geom, coefs, qtables):
     return _ycbcr_to_rgb(*planes)
 
 
+# ------------------------------------------------------- lossless (SOF3)
+
+# Fixed DHT for the lossless encoder: diff categories 0..16, lengths
+# 3,3,3,3,3,3,4,5,...,14 — Kraft sum 0.875 < 1, so the canonical
+# assignment never produces an all-ones code and any category decodes.
+_LL_BITS = [0, 0, 6, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0]
+_LL_VALS = list(range(17))
+
+
+def _ll_predict(p: np.ndarray, y: int, x: int, sel: int,
+                default: int) -> int:
+    """T.81 H.2: Px for sample (y, x) — scan-start default, first-line
+    Ra, first-column Rb, else the selected predictor 1..7."""
+    if y == 0 and x == 0:
+        return default
+    if y == 0:
+        return int(p[0, x - 1])
+    if x == 0:
+        return int(p[y - 1, 0])
+    a, b, c = int(p[y, x - 1]), int(p[y - 1, x]), int(p[y - 1, x - 1])
+    if sel == 1:
+        return a
+    if sel == 2:
+        return b
+    if sel == 3:
+        return c
+    if sel == 4:
+        return a + b - c
+    if sel == 5:
+        return a + ((b - c) >> 1)
+    if sel == 6:
+        return b + ((a - c) >> 1)
+    return (a + b) >> 1
+
+
+def encode_jpeg_lossless(px: np.ndarray, *, predictor: int = 1,
+                         bits: int = 8, point_transform: int = 0,
+                         grayscale: bool = False,
+                         interleaved: bool = True) -> bytes:
+    """(H, W, 3) uint8 RGB → lossless JPEG (SOF3, T.81 Annex H).
+    3-component images are stored as RGB with NO color transform (the
+    DNG/ITU convention for lossless — there is no JFIF YCbCr mandate
+    outside DCT frames), so ``point_transform=0`` round-trips
+    pixel-exact.  ``bits=16`` widens samples by ``v * 257`` (high-byte
+    fold on decode restores the input exactly); ``point_transform=Pt``
+    drops the Pt low bits per H.1 — decode returns ``(v >> Pt) << Pt``.
+    ``interleaved=False`` writes one scan per component instead of a
+    single interleaved scan."""
+    if not 1 <= predictor <= 7:
+        raise ValueError("lossless predictor must be 1..7")
+    if bits not in (8, 16):
+        raise ValueError("bits must be 8 or 16")
+    pt = point_transform
+    if not 0 <= pt < bits:
+        raise ValueError("point transform out of range")
+    h, w = px.shape[:2]
+    if grayscale:
+        lum = np.round(0.299 * px[..., 0] + 0.587 * px[..., 1]
+                       + 0.114 * px[..., 2]).astype(np.int64)
+        planes = [lum]
+    else:
+        planes = [px[..., i].astype(np.int64) for i in range(3)]
+    if bits == 16:
+        planes = [p * 257 for p in planes]
+    planes = [p >> pt for p in planes]
+    default = 1 << (bits - pt - 1)
+    codes = _build_huffman(_LL_BITS, _LL_VALS)
+    nc = len(planes)
+
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xC4" + struct.pack(">H", 2 + 1 + 16 + len(_LL_VALS))
+    out += bytes([0x00]) + bytes(_LL_BITS) + bytes(_LL_VALS)
+    out += b"\xFF\xC3" + struct.pack(">HBHHB", 8 + 3 * nc, bits, h, w, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x11, 0])        # cid, 1x1 sampling, Tq=0
+
+    def emit_scan(members: list[int]) -> bytes:
+        sos = bytearray(b"\xFF\xDA")
+        sos += struct.pack(">HB", 6 + 2 * len(members), len(members))
+        for ci in members:
+            sos += bytes([ci + 1, 0x00])       # DC table 0, AC unused
+        sos += bytes([predictor, 0, pt])       # Ss=predictor, Se=0, Al=Pt
+        bw = _BitWriter()
+        for y in range(h):
+            for x in range(w):
+                for ci in members:
+                    p = planes[ci]
+                    d = (int(p[y, x])
+                         - _ll_predict(p, y, x, predictor, default)) \
+                        & 0xFFFF               # mod 2^16 per H.2.1
+                    if d == 32768:             # SSSS=16: no extra bits
+                        c, ln = codes[16]
+                        bw.write(c, ln)
+                        continue
+                    if d > 32768:
+                        d -= 65536
+                    size, raw = _magnitude(d)
+                    c, ln = codes[size]
+                    bw.write(c, ln)
+                    if size:
+                        bw.write(raw, size)
+        return bytes(sos) + bw.flush()
+
+    if interleaved or nc == 1:
+        out += emit_scan(list(range(nc)))
+    else:
+        for ci in range(nc):
+            out += emit_scan([ci])
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def _decode_lossless(blob: bytes) -> np.ndarray:
+    """SOF3 lossless JPEG → (H, W, 3) uint8 RGB (T.81 Annex H:
+    huffman-coded prediction differences, predictors 1..7, point
+    transform, interleaved or per-component scans, 2-16 bit precision
+    folded to 8 via the high bits).  3-component = RGB (no color
+    transform — the DNG convention); restart intervals and subsampled
+    lossless frames raise."""
+    if blob[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    n = len(blob)
+    dc_dec: dict = {}
+    frame = None
+    ri = 0
+    prec = 0
+    planes: dict = {}
+    pts: dict = {}
+    while pos + 1 < n:
+        if blob[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = blob[pos + 1]
+        if marker == 0xFF:                     # fill byte (B.1.1.2)
+            pos += 1
+            continue
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:                                    # EOI
+            break
+        ln = struct.unpack_from(">H", blob, pos)[0]
+        seg = blob[pos + 2:pos + ln]
+        pos += ln
+        if marker == 0xC4:                                    # DHT
+            s = 0
+            while s < len(seg):
+                cls, tid = seg[s] >> 4, seg[s] & 0xF
+                bl = list(seg[s + 1:s + 17])
+                nv = sum(bl)
+                if cls == 0:
+                    dc_dec[tid] = _build_decoder(
+                        bl, list(seg[s + 17:s + 17 + nv]))
+                s += 17 + nv
+        elif marker == 0xC3:                                  # SOF3
+            prec, h, w = seg[0], *struct.unpack_from(">HH", seg, 1)
+            if not 2 <= prec <= 16:
+                raise ValueError(f"{prec}-bit lossless JPEG out of range")
+            nc = seg[5]
+            if nc not in (1, 3):
+                raise ValueError(f"{nc}-component JPEG unsupported "
+                                 "(CMYK etc.)")
+            comps = []
+            for ci in range(nc):
+                cid, hv, _tq = seg[6 + 3 * ci:9 + 3 * ci]
+                if hv != 0x11:
+                    raise ValueError(
+                        "subsampled lossless JPEG unsupported")
+                comps.append(cid)
+                planes[cid] = np.zeros((h, w), dtype=np.int64)
+            frame = (h, w, comps)
+        elif marker == 0xDD:                                  # DRI
+            ri = struct.unpack(">H", seg)[0]
+        elif marker == 0xDA:                                  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            if ri:
+                raise ValueError(
+                    "restart intervals in lossless JPEG unsupported")
+            h, w, comps = frame
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cid = seg[1 + 2 * i]
+                td = seg[2 + 2 * i] >> 4
+                scan.append((cid, dc_dec[td], planes[cid]))
+            sel = seg[1 + 2 * ns]              # Ss = predictor selector
+            pt = seg[3 + 2 * ns] & 0xF         # Al = point transform
+            if not 1 <= sel <= 7:
+                raise ValueError(f"lossless predictor {sel} invalid")
+            for cid, _, _ in scan:
+                pts[cid] = pt
+            default = 1 << (prec - pt - 1)
+            chunks, pos = _split_entropy(blob, pos)
+            if len(chunks) > 1:
+                raise ValueError(
+                    "restart markers in lossless JPEG unsupported")
+            br = _BitReader(chunks[0])
+            for y in range(h):
+                for x in range(w):
+                    for cid, tab, p in scan:
+                        s = _huff(br, tab)
+                        d = 32768 if s == 16 else _extend(br.bits(s), s)
+                        pv = _ll_predict(p, y, x, sel, default)
+                        p[y, x] = (pv + d) & 0xFFFF    # mod 2^16
+    if frame is None:
+        raise ValueError("JPEG missing SOF")
+    h, w, comps = frame
+    outs = []
+    for cid in comps:
+        v = planes[cid] << pts.get(cid, 0)
+        if prec > 8:
+            v = v >> (prec - 8)
+        elif prec < 8:
+            v = v << (8 - prec)
+        outs.append(np.clip(v, 0, 255).astype(np.uint8))
+    if len(outs) == 1:
+        return np.repeat(outs[0][:, :, None], 3, axis=2)
+    return np.stack(outs, axis=-1)
+
+
 def jpeg_sof(blob: bytes):
     """Frame type of a JPEG: walk the marker segments (the same walk
     :func:`decode_jpeg` does, without entropy decode) and return the
-    first SOFn's ``n`` — 0/1/2 = sequential or progressive huffman DCT
-    (natively decodable here), other values = the remaining T.81 frame
-    types (arithmetic/lossless/hierarchical — Pillow-gated).  ``None``
+    first SOFn's ``n`` — 0/1/2 = sequential or progressive huffman DCT,
+    3 = lossless (all natively decodable here), other values = the
+    remaining T.81 frame types (arithmetic/hierarchical —
+    Pillow-gated).  ``None``
     when the blob is not a JPEG or carries no SOF before SOS/EOI —
     callers treat that as undecodable."""
     b = bytes(blob)

@@ -110,8 +110,9 @@ def decode_image(df: DataFrame, binary_col: str = "content",
       (batching, schema, memory shape) matches the real decode.
     * ``"native"``: REAL pure-Python decode of uncompressed BMP, binary
       PPM, 8-bit PNG, GIF87a/89a first frames (variable-width LZW,
-      interlacing), baseline TIFF (none/LZW/PackBits strips, predictor,
-      both byte orders), lossless WebP (the full VP8L bitstream), and
+      interlacing), TIFF (none/LZW/Deflate/PackBits, strips AND tiles,
+      8- and 16-bit samples, predictor, both byte orders), lossless
+      WebP (the full VP8L bitstream), and
       8-bit huffman JPEG in all its common shapes —
       baseline/extended sequential AND progressive scans, any chroma
       subsampling, restart intervals (``multimodal/codecs.py`` +
@@ -121,8 +122,9 @@ def decode_image(df: DataFrame, binary_col: str = "content",
       successive approximation, dequant, IDCT; no optional deps), with
       deterministic nearest-neighbor resize to ``width×height``.
     * ``"pillow"``: Pillow for the exotic rest (arithmetic-coded /
-      12-bit / lossless JPEG, CMYK, lossy VP8 WebP, tiled/16-bit
-      TIFF); without Pillow this
+      12-bit DCT / hierarchical JPEG, CMYK, lossy VP8 WebP,
+      CCITT/JPEG-in-TIFF);
+      without Pillow this
       raises NotImplementedError up front — an honest gate, not a
       silent fake.
     * ``"auto"``: native for BMP/PPM/PNG/GIF/TIFF/JPEG magic bytes, Pillow
@@ -138,11 +140,11 @@ def decode_image(df: DataFrame, binary_col: str = "content",
             import PIL.Image  # noqa: F401
         except ImportError as exc:
             raise NotImplementedError(
-                "exotic formats (arithmetic/12-bit/lossless JPEG, CMYK, "
-                "lossy VP8 WebP, tiled/16-bit TIFF) need Pillow — not "
-                "installed in this container; decoder='native' handles "
-                "BMP/PPM/PNG/GIF/TIFF/VP8L-WebP and "
-                "8-bit huffman JPEG (baseline, progressive, subsampled, "
+                "exotic formats (arithmetic/12-bit-DCT/hierarchical JPEG, "
+                "CMYK, lossy VP8 WebP, CCITT/JPEG-in-TIFF) need Pillow — "
+                "not installed in this container; decoder='native' handles "
+                "BMP/PPM/PNG/GIF/TIFF(strips+tiles, 8/16-bit)/VP8L-WebP and "
+                "huffman JPEG (baseline, progressive, lossless, subsampled, "
                 "restart markers), decoder='stub' is the deterministic "
                 "fake") from exc
 
@@ -298,11 +300,11 @@ def classify_decodability(df: DataFrame, binary_col: str = "content",
                           id_col: str = "media_id") -> DataFrame:
     """Per-blob decode-path classification — the measurement behind the
     Pillow gate (media.py decode_image): which fraction of a corpus the
-    native codecs handle vs what needs the gated exotic path.  Round 8:
-    baseline/extended sequential AND progressive huffman JPEG (SOF0/1/2)
-    GIF, baseline TIFF, and LOSSLESS WebP (VP8L) are all native now —
-    the gate covers only arithmetic/lossless/hierarchical JPEG frames
-    (SOF3+) and lossy (VP8) WebP.
+    native codecs handle vs what needs the gated exotic path.  Round 10:
+    sequential, progressive AND lossless huffman JPEG (SOF0/1/2/3),
+    GIF, TIFF (strips/tiles, 8/16-bit), and LOSSLESS WebP (VP8L) are
+    all native now — the gate covers only arithmetic/hierarchical JPEG
+    frames (SOF5+) and lossy (VP8) WebP.
 
     JPEG frame typing needs a marker-segment walk (the SOF position
     varies), which is not expressible as a fixed-offset prefix compare —
@@ -325,7 +327,7 @@ def classify_decodability(df: DataFrame, binary_col: str = "content",
                     "unknown")
                 if fmt == "jpeg":
                     sof = jpeg_sof(b)
-                    path = ("native" if sof in (0, 1, 2) else
+                    path = ("native" if sof in (0, 1, 2, 3) else
                             "pillow-gated" if sof is not None else
                             "unknown")
                 elif fmt in ("bmp", "ppm", "png", "gif", "tiff"):

@@ -1,30 +1,39 @@
 """Pure-Python baseline TIFF codec (stdlib + numpy — no libtiff/Pillow).
 
-Decode scope: baseline TIFF 6.0 still images, both byte orders (II and
-MM) — 8-bit grayscale / RGB / RGBA (alpha dropped) / palette-color,
-strip-based storage, Compression 1 (none), 5 (TIFF-LZW: MSB-first
-packing, 9→12-bit codes with the spec's EARLY code-width change) and
-32773 (PackBits RLE), horizontal-differencing Predictor (tag 317 = 2),
-multiple strips, white-is-zero inversion.  The FIRST IFD only (a
-multi-page TIFF decodes its first page — same convention as the GIF
-first-frame rule).  Tiled TIFFs, 16-bit samples, planar configuration
-2, and JPEG-in-TIFF raise with a clear message.
+Decode scope: baseline + extension TIFF 6.0 still images, both byte
+orders (II and MM) — 8-bit AND 16-bit grayscale / RGB / RGBA (alpha
+dropped) / palette-color, strip-based AND tiled storage (tags 322-325,
+edge tiles cropped per §15), Compression 1 (none), 5 (TIFF-LZW:
+MSB-first packing, 9→12-bit codes with the spec's EARLY code-width
+change), 8 / 32946 (Adobe/legacy Deflate via stdlib zlib) and 32773
+(PackBits RLE), horizontal-differencing Predictor (tag 317 = 2, applied
+per independently-compressed segment, 8- or 16-bit arithmetic),
+multiple strips, white-is-zero inversion.  16-bit rasters fold to the
+8-bit RGB output contract via the high byte (``>> 8``) — the exact
+inverse of the encoder's ``v * 257`` widening, so 16-bit round-trips
+stay pixel-exact.  The FIRST IFD only (a multi-page TIFF decodes its
+first page — same convention as the GIF first-frame rule).  Planar
+configuration 2 and JPEG-in-TIFF raise with a clear message.
 
-Encode scope: single-strip or multi-strip 8-bit RGB/gray, either byte
-order, none/LZW/PackBits compression, optional horizontal predictor —
-a test harness proving the decoder without Pillow (TIFF is lossless,
-so round-trips are pixel-exact).
+Encode scope: single-strip / multi-strip / tiled 8- or 16-bit RGB/gray,
+either byte order, none/LZW/Deflate/PackBits compression, optional
+horizontal predictor — a test harness proving the decoder without
+Pillow (TIFF is lossless, so round-trips are pixel-exact; 16-bit mode
+widens 8-bit input by ``v * 257`` so decode's ``>> 8`` restores it).
 
 Public spec: the TIFF 6.0 specification (Adobe, 1992) — IFD layout
 from §2, PackBits from §9, LZW incl. early change from §13, predictor
-from §14.  No counterpart in the reference (tabular only); extends the
-project-brief multimodal surface, leaving only WebP and the exotic
-JPEG frame types behind the Pillow gate.
+from §14, tiles from §15 — plus the Adobe PageMaker TIFF tech notes
+for Deflate compression codes 8/32946.  No counterpart in the
+reference (tabular only); extends the project-brief multimodal
+surface, leaving only lossy-VP8 WebP and the exotic JPEG frame types
+behind the Pillow gate.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -35,6 +44,7 @@ _WIDTH, _LENGTH, _BITS, _COMPRESSION = 256, 257, 258, 259
 _PHOTOMETRIC, _STRIP_OFFSETS, _SPP = 262, 273, 277
 _ROWS_PER_STRIP, _STRIP_COUNTS, _PLANAR, _PREDICTOR = 278, 279, 284, 317
 _COLORMAP, _EXTRA = 320, 338
+_TILE_W, _TILE_L, _TILE_OFFSETS, _TILE_COUNTS = 322, 323, 324, 325
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}   # BYTE ASCII SHORT LONG RATIONAL
 
@@ -217,42 +227,83 @@ def decode_tiff(blob: bytes) -> np.ndarray:
     w, h = one(_WIDTH), one(_LENGTH)
     spp = one(_SPP, 1)
     bits = tags.get(_BITS, [8] * spp)
-    if any(b != 8 for b in bits):
-        raise ValueError(f"{bits}-bit TIFF unsupported (8-bit only)")
+    if len(set(bits)) != 1 or bits[0] not in (8, 16):
+        raise ValueError(f"{bits}-bit TIFF unsupported (8/16-bit only)")
+    bps = bits[0]
     comp = one(_COMPRESSION, 1)
     photo = one(_PHOTOMETRIC)
+    pred = one(_PREDICTOR, 1)
     if one(_PLANAR, 1) != 1:
         raise ValueError("planar-configuration TIFF unsupported")
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32946, 32773):
         kind = {6: "JPEG-in-TIFF", 7: "JPEG-in-TIFF",
-                2: "CCITT", 3: "CCITT", 4: "CCITT",
-                8: "Deflate", 32946: "Deflate"}.get(comp, f"compression {comp}")
-        raise ValueError(f"{kind} TIFF unsupported (none/LZW/PackBits only)")
-    if 322 in tags or 323 in tags:
-        raise ValueError("tiled TIFF unsupported (strips only)")
+                2: "CCITT", 3: "CCITT", 4: "CCITT"}.get(
+                    comp, f"compression {comp}")
+        raise ValueError(
+            f"{kind} TIFF unsupported (none/LZW/Deflate/PackBits only)")
 
-    offsets = tags[_STRIP_OFFSETS]
-    counts = tags.get(_STRIP_COUNTS, [len(blob) - offsets[0]])
-    rps = one(_ROWS_PER_STRIP, h)
-    row_bytes = w * spp
-    raster = bytearray()
-    for si, (so, sc) in enumerate(zip(offsets, counts)):
-        rows = min(rps, h - si * rps)
-        want = rows * row_bytes
-        raw = blob[so:so + sc]
+    # sample dtype follows the file byte order; predictor arithmetic is
+    # modulo 2^bps per the spec (§14 extends verbatim to 16-bit samples)
+    dt = np.dtype(e + ("u2" if bps == 16 else "u1"))
+    native = np.uint16 if bps == 16 else np.uint8
+
+    def segment(raw: bytes, rows: int, cols: int) -> np.ndarray:
+        """One independently-compressed strip/tile → (rows, cols, spp)."""
+        want = rows * cols * spp * (bps // 8)
         if comp == 1:
-            strip = raw[:want]
-            if len(strip) < want:
-                raise ValueError("TIFF strip short")
+            s = raw[:want]
+            if len(s) < want:
+                raise ValueError("TIFF segment short")
         elif comp == 5:
-            strip = _lzw_decode_tiff(raw, want)
+            s = _lzw_decode_tiff(raw, want)
+        elif comp in (8, 32946):
+            s = zlib.decompress(raw)
+            if len(s) < want:
+                raise ValueError("TIFF Deflate segment short")
+            s = s[:want]
         else:
-            strip = _packbits_decode(raw, want)
-        raster += strip
-    arr = np.frombuffer(bytes(raster), dtype=np.uint8).reshape(h, w, spp)
-    if one(_PREDICTOR, 1) == 2:            # horizontal differencing
-        arr = np.cumsum(arr.astype(np.int64), axis=1).astype(np.uint8)
+            s = _packbits_decode(raw, want)
+        a = np.frombuffer(s, dtype=dt).reshape(rows, cols, spp)
+        if pred == 2:                      # horizontal differencing
+            a = (np.cumsum(a.astype(np.int64), axis=1)
+                 & ((1 << bps) - 1)).astype(native)
+        return a.astype(native)
+
+    if _TILE_OFFSETS in tags:              # tiled storage (§15)
+        tw, tl = one(_TILE_W), one(_TILE_L)
+        offsets = tags[_TILE_OFFSETS]
+        counts = tags[_TILE_COUNTS]
+        across = -(-w // tw)
+        down = -(-h // tl)
+        if len(offsets) < across * down:
+            raise ValueError("TIFF tile table short")
+        arr = np.zeros((h, w, spp), dtype=native)
+        for ti in range(down):
+            for tj in range(across):
+                k = ti * across + tj
+                t = segment(blob[offsets[k]:offsets[k] + counts[k]], tl, tw)
+                rr = min(tl, h - ti * tl)  # edge tiles: decode full
+                cc = min(tw, w - tj * tw)  # tile, crop the padding
+                arr[ti * tl:ti * tl + rr,
+                    tj * tw:tj * tw + cc] = t[:rr, :cc]
+    else:
+        offsets = tags[_STRIP_OFFSETS]
+        counts = tags.get(_STRIP_COUNTS, [len(blob) - offsets[0]])
+        rps = one(_ROWS_PER_STRIP, h)
+        parts = []
+        for si, (so, sc) in enumerate(zip(offsets, counts)):
+            rows = min(rps, h - si * rps)
+            parts.append(segment(blob[so:so + sc], rows, w))
+        arr = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+    def fold8(a: np.ndarray) -> np.ndarray:
+        # 16-bit → 8-bit via the high byte: exact inverse of the
+        # encoder's v*257 widening (257*v >> 8 == v for v in 0..255)
+        return (a >> 8).astype(np.uint8) if bps == 16 else a.astype(np.uint8)
+
     if photo == 3:                         # palette
+        if bps != 8:
+            raise ValueError("16-bit palette TIFF unsupported")
         cm = tags.get(_COLORMAP)
         if cm is None:
             raise ValueError("palette TIFF missing ColorMap")
@@ -263,12 +314,13 @@ def decode_tiff(blob: bytes) -> np.ndarray:
     if photo in (0, 1):
         g = arr[:, :, 0]
         if photo == 0:                     # white-is-zero
-            g = 255 - g
+            g = ((1 << bps) - 1) - g
+        g = fold8(g)
         return np.repeat(g[:, :, None], 3, axis=2)
     if photo == 2:
         if spp < 3:
             raise ValueError("RGB TIFF with <3 samples")
-        return np.ascontiguousarray(arr[:, :, :3])  # drop alpha/extra
+        return np.ascontiguousarray(fold8(arr[:, :, :3]))  # drop alpha
     raise ValueError(f"photometric {photo} TIFF unsupported")
 
 
@@ -277,12 +329,21 @@ def decode_tiff(blob: bytes) -> np.ndarray:
 def encode_tiff(px: np.ndarray, *, compression: str = "none",
                 byte_order: str = "II", predictor: bool = False,
                 rows_per_strip: int | None = None,
-                grayscale: bool = False) -> bytes:
-    """(H, W, 3) uint8 RGB → baseline TIFF bytes.  ``compression`` in
-    none/lzw/packbits; ``predictor`` applies horizontal differencing
-    (lzw/packbits paths); multi-strip when ``rows_per_strip`` is set."""
-    if compression not in ("none", "lzw", "packbits"):
+                grayscale: bool = False, bits: int = 8,
+                tile: tuple[int, int] | None = None) -> bytes:
+    """(H, W, 3) uint8 RGB → TIFF bytes.  ``compression`` in
+    none/lzw/deflate/packbits; ``predictor`` applies horizontal
+    differencing per independently-compressed segment; multi-strip when
+    ``rows_per_strip`` is set; ``tile=(tw, tl)`` switches to tiled
+    storage (§15 — dimensions should be multiples of 16, edge tiles
+    zero-padded); ``bits=16`` widens samples by ``v * 257`` so the
+    decoder's high-byte fold restores the input exactly."""
+    if compression not in ("none", "lzw", "deflate", "packbits"):
         raise ValueError(f"unknown compression {compression!r}")
+    if bits not in (8, 16):
+        raise ValueError("bits must be 8 or 16")
+    if tile is not None and rows_per_strip is not None:
+        raise ValueError("tile and rows_per_strip are exclusive")
     e = {"II": "<", "MM": ">"}[byte_order]
     h, w = px.shape[:2]
     if grayscale:
@@ -291,34 +352,64 @@ def encode_tiff(px: np.ndarray, *, compression: str = "none",
         spp, photo = 1, 1
     else:
         data, spp, photo = px, 3, 2
-    if predictor:
-        d = data.astype(np.int16)
-        d[:, 1:] = d[:, 1:] - d[:, :-1]
-        data = (d % 256).astype(np.uint8)
-    rps = rows_per_strip or h
-    strips = []
-    for r0 in range(0, h, rps):
-        raw = data[r0:r0 + rps].tobytes()
-        strips.append(raw if compression == "none"
-                      else _lzw_encode_tiff(raw) if compression == "lzw"
-                      else _packbits_encode(raw))
+    if bits == 16:
+        data = data.astype(np.uint16) * 257    # 0xAB -> 0xABAB
+    sample_dt = np.dtype(e + ("u2" if bits == 16 else "u1"))
+
+    def pack_segment(seg: np.ndarray) -> bytes:
+        """Predictor + serialization + compression for ONE segment —
+        predictor state must not leak across strip/tile boundaries."""
+        if predictor:
+            d = seg.astype(np.int64)
+            d[:, 1:] = d[:, 1:] - d[:, :-1]
+            seg = (d & ((1 << bits) - 1)).astype(
+                np.uint16 if bits == 16 else np.uint8)
+        raw = seg.astype(sample_dt).tobytes()
+        if compression == "none":
+            return raw
+        if compression == "lzw":
+            return _lzw_encode_tiff(raw)
+        if compression == "deflate":
+            return zlib.compress(raw, 6)
+        return _packbits_encode(raw)
+
+    segments = []
+    if tile is not None:
+        tw, tl = tile
+        for r0 in range(0, h, tl):
+            for c0 in range(0, w, tw):
+                t = np.zeros((tl, tw, spp), data.dtype)
+                blk = data[r0:r0 + tl, c0:c0 + tw]
+                t[:blk.shape[0], :blk.shape[1]] = blk
+                segments.append(pack_segment(t))
+    else:
+        rps = rows_per_strip or h
+        for r0 in range(0, h, rps):
+            segments.append(pack_segment(data[r0:r0 + rps]))
 
     entries = []                           # (tag, type, count, value-int)
 
     def ent(tag, typ, cnt, val):
         entries.append((tag, typ, cnt, val))
 
-    comp_id = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    comp_id = {"none": 1, "lzw": 5, "deflate": 8,
+               "packbits": 32773}[compression]
     ent(_WIDTH, 4, 1, w)
     ent(_LENGTH, 4, 1, h)
     ent(_COMPRESSION, 3, 1, comp_id)
     ent(_PHOTOMETRIC, 3, 1, photo)
     ent(_SPP, 3, 1, spp)
-    ent(_ROWS_PER_STRIP, 4, 1, rps)
+    if tile is not None:
+        ent(_TILE_W, 4, 1, tile[0])
+        ent(_TILE_L, 4, 1, tile[1])
+        off_tag, cnt_tag = _TILE_OFFSETS, _TILE_COUNTS
+    else:
+        ent(_ROWS_PER_STRIP, 4, 1, rows_per_strip or h)
+        off_tag, cnt_tag = _STRIP_OFFSETS, _STRIP_COUNTS
     if predictor:
         ent(_PREDICTOR, 3, 1, 2)
 
-    # layout: header(8) + IFD + overflow area + strip data
+    # layout: header(8) + IFD + overflow area + segment data
     n_fix = len(entries) + 3               # + BITS + offsets + counts
     ifd_size = 2 + 12 * n_fix + 4
     over = bytearray()
@@ -330,36 +421,34 @@ def encode_tiff(px: np.ndarray, *, compression: str = "none",
         return off
 
     if spp == 3:
-        bits_off = overflow(struct.pack(e + "HHH", 8, 8, 8))
+        bits_off = overflow(struct.pack(e + "HHH", bits, bits, bits))
         ent(_BITS, 3, 3, bits_off)
     else:
-        ent(_BITS, 3, 1, 8)
-    n_strips = len(strips)
-    if n_strips == 1:
-        off_entry = (_STRIP_OFFSETS, 4, 1, None)   # patched below
-        cnt_entry = (_STRIP_COUNTS, 4, 1, len(strips[0]))
-        entries.append(off_entry)
-        entries.append(cnt_entry)
-        strip_table_off = None
+        ent(_BITS, 3, 1, bits)
+    n_seg = len(segments)
+    if n_seg == 1:
+        entries.append((off_tag, 4, 1, None))      # patched below
+        entries.append((cnt_tag, 4, 1, len(segments[0])))
+        seg_table_off = None
     else:
-        strip_table_off = overflow(bytes(4 * n_strips))   # placeholder
-        cnt_off = overflow(struct.pack(e + "I" * n_strips,
-                                       *[len(s) for s in strips]))
-        ent(_STRIP_OFFSETS, 4, n_strips, strip_table_off)
-        ent(_STRIP_COUNTS, 4, n_strips, cnt_off)
+        seg_table_off = overflow(bytes(4 * n_seg))   # placeholder
+        cnt_off = overflow(struct.pack(e + "I" * n_seg,
+                                       *[len(s) for s in segments]))
+        ent(off_tag, 4, n_seg, seg_table_off)
+        ent(cnt_tag, 4, n_seg, cnt_off)
 
     data_base = over_base + len(over)
-    strip_offs = []
+    seg_offs = []
     p = data_base
-    for s in strips:
-        strip_offs.append(p)
+    for s in segments:
+        seg_offs.append(p)
         p += len(s)
-    if n_strips == 1:
-        entries = [(t, ty, c, strip_offs[0] if t == _STRIP_OFFSETS else v)
+    if n_seg == 1:
+        entries = [(t, ty, c, seg_offs[0] if t == off_tag else v)
                    for t, ty, c, v in entries]
     else:
-        struct.pack_into(e + "I" * n_strips, over,
-                         strip_table_off - over_base, *strip_offs)
+        struct.pack_into(e + "I" * n_seg, over,
+                         seg_table_off - over_base, *seg_offs)
 
     out = bytearray(byte_order.encode())
     out += struct.pack(e + "HI", 42, 8)
@@ -372,6 +461,6 @@ def encode_tiff(px: np.ndarray, *, compression: str = "none",
             out += struct.pack(e + "I", val)
     out += struct.pack(e + "I", 0)         # no next IFD
     out += over
-    for s in strips:
+    for s in segments:
         out += s
     return bytes(out)

@@ -417,7 +417,7 @@ def q_media_decode_jpeg_prog(spark, sf_dir):
     """REAL progressive-JPEG decode, oracle-checked to the pixel
     (round 8: multimodal/jpeg.py decodes T.81 Annex G scans natively —
     spectral selection, successive approximation, EOB-run coding; the
-    Pillow gate now covers only arithmetic/lossless/hierarchical
+    Pillow gate now covers only arithmetic/hierarchical
     frames).  Exactness construction: the baseline query's DC-only
     blocks (quantized DC = (doc_id*29 + 11*blk) % 58 - 29 at quality
     50, q0 = 16 so pixel = 2*DC + 128) shipped through the FULL
@@ -606,18 +606,21 @@ SELECT doc_id AS media_id,
 FROM px GROUP BY doc_id
 """)
 def q_media_decode_tiff(spark, sf_dir):
-    """REAL baseline-TIFF decode, oracle-checked to the pixel (round 8:
-    multimodal/tiff.py — IFD walk, strip assembly, TIFF-LZW with the
-    spec's early code-width change, PackBits, horizontal-differencing
-    predictor, both byte orders; the Pillow gate is down to WebP +
-    exotic JPEG frame types).  Per document a 7x5 RGB TIFF is
-    synthesized whose raster is (doc_id*59 + idx) mod 256, cycling
-    doc_id through the codec matrix — byte order II/MM x compression
-    none/LZW/PackBits x predictor on/off x single/multi-strip — and
-    decoded via decode_image(decoder='native').  TIFF is lossless, so
-    the oracle recomputes the raster from doc_id alone; any slip in
-    IFD offsets, strip math, LZW widths, RLE, or the predictor
-    cumulative sum shifts the position-weighted checksum."""
+    """REAL TIFF decode, oracle-checked to the pixel (round 8, widened
+    round 10: multimodal/tiff.py — IFD walk, strip AND tile (§15)
+    assembly with edge-tile cropping, TIFF-LZW with the spec's early
+    code-width change, Deflate (codes 8/32946), PackBits,
+    horizontal-differencing predictor in 8- AND 16-bit arithmetic,
+    both byte orders, 16-bit samples folded to 8 via the high byte).
+    Per document a 7x5 RGB TIFF is synthesized whose raster is
+    (doc_id*59 + idx) mod 256, cycling doc_id through the codec matrix
+    — byte order II/MM x compression none/LZW/PackBits/Deflate x
+    predictor on/off x multi-strip/single-strip/tiled-16x16 x 8/16-bit
+    — and decoded via decode_image(decoder='native').  TIFF is
+    lossless, so the oracle recomputes the raster from doc_id alone;
+    any slip in IFD offsets, strip/tile math, LZW widths, RLE, inflate
+    bounds, 16-bit widening, or the predictor cumulative sum shifts
+    the position-weighted checksum."""
     import numpy as np
     import pandas as pd
 
@@ -633,12 +636,78 @@ def q_media_decode_tiff(spark, sf_dir):
                 idx = np.arange(H * W * 3, dtype=np.int64)
                 img = ((did * 59 + idx) % 256).astype(
                     np.uint8).reshape(H, W, 3)
+                storage = ({"rows_per_strip": 3} if did % 7 < 3
+                           else {"tile": (16, 16)} if did % 7 >= 5
+                           else {})
                 blob = encode_tiff(
                     img,
                     byte_order="MM" if did % 2 else "II",
-                    compression=("none", "lzw", "packbits")[did % 3],
+                    compression=("none", "lzw", "packbits",
+                                 "deflate")[did % 4],
                     predictor=bool(did % 5 % 2),
-                    rows_per_strip=3 if did % 7 < 3 else None)
+                    bits=16 if did % 11 < 4 else 8,
+                    **storage)
+                out.append((did, blob))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    blobs = docs.mapInPandas(mk, "media_id long, content binary")
+    dec = M.decode_image(blobs, height=H, width=W, decoder="native")
+    ints = F.transform(F.col("pixels"),
+                       lambda x: F.round(x * 255).cast("long"))
+    weighted = F.transform(ints, lambda v, i: v * (i.cast("long") + 1))
+    lsum = (lambda arr: F.aggregate(arr, F.lit(0).cast("long"),
+                                    lambda a, v: a + v))
+    return dec.select(
+        "media_id",
+        F.size("pixels").cast("long").alias("n_px"),
+        lsum(ints).alias("sum_val"),
+        lsum(weighted).alias("checksum"))
+
+
+@query("q_media_decode_jpeg_lossless", """
+WITH px AS (SELECT doc_id, (doc_id * 71 + i) % 256 AS v, i
+            FROM documents, unnest(generate_series(0, 125)) g(i))
+SELECT doc_id AS media_id,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(v) AS BIGINT) AS sum_val,
+       CAST(sum(v * (i + 1)) AS BIGINT) AS checksum
+FROM px GROUP BY doc_id
+""")
+def q_media_decode_jpeg_lossless(spark, sf_dir):
+    """REAL lossless-JPEG (SOF3, T.81 Annex H) decode, oracle-checked
+    to the pixel (round 10: multimodal/jpeg.py — huffman-coded
+    prediction differences, the edge rules (scan-start default,
+    first-line Ra, first-column Rb), mod-2^16 reconstruction, 16-bit
+    precision folded via the high byte; the JPEG Pillow gate is down
+    to arithmetic/12-bit-DCT/hierarchical).  Per document a 6x7 RGB
+    image with raster (doc_id*71 + idx) mod 256 is SOF3-encoded
+    cycling doc_id through the matrix — all SEVEN Annex-H predictors x
+    8/16-bit precision x interleaved/per-component scans — and decoded
+    via decode_image(decoder='native').  Lossless JPEG stores RGB with
+    no color transform, so the oracle recomputes the raster from
+    doc_id alone; any slip in the predictor algebra, category-16
+    handling, bit extension, or the scan interleave order shifts the
+    position-weighted checksum."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _ids_partitioned(spark, sf_dir)
+    H, W = 6, 7
+
+    def mk(pdf_iter):
+        from orange3_spark.multimodal.jpeg import encode_jpeg_lossless
+        for pdf in pdf_iter:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                idx = np.arange(H * W * 3, dtype=np.int64)
+                img = ((did * 71 + idx) % 256).astype(
+                    np.uint8).reshape(H, W, 3)
+                blob = encode_jpeg_lossless(
+                    img,
+                    predictor=did % 7 + 1,
+                    bits=16 if did % 3 == 0 else 8,
+                    interleaved=bool(did % 2))
                 out.append((did, blob))
             yield pd.DataFrame(out, columns=["media_id", "content"])
 
@@ -670,7 +739,7 @@ def q_media_decode_webp(spark, sf_dir):
     (round 8: multimodal/webp.py — LSB-first prefix codes, color
     cache, LZ77 with the 2-D distance map, predictor / color /
     subtract-green transforms; the Pillow gate for images is now ONLY
-    lossy VP8 WebP + arithmetic/lossless JPEG + tiled/16-bit TIFF).
+    lossy VP8 WebP + arithmetic/hierarchical JPEG + CCITT/JPEG-in-TIFF).
     Per document an 11x4 RGB image with raster (doc_id*61 + idx) mod
     256 is VP8L-encoded with feature flags drawn from doc_id's low
     bits — color cache, LZ77 run references, subtract-green, the

@@ -713,9 +713,122 @@ def test_tiff_roundtrip_matrix():
         decode_tiff(b"II\x2b\x00\x08\x00\x00\x00")
     b = bytearray(encode_tiff(img))
     i = bytes(b).find(bytes([8, 0, 8, 0, 8, 0]))
-    b[i:i + 2] = bytes([16, 0])
-    with pytest.raises(ValueError, match="8-bit only"):
+    b[i:i + 2] = bytes([16, 0])                # mixed [16, 8, 8]
+    with pytest.raises(ValueError, match="8/16-bit only"):
         decode_tiff(bytes(b))
+    b[i:i + 6] = bytes([12, 0, 12, 0, 12, 0])  # uniform but unsupported
+    with pytest.raises(ValueError, match="8/16-bit only"):
+        decode_tiff(bytes(b))
+
+
+def test_tiff_tiled_16bit_deflate():
+    """Round-10 TIFF extensions: tiled storage (§15) with edge-tile
+    cropping on BOTH axes, 16-bit samples (v*257 widening, high-byte
+    fold), Deflate strips/tiles, and the 16-bit predictor's mod-65536
+    arithmetic — all lossless, all pixel-exact, both byte orders.
+    A 33x17 image under 16x16 tiles forces a 3x2 tile grid whose right
+    and bottom tiles are mostly padding; a desynced tile walk, a
+    row-major/tile-major mixup, or folding before the predictor
+    cumsum all shift pixels and fail the exact compare."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from orange3_spark.multimodal.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(11)
+    imgs = [rng.integers(0, 256, size=(33, 17, 3), dtype=np.uint8),
+            rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8),
+            rng.integers(0, 256, size=(7, 45, 3), dtype=np.uint8)]
+    for im in imgs:
+        for bo in ("II", "MM"):
+            for comp in ("none", "lzw", "deflate", "packbits"):
+                for pred in (False, True):
+                    for bits in (8, 16):
+                        blob = encode_tiff(im, byte_order=bo,
+                                           compression=comp,
+                                           predictor=pred, bits=bits,
+                                           tile=(16, 16))
+                        assert np.array_equal(decode_tiff(blob), im), \
+                            (im.shape, bo, comp, pred, bits)
+    # 16-bit strips (multi + single) and Deflate strips
+    im = imgs[0]
+    for kw in ({"rows_per_strip": 4}, {}):
+        blob = encode_tiff(im, compression="deflate", bits=16,
+                           predictor=True, byte_order="MM", **kw)
+        assert np.array_equal(decode_tiff(blob), im)
+    # 16-bit grayscale keeps the luma exactly (257*v >> 8 == v)
+    g = encode_tiff(im, grayscale=True, bits=16, compression="deflate",
+                    tile=(16, 16), predictor=True)
+    lum = np.round(0.299 * im[..., 0] + 0.587 * im[..., 1]
+                   + 0.114 * im[..., 2]).astype(np.uint8)
+    assert np.array_equal(decode_tiff(g)[:, :, 0], lum)
+    # legacy Deflate code 32946 decodes identically to code 8
+    blob = bytearray(encode_tiff(im, compression="deflate"))
+    i = bytes(blob).find(struct.pack("<HHIHH", 259, 3, 1, 8, 0))
+    assert i > 0
+    blob[i:i + 12] = struct.pack("<HHII", 259, 4, 1, 32946)
+    assert np.array_equal(decode_tiff(bytes(blob)), im)
+    # exclusive storage options
+    with pytest.raises(ValueError, match="exclusive"):
+        encode_tiff(im, tile=(16, 16), rows_per_strip=4)
+
+
+def test_jpeg_lossless_roundtrip_matrix():
+    """Lossless JPEG (SOF3, T.81 Annex H) round-trips pixel-exact
+    through all seven predictors x 8/16-bit precision x interleaved /
+    per-component scans, on structured and random rasters.  The
+    16-bit black-corner image forces the SSSS=16 special category
+    (diff exactly 32768 against the 2^15 scan-start default — no
+    appended bits per H.1.2.2); point transform Pt drops exactly the
+    Pt low bits; decode_jpeg dispatches on jpeg_sof()==3."""
+    import numpy as np
+    import pytest
+
+    from orange3_spark.multimodal.jpeg import (decode_jpeg,
+                                               encode_jpeg_lossless,
+                                               jpeg_sof)
+
+    yy, xx = np.mgrid[0:14, 0:11]
+    img = np.stack([(yy * 31 + 7) % 256, (xx * 17 + 3) % 256,
+                    ((yy * xx) + 199) % 256], axis=-1).astype(np.uint8)
+    rng = np.random.default_rng(23)
+    noise = rng.integers(0, 256, size=(9, 21, 3), dtype=np.uint8)
+    for im in (img, noise):
+        for pred in range(1, 8):
+            for bits in (8, 16):
+                for inter in (True, False):
+                    blob = encode_jpeg_lossless(im, predictor=pred,
+                                                bits=bits,
+                                                interleaved=inter)
+                    assert jpeg_sof(blob) == 3
+                    assert np.array_equal(decode_jpeg(blob), im), \
+                        (pred, bits, inter)
+    # SSSS=16: a zero top-left sample in 16-bit mode diffs by exactly
+    # 32768 from the scan-start default predictor
+    corner = img.copy()
+    corner[0, 0] = 0
+    blob = encode_jpeg_lossless(corner, predictor=1, bits=16)
+    assert np.array_equal(decode_jpeg(blob), corner)
+    # point transform: decode returns (v >> Pt) << Pt
+    for pt in (1, 3):
+        blob = encode_jpeg_lossless(img, predictor=5, point_transform=pt)
+        assert np.array_equal(decode_jpeg(blob), (img >> pt) << pt)
+    # grayscale photometric
+    g = decode_jpeg(encode_jpeg_lossless(img, grayscale=True, predictor=7))
+    lum = np.round(0.299 * img[..., 0] + 0.587 * img[..., 1]
+                   + 0.114 * img[..., 2]).astype(np.uint8)
+    assert np.array_equal(g[:, :, 0], lum)
+    assert np.array_equal(g[:, :, 0], g[:, :, 2])
+    # gates: predictor range, restart intervals
+    with pytest.raises(ValueError, match="1..7"):
+        encode_jpeg_lossless(img, predictor=0)
+    blob = bytearray(encode_jpeg_lossless(img))
+    i = bytes(blob).find(b"\xFF\xDA")
+    dri = b"\xFF\xDD\x00\x04\x00\x08"
+    with pytest.raises(ValueError, match="restart intervals"):
+        decode_jpeg(bytes(blob[:i]) + dri + bytes(blob[i:]))
 
 
 def test_webp_vp8l_roundtrip_matrix():
