@@ -11,15 +11,18 @@ per independently-compressed segment, 8- or 16-bit arithmetic),
 multiple strips, white-is-zero inversion.  16-bit rasters fold to the
 8-bit RGB output contract via the high byte (``>> 8``) — the exact
 inverse of the encoder's ``v * 257`` widening, so 16-bit round-trips
-stay pixel-exact.  The FIRST IFD only (a multi-page TIFF decodes its
-first page — same convention as the GIF first-frame rule).  Planar
-configuration 2 and JPEG-in-TIFF raise with a clear message.
+stay pixel-exact.  Planar configuration 2 (plane-major strip table,
+one sample per strip pixel) decodes for strip storage.  The FIRST IFD
+only (a multi-page TIFF decodes its first page — same convention as
+the GIF first-frame rule).  Tiled-planar and JPEG-in-TIFF raise with
+a clear message.
 
-Encode scope: single-strip / multi-strip / tiled 8- or 16-bit RGB/gray,
-either byte order, none/LZW/Deflate/PackBits compression, optional
-horizontal predictor — a test harness proving the decoder without
-Pillow (TIFF is lossless, so round-trips are pixel-exact; 16-bit mode
-widens 8-bit input by ``v * 257`` so decode's ``>> 8`` restores it).
+Encode scope: single-strip / multi-strip / tiled / planar 8- or 16-bit
+RGB/gray, either byte order, none/LZW/Deflate/PackBits compression,
+optional horizontal predictor — a test harness proving the decoder
+without Pillow (TIFF is lossless, so round-trips are pixel-exact;
+16-bit mode widens 8-bit input by ``v * 257`` so decode's ``>> 8``
+restores it).
 
 Public spec: the TIFF 6.0 specification (Adobe, 1992) — IFD layout
 from §2, PackBits from §9, LZW incl. early change from §13, predictor
@@ -233,8 +236,9 @@ def decode_tiff(blob: bytes) -> np.ndarray:
     comp = one(_COMPRESSION, 1)
     photo = one(_PHOTOMETRIC)
     pred = one(_PREDICTOR, 1)
-    if one(_PLANAR, 1) != 1:
-        raise ValueError("planar-configuration TIFF unsupported")
+    planar = one(_PLANAR, 1)
+    if planar not in (1, 2):
+        raise ValueError(f"planar configuration {planar} invalid")
     if comp not in (1, 5, 8, 32946, 32773):
         kind = {6: "JPEG-in-TIFF", 7: "JPEG-in-TIFF",
                 2: "CCITT", 3: "CCITT", 4: "CCITT"}.get(
@@ -247,9 +251,12 @@ def decode_tiff(blob: bytes) -> np.ndarray:
     dt = np.dtype(e + ("u2" if bps == 16 else "u1"))
     native = np.uint16 if bps == 16 else np.uint8
 
-    def segment(raw: bytes, rows: int, cols: int) -> np.ndarray:
-        """One independently-compressed strip/tile → (rows, cols, spp)."""
-        want = rows * cols * spp * (bps // 8)
+    def segment(raw: bytes, rows: int, cols: int,
+                ncomp: int = spp) -> np.ndarray:
+        """One independently-compressed strip/tile → (rows, cols,
+        ncomp) — ncomp is 1 for planar-configuration-2 strips, which
+        carry a single sample per pixel."""
+        want = rows * cols * ncomp * (bps // 8)
         if comp == 1:
             s = raw[:want]
             if len(s) < want:
@@ -263,13 +270,34 @@ def decode_tiff(blob: bytes) -> np.ndarray:
             s = s[:want]
         else:
             s = _packbits_decode(raw, want)
-        a = np.frombuffer(s, dtype=dt).reshape(rows, cols, spp)
+        a = np.frombuffer(s, dtype=dt).reshape(rows, cols, ncomp)
         if pred == 2:                      # horizontal differencing
             a = (np.cumsum(a.astype(np.int64), axis=1)
                  & ((1 << bps) - 1)).astype(native)
         return a.astype(native)
 
-    if _TILE_OFFSETS in tags:              # tiled storage (§15)
+    if planar == 2:                        # one plane per sample (§ "Planar
+        if _TILE_OFFSETS in tags:          # Configuration"): strip table is
+            raise ValueError(              # plane-major, 1 sample/strip-px
+                "tiled planar-configuration TIFF unsupported")
+        offsets = tags[_STRIP_OFFSETS]
+        counts = tags[_STRIP_COUNTS]
+        rps = one(_ROWS_PER_STRIP, h)
+        spl = -(-h // rps)                 # strips per plane
+        if len(offsets) < spl * spp:
+            raise ValueError("planar TIFF strip table short")
+        pl = []
+        for pi in range(spp):
+            parts = []
+            for si in range(spl):
+                k = pi * spl + si
+                rows = min(rps, h - si * rps)
+                parts.append(segment(blob[offsets[k]:offsets[k] + counts[k]],
+                                     rows, w, 1))
+            pl.append(np.concatenate(parts, axis=0) if len(parts) > 1
+                      else parts[0])
+        arr = np.concatenate(pl, axis=2)
+    elif _TILE_OFFSETS in tags:            # tiled storage (§15)
         tw, tl = one(_TILE_W), one(_TILE_L)
         offsets = tags[_TILE_OFFSETS]
         counts = tags[_TILE_COUNTS]
@@ -330,20 +358,25 @@ def encode_tiff(px: np.ndarray, *, compression: str = "none",
                 byte_order: str = "II", predictor: bool = False,
                 rows_per_strip: int | None = None,
                 grayscale: bool = False, bits: int = 8,
-                tile: tuple[int, int] | None = None) -> bytes:
+                tile: tuple[int, int] | None = None,
+                planar: bool = False) -> bytes:
     """(H, W, 3) uint8 RGB → TIFF bytes.  ``compression`` in
     none/lzw/deflate/packbits; ``predictor`` applies horizontal
     differencing per independently-compressed segment; multi-strip when
     ``rows_per_strip`` is set; ``tile=(tw, tl)`` switches to tiled
     storage (§15 — dimensions should be multiples of 16, edge tiles
     zero-padded); ``bits=16`` widens samples by ``v * 257`` so the
-    decoder's high-byte fold restores the input exactly."""
+    decoder's high-byte fold restores the input exactly; ``planar``
+    writes PlanarConfiguration 2 (plane-major strips, one sample per
+    strip pixel — strip storage only)."""
     if compression not in ("none", "lzw", "deflate", "packbits"):
         raise ValueError(f"unknown compression {compression!r}")
     if bits not in (8, 16):
         raise ValueError("bits must be 8 or 16")
     if tile is not None and rows_per_strip is not None:
         raise ValueError("tile and rows_per_strip are exclusive")
+    if planar and tile is not None:
+        raise ValueError("planar and tile are exclusive")
     e = {"II": "<", "MM": ">"}[byte_order]
     h, w = px.shape[:2]
     if grayscale:
@@ -382,6 +415,12 @@ def encode_tiff(px: np.ndarray, *, compression: str = "none",
                 blk = data[r0:r0 + tl, c0:c0 + tw]
                 t[:blk.shape[0], :blk.shape[1]] = blk
                 segments.append(pack_segment(t))
+    elif planar and spp > 1:
+        rps = rows_per_strip or h
+        for pi in range(spp):                  # plane-major strip order
+            plane = data[:, :, pi:pi + 1]
+            for r0 in range(0, h, rps):
+                segments.append(pack_segment(plane[r0:r0 + rps]))
     else:
         rps = rows_per_strip or h
         for r0 in range(0, h, rps):
@@ -406,6 +445,8 @@ def encode_tiff(px: np.ndarray, *, compression: str = "none",
     else:
         ent(_ROWS_PER_STRIP, 4, 1, rows_per_strip or h)
         off_tag, cnt_tag = _STRIP_OFFSETS, _STRIP_COUNTS
+    if planar and spp > 1:
+        ent(_PLANAR, 3, 1, 2)
     if predictor:
         ent(_PREDICTOR, 3, 1, 2)
 

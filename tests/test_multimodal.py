@@ -773,6 +773,16 @@ def test_tiff_tiled_16bit_deflate():
     # exclusive storage options
     with pytest.raises(ValueError, match="exclusive"):
         encode_tiff(im, tile=(16, 16), rows_per_strip=4)
+    # planar configuration 2: plane-major strip table, single-sample
+    # strips — predictor and 16-bit arithmetic apply per plane
+    for comp in ("none", "lzw", "deflate", "packbits"):
+        for bits in (8, 16):
+            blob = encode_tiff(im, compression=comp, bits=bits,
+                               predictor=True, rows_per_strip=4,
+                               byte_order="MM", planar=True)
+            assert np.array_equal(decode_tiff(blob), im), (comp, bits)
+    with pytest.raises(ValueError, match="planar and tile"):
+        encode_tiff(im, tile=(16, 16), planar=True)
 
 
 def test_jpeg_lossless_roundtrip_matrix():
