@@ -16,7 +16,7 @@ fully specified, compression-free formats decodable with stdlib ``struct``
 common training-corpus image format (header parse, row padding,
 bottom-up row order, BGR→RGB, zlib inflate, Paeth unfiltering, palette
 application, huffman entropy decode, dequantization, IDCT); only
-genuinely exotic shapes (arithmetic-coded / 12-bit-DCT / hierarchical
+genuinely exotic shapes (arithmetic-coded / hierarchical
 JPEG, CMYK, LOSSY WebP — a VP8 video-codec port is out of scope — and
 CCITT/JPEG-in-TIFF) still route to the Pillow gate.  No counterpart
 in the reference (tabular only); formats per the public BMP file

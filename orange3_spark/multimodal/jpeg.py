@@ -5,13 +5,16 @@ adds LOSSLESS): 8-bit huffman DCT JPEG in ALL its common shapes —
 baseline/extended sequential (SOF0/SOF1) and PROGRESSIVE (SOF2) scans,
 any integer chroma sampling factors (4:4:4, 4:2:2, 4:2:0, 4:1:1 ...),
 restart intervals, spectral selection + successive approximation per
-T.81 Annex G — plus LOSSLESS (SOF3) frames per Annex H: huffman-coded
-prediction differences, all seven predictors, point transform, 2-16
-bit precision (the DNG/medical-imaging shape).  What stays gated
-(loud ValueError, never a silent fake): 12-bit DCT samples,
-arithmetic coding, hierarchical frames, CMYK (4-component) —
-genuinely exotic in web corpora, unlike progressive/4:2:0 which
-dominate real crawls.
+T.81 Annex G, 8-bit AND 12-BIT sample precision (extended sequential
+SOF1 / progressive SOF2 with 16-bit DQT entries, level shift 2^11,
+high-bit fold to the 8-bit output contract) — plus LOSSLESS (SOF3)
+frames per Annex H: huffman-coded prediction differences, all seven
+predictors, point transform, 2-16 bit precision (the DNG/medical-
+imaging shape).  What stays gated (loud ValueError, never a silent
+fake): arithmetic coding (needs the QM-coder Qe table, unavailable
+offline — the VP8-tables rationale), hierarchical frames, CMYK
+(4-component) — genuinely exotic in web corpora, unlike
+progressive/4:2:0 which dominate real crawls.
 
 Encode scope: grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0
 subsampling, baseline or progressive (the standard 4-kind scan
@@ -120,6 +123,16 @@ AC_CHROM = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
 #: code).  Bigger output than an optimized table, but decode-exact.
 PROG_AC = ([0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
            [(r << 4) | s for r in range(16) for s in range(11)])
+
+#: Flat tables for 12-bit encode (correctness over compression, same
+#: rationale as PROG_AC): every legal 12-bit DC category (0..15) at 5
+#: bits (Kraft 16/32), every legal AC (run, size) symbol — sizes 0..14,
+#: the size-0 row covering EOBn/ZRL — at 9 bits (Kraft 240/512).  The
+#: slack guarantees no all-ones canonical code.
+DC12 = ([0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+        list(range(16)))
+AC12 = ([0, 0, 0, 0, 0, 0, 0, 0, 240, 0, 0, 0, 0, 0, 0, 0],
+        sorted((r << 4) | s for r in range(16) for s in range(15)))
 
 _SUBSAMPLING = {            # name -> (Y_h, Y_v); chroma is always 1x1
     "444": (1, 1),
@@ -482,16 +495,17 @@ class _ACRefineWriter:
         self._flush_eobrun()
 
 
-def _planes_to_zz(planes, qts, geom):
+def _planes_to_zz(planes, qts, geom, level: float = 128.0):
     """Pad each plane to its full block grid, batched DCT + quantize,
-    return per-component zigzag-ordered int32 (bh, bw, 64) arrays."""
+    return per-component zigzag-ordered int32 (bh, bw, 64) arrays.
+    ``level`` is the A.3.1 shift — 2^(P-1) for P-bit frames."""
     _, _, _, _, comps = geom
     out = []
     for plane, qt, c in zip(planes, qts, comps):
         ph, pw = c["bh"] * 8, c["bw"] * 8
         p = np.pad(plane, ((0, ph - plane.shape[0]),
                            (0, pw - plane.shape[1])), mode="edge")
-        b = p.reshape(c["bh"], 8, c["bw"], 8).transpose(0, 2, 1, 3) - 128.0
+        b = p.reshape(c["bh"], 8, c["bw"], 8).transpose(0, 2, 1, 3) - level
         Fq = np.einsum("ab,yxbc,cd->yxad", _C, b, _C.T)
         q = np.round(Fq / qt.reshape(8, 8)).astype(np.int32)
         out.append(q.reshape(c["bh"], c["bw"], 64)[..., ZIGZAG])
@@ -513,7 +527,8 @@ def encode_jpeg(px: np.ndarray, quality: int = 90, *,
                 coeffs: "np.ndarray | None" = None,
                 subsampling: str = "444",
                 progressive: bool = False,
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0,
+                precision: int = 8) -> bytes:
     """(H, W, 3) uint8 RGB → JFIF bytes.
 
     ``grayscale=True`` encodes one luminance component.
@@ -528,12 +543,21 @@ def encode_jpeg(px: np.ndarray, quality: int = 90, *,
     coefficients to entropy-code directly (grayscale only) — this is
     how the DC-only exactness constructions of q_media_decode_jpeg and
     q_media_decode_jpeg_prog build blobs whose decode is
-    integer-predictable."""
+    integer-predictable.
+
+    ``precision=12`` writes a 12-bit frame (extended sequential SOF1,
+    or SOF2 when progressive): 8-bit input widens by ``v * 16``
+    (decode folds by ``>> 4``), quant tables ship as 16-bit DQT
+    entries, and the flat DC12/AC12 tables cover the wider category
+    range.  ``coeffs`` are interpreted against the 12-bit dequant/
+    level-shift when set."""
     if subsampling not in _SUBSAMPLING:
         raise ValueError(f"unknown subsampling {subsampling!r}")
     if progressive and restart_interval:
         raise ValueError("restart intervals supported for baseline "
                          "encode only")
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
     qlum = _scaled_quant(QUANT_LUM, quality)
     qchrom = _scaled_quant(QUANT_CHROM, quality)
 
@@ -554,6 +578,8 @@ def encode_jpeg(px: np.ndarray, quality: int = 90, *,
             factors = [(yh, yv), (1, 1), (1, 1)]
         geom = _geometry(h, w, factors)
         ycc = _rgb_to_ycbcr(px)
+        if precision == 12:               # widen to the 12-bit domain
+            ycc = ycc * 16.0
         if grayscale:
             planes = [ycc[..., 0]]
             qts = [qlum]
@@ -563,37 +589,54 @@ def encode_jpeg(px: np.ndarray, quality: int = 90, *,
                       _box_down(ycc[..., 1], yh, yv),
                       _box_down(ycc[..., 2], yh, yv)]
             qts = [qlum, qchrom, qchrom]
-        zzs = _planes_to_zz(planes, qts, geom)
+        zzs = _planes_to_zz(planes, qts, geom,
+                            level=float(1 << (precision - 1)))
     ncomp = len(factors)
     hmax, vmax, mx, my, comps = geom
 
     out = bytearray(b"\xFF\xD8")                              # SOI
     out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00" \
         + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
-    out += b"\xFF\xDB" + struct.pack(">H", 67) + bytes([0]) \
-        + bytes(int(qlum[z]) for z in ZIGZAG)                 # DQT 0
-    if ncomp == 3:
-        out += b"\xFF\xDB" + struct.pack(">H", 67) + bytes([1]) \
-            + bytes(int(qchrom[z]) for z in ZIGZAG)           # DQT 1
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    if precision == 12:                    # Pq=1: 16-bit DQT entries
+        out += b"\xFF\xDB" + struct.pack(">H", 131) + bytes([0x10]) \
+            + b"".join(struct.pack(">H", int(qlum[z])) for z in ZIGZAG)
+        if ncomp == 3:
+            out += b"\xFF\xDB" + struct.pack(">H", 131) + bytes([0x11]) \
+                + b"".join(struct.pack(">H", int(qchrom[z]))
+                           for z in ZIGZAG)
+    else:
+        out += b"\xFF\xDB" + struct.pack(">H", 67) + bytes([0]) \
+            + bytes(int(qlum[z]) for z in ZIGZAG)             # DQT 0
+        if ncomp == 3:
+            out += b"\xFF\xDB" + struct.pack(">H", 67) + bytes([1]) \
+                + bytes(int(qchrom[z]) for z in ZIGZAG)       # DQT 1
+    sof = bytes([precision]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
         hv = (factors[ci][0] << 4) | factors[ci][1]
         sof += bytes([ci + 1, hv, 0 if ci == 0 else 1])
-    out += (b"\xFF\xC2" if progressive else b"\xFF\xC0") \
-        + struct.pack(">H", len(sof) + 2) + sof
-    tables = [(0, 0, DC_LUM), (1, 0, AC_LUM)]
+    # 12-bit sequential must be EXTENDED sequential (SOF1) — baseline
+    # SOF0 is 8-bit by definition (T.81 table B.2)
+    sof_marker = (b"\xFF\xC2" if progressive else
+                  b"\xFF\xC1" if precision == 12 else b"\xFF\xC0")
+    out += sof_marker + struct.pack(">H", len(sof) + 2) + sof
+    if precision == 12:
+        dc_t, ac_t = (DC12, DC12), (AC12, AC12)
+    else:
+        dc_t, ac_t = (DC_LUM, DC_CHROM), (AC_LUM, AC_CHROM)
+    tables = [(0, 0, dc_t[0]), (1, 0, ac_t[0])]
     if ncomp == 3:
-        tables += [(0, 1, DC_CHROM), (1, 1, AC_CHROM)]
+        tables += [(0, 1, dc_t[1]), (1, 1, ac_t[1])]
     if progressive:
-        tables.append((1, 2, PROG_AC))     # EOBn-capable AC table
+        # EOBn-capable AC table (AC12 already covers the size-0 row)
+        tables.append((1, 2, AC12 if precision == 12 else PROG_AC))
     for cls, tid, (bits, vals) in tables:
         seg = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
         out += b"\xFF\xC4" + struct.pack(">H", len(seg) + 2) + seg
     if restart_interval:
         out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
 
-    dc_codes = [_build_huffman(*DC_LUM), _build_huffman(*DC_CHROM)]
-    ac_codes = [_build_huffman(*AC_LUM), _build_huffman(*AC_CHROM)]
+    dc_codes = [_build_huffman(*dc_t[0]), _build_huffman(*dc_t[1])]
+    ac_codes = [_build_huffman(*ac_t[0]), _build_huffman(*ac_t[1])]
     tid_of = [0 if ci == 0 else 1 for ci in range(ncomp)]
 
     def sos(members, ss, se, ah, al):
@@ -630,7 +673,7 @@ def encode_jpeg(px: np.ndarray, quality: int = 90, *,
         return bytes(out)
 
     # ---- progressive scan script --------------------------------------
-    prog_ac = _build_huffman(*PROG_AC)
+    prog_ac = _build_huffman(*(AC12 if precision == 12 else PROG_AC))
     AL = 1                                   # one successive-approx level
     # 1) DC first scan, interleaved
     out += sos(list(range(ncomp)), 0, 0, 0, AL)
@@ -789,9 +832,9 @@ def _block_refine(br, blk, acd, ss, se, al, eobrun):
 def decode_jpeg(blob: bytes) -> np.ndarray:
     """Huffman JPEG → (H, W, 3) uint8 RGB (grayscale replicated).
     Handles baseline/extended sequential and progressive DCT frames
-    (any integer sampling factors, restart intervals) AND lossless
-    SOF3 frames (predictors 1..7, point transform, 2-16 bit).  12-bit
-    DCT samples, arithmetic coding, hierarchical frames, and
+    (any integer sampling factors, restart intervals, 8- or 12-bit
+    samples) AND lossless SOF3 frames (predictors 1..7, point
+    transform, 2-16 bit).  Arithmetic coding, hierarchical frames, and
     4-component (CMYK) images raise with a clear message."""
     if jpeg_sof(blob) == 3:
         return _decode_lossless(blob)
@@ -835,13 +878,18 @@ def _parse_jpeg(blob: bytes):
             s = 0
             while s < len(seg):
                 pq, tq = seg[s] >> 4, seg[s] & 0xF
-                if pq:
-                    raise ValueError("16-bit quant tables unsupported")
+                if pq not in (0, 1):
+                    raise ValueError(f"DQT precision {pq} invalid")
                 t = np.zeros(64, dtype=np.int64)
-                t[ZIGZAG] = np.frombuffer(seg[s + 1:s + 65],
-                                          dtype=np.uint8)
+                if pq:                     # 16-bit entries (12-bit frames)
+                    t[ZIGZAG] = np.frombuffer(seg[s + 1:s + 129],
+                                              dtype=">u2").astype(np.int64)
+                    s += 129
+                else:
+                    t[ZIGZAG] = np.frombuffer(seg[s + 1:s + 65],
+                                              dtype=np.uint8)
+                    s += 65
                 qtables[tq] = t
-                s += 65
         elif marker == 0xC4:                                  # DHT
             s = 0
             while s < len(seg):
@@ -855,8 +903,11 @@ def _parse_jpeg(blob: bytes):
         elif marker in (0xC0, 0xC1, 0xC2):        # SOF0/1 (seq), SOF2 (prog)
             prec, h, w = seg[0], *struct.unpack_from(">HH", seg, 1)
             nc = seg[5]
-            if prec != 8:
-                raise ValueError(f"{prec}-bit JPEG unsupported")
+            # baseline (SOF0) is 8-bit by definition; extended
+            # sequential and progressive also admit 12 (T.81 table B.2)
+            if prec != 8 and not (prec == 12 and marker != 0xC0):
+                raise ValueError(
+                    f"{prec}-bit JPEG unsupported for SOF{marker - 0xC0}")
             if nc not in (1, 3):
                 raise ValueError(f"{nc}-component JPEG unsupported "
                                  "(CMYK etc.)")
@@ -865,7 +916,7 @@ def _parse_jpeg(blob: bytes):
                 cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             geom = _geometry(h, w, [(hi, vi) for _, hi, vi, _ in comps])
-            frame = (h, w, comps, marker == 0xC2)
+            frame = (h, w, comps, marker == 0xC2, prec)
             for (cid, _, _, _), c in zip(comps, geom[4]):
                 coefs[cid] = np.zeros((c["bh"], c["bw"], 64),
                                       dtype=np.int32)
@@ -893,7 +944,7 @@ def _parse_jpeg(blob: bytes):
 
 
 def _decode_scan(seg, chunks, frame, geom, coefs, dc_dec, ac_dec, ri):
-    h, w, fcomps, progressive = frame
+    h, w, fcomps, progressive, _prec = frame
     hmax, vmax, mx, my, gcomps = geom
     ns = seg[0]
     scan = []
@@ -958,8 +1009,11 @@ def _decode_scan(seg, chunks, frame, geom, coefs, dc_dec, ac_dec, ri):
 
 
 def _reconstruct(frame, geom, coefs, qtables):
-    h, w, fcomps, _ = frame
+    h, w, fcomps, _, prec = frame
     hmax, vmax, _, _, gcomps = geom
+    mid = float(1 << (prec - 1))           # level shift 2^(P-1) (A.3.1)
+    maxv = (1 << prec) - 1
+    shift = prec - 8                       # fold to the 8-bit contract
     planes = []
     for (cid, hi, vi, tq), c in zip(fcomps, gcomps):
         zz = coefs[cid].reshape(-1, 64).astype(np.float64)
@@ -967,7 +1021,7 @@ def _reconstruct(frame, geom, coefs, qtables):
         Fr = np.zeros_like(zz)
         Fr[:, ZIGZAG] = zz * qz
         blocks = Fr.reshape(c["bh"], c["bw"], 8, 8)
-        px = np.einsum("ab,yxbc,cd->yxad", _C.T, blocks, _C) + 128.0
+        px = np.einsum("ab,yxbc,cd->yxad", _C.T, blocks, _C) + mid
         plane = px.transpose(0, 2, 1, 3).reshape(c["bh"] * 8, c["bw"] * 8)
         plane = plane[:c["ch"], :c["cw"]]
         fy, fx = vmax // vi, hmax // hi
@@ -975,8 +1029,11 @@ def _reconstruct(frame, geom, coefs, qtables):
             plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
         planes.append(plane[:h, :w])
     if len(planes) == 1:
-        g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        g = np.clip(np.round(planes[0]), 0, maxv).astype(np.int64)
+        g = (g >> shift).astype(np.uint8) if shift else g.astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)
+    if shift:                              # scale to the 8-bit YCbCr
+        planes = [p / (1 << shift) for p in planes]   # domain (linear)
     return _ycbcr_to_rgb(*planes)
 
 

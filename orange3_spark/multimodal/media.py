@@ -113,8 +113,9 @@ def decode_image(df: DataFrame, binary_col: str = "content",
       interlacing), TIFF (none/LZW/Deflate/PackBits, strips AND tiles,
       8- and 16-bit samples, predictor, both byte orders), lossless
       WebP (the full VP8L bitstream), and
-      8-bit huffman JPEG in all its common shapes —
-      baseline/extended sequential AND progressive scans, any chroma
+      huffman JPEG in all its common shapes —
+      baseline/extended sequential AND progressive scans at 8 or 12
+      bits, LOSSLESS (SOF3), any chroma
       subsampling, restart intervals (``multimodal/codecs.py`` +
       ``multimodal/jpeg.py`` — header parse, row padding, bottom-up
       order, BGR→RGB, zlib inflate, Paeth unfiltering, palette
@@ -122,7 +123,7 @@ def decode_image(df: DataFrame, binary_col: str = "content",
       successive approximation, dequant, IDCT; no optional deps), with
       deterministic nearest-neighbor resize to ``width×height``.
     * ``"pillow"``: Pillow for the exotic rest (arithmetic-coded /
-      12-bit DCT / hierarchical JPEG, CMYK, lossy VP8 WebP,
+      hierarchical JPEG, CMYK, lossy VP8 WebP,
       CCITT/JPEG-in-TIFF);
       without Pillow this
       raises NotImplementedError up front — an honest gate, not a
@@ -140,13 +141,13 @@ def decode_image(df: DataFrame, binary_col: str = "content",
             import PIL.Image  # noqa: F401
         except ImportError as exc:
             raise NotImplementedError(
-                "exotic formats (arithmetic/12-bit-DCT/hierarchical JPEG, "
+                "exotic formats (arithmetic/hierarchical JPEG, "
                 "CMYK, lossy VP8 WebP, CCITT/JPEG-in-TIFF) need Pillow — "
                 "not installed in this container; decoder='native' handles "
                 "BMP/PPM/PNG/GIF/TIFF(strips+tiles, 8/16-bit)/VP8L-WebP and "
-                "huffman JPEG (baseline, progressive, lossless, subsampled, "
-                "restart markers), decoder='stub' is the deterministic "
-                "fake") from exc
+                "huffman JPEG (baseline, progressive, lossless, 8/12-bit, "
+                "subsampled, restart markers), decoder='stub' is the "
+                "deterministic fake") from exc
 
     def run(pdf_iter):
         import numpy as np

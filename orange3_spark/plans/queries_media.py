@@ -664,6 +664,72 @@ def q_media_decode_tiff(spark, sf_dir):
         lsum(weighted).alias("checksum"))
 
 
+@query("q_media_decode_jpeg12", """
+WITH px AS (SELECT doc_id,
+                   (2 * ((doc_id * 19 + 9 * (2 * (y // 8) + (x // 8)))
+                         % 62 - 31) + 2048) // 16 AS v,
+                   (y * 16 + x) * 3 + c AS i
+            FROM documents,
+                 unnest(generate_series(0, 15)) gy(y),
+                 unnest(generate_series(0, 15)) gx(x),
+                 unnest(generate_series(0, 2)) gc(c))
+SELECT doc_id AS media_id,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(v) AS BIGINT) AS sum_val,
+       CAST(sum(v * (i + 1)) AS BIGINT) AS checksum
+FROM px GROUP BY doc_id
+""")
+def q_media_decode_jpeg12(spark, sf_dir):
+    """REAL 12-BIT JPEG decode, oracle-checked to the pixel (round 10:
+    multimodal/jpeg.py accepts precision 12 on extended-sequential
+    SOF1 and progressive SOF2 frames — 16-bit DQT entries (Pq=1),
+    level shift 2^11, clip to 4095, high-bit fold to the 8-bit output
+    contract; the JPEG Pillow gate is down to arithmetic/hierarchical/
+    CMYK).  Exactness construction: per document a 16x16 grayscale
+    12-bit JPEG of four DC-ONLY blocks (quantized DC = (doc_id*19 +
+    9*blk) % 62 - 31 at quality 50, q0 = 16), so each block decodes to
+    the mathematically flat 12-bit value 2*DC + 2048 and folds to the
+    exact integer (2*DC + 2048) >> 4.  Odd doc_ids ship through the
+    FULL progressive scan script at 12-bit (DC Al=1 + refine, EOB-run
+    AC scans over the flat AC12 table); any slip in the 16-bit DQT
+    parse, the SOF1 precision admit, the wider level shift, or the
+    fold shifts the position-weighted checksum."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _ids_partitioned(spark, sf_dir)
+    H = W = 16
+
+    def mk(pdf_iter):
+        from orange3_spark.multimodal.jpeg import encode_jpeg
+        for pdf in pdf_iter:
+            out = []
+            for did in pdf["doc_id"]:
+                coeffs = np.zeros((2, 2, 8, 8), dtype=np.int64)
+                for by in range(2):
+                    for bx in range(2):
+                        coeffs[by, bx, 0, 0] = \
+                            (int(did) * 19 + 9 * (2 * by + bx)) % 62 - 31
+                out.append((int(did),
+                            encode_jpeg(None, quality=50, coeffs=coeffs,
+                                        precision=12,
+                                        progressive=bool(did % 2))))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    blobs = docs.mapInPandas(mk, "media_id long, content binary")
+    dec = M.decode_image(blobs, height=H, width=W, decoder="native")
+    ints = F.transform(F.col("pixels"),
+                       lambda x: F.round(x * 255).cast("long"))
+    weighted = F.transform(ints, lambda v, i: v * (i.cast("long") + 1))
+    lsum = (lambda arr: F.aggregate(arr, F.lit(0).cast("long"),
+                                    lambda a, v: a + v))
+    return dec.select(
+        "media_id",
+        F.size("pixels").cast("long").alias("n_px"),
+        lsum(ints).alias("sum_val"),
+        lsum(weighted).alias("checksum"))
+
+
 @query("q_media_decode_jpeg_lossless", """
 WITH px AS (SELECT doc_id, (doc_id * 71 + i) % 256 AS v, i
             FROM documents, unnest(generate_series(0, 125)) g(i))

@@ -785,6 +785,59 @@ def test_tiff_tiled_16bit_deflate():
         encode_tiff(im, tile=(16, 16), planar=True)
 
 
+def test_jpeg_12bit_decode():
+    """12-bit DCT JPEG (T.81 extended sequential SOF1 / progressive
+    SOF2): 16-bit DQT entries parse, the 2^11 level shift and 4095
+    clip apply, and the high-bit fold lands on the 8-bit contract.
+    DC-only constructions decode to exact integers ((2*DC + 2048) >> 4
+    at q0=16); natural-image 4:4:4 at quality 95 decodes with ZERO
+    mean error against the source (the 12-bit domain absorbs the
+    quantization the 8-bit path rounds); baseline SOF0 stays 8-bit by
+    definition and a 12-bit SOF0 raises."""
+    import numpy as np
+    import pytest
+
+    from orange3_spark.multimodal.jpeg import (decode_jpeg, encode_jpeg,
+                                               jpeg_sof)
+
+    coeffs = np.zeros((2, 2, 8, 8), dtype=np.int64)
+    vals = [10, -20, 30, -5]
+    for i, (by, bx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        coeffs[by, bx, 0, 0] = vals[i]
+    for prog in (False, True):
+        blob = encode_jpeg(None, quality=50, coeffs=coeffs,
+                           precision=12, progressive=prog)
+        assert jpeg_sof(blob) == (2 if prog else 1)
+        out = decode_jpeg(blob)
+        for i, (by, bx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+            want = (2 * vals[i] + 2048) >> 4
+            assert out[by * 8 + 1, bx * 8 + 1, 0] == want, (prog, i)
+    # natural image: 4:4:4 q95 in 12-bit decodes exactly; 4:2:0 close
+    yy, xx = np.mgrid[0:24, 0:24]
+    img = np.stack([(yy * 3 + xx * 2) % 256, (xx * 5) % 256,
+                    (yy * 7) % 256], axis=-1).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95, precision=12))
+    assert np.array_equal(out, img)
+    out = decode_jpeg(encode_jpeg(img, quality=95, precision=12,
+                                  subsampling="420", progressive=True))
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 4
+    # grayscale 12-bit
+    g = decode_jpeg(encode_jpeg(img, quality=95, precision=12,
+                                grayscale=True))
+    lum = np.round(0.299 * img[..., 0] + 0.587 * img[..., 1]
+                   + 0.114 * img[..., 2])
+    assert np.abs(g[:, :, 0].astype(float) - lum).mean() < 1.0
+    # gates: 12-bit baseline SOF0 is illegal; precision range enforced
+    blob = bytearray(encode_jpeg(img, quality=90))
+    i = bytes(blob).find(b"\xFF\xC0")
+    assert blob[i + 4] == 8
+    blob[i + 4] = 12
+    with pytest.raises(ValueError, match="12-bit JPEG unsupported"):
+        decode_jpeg(bytes(blob))
+    with pytest.raises(ValueError, match="precision"):
+        encode_jpeg(img, precision=10)
+
+
 def test_jpeg_lossless_roundtrip_matrix():
     """Lossless JPEG (SOF3, T.81 Annex H) round-trips pixel-exact
     through all seven predictors x 8/16-bit precision x interleaved /
