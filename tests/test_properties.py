@@ -295,3 +295,52 @@ def test_temperature_targets_properties(counts, temp):
     if counts[big] > counts[small]:
         nat = counts[big] / counts[small]
         assert t[big] / t[small] <= nat + 1e-9
+
+
+@settings(max_examples=20, deadline=None)
+@given(h=st.integers(1, 40), w=st.integers(1, 40),
+       seed=st.integers(0, 2**32 - 1),
+       bo=st.sampled_from(["II", "MM"]),
+       comp=st.sampled_from(["none", "lzw", "deflate", "packbits"]),
+       pred=st.booleans(), bits=st.sampled_from([8, 16]),
+       storage=st.sampled_from(["single", "strips", "tiled", "planar"]))
+def test_tiff_roundtrip_property(h, w, seed, bo, comp, pred, bits, storage):
+    """TIFF is lossless: for ANY image shape and content, every
+    (byte order x compression x predictor x bit depth x storage)
+    combination round-trips pixel-exact — the fixed matrices pin known
+    shapes, this pins the codec against arbitrary ones (odd
+    dimensions, 1-pixel edges, tile grids larger than the image)."""
+    import numpy as np
+
+    from orange3_spark.multimodal.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    kw = {"single": {}, "strips": {"rows_per_strip": 3},
+          "tiled": {"tile": (16, 16)}, "planar": {"planar": True}}[storage]
+    blob = encode_tiff(img, byte_order=bo, compression=comp,
+                       predictor=pred, bits=bits, **kw)
+    assert np.array_equal(decode_tiff(blob), img)
+
+
+@settings(max_examples=20, deadline=None)
+@given(h=st.integers(1, 32), w=st.integers(1, 32),
+       seed=st.integers(0, 2**32 - 1),
+       predictor=st.integers(1, 7), bits=st.sampled_from([8, 16]),
+       interleaved=st.booleans())
+def test_jpeg_lossless_roundtrip_property(h, w, seed, predictor, bits,
+                                          interleaved):
+    """Lossless JPEG (SOF3) is lossless for ANY content: arbitrary
+    shapes and random rasters round-trip pixel-exact under every
+    predictor, precision, and scan layout — including the mod-2^16
+    wrap and SSSS=16 paths random 16-bit data exercises."""
+    import numpy as np
+
+    from orange3_spark.multimodal.jpeg import (decode_jpeg,
+                                               encode_jpeg_lossless)
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    blob = encode_jpeg_lossless(img, predictor=predictor, bits=bits,
+                                interleaved=interleaved)
+    assert np.array_equal(decode_jpeg(blob), img)
