@@ -1222,6 +1222,9 @@ def _decode_lossless(blob: bytes) -> np.ndarray:
             for i in range(ns):
                 cid = seg[1 + 2 * i]
                 td = seg[2 + 2 * i] >> 4
+                if td not in dc_dec or cid not in planes:
+                    raise ValueError("lossless scan references an "
+                                     "undefined table or component")
                 scan.append((cid, dc_dec[td], planes[cid]))
             sel = seg[1 + 2 * ns]              # Ss = predictor selector
             pt = seg[3 + 2 * ns] & 0xF         # Al = point transform

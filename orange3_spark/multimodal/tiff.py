@@ -280,8 +280,10 @@ def decode_tiff(blob: bytes) -> np.ndarray:
         if _TILE_OFFSETS in tags:          # Configuration"): strip table is
             raise ValueError(              # plane-major, 1 sample/strip-px
                 "tiled planar-configuration TIFF unsupported")
-        offsets = tags[_STRIP_OFFSETS]
-        counts = tags[_STRIP_COUNTS]
+        offsets = tags.get(_STRIP_OFFSETS)
+        counts = tags.get(_STRIP_COUNTS)
+        if offsets is None or counts is None:
+            raise ValueError("planar TIFF missing strip tables")
         rps = one(_ROWS_PER_STRIP, h)
         spl = -(-h // rps)                 # strips per plane
         if len(offsets) < spl * spp:
@@ -300,7 +302,9 @@ def decode_tiff(blob: bytes) -> np.ndarray:
     elif _TILE_OFFSETS in tags:            # tiled storage (§15)
         tw, tl = one(_TILE_W), one(_TILE_L)
         offsets = tags[_TILE_OFFSETS]
-        counts = tags[_TILE_COUNTS]
+        counts = tags.get(_TILE_COUNTS)
+        if counts is None:
+            raise ValueError("tiled TIFF missing TileByteCounts")
         across = -(-w // tw)
         down = -(-h // tl)
         if len(offsets) < across * down:
@@ -315,7 +319,9 @@ def decode_tiff(blob: bytes) -> np.ndarray:
                 arr[ti * tl:ti * tl + rr,
                     tj * tw:tj * tw + cc] = t[:rr, :cc]
     else:
-        offsets = tags[_STRIP_OFFSETS]
+        offsets = tags.get(_STRIP_OFFSETS)
+        if offsets is None:
+            raise ValueError("TIFF missing StripOffsets")
         counts = tags.get(_STRIP_COUNTS, [len(blob) - offsets[0]])
         rps = one(_ROWS_PER_STRIP, h)
         parts = []
