@@ -750,7 +750,11 @@ def _block_first(br, blk, dcd, acd, ss, se, al, pred, eobrun):
     k = ss
     if ss == 0:
         size = _huff(br, dcd)
-        diff = _extend(br.bits(size), size) if size else 0
+        # 12-bit frames admit DC category 16: DIFF is 32768 with NO
+        # appended bits (T.81 F.1.2.1.1 / F.2.2.1) — reading 16 bits
+        # here would desync the entropy stream
+        diff = (32768 if size == 16 else
+                _extend(br.bits(size), size) if size else 0)
         pred += diff
         blk[0] = pred << al
         k = 1
@@ -1259,6 +1263,47 @@ def _decode_lossless(blob: bytes) -> np.ndarray:
     if len(outs) == 1:
         return np.repeat(outs[0][:, :, None], 3, axis=2)
     return np.stack(outs, axis=-1)
+
+
+def jpeg_lossless_native(blob: bytes) -> bool:
+    """True when an SOF3 blob is inside the native lossless decode
+    scope: no restart interval (DRI=0) and every component 1x1 —
+    restarted or subsampled lossless frames are legal T.81 but raise
+    in :func:`_decode_lossless`, so the decodability classifier must
+    not report them native (their prediction-reset semantics differ
+    between real-world decoders; guessing would decode without error
+    and emit wrong pixels)."""
+    b = bytes(blob)
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return False
+    i = 2
+    dri = 0
+    sof3_plain = None
+    while i + 3 < len(b):
+        if b[i] != 0xFF:
+            return False
+        marker = b[i + 1]
+        if marker in (0xD9, 0xDA):               # EOI / first scan
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seglen = (b[i + 2] << 8) | b[i + 3]
+        if seglen < 2:
+            return False
+        seg = b[i + 2:i + 2 + seglen]
+        if marker == 0xDD and len(seg) >= 4:
+            dri = (seg[2] << 8) | seg[3]
+        elif marker == 0xC3:
+            if len(seg) < 8:
+                return False
+            nc = seg[7]
+            if len(seg) < 8 + 3 * nc:
+                return False
+            sof3_plain = all(seg[8 + 3 * ci + 1] == 0x11
+                             for ci in range(nc))
+        i += 2 + seglen
+    return bool(sof3_plain) and dri == 0
 
 
 def jpeg_sof(blob: bytes):

@@ -314,7 +314,8 @@ def classify_decodability(df: DataFrame, binary_col: str = "content",
     {'native', 'pillow-gated', 'unknown'}."""
     import pandas as pd
 
-    from orange3_spark.multimodal.jpeg import jpeg_sof
+    from orange3_spark.multimodal.jpeg import (jpeg_lossless_native,
+                                               jpeg_sof)
     from orange3_spark.multimodal.webp import webp_kind
 
     def run(pdf_iter):
@@ -328,7 +329,11 @@ def classify_decodability(df: DataFrame, binary_col: str = "content",
                     "unknown")
                 if fmt == "jpeg":
                     sof = jpeg_sof(b)
-                    path = ("native" if sof in (0, 1, 2, 3) else
+                    # SOF3 is native only inside the implemented scope
+                    # (no DRI, 1x1 factors) — restarted/subsampled
+                    # lossless frames stay honestly gated
+                    path = ("native" if sof in (0, 1, 2)
+                            or (sof == 3 and jpeg_lossless_native(b)) else
                             "pillow-gated" if sof is not None else
                             "unknown")
                 elif fmt in ("bmp", "ppm", "png", "gif", "tiff"):

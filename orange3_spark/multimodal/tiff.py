@@ -286,7 +286,7 @@ def decode_tiff(blob: bytes) -> np.ndarray:
             raise ValueError("planar TIFF missing strip tables")
         rps = one(_ROWS_PER_STRIP, h)
         spl = -(-h // rps)                 # strips per plane
-        if len(offsets) < spl * spp:
+        if len(offsets) < spl * spp or len(counts) < spl * spp:
             raise ValueError("planar TIFF strip table short")
         pl = []
         for pi in range(spp):
@@ -307,7 +307,7 @@ def decode_tiff(blob: bytes) -> np.ndarray:
             raise ValueError("tiled TIFF missing TileByteCounts")
         across = -(-w // tw)
         down = -(-h // tl)
-        if len(offsets) < across * down:
+        if len(offsets) < across * down or len(counts) < across * down:
             raise ValueError("TIFF tile table short")
         arr = np.zeros((h, w, spp), dtype=native)
         for ti in range(down):
@@ -329,6 +329,8 @@ def decode_tiff(blob: bytes) -> np.ndarray:
             rows = min(rps, h - si * rps)
             parts.append(segment(blob[so:so + sc], rows, w))
         arr = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        if arr.shape[0] != h:              # strip table shorter than the
+            raise ValueError("TIFF strip data short")   # image: fail loud
 
     def fold8(a: np.ndarray) -> np.ndarray:
         # 16-bit → 8-bit via the high byte: exact inverse of the

@@ -147,13 +147,15 @@ def parse_ts(blob: bytes) -> dict:
             prev = last_cc.get(pid)
             if prev is None:
                 last_cc[pid] = (cc, False)
-            elif cc == prev[0] and not prev[1]:
-                # one repetition of the same packet is LEGAL per ISO
+            elif cc == prev[0]:
+                # ONE repetition of the same packet is LEGAL per ISO
                 # 13818-1 §2.4.3.3 — broadcast captures duplicate
-                # packets routinely; only a SECOND repetition (or any
-                # other non-increment) is a continuity error (r9
-                # advisor: counting legal dups inflated the triage
-                # signal on real captures).
+                # packets routinely; the second and EVERY further
+                # repetition is its own continuity error (the dup flag
+                # stays set so a stuck-CC stream counts N-2 errors,
+                # not an alternating half of them).
+                if prev[1]:
+                    out["continuity_errors"] += 1
                 last_cc[pid] = (cc, True)
             else:
                 if (prev[0] + 1) & 0x0F != cc:

@@ -28,6 +28,24 @@ def _docs_as_media(spark, sf_dir):
                        F.encode("text", "utf-8").alias("content"))
 
 
+def _pixel_checksum(dec):
+    """Shared postlude of the pixel-exact codec queries: per media_id,
+    (n_px, sum of 0..255 pixel values, position-weighted checksum) —
+    the contract every codec oracle recomputes from doc_id arithmetic.
+    One definition so the round/cast rule can't silently diverge
+    between a query and its oracle (r10 review)."""
+    ints = F.transform(F.col("pixels"),
+                       lambda x: F.round(x * 255).cast("long"))
+    weighted = F.transform(ints, lambda v, i: v * (i.cast("long") + 1))
+    lsum = (lambda arr: F.aggregate(arr, F.lit(0).cast("long"),
+                                    lambda a, v: a + v))
+    return dec.select(
+        "media_id",
+        F.size("pixels").cast("long").alias("n_px"),
+        lsum(ints).alias("sum_val"),
+        lsum(weighted).alias("checksum"))
+
+
 @query("q_media_metadata", """
 SELECT doc_id AS media_id,
        octet_length(encode(text)) AS media_bytes,
@@ -718,16 +736,7 @@ def q_media_decode_jpeg12(spark, sf_dir):
 
     blobs = docs.mapInPandas(mk, "media_id long, content binary")
     dec = M.decode_image(blobs, height=H, width=W, decoder="native")
-    ints = F.transform(F.col("pixels"),
-                       lambda x: F.round(x * 255).cast("long"))
-    weighted = F.transform(ints, lambda v, i: v * (i.cast("long") + 1))
-    lsum = (lambda arr: F.aggregate(arr, F.lit(0).cast("long"),
-                                    lambda a, v: a + v))
-    return dec.select(
-        "media_id",
-        F.size("pixels").cast("long").alias("n_px"),
-        lsum(ints).alias("sum_val"),
-        lsum(weighted).alias("checksum"))
+    return _pixel_checksum(dec)
 
 
 @query("q_media_decode_jpeg_lossless", """
@@ -779,16 +788,7 @@ def q_media_decode_jpeg_lossless(spark, sf_dir):
 
     blobs = docs.mapInPandas(mk, "media_id long, content binary")
     dec = M.decode_image(blobs, height=H, width=W, decoder="native")
-    ints = F.transform(F.col("pixels"),
-                       lambda x: F.round(x * 255).cast("long"))
-    weighted = F.transform(ints, lambda v, i: v * (i.cast("long") + 1))
-    lsum = (lambda arr: F.aggregate(arr, F.lit(0).cast("long"),
-                                    lambda a, v: a + v))
-    return dec.select(
-        "media_id",
-        F.size("pixels").cast("long").alias("n_px"),
-        lsum(ints).alias("sum_val"),
-        lsum(weighted).alias("checksum"))
+    return _pixel_checksum(dec)
 
 
 @query("q_media_decode_webp", """

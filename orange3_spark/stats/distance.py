@@ -293,8 +293,20 @@ def _spearman_cols_driver(spark, rows, cols, absolute: bool) -> DataFrame:
         for ia, ib in sab:
             sab[(ia, ib)] += n * rks[ia] * rks[ib]
 
+    return spark.createDataFrame(
+        _spearman_pairs_finish(tot, s, ss, sab, cols, absolute),
+        "col_a string, col_b string, dist double")
+
+
+def _spearman_pairs_finish(tot, s, ss, sab, cols, absolute):
+    """Exact int → float64 finish shared by the driver path and the
+    distributed path's collected sums: the ±1 integer identities, the
+    one correctly-rounded conversion per term, and the [0, 1] clamp
+    (−0.0 unrepresentable) — bit-identical on every engine."""
+    import math
+
     out_rows = []
-    for ia, ib in combinations(range(k), 2):
+    for ia, ib in combinations(range(len(cols)), 2):
         num = tot * sab[(ia, ib)] - s[ia] * s[ib]
         da = tot * ss[ia] - s[ia] * s[ia]
         db = tot * ss[ib] - s[ib] * s[ib]
@@ -312,8 +324,7 @@ def _spearman_cols_driver(spark, rows, cols, absolute: bool) -> DataFrame:
                 rest = 0.5 - float(num) / root / 2.0
             d = 0.0 if rest <= 0.0 else (1.0 if rest >= 1.0 else rest)
         out_rows.append((cols[ia], cols[ib], d))
-    return spark.createDataFrame(
-        out_rows, "col_a string, col_b string, dist double")
+    return out_rows
 
 
 def spearman_column_distances(df: DataFrame, cols: Sequence[str], *,
@@ -402,33 +413,24 @@ def spearman_column_distances(df: DataFrame, cols: Sequence[str], *,
         aggs.append(F.sum(n_ * dec(F.col(f"rk_{c}")) * dec(F.col(f"rk_{c}")))
                     .alias(f"ss|{c}"))
     sums = ranked.agg(*aggs)
-
-    outs = []
-    n = F.col("__cnt")
-    for a, b in combinations(cols, 2):
-        num = n * F.col(f"`sab|{a}|{b}`") - F.col(f"`s|{a}`") * F.col(f"`s|{b}`")
-        da = n * F.col(f"`ss|{a}`") - F.col(f"`s|{a}`") * F.col(f"`s|{a}`")
-        db = n * F.col(f"`ss|{b}`") - F.col(f"`s|{b}`") * F.col(f"`s|{b}`")
-        root = F.sqrt(da.cast("double")) * F.sqrt(db.cast("double"))
-        if absolute:
-            rest = F.lit(1.0) - F.abs(num.cast("double")) / root
-        else:
-            rest = F.lit(0.5) - num.cast("double") / root / F.lit(2.0)
-        # exact ±1 in integers, no squaring (which could pass decimal(38)):
-        # num = da = db ⟹ ρ = da/√(da·da) = +1; num = −da, da = db ⟹ −1
-        d = (F.when((da == 0) | (db == 0), F.lit(None).cast("double"))
-              .when((num == da) & (da == db), F.lit(0.0))
-              .when((num == -da) & (da == db),
-                    F.lit(0.0) if absolute else F.lit(1.0))
-              .otherwise(_clamp01(rest)))
-        outs.append(d.alias(f"{a}|{b}"))
-    row = sums.select(*outs)
-    pairs = F.array(*[
-        F.struct(F.lit(c.split("|")[0]).alias("col_a"),
-                 F.lit(c.split("|")[1]).alias("col_b"),
-                 F.col(f"`{c}`").alias("dist")) for c in row.columns])
-    return (row.select(F.explode(pairs).alias("p"))
-               .select("p.col_a", "p.col_b", "p.dist"))
+    # ONE bounded collect (a single row of exact decimals), then the
+    # driver finish shared with the capped path — this both releases
+    # the persisted joint frame deterministically (r10 review: the
+    # lazy-tail version pinned the cache for the session with no
+    # handle) and replaces the Column-expression ±1/clamp tail with
+    # the identical Python-int math, so the emitted doubles are
+    # unchanged bit for bit.
+    row = sums.collect()[0]
+    joint.unpersist()
+    k = len(cols)
+    tot = int(row["__cnt"])
+    s = [int(row[f"s|{c}"]) for c in cols]
+    ss = [int(row[f"ss|{c}"]) for c in cols]
+    sab = {(ia, ib): int(row[f"sab|{cols[ia]}|{cols[ib]}"])
+           for ia, ib in combinations(range(k), 2)}
+    return df.sparkSession.createDataFrame(
+        _spearman_pairs_finish(tot, s, ss, sab, list(cols), absolute),
+        "col_a string, col_b string, dist double")
 
 
 def distance_transform(dist: DataFrame, *, dist_col: str = "dist",

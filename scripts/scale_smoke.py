@@ -450,7 +450,11 @@ def growth_ann(dirs: list, out_path: str) -> None:
         assigned.unpersist()
         sizes = sorted(int(r["m"]) for r in rows)
         med = sizes[(len(sizes) - 1) // 2] if sizes else 0
-        cap = (_MINE_SKEW_FACTOR * med
+        # EXACT production cap expression (knn.hard_negatives_blocked's
+        # auto branch: max(int(f*med), k+1) with the measurement's k=3)
+        # so the artifact measures the valve the code actually runs —
+        # a float cap here differed by a sub-integer per cell
+        cap = (max(int(_MINE_SKEW_FACTOR * med), 3 + 1)
                if med and sizes[-1] > _MINE_SKEW_FACTOR * med else None)
         v = sum(int(r["p"]) * int(r["m"]) for r in rows)
         vc = sum(int(r["p"]) * min(int(r["m"]), cap or int(r["m"]))

@@ -470,9 +470,21 @@ def test_classify_decodability_paths(spark):
     import numpy as np
     from orange3_spark.multimodal.webp import encode_webp_lossless
     vp8l = encode_webp_lossless(np.zeros((2, 2, 3), dtype=np.uint8))
-    df2 = spark.createDataFrame([(9, vp8l)], "media_id long, content binary")
-    r9 = classify_decodability(df2).collect()[0]
-    assert (r9["format"], r9["decode_path"]) == ("webp", "native")
+    # SOF3 lossless: native inside the implemented scope, gated when a
+    # restart interval appears (prediction-reset semantics differ
+    # between real decoders — honest gate, not a guess)
+    from orange3_spark.multimodal.jpeg import encode_jpeg_lossless
+    sof3 = encode_jpeg_lossless(np.zeros((2, 2, 3), dtype=np.uint8))
+    i = sof3.find(b"\xFF\xDA")
+    sof3_dri = sof3[:i] + b"\xFF\xDD\x00\x04\x00\x08" + sof3[i:]
+    df2 = spark.createDataFrame(
+        [(9, vp8l), (10, sof3), (11, sof3_dri)],
+        "media_id long, content binary")
+    got2 = {r["media_id"]: (r["format"], r["decode_path"])
+            for r in classify_decodability(df2).collect()}
+    assert got2[9] == ("webp", "native")
+    assert got2[10] == ("jpeg", "native")
+    assert got2[11] == ("jpeg", "pillow-gated")
     assert got[8] == ("wav", "unknown")
 
 
@@ -1499,3 +1511,11 @@ def test_mpegts_duplicate_packet_is_legal():
     drop_after_dup.insert(vid[2] + 1, pkts[vid[2]])
     del drop_after_dup[vid[3] + 1]          # drops original vid[3]
     assert parse_ts(b"".join(drop_after_dup))["continuity_errors"] == 1
+
+    # stuck CC (a real capture failure mode): N copies of one packet =
+    # N-2 errors — one dup is legal, every later repetition counts (a
+    # flag that resets after each counted error would halve this)
+    stuck = pkts[:]
+    for _ in range(5):
+        stuck.insert(vid[2] + 1, pkts[vid[2]])
+    assert parse_ts(b"".join(stuck))["continuity_errors"] == 4
