@@ -51,11 +51,20 @@ _CHANGED_THIS_ROUND = [
     # results are unchanged — regrade proves it)
     "q_hard_negatives_blocked",
     # r9-advisor multimodal fixes: per-video-track WebM block counting,
-    # legal duplicate-packet continuity in MPEG-TS
+    # legal duplicate-packet continuity in MPEG-TS (+ r10 stuck-CC fix)
     "q_media_webm_meta", "q_media_ts_meta",
     # r10 TIFF widening: tiled storage, 16-bit samples, Deflate — the
     # encode matrix rotates through the new paths, same pixel oracle
     "q_media_decode_tiff",
+    # r10 12-bit JPEG: the shared DCT decode path changed (SOF parse
+    # precision admit, frame tuple, DC category 16, _reconstruct level
+    # shift/fold) — every query through _parse_jpeg regrades, plus the
+    # classifier scope change.  Head exceeds the verdict's ≤5 ONLY
+    # because these paths materially changed; 9 head + 2 new + the
+    # 30-query r3/r4 tail = 41 ≤ the ~50-slot window, so the tail
+    # still fully drains this round.
+    "q_media_decode_jpeg", "q_media_decode_jpeg_prog",
+    "q_media_decode_jpeg420", "q_media_gate_fraction",
 ]
 
 
