@@ -40,6 +40,7 @@ def prepare_training_data_labeled(
     jaccard_threshold: float = 0.8, holdout_fraction: float = 0.01,
     hash_family: str = "xxhash64", minhash_seed: int = 42,
     report: Optional[PipelineReport] = None,
+    persist_dedup_frame: bool = True,
 ) -> DataFrame:
     """Training-data preparation as ONE lineage: the quality-gated,
     exact- and near-dup-deduped corpus plus a ``split`` column
@@ -71,11 +72,15 @@ def prepare_training_data_labeled(
     # shingle-cache materialization inside dedup_minhash, the pair
     # graph collect inside dup_clusters, and the final anti-join — so
     # without it the quality filter + semi-join re-execute per action
-    # (measured 4 document scans in the terminal plan).  MEMORY_AND_DISK
-    # spills rather than recomputes; on a storage-tight cluster dropping
-    # this persist costs re-scans WITH pushdown, not correctness.
-    from pyspark import StorageLevel
-    exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
+    # (measured 4 document scans in the terminal plan; 6.9 → 4.9 s at
+    # sf0.1).  MEMORY_AND_DISK spills rather than recomputes.  The
+    # returned frame depends on this lineage, so there is no safe
+    # unpersist point inside the function — storage-tight callers pass
+    # ``persist_dedup_frame=False`` and pay re-scans WITH pushdown,
+    # never a correctness change (r10 review finding).
+    if persist_dedup_frame:
+        from pyspark import StorageLevel
+        exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
     if report is not None:
         report.after_exact = _n(exact)
 
