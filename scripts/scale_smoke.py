@@ -367,7 +367,7 @@ if __name__ == "__main__" and "--growth-dedup" in sys.argv:
     _dirs = _args or ["/root/testdata/sf0.01", "/root/testdata/sf0.1",
                       os.path.join(HERE, ".localdata", "sf1"),
                       os.path.join(HERE, ".localdata", "sf10")]
-    growth_dedup(_dirs, os.path.join(HERE, "SCALE_DEDUP_r08.json"))
+    growth_dedup(_dirs, os.path.join(HERE, "SCALE_DEDUP_r10.json"))
 
 
 def growth_ann(dirs: list, out_path: str) -> None:
