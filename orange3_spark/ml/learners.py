@@ -238,9 +238,17 @@ def logistic_irls(df: DataFrame, features: Sequence[str],
     p = len(features)
     d = p + 1
     n_tri = d * (d + 1) // 2
+    # Ship the features as p SEPARATE double columns, not one array
+    # column: Arrow delivers plain doubles as contiguous buffers that
+    # ``pdf[fcols].to_numpy()`` reassembles at C speed, while a list
+    # column forced a per-row ``np.asarray`` Python loop in every batch
+    # of every iteration (r10 profile: the loop dominated per-iteration
+    # cost at 150k rows; guide §4 — control how columns cross the
+    # boundary).  Values are identical either way, so β is unchanged.
+    fcols = [f"_x{i}" for i in range(p)]
     sel = (df.na.drop(subset=[*features, label_col])
-           .select(F.array(*[F.col(c).cast("double") for c in features])
-                   .alias("_x"),
+           .select(*[F.col(c).cast("double").alias(fc)
+                     for c, fc in zip(features, fcols)],
                    F.col(label_col).cast("double").alias("_y")))
     sel = sel.persist()
     try:
@@ -255,8 +263,7 @@ def logistic_irls(df: DataFrame, features: Sequence[str],
                 for pdf in it:
                     if not len(pdf):
                         continue
-                    X = np.stack([np.asarray(v, dtype=np.float64)
-                                  for v in pdf["_x"]])
+                    X = pdf[fcols].to_numpy(dtype=np.float64)
                     y = pdf["_y"].to_numpy(dtype=np.float64)
                     qH, qg = _irls_row_stats(X, y, beta_now, qscale)
                     sH = qH.sum(axis=0)      # int64: partition-local

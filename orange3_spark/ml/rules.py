@@ -92,6 +92,108 @@ def _score(counts_by_class: dict, n_classes: int, target_class=None):
     return (top + 1) / (total + n_classes), best_cls, total, top
 
 
+#: cube fast-path bound — the collected contingency must stay driver-sized;
+#: past this many distinct (attrs…, class) cells the scan loop runs instead
+CN2_CUBE_CELL_CAP = 65536
+
+
+def _cn2_cube_cells(df: DataFrame, attrs: Sequence[str],
+                    class_col: str, cap: int = CN2_CUBE_CELL_CAP):
+    """Collect the (attrs…, class) contingency cube when driver-sized.
+
+    Sequential covering with equality selectors is a pure function of this
+    cube (every base count, candidate-refinement count and coverage
+    removal aggregates whole cells — the registered depth-2 oracle
+    replays the loop from the same cube, plans/oracle_replay.py), so ONE
+    map-side-combinable aggregation replaces the rules×depth×beam scans
+    of the loop below (34 jobs at depth 2/width 2, r10 profile).  Attr
+    keys are cast to string exactly like ``_candidate_counts`` /
+    ``Rule.predicate``; the class key stays raw.  Returns
+    ``[(vals_dict, cls, n)]`` or ``None`` when the cube exceeds ``cap``
+    distinct cells (the scan loop then runs unchanged)."""
+    keys = [F.col(a).cast("string").alias(f"_a{i}")
+            for i, a in enumerate(attrs)]
+    rows = (df.select(*keys, F.col(class_col).alias("_cls"))
+              .groupBy(*[f"_a{i}" for i in range(len(attrs))], "_cls")
+              .count().limit(cap + 1).collect())
+    if len(rows) > cap:
+        return None
+    k = len(attrs)
+    return [({a: r[i] for i, a in enumerate(attrs)}, r[k], int(r[k + 1]))
+            for r in rows]
+
+
+def _cn2_induce_from_cells(cells: list, attrs: Sequence[str], *,
+                           max_rules: int, beam_width: int,
+                           max_selectors: int, min_covered: int,
+                           n_classes: Optional[int],
+                           target_class) -> list:
+    """The identical beam-search + sequential-covering loop as
+    :func:`cn2_induce`'s distributed path, run over collected cube cells:
+    same ``_score``, same ``(-q, -tot, str(sels))`` beam ordering, same
+    strict-improvement and stopping semantics, NULL attr values fail
+    selectors (cells keep ``None`` keys and never match), so the rule
+    list is bit-identical to the scan loop's."""
+    if n_classes is None:
+        # scan-path analogue: distinct class values over the SAME frame
+        n_classes = len({cls for _v, cls, _n in cells})
+
+    def match(vals, sels):
+        return all(vals[a] == v for a, v in sels)
+
+    remaining = cells
+    rules: list[Rule] = []
+    for _ in range(max_rules):
+        base: dict = {}
+        for vals, cls, n in remaining:
+            base[cls] = base.get(cls, 0) + n
+        if not base:
+            break
+        q0, cls0, tot0, top0 = _score(base, n_classes, target_class)
+        best = (q0, [], cls0, tot0, top0)
+        beam = [best]
+        for _depth in range(max_selectors):
+            nxt = []
+            for _q, sels, _c, _t, _p in beam:
+                used = {a for a, _v in sels}
+                free = [a for a in attrs if a not in used]
+                if not free:
+                    continue
+                by_sel: dict = {}
+                for vals, cls, n in remaining:
+                    if not match(vals, sels):
+                        continue
+                    for a in free:
+                        v = vals[a]
+                        if v is None:
+                            continue
+                        d = by_sel.setdefault((a, v), {})
+                        d[cls] = d.get(cls, 0) + n
+                for (a, v), dist in by_sel.items():
+                    q, cls, tot, top = _score(dist, n_classes, target_class)
+                    if tot >= min_covered:
+                        nxt.append((q, sels + [(a, v)], cls, tot, top))
+            if not nxt:
+                break
+            nxt.sort(key=lambda t: (-t[0], -t[3], str(t[1])))
+            beam = nxt[:beam_width]
+            if beam[0][0] > best[0]:
+                best = beam[0]
+        quality, sels, cls, tot, top = best
+        if not sels:
+            break
+        rules.append(Rule(sels, cls, quality, tot, top))
+        remaining = [(vals, c, n) for vals, c, n in remaining
+                     if not match(vals, sels)]
+    left: dict = {}
+    for vals, cls, n in remaining:
+        left[cls] = left.get(cls, 0) + n
+    if left:
+        q, cls, tot, top = _score(left, n_classes, target_class)
+        rules.append(Rule([], cls, q, tot, top))
+    return rules
+
+
 def cn2_induce(df: DataFrame, attrs: Sequence[str], class_col: str, *,
                max_rules: int = 5, beam_width: int = 5,
                max_selectors: int = 3, min_covered: int = 1,
@@ -99,12 +201,26 @@ def cn2_induce(df: DataFrame, attrs: Sequence[str], class_col: str, *,
                target_class=None) -> list:
     """Ordered CN2 rule list (unordered evaluator, majority prediction).
 
-    Each beam depth evaluates all refinements of each beam member with one
-    stack-unpivot aggregation over the remaining rows; sequential covering
-    filters covered rows out (predicate pushdown keeps the scans shrinking).
-    The terminal default rule (empty selector list) is always appended.
+    Fast path (r10): the (attrs…, class) contingency cube is the
+    sufficient statistic for equality-selector sequential covering, so
+    when it is driver-sized (≤ CN2_CUBE_CELL_CAP cells) the whole loop
+    runs over ONE collected aggregation — 34 jobs → 1 at depth 2
+    (measured 4.8 → ~0.5 s at sf0.1), and at scale one pass over the
+    data replaces rules×depth×beam passes.
+
+    Scan path (cube too big to collect): each beam depth evaluates all
+    refinements of each beam member with one stack-unpivot aggregation
+    over the remaining rows; sequential covering filters covered rows out
+    (predicate pushdown keeps the scans shrinking).  The terminal default
+    rule (empty selector list) is always appended by both paths.
     """
     attrs = list(attrs)
+    cells = _cn2_cube_cells(df, attrs, class_col)
+    if cells is not None:
+        return _cn2_induce_from_cells(
+            cells, attrs, max_rules=max_rules, beam_width=beam_width,
+            max_selectors=max_selectors, min_covered=min_covered,
+            n_classes=n_classes, target_class=target_class)
     if n_classes is None:
         n_classes = df.select(class_col).distinct().count()
     remaining = df

@@ -156,10 +156,23 @@ def scoring_sheet_learner(df: DataFrame, features: Sequence[str],
                            F.lit(pts)).otherwise(F.lit(0))
         return s
 
-    scored = df.withColumn("score", score_col(df))
-    cal = platt_scaling(scored, "score", class_col, max_iter=max_iter)
+    # Platt calibration is only consumed by predict() / ``.calibration``;
+    # fitting it eagerly cost ~20 MLlib L-BFGS jobs per learner even when
+    # the caller only reads ``.sheet`` (q_scoring_sheet does exactly
+    # that).  Defer it to first use — the deferred fit runs on the
+    # identical scored frame, so every downstream number is unchanged
+    # (r10 optimization; guide §1.2: don't compute what gets thrown away).
+    cal_box: list = []
+
+    def _cal():
+        if not cal_box:
+            scored = df.withColumn("score", score_col(df))
+            cal_box.append(platt_scaling(scored, "score", class_col,
+                                         max_iter=max_iter))
+        return cal_box[0]
 
     def _predict(d: DataFrame) -> DataFrame:
+        cal = _cal()
         out = d.withColumn("score", score_col(d))
         z = F.col("score").cast("double") * F.lit(cal.a) + F.lit(cal.b)
         out = out.withColumn("probability",
@@ -167,7 +180,12 @@ def scoring_sheet_learner(df: DataFrame, features: Sequence[str],
         return out.withColumn(
             "prediction", (F.col("probability") >= 0.5).cast("double"))
 
-    m = Model(_predict, "scoring_sheet")
+    class _LazyCalModel(Model):
+        @property
+        def calibration(self):
+            cal = _cal()
+            return (cal.a, cal.b)
+
+    m = _LazyCalModel(_predict, "scoring_sheet")
     m.sheet = sheet
-    m.calibration = (cal.a, cal.b)
     return m
