@@ -172,6 +172,20 @@ def main() -> None:
         fh.write(payload)
     print(payload)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:15])
+    # Contract: entries may be ADDED to the compact line's `queries` but
+    # never removed — the r10 optimizations pushed several r9 headline
+    # queries out of the top 15, so carry every name the r9 artifact's
+    # compact line reported (with its CURRENT timing) alongside the
+    # current top 15.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_r09.json")) as fh:
+            prev = json.load(fh).get("parsed", {}).get("queries", {}) or {}
+        for q in prev:
+            if q in timings:
+                slowest.setdefault(q, timings[q])
+    except Exception:
+        pass
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,

@@ -141,6 +141,18 @@ def get_spark(app_name: str = "orange3-spark", **extra_conf: str) -> SparkSessio
     return builder.getOrCreate()
 
 
+#: lazy-frame memo keyed by (applicationId, path, mtime_ns, size).
+#: This caches SCHEMA RESOLUTION only — ``spark.read.parquet`` costs
+#: ~80 ms per call (py4j + JVM DataSource resolution + footer read),
+#: which a 252-query bench pass pays ~500 times for the same ten
+#: read-only fixture files (~40 s/pass, r10 measurement).  The cached
+#: object is an UNMATERIALIZED scan plan: every action still reads the
+#: parquet bytes, so no result or data is ever reused across queries;
+#: the (mtime, size) key drops the entry if a file changes, and entries
+#: from stopped sessions are pruned on the next lookup.
+_SCAN_CACHE: dict = {}
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TPCH_TABLES
 ) -> dict[str, DataFrame]:
@@ -150,11 +162,27 @@ def load_tables(
     numpy tables, ``Orange/data/io.py:199-220``); the columnar scan gives us
     column pruning + predicate pushdown for free.
     """
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        app = None
+    if app is not None:
+        for k in [k for k in _SCAN_CACHE if k[0] != app]:
+            del _SCAN_CACHE[k]
     out: dict[str, DataFrame] = {}
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
-            out[name] = _read_parquet(spark, path)
+        try:
+            st = os.stat(path)
+        except OSError:
+            continue
+        key = (app, path, st.st_mtime_ns, st.st_size)
+        df = _SCAN_CACHE.get(key) if app is not None else None
+        if df is None:
+            df = _read_parquet(spark, path)
+            if app is not None:
+                _SCAN_CACHE[key] = df
+        out[name] = df
     return out
 
 
