@@ -114,6 +114,63 @@ def cv_ols(df: DataFrame, key: str, k: int, features: Sequence[str],
     return out
 
 
+#: bounded-frame fast-path cap for cv_logreg (cells = rows × (p+1));
+#: module-level so tests can force the distributed loop on small data
+CV_LOGREG_LOCAL_CELLS = 4_000_000
+
+
+def _cv_logreg_local(folded: DataFrame, k: int, d: int, max_iter: int,
+                     tol: float) -> list[dict]:
+    """cv_logreg's bounded-frame local twin: the identical per-fold-group
+    complement-moment Newton loop on the one-shot fetched frame (see the
+    fast-path comment at the call site for the equivalence argument)."""
+    import numpy as np
+
+    pdf = folded.toPandas()
+    fold_of = pdf["fold"].to_numpy()
+    Z = pdf[[f"_z{i}" for i in range(d)]].to_numpy(dtype=np.float64)
+    Y = pdf["_y"].to_numpy(dtype=np.float64)
+    comp = [fold_of != f for f in range(k)]
+
+    betas = [np.zeros(d) for _ in range(k)]
+    for _ in range(max_iter):
+        delta = 0.0
+        new_betas = []
+        for f in range(k):
+            m = comp[f]
+            eta = Z[m] @ betas[f]
+            mu = 1.0 / (1.0 + np.exp(-eta))
+            w = mu * (1.0 - mu)
+            H = (Z[m] * w[:, None]).T @ Z[m]
+            g = Z[m].T @ (Y[m] - mu)
+            step = np.linalg.solve(H + 1e-10 * np.eye(d), g)
+            new_betas.append(betas[f] + step)
+            delta = max(delta, float(np.abs(step).max()))
+        betas = new_betas
+        if delta < tol:
+            break
+
+    n_tot, pos_tot = len(Y), float(Y.sum())
+    out = []
+    # like the distributed groupBy("fold"), emit only folds with rows
+    for f in sorted(int(x) for x in set(fold_of.tolist())):
+        m = fold_of == f
+        n = int(m.sum())
+        pos = float(Y[m].sum())
+        pred = (Z[m] @ betas[f] > 0).astype(np.float64)
+        c = float((pred == Y[m]).sum())
+        train_pos = (pos_tot - pos) / max(n_tot - n, 1)
+        out.append({
+            "fold": f,
+            "n_test": n,
+            "majority_share": float(max(train_pos, 1.0 - train_pos)),
+            "ca": float(c / max(n, 1)),
+            "intercept": float(betas[f][0]),
+            "coefficients": [float(b) for b in betas[f][1:]],
+        })
+    return out
+
+
 def cv_logreg(df: DataFrame, key: str, k: int, features: Sequence[str],
               label: str, *, salt: str = "", max_iter: int = 12,
               tol: float = 1e-9) -> list[dict]:
@@ -141,8 +198,23 @@ def cv_logreg(df: DataFrame, key: str, k: int, features: Sequence[str],
     zc = [F.lit(1.0)] + [F.col(c).cast("double") for c in features]
     folded = (with_fold(df.na.drop(subset=[*features, label]), key, k, salt)
               .select(F.col(label).cast("double").alias("_y"), "fold",
-                      *[z.alias(f"_z{i}") for i, z in enumerate(zc)])
-              .cache())
+                      *[z.alias(f"_z{i}") for i, z in enumerate(zc)]))
+    n_rows = folded.count()
+    if n_rows * d <= CV_LOGREG_LOCAL_CELLS:
+        # Bounded-frame fast path (r10, same cap as fit_logistic_irls /
+        # som_fit): fetch the folded frame ONCE and run the identical
+        # complement-moment Newton loop locally — max_iter scans
+        # collapse into one toPandas.  The loop structure (per-fold-
+        # group partials, complement = Σ_{g≠f}, same μ/w/step formulas,
+        # same convergence rule) is replicated verbatim; float sums
+        # associate differently than Spark's partial aggregation, so β
+        # can drift in last ulps — exactly the drift the function's
+        # contract already absorbs (the parity test pins β at 1e-6 and
+        # the oracle pins the EXACT outputs: integer counts and the
+        # integer-ratio majority share, which a fetch reproduces bit
+        # for bit).  A 100 TB fit frame takes the distributed loop.
+        return _cv_logreg_local(folded, k, d, max_iter, tol)
+    folded = folded.cache()
     try:
         z = [F.col(f"_z{i}") for i in range(d)]
         y = F.col("_y")

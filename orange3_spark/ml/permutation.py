@@ -32,6 +32,10 @@ from pyspark.sql.window import Window
 
 PERM_QSCALE = 1_000_000_000.0
 
+#: bounded-frame fast-path cap (cells = rows × (p+2)); module-level so
+#: tests can force the distributed window+join plan on small data
+PERM_LOCAL_CELLS = 4_000_000
+
 
 def hash_permute_column(df: DataFrame, id_col: str, col: str, *,
                         salt: str = "p", n_buckets: int = 64) -> DataFrame:
@@ -122,14 +126,90 @@ def permutation_importance_ols(df: DataFrame, id_col: str,
     one (label, bucket, rank, y) frame (the label's rank column selects
     which hash order pairs y back to its x row), so all n_perm+1 "fits"
     are ONE join + ONE grouped moment aggregation — per-label work
-    never becomes per-label jobs."""
-    import math
+    never becomes per-label jobs.
 
+    Bounded-frame fast path (r10, same cell cap as the IRLS/SOM/cv
+    fast paths): when ``n·(p+2) ≤ 4M`` the frame is fetched ONCE —
+    with the bucket and the per-label md5 sort keys computed SPARK-side
+    (engine-portable hashes, zero Python hashing) — and the pairing +
+    moments run in numpy.  Every moment is an exact int64 sum of
+    quantized values (both engines wrap mod 2⁶⁴), and the per-bucket
+    (hash, id) sort orders are total, so the moment set — and therefore
+    every R² — is bit-identical to the distributed plan; r2_from_moments
+    and the overflow guard are shared verbatim.  Past the cap the
+    window+join plan below runs unchanged (its bucket-bounded sorts
+    spill; a fetch would not)."""
     p = len(features)
     b = F.pmod(F.conv(F.substring(F.md5(F.col(id_col).cast("string")),
                                   1, 8), 16, 10).cast("long"),
                F.lit(n_buckets))
-    base = df.na.drop(subset=[*features, target]).withColumn("_b", b)
+    labels_all = ["true"] + [f"perm{i}" for i in range(1, n_perm + 1)]
+    # persist for the ROUTE + CONSUME pair: the gating count would
+    # otherwise re-execute the caller's upstream lineage (the registered
+    # query aggregates to unique ids first), and the window+join plan
+    # consumes `pre` twice (x side and stacked y side).  Scoped to this
+    # call — unpersisted before returning on every path.
+    from pyspark import StorageLevel
+    pre = (df.na.drop(subset=[*features, target])
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        return _perm_importance_routed(
+            pre, id_col, features, target, n_perm, n_buckets, scale,
+            labels_all, b, p)
+    finally:
+        pre.unpersist()
+
+
+def _perm_importance_routed(pre, id_col, features, target, n_perm,
+                            n_buckets, scale, labels_all, b, p):
+    import math
+
+    n_rows = pre.count()
+    if n_rows * (p + 2) <= PERM_LOCAL_CELLS:
+        import numpy as np
+
+        sel = pre.select(
+            F.col(id_col).alias("_id"), b.alias("_b"),
+            *[F.col(c).cast("double").alias(f"_x{i}")
+              for i, c in enumerate(features)],
+            F.col(target).cast("double").alias("_y"),
+            *[F.md5(F.concat(F.lit(lb), F.col(id_col).cast("string")))
+              .alias(f"_h_{lb}") for lb in labels_all[1:]])
+        pdf = sel.toPandas()
+        bv = pdf["_b"].to_numpy()
+        idv = pdf["_id"].to_numpy()
+        qz = [np.ones(len(pdf), dtype=np.int64)] + [
+            np.floor(pdf[f"_x{i}"].to_numpy(dtype=np.float64)
+                     * scale + 0.5).astype(np.int64)
+            for i in range(p)]
+        qy = np.floor(pdf["_y"].to_numpy(dtype=np.float64)
+                      * scale + 0.5).astype(np.int64)
+        # x side ordered by (bucket, id); y side by (bucket, hash, id):
+        # positions align per bucket because both sorts share the
+        # bucket counts — the same (bucket, rank) pairing as the join
+        xi = np.lexsort((idv, bv))
+        base_m = {"n": int(len(pdf)), "yy": int((qy * qy).sum()),
+                  "sy": int(qy.sum())}
+        for i in range(p + 1):
+            for j in range(i, p + 1):
+                base_m[f"m_{i}_{j}"] = int((qz[i] * qz[j]).sum())
+        out = []
+        for lb in labels_all:
+            m = dict(base_m)
+            if lb == "true":
+                for i in range(p + 1):
+                    m[f"v_{i}"] = int((qz[i] * qy).sum())
+            else:
+                h = pdf[f"_h_{lb}"].to_numpy(dtype="S32")
+                yi = np.lexsort((idv, h, bv))
+                yp = qy[yi]
+                for i in range(p + 1):
+                    m[f"v_{i}"] = int((qz[i][xi] * yp).sum())
+            _check_moment_overflow(m, p)
+            r2 = r2_from_moments(m, p)
+            out.append((lb, int(math.floor(r2 * PERM_QSCALE + 0.5))))
+        return out
+    base = pre.withColumn("_b", b)
     w_id = Window.partitionBy("_b").orderBy(F.col(id_col))
     base = base.withColumn("_rn", F.row_number().over(w_id))
     labels = ["true"] + [f"perm{i}" for i in range(1, n_perm + 1)]

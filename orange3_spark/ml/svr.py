@@ -100,10 +100,34 @@ def _sample_xy(df, cols, array_col, target, max_samples, id_cols=None):
     import numpy as np
 
     base = df.filter(F.col(target).isNotNull())
-    feats = _features_col(cols, array_col)
-    aug = base.withColumn("_xy", F.concat(
-        feats, F.array(F.col(target).cast("double"))))
-    S = _hash_sample(aug, [], "_xy", max_samples, id_cols=id_cols)
+    if array_col is None:
+        # Named-cols fast path (guide §4.1 prefer codegen over HOFs):
+        # the generic path below null-filters the concatenated feature
+        # array with an interpreted per-row exists() lambda inside
+        # _hash_sample; dropping nulls on the CAST columns keeps the
+        # identical row set (an array element is null iff its cast
+        # column is) through whole-stage codegen — measured 1.15→0.71 s
+        # on the mlp_reg sample select at sf0.1.  Key expression,
+        # (_k, _x) tie-break order and limit are unchanged, so the
+        # returned sample is bit-identical.
+        from orange3_spark.ml.outlier_models import _id_hash_key
+
+        names = [f"_f{i}" for i in range(len(cols) + 1)]
+        srcs = [F.col(c).cast("double") for c in [*cols, target]]
+        elems = [s.alias(n) for s, n in zip(srcs, names)]
+        arr = F.array(*[F.col(n) for n in names])
+        key = (_id_hash_key(id_cols) if id_cols
+               else F.md5(F.to_json(F.struct(F.array(*srcs).alias("v")))))
+        rows = (base.select(*elems, key.alias("_k"))
+                    .na.drop(subset=names)
+                    .select(arr.alias("_x"), "_k")
+                    .orderBy("_k", "_x").limit(max_samples).collect())
+        S = np.asarray([r["_x"] for r in rows], dtype=np.float64)
+    else:
+        feats = _features_col(cols, array_col)
+        aug = base.withColumn("_xy", F.concat(
+            feats, F.array(F.col(target).cast("double"))))
+        S = _hash_sample(aug, [], "_xy", max_samples, id_cols=id_cols)
     return np.asarray(S[:, :-1]), np.asarray(S[:, -1])
 
 

@@ -1579,18 +1579,22 @@ def q_permutation_importance(spark, sf_dir):
     d = (li.select(
         (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("id"),
         "l_quantity", "l_discount", "l_tax")
+        # deterministic 40% id-hash slice: a permutation TEST needs a
+        # representative sample, not the corpus.  The slice predicate is
+        # a pure function of the GROUPING KEY, so filtering before the
+        # groupBy is row-for-row identical to filtering after it — and
+        # shuffles 60% fewer rows into the aggregation (r10, guide §2.3
+        # filter before the exchange; the optimizer cannot prove this
+        # commute through md5 itself)
+        .where(F.substring(F.md5(F.col("id").cast("string")), 1, 8)
+               < F.lit("66666666"))
         .groupBy("id")
         .agg(F.min("l_quantity").alias("l_quantity"),
              F.min("l_discount").alias("l_discount"),
              F.min("l_tax").alias("l_tax"))
         # drop null rows BEFORE permuting (the oracle's HAVING) so the
         # permutation domain matches exactly
-        .na.drop(subset=["l_quantity", "l_discount", "l_tax"])
-        # deterministic 40% id-hash slice: a permutation TEST needs a
-        # representative sample, not the corpus — each permutation costs
-        # two windows + a join over the domain
-        .where(F.substring(F.md5(F.col("id").cast("string")), 1, 8)
-               < F.lit("66666666")))
+        .na.drop(subset=["l_quantity", "l_discount", "l_tax"]))
     rows = permutation_importance_ols(
         d, "id", ["l_discount", "l_tax"], "l_quantity", n_perm=3)
     return spark.createDataFrame(rows, "label string, r2_q long")

@@ -1045,3 +1045,54 @@ def test_cn2_sd_weighted_covering(spark):
     for s, cls, *_ in sdu[:-1]:
         assert frozenset(s) not in by_cls.get(cls, set())
         by_cls.setdefault(cls, set()).add(frozenset(s))
+
+
+def test_cv_logreg_local_twin_matches_distributed(spark, monkeypatch):
+    """The r10 bounded-frame fast path must reproduce the distributed
+    complement-moment Newton loop: per-fold exact counts and majority
+    share bit-identical, β within float-association drift (1e-6)."""
+    import numpy as np
+
+    from orange3_spark.ml import evaluation as E
+
+    rows = []
+    for i in range(300):
+        x1 = (i % 29) / 29.0
+        x2 = ((i * 5) % 17) / 17.0
+        y = 1.0 if (2.0 * x1 - x2 - 0.3) > 0 else 0.0
+        if i % 13 == 0:
+            y = 1.0 - y
+        rows.append((i, x1, x2, y))
+    df = spark.createDataFrame(
+        rows, "id long, x1 double, x2 double, label double")
+    local = E.cv_logreg(df, "id", 3, ["x1", "x2"], "label", max_iter=20)
+    monkeypatch.setattr(E, "CV_LOGREG_LOCAL_CELLS", 0)
+    dist = E.cv_logreg(df, "id", 3, ["x1", "x2"], "label", max_iter=20)
+    assert [r["fold"] for r in local] == [r["fold"] for r in dist]
+    for a, b in zip(local, dist):
+        assert a["n_test"] == b["n_test"]
+        assert a["majority_share"] == b["majority_share"]
+        assert abs(a["ca"] - b["ca"]) < 1e-9
+        got = np.array([a["intercept"], *a["coefficients"]])
+        ref = np.array([b["intercept"], *b["coefficients"]])
+        assert np.allclose(got, ref, atol=1e-6), (a["fold"], got, ref)
+
+
+def test_permutation_importance_local_twin_matches_distributed(
+        spark, monkeypatch):
+    """The r10 bounded fast path (Spark-side md5 sort keys + numpy
+    pairing/moments) must return BIT-identical fixed-point R²s to the
+    distributed window+join plan: every moment is an exact int64 sum."""
+    from orange3_spark.ml import permutation as P
+
+    rows = [(i, (i % 41) / 41.0, ((i * 11) % 29) / 29.0,
+             ((i * 3) % 19) / 19.0 + (i % 41) / 82.0)
+            for i in range(2500)]
+    df = spark.createDataFrame(
+        rows, "id long, f1 double, f2 double, y double")
+    fast = P.permutation_importance_ols(df, "id", ["f1", "f2"], "y",
+                                        n_perm=3)
+    monkeypatch.setattr(P, "PERM_LOCAL_CELLS", 0)
+    dist = P.permutation_importance_ols(df, "id", ["f1", "f2"], "y",
+                                        n_perm=3)
+    assert fast == dist

@@ -161,3 +161,29 @@ def test_knn_regressor_lsh_fallback_matches_broadcast(spark):
     assert set(got_small) == set(got_big)
     agree = sum(abs(got_small[i] - got_big[i]) < 1e-9 for i in got_small)
     assert agree >= 0.9 * len(got_small), agree
+
+
+def test_sample_xy_named_cols_matches_array_path(spark):
+    """The r10 named-cols fast path in _sample_xy (codegen null-drop on
+    cast columns instead of the exists() HOF over the concat array) must
+    return the bit-identical sample — same rows, same order — as the
+    generic array_col route, with and without id_cols keys."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from orange3_spark.ml.svr import _sample_xy
+
+    rows = [(i,
+             None if i % 7 == 3 else (i % 31) / 31.0,
+             (i * 3 % 13) / 13.0,
+             None if i % 11 == 5 else (i % 5) / 5.0)
+            for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "id long, x0 double, x1 double, y double")
+    arr = df.withColumn("_a", F.array(F.col("x0"), F.col("x1")))
+    for id_cols in (["id"], None):
+        Xn, yn = _sample_xy(df, ["x0", "x1"], None, "y", 100,
+                            id_cols=id_cols)
+        Xa, ya = _sample_xy(arr, [], "_a", "y", 100, id_cols=id_cols)
+        assert np.array_equal(Xn, Xa) and np.array_equal(yn, ya)
+        assert Xn.shape == (100, 2)
