@@ -1225,6 +1225,17 @@ def q_ml_stack(spark, sf_dir):
                     F.floor((F.col("l_extendedprice").cast("double")
                              / F.lit(1000.0)) * F.lit(10000.0)
                             + F.lit(0.5)).alias("qy")))
+    # three full passes consume ``data`` (two moment scans + the
+    # residual scan): right-size and persist the 4-long projection once
+    # so the single-row-group fixture is decoded once and every pass
+    # aggregates the cache on all cores (guide §1.2/§5; the spread gate
+    # is a no-op at scale).  Every aggregate is an exact integer, so
+    # results are identical under any partitioning.
+    from pyspark import StorageLevel
+
+    from orange3_spark.ml.outlier_models import _spread_for_scoring
+
+    data = _spread_for_scoring(data).persist(StorageLevel.MEMORY_AND_DISK)
     _folds, _fulls, (mi, w0, w1), pexpr = stacked_ols_quantized(
         data, "key", ["qx0", "qx1"], "qy", k=3)
     res = F.col("qy").cast("double") - pexpr
@@ -1232,6 +1243,7 @@ def q_ml_stack(spark, sf_dir):
         F.sum(F.floor((res * res) + F.lit(0.5)).cast("decimal(38,0)"))
         .alias("q"),
         F.count(F.lit(1)).alias("n")).first()
+    data.unpersist()
     rmse = math.sqrt(float(int(agg["q"]))
                      / float(int(agg["n"]))) / 10000.0
     return spark.createDataFrame(

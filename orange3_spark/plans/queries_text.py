@@ -194,12 +194,18 @@ def q_dedup_incremental(spark, sf_dir):
     index is stored bucketed on (band, bucket).  md5 family so the oracle
     replays the exact index + probe."""
     (docs,) = _t(spark, sf_dir, "documents")
-    new = docs.where(F.col("doc_id") % 5 == 0)
-    hist = docs.where(F.col("doc_id") % 5 != 0)
-    nb = TD.minhash_band_table(new, num_hashes=_MH_K, bands=_MH_BANDS,
-                               seed=0, hash_family="md5")
-    ib = TD.minhash_band_table(hist, num_hashes=_MH_K, bands=_MH_BANDS,
-                               seed=0, hash_family="md5")
+    # Signatures are PER-DOCUMENT (the property the incremental claim
+    # rests on), so the batch and index band rows are the same rows a
+    # single corpus-wide band table yields — build the signature
+    # pipeline ONCE and split it, exactly as the oracle's shared
+    # ``bands`` CTE does, instead of paying the shingle→md5→64-min
+    # aggregation twice (guide §1.2: don't compute things twice;
+    # measured 3.6 → ~2 s at sf0.1).  ``cache`` so the two filtered
+    # sides read one materialization (docs × bands tiny rows).
+    bt = TD.minhash_band_table(docs, num_hashes=_MH_K, bands=_MH_BANDS,
+                               seed=0, hash_family="md5").cache()
+    nb = bt.where(F.col("doc_id") % 5 == 0)
+    ib = bt.where(F.col("doc_id") % 5 != 0)
     return TD.lsh_probe(nb, ib)
 
 
@@ -412,14 +418,16 @@ def q_leakage_safe_split(spark, sf_dir):
     per-doc hashing would put a doc in train and its near-twin in holdout
     and inflate eval.  Oracle replays components (recursive CTE) + the md5
     threshold split exactly."""
-    from orange3_spark.text.pipeline import leakage_safe_split
+    from orange3_spark.text.pipeline import leakage_safe_split_labeled
     (docs,) = _t(spark, sf_dir, "documents")
     pairs = TD.jaccard_pairs(docs, n=3, threshold=0.2)
-    train, hold = leakage_safe_split(docs, pairs, holdout_fraction=0.3,
-                                     salt="s")
-    return (train.select("doc_id", F.lit("train").alias("split"))
-            .unionByName(hold.select("doc_id",
-                                     F.lit("holdout").alias("split"))))
+    # single lineage (guide §1.2): the two-frame view would run the
+    # docs⋈clusters broadcast join + doc scan once per unioned branch;
+    # the labeled frame is the identical (doc_id, split) row set in one
+    # pass — 'train' rows are exactly the ~__hold rows of the old union
+    return leakage_safe_split_labeled(
+        docs, pairs, holdout_fraction=0.3, salt="s").select(
+            "doc_id", "split")
 
 
 @query("q_fingerprint", """
@@ -1242,8 +1250,12 @@ def q_quality_classifier(spark, sf_dir):
     beta = quality_clf_fit(docs, F.col("lang") == P["label_lang"],
                            n_buckets=P["n_buckets"],
                            sample_thr=P["thr"], iters=P["iters"])
+    # id_col routes feature counting through the codegen agg featurizer
+    # (same integer counts, same division, same margin chain — see
+    # quality_clf_score); the extra doc_id column is pruned by the
+    # aggregation below
     scored = quality_clf_score(docs, beta, n_buckets=P["n_buckets"],
-                               keep=("source", "lang"))
+                               keep=("source", "lang"), id_col="doc_id")
     return (scored
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("n"),

@@ -62,6 +62,16 @@ def prepare_training_data_labeled(
         & (TA.punct_ratio(text_col) <= max_punct_ratio)
         & (TA.stopword_ratio(text_col, list(TA.LANG_MARKERS["en"]))
            >= min_stopword_ratio))
+    # persist: the exact-dedup step below consumes ``quality`` TWICE in
+    # one action (the min-id-per-normalized-text aggregation AND the
+    # semi-join left side), so without it the quality regex battery
+    # (token count, punct ratio, stopword lookaround scan) runs twice
+    # per corpus scan — measured 1.1 s/extra pass at sf0.1, one full
+    # corpus regex pass at 100 TB.  Same spill-not-recompute level and
+    # opt-out as the ``exact`` persist below.
+    if persist_dedup_frame:
+        from pyspark import StorageLevel
+        quality = quality.persist(StorageLevel.MEMORY_AND_DISK)
     if report is not None:
         report.after_quality = _n(quality)
 
@@ -139,6 +149,25 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame, *,
     ``pairs`` is any (id_a, id_b) near-dup pair frame
     (``dedup_minhash``/``simhash_near_dups``/``jaccard_pairs``).
     """
+    labeled = leakage_safe_split_labeled(
+        docs, pairs, id_col=id_col, holdout_fraction=holdout_fraction,
+        salt=salt)
+    keep = [c for c in docs.columns]
+    train = labeled.filter(F.col("split") == "train").select(*keep)
+    holdout = labeled.filter(F.col("split") == "holdout").select(*keep)
+    return train, holdout
+
+
+def leakage_safe_split_labeled(docs: DataFrame, pairs: DataFrame, *,
+                               id_col: str = "doc_id",
+                               holdout_fraction: float = 0.01,
+                               salt: str = "holdout") -> DataFrame:
+    """Single-lineage view of :func:`leakage_safe_split`: the corpus with
+    a ``split`` label column instead of two filtered frames.  Consumers
+    that need BOTH sides (counts, writes, the registered query's
+    doc_id→split listing) should use this — the two-frame view executes
+    the docs⋈clusters join once per consumed side (same
+    one-lineage-vs-two argument as ``prepare_training_data_labeled``)."""
     clusters = TD.dup_clusters(pairs)
     rep = F.coalesce(F.col("cluster_id"), F.col(id_col))
     withrep = (docs.join(
@@ -147,11 +176,10 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame, *,
     threshold = format(int(holdout_fraction * 0xFFFFFFFF), "08x")
     h = F.substring(
         F.md5(F.concat(F.col("__rep").cast("string"), F.lit(salt))), 1, 8)
-    marked = withrep.withColumn("__hold", h < F.lit(threshold))
     keep = [c for c in docs.columns]
-    train = marked.filter(~F.col("__hold")).select(*keep)
-    holdout = marked.filter(F.col("__hold")).select(*keep)
-    return train, holdout
+    return withrep.select(
+        *keep, F.when(h < F.lit(threshold), F.lit("holdout"))
+                .otherwise(F.lit("train")).alias("split"))
 
 
 def decontaminate(train: DataFrame, benchmark: DataFrame, *,

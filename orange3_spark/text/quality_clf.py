@@ -140,10 +140,26 @@ def quality_clf_fit(docs: DataFrame, label: Column, *,
 def quality_clf_score(docs: DataFrame, beta: Sequence[float], *,
                       text_col: str = "text",
                       n_buckets: int = QCLF_BUCKETS,
-                      keep: Sequence[str] = ()) -> DataFrame:
-    """Score every document: one codegen pass emitting the linear margin
-    ``m`` (keep-probability is monotone in ``m``; filter at ``m > 0``).
-    No join, no shuffle, no state — the 100 TB path."""
-    feat = hashed_bow(docs, text_col=text_col, n_buckets=n_buckets,
-                      keep=keep)
+                      keep: Sequence[str] = (),
+                      id_col: "str | None" = None) -> DataFrame:
+    """Score every document, emitting the linear margin ``m``
+    (keep-probability is monotone in ``m``; filter at ``m > 0``).
+
+    Default path (``id_col=None``): the stateless row-local
+    ``hashed_bow`` projection — no join, no shuffle, no state; the
+    streamable form.  With ``id_col`` set, features come from
+    ``hashed_bow_agg`` instead: the per-bucket counts are whole-stage
+    codegen conditional sums over exploded tokens (one map-side-combined
+    shuffle of B+1 longs per doc) where the row-local form pays B
+    interpreted ``F.filter`` HOF passes per row (guide §4.1) — measured
+    2.0→1.4 s on the sf0.1 scoring query.  Both paths emit the SAME
+    integer counts, the same ``count/n`` IEEE division and the same
+    left-associated margin chain, so ``m`` is bit-identical (the SQL
+    oracle replays either)."""
+    if id_col is not None:
+        feat = hashed_bow_agg(docs, text_col=text_col, id_col=id_col,
+                              n_buckets=n_buckets, keep=keep)
+    else:
+        feat = hashed_bow(docs, text_col=text_col, n_buckets=n_buckets,
+                          keep=keep)
     return feat.withColumn("m", margin_expr(beta, n_buckets))
