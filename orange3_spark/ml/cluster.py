@@ -98,21 +98,67 @@ def exact_sq_dists(X, C):
     return out
 
 
-def rightsize_persist(qdf: DataFrame, *, rows_per_task: int = 50_000):
+def rightsize_persist(qdf: DataFrame, *, rows_per_task: int = 50_000,
+                      n_rows: "int | None" = None):
     """Shared fit-scaffold for the Lloyd family (k-means, PQ): count the
     input, coalesce a small frame so per-round jobs don't pay pure
     scheduler overhead on near-empty tasks (full parallelism returns
     automatically at real row counts), and persist MEMORY_AND_DISK so an
     over-memory fit spills instead of recomputing.  Returns
-    ``(persisted_df, n_rows)``."""
+    ``(persisted_df, n_rows)``.  Pass ``n_rows`` when the caller already
+    knows the count (the bounded-probe fast path) to skip the count job;
+    the persist then materializes lazily on first downstream action."""
     from pyspark import StorageLevel
 
-    n_rows = qdf.count()
+    if n_rows is None:
+        n_rows = qdf.count()
     target = max(1, min(qdf.sparkSession.sparkContext.defaultParallelism,
                         n_rows // rows_per_task))
     if target < qdf.rdd.getNumPartitions():
         qdf = qdf.coalesce(target)
     return qdf.persist(StorageLevel.MEMORY_AND_DISK), n_rows
+
+
+#: bounded-frame cap for the Lloyd local twin (n_rows·dim cells and a
+#: row cap for the probe's limit) — the r10 rounds' shared 4M-cell size
+#: class (fit_logistic_irls / som_fit / cv_logreg twins)
+LLOYD_LOCAL_CELLS = 4_000_000
+LLOYD_LOCAL_ROWS = 65_536
+
+
+def _lloyd_local_rounds(prows, id_col: str, k: int, n_iter: int):
+    """The Lloyd iteration loop run on a probe-fetched row list — the
+    distributed loop's LOCAL TWIN, bit-identical by construction: ``_q``
+    is already Spark-quantized, init is the k smallest ids (same
+    ``orderBy(id).take(k)`` rule), assignment is the same
+    ``exact_sq_dists`` + ``np.argmin`` (exact integers, same low-index
+    tie-break), sufficient statistics are exact int64 coordinate sums
+    (order-independent), and the centroid update is the identical
+    ``floor(Σ/n + 0.5)`` on Python ints.  Returns the final centroid
+    list; the final assignment still runs distributed on the SAME rule,
+    so downstream consumers see exactly what the job-per-round loop
+    produced."""
+    import math
+
+    import numpy as np
+
+    srt = sorted(prows, key=lambda r: r[id_col])
+    centroids = [[int(x) for x in r["_q"]] for r in srt[:k]]
+    dim = len(centroids[0])
+    X = np.asarray([r["_q"] for r in prows], dtype=np.int64)
+    for _ in range(n_iter - 1):
+        cl = np.argmin(exact_sq_dists(X, np.asarray(centroids,
+                                                    dtype=np.int64)),
+                       axis=1)
+        got = {}
+        for c in np.unique(cl):
+            m = cl == c
+            n = int(m.sum())
+            s = X[m].sum(axis=0)
+            got[int(c)] = [math.floor(int(s[j]) / n + 0.5)
+                           for j in range(dim)]
+        centroids = [got.get(i, c) for i, c in enumerate(centroids)]
+    return centroids
 
 
 def _cluster_suff_stats(assigned: DataFrame, *, q_col: str = "_q",
@@ -231,13 +277,31 @@ def kmeans_lloyd_fit(df: DataFrame, id_col: str, *, array_col: str,
     from pyspark.sql.functions import pandas_udf
 
     qdf = df.withColumn("_q", quantize_array(F.col(array_col), quantize))
-    # The fit scans qdf n_iter+1 times (assign per round + the final
-    # one); cache so parquet read + quantization run once
-    # (rightsize_persist holds the why of the coalesce + storage level)
-    qdf, _ = rightsize_persist(qdf)
-    centroids = [[int(x) for x in r["_q"]]
-                 for r in qdf.select(id_col, "_q").orderBy(id_col).take(k)]
-    dim = len(centroids[0])
+    # Bounded-probe fast path (r10): ONE limit-collect replaces the
+    # count + init-take + per-round suff-stats jobs when the fit frame
+    # is small — the iterations run through the local twin
+    # (_lloyd_local_rounds, bit-identical by the exactness contract
+    # below) and the final distributed assignment is unchanged.  Past
+    # the cap the probe rows are discarded and the job-per-round loop
+    # runs as before (a 100 TB fit frame takes that path).
+    prows = (qdf.select(id_col, "_q")
+             .limit(LLOYD_LOCAL_ROWS + 1).collect())
+    local = (len(prows) <= LLOYD_LOCAL_ROWS
+             and len(prows) >= 1
+             and len(prows) * len(prows[0]["_q"]) <= LLOYD_LOCAL_CELLS)
+    if local:
+        qdf, _ = rightsize_persist(qdf, n_rows=len(prows))
+        centroids = _lloyd_local_rounds(prows, id_col, k, n_iter)
+        dim = len(centroids[0])
+    else:
+        # The fit scans qdf n_iter+1 times (assign per round + the
+        # final one); cache so parquet read + quantization run once
+        # (rightsize_persist holds the why of coalesce + storage level)
+        qdf, _ = rightsize_persist(qdf)
+        centroids = [[int(x) for x in r["_q"]]
+                     for r in qdf.select(id_col, "_q")
+                     .orderBy(id_col).take(k)]
+        dim = len(centroids[0])
 
     def assign(frame: DataFrame, cents) -> DataFrame:
         C = np.asarray(cents, dtype=np.int64)
@@ -255,7 +319,7 @@ def kmeans_lloyd_fit(df: DataFrame, id_col: str, *, array_col: str,
 
         return frame.withColumn("cluster", _nearest(F.col("_q")))
 
-    for _ in range(n_iter - 1):
+    for _ in range(0 if local else n_iter - 1):
         assigned = assign(qdf, centroids)
         stats = _cluster_suff_stats(assigned)
         # floor(Σ/n + 0.5): Σ and n are exact ints, so the true division is

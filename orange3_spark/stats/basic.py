@@ -183,8 +183,19 @@ def average_rank(df: DataFrame, columns: Sequence[str],
 
 
 def spearman_pairs(df: DataFrame, columns: Sequence[str]) -> DataFrame:
-    """All-pairs Spearman ρ = Pearson on average-tie ranks."""
-    ranked = average_rank(df.select(*columns).na.drop(), columns)
+    """All-pairs Spearman ρ = Pearson on average-tie ranks.
+
+    The dropped projection feeds k+1 consumers (one distinct-value count
+    per column + the final corr scan), so persist it: one decode instead
+    of k+1 (guide §5 — reuse beats recompute; 4 scans → 1 at sf0.1).
+    Deliberately NO repartition: the cache keeps the scan's partitioning,
+    so the float corr aggregation combines partials in the same order and
+    ρ is bit-identical to the unpersisted plan."""
+    from pyspark import StorageLevel
+
+    base = (df.select(*columns).na.drop()
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    ranked = average_rank(base, columns)
     rcols = [c + "_rank" for c in columns]
     out = pearson_pairs(ranked, rcols)
     strip = F.regexp_replace

@@ -30,6 +30,24 @@ from orange3_spark.text.analysis import tokens
 
 # ---------------------------------------------------------------- exact dedup
 
+def _spread_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to default parallelism ONLY when the
+    input has fewer partitions — the unsplittable-input valve (guide
+    §2.5).  At scale a real scan already has ≥ cores partitions and no
+    exchange is added; locally it keeps per-token hash work off a
+    1-task scan stage.  Callers apply it only where downstream results
+    are partitioning-independent (exact-integer aggregations, row-local
+    projections)."""
+    sc = df.sparkSession.sparkContext
+    try:
+        parts = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive
+        return df
+    if parts < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", *, normalize: bool = True) -> DataFrame:
     """Keep the lowest-id document per identical text (hash-groupBy —
@@ -534,6 +552,14 @@ def simhash_near_dups_md5(df: DataFrame, text_col: str = "text",
     string oracle's."""
     if bits != 64:
         raise ValueError("packed md5 simhash is 64-bit")
+    # Spread a too-few-partition input first (single-row-group bench
+    # fixtures scan as ONE split, guide §2.5): the per-token md5 + 16
+    # hex-char parses below otherwise run fused into a 1-task scan
+    # stage (measured 2.1 s of a 4.0 s query).  Round-robin of the raw
+    # doc rows is a no-op at scale (gate: partitions <
+    # defaultParallelism) and the per-doc vote sums are exact integers,
+    # identical under any partitioning.
+    df = _spread_scan(df)
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
     hx = F.md5(F.col("_t"))
     # SIMD-in-a-register vote counting: each hex char carries 4 signature
