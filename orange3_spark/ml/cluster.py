@@ -450,6 +450,64 @@ def silhouette(clustered: DataFrame, features: Sequence[str] = (), *,
         metricName="silhouette").evaluate(assembled))
 
 
+def _silhouette_local(prows, q_col: str, cluster_col: str) -> float:
+    """silhouette_exact's bounded-frame local twin: the identical
+    exact-integer algebra (n_C·|x|² − 2·x·S_C + SS_C numerators, same
+    int64-vs-object-int guard, same per-point 1e-9 quantization and
+    integer mean) on a probe-fetched row list — one batch instead of a
+    suff-stats scan plus a scoring scan, bit-identical because no float
+    ever depends on batch or partition boundaries."""
+    import numpy as np
+
+    X = np.asarray([r[q_col] for r in prows], dtype=np.int64)
+    cl_raw = [int(r[cluster_col]) for r in prows]
+    cls = sorted(set(cl_raw))
+    if len(cls) < 2:
+        return 0.0
+    idx = {c: i for i, c in enumerate(cls)}
+    own = np.asarray([idx[c] for c in cl_raw])
+    dim = X.shape[1]
+    k = len(cls)
+    N = np.zeros(k, dtype=np.int64)
+    S = np.zeros((k, dim), dtype=np.int64)
+    SS_py = [0] * k
+    for i in range(k):
+        m = own == i
+        N[i] = int(m.sum())
+        S[i] = X[m].sum(axis=0)
+        rs = (X[m] * X[m]).sum(axis=1)
+        SS_py[i] = int(rs.astype(object).sum())
+    s_max = int(np.abs(S).max()) if S.size else 0
+    n_max = int(N.max()) if N.size else 0
+    ss_max = max(SS_py) if SS_py else 0
+    x_abs_max = int(np.abs(X).max()) if X.size else 0
+    worst = (n_max * dim * x_abs_max * x_abs_max
+             + 2 * dim * x_abs_max * s_max + ss_max)
+    if worst < (1 << 62):
+        SS = np.asarray(SS_py, dtype=np.int64)
+        x2 = (X * X).sum(axis=1)
+        num = N[None, :] * x2[:, None] - 2 * (X @ S.T) + SS[None, :]
+    else:
+        Xo = X.astype(object)
+        num = (np.asarray(N, dtype=object)[None, :]
+               * (Xo * Xo).sum(axis=1)[:, None]
+               - 2 * (Xo @ S.astype(object).T)
+               + np.asarray(SS_py, dtype=object)[None, :])
+    npt = len(X)
+    si = np.zeros(npt)
+    for p in range(npt):
+        o = own[p]
+        if N[o] <= 1:
+            continue
+        a = float(int(num[p, o])) / float(int(N[o] - 1))
+        b = min(float(int(num[p, c])) / float(int(N[c]))
+                for c in range(k) if c != o)
+        m = a if a >= b else b
+        si[p] = (b - a) / m if m > 0 else 0.0
+    sq = np.floor(si * 1e9 + 0.5).astype(np.int64)
+    return float(int(sq.sum())) / npt / 1e9
+
+
 def silhouette_exact(assigned: DataFrame, *, q_col: str = "_q",
                      cluster_col: str = "cluster",
                      scale: float = LLOYD_SCALE) -> float:
@@ -476,6 +534,19 @@ def silhouette_exact(assigned: DataFrame, *, q_col: str = "_q",
     worst-case intermediate approaches 2⁶³ — slower, never wrong.
     """
     import numpy as np
+
+    # Bounded local twin (r10, same caps as the Lloyd probe): ONE
+    # limit-collect replaces the dim-first + suff-stats + scoring jobs.
+    # Every quantity here is an exact integer (cluster sums, per-point
+    # numerators, the 1e-9-quantized silhouettes), so the local
+    # computation is bit-identical to the batched mapInPandas path
+    # under any partitioning; past the cap the distributed path runs
+    # unchanged.
+    prows = (assigned.select(q_col, cluster_col)
+             .limit(LLOYD_LOCAL_ROWS + 1).collect())
+    if (prows and len(prows) <= LLOYD_LOCAL_ROWS
+            and len(prows) * len(prows[0][q_col]) <= LLOYD_LOCAL_CELLS):
+        return _silhouette_local(prows, q_col, cluster_col)
 
     dim = len(assigned.select(q_col).first()[0])
     stats = _cluster_suff_stats(assigned, q_col=q_col,

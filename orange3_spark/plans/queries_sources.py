@@ -228,12 +228,22 @@ def q_infer_types(spark, sf_dir):
             F.date_format("o_orderdate", "yyyy-MM-dd")),
         "p_name": part.select(F.col("p_name").cast("string")),
     }
-    out = []
-    for name, df in probes.items():
+    # The five probes are independent single-column jobs; submit them
+    # from a small thread pool so each job's task tail back-fills the
+    # others' idle cores (guide §2.6 overlap independent jobs).  Each
+    # probe is a deterministic ordered-distinct prefix, so results are
+    # unchanged; output order is pinned by the probes dict.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _probe(item):
+        name, df = item
         vals = [r[0] for r in
                 df.where(F.col(df.columns[0]).isNotNull())
                   .distinct().orderBy(df.columns[0]).limit(1000).collect()]
-        out.append((name, guess_data_type(vals)[0]))
+        return (name, guess_data_type(vals)[0])
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        out = list(pool.map(_probe, probes.items()))
     return spark.createDataFrame(out, "col string, vtype string")
 
 
