@@ -1329,6 +1329,14 @@ def q_ml_knn_reg(spark, sf_dir):
                     F.col("o_custkey").cast("long").alias("qx"),
                     F.floor(F.col("o_totalprice").cast("double")
                             * F.lit(10.0) + F.lit(0.5)).alias("qy")))
+    # two passes (train collect + scored residual agg) share one decode
+    # of the single-row-group fixture; exact-integer results are
+    # partitioning-independent (same rationale as q_ml_mlp_reg)
+    from pyspark import StorageLevel
+
+    from orange3_spark.ml.outlier_models import _spread_for_scoring
+
+    data = _spread_for_scoring(data).persist(StorageLevel.MEMORY_AND_DISK)
     train, test = E.train_test_split(data, "id", 0.25)
     model = L.knn_regressor(train, ["qx"], "qy", k=5, id_col="id")
     pred = model.predict(test)
@@ -1337,6 +1345,7 @@ def q_ml_knn_reg(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.floor((res * res) + F.lit(0.5)).cast("decimal(38,0)"))
         .alias("q")).first()
+    data.unpersist()
     rmse = math.sqrt(float(int(agg["q"]))
                      / float(int(agg["n"]))) / 10.0
     return spark.createDataFrame(
@@ -1369,6 +1378,17 @@ def q_ml_mlp_reg(spark, sf_dir):
                     F.col("l_discount").cast("double").alias("x1"),
                     (F.col("l_extendedprice").cast("double")
                      / F.lit(1000.0)).alias("y")))
+    # two passes consume ``data`` (the sample TakeOrdered and the scored
+    # residual aggregate): spread + persist the 4-column projection so
+    # the single-row-group fixture decodes once and both passes run on
+    # all cores (gated no-op at scale).  The sample is a total-order
+    # prefix and the residual sum is exact-integer — identical under
+    # any partitioning.
+    from pyspark import StorageLevel
+
+    from orange3_spark.ml.outlier_models import _spread_for_scoring
+
+    data = _spread_for_scoring(data).persist(StorageLevel.MEMORY_AND_DISK)
     train, test = E.train_test_split(data, "key", P["test_fraction"])
     model = mlp_regressor(train, ["x0", "x1"], "y", id_cols=["key"],
                           epochs=P["epochs"], seed=P["seed"],
@@ -1379,6 +1399,7 @@ def q_ml_mlp_reg(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.floor((res * res) * F.lit(OR.MLP_QSCALE) + F.lit(0.5))
               .cast("decimal(38,0)")).alias("q")).first()
+    data.unpersist()
     rmse = math.sqrt(float(int(agg["q"])) / OR.MLP_QSCALE
                      / float(int(agg["n"])))
     return spark.createDataFrame(

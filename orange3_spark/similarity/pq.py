@@ -80,10 +80,26 @@ def pq_fit(df: DataFrame, id_col: str, *, array_col: str,
     else:
         qdf = df.withColumn("_q",
                             quantize_array(F.col(array_col), quantize))
-    qdf, _ = rightsize_persist(qdf)
+    # Bounded-probe fast path (r10, the Lloyd-family pattern): one
+    # limit-collect replaces the count + init-take + per-round
+    # suff-stats jobs; the local rounds mirror _assign_codes_udf's
+    # exact-int64 distances/argmin and the identical floor(Σ/n + 0.5)
+    # update, so the codebooks — and the final distributed encoding —
+    # are bit-identical.  Past the cap the job-per-round loop runs.
+    from orange3_spark.ml.cluster import LLOYD_LOCAL_CELLS, LLOYD_LOCAL_ROWS
 
-    first = [[int(x) for x in r["_q"]]
-             for r in qdf.select(id_col, "_q").orderBy(id_col).take(k)]
+    prows = (qdf.select(id_col, "_q")
+             .limit(LLOYD_LOCAL_ROWS + 1).collect())
+    local = bool(prows and len(prows) <= LLOYD_LOCAL_ROWS
+                 and len(prows) * len(prows[0]["_q"]) <= LLOYD_LOCAL_CELLS)
+    if local:
+        qdf, _ = rightsize_persist(qdf, n_rows=len(prows))
+        srt = sorted(prows, key=lambda r: r[id_col])
+        first = [[int(x) for x in r["_q"]] for r in srt[:k]]
+    else:
+        qdf, _ = rightsize_persist(qdf)
+        first = [[int(x) for x in r["_q"]]
+                 for r in qdf.select(id_col, "_q").orderBy(id_col).take(k)]
     if not first:
         raise ValueError("pq_fit: empty input frame")
     dim = len(first[0])
@@ -93,7 +109,21 @@ def pq_fit(df: DataFrame, id_col: str, *, array_col: str,
     cents = [[row[j * sub:(j + 1) * sub] for row in first]
              for j in range(m)]
 
-    for _ in range(n_iter - 1):
+    if local and n_iter > 1:
+        X = np.asarray([r["_q"] for r in prows], dtype=np.int64)
+        for _ in range(n_iter - 1):
+            for j in range(m):
+                Cj = np.asarray(cents[j], dtype=np.int64)
+                Xj = X[:, j * sub:(j + 1) * sub]
+                d = ((Xj[:, None, :] - Cj[None, :, :]) ** 2).sum(axis=2)
+                codes_j = np.argmin(d, axis=1)
+                for c in np.unique(codes_j):
+                    msk = codes_j == c
+                    n = int(msk.sum())
+                    s = Xj[msk].sum(axis=0)
+                    cents[j][int(c)] = [math.floor(int(x) / n + 0.5)
+                                        for x in s]
+    for _ in range(0 if local else n_iter - 1):
         coded = qdf.withColumn("codes", _assign_codes_udf(cents)(F.col("_q")))
 
         def _suff(it, sub=sub, m=m):
