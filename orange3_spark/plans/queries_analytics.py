@@ -589,14 +589,16 @@ def q_pagerank(spark, sf_dir):
     orders, li = _t(spark, sf_dir, "orders", "lineitem")
     e0 = (orders.join(li, orders.o_orderkey == li.l_orderkey)
           .select("o_custkey", "l_suppkey").distinct())
-    edges = (e0.select(
-        F.concat(F.lit("C"), F.col("o_custkey").cast("string"))
-        .alias("src"),
-        F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
-        .alias("dst"))
-        .union(e0.select(
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")),
-            F.concat(F.lit("C"), F.col("o_custkey").cast("string")))))
+    # both directions via ONE explode over the distinct pair set — a
+    # union of two selects re-executes the join+distinct once per
+    # branch (guide §1.2: the input derivation is the expensive part);
+    # row set identical to the former two-branch union
+    c = F.concat(F.lit("C"), F.col("o_custkey").cast("string"))
+    s = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+    edges = (e0.select(F.explode(F.array(
+        F.struct(c.alias("src"), s.alias("dst")),
+        F.struct(s.alias("src"), c.alias("dst")))).alias("e"))
+        .select("e.src", "e.dst"))
     return pagerank_topk(edges, k=20, iterations=3)
 
 

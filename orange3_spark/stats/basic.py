@@ -224,9 +224,126 @@ def fdr(p_values: Sequence[float], dependent: bool = False) -> list[float]:
     return out
 
 
+#: (variable, value) histogram row cap for the single-scan local path —
+#: the r10 rounds' shared bounded-probe size class.  Above it the
+#: two-scan distributed plan runs unchanged.
+FEATURE_STATS_HIST_ROWS = 65_536
+
+_I64 = (1 << 64)
+
+
+def _wrap64(x: int) -> int:
+    """Signed-int64 wrap-around — Spark's non-ANSI long arithmetic.
+    Applied to every product and running sum so the local histogram
+    path is bit-identical to ``F.sum`` over longs even in overflow."""
+    x &= _I64 - 1
+    return x - _I64 if x >= (1 << 63) else x
+
+
+def _spark_median_long(qcounts: "list[tuple[int, int]]") -> Optional[float]:
+    """Exact ``F.median`` over long values given a (value, count)
+    histogram — Spark's Percentile formula verbatim:
+    ``pos = 0.5·(n−1)``; result is the element at pos when integral,
+    else ``(ceil(pos)−pos)·lo + (pos−floor(pos))·hi`` over the two
+    straddling order statistics (all double ops, same sequence)."""
+    import math
+
+    n_ok = sum(c for _, c in qcounts)
+    if n_ok == 0:
+        return None
+    pos = 0.5 * (n_ok - 1)
+    lo_i, hi_i = math.floor(pos), math.ceil(pos)
+    lo = hi = None
+    acc = 0
+    for q, c in sorted(qcounts):
+        if lo is None and acc + c > lo_i:
+            lo = q
+        if acc + c > hi_i:
+            hi = q
+            break
+        acc += c
+    if lo_i == hi_i:
+        return float(lo)
+    return (hi_i - pos) * lo + (pos - lo_i) * hi
+
+
+def _feature_statistics_hist(df: DataFrame, cols: "list[str]",
+                             quantize: float,
+                             cap: int) -> Optional[DataFrame]:
+    """Single-scan bounded-histogram twin of the exact-quantized path.
+
+    The (variable, value) frequency table is the sufficient statistic
+    for EVERY output of the ``quantize`` path: n/missing are count sums,
+    n_distinct is the number of non-null non-NaN keys, min/max are key
+    extremes, Σq/Σq² regroup the identical int64 addends (associative,
+    wrap-around mirrored by :func:`_wrap64`), the exact median comes
+    from the sorted histogram via Spark's own Percentile interpolation
+    (:func:`_spark_median_long`), and the mode is the smallest key of
+    maximal count — the same (count DESC, value ASC) order the window
+    path uses.  One aggregation scan replaces the wide-moment scan
+    (whose per-column ``count_distinct`` Expand multiplies the input)
+    plus the mode scan.  Returns ``None`` when the histogram exceeds
+    ``cap`` rows — caller falls back to the distributed two-scan plan."""
+    import math
+
+    n = len(cols)
+    stack_args = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
+    hist = (df.select(F.expr(f"stack({n}, {stack_args}) "
+                             "as (variable, value)"))
+              .groupBy("variable", "value")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    rows = hist.limit(cap + 1).collect()
+    if len(rows) > cap:
+        return None
+    per: dict = {c: [] for c in cols}
+    for r in rows:
+        per[r["variable"]].append((r["value"], int(r["cnt"])))
+
+    out_rows = []
+    for c in cols:
+        vals = per[c]
+        n_all = sum(cnt for _, cnt in vals)
+        ok = [(v, cnt) for v, cnt in vals
+              if v is not None and not math.isnan(v)]
+        n_ok = sum(cnt for _, cnt in ok)
+        miss = n_all - n_ok
+        if n_ok == 0:
+            out_rows.append((c, n_all, miss, 0, None, None,
+                             None, None, None, None))
+            continue
+        mn = min(v for v, _ in ok)
+        mx = max(v for v, _ in ok)
+        qcnt: dict = {}
+        s = ss = 0
+        for v, cnt in ok:
+            q = math.floor(v * quantize + 0.5)
+            qcnt[q] = qcnt.get(q, 0) + cnt
+            s = _wrap64(s + _wrap64(q * cnt))
+            ss = _wrap64(ss + _wrap64(_wrap64(q * q) * cnt))
+        # identical float op sequence to _moments below
+        sf, ssf = float(s), float(ss)
+        mean = sf / n_ok / quantize
+        m1 = sf / n_ok
+        var_q = ssf / n_ok - m1 * m1
+        sd = math.sqrt(var_q if var_q > 0 else 0.0) / quantize
+        medq = _spark_median_long(list(qcnt.items()))
+        med = None if medq is None else float(medq) / quantize
+        best_cnt = max(cnt for _, cnt in ok)
+        mode = min(v for v, cnt in ok if cnt == best_cnt)
+        out_rows.append((c, n_all, miss, len(ok), mean, sd,
+                         mn, mx, med, mode))
+    return df.sparkSession.createDataFrame(
+        out_rows,
+        "variable string, n bigint, n_missing bigint, n_distinct bigint, "
+        "mean double, stddev double, min double, max double, "
+        "median double, mode double")
+
+
 def feature_statistics(df: DataFrame, columns: Sequence[str], *,
                        approx: bool = False,
-                       quantize: Optional[float] = None) -> DataFrame:
+                       quantize: Optional[float] = None,
+                       hist_rows: int = FEATURE_STATS_HIST_ROWS
+                       ) -> DataFrame:
     """Per-variable profile (Feature Statistics widget,
     ``Orange/widgets/data/owfeaturestatistics.py``): count, missing,
     distinct, mean, population stddev, min/max, exact median, mode.
@@ -251,10 +368,27 @@ def feature_statistics(df: DataFrame, columns: Sequence[str], *,
     ``F.stddev_pop`` over doubles are partition-order-dependent in the
     last bits, which hash-failed driver grading twice (rounds 2-3) even
     under 4-decimal rounding; integer sums cannot drift.  Semantically
-    exact when the data has ≤ log10(quantize) decimals."""
+    exact when the data has ≤ log10(quantize) decimals.
+
+    The exact-quantized path first tries the bounded-histogram twin
+    (:func:`_feature_statistics_hist`): when the (variable, value)
+    frequency table fits ``hist_rows``, ONE aggregation scan yields
+    every output bit-identically (see its docstring for the argument
+    per field) instead of the wide-moment scan + mode scan.  Past the
+    cap — or for ``approx`` / un-quantized float moments, whose
+    partial-aggregation float order the local twin cannot replay — the
+    two-scan distributed plan below runs unchanged.  The failed probe
+    then cost one extra map-side-combined aggregation; corpora where
+    that matters should be on ``approx=True`` anyway (sketches, one
+    scan, no exact-distinct state)."""
     from pyspark.sql.window import Window
 
     cols = list(columns)
+    if quantize is not None and not approx and hist_rows:
+        out = _feature_statistics_hist(df, cols, float(quantize),
+                                       hist_rows)
+        if out is not None:
+            return out
     aggs = []
     for i, c in enumerate(cols):
         x = F.col(c).cast("double")

@@ -395,16 +395,17 @@ JOB_BUDGETS = {
     # AQE stages + the final scoring aggregate (measured 13); a breach
     # means a per-iteration rescan leaked in (budget = measured + 25%)
     "q_quality_classifier": 17,
-    # pagerank_topk (Pregel loop shape): node count + one materialize
-    # action per iteration (each = 2-4 AQE stage-jobs over the PERSISTED
-    # edge/rank frames — the raw input is read once into the edge
-    # persist) + the final top-k collect.  A breach means either an
-    # extra action leaked into the loop or lineage started re-executing
-    # across iterations again.  Measured 44 at sf0.01: AQE runs each
-    # exchange of the per-iteration join/agg/broadcast DAG as its own
-    # stage-job (~13/iteration), all over persisted rank-sized frames —
-    # the raw input is scanned exactly once.
-    "q_pagerank": 50,
+    # pagerank bounded local twin (r10): ONE parallel count of the
+    # persisted edge frame (materializes the cache — the raw input is
+    # read exactly once) + ONE Arrow fetch of the cached rows + the
+    # literal top-k frame; iterations are exact-int64 numpy on the
+    # driver, bit-identical to the Pregel loop (graph.py:_pagerank_local,
+    # parity-pinned in test_operators).  Measured 11 cold / 9 steady at
+    # sf0.01; budget = measured + ~25%.  A breach means the probe
+    # stopped reading the cache or the distributed loop leaked back in
+    # below the cap (past PR_LOCAL_EDGES the Pregel loop still owns the
+    # job count — its historical budget was 50).
+    "q_pagerank": 14,
     # two ivf_knn builds (approx + exhaustive sides), each = Lloyd fit
     # jobs + centroid refresh collect + the final compare aggregate
     "q_ann_recall": 30,

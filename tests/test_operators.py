@@ -365,7 +365,8 @@ def test_pagerank_fixed_point_deterministic_and_dangling(spark):
     edges = spark.createDataFrame(
         [("hub", "a"), ("hub", "b"), ("hub", "c"),
          ("a", "hub"), ("b", "hub")], "src string, dst string")
-    ranks1 = pagerank_frame(edges, iterations=3)
+    # local_max_edges=0 forces the distributed Pregel loop
+    ranks1 = pagerank_frame(edges, iterations=3, local_max_edges=0)
     r = {x["node"]: x["rank"] for x in ranks1.collect()}
     assert set(r) == {"hub", "a", "b", "c"}
     assert r["hub"] > r["a"] == r["b"] > 0
@@ -373,7 +374,8 @@ def test_pagerank_fixed_point_deterministic_and_dangling(spark):
     # c's dangling retained mass is redistributed to everyone equally)
     assert r["c"] == r["a"]
     # exact integer determinism under repartition
-    ranks2 = pagerank_frame(edges.repartition(7), iterations=3)
+    ranks2 = pagerank_frame(edges.repartition(7), iterations=3,
+                            local_max_edges=0)
     r2 = {x["node"]: x["rank"] for x in ranks2.collect()}
     assert r == r2
     # direct calls self-clean intermediates; the result cache is the
@@ -381,6 +383,11 @@ def test_pagerank_fixed_point_deterministic_and_dangling(spark):
     for rk in (ranks1, ranks2):
         assert rk.pagerank_cache is not None
         rk.pagerank_cache.unpersist()
+    # the bounded local twin (default path at this size) is the Pregel
+    # loop's exact-integer equal — same ranks, bit for bit
+    rl = {x["node"]: x["rank"]
+          for x in pagerank_frame(edges, iterations=3).collect()}
+    assert rl == r
     top = pagerank_topk(edges, k=2, iterations=3).collect()
     assert [t["node"] for t in top] == ["hub", "a"]  # tie a<b broken by id
 

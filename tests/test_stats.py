@@ -320,3 +320,55 @@ def test_check_max_levels_exact_at_boundary(spark):
     wide = spark.range(5000).select(F.col("id").alias("a"))
     with pytest.raises(ValueError, match="exceed 100 levels"):
         check_max_levels(wide, ["a"], 100, "test")
+
+
+def test_feature_statistics_hist_twin_matches_distributed(spark):
+    """The bounded-histogram single-scan path is the distributed
+    exact-quantized plan's local twin: every field bit-identical
+    (hist_rows=0 forces the two-scan plan) — nulls, NaN, mode ties,
+    even/odd counts, negatives, interpolated medians."""
+    from orange3_spark.stats.basic import feature_statistics
+
+    df = spark.createDataFrame(
+        [(1.25, -5.0, 100.0), (2.5, -5.0, None), (2.5, 7.75, 300.0),
+         (float("nan"), 7.75, 200.0), (None, -6.5, 200.0),
+         (3.75, None, 150.0), (2.5, -5.0, float("nan"))],
+        "a double, b double, c double")
+    cols = ["a", "b", "c"]
+    fast = feature_statistics(df, cols, quantize=100.0).collect()
+    slow = feature_statistics(df, cols, quantize=100.0,
+                              hist_rows=0).collect()
+    by_var = lambda rows: {r.variable: r for r in rows}
+    f, s = by_var(fast), by_var(slow)
+    assert set(f) == set(s)
+    for v in f:
+        for field in ("n", "n_missing", "n_distinct", "mean", "stddev",
+                      "min", "max", "median", "mode"):
+            assert getattr(f[v], field) == getattr(s[v], field), \
+                (v, field, getattr(f[v], field), getattr(s[v], field))
+
+
+def test_spark_median_long_formula_pin(spark):
+    """_spark_median_long mirrors F.median over longs exactly —
+    including the interpolation formula's float op order at magnitudes
+    where (lo+hi)/2 and lo+(hi-lo)/2 would differ in the last ulp."""
+    from pyspark.sql import functions as F
+
+    from orange3_spark.stats.basic import _spark_median_long
+
+    cases = [
+        [3],                            # single
+        [1, 2],                         # even, interpolated
+        [1, 2, 4],                      # odd
+        [-7, -3, 10, 12],               # negatives, even
+        [5, 5, 5, 9],                   # duplicates straddling the cut
+        [2**53 + 1, 2**53 + 3],         # beyond exact-double integers
+        [-(2**62), 2**62 - 1],          # extreme longs
+        [0, 0, 0, 0, 1],
+    ]
+    for vals in cases:
+        df = spark.createDataFrame([(int(v),) for v in vals], "q long")
+        want = df.agg(F.median("q")).first()[0]
+        got = _spark_median_long(
+            [(v, sum(1 for x in vals if x == v)) for v in set(vals)])
+        assert got == want, (vals, got, want)
