@@ -117,7 +117,20 @@ def shingle_table(df: DataFrame, text_col: str = "text",
     short = (df.select(F.col(id_col), toks.alias("_t"))
                .filter(F.size("_t") < n)
                .select(F.col(id_col), F.array_join("_t", " ").alias("shingle")))
-    return grams.unionByName(short).distinct()
+    # Repartition by id_col BEFORE the distinct: HashPartitioning(id)
+    # satisfies the distinct's (id, shingle) clustering AND every
+    # downstream per-doc aggregation, so the distinct and — crucially —
+    # the 64-column MinHash signature aggregation run exchange-free.
+    # Without this the signature agg's partial state (65 longs × docs ×
+    # map partitions) was the pipeline's largest exchange: 50.8 MiB of
+    # q_dedup_minhash's 63.5 MB total shuffle at sf0.1, vs ~5 MiB for
+    # the (id, shingle) rows themselves (guide §2.4 — operations keyed
+    # the same way share one exchange).  No new skew class: the window
+    # above already partitions by id_col, and per-doc shingle counts
+    # are bounded by document length.
+    return (grams.unionByName(short)
+            .repartition(F.col(id_col))
+            .distinct())
 
 
 # ---------------------------------------------------------- n-gram Jaccard
