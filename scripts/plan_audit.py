@@ -97,8 +97,12 @@ AUDITS = {
     "q_quality_classifier": [
         ("full-corpus scoring is pure codegen (fit jobs are separate)",
          r"(\*\(\d+\)|WholeStageCodegen)"),
-        ("scan prunes to text/lang/source",
-         r"ReadSchema: struct<text:string,lang:string,source:string"),
+        # doc_id joined the pruned set when scoring moved to the codegen
+        # hashed_bow_agg featurizer (it counts per doc); still pruned —
+        # the docs table's remaining columns stay out of the scan
+        ("scan prunes to doc_id/text/lang/source",
+         r"ReadSchema: struct<(doc_id:bigint,)?text:string,lang:string,"
+         r"source:string"),
     ],
     "q_cdc_chunks": [
         ("chunk windows are PARTITIONED by doc (no global order)",
