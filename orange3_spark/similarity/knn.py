@@ -246,6 +246,113 @@ def auto_n_planes(n_rows: int, *, target_bucket_rows: int = 64,
                                                / target_bucket_rows))))
 
 
+def _seq_norm_udf():
+    """Vectorized pandas UDF twin of :func:`norm` — BIT-IDENTICAL per
+    row: the accumulation loops over dimensions in order (acc = acc +
+    x·x, one rounding per op, exactly the fold's op sequence) and is
+    vectorized ACROSS rows, where IEEE rounding is per-lane.  NULL
+    arrays → NULL, any length folds over its own length, sqrt is
+    correctly rounded in both runtimes.  Replaces the interpreted
+    higher-order ``F.aggregate`` evaluator (CodegenFallback) on the
+    LSH hot path — guide §4.2; an unrolled JVM expression chain was
+    measured first and REJECTED: at signature widths it overflows
+    janino's 64 KB method limit and the whole stage falls back to the
+    interpreter."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def _n(v: pd.Series) -> pd.Series:
+        vals = v.to_numpy()
+        lens = np.fromiter((-1 if x is None else len(x) for x in vals),
+                           dtype=np.int64, count=len(vals))
+        out = np.full(len(vals), None, dtype=object)
+        for ln in np.unique(lens[lens >= 0]):
+            idx = np.nonzero(lens == ln)[0]
+            if ln == 0:
+                out[idx] = 0.0
+                continue
+            X = np.stack(vals[idx]).astype(np.float64)
+            acc = np.zeros(len(idx), dtype=np.float64)
+            for d in range(int(ln)):
+                acc = acc + X[:, d] * X[:, d]
+            out[idx] = np.sqrt(acc)
+        return pd.Series(out, dtype=object)
+
+    return _n
+
+
+def _lsh_buckets_udf(planes_tables, dim: int):
+    """Vectorized pandas UDF twin of the per-table
+    ``concat_ws(':', t, lsh_signature(v, planes))`` projection —
+    BIT-IDENTICAL strings: each plane projection is the ordered
+    acc = acc + v[d]·plane[d] fold (float32→double casts are exact),
+    ``proj >= 0`` sets the plane's bit (NaN compares false, exactly as
+    the JVM), and rows whose length ≠ dim (or NULL rows) get signature
+    0 in every table — the value the JVM form produces when ``zip_with``
+    pads the short side with NULLs and ``when(NULL >= 0)`` falls through
+    to 0 for every bit."""
+    import numpy as np
+
+    pmats = [np.asarray(p, dtype=np.float64) for p in planes_tables]
+
+    @F.pandas_udf("array<string>")
+    def _b(v: pd.Series) -> pd.Series:
+        vals = v.to_numpy()
+        n = len(vals)
+        ok = np.fromiter((x is not None and len(x) == dim for x in vals),
+                         dtype=bool, count=n)
+        sigs = np.zeros((len(pmats), n), dtype=np.int64)
+        if ok.any():
+            X = np.stack(vals[ok]).astype(np.float64)
+            for t, P in enumerate(pmats):
+                s = np.zeros(X.shape[0], dtype=np.int64)
+                for i in range(P.shape[0]):
+                    acc = np.zeros(X.shape[0], dtype=np.float64)
+                    for d in range(dim):
+                        acc = acc + X[:, d] * P[i, d]
+                    s |= np.where(acc >= 0.0, np.int64(1 << i),
+                                  np.int64(0))
+                sigs[t, ok] = s
+        return pd.Series(
+            [[f"{t}:{sigs[t, r]}" for t in range(len(pmats))]
+             for r in range(n)])
+
+    return _b
+
+
+def _seq_dot_udf():
+    """Vectorized pandas UDF twin of :func:`dot` — BIT-IDENTICAL: the
+    ordered acc = acc + a[d]·b[d] fold, vectorized across rows.  NULL
+    on either side → NULL; unequal lengths → NULL (``zip_with`` pads
+    the short side with NULLs, poisoning the fold); equal lengths fold
+    over that shared length."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def _d(a: pd.Series, b: pd.Series) -> pd.Series:
+        av, bv = a.to_numpy(), b.to_numpy()
+        n = len(av)
+        lens = np.fromiter(
+            (-1 if (x is None or y is None or len(x) != len(y))
+             else len(x) for x, y in zip(av, bv)),
+            dtype=np.int64, count=n)
+        out = np.full(n, None, dtype=object)
+        for ln in np.unique(lens[lens >= 0]):
+            idx = np.nonzero(lens == ln)[0]
+            if ln == 0:
+                out[idx] = 0.0
+                continue
+            X = np.stack(av[idx]).astype(np.float64)
+            Y = np.stack(bv[idx]).astype(np.float64)
+            acc = np.zeros(len(idx), dtype=np.float64)
+            for d in range(int(ln)):
+                acc = acc + X[:, d] * Y[:, d]
+            out[idx] = acc
+        return pd.Series(out, dtype=object)
+
+    return _d
+
+
 def neardup_cosine(df: DataFrame, threshold: float = 0.95, *,
                    vec_col: str = "embedding", id_col: str = "vec_id",
                    n_planes="auto", n_tables: int = 1, seed: int = 42,
@@ -262,10 +369,10 @@ def neardup_cosine(df: DataFrame, threshold: float = 0.95, *,
     pair volume — stay bounded as the corpus grows; pass an int to pin.
     ``n_tables`` independent hash tables (plane sets) are unioned — the
     standard recall knob: a pair is compared if it collides in ANY table."""
-    v = _as_double(F.col(vec_col))
-    base = df.select(F.col(id_col).alias("_id"), v.alias("_v")) \
-             .withColumn("_n", norm(F.col("_v")))
     if brute_force:
+        v = _as_double(F.col(vec_col))
+        base = df.select(F.col(id_col).alias("_id"), v.alias("_v")) \
+                 .withColumn("_n", norm(F.col("_v")))
         # capped probe: one scan of ≤ max_brute_rows+1 rows, no full count
         if base.limit(max_brute_rows + 1).count() > max_brute_rows:
             raise ValueError(
@@ -277,38 +384,60 @@ def neardup_cosine(df: DataFrame, threshold: float = 0.95, *,
         b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
                         F.col("_n").alias("nb"))
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    else:
-        dim = len(df.select(vec_col).first()[0])
-        if n_planes == "auto":
-            n_planes = auto_n_planes(base.count())
-        sigs = F.array(*[
-            lsh_signature("_v", hyperplanes(dim, n_planes, seed + 7919 * t))
-            for t in range(n_tables)])
-        tagged = base.select(
-            "_id", "_v", "_n",
-            F.explode(F.transform(
-                sigs, lambda s, i: F.concat_ws(":", i.cast("string"),
-                                               s.cast("string")))).alias("bucket"))
-        # The bucket self-join and the multi-table dedup move ONLY ids:
-        # shuffling the candidate pairs WITH their vectors through the
-        # distinct moved two dim-length arrays per pair (measured the
-        # dominant cost at sf0.1 — ~120k candidate pairs × 2×64 doubles);
-        # the vectors re-attach afterwards by two equi-joins on id
-        # against the corpus-sized base (guide §8: every shuffle but the
-        # last moves a lightweight proxy).  Same pair set, same vectors,
-        # same score expression — results are unchanged.
-        a = tagged.select(F.col("_id").alias("id_a"), "bucket")
-        b = tagged.select(F.col("_id").alias("id_b"), "bucket")
-        cand = (a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
-                 .select("id_a", "id_b").distinct())
-        pairs = (cand
-                 .join(base.select(F.col("_id").alias("id_a"),
-                                   F.col("_v").alias("va"),
-                                   F.col("_n").alias("na")), "id_a")
-                 .join(base.select(F.col("_id").alias("id_b"),
-                                   F.col("_v").alias("vb"),
-                                   F.col("_n").alias("nb")), "id_b"))
-    return (pairs.withColumn("score", dot(F.col("va"), F.col("vb"))
+        return (pairs.withColumn("score", dot(F.col("va"), F.col("vb"))
+                                 / (F.col("na") * F.col("nb")))
+                     .filter(F.col("score") >= threshold)
+                     .select("id_a", "id_b", "score"))
+    # LSH path: signature/norm/score arithmetic runs in vectorized pandas
+    # UDFs whose loops replay the JVM folds' exact op order (see the
+    # _seq_*/_lsh_buckets_udf docstrings) — the per-row F.aggregate folds
+    # here are CodegenFallback (interpreted per element) and were this
+    # query's dominant cost: n_tables·n_planes·dim interpreted lambda
+    # evals per row.  _spread_scan: that per-row work otherwise
+    # serializes inside a 1-task scan stage on single-row-group inputs
+    # (guide §2.5 unsplittable input; a no-op at scale where scans
+    # already have ≥ cores splits) — signatures are row-local and the
+    # candidate set is set-valued, so results are partitioning-
+    # independent.
+    from orange3_spark.text.dedup import _spread_scan
+
+    dim = len(df.select(vec_col).first()[0])
+    # deliberately NOT persisted: (id, vec, norm) has three consumers,
+    # but the vectorized norm UDF re-run costs less than the cache
+    # materialization round-trip (measured 2.01 → 2.59 s with a
+    # MEMORY_AND_DISK persist here — the same cache-loses-on-small-
+    # frames result as r10's _nation_features experiment)
+    base = (_spread_scan(df.select(F.col(id_col).alias("_id"),
+                                   F.col(vec_col).alias("_v")))
+            .withColumn("_n", _seq_norm_udf()(F.col("_v"))))
+    if n_planes == "auto":
+        n_planes = auto_n_planes(base.count())
+    buckets = _lsh_buckets_udf(
+        [hyperplanes(dim, n_planes, seed + 7919 * t)
+         for t in range(n_tables)], dim)
+    tagged = base.select(
+        "_id", "_n", F.explode(buckets(F.col("_v"))).alias("bucket"))
+    # The bucket self-join and the multi-table dedup move ONLY ids:
+    # shuffling the candidate pairs WITH their vectors through the
+    # distinct moved two dim-length arrays per pair (measured the
+    # dominant cost at sf0.1 — ~120k candidate pairs × 2×64 doubles);
+    # the vectors re-attach afterwards by two equi-joins on id
+    # against the corpus-sized base (guide §8: every shuffle but the
+    # last moves a lightweight proxy).  Same pair set, same vectors,
+    # same score values — results are unchanged.
+    a = tagged.select(F.col("_id").alias("id_a"), "bucket")
+    b = tagged.select(F.col("_id").alias("id_b"), "bucket")
+    cand = (a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+    pairs = (cand
+             .join(base.select(F.col("_id").alias("id_a"),
+                               F.col("_v").alias("va"),
+                               F.col("_n").alias("na")), "id_a")
+             .join(base.select(F.col("_id").alias("id_b"),
+                               F.col("_v").alias("vb"),
+                               F.col("_n").alias("nb")), "id_b"))
+    return (pairs.withColumn("score",
+                             _seq_dot_udf()(F.col("va"), F.col("vb"))
                              / (F.col("na") * F.col("nb")))
                  .filter(F.col("score") >= threshold)
                  .select("id_a", "id_b", "score"))

@@ -25,7 +25,8 @@ def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:]
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(HERE, "plans", "r10")
+    out_dir = os.path.join(HERE, "plans",
+                           os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r11"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("dump-plans-r10")
     spark.sparkContext.setLogLevel("ERROR")
