@@ -250,6 +250,24 @@ def logistic_irls(df: DataFrame, features: Sequence[str],
            .select(*[F.col(c).cast("double").alias(fc)
                      for c, fc in zip(features, fcols)],
                    F.col(label_col).cast("double").alias("_y")))
+    # Bounded-frame fast path (r10; r11: limit-probed single fetch).
+    # The r10 shape was count-gate (one full scan) + persist + toPandas
+    # (a second scan/fetch); fetching up to cap_rows+1 rows directly
+    # folds gate and fetch into ONE job — the limit pushes into the
+    # scan, so an over-cap corpus stops the probe after ~cap rows
+    # (≤ ~32 MB) and takes the distributed loop below.  limit's row
+    # order is arbitrary, and fit_logistic_irls_matrix — the ORACLE'S
+    # OWN local twin — sums per-row quantized stats with exact integer
+    # addition, so β is bit-identical to the distributed loop in any
+    # row order (pinned by test_logistic_irls_partition_independent).
+    cap_rows = 4_000_000 // d
+    pdf_all = sel.limit(cap_rows + 1).toPandas()
+    if len(pdf_all) <= cap_rows:
+        return fit_logistic_irls_matrix(
+            pdf_all[fcols].to_numpy(dtype=np.float64),
+            pdf_all["_y"].to_numpy(dtype=np.float64),
+            iters=iters, qscale=qscale, ridge=ridge)
+    del pdf_all
     sel = sel.persist()
     # Right-size the iteration frame (same coalesce rule as som_fit /
     # right_size_for_fit): a bounded fit frame arriving through a
@@ -260,22 +278,6 @@ def logistic_irls(df: DataFrame, features: Sequence[str],
     # integer combine is partition-independent, so β is unchanged
     # (pinned by test_logistic_irls_partition_independent).
     n_rows = sel.count()
-    if n_rows * d <= 4_000_000:
-        # Bounded-frame fast path (r10): fetch the frame once and run
-        # fit_logistic_irls_matrix — the ORACLE'S OWN local twin.  Per-
-        # row quantized stats summed with exact integer addition are
-        # partition/batch/row-order independent, so β is bit-identical
-        # to the distributed loop (that equivalence is precisely what
-        # the oracle replay already relies on), while iters scans
-        # collapse into one toPandas (quality-clf fit: 6.8 → ~1 s warm
-        # at sf0.1).  The cell cap keeps the driver transfer ≤ ~32 MB;
-        # a 100 TB fit frame takes the distributed loop below.
-        pdf_all = sel.toPandas()
-        sel.unpersist()
-        return fit_logistic_irls_matrix(
-            pdf_all[fcols].to_numpy(dtype=np.float64),
-            pdf_all["_y"].to_numpy(dtype=np.float64),
-            iters=iters, qscale=qscale, ridge=ridge)
     sc = df.sparkSession.sparkContext
     parts = max(1, min(sc.defaultParallelism, n_rows // 50_000 + 1))
     if parts < sel.rdd.getNumPartitions():
@@ -341,10 +343,13 @@ def fit_logistic_irls_matrix(X, y, *, iters: int = 8,
     beta = np.zeros(d)
     for _ in range(iters):
         qH, qg = _irls_row_stats(X, y, beta, qscale)
-        qH_tot = [int(sum(int(v) for v in qH[:, i]))
-                  for i in range(qH.shape[1])]
-        qg_tot = [int(sum(int(v) for v in qg[:, i]))
-                  for i in range(qg.shape[1])]
+        # .tolist() bulk-converts int64 → Python ints (C loop), then the
+        # built-in sum accumulates with arbitrary precision — the exact
+        # same totals as the previous per-element int() generator, which
+        # cost ~1.2 s/fit at 150k rows (8M interpreted conversions; the
+        # whole numpy stat pass is ~10 ms)
+        qH_tot = [sum(qH[:, i].tolist()) for i in range(qH.shape[1])]
+        qg_tot = [sum(qg[:, i].tolist()) for i in range(qg.shape[1])]
         beta = beta + _irls_solve(qH_tot, qg_tot, d, qscale, ridge)
     return [float(b) for b in beta]
 
